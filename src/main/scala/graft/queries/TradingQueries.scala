@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.model.Timeframe
+import graft.operators.{Ohlc, Ticks}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable queries for the trading spine (SURVEY.md §2.1-§2.3):
+  * tick normalization → dedup → OHLC base → resample.
+  *
+  * Oracle-parity conventions (SURVEY.md §7.4):
+  *  - timestamps are emitted as epoch values (`time_s` seconds / `time_us`
+  *    micros, BIGINT) — avoids ns-vs-us precision and tz-encoding mismatches
+  *    between Spark parquet output and DuckDB;
+  *  - dedup survivor order compares time at microsecond precision on both
+  *    sides (DuckDB `epoch_us`), since Spark truncates parquet ns → us;
+  *  - OHLC first/last use `min_by`/`max_by` over unique-per-group times, so
+  *    both engines pick identical rows.
+  */
+object TradingQueries {
+
+  /** Shared oracle CTEs: events → ticks → valid → second-dedup → 1m candles. */
+  private[queries] val ticksCte: String =
+    """ticks AS (
+      |  SELECT event_type AS pair, ts AS time, value AS bid,
+      |         value + 0.01 AS ask, event_id AS seq
+      |  FROM events
+      |  WHERE value > 0 AND value + 0.01 > 0 AND value <= value + 0.01
+      |)""".stripMargin
+
+  private[queries] val dedupCte: String =
+    """dedup AS (
+      |  SELECT pair, date_trunc('second', time) AS time, bid, ask FROM (
+      |    SELECT pair, time, bid, ask,
+      |           row_number() OVER (
+      |             PARTITION BY pair, date_trunc('second', time)
+      |             ORDER BY epoch_us(time), seq) AS rn
+      |    FROM ticks) t
+      |  WHERE rn = 1
+      |)""".stripMargin
+
+  private[queries] val c1mCte: String =
+    """c1m AS (
+      |  SELECT pair, date_trunc('minute', time) AS time,
+      |         min_by(bid, time) AS open, max(bid) AS high,
+      |         min(bid) AS low, max_by(bid, time) AS close
+      |  FROM dedup GROUP BY 1, 2
+      |)""".stripMargin
+
+  private def resampleSql(d: Int): String =
+    s"""SELECT pair, (epoch(time)::BIGINT // $d) * $d AS time_s,
+       |       min_by(open, time) AS open, max(high) AS high,
+       |       min(low) AS low, max_by(close, time) AS close
+       |FROM c1m GROUP BY 1, 2""".stripMargin
+
+  /** Canonical tick set for a scale-factor dir. */
+  def ticks(spark: SparkSession, d: String): DataFrame =
+    Ticks.normalize(Tables.events(spark, d))
+
+  /** Canonical 1m candles for a scale-factor dir. */
+  def candles1m(spark: SparkSession, d: String): DataFrame =
+    Ohlc.ohlcBase(ticks(spark, d))
+
+  private def epochS(c: String): org.apache.spark.sql.Column =
+    unix_timestamp(col(c)).as("time_s")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s2_tick_dedup" -> ((s, d) =>
+      ticks(s, d).select(col("pair"), epochS("time"), col("bid"), col("ask"))),
+    "p5_mid_relay" -> ((s, d) =>
+      Ticks.withMid(Ticks.valid(Ticks.fromEvents(Tables.events(s, d))))
+        .select(col("pair"), unix_micros(col("time")).as("time_us"),
+          col("bid"), col("ask"), col("mid"))),
+    "a1_ohlc_1m" -> ((s, d) =>
+      candles1m(s, d).select(col("pair"), epochS("time"),
+        col("open"), col("high"), col("low"), col("close"))),
+    "a2_ohlc_5m" -> ((s, d) =>
+      Ohlc.resample(candles1m(s, d), Timeframe.byCode("5m"))
+        .select(col("pair"), epochS("time"),
+          col("open"), col("high"), col("low"), col("close"))),
+    "a2_ohlc_1h" -> ((s, d) =>
+      Ohlc.resample(candles1m(s, d), Timeframe.byCode("1h"))
+        .select(col("pair"), epochS("time"),
+          col("open"), col("high"), col("low"), col("close"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "s2_tick_dedup" ->
+      s"""WITH $ticksCte, $dedupCte
+         |SELECT pair, epoch(time)::BIGINT AS time_s, bid, ask FROM dedup""".stripMargin,
+    "p5_mid_relay" ->
+      s"""WITH $ticksCte
+         |SELECT pair, epoch_us(time) AS time_us, bid, ask,
+         |       (bid + ask) / 2 AS mid
+         |FROM ticks""".stripMargin,
+    "a1_ohlc_1m" ->
+      s"""WITH $ticksCte, $dedupCte, $c1mCte
+         |SELECT pair, epoch(time)::BIGINT AS time_s, open, high, low, close
+         |FROM c1m""".stripMargin,
+    "a2_ohlc_5m" ->
+      s"""WITH $ticksCte, $dedupCte, $c1mCte
+         |${resampleSql(300)}""".stripMargin,
+    "a2_ohlc_1h" ->
+      s"""WITH $ticksCte, $dedupCte, $c1mCte
+         |${resampleSql(3600)}""".stripMargin)
+}

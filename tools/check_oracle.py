@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: reads Verify output
+(outDir/<name>/ parquet + oracle_sql.json), runs each oracle SQL in DuckDB
+over the sf-dir parquet tables, and compares values sorted by column name.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize float-ish columns for hashing comparisons
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+            exp = canon(con.sql(oracle[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+            n_fail += 1; continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); n_fail += 1; continue
+        # exact compare with float tolerance reporting
+        mismatch = None
+        for c in got.columns:
+            g, e = got[c], exp[c]
+            if g.dtype.kind == "f" or e.dtype.kind == "f":
+                import numpy as np
+                ga, ea = g.to_numpy(dtype=float), e.to_numpy(dtype=float)
+                both_nan = pd.isna(ga) & pd.isna(ea)
+                eq = (ga == ea) | both_nan
+                if not eq.all():
+                    bad = (~eq).nonzero()[0][:3]
+                    mismatch = f"col {c}: {[(ga[i], ea[i]) for i in bad]} (n={~eq.sum() if hasattr((~eq),'sum') else '?'})"
+                    maxdiff = float(pd.Series(abs(ga - ea)).max())
+                    mismatch += f" maxdiff={maxdiff:.3e}"
+                    break
+            else:
+                if not g.equals(e):
+                    bad = g[g != e].index[:3].tolist()
+                    mismatch = f"col {c}: rows {bad} got={g[bad].tolist()} exp={e[bad].tolist()}"
+                    break
+        if mismatch:
+            print(f"FAIL {name}: {mismatch}"); n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+    missing = [n for n in sorted(set(os.listdir(out_dir)) - set(oracle)
+               - {"oracle_sql.json"}) if os.path.isdir(f"{out_dir}/{n}")]
+    if missing:
+        print(f"rows-only (no oracle): {missing}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
