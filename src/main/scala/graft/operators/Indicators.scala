@@ -1,0 +1,128 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.model.IndicatorValue
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Close-series row for the recursive indicator fold. Public (not nested
+  * private) because Catalyst's generated deserializer must access it. */
+final case class CloseRow(pair: String, timeframe: String, time: Timestamp, close: Double)
+
+/** Technical-indicator operators (SURVEY.md §2.9 U1-U3, §2.5 W3).
+  *
+  * The reference round-trips the ordered close series into Python/NumPy and
+  * calls TA-Lib (reference: src/etl/flows/transform_services.py:186-188,
+  * 268-270, 347-349) — its scalability ceiling. Here:
+  *
+  *  - SMA is a pure window aggregate (whole-stage-codegen'd, no UDF);
+  *  - EMA/RSI are order-dependent recurrences, not expressible as frame
+  *    aggregates — computed with `flatMapSortedGroups` (shuffle once on the
+  *    series key, secondary-sort by time, single sequential fold per group).
+  *    One group = one (pair, timeframe) series, bounded in practice (a year
+  *    of 1m bars ≈ 525k rows), so groups never exceed executor memory even
+  *    at 100 TB total input.
+  *
+  * Numerics replicate TA-Lib exactly (SURVEY.md §7.4): SMA/EMA have
+  * `period-1` warm-up rows, RSI has `period`; warm-up emits NULL (the
+  * reference stores NaN — we standardize on NULL).
+  */
+object Indicators {
+
+  val CalcVersion = "0" // reference writes calc_version='0' (transform_services.py:138,223,301)
+
+  /** U1: simple moving average of `close` over the last `period` rows per
+    * (pair, timeframe) series, NULL until a full window exists. */
+  def sma(candles: DataFrame, period: Int, calcVersion: String = CalcVersion): DataFrame = {
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val frame = w.rowsBetween(-(period - 1), Window.currentRow)
+    candles
+      .withColumn("value",
+        when(row_number().over(w) >= period, avg(col("close")).over(frame)))
+      .select(lit("SMA").as("indicator"), col("pair"), col("timeframe"), col("time"),
+        lit(period).as("period"), lit(calcVersion).as("calc_version"), col("value"))
+  }
+
+  /** U2: exponential moving average, TA-Lib semantics — seeded with the SMA
+    * of the first `period` closes, then `ema = k*close + (1-k)*prev` with
+    * `k = 2/(period+1)`. */
+  def ema(candles: DataFrame, period: Int, calcVersion: String = CalcVersion): Dataset[IndicatorValue] =
+    foldSeries(candles, "EMA", period, calcVersion) { closes =>
+      val k = 2.0 / (period + 1)
+      var seedSum = 0.0
+      var prev = 0.0
+      closes.zipWithIndex.map { case (c, i) =>
+        if (i < period - 1) { seedSum += c; None }
+        else if (i == period - 1) { prev = (seedSum + c) / period; Some(prev) }
+        else { prev = (c - prev) * k + prev; Some(prev) }
+      }
+    }
+
+  /** U3: Wilder RSI, TA-Lib semantics — first value at index `period` uses
+    * the simple mean of the first `period` gains/losses; afterwards Wilder
+    * smoothing `avg = (prevAvg*(period-1) + cur)/period`;
+    * `rsi = 100*gain/(gain+loss)`, 0 when both averages are 0. */
+  def rsi(candles: DataFrame, period: Int, calcVersion: String = CalcVersion): Dataset[IndicatorValue] =
+    foldSeries(candles, "RSI", period, calcVersion) { closes =>
+      var prevClose = 0.0
+      var avgGain = 0.0
+      var avgLoss = 0.0
+      closes.zipWithIndex.map { case (c, i) =>
+        val out =
+          if (i == 0) None
+          else {
+            val diff = c - prevClose
+            val gain = math.max(diff, 0.0)
+            val loss = math.max(-diff, 0.0)
+            if (i < period) { avgGain += gain; avgLoss += loss; None }
+            else {
+              if (i == period) { avgGain = (avgGain + gain) / period; avgLoss = (avgLoss + loss) / period }
+              else {
+                avgGain = (avgGain * (period - 1) + gain) / period
+                avgLoss = (avgLoss * (period - 1) + loss) / period
+              }
+              val denom = avgGain + avgLoss
+              Some(if (denom == 0.0) 0.0 else 100.0 * avgGain / denom)
+            }
+          }
+        prevClose = c
+        out
+      }
+    }
+
+  /** Shared recursive-fold plumbing: shuffle once on (pair, timeframe),
+    * secondary-sort by time, fold the in-order close sequence. `f` maps the
+    * ordered closes to per-row values (None = warm-up). */
+  private def foldSeries(candles: DataFrame, indicator: String, period: Int,
+                         calcVersion: String)(
+      f: Seq[Double] => Seq[Option[Double]]): Dataset[IndicatorValue] = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select($"pair", $"timeframe", $"time", $"close").as[CloseRow]
+      .groupByKey(r => (r.pair, r.timeframe))
+      .flatMapSortedGroups($"time") { case ((pair, tf), rows) =>
+        val rs = rows.toVector
+        f(rs.map(_.close)).iterator.zip(rs.iterator).map { case (v, r) =>
+          IndicatorValue(indicator, pair, tf, r.time, period, calcVersion, v)
+        }
+      }
+  }
+
+  /** F3 fan-out: one unioned indicator fact set for indicators × periods over
+    * a candle set (the reference's 45-task Prefect loop —
+    * src/etl/flows/transform.py:79-121 — collapses to one DataFrame union;
+    * Spark schedules the per-series work in parallel). */
+  def indicatorFacts(candles: DataFrame, indicators: Seq[String], periods: Seq[Int],
+                     calcVersion: String = CalcVersion): DataFrame = {
+    val parts = for { ind <- indicators; p <- periods } yield ind match {
+      case "SMA" => sma(candles, p, calcVersion)
+      case "EMA" => ema(candles, p, calcVersion).toDF()
+      case "RSI" => rsi(candles, p, calcVersion).toDF()
+      case other => throw new IllegalArgumentException(s"unknown indicator: $other")
+    }
+    parts.reduce(_ unionByName _)
+  }
+}
