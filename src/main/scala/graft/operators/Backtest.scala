@@ -1,0 +1,47 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Event row for the backtest fold (top-level for Catalyst codegen access). */
+final case class SignalRow(pair: String, time: Timestamp, event_type: String, price: Double)
+
+/** Per-pair backtest result. */
+final case class BacktestResult(pair: String, trades: Int, total_pnl: Double,
+                                open_position: Boolean)
+
+/** F6: event-driven backtest over buy/sell signal events.
+  *
+  * The reference ships this as a stub that reads `fact_buysell_events` in
+  * time order and simulates PnL (src/core/backtest_engine.py:5-44,
+  * docs/requirements.md:11-19). Concrete semantics here: long-only
+  * alternating state machine — a BUY opens a 1-unit position at its price
+  * (ignored if already long), a SELL closes it (ignored if flat);
+  * PnL = Σ(sell - buy). Same per-key ordered-fold pattern as EMA/RSI:
+  * one shuffle on pair, secondary sort by time, sequential fold.
+  */
+object Backtest {
+
+  def run(signals: DataFrame): Dataset[BacktestResult] = {
+    val spark = signals.sparkSession
+    import spark.implicits._
+    signals.select($"pair", $"event_datetime".as("time"), $"event_type", $"price")
+      .as[SignalRow]
+      .groupByKey(_.pair)
+      .flatMapSortedGroups($"time", $"event_type") { (pair, rows) =>
+        var entry = 0.0
+        var long = false
+        var trades = 0
+        var pnl = 0.0
+        rows.foreach { r =>
+          r.event_type match {
+            case "BUY" if !long => entry = r.price; long = true
+            case "SELL" if long => pnl += r.price - entry; trades += 1; long = false
+            case _ => // already long on BUY / flat on SELL: ignore
+          }
+        }
+        Iterator.single(BacktestResult(pair, trades, pnl, long))
+      }
+  }
+}

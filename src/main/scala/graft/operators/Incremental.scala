@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental recomputation + idempotent first-write-wins sink
+  * (SURVEY.md §2.1 S8, §2.3 A3, §2.5 W2, §4).
+  *
+  * Reference semantics:
+  *  - watermark: `SELECT MAX(time) FROM fact_<ind> WHERE key...`
+  *    (src/etl/flows/transform_services.py:146-156)
+  *  - warm-up boundary: re-read from `period*2` rows before the watermark so
+  *    the rolling window has full history (transform_services.py:158-172)
+  *  - sink: `INSERT ... ON CONFLICT DO NOTHING` — a row once written is never
+  *    corrected (transform_services.py:88,122,209-214; docs/requirements.md:4-5)
+  *
+  * The Spark forms are per-key (one watermark/boundary per (pair, timeframe)
+  * in a single DataFrame) instead of the reference's per-table loop, and the
+  * conflict-skip becomes a left-anti join: deterministic first-write-wins.
+  * At scale the anti-join shuffles on the dedup key only; with a partitioned
+  * fact table Catalyst prunes `existing` down to the touched partitions.
+  */
+object Incremental {
+
+  /** A3: per-key MAX(time) watermarks. */
+  def watermarks(fact: DataFrame, keys: Seq[String] = Seq("pair", "timeframe")): DataFrame =
+    fact.groupBy(keys.map(col): _*).agg(max(col("time")).as("watermark"))
+
+  /** W2: per-key warm-up boundary — the time `lookbackRows` rows before the
+    * newest row at-or-before the watermark (NULL = not enough history, caller
+    * recomputes the key fully). */
+  def warmupBoundaries(series: DataFrame, wms: DataFrame, lookbackRows: Int,
+                       keys: Seq[String] = Seq("pair", "timeframe")): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("time").desc)
+    series.join(wms, keys)
+      .filter(col("time") <= col("watermark"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === lookbackRows + 1)
+      .select(keys.map(col) :+ col("time").as("boundary"): _*)
+  }
+
+  /** S8: idempotent append — only rows whose dedup key is absent from
+    * `existing` are added; existing rows are never modified. */
+  def appendNew(existing: DataFrame, incoming: DataFrame, dedupKeys: Seq[String]): DataFrame =
+    existing.unionByName(newRows(existing, incoming, dedupKeys))
+
+  /** The rows an idempotent append would write (anti-join on the dedup key). */
+  def newRows(existing: DataFrame, incoming: DataFrame, dedupKeys: Seq[String]): DataFrame =
+    incoming.join(existing.select(dedupKeys.map(col): _*).distinct(),
+      dedupKeys, "left_anti")
+
+  /** E2: full incremental indicator update — watermark, boundary lookback,
+    * recompute the tail of each series, idempotent append. Keys with no
+    * watermark or insufficient history are recomputed fully. `compute` maps a
+    * candle subset to indicator rows (e.g. `Indicators.sma(_, p)`).
+    *
+    * For SMA (pure row window) the result is exactly `compute(candles)`
+    * merged first-write-wins; for EMA/RSI the recomputed tail is seeded from
+    * the truncated window, matching the reference's accepted approximation
+    * (transform_services.py:158-159 comment). */
+  def incrementalIndicator(candles: DataFrame, existing: DataFrame, period: Int,
+                           compute: DataFrame => DataFrame): DataFrame = {
+    val keys = Seq("pair", "timeframe")
+    val wms = watermarks(existing, keys)
+    val bounds = warmupBoundaries(candles, wms, lookbackRows = period * 2, keys)
+    val input = candles
+      .join(bounds, keys, "left")
+      .filter(col("boundary").isNull || col("time") >= col("boundary"))
+      .drop("boundary")
+    val dedupKeys = Seq("pair", "timeframe", "time", "period", "calc_version")
+    appendNew(existing, compute(input), dedupKeys)
+  }
+}
