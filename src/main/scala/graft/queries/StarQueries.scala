@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Star-schema / analytical queries over the TPC-H-ish tables — the general
+  * join/aggregation machinery behind SURVEY.md §2.4 J2-J3, §2.3, §2.6 and
+  * docs/dimensional_modeling.md's BI intent, exercised at bench scale.
+  *
+  * Scale design:
+  *  - dims (region, nation, supplier; customer at star scale) join via
+  *    `broadcast()` — no shuffle of the fact side;
+  *  - fact-fact joins (orders ⋈ lineitem) shuffle on the join key with AQE
+  *    free to pick sort-merge vs shuffled-hash;
+  *  - top-k uses orderBy+limit → Spark plans TakeOrderedAndProject (per-
+  *    partition heap + driver merge of k rows, never a full sort);
+  *  - filters sit directly on the scans so they push into the parquet reader.
+  *
+  * Oracle-parity: every SUM over doubles goes through DECIMAL so both engines
+  * compute the identical exact value (double addition is order-sensitive;
+  * decimal addition is associative). AVG is emitted as decimal-sum / count
+  * performed in double on both sides.
+  */
+object StarQueries {
+
+  /** Exact sum: cast each double to DECIMAL(18,6), sum exactly, emit double. */
+  /** Exact decimal sum emitted as a 2-dp-rounded double. The sum itself is
+    * exact in both engines; the final decimal->double conversion can differ
+    * by 1 ulp between Spark (BigDecimal correctly-rounded) and DuckDB
+    * (int128/10^scale division), so outputs are rounded to cents. */
+  private def dsum(c: Column): Column =
+    round(sum(c.cast("decimal(18,6)")).cast("double"), 2)
+
+  private val revenue: Column =
+    col("l_extendedprice").cast("decimal(18,6)") *
+      (lit(1.0) - col("l_discount")).cast("decimal(18,6)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: full-scan aggregate with exact sums and derived avg
+    "q1_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-06-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          round(sum(revenue).cast("double"), 2).as("sum_disc_price"),
+          round(dsum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q3 shape: segment filter, 3-way join, grouped revenue, top-10
+    "q3_shipping_priority" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1999-01-01"))
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1999-01-01"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(revenue).cast("double"), 2).as("revenue"),
+          first(col("o_orderpriority")).as("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: full star — region/nation/supplier broadcast dims
+    "q5_region_revenue" -> ((s, d) => {
+      val nr = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(revenue).cast("double"), 2).as("revenue"))
+    }),
+
+    // O2 top-k: TakeOrderedAndProject, never a full sort
+    "o2_top_customers" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2).as("total_spent"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spent").desc, col("o_custkey"))
+        .limit(10)),
+
+    // A5 distinct on low-cardinality combo
+    "a5_distinct_status" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderstatus"), col("o_orderpriority")).distinct()),
+
+    // J2 dim-id lookup: derive a dim from data, broadcast-join ids back
+    "j2_dim_lookup" -> ((s, d) => {
+      val dim = Tables.events(s, d).select(col("event_type")).distinct()
+        .withColumn("type_id",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("event_type"))).cast("long"))
+      Tables.events(s, d)
+        .join(broadcast(dim), Seq("event_type"))
+        .groupBy(col("type_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    }),
+
+    // left-anti join: customers with no order since 2001
+    "j_anti_customers" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2001-01-01"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+
+    // left-semi join: parts that appear in at least one lineitem
+    "j_semi_parts" -> ((s, d) =>
+      Tables.part(s, d)
+        .join(Tables.lineitem(s, d).select(col("l_partkey")),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n_parts"))),
+
+    // O1/W: per-customer running total (window over shuffled key)
+    "w_running_total" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("running_spent",
+          round(sum(col("o_totalprice").cast("decimal(18,6)"))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("o_custkey"))
+              .orderBy(col("o_orderdate"), col("o_orderkey"))
+              .rowsBetween(Long.MinValue, 0)).cast("double"), 2))
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("odate_s"), col("running_spent"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
+        |  round(round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) / COUNT(*), 6) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  min(o_orderpriority) AS o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "o2_top_customers" ->
+      """SELECT o_custkey,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_spent,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY total_spent DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "a5_distinct_status" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "j2_dim_lookup" ->
+      """WITH dim AS (
+        |  SELECT event_type,
+        |         row_number() OVER (ORDER BY event_type) AS type_id
+        |  FROM (SELECT DISTINCT event_type FROM events) t)
+        |SELECT d.type_id, e.event_type, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "j_anti_customers" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin,
+
+    "j_semi_parts" ->
+      """SELECT p_brand, COUNT(*) AS n_parts FROM part p
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        |GROUP BY p_brand""".stripMargin,
+
+    "w_running_total" ->
+      """SELECT o_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS odate_s,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spent
+        |FROM orders""".stripMargin)
+}

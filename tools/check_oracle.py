@@ -58,6 +58,11 @@ def main(sf_dir, out_dir):
                     maxdiff = float(pd.Series(abs(ga - ea)).max())
                     mismatch += f" maxdiff={maxdiff:.3e}"
                     break
+            elif g.dtype.kind in "iu" and e.dtype.kind in "iu":
+                import numpy as np
+                if not (g.to_numpy(dtype="int64") == e.to_numpy(dtype="int64")).all():
+                    mismatch = f"col {c}: int values differ"
+                    break
             else:
                 if not g.equals(e):
                     bad = g[g != e].index[:3].tolist()
