@@ -1,0 +1,160 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One (query, candidate, score) triple of the ANN scoring stage. */
+final case class Scored(qid: Long, cid: Long, score: Double)
+
+/** Similarity search over an embedding column (`array<float>`): brute-force
+  * cosine top-k as the exact baseline, and random-hyperplane LSH for the
+  * sub-linear candidate-generation path (bucketed ANN + embedding near-dup).
+  *
+  * Scale design:
+  *  - The brute-force path is a **broadcast linear scan**: the (small) query
+  *    set broadcasts to every partition of the (huge) corpus; per-partition
+  *    heaps reduce each partition to ≤ k rows per query before the only
+  *    shuffle. 100 TB corpus → one pass, no cartesian blow-up, final stage
+  *    touches `partitions × k × |Q|` rows.
+  *  - The LSH path buckets both sides by hyperplane sign-bands and joins on
+  *    the band key — candidates only, tunable recall via bands × bits.
+  *  - Cosine is computed with `zip_with`/`aggregate` (codegen'd, sequential
+  *    fold) over `array<double>`, which is bit-identical to DuckDB's
+  *    `list_cosine_similarity` on `DOUBLE[]` — so oracle checks compare
+  *    exact doubles, and rank ordering agrees even for near-ties.
+  */
+object Similarity {
+
+  /** Cosine similarity of two `array<double>` columns. Sequential fold in
+    * index order: dot/(√‖a‖·√‖b‖) exactly as DuckDB evaluates it. */
+  def cosine(a: Column, b: Column): Column = {
+    def sum(arr: Column): Column = aggregate(arr, lit(0.0), (acc, v) => acc + v)
+    val dot = sum(zip_with(a, b, (x, y) => x * y))
+    val na = sum(transform(a, x => x * x))
+    val nb = sum(transform(b, x => x * x))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Corpus/query frames normalized to `(id, emb array<double>)`. */
+  private def prep(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("emb"))
+
+  /** Score every (query, corpus) pair via broadcast — the linear-scan stage
+    * shared by the brute-force baseline. Self-matches are dropped. */
+  def scoreAll(embs: DataFrame, queries: DataFrame): DataFrame = {
+    val corpus = prep(embs)
+    val q = prep(queries).select(col("id").as("qid"), col("emb").as("qemb"))
+    corpus.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("cid"), cosine(col("qemb"), col("emb")).as("score"))
+  }
+
+  /** Exact top-k per query over a scored triple set, two-phase:
+    * map-side per-partition heaps (≤ k rows per query survive each
+    * partition), then one tiny shuffle + window to finalize. Ordering is
+    * (score desc, cid asc) — fully deterministic. */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    // evict the WORST entry first: max-heap under (score asc → -score, cid desc)
+    val evictOrd: Ordering[Scored] = Ordering.by(s => (-s.score, s.cid))
+    val pruned = scored.select(col("qid"), col("cid"), col("score")).as[Scored]
+      .mapPartitions { it =>
+        val heaps = mutable.Map.empty[Long, mutable.PriorityQueue[Scored]]
+        it.foreach { s =>
+          val h = heaps.getOrElseUpdate(s.qid, mutable.PriorityQueue.empty(evictOrd))
+          h.enqueue(s)
+          if (h.size > k) h.dequeue()
+        }
+        heaps.valuesIterator.flatMap(_.iterator)
+      }
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("score"))
+  }
+
+  /** Brute-force exact ANN baseline: broadcast scan + two-phase top-k. */
+  def bruteForceTopK(embs: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    topKPerQuery(scoreAll(embs, queries), k)
+
+  /** Deterministic random hyperplanes: `bands × bitsPerBand` unit-free
+    * gaussian directions from a fixed seed (the LSH family of Charikar'02). */
+  private def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Attach LSH band values: `(id, band, bv)` — one row per band per vector.
+    * The per-vector sign computation (bands × bits hyperplane dot products)
+    * is dense numeric work, done in one typed `flatMap` per row rather than
+    * thousands of codegen'd expression nodes. */
+  def lshBands(embs: DataFrame, bands: Int, bitsPerBand: Int, seed: Long): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val dim = embs.select(size(col("embedding"))).first().getInt(0)
+    val planes = hyperplanes(bands * bitsPerBand, dim, seed)
+    val bc = spark.sparkContext.broadcast(planes)
+    embs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        val ps = bc.value
+        (0 until bands).iterator.map { b =>
+          var bv = 0
+          var t = 0
+          while (t < bitsPerBand) {
+            val p = ps(b * bitsPerBand + t)
+            var dot = 0.0
+            var d = 0
+            while (d < emb.length) { dot += p(d) * emb(d); d += 1 }
+            if (dot >= 0) bv |= (1 << t)
+            t += 1
+          }
+          (id, b, bv)
+        }
+      }.toDF("id", "band", "bv")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH candidate
+    * generation (docs sharing ≥ 1 sign-band), exact-cosine verification at
+    * `threshold`. Candidate-only — never an all-pairs join. */
+  def embedNearDup(embs: DataFrame, threshold: Double = 0.45, bands: Int = 48,
+                   bitsPerBand: Int = 4, seed: Long = 42): DataFrame = {
+    val banded = lshBands(embs, bands, bitsPerBand, seed)
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("i"), col("r.id").as("j"))
+      .distinct()
+    val side = prep(embs)
+    cands
+      .join(side.select(col("id").as("i"), col("emb").as("ei")), "i")
+      .join(side.select(col("id").as("j"), col("emb").as("ej")), "j")
+      .withColumn("cos", cosine(col("ei"), col("ej")))
+      .filter(col("cos") >= threshold)
+      .select("i", "j", "cos")
+  }
+
+  /** LSH-bucketed ANN: candidates = corpus vectors sharing ≥ 1 band with the
+    * query, then exact cosine + top-k among candidates only. With generous
+    * banding (the default 96 × 3 bits) recall is ≈ 1 even for mid-similarity
+    * neighbors; production would trade bands down for speed. */
+  def lshTopK(embs: DataFrame, queries: DataFrame, k: Int, bands: Int = 96,
+              bitsPerBand: Int = 3, seed: Long = 42): DataFrame = {
+    val cb = lshBands(embs, bands, bitsPerBand, seed)
+    val qb = lshBands(queries, bands, bitsPerBand, seed)
+      .select(col("id").as("qid"), col("band"), col("bv"))
+    val cands = cb.join(qb, Seq("band", "bv"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("cid"))
+      .distinct()
+    val corpus = prep(embs)
+    val q = prep(queries).select(col("id").as("qid"), col("emb").as("qemb"))
+    val scored = cands
+      .join(corpus.select(col("id").as("cid"), col("emb")), "cid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"), cosine(col("qemb"), col("emb")).as("score"))
+    topKPerQuery(scored, k)
+  }
+}

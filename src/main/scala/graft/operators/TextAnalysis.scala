@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline layer: token counting,
+  * quality scoring, stopword-based language ID, and content fingerprinting.
+  *
+  * Every op is deterministic, pure column algebra with an exact DuckDB
+  * equivalent (no transcendental functions whose libm rounding could differ
+  * between engines — quality scoring is rational arithmetic only). At scale
+  * these are embarrassingly parallel scans: no shuffle at all.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the heuristic language ID. Real
+    * pipelines use n-gram models (fastText et al.); the *mechanism* — score
+    * per language, argmax with a fixed priority — is what matters here. */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+  val StopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "zu", "ein")
+  val StopwordsEs: Seq[String] = Seq("el", "la", "de", "y", "es", "en", "un")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Per-document statistics + a rational-arithmetic quality score:
+    * `least(n_tokens/50, 1) * (1 - stopword_ratio)` — longer docs with less
+    * stopword filler score higher. All ops exact-precision portable. */
+  def stats(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nTok = size(toks).cast("bigint")
+    // total character count of the tokens themselves (normalized, spaces out)
+    val alpha = length(regexp_replace(TextOps.normalize(col("text")), " ", ""))
+    val stopRatio = hitCount(toks, StopwordsEn).cast("double") / nTok
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      nTok.as("n_tokens"),
+      round(alpha.cast("double") / nTok, 6).as("avg_token_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(least(nTok.cast("double") / 50.0, lit(1.0)) * (lit(1.0) - stopRatio), 6)
+        .as("quality"))
+  }
+
+  /** Heuristic language ID: stopword hit counts per language, fixed-priority
+    * argmax (en > de > es), `und` when nothing matches. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val en = hitCount(toks, StopwordsEn)
+    val de = hitCount(toks, StopwordsDe)
+    val es = hitCount(toks, StopwordsEs)
+    docs.select(col("doc_id"), col("lang").as("lang_declared"),
+      when(en >= de && en >= es && en > 0, "en")
+        .when(de >= es && de > 0, "de")
+        .when(es > 0, "es")
+        .otherwise("und").as("lang_guess"))
+  }
+
+  /** 60-bit content fingerprint of the normalized text (portable MD5-derived
+    * hash), plus the raw hex digest for exact-dedup joins. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val norm = TextOps.normalize(col("text"))
+    docs.select(col("doc_id"), md5(norm).as("digest"),
+      TextOps.hash60(norm).as("fp60"))
+  }
+}

@@ -1,0 +1,215 @@
+package graft.queries
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable queries for the LLM-data-pipeline layer: document
+  * deduplication (exact, MinHash-LSH, n-gram Jaccard, SimHash), embedding
+  * similarity (near-dup + ANN top-k), text analysis, JSON ingest (P11), and
+  * multimodal metadata.
+  *
+  * Oracle strategy: the Spark side uses bucketed/banded candidate
+  * generation (never all-pairs); the DuckDB oracle brute-forces the same
+  * definition over sf0.01 — so a hash match proves the scalable algorithm
+  * loses nothing vs. the O(n²) ground truth at oracle scale. Number parity
+  * notes:
+  *  - Jaccard/hamming are exact integer arithmetic on both sides;
+  *  - cosine is computed over `array<double>` with a sequential fold, which
+  *    is bit-identical to DuckDB's `list_cosine_similarity` on `DOUBLE[]`
+  *    (verified: float32 lists do NOT match — the cast is load-bearing);
+  *  - content hashes go through MD5 (byte-identical everywhere), never
+  *    xxhash64/murmur (Spark-internal).
+  */
+object LlmQueries {
+
+  /** Normalized token-array CTE over `documents` (DuckDB twin of
+    * [[graft.operators.TextOps.tokens]]). */
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, text, lang,
+      |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm,
+      |         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Distinct 3-word shingle sets (DuckDB twin of [[graft.operators.TextOps.shingles]]). */
+  private val shingleCte =
+    s"""$toksCte,
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(w) - 1),
+       |           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+       |  FROM toks WHERE len(w) >= 3
+       |)""".stripMargin
+
+  /** Brute-force Jaccard pair oracle at a given threshold. */
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH $shingleCte,
+       |p AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j,
+       |         len(list_intersect(a.s, b.s))::DOUBLE
+       |           / len(list_distinct(a.s || b.s)) AS jac
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT i, j, round(jac, 6) AS jaccard FROM p WHERE jac >= $threshold""".stripMargin
+
+  private val stopEn = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString("[", ",", "]")
+  private val stopDe = TextAnalysis.StopwordsDe.map(w => s"'$w'").mkString("[", ",", "]")
+  private val stopEs = TextAnalysis.StopwordsEs.map(w => s"'$w'").mkString("[", ",", "]")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+
+    "llm_dedup_minhash" -> ((s, d) =>
+      Dedup.nearDupMinhash(Tables.documents(s, d), threshold = 0.8)
+        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))),
+
+    "llm_dedup_ngram" -> ((s, d) =>
+      Dedup.nearDupNgram(Tables.documents(s, d), threshold = 0.6)
+        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))),
+
+    "llm_dedup_simhash" -> ((s, d) =>
+      Dedup.nearDupSimhash(Tables.documents(s, d), maxHamming = 3)
+        .select(col("i"), col("j"), col("hamming").cast("int").as("hamming"))),
+
+    "llm_dedup_embed" -> ((s, d) =>
+      Similarity.embedNearDup(Tables.embeddings(s, d), threshold = 0.45)
+        .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))),
+
+    "llm_ann_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .select(col("qid"), col("cid"), col("rank"), round(col("score"), 6).as("sim"))
+    }),
+
+    "llm_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .select(col("qid"), col("cid"), col("rank"), round(col("score"), 6).as("sim"))
+    }),
+
+    "llm_text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d))),
+
+    "llm_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+
+    "llm_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+
+    "p11_props_parse" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(
+            Seq(org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"))),
+
+    "mm_decode_meta" -> ((s, d) =>
+      Multimodal.frameSample(Multimodal.decodeMeta(
+          Multimodal.assets(Tables.documents(s, d))), step = 4)
+        .select(col("asset_id"), col("mime"), col("n_bytes"), col("checksum"),
+          col("width"), col("height"), col("n_frames"), col("n_sampled"),
+          col("last_frame").cast("int").as("last_frame"))))
+
+  /** Both ANN variants share the exact brute-force oracle: the LSH variant's
+    * banding (96 × 3 bits, seeded) is provably-deterministic and verified to
+    * reach full recall at oracle scale, so candidates ⊇ true top-k. */
+  private val annOracle =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id < 10),
+      |s AS (SELECT q.qid, e.vec_id AS cid,
+      |             list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
+      |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid),
+      |r AS (SELECT qid, cid, sim,
+      |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      |      FROM s)
+      |SELECT qid, cid, rn::INT AS rank, round(sim, 6) AS sim FROM r WHERE rn <= 5""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+        |  FROM documents)
+        |SELECT doc_id, content_hash,
+        |       min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+        |       doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
+        |FROM h""".stripMargin,
+
+    "llm_dedup_minhash" -> jaccardOracle(0.8),
+    "llm_dedup_ngram" -> jaccardOracle(0.6),
+
+    "llm_dedup_simhash" ->
+      s"""WITH $toksCte,
+         |tf AS (
+         |  SELECT doc_id, tok, count(*)::BIGINT AS f
+         |  FROM (SELECT doc_id, unnest(w) AS tok FROM toks) GROUP BY 1, 2),
+         |th AS (SELECT doc_id, f, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tf),
+         |bits AS (
+         |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN f ELSE -f END) AS v
+         |  FROM th, range(60) t(b) GROUP BY 1, 2),
+         |sh AS (SELECT doc_id,
+         |              sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
+         |       FROM bits GROUP BY 1)
+         |SELECT a.doc_id AS i, b.doc_id AS j,
+         |       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    "llm_dedup_embed" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT i, j, round(c, 6) AS cos FROM p WHERE c >= 0.45""".stripMargin,
+
+    "llm_ann_topk" -> annOracle,
+    "llm_ann_lsh" -> annOracle,
+
+    "llm_text_stats" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, length(text)::BIGINT AS n_chars, len(w)::BIGINT AS n_tokens,
+         |       round(length(replace(norm, ' ', ''))::DOUBLE / len(w), 6) AS avg_token_len,
+         |       round(len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
+         |             / len(w), 6) AS stopword_ratio,
+         |       round(least(len(w)::DOUBLE / 50.0, 1.0)
+         |             * (1.0 - len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
+         |                      / len(w)), 6) AS quality
+         |FROM toks""".stripMargin,
+
+    "llm_lang_id" ->
+      s"""WITH $toksCte,
+         |hits AS (
+         |  SELECT doc_id, lang AS lang_declared,
+         |         len(list_filter(w, x -> list_contains($stopEn, x))) AS en,
+         |         len(list_filter(w, x -> list_contains($stopDe, x))) AS de,
+         |         len(list_filter(w, x -> list_contains($stopEs, x))) AS es
+         |  FROM toks)
+         |SELECT doc_id, lang_declared,
+         |       CASE WHEN en >= de AND en >= es AND en > 0 THEN 'en'
+         |            WHEN de >= es AND de > 0 THEN 'de'
+         |            WHEN es > 0 THEN 'es'
+         |            ELSE 'und' END AS lang_guess
+         |FROM hits""".stripMargin,
+
+    "llm_fingerprint" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, md5(norm) AS digest,
+         |       ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp60
+         |FROM toks""".stripMargin,
+
+    "p11_props_parse" ->
+      """SELECT event_id, CAST(props::JSON->>'k' AS INTEGER) AS k FROM events""",
+
+    "mm_decode_meta" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id, 'text/plain' AS mime,
+        |         octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS checksum
+        |  FROM documents),
+        |d AS (SELECT *, ('0x' || substr(checksum, 1, 15))::BIGINT AS h FROM a)
+        |SELECT asset_id, mime, n_bytes, checksum,
+        |       (h % 624 + 16)::INT AS width,
+        |       ((h // 1024) % 464 + 16)::INT AS height,
+        |       (h % 16 + 1)::INT AS n_frames,
+        |       ((h % 16) // 4 + 1)::INT AS n_sampled,
+        |       (((h % 16) // 4) * 4)::INT AS last_frame
+        |FROM d""".stripMargin)
+}
