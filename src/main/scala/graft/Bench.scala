@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main: runs every registered query at the driver's
+  * SF dir, prints ONE JSON line. Hygiene (round-2): fixed (sorted) query
+  * order so round-over-round deltas compare like-for-like; a warm-up pass
+  * over three representative queries (tick pipeline / star join / documents
+  * scan) so JVM+codegen warm-up doesn't land on whichever query runs first;
+  * failures are recorded per-query in `failed` instead of a silent -1. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +14,35 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val warmup = Seq("a1_ohlc_1m", "q5_region_revenue", "llm_text_stats")
+    warmup.foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+    }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

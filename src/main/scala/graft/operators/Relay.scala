@@ -42,4 +42,19 @@ object Relay {
       ((col("bid") + col("ask")) / 2).as("mid"),
       date_format(col("time"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("timestamp")
     )).as("message"))
+
+  /** U4 with oracle-exact formatting: the same wire message built via
+    * explicit `%.6f` number formatting instead of Jackson's
+    * shortest-roundtrip rendering, so DuckDB's `printf` reproduces the
+    * string byte-for-byte. (No rounding ties exist: a double would need the
+    * exact decimal `…5`·10⁻⁷ tail, which is not dyadic-representable, so
+    * Java's HALF_UP and C's half-even always agree.) */
+  def toWireMessages(ticks: DataFrame): DataFrame =
+    ticks.select(col("pair"), concat(
+      lit("{\"type\":\"ticker\",\"symbol\":\""), col("pair"),
+      lit("\",\"bid\":"), format_string("%.6f", col("bid")),
+      lit(",\"ask\":"), format_string("%.6f", col("ask")),
+      lit(",\"mid\":"), format_string("%.6f", (col("bid") + col("ask")) / 2),
+      lit(",\"timestamp\":\""), date_format(col("time"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+      lit("\"}")).as("message"))
 }

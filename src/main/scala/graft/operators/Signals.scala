@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   * high-cardinality and uniform, so a shuffled hash join partitions cleanly;
   * the subsequent lag window reuses the same (pair, timeframe) partitioning.
   * Warm-up rows carry NULL values; NULL comparisons are filtered out, so no
-  * signal can fire before both SMAs are materialized (the reference's NaN
-  * rows behave the same way through its WHERE predicates).
+  * signal can fire before both SMAs are materialized. This is an
+  * *intentional deviation* from the reference: Postgres NaN compares
+  * NaN<=NaN as true and sorts NaN above all values, so the reference can
+  * fire a spurious signal at the first bar where both SMAs materialize
+  * (prev values still NaN); NULL propagation suppresses that edge here.
   */
 object Signals {
 
@@ -68,13 +71,26 @@ object Signals {
       "SELL", shortPeriod)
 
   /** F4 strategy flow: both cross detectors over one shared intermediate
-    * (reference: src/etl/flows/transform.py:123-129). */
+    * (reference: src/etl/flows/transform.py:123-129). Single-pass: one
+    * filter with a CASE-typed event column instead of two filtered branches
+    * + union — no cache needed (the old `.cache()` here leaked storage
+    * across repeated invocations), and one scan instead of two. */
   def strategy(sma: DataFrame, shortPeriod: Int, longPeriod: Int): DataFrame = {
-    val in = smaCrossInput(sma, shortPeriod, longPeriod).cache()
-    toEvents(in.filter(col("prev_short") <= col("prev_long") &&
-      col("short_value") > col("long_value")), "BUY", shortPeriod)
-      .unionByName(
-        toEvents(in.filter(col("prev_short") >= col("prev_long") &&
-          col("short_value") < col("long_value")), "SELL", shortPeriod))
+    val golden = col("prev_short") <= col("prev_long") &&
+      col("short_value") > col("long_value")
+    val dead = col("prev_short") >= col("prev_long") &&
+      col("short_value") < col("long_value")
+    smaCrossInput(sma, shortPeriod, longPeriod)
+      .filter(golden || dead)
+      .select(
+        col("time").as("event_datetime"),
+        col("pair"),
+        when(golden, "BUY").otherwise("SELL").as("event_type"),
+        col("short_value").as("price"),
+        lit(0).as("quantity"),
+        lit("SMA").as("trigger_indicator_name"),
+        col("short_value").as("trigger_indicator_value"),
+        col("timeframe").as("trigger_indicator_timeframe"),
+        lit(shortPeriod).as("trigger_indicator_period"))
   }
 }

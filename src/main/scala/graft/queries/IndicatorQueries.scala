@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * are rounded to 6 decimals on both sides because the two engines sum the
   * window in different orders (Spark sequential, DuckDB segment tree) and can
   * differ in the last ulp. EMA/RSI are recursive (TA-Lib semantics) with no
-  * clean SQL form — registered without oracle → driver's rows-only check.
+  * frame-aggregate form — their oracles are DuckDB *recursive CTEs* that run
+  * the identical sequential recurrence (same double ops in the same order ⇒
+  * bit-identical values, including the seed accumulation), stepping one row
+  * per pair per iteration.
   */
 object IndicatorQueries {
 
@@ -71,8 +74,68 @@ object IndicatorQueries {
        |       round(s14, 6) AS price, 14 AS period
        |FROM x WHERE ps $op1 pl AND s14 $op2 s28""".stripMargin
 
+  /** Recursive-CTE EMA oracle replicating [[graft.operators.Indicators.ema]]
+    * step-for-step: accumulate the seed sum over the first `p-1` closes,
+    * seed with `(sum+close)/p` at row `p`, then `(close-prev)*k + prev`. */
+  private def emaSql(p: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS (SELECT pair, time, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |r AS (
+       |  SELECT pair, rn, time, close AS seed_sum, CAST(NULL AS DOUBLE) AS prev
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT c.pair, c.rn, c.time,
+       |         CASE WHEN c.rn < $p THEN r.seed_sum + c.close
+       |              ELSE CAST(0.0 AS DOUBLE) END,
+       |         CASE WHEN c.rn < $p THEN NULL
+       |              WHEN c.rn = $p THEN (r.seed_sum + c.close) / $p
+       |              ELSE (c.close - r.prev) * (2.0 / ${p + 1}) + r.prev END
+       |  FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period, round(prev, 6) AS value
+       |FROM r""".stripMargin
+
+  /** Recursive-CTE Wilder RSI oracle replicating
+    * [[graft.operators.Indicators.rsi]]: simple-mean seed of the first `p`
+    * gains/losses at row `p+1`, Wilder smoothing after. */
+  private def rsiSql(p: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS (SELECT pair, time, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |r AS (
+       |  SELECT pair, rn, time, close AS prev_close,
+       |         CAST(0.0 AS DOUBLE) AS avg_gain, CAST(0.0 AS DOUBLE) AS avg_loss
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT c.pair, c.rn, c.time, c.close,
+       |         CASE WHEN c.rn <= $p
+       |                THEN r.avg_gain + greatest(c.close - r.prev_close, 0.0)
+       |              WHEN c.rn = ${p + 1}
+       |                THEN (r.avg_gain + greatest(c.close - r.prev_close, 0.0)) / $p
+       |              ELSE (r.avg_gain * ${p - 1}
+       |                    + greatest(c.close - r.prev_close, 0.0)) / $p END,
+       |         CASE WHEN c.rn <= $p
+       |                THEN r.avg_loss + greatest(r.prev_close - c.close, 0.0)
+       |              WHEN c.rn = ${p + 1}
+       |                THEN (r.avg_loss + greatest(r.prev_close - c.close, 0.0)) / $p
+       |              ELSE (r.avg_loss * ${p - 1}
+       |                    + greatest(r.prev_close - c.close, 0.0)) / $p END
+       |  FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period,
+       |       CASE WHEN rn > $p THEN
+       |         CASE WHEN avg_gain + avg_loss = 0.0 THEN 0.0
+       |              ELSE round(100.0 * avg_gain / (avg_gain + avg_loss), 6) END
+       |       END AS value
+       |FROM r""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "u1_sma_14_1m" -> s"$prelude\n${smaSelect(14)}",
+    "u2_ema_14_1m" -> emaSql(14),
+    "u3_rsi_14_1m" -> rsiSql(14),
     "u1_sma_multi" -> s"$prelude\n${smaSelect(14)}\nUNION ALL\n${smaSelect(28)}",
     "w1_golden_cross" -> crossSql("<=", ">", "BUY"),
     "w1_dead_cross" -> crossSql(">=", "<", "SELL"))

@@ -48,8 +48,10 @@ object PipelineQueries {
         .select(col("pair"), unix_timestamp(col("time")).as("time_s"),
           col("bid"), col("ask"))),
 
+    // all deduped ticks, oracle-exact formatting — deterministic (the old
+    // unordered `.limit(100)` returned an arbitrary subset per plan)
     "u4_messages" -> ((s, d) =>
-      Relay.toMessages(ticks(s, d).limit(100))),
+      Relay.toWireMessages(ticks(s, d))),
 
     "f6_backtest" -> ((s, d) => {
       val sma = Indicators.indicatorFacts(candles1m(s, d), Seq("SMA"), Seq(14, 28))
@@ -93,5 +95,56 @@ object PipelineQueries {
     "s5_cursor_scan" ->
       s"""$prelude
          |SELECT pair, epoch(time)::BIGINT AS time_s, bid, ask
-         |FROM dedup WHERE time > TIMESTAMP '$Cursor'""".stripMargin)
+         |FROM dedup WHERE time > TIMESTAMP '$Cursor'""".stripMargin,
+
+    "u4_messages" ->
+      s"""$prelude
+         |SELECT pair,
+         |  '{"type":"ticker","symbol":"' || pair
+         |  || '","bid":' || printf('%.6f', bid)
+         |  || ',"ask":' || printf('%.6f', ask)
+         |  || ',"mid":' || printf('%.6f', (bid + ask) / 2)
+         |  || ',"timestamp":"' || strftime(time, '%Y-%m-%dT%H:%M:%S.%g') || 'Z"}'
+         |  AS message
+         |FROM dedup""".stripMargin,
+
+    // Window-based restatement of the alternating long-only fold: SMA cross
+    // events strictly alternate per pair (a second golden cross cannot fire
+    // before a dead cross flips the SMA order), so the state machine
+    // collapses to "drop events before the first BUY; trades = SELL count;
+    // pnl = Σsell − Σbuy, adding back the final unclosed BUY if last".
+    "f6_backtest" ->
+      s"""$prelude,
+         |sma AS (
+         |  SELECT pair, time,
+         |         CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 14
+         |              THEN avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) END AS s14,
+         |         CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 28
+         |              THEN avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                   ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) END AS s28
+         |  FROM c1m),
+         |x AS (
+         |  SELECT pair, time, s14, s28,
+         |         lag(s14) OVER (PARTITION BY pair ORDER BY time) AS ps,
+         |         lag(s28) OVER (PARTITION BY pair ORDER BY time) AS pl
+         |  FROM sma),
+         |ev AS (
+         |  SELECT pair, time, 'BUY' AS et, s14 AS price FROM x
+         |  WHERE ps <= pl AND s14 > s28
+         |  UNION ALL
+         |  SELECT pair, time, 'SELL', s14 FROM x
+         |  WHERE ps >= pl AND s14 < s28),
+         |fb AS (SELECT pair, min(time) FILTER (et = 'BUY') AS fbt FROM ev GROUP BY pair),
+         |kept AS (
+         |  SELECT ev.*, last_value(et) OVER (PARTITION BY ev.pair ORDER BY time
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_et
+         |  FROM ev JOIN fb USING (pair) WHERE ev.time >= fb.fbt)
+         |SELECT pair,
+         |       count(*) FILTER (et = 'SELL')::INT AS trades,
+         |       round(sum(CASE WHEN et = 'SELL' THEN price ELSE -price END)
+         |             + CASE WHEN any_value(last_et) = 'BUY'
+         |                    THEN max_by(price, time) ELSE 0 END, 6) AS total_pnl,
+         |       any_value(last_et) = 'BUY' AS open_position
+         |FROM kept GROUP BY pair""".stripMargin)
 }

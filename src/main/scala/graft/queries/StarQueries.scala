@@ -57,8 +57,10 @@ object StarQueries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"))
+        // min(), not first(): priority is functionally dependent on the
+        // group key, but min is deterministic by construction
         .agg(round(sum(revenue).cast("double"), 2).as("revenue"),
-          first(col("o_orderpriority")).as("o_orderpriority"))
+          min(col("o_orderpriority")).as("o_orderpriority"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -67,10 +69,13 @@ object StarQueries {
     "q5_region_revenue" -> ((s, d) => {
       val nr = Tables.nation(s, d)
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      // customer/supplier grow with scale factor — no forced broadcast
+      // hint; AQE picks broadcast vs shuffle join from runtime sizes.
+      // region/nation are bounded dims, safe to hint.
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d),
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
@@ -91,12 +96,21 @@ object StarQueries {
     "a5_distinct_status" -> ((s, d) =>
       Tables.orders(s, d).select(col("o_orderstatus"), col("o_orderpriority")).distinct()),
 
-    // J2 dim-id lookup: derive a dim from data, broadcast-join ids back
+    // J2 dim-id lookup: derive a dim from data, broadcast-join ids back.
+    // Id assignment happens driver-side on the aggregated distinct set (the
+    // reference's S3 "scan dims to drive the plan" pattern) with a hard
+    // cardinality guard — never a global single-partition window, which
+    // would serialize at scale if the column were high-cardinality.
     "j2_dim_lookup" -> ((s, d) => {
-      val dim = Tables.events(s, d).select(col("event_type")).distinct()
-        .withColumn("type_id",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("event_type"))).cast("long"))
+      val maxDim = 10000
+      val types = Tables.events(s, d).select(col("event_type")).distinct()
+        .orderBy(col("event_type")).limit(maxDim + 1)
+        .collect().map(_.getString(0))
+      require(types.length <= maxDim, s"dimension cardinality exceeds $maxDim")
+      import s.implicits._
+      val dim = types.zipWithIndex
+        .map { case (t, i) => (t, (i + 1).toLong) }.toSeq
+        .toDF("event_type", "type_id")
       Tables.events(s, d)
         .join(broadcast(dim), Seq("event_type"))
         .groupBy(col("type_id"), col("event_type"))

@@ -54,7 +54,7 @@ def main(sf_dir, out_dir):
                 eq = (ga == ea) | both_nan
                 if not eq.all():
                     bad = (~eq).nonzero()[0][:3]
-                    mismatch = f"col {c}: {[(ga[i], ea[i]) for i in bad]} (n={~eq.sum() if hasattr((~eq),'sum') else '?'})"
+                    mismatch = f"col {c}: {[(ga[i], ea[i]) for i in bad]} (n={(~eq).sum()})"
                     maxdiff = float(pd.Series(abs(ga - ea)).max())
                     mismatch += f" maxdiff={maxdiff:.3e}"
                     break
