@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.operators.Incremental
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+
+/** A live tick in the streaming layer (same shape as the batch tick set). */
+final case class TickRow(pair: String, time: Timestamp, bid: Double, ask: Double)
+
+/** Structured Streaming layer (SURVEY.md §2.8 T1/T2/T4/T5) — the Spark-first
+  * restatement of the reference's streaming paths:
+  *
+  *  - ingest dedup (T1): the reference's "first tick per second wins" insert
+  *    gate (reference: src/gmo/ws-connection.py:47-57) becomes
+  *    `withWatermark` + `dropDuplicates` — state is bounded by the watermark
+  *    horizon instead of growing forever;
+  *  - tumbling OHLC (T2): the batch 1-minute candle aggregation as a
+  *    windowed streaming agg emitting finalized windows in append mode;
+  *  - CDC relay with cursor (T4): the reference's 1 s poll loop over
+  *    `time > :last_time` (reference: src/gmo/ws_ticker_server.py:192-255)
+  *    is exactly Structured Streaming's source-offset contract;
+  *    `foreachBatch` + the first-write-wins sink make redelivery idempotent;
+  *  - latest-value cache (T5): the reference's per-pair latest-tick dict
+  *    (reference: src/gmo/ws_ticker_server.py:175-190) as
+  *    `mapGroupsWithState` keyed state, emitted in update mode.
+  *
+  * Scale: all state is keyed by (pair) or (pair, window) — uniform,
+  * high-cardinality-safe; watermarks bound state size; a real deployment
+  * swaps the file/memory source for Kafka without touching these operators.
+  */
+object Streams {
+
+  /** T1: streaming first-tick-per-second dedup. Event times are truncated to
+    * the second (the dedup grain), late data beyond `watermark` is dropped,
+    * and within the horizon the first *arrival* per (pair, second) wins —
+    * the streaming analogue of the batch `Ticks.dedupSecond` (which breaks
+    * ties by (time, seq); a monotone source makes them identical). */
+  def dedupTicks(ticks: DataFrame, watermark: String = "10 seconds"): DataFrame =
+    ticks
+      .withColumn("time", date_trunc("second", col("time")))
+      .withWatermark("time", watermark)
+      .dropDuplicates("pair", "time")
+
+  /** T2: tumbling 1-minute OHLC over (already deduped) ticks — same
+    * `min_by`/`max_by` shape as the batch `Ohlc.ohlcBase`, emitted when the
+    * watermark passes the window end (append mode). */
+  def ohlc1m(ticks: DataFrame, watermark: String = "1 minute"): DataFrame =
+    ticks
+      .withWatermark("time", watermark)
+      .groupBy(col("pair"), window(col("time"), "1 minute"))
+      .agg(
+        min_by(col("bid"), col("time")).as("open"),
+        max(col("bid")).as("high"),
+        min(col("bid")).as("low"),
+        max_by(col("bid"), col("time")).as("close"))
+      .select(col("pair"), col("window.start").as("time"),
+        col("open"), col("high"), col("low"), col("close"))
+
+  /** T5: per-pair latest-tick cache as keyed streaming state. Emits the
+    * updated latest row per pair per micro-batch (update output mode). */
+  def latestPerPair(ticks: Dataset[TickRow]): Dataset[TickRow] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.groupByKey(_.pair)
+      .mapGroupsWithState[TickRow, TickRow](GroupStateTimeout.NoTimeout) {
+        (_, rows, state: GroupState[TickRow]) =>
+          val latest = (state.getOption.iterator ++ rows)
+            .maxBy(r => (r.time.getTime, r.bid))
+          state.update(latest)
+          latest
+      }
+  }
+
+  /** T4: CDC relay into a parquet sink with first-write-wins semantics.
+    * Source offsets play the reference's `last_time` cursor; `foreachBatch`
+    * re-runs on failure with the same batch, so the idempotent merge
+    * ([[Incremental.appendNew]] against what the sink already holds) makes
+    * redelivery safe — the streaming analogue of ON CONFLICT DO NOTHING. */
+  def relayToParquet(ticks: DataFrame, sinkPath: String, checkpoint: String,
+                     keys: Seq[String] = Seq("pair", "time")): StreamingQuery =
+    ticks.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // append-only: anti-join the batch against the sink's existing keys
+        // and append just the novel rows — O(batch), never a sink rewrite
+        val toWrite =
+          try Incremental.newRows(spark.read.parquet(sinkPath), batch, keys)
+          catch { case _: org.apache.spark.sql.AnalysisException => batch }
+        toWrite.write.mode("append").parquet(sinkPath)
+      }
+      .start()
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup: normalization variants share a hash, min id is canonical") {
+    val d = Dedup.exact(docs(
+      1L -> "Hello  World foo",
+      2L -> "hello world   FOO",  // same after normalize
+      3L -> "something else entirely"))
+      .orderBy("doc_id").collect()
+    assert(d(0).getAs[String]("content_hash") === d(1).getAs[String]("content_hash"))
+    assert(d(0).getAs[Long]("canonical_id") === 1L)
+    assert(d(1).getAs[Long]("canonical_id") === 1L)
+    assert(!d(1).getAs[Boolean]("is_canonical"))
+    assert(d(2).getAs[Boolean]("is_canonical"))
+  }
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  test("minhash near-dup finds a planted high-Jaccard pair, skips unrelated docs") {
+    val d = docs(
+      1L -> base,
+      2L -> (base + " phi"),   // near-identical: one extra word
+      3L -> "one two three four five six seven eight nine ten eleven twelve")
+    val pairs = Dedup.nearDupMinhash(d, threshold = 0.8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    // 20 tokens -> 18 shingles; adding 1 word adds 1 shingle: J = 18/19
+    assert(math.abs(pairs(0).getDouble(2) - 18.0 / 19.0) < 1e-9)
+  }
+
+  test("ngram prefix-filter join == brute-force Jaccard (exact recall)") {
+    // overlapping word soup from a 3-word vocabulary → many mid-Jaccard pairs
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("xx", "yy", "zz")
+    val d = docs((1L to 30L).map { i =>
+      i -> Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }: _*)
+    val shs = Dedup.shingleSets(d, 3)
+    val allPairs = shs.select($"doc_id".as("i"))
+      .crossJoin(shs.select($"doc_id".as("j"))).filter($"i" < $"j")
+    val brute = Dedup.verifyJaccard(allPairs, shs, 0.3)
+      .orderBy("i", "j").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pp = Dedup.nearDupNgram(d, threshold = 0.3)
+      .orderBy("i", "j").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(brute.nonEmpty) // the test must actually exercise pairs
+    assert(pp.toSeq === brute.toSeq)
+  }
+
+  test("simhash banding == brute-force hamming (pigeonhole exact recall)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("red", "green", "blue", "cyan", "teal", "pink", "gold")
+    val d = docs((1L to 25L).map { i =>
+      i -> Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }: _*)
+    val sh = Dedup.simhash(d)
+    val brute = sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("hamming"))
+      .filter($"hamming" <= 3)
+      .orderBy("i", "j").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val banded = Dedup.nearDupSimhash(d, maxHamming = 3)
+      .orderBy("i", "j").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(banded.toSeq === brute.toSeq)
+  }
+
+  test("identical docs have simhash hamming 0 and minhash Jaccard 1") {
+    val d = docs(1L -> base, 2L -> base)
+    val sim = Dedup.nearDupSimhash(d).collect()
+    assert(sim.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq === Seq((1L, 2L, 0)))
+    val mh = Dedup.nearDupMinhash(d).collect()
+    assert(mh.length === 1 && mh(0).getDouble(2) === 1.0)
+  }
+}

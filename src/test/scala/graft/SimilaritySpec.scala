@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embs(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("cosine: known geometry") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 2.0), Seq(2.0, 4.0)),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0)))
+      .toDF("a", "b")
+      .select(Similarity.cosine($"a", $"b").as("c")).collect().map(_.getDouble(0))
+    assert(math.abs(df(0)) < 1e-12)
+    assert(math.abs(df(1) - 1.0) < 1e-12)
+    assert(math.abs(df(2) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak, excludes self") {
+    val d = embs(
+      (0L, Seq(1f, 0f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f), 1),
+      (3L, Seq(1f, 0.01f, 0f), 0),
+      (4L, Seq(-1f, 0f, 0f), 2)
+    ).select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val top = Similarity.bruteForceTopK(d, d.filter($"vec_id" === 0), k = 3)
+      .orderBy("rank").collect().map(r => (r.getAs[Long]("cid"), r.getAs[Int]("rank")))
+    assert(top.toSeq === Seq((3L, 1), (1L, 2), (2L, 3)))
+  }
+
+  test("topKPerQuery two-phase prune matches a plain window over all scores") {
+    val rnd = new scala.util.Random(3)
+    val scored = (for { q <- 0L until 4L; c <- 0L until 200L }
+      yield (q, c, rnd.nextDouble())).toDF("qid", "cid", "score").repartition(8)
+    val got = Similarity.topKPerQuery(scored, 7)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"), r.getAs[Int]("rank")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"score".desc, $"cid")
+    val exp = scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 7)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"), r.getAs[Int]("rank")))
+    assert(got.toSeq === exp.toSeq)
+  }
+
+  test("embedNearDup finds near-parallel vectors via LSH banding") {
+    val d = embs(
+      (1L, Seq(1f, 0.01f, 0.02f, 0f), 0),
+      (2L, Seq(0.99f, 0.012f, 0.021f, 0.001f), 0), // ~parallel to 1
+      (3L, Seq(0f, 1f, 0f, 0f), 1),
+      (4L, Seq(0f, 0f, -1f, 0.2f), 2)
+    ).select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val pairs = Similarity.embedNearDup(d, threshold = 0.99, bands = 16, bitsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  test("lshTopK with generous banding equals brute force") {
+    val rnd = new scala.util.Random(5)
+    val d = embs((0L until 60L).map { i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat), 0)
+    }: _*).select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val q = d.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(d, q, k = 4)
+      .orderBy("qid", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val lsh = Similarity.lshTopK(d, q, k = 4, bands = 96, bitsPerBand = 2)
+      .orderBy("qid", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(lsh.toSeq === exact.toSeq)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{Ohlc, Ticks}
+import graft.streaming.{Streams, TickRow}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming layer (T1/T2/T4/T5): every op is checked for
+  * equivalence against its batch twin on the same data — the streaming path
+  * must be a latency refinement, not a different answer. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tick(p: String, t: String, b: Double): TickRow =
+    TickRow(p, ts(t), b, b + 0.01)
+
+  private val ticks = Seq(
+    tick("X", "2024-01-01 00:00:05.100", 10.0),
+    tick("X", "2024-01-01 00:00:05.700", 11.0), // same second, loses dedup
+    tick("X", "2024-01-01 00:00:30.000", 12.0),
+    tick("X", "2024-01-01 00:00:50.000", 8.0),
+    tick("X", "2024-01-01 00:01:10.000", 9.0),
+    tick("Y", "2024-01-01 00:00:59.000", 5.0),
+    tick("Y", "2024-01-01 00:01:02.000", 6.0))
+
+  // watermark-advancing sentinel far past all real data
+  private val flush = Seq(tick("X", "2024-01-01 09:00:00", 1.0),
+    tick("Y", "2024-01-01 09:00:00", 1.0))
+
+  test("T1: streaming dedup == batch dedupSecond on in-order data") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TickRow]
+    val q = Streams.dedupTicks(in.toDF()).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    in.addData(ticks)
+    in.addData(flush)
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("dedup_out")
+      .filter(col("time") < ts("2024-01-01 09:00:00"))
+      .select("pair", "time", "bid", "ask")
+      .orderBy("pair", "time").collect().toSeq
+    val exp = Ticks.dedupSecond(
+        ticks.toDF().withColumn("seq", monotonically_increasing_id()))
+      .select("pair", "time", "bid", "ask")
+      .orderBy("pair", "time").collect().toSeq
+    assert(got === exp)
+  }
+
+  test("T2: streaming 1m OHLC == batch ohlcBase on deduped ticks") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TickRow]
+    val q = Streams.ohlc1m(in.toDF()).writeStream
+      .format("memory").queryName("ohlc_out").outputMode("append").start()
+    in.addData(ticks)
+    in.addData(flush)
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("ohlc_out")
+      .filter(col("time") < ts("2024-01-01 09:00:00"))
+      .orderBy("pair", "time").collect().toSeq
+    val exp = Ohlc.ohlcBase(ticks.toDF())
+      .select("pair", "time", "open", "high", "low", "close")
+      .orderBy("pair", "time").collect().toSeq
+    assert(got === exp)
+  }
+
+  test("T5: latest-value state emits the per-pair maximum-time tick") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TickRow]
+    val q = Streams.latestPerPair(in.toDS()).writeStream
+      .format("memory").queryName("latest_out").outputMode("update").start()
+    in.addData(ticks.take(4)) // batch 1: only X
+    q.processAllAvailable()
+    in.addData(ticks.drop(4)) // batch 2: X update + Y
+    q.processAllAvailable(); q.stop()
+
+    // last update emitted per pair must be the overall latest tick
+    val got = spark.table("latest_out")
+      .groupBy("pair").agg(max_by(struct($"time", $"bid"), $"time").as("t"))
+      .select($"pair", $"t.time".as("time"), $"t.bid".as("bid"))
+      .orderBy("pair").collect()
+    assert(got.map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2))).toSeq ===
+      Seq(("X", ts("2024-01-01 00:01:10"), 9.0), ("Y", ts("2024-01-01 00:01:02"), 6.0)))
+  }
+
+  test("T4: relay sink is idempotent across redelivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("relay").toString
+    val sink = s"$dir/sink"
+
+    val in1 = MemoryStream[TickRow]
+    in1.addData(ticks.take(5))
+    Streams.relayToParquet(in1.toDF(), sink, s"$dir/cp1").awaitTermination()
+
+    // second run redelivers overlapping rows (fresh checkpoint = full replay)
+    val in2 = MemoryStream[TickRow]
+    in2.addData(ticks) // includes the 5 already delivered
+    Streams.relayToParquet(in2.toDF(), sink, s"$dir/cp2").awaitTermination()
+
+    val got = spark.read.parquet(sink)
+    assert(got.count() === ticks.size) // no duplicates from redelivery
+    assert(got.groupBy("pair", "time").count().filter($"count" > 1).count() === 0)
+  }
+}
