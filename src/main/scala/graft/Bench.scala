@@ -19,14 +19,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val warmup = Seq("a1_ohlc_1m", "q5_region_revenue", "llm_text_stats")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // warm-up: run every query once untimed so the timed pass measures
+    // steady-state execution, not each plan's one-off codegen/JIT cost
+    // (cold-vs-warm differs 2-3× for the widest plans). SPARK_GRAFT_WARMUP=
+    // none skips it; headline warms three representative queries only.
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "full") match {
+      case "none" => Seq.empty
+      case "headline" => Seq("a1_ohlc_1m", "q5_region_revenue", "llm_text_stats")
+      case _ => names
+    }
     warmup.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
-
-    val names = SparkEntry.queries.keys.toSeq.sorted
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -45,33 +47,80 @@ object Dedup {
     * Docs shorter than `n` tokens yield an empty set (they cannot be
     * near-duplicates under set Jaccard). */
   def shingleSets(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), TextOps.shingles(col("text"), n).as("shingles"))
+    // two projections, not one: the token array must be MATERIALIZED before
+    // the per-position shingle lambda runs, or Catalyst re-evaluates the
+    // whole regexp+split tokenization once per shingle position (no
+    // common-subexpression elimination across lambda boundaries) — measured
+    // ~20× slower on real documents
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.shinglesOf(col("toks"), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
-  /** MinHash signatures: `numHashes` independent permutations approximated
-    * by seeded xxhash64 (`h_i(s) = xxhash64(i, s)`), min-reduced per doc.
-    * One explode + one hash-aggregate (map-side combined); the signature is
-    * `numHashes × 8` bytes per doc regardless of doc size. */
-  def minhashSignatures(shingleSets: DataFrame, numHashes: Int): DataFrame = {
-    val exploded = shingleSets.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val hashed = exploded.select(
-      col("doc_id") +: (0 until numHashes).map(i => xxhash64(lit(i), col("sh")).as(s"h$i")): _*)
-    val aggs = (0 until numHashes).map(i => min(col(s"h$i")).as(s"m$i"))
-    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  /** splitmix64 finalizer — the hash family `h_i(s) = mix(xxhash64(s) + i·γ)`
+    * derives `numHashes` independent-enough permutations from ONE string
+    * hash, at ~3 ops per derived hash. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
-  /** LSH banding: hash each band of `rowsPerBand` signature slots, self-join
-    * on `(band, bandHash)`, emit distinct `i < j` candidate pairs. The join
-    * key cardinality is ~`bands × distinct-signatures` — uniform and huge, so
-    * the shuffle partitions cleanly at scale. */
+  /** MinHash signatures, two-phase typed aggregation: per-partition open
+    * hash map of partial signatures (map-side combine), then a per-doc
+    * merge of the ≤ `partitions` partials. The string shingle is hashed
+    * once; the `numHashes` family members are splitmix64 derivations of the
+    * base hash in a tight loop — no `numHashes`-wide codegen, no
+    * per-function string re-scan. Signature = `numHashes × 8` bytes per doc
+    * regardless of doc size. */
+  def minhashSignatures(shingleSets: DataFrame, numHashes: Int): DataFrame = {
+    val spark = shingleSets.sparkSession
+    import spark.implicits._
+    val based = shingleSets
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h0")).as[(Long, Long)]
+    based.mapPartitions { it =>
+      val acc = mutable.HashMap.empty[Long, Array[Long]]
+      it.foreach { case (doc, h0) =>
+        val sig = acc.getOrElseUpdate(doc, Array.fill(numHashes)(Long.MaxValue))
+        var i = 0
+        while (i < numHashes) {
+          val h = mix64(h0 + i * 0x9e3779b97f4a7c15L)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      acc.iterator
+    }.groupByKey(_._1)
+      .reduceGroups { (a: (Long, Array[Long]), b: (Long, Array[Long])) =>
+        val m = new Array[Long](numHashes)
+        var i = 0
+        while (i < numHashes) { m(i) = math.min(a._2(i), b._2(i)); i += 1 }
+        (a._1, m)
+      }
+      .map { case (doc, (_, sig)) => (doc, sig) }
+      .toDF("doc_id", "sig")
+  }
+
+  /** LSH banding: fold each band of `rowsPerBand` signature slots into one
+    * band hash (typed flatMap — one row per doc in, `bands` tiny rows out;
+    * the wide per-slot expression tree this replaces cost more in codegen
+    * compilation than in execution), self-join on `(band, bandHash)`, emit
+    * distinct `i < j` candidate pairs. The join key cardinality is
+    * ~`bands × distinct-signatures` — uniform and huge, so the shuffle
+    * partitions cleanly at scale. */
   def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandStructs = array((0 until bands).map { b =>
-      val slots = (0 until rowsPerBand).map(r => col("sig")(b * rowsPerBand + r))
-      struct(lit(b).as("band"), xxhash64(lit(b) +: slots: _*).as("bh"))
-    }: _*)
-    val banded = sigs.select(col("doc_id"), explode(bandStructs).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val banded = sigs.select(col("doc_id"), col("sig")).as[(Long, Array[Long])]
+      .flatMap { case (doc, sig) =>
+        (0 until bands).iterator.map { b =>
+          var h = 0x51_7c_c1_b7_27_22_0a_95L + b
+          var r = 0
+          while (r < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + r)); r += 1 }
+          (doc, b, h)
+        }
+      }.toDF("doc_id", "band", "bh")
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
           col("l.doc_id") < col("r.doc_id"))
@@ -103,28 +152,41 @@ object Dedup {
       shs, threshold)
   }
 
-  /** Exact n-gram Jaccard similarity join via prefix filtering (PPJoin):
-    * order each doc's shingles by ascending global document frequency, keep
-    * the first `|s| - ceil(θ|s|) + 1`; any pair with Jaccard ≥ θ must share
-    * a prefix shingle, so recall is 100% — same results as a brute-force
-    * O(n²) scan, at index-join cost. */
-  def nearDupNgram(docs: DataFrame, n: Int = 3, threshold: Double = 0.6): DataFrame = {
+  /** Exact n-gram Jaccard similarity join via an inverted shingle index:
+    * self-join the (doc, shingle) postings on the shingle, count shared
+    * shingles per pair — that count IS `|A∩B|` (sets are distinct), and
+    * `|A∪B| = |A|+|B|-|A∩B|`, so Jaccard needs no array materialization at
+    * all. Recall is exact: J ≥ θ > 0 implies ≥ 1 shared shingle.
+    *
+    * Cost is Σ_shingle df² join rows — the classic inverted-index-join
+    * bound. `maxDf` caps pathological postings (a shingle shared by
+    * millions of docs contributes df² rows but near-zero Jaccard evidence);
+    * capping is the standard scale valve and stays *exact* as long as every
+    * qualifying pair still shares ≥ 1 uncapped shingle (true in practice
+    * for θ-similar docs, which share many low-df shingles; None = exact
+    * unconditionally). */
+  def nearDupNgram(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
+                   maxDf: Option[Int] = None): DataFrame = {
     val shs = shingleSets(docs, n)
+    val sizes = shs.select(col("doc_id"), size(col("shingles")).as("sz"))
     val exploded = shs.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val ordered = exploded.join(dfreq, "sh")
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("df"), col("sh")))).as("ord"),
-        count(lit(1)).as("n"))
-    val prefixLen = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
-    val prefix = ordered
-      .select(col("doc_id"), explode(slice(col("ord"), lit(1), prefixLen)).as("p"))
-      .select(col("doc_id"), col("p.sh").as("sh"))
-    val cands = prefix.as("l").join(prefix.as("r"),
+    val postings = maxDf match {
+      case None => exploded
+      case Some(cap) =>
+        val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        exploded.join(dfreq.filter(col("df") <= cap).select("sh"), "sh")
+    }
+    val inter = postings.as("l").join(postings.as("r"),
         col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("i"), col("r.doc_id").as("j"))
-      .distinct()
-    verifyJaccard(cands, shs, threshold)
+      .groupBy(col("l.doc_id").as("i"), col("r.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("i"), col("sz").as("ni")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("sz").as("nj")), "j")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("ni") + col("nj") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("i", "j", "jaccard")
   }
 
   /** 60-bit term-frequency-weighted SimHash per doc, built from the portable

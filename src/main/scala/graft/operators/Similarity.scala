@@ -116,24 +116,61 @@ object Similarity {
       }.toDF("id", "band", "bv")
   }
 
+  /** Band width that keeps expected bucket size ≈ 32 vectors for a corpus
+    * of `n` — buckets of b vectors cost b² candidate rows, so width must
+    * grow with the corpus (log₂ n) for the join to stay near-linear. */
+  def adaptiveBits(n: Long, targetBucket: Int = 32): Int =
+    math.min(16, math.max(2,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt))
+
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH candidate
     * generation (docs sharing ≥ 1 sign-band), exact-cosine verification at
-    * `threshold`. Candidate-only — never an all-pairs join. */
+    * `threshold`. Candidate-only — never an all-pairs join. Band width
+    * defaults to corpus-adaptive ([[adaptiveBits]]): wider bands on bigger
+    * corpora keep bucket joins near-linear, at the usual LSH recall
+    * trade-off (raise `bands` to compensate). */
   def embedNearDup(embs: DataFrame, threshold: Double = 0.45, bands: Int = 48,
-                   bitsPerBand: Int = 4, seed: Long = 42): DataFrame = {
-    val banded = lshBands(embs, bands, bitsPerBand, seed)
+                   bitsPerBand: Int = 0, seed: Long = 42,
+                   broadcastVerifyMaxRows: Long = 1L << 19): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val n = embs.count()
+    val bits = if (bitsPerBand > 0) bitsPerBand else adaptiveBits(n)
+    val banded = lshBands(embs, bands, bits, seed)
     val cands = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("i"), col("r.id").as("j"))
       .distinct()
-    val side = prep(embs)
-    cands
-      .join(side.select(col("id").as("i"), col("emb").as("ei")), "i")
-      .join(side.select(col("id").as("j"), col("emb").as("ej")), "j")
-      .withColumn("cos", cosine(col("ei"), col("ej")))
-      .filter(col("cos") >= threshold)
-      .select("i", "j", "cos")
+    if (n <= broadcastVerifyMaxRows) {
+      // low thresholds make banding non-selective (candidates ~ O(pairs)),
+      // so verification cost dominates: stream the (i,j) ids through a
+      // broadcast of the corpus instead of shipping two dim-sized arrays
+      // per pair through a shuffle. Exactly the double ops of `cosine`
+      // (sequential fold), so results are bit-identical to the join path.
+      val bc = spark.sparkContext.broadcast(
+        prep(embs).as[(Long, Array[Double])].collect().toMap)
+      cands.as[(Long, Long)].mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (i, j) =>
+          val a = m(i); val b = m(j)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+          while (k < a.length) {
+            dot += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k); k += 1
+          }
+          val c = dot / (math.sqrt(na) * math.sqrt(nb))
+          if (c >= threshold) Some((i, j, c)) else None
+        }
+      }.toDF("i", "j", "cos")
+    } else {
+      val side = prep(embs)
+      cands
+        .join(side.select(col("id").as("i"), col("emb").as("ei")), "i")
+        .join(side.select(col("id").as("j"), col("emb").as("ej")), "j")
+        .withColumn("cos", cosine(col("ei"), col("ej")))
+        .filter(col("cos") >= threshold)
+        .select("i", "j", "cos")
+    }
   }
 
   /** LSH-bucketed ANN: candidates = corpus vectors sharing ≥ 1 band with the

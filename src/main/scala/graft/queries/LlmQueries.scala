@@ -58,33 +58,44 @@ object LlmQueries {
   private val stopDe = TextAnalysis.StopwordsDe.map(w => s"'$w'").mkString("[", ",", "]")
   private val stopEs = TextAnalysis.StopwordsEs.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** The test corpus is one small parquet file → one input partition, which
+    * would serialize the CPU-heavy per-doc work (shingling, hyperplane
+    * projections) onto a single core. Spread it across the cluster first.
+    * At production scale the scan is already many-partitioned and this
+    * keyed exchange of raw text is a no-op cost next to the downstream
+    * joins; it is NOT part of the operators themselves. */
+  private def docsPar(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).repartition(col("doc_id"))
+  private def embsPar(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).repartition(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
 
     "llm_dedup_minhash" -> ((s, d) =>
-      Dedup.nearDupMinhash(Tables.documents(s, d), threshold = 0.8)
+      Dedup.nearDupMinhash(docsPar(s, d), threshold = 0.8)
         .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))),
 
     "llm_dedup_ngram" -> ((s, d) =>
-      Dedup.nearDupNgram(Tables.documents(s, d), threshold = 0.6)
+      Dedup.nearDupNgram(docsPar(s, d), threshold = 0.6)
         .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))),
 
     "llm_dedup_simhash" -> ((s, d) =>
-      Dedup.nearDupSimhash(Tables.documents(s, d), maxHamming = 3)
+      Dedup.nearDupSimhash(docsPar(s, d), maxHamming = 3)
         .select(col("i"), col("j"), col("hamming").cast("int").as("hamming"))),
 
     "llm_dedup_embed" -> ((s, d) =>
-      Similarity.embedNearDup(Tables.embeddings(s, d), threshold = 0.45)
+      Similarity.embedNearDup(embsPar(s, d), threshold = 0.45)
         .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))),
 
     "llm_ann_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = embsPar(s, d)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
         .select(col("qid"), col("cid"), col("rank"), round(col("score"), 6).as("sim"))
     }),
 
     "llm_ann_lsh" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = embsPar(s, d)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
         .select(col("qid"), col("cid"), col("rank"), round(col("score"), 6).as("sim"))
     }),
