@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Flows
+import org.apache.spark.sql.functions._
+
+class FlowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 hours of one-minute ticks, two pairs
+  private val ticks = (0 until 180).flatMap { m =>
+    Seq(("X", ts(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00"), 100.0 + m % 7),
+      ("Y", ts(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00"), 50.0 + m % 5))
+  }.map { case (p, t, b) => (p, t, b, b + 0.01) }.toDF("pair", "time", "bid", "ask")
+
+  test("candleFlow materializes exactly the configured timeframes") {
+    val cfg = new Config(Map("DEFAULT_TIMEFRAMES" -> "1m,5m,1h"))
+    val tfs = Flows.candleFlow(ticks, cfg)
+      .select("timeframe").distinct().as[String].collect().sorted
+    assert(tfs.toSeq === Seq("1h", "1m", "5m"))
+  }
+
+  test("candleFlow rejects unknown timeframe codes fail-fast") {
+    val cfg = new Config(Map("DEFAULT_TIMEFRAMES" -> "1m,7m"))
+    val e = intercept[IllegalArgumentException](Flows.candleFlow(ticks, cfg))
+    assert(e.getMessage.contains("7m"))
+  }
+
+  test("indicatorFlow fans out indicators x periods x timeframes") {
+    val cfg = new Config(Map(
+      "DEFAULT_PERIODS" -> "3,5", "DEFAULT_TIMEFRAMES" -> "1m,5m"))
+    val grid = Flows.indicatorFlow(ticks, cfg)
+      .select("indicator", "period", "timeframe").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(grid === (for {
+      i <- Set("RSI", "SMA", "EMA"); p <- Set(3, 5); t <- Set("1m", "5m")
+    } yield (i, p, t)))
+  }
+
+  test("strategyFlow emits alternating BUY/SELL per pair, config periods") {
+    val cfg = new Config(Map(
+      "DEFAULT_SHORT_PERIOD" -> "3", "DEFAULT_LONG_PERIOD" -> "7"))
+    val ev = Flows.strategyFlow(ticks, cfg)
+      .orderBy("pair", "event_datetime").collect()
+    assert(ev.nonEmpty)
+    assert(ev.forall(_.getAs[Int]("trigger_indicator_period") === 3))
+    // alternation within each pair (golden and dead crosses interleave)
+    ev.groupBy(_.getAs[String]("pair")).values.foreach { rows =>
+      rows.map(_.getAs[String]("event_type")).sliding(2).foreach {
+        case Array(a, b) => assert(a !== b)
+        case _ =>
+      }
+    }
+  }
+}
