@@ -173,6 +173,91 @@ object Similarity {
     }
   }
 
+  /** Train an IVF coarse quantizer: spherical k-means on a deterministic
+    * corpus sample, driver-side (k·dim doubles; the standard approach — at
+    * 100 TB the quantizer is still trained on a bounded sample and
+    * broadcast). Init = first k sample vectors by id; `iters` Lloyd steps
+    * with cosine assignment; empty clusters keep their previous centroid.
+    * Fully deterministic for a fixed corpus. */
+  def ivfCentroids(embs: DataFrame, k: Int, iters: Int = 5,
+                   sampleSize: Int = 4096): Array[Array[Double]] = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val sample = prep(embs).orderBy(col("id")).limit(sampleSize)
+      .as[(Long, Array[Double])].collect().map(_._2)
+    require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
+    def norm(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    var centroids = sample.take(k).map(norm)
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val nv = norm(v)
+        var best = 0; var bestDot = Double.MinValue
+        for (c <- 0 until k) {
+          var dot = 0.0; var d = 0
+          while (d < nv.length) { dot += nv(d) * centroids(c)(d); d += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < nv.length) { sums(best)(d) += nv(d); d += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else norm(sums(c))
+      }
+    }
+    centroids
+  }
+
+  /** Assign ids to their `nearest` centroid lists (nearest = 1 for corpus
+    * inverted lists, > 1 for query multi-probe). */
+  def ivfAssign(embs: DataFrame, centroids: Array[Array[Double]],
+                nearest: Int): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    embs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, emb) =>
+        val cs = bc.value
+        val scored = cs.indices.map { c =>
+          var dot = 0.0; var nn = 0.0; var d = 0
+          while (d < emb.length) {
+            dot += cs(c)(d) * emb(d); nn += emb(d).toDouble * emb(d); d += 1
+          }
+          (c, dot / math.sqrt(nn))
+        }
+        scored.sortBy { case (c, s) => (-s, c) }.take(nearest)
+          .iterator.map { case (c, _) => (id, c) }
+      }.toDF("id", "list")
+  }
+
+  /** IVF ANN: corpus vectors land in one inverted list each; a query probes
+    * its `nprobe` nearest lists and ranks only those lists' members with
+    * exact cosine. Probing more lists trades latency for recall — at
+    * `nprobe = nLists` this degrades to the exact scan. */
+  def ivfTopK(embs: DataFrame, queries: DataFrame, k: Int, nLists: Int = 16,
+              nprobe: Int = 8, iters: Int = 5): DataFrame = {
+    val centroids = ivfCentroids(embs, nLists, iters)
+    val corpusLists = ivfAssign(embs, centroids, nearest = 1)
+    val queryLists = ivfAssign(queries, centroids, nearest = nprobe)
+      .select(col("id").as("qid"), col("list"))
+    val cands = corpusLists.join(queryLists, Seq("list"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("cid"))
+      .distinct()
+    val corpus = prep(embs)
+    val q = prep(queries).select(col("id").as("qid"), col("emb").as("qemb"))
+    val scored = cands
+      .join(corpus.select(col("id").as("cid"), col("emb")), "cid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("cid"), cosine(col("qemb"), col("emb")).as("score"))
+    topKPerQuery(scored, k)
+  }
+
   /** LSH-bucketed ANN: candidates = corpus vectors sharing ≥ 1 band with the
     * query, then exact cosine + top-k among candidates only. With generous
     * banding (the default 96 × 3 bits) recall is ≈ 1 even for mid-similarity

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{CorpusPrep, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -100,6 +100,22 @@ object LlmQueries {
         .select(col("qid"), col("cid"), col("rank"), round(col("score"), 6).as("sim"))
     }),
 
+    // nprobe=12/16: this synthetic corpus is near-isotropic in cosine space
+    // (max pairwise cos ≈ 0.5), so full recall needs probing most lists;
+    // verified exhaustive-recall at oracle SF. Clustered real embeddings
+    // probe far fewer.
+    "llm_ann_ivf" -> ((s, d) => {
+      val e = embsPar(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5, nLists = 16, nprobe = 12)
+        .select(col("qid"), col("cid"), col("rank"), round(col("score"), 6).as("sim"))
+    }),
+
+    "llm_corpus_clean" -> ((s, d) =>
+      CorpusPrep.clean(docsPar(s, d)).select("doc_id", "lang", "source")),
+
+    "llm_corpus_stats" -> ((s, d) =>
+      CorpusPrep.corpusStats(CorpusPrep.clean(docsPar(s, d)))),
+
     "llm_text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d))),
 
     "llm_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -174,6 +190,59 @@ object LlmQueries {
 
     "llm_ann_topk" -> annOracle,
     "llm_ann_lsh" -> annOracle,
+    "llm_ann_ivf" -> annOracle,
+
+    "llm_corpus_clean" ->
+      s"""WITH $shingleCte,
+         |losers AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+         |          / len(list_distinct(a.s || b.s)) >= 0.8),
+         |canon AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY
+         |      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep
+         |    FROM documents) WHERE keep),
+         |q AS (
+         |  SELECT doc_id FROM toks
+         |  WHERE round(least(len(w)::DOUBLE / 50.0, 1.0)
+         |        * (1.0 - len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
+         |                 / len(w)), 6) >= 0.2)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |JOIN canon USING (doc_id)
+         |JOIN q USING (doc_id)
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+
+    "llm_corpus_stats" ->
+      s"""WITH $shingleCte,
+         |losers AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+         |          / len(list_distinct(a.s || b.s)) >= 0.8),
+         |canon AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY
+         |      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep
+         |    FROM documents) WHERE keep),
+         |st AS (
+         |  SELECT doc_id, lang,
+         |         len(w)::BIGINT AS n_tokens,
+         |         round(least(len(w)::DOUBLE / 50.0, 1.0)
+         |           * (1.0 - len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
+         |                    / len(w)), 6) AS quality
+         |  FROM toks),
+         |kept AS (
+         |  SELECT d.doc_id, d.lang, d.source FROM documents d
+         |  JOIN canon USING (doc_id)
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+         |    AND d.doc_id IN (SELECT doc_id FROM st WHERE quality >= 0.2))
+         |SELECT k.lang, k.source, count(*) AS n_docs,
+         |       sum(st.n_tokens) AS total_tokens,
+         |       round(avg(st.quality), 6) AS avg_quality
+         |FROM kept k JOIN st USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
 
     "llm_text_stats" ->
       s"""WITH $toksCte
