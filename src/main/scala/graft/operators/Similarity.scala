@@ -28,15 +28,12 @@ final case class Scored(qid: Long, cid: Long, score: Double)
   */
 object Similarity {
 
-  /** Cosine similarity of two `array<double>` columns. Sequential fold in
-    * index order: dot/(√‖a‖·√‖b‖) exactly as DuckDB evaluates it. */
-  def cosine(a: Column, b: Column): Column = {
-    def sum(arr: Column): Column = aggregate(arr, lit(0.0), (acc, v) => acc + v)
-    val dot = sum(zip_with(a, b, (x, y) => x * y))
-    val na = sum(transform(a, x => x * x))
-    val nb = sum(transform(b, x => x * x))
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  /** Cosine similarity of two `array<double>` columns: the native
+    * codegen'd [[graft.functions.CosineSimilarity]] expression — one fused
+    * loop, no intermediate arrays, accumulation in index order
+    * (dot/(√‖a‖·√‖b‖) exactly as DuckDB evaluates it on `DOUBLE[]`). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   /** Corpus/query frames normalized to `(id, emb array<double>)`. */
   private def prep(embs: DataFrame): DataFrame =

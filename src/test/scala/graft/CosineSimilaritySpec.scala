@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Seq(1.0, 0.0), Seq(0.0, 1.0)),
+    (2L, Seq(1.0, 2.0), Seq(2.0, 4.0)),
+    (3L, Seq(1.0, 0.0), Seq(-1.0, 0.0)),
+    (4L, Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("id", "a", "b")
+
+  test("native expression matches the fold formulation bit-for-bit") {
+    def foldCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      def s(arr: org.apache.spark.sql.Column) =
+        aggregate(arr, lit(0.0), (acc, v) => acc + v)
+      s(zip_with(a, b, (x, y) => x * y)) /
+        (sqrt(s(transform(a, x => x * x))) * sqrt(s(transform(b, x => x * x))))
+    }
+    val rows = df.select(CosineSimilarity($"a", $"b").as("native"),
+      foldCosine($"a", $"b").as("fold")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("interpreted eval matches codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = CosineSimilarity(
+      Literal.create(Seq(3.0, 4.0), ArrayType(DoubleType)),
+      Literal.create(Seq(4.0, 3.0), ArrayType(DoubleType)))
+    assert(e.eval(null).asInstanceOf[Double] === 24.0 / 25.0)
+  }
+
+  test("nulls and length mismatch yield null") {
+    val r = Seq((Seq(1.0), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+      .select(CosineSimilarity($"a", $"b")).collect()
+    assert(r(0).isNullAt(0))
+    val m = Seq((Seq(1.0, 2.0), Seq(1.0)))
+      .toDF("a", "b")
+      .select(CosineSimilarity($"a", $"b")).collect()
+    assert(m(0).isNullAt(0))
+  }
+
+  test("rejects non-double-array inputs at analysis time") {
+    val bad = Seq((1, "x")).toDF("a", "b")
+    val e = intercept[Exception](
+      bad.select(CosineSimilarity($"a", $"b")).collect())
+    assert(e.getMessage.toLowerCase.contains("cosine_sim") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
+  test("extensions register cosine_sim for plain SQL") {
+    // getOrCreate() returns the suite's shared session (extensions apply
+    // only at session creation) — detach it, build a fresh session on the
+    // same SparkContext with the extensions, then restore.
+    spark.version // force suite session init before detaching
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val v = ext.sql(
+        "SELECT cosine_sim(array(3.0d, 4.0d), array(4.0d, 3.0d)) AS c")
+        .collect()(0).getDouble(0)
+      assert(v === 24.0 / 25.0)
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+}
