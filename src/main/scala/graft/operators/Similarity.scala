@@ -1,13 +1,8 @@
 package graft.operators
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-
-/** One (query, candidate, score) triple of the ANN scoring stage. */
-final case class Scored(qid: Long, cid: Long, score: Double)
 
 /** Similarity search over an embedding column (`array<float>`): brute-force
   * cosine top-k as the exact baseline, and random-hyperplane LSH for the
@@ -49,29 +44,18 @@ object Similarity {
       .select(col("qid"), col("id").as("cid"), cosine(col("qemb"), col("emb")).as("score"))
   }
 
-  /** Exact top-k per query over a scored triple set, two-phase:
-    * map-side per-partition heaps (≤ k rows per query survive each
-    * partition), then one tiny shuffle + window to finalize. Ordering is
-    * (score desc, cid asc) — fully deterministic. */
-  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    // evict the WORST entry first: max-heap under (score asc → -score, cid desc)
-    val evictOrd: Ordering[Scored] = Ordering.by(s => (-s.score, s.cid))
-    val pruned = scored.select(col("qid"), col("cid"), col("score")).as[Scored]
-      .mapPartitions { it =>
-        val heaps = mutable.Map.empty[Long, mutable.PriorityQueue[Scored]]
-        it.foreach { s =>
-          val h = heaps.getOrElseUpdate(s.qid, mutable.PriorityQueue.empty(evictOrd))
-          h.enqueue(s)
-          if (h.size > k) h.dequeue()
-        }
-        heaps.valuesIterator.flatMap(_.iterator)
-      }
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-    pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("rank"), col("score"))
-  }
+  /** Exact top-k per query over a scored triple set via the native
+    * [[graft.functions.TopKByScore]] aggregate: per-partition bounded
+    * k-heaps partial-aggregate map-side, so a billion-candidate query group
+    * shuffles k rows, not the group. Ordering is (score desc, cid asc) —
+    * fully deterministic; rank is the post-sort position. */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKByScore(col("score"), col("cid"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("qid"), col("e.id").as("cid"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.score").as("score"))
 
   /** Brute-force exact ANN baseline: broadcast scan + two-phase top-k. */
   def bruteForceTopK(embs: DataFrame, queries: DataFrame, k: Int): DataFrame =
