@@ -154,6 +154,21 @@ object Similarity {
     }
   }
 
+  /** Scalar int8 quantization of the embedding column — the storage/IO
+    * scale path (4× smaller than float32, 8× than float64; at 100 TB the
+    * scan is usually IO-bound, so this is a 4× scan speedup for coarse
+    * stages that re-rank survivors at full precision). Per-vector absmax
+    * scaling: `q_i = round(x_i / absmax · 127)`, `scale = absmax / 127`,
+    * dequantization error ≤ scale/2 per component. Pure column algebra with
+    * exact DuckDB parity (round is half-away-from-zero in both engines). */
+  def quantizeInt8(embs: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    embs
+      .withColumn("absmax", array_max(transform(v, x => abs(x))))
+      .select(col("vec_id"), (col("absmax") / 127).as("scale"),
+        transform(v, x => round(x / col("absmax") * 127).cast("int")).as("q"))
+  }
+
   /** Train an IVF coarse quantizer: spherical k-means on a deterministic
     * corpus sample, driver-side (k·dim doubles; the standard approach — at
     * 100 TB the quantizer is still trained on a bounded sample and

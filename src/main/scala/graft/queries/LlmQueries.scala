@@ -110,6 +110,14 @@ object LlmQueries {
         .select(col("qid"), col("cid"), col("rank"), round(col("score"), 6).as("sim"))
     }),
 
+    // scalar summary projection (array columns stringify differently across
+    // the compare harness, so the check hashes sums/extrema instead)
+    "llm_embed_quant" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("qsum"),
+          array_min(col("q")).as("qmin"), array_max(col("q")).as("qmax"))),
+
     "llm_corpus_clean" -> ((s, d) =>
       CorpusPrep.clean(docsPar(s, d)).select("doc_id", "lang", "source")),
 
@@ -191,6 +199,19 @@ object LlmQueries {
     "llm_ann_topk" -> annOracle,
     "llm_ann_lsh" -> annOracle,
     "llm_ann_ivf" -> annOracle,
+
+    "llm_embed_quant" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, ma,
+        |             list_transform(v, x -> round(x / ma * 127)::INT) AS qs
+        |      FROM m)
+        |SELECT vec_id, round(ma / 127, 6) AS scale,
+        |       list_sum(qs)::BIGINT AS qsum,
+        |       list_min(qs)::INT AS qmin, list_max(qs)::INT AS qmax
+        |FROM q""".stripMargin,
 
     "llm_corpus_clean" ->
       s"""WITH $shingleCte,

@@ -59,6 +59,26 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("quantizeInt8: values in [-127,127], dequant error bounded by scale/2") {
+    val rnd = new scala.util.Random(9)
+    val d = embs((0L until 20L).map { i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat), 0)
+    }: _*).select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val q = graft.operators.Similarity.quantizeInt8(d)
+      .join(d.select($"vec_id", $"embedding".cast("array<double>").as("v")), "vec_id")
+      .collect()
+    q.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val qs = r.getAs[scala.collection.Seq[Int]]("q")
+      val vs = r.getAs[scala.collection.Seq[Double]]("v")
+      assert(qs.forall(x => x >= -127 && x <= 127))
+      assert(qs.exists(x => math.abs(x) == 127)) // absmax component saturates
+      qs.zip(vs).foreach { case (qi, vi) =>
+        assert(math.abs(vi - qi * scale) <= scale / 2 + 1e-12)
+      }
+    }
+  }
+
   test("lshTopK with generous banding equals brute force") {
     val rnd = new scala.util.Random(5)
     val d = embs((0L until 60L).map { i =>
