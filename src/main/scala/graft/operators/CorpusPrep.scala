@@ -27,13 +27,17 @@ object CorpusPrep {
       .select(col("doc_id"))
     val nearDupLosers = Dedup.nearDupMinhash(docs, threshold = nearDupThreshold)
       .select(col("j").as("doc_id")).distinct()
-    val kept = docs
+    // quality is a per-doc metric, so score the FULL corpus and semi-join:
+    // scoring `kept` instead would be equivalent but would embed the whole
+    // dedup chain in the plan twice (once for kept, once inside the stats
+    // branch) — measured ~2× the query cost
+    val qualified = TextAnalysis.stats(docs)
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id"))
+    docs
       .join(canonical, Seq("doc_id"), "left_semi")
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
-    kept.join(
-      TextAnalysis.stats(kept).filter(col("quality") >= minQuality)
-        .select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
+      .join(qualified, Seq("doc_id"), "left_semi")
   }
 
   /** Per-(lang, source) corpus statistics of the cleaned set — the rollup a

@@ -66,17 +66,20 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  /** MinHash signatures, two-phase typed aggregation: per-partition open
-    * hash map of partial signatures (map-side combine), then a per-doc
-    * merge of the ≤ `partitions` partials. The string shingle is hashed
-    * once; the `numHashes` family members are splitmix64 derivations of the
-    * base hash in a tight loop — no `numHashes`-wide codegen, no
-    * per-function string re-scan. Signature = `numHashes × 8` bytes per doc
-    * regardless of doc size. */
+  /** MinHash signatures: repartition the (small) per-doc shingle sets by
+    * doc_id, THEN explode — the explode is narrow, so every shingle of a
+    * doc lands in one partition and the per-partition signature map is
+    * already final (no merge/aggregation stage at all; the one shuffle
+    * moves shingle-set rows, the cheapest representation). The string
+    * shingle is hashed once; the `numHashes` family members are splitmix64
+    * derivations of the base hash in a tight loop — no `numHashes`-wide
+    * codegen, no per-function string re-scan. Signature = `numHashes × 8`
+    * bytes per doc regardless of doc size. */
   def minhashSignatures(shingleSets: DataFrame, numHashes: Int): DataFrame = {
     val spark = shingleSets.sparkSession
     import spark.implicits._
     val based = shingleSets
+      .repartition(col("doc_id")) // doc-locality contract for the map below
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h0")).as[(Long, Long)]
     based.mapPartitions { it =>
@@ -91,15 +94,7 @@ object Dedup {
         }
       }
       acc.iterator
-    }.groupByKey(_._1)
-      .reduceGroups { (a: (Long, Array[Long]), b: (Long, Array[Long])) =>
-        val m = new Array[Long](numHashes)
-        var i = 0
-        while (i < numHashes) { m(i) = math.min(a._2(i), b._2(i)); i += 1 }
-        (a._1, m)
-      }
-      .map { case (doc, (_, sig)) => (doc, sig) }
-      .toDF("doc_id", "sig")
+    }.toDF("doc_id", "sig")
   }
 
   /** LSH banding: fold each band of `rowsPerBand` signature slots into one

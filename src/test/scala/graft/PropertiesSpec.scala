@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{Incremental, Skew, Ticks}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+/** Property-based invariants over randomized inputs (fixed ScalaCheck
+  * seeds): the structural guarantees the engine's correctness rests on. */
+class PropertiesSpec extends SparkSpec {
+
+  private def checkProp(p: Prop, n: Int = 10): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  import spark.implicits._
+
+  private val rowGen = for {
+    key <- Gen.oneOf("a", "b", "hot")
+    n <- Gen.chooseNum(-1000L, 1000L)
+    v <- Gen.chooseNum(-100.0, 100.0)
+  } yield (key, n, v)
+
+  test("saltedAgg ≡ direct agg for arbitrary data and salt counts") {
+    checkProp(forAll(Gen.listOfN(60, rowGen), Gen.chooseNum(1, 16)) { (rows, salts) =>
+      rows.nonEmpty ==> {
+        val df = rows.toDF("key", "n", "v")
+        val got = Skew.saltedAgg(df, Seq("key"), salts, "n" -> "sum", "v" -> "max")
+          .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        val exp = df.groupBy("key").agg(sum("n"), max("v"))
+          .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        got.toSeq == exp.toSeq
+      }
+    })
+  }
+
+  test("idempotent sink: appendNew(x, x) adds nothing; append is monotone") {
+    checkProp(forAll(Gen.listOfN(40, rowGen)) { rows =>
+      rows.nonEmpty ==> {
+        val df = rows.toDF("key", "n", "v").dropDuplicates("key", "n")
+        val self = Incremental.appendNew(df, df, Seq("key", "n"))
+        self.count() == df.count()
+      }
+    })
+  }
+
+  test("tick dedup: exactly one survivor per (pair, second), the earliest") {
+    val tsGen = for {
+      pair <- Gen.oneOf("X", "Y")
+      sec <- Gen.chooseNum(0, 5)
+      micros <- Gen.chooseNum(0, 999999)
+      bid <- Gen.chooseNum(1.0, 100.0)
+    } yield (pair, new java.sql.Timestamp(1700000000000L + sec * 1000L + micros / 1000), bid)
+    checkProp(forAll(Gen.listOfN(50, tsGen)) { rows =>
+      rows.nonEmpty ==> {
+        val df = rows.zipWithIndex
+          .map { case ((p, t, b), i) => (p, t, b, b + 0.01, i.toLong) }
+          .toDF("pair", "time", "bid", "ask", "seq")
+        val out = Ticks.dedupSecond(df).collect()
+        val perKey = out.groupBy(r =>
+          (r.getAs[String]("pair"), r.getAs[java.sql.Timestamp]("time")))
+        perKey.forall(_._2.length == 1) && {
+          // each survivor's bid equals the earliest (time, seq) row's bid
+          val expected = rows.zipWithIndex
+            .groupBy { case ((p, t, _), _) =>
+              (p, new java.sql.Timestamp(t.getTime / 1000 * 1000)) }
+            .map { case (k, g) =>
+              k -> g.minBy { case ((_, t, _), i) => (t.getTime, i) }._1._3 }
+          out.forall { r =>
+            expected((r.getAs[String]("pair"), r.getAs[java.sql.Timestamp]("time"))) ==
+              r.getAs[Double]("bid")
+          }
+        }
+      }
+    })
+  }
+
+  test("TopKByScore ≡ sort-take for arbitrary scored sets") {
+    val sGen = for {
+      q <- Gen.chooseNum(0L, 2L)
+      c <- Gen.chooseNum(0L, 30L)
+      s <- Gen.chooseNum(-10.0, 10.0)
+    } yield (q, c, s)
+    checkProp(forAll(Gen.listOfN(60, sGen), Gen.chooseNum(1, 8)) { (rows, k) =>
+      rows.nonEmpty ==> {
+        val dedup = rows.distinctBy(r => (r._1, r._2))
+        val df = dedup.toDF("qid", "cid", "score")
+        val got = graft.operators.Similarity.topKPerQuery(df, k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        val exp = dedup.groupBy(_._1).flatMap { case (q, g) =>
+          g.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+            .map { case ((_, c, _), i) => (q, c, i + 1) }
+        }.toSet
+        got == exp
+      }
+    })
+  }
+}
