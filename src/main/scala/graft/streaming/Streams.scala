@@ -33,6 +33,31 @@ final case class TickRow(pair: String, time: Timestamp, bid: Double, ask: Double
   */
 object Streams {
 
+  /** S1 (parse step): decode raw tick messages — the reference's WebSocket
+    * payload `{"symbol": ..., "timestamp": ISO-8601Z, "bid": "...",
+    * "ask": "..."}` (reference: src/gmo/ws-connection.py:131-160) — into
+    * the canonical tick shape. `from_json` with an explicit schema: rows
+    * that fail to parse or fail the validity rules (non-positive prices,
+    * bid > ask, missing keys) are dropped, mirroring the reference's
+    * skip-and-continue behavior. Works identically on a streaming or batch
+    * frame. */
+  def parseTicks(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
+    val schema = "symbol STRING, timestamp STRING, bid STRING, ask STRING"
+    raw
+      .select(from_json(col(jsonCol), org.apache.spark.sql.types.StructType
+        .fromDDL(schema)).as("m"))
+      .select(
+        col("m.symbol").as("pair"),
+        // try_ variants: ANSI mode (Spark 4 default) makes plain casts
+        // THROW on malformed input; skip-and-continue needs NULL + filter
+        try_to_timestamp(col("m.timestamp")).as("time"),
+        expr("try_cast(m.bid AS DOUBLE)").as("bid"),
+        expr("try_cast(m.ask AS DOUBLE)").as("ask"))
+      .filter(col("pair").isNotNull && col("time").isNotNull &&
+        col("bid").isNotNull && col("ask").isNotNull &&
+        col("bid") > 0 && col("ask") > 0 && col("bid") <= col("ask"))
+  }
+
   /** T1: streaming first-tick-per-second dedup. Event times are truncated to
     * the second (the dedup grain), late data beyond `watermark` is dropped,
     * and within the horizon the first *arrival* per (pair, second) wins —

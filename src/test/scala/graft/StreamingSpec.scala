@@ -29,6 +29,21 @@ class StreamingSpec extends SparkSpec {
   private val flush = Seq(tick("X", "2024-01-01 09:00:00", 1.0),
     tick("Y", "2024-01-01 09:00:00", 1.0))
 
+  test("S1: parseTicks decodes valid messages, drops malformed and invalid") {
+    val raw = Seq(
+      """{"symbol":"USD/JPY","timestamp":"2024-01-01T00:00:05.000Z","bid":"104.5","ask":"104.52"}""",
+      """{"symbol":"EUR/JPY","timestamp":"2024-01-01T00:00:06.000Z","bid":"160.1","ask":"160.0"}""", // bid > ask
+      """{"symbol":"USD/JPY","timestamp":"bogus","bid":"1","ask":"2"}""", // bad ts
+      """not json at all""",
+      """{"channel":"heartbeat"}""" // non-ticker message
+    ).toDF("value")
+    val out = Streams.parseTicks(raw).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("pair") === "USD/JPY")
+    assert(out(0).getAs[Double]("bid") === 104.5)
+    assert(out(0).getAs[Double]("ask") === 104.52)
+  }
+
   test("T1: streaming dedup == batch dedupSecond on in-order data") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TickRow]
