@@ -52,9 +52,13 @@ object Dedup {
     // whole regexp+split tokenization once per shingle position (no
     // common-subexpression elimination across lambda boundaries) — measured
     // ~20× slower on real documents
+    // NO size()>0 filter here: a predicate on the computed column gets
+    // pushed below the upstream exchange with the whole shingling
+    // expression inlined, re-running tokenization serially on the scan
+    // partition (measured 6.6 s single-task at sf0.1). Empty shingle sets
+    // are harmless downstream — explode emits nothing for them.
     docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), TextOps.shinglesOf(col("toks"), n).as("shingles"))
-      .filter(size(col("shingles")) > 0)
 
   /** splitmix64 finalizer — the hash family `h_i(s) = mix(xxhash64(s) + i·γ)`
     * derives `numHashes` independent-enough permutations from ONE string
@@ -79,7 +83,10 @@ object Dedup {
     val spark = shingleSets.sparkSession
     import spark.implicits._
     val based = shingleSets
-      .repartition(col("doc_id")) // doc-locality contract for the map below
+      // explicit partition count: a bare repartition(col) is an AQE-
+      // coalescible exchange, and this stage is CPU-bound on few megabytes —
+      // AQE would merge it into ONE task (measured: 6.5 s serial vs <1 s wide)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h0")).as[(Long, Long)]
     based.mapPartitions { it =>
@@ -104,7 +111,8 @@ object Dedup {
     * distinct `i < j` candidate pairs. The join key cardinality is
     * ~`bands × distinct-signatures` — uniform and huge, so the shuffle
     * partitions cleanly at scale. */
-  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                    maxBucket: Int = 4096): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
     val banded = sigs.select(col("doc_id"), col("sig")).as[(Long, Array[Long])]
@@ -116,12 +124,28 @@ object Dedup {
           (doc, b, h)
         }
       }.toDF("doc_id", "band", "bh")
-    banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("i"), col("r.doc_id").as("j"))
+    // groupBy + in-bucket pair expansion, NOT a self-join: a self-join here
+    // evaluates the whole signature pipeline once per side (broadcast-hash
+    // plans cannot reuse the exchange), doubling the query. Buckets hold
+    // near-identical docs only, so they are tiny; `maxBucket` skips
+    // degenerate ones (a capped bucket means pathological mass duplication
+    // better handled by exact dedup first).
+    bucketPairs(banded.groupBy(col("band"), col("bh"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("ds")), maxBucket)
       .distinct()
   }
+
+  /** Expand each bucket's sorted member array into its `i < j` pairs —
+    * the shared candidate-emission step of every blocking scheme. Input
+    * needs a `ds array<bigint>` column; degenerate buckets above
+    * `maxBucket` are skipped (df²-bounded). */
+  private def bucketPairs(buckets: DataFrame, maxBucket: Int): DataFrame =
+    buckets
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxBucket)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          y => struct(x.as("i"), y.as("j")))))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
 
   /** Verify candidate pairs with exact set Jaccard; keep pairs ≥ threshold.
     * Two id-keyed joins re-attach the shingle sets — proportional to the
@@ -163,21 +187,27 @@ object Dedup {
   def nearDupNgram(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
                    maxDf: Option[Int] = None): DataFrame = {
     val shs = shingleSets(docs, n)
-    val sizes = shs.select(col("doc_id"), size(col("shingles")).as("sz"))
-    val exploded = shs.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val postings = maxDf match {
-      case None => exploded
-      case Some(cap) =>
-        val dfreq = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        exploded.join(dfreq.filter(col("df") <= cap).select("sh"), "sh")
-    }
-    val inter = postings.as("l").join(postings.as("r"),
-        col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
-      .groupBy(col("l.doc_id").as("i"), col("r.doc_id").as("j"))
+    // each posting row carries its doc's set size — joining sizes back
+    // later would re-traverse the corpus AND constraint propagation would
+    // inline the full shingle expression as a scan-side isnotnull filter
+    // (the same serial-scan trap as InferFiltersFromGenerate)
+    val exploded = shs.select(col("doc_id"), size(col("shingles")).as("sz"),
+      explode(col("shingles")).as("sh"))
+    // inverted lists per shingle, then in-list pair expansion (NOT a
+    // self-join on the shingle — that would evaluate the posting pipeline
+    // once per join side). Each pair occurrence = one shared shingle, so
+    // the pair count IS |A∩B|; |A∪B| = ni + nj − |A∩B|.
+    val lists = exploded.groupBy(col("sh"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
+    val capped = maxDf.map(cap => lists.filter(size(col("ds")) <= cap)).getOrElse(lists)
+    capped
+      .filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a.doc_id").as("i"), col("p.a.sz").as("ni"),
+        col("p.b.doc_id").as("j"), col("p.b.sz").as("nj"))
       .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("doc_id").as("i"), col("sz").as("ni")), "i")
-      .join(sizes.select(col("doc_id").as("j"), col("sz").as("nj")), "j")
       .withColumn("jaccard",
         col("c").cast("double") / (col("ni") + col("nj") - col("c")))
       .filter(col("jaccard") >= threshold)

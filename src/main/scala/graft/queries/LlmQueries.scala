@@ -65,9 +65,11 @@ object LlmQueries {
     * keyed exchange of raw text is a no-op cost next to the downstream
     * joins; it is NOT part of the operators themselves. */
   private def docsPar(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).repartition(col("doc_id"))
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
   private def embsPar(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).repartition(col("vec_id"))
+    Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
