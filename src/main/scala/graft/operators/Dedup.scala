@@ -248,11 +248,16 @@ object Dedup {
     }: _*)
     val banded = sh.select(col("doc_id"), col("simhash"), explode(bandStructs).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band").as("band"), col("b.bv").as("bv"))
-    banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("i"), col("r.doc_id").as("j"),
-        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+    // bucket-group + in-bucket pair expansion (see lshCandidates): a banded
+    // self-join would evaluate the simhash pipeline once per side
+    banded.groupBy(col("band"), col("bv"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a.doc_id").as("i"), col("p.b.doc_id").as("j"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
