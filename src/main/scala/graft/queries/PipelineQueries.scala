@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Backtest, Incremental, Indicators, Relay, Signals}
+import graft.operators.{AsofJoin, Backtest, Incremental, Indicators, Relay, Signals}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -53,6 +53,17 @@ object PipelineQueries {
     "u4_messages" -> ((s, d) =>
       Relay.toWireMessages(ticks(s, d))),
 
+    // as-of join: every tick matched to the latest candle at-or-before it
+    // (oracle = DuckDB's native ASOF JOIN)
+    "j4_asof_tick_candle" -> ((s, d) => {
+      val t = ticks(s, d).select(col("pair"), col("time"), col("bid"))
+      val c = candles1m(s, d).select(col("pair"), col("time"), col("close"))
+      AsofJoin.asofJoin(t, c, Seq("pair"), "time", Seq("close"))
+        .select(col("pair"), unix_timestamp(col("time")).as("time_s"), col("bid"),
+          unix_timestamp(col("asof_time")).as("asof_time_s"),
+          col("asof_close"))
+    }),
+
     "f6_backtest" -> ((s, d) => {
       val sma = Indicators.indicatorFacts(candles1m(s, d), Seq("SMA"), Seq(14, 28))
       Backtest.run(Signals.strategy(sma, 14, 28)).toDF()
@@ -96,6 +107,12 @@ object PipelineQueries {
       s"""$prelude
          |SELECT pair, epoch(time)::BIGINT AS time_s, bid, ask
          |FROM dedup WHERE time > TIMESTAMP '$Cursor'""".stripMargin,
+
+    "j4_asof_tick_candle" ->
+      s"""$prelude
+         |SELECT t.pair, epoch(t.time)::BIGINT AS time_s, t.bid,
+         |       epoch(c.time)::BIGINT AS asof_time_s, c.close AS asof_close
+         |FROM dedup t ASOF JOIN c1m c ON t.pair = c.pair AND t.time >= c.time""".stripMargin,
 
     "u4_messages" ->
       s"""$prelude

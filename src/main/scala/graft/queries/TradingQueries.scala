@@ -82,6 +82,18 @@ object TradingQueries {
     "a2_ohlc_1h" -> ((s, d) =>
       Ohlc.resample(candles1m(s, d), Timeframe.byCode("1h"))
         .select(col("pair"), epochS("time"),
+          col("open"), col("high"), col("low"), col("close"))),
+    "a2_ohlc_15m" -> ((s, d) =>
+      Ohlc.resample(candles1m(s, d), Timeframe.byCode("15m"))
+        .select(col("pair"), epochS("time"),
+          col("open"), col("high"), col("low"), col("close"))),
+    "a2_ohlc_30m" -> ((s, d) =>
+      Ohlc.resample(candles1m(s, d), Timeframe.byCode("30m"))
+        .select(col("pair"), epochS("time"),
+          col("open"), col("high"), col("low"), col("close"))),
+    "a2_ohlc_4h" -> ((s, d) =>
+      Ohlc.resample(candles1m(s, d), Timeframe.byCode("4h"))
+        .select(col("pair"), epochS("time"),
           col("open"), col("high"), col("low"), col("close"))))
 
   val oracleSql: Map[String, String] = Map(
@@ -102,5 +114,14 @@ object TradingQueries {
          |${resampleSql(300)}""".stripMargin,
     "a2_ohlc_1h" ->
       s"""WITH $ticksCte, $dedupCte, $c1mCte
-         |${resampleSql(3600)}""".stripMargin)
+         |${resampleSql(3600)}""".stripMargin,
+    "a2_ohlc_15m" ->
+      s"""WITH $ticksCte, $dedupCte, $c1mCte
+         |${resampleSql(900)}""".stripMargin,
+    "a2_ohlc_30m" ->
+      s"""WITH $ticksCte, $dedupCte, $c1mCte
+         |${resampleSql(1800)}""".stripMargin,
+    "a2_ohlc_4h" ->
+      s"""WITH $ticksCte, $dedupCte, $c1mCte
+         |${resampleSql(14400)}""".stripMargin)
 }

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val quotes = Seq(
+    ("X", ts("2024-01-01 00:00:00"), 100.0),
+    ("X", ts("2024-01-01 00:05:00"), 105.0),
+    ("X", ts("2024-01-01 00:10:00"), 110.0),
+    ("Y", ts("2024-01-01 00:02:00"), 50.0))
+    .toDF("pair", "time", "close")
+
+  private val events = Seq(
+    ("X", ts("2024-01-01 00:00:00"), "at-tie"),     // == quote time: sees it
+    ("X", ts("2024-01-01 00:04:59"), "mid"),        // sees 00:00
+    ("X", ts("2024-01-01 00:07:00"), "after-2nd"),  // sees 00:05
+    ("X", ts("2024-01-01 00:30:00"), "late"),       // sees 00:10
+    ("Y", ts("2024-01-01 00:01:00"), "before-any"), // dropped (inner)
+    ("Y", ts("2024-01-01 00:03:00"), "ok"))         // sees 00:02
+    .toDF("pair", "time", "label")
+
+  test("asofJoin picks the latest right row at-or-before each left row") {
+    val got = AsofJoin.asofJoin(events, quotes, Seq("pair"), "time", Seq("close"))
+      .orderBy("pair", "time").collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[String]("label"),
+        r.getAs[java.sql.Timestamp]("asof_time"), r.getAs[Double]("asof_close")))
+    assert(got.toSeq === Seq(
+      ("X", "at-tie", ts("2024-01-01 00:00:00"), 100.0),
+      ("X", "mid", ts("2024-01-01 00:00:00"), 100.0),
+      ("X", "after-2nd", ts("2024-01-01 00:05:00"), 105.0),
+      ("X", "late", ts("2024-01-01 00:10:00"), 110.0),
+      ("Y", "ok", ts("2024-01-01 00:02:00"), 50.0)))
+  }
+
+  test("left rows with no prior right row are dropped (inner semantics)") {
+    val got = AsofJoin.asofJoin(events, quotes, Seq("pair"), "time", Seq("close"))
+    assert(got.filter($"label" === "before-any").count() === 0)
+  }
+}
