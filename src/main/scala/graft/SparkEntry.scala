@@ -7,9 +7,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Runs the engine spine: events → ticks → 1m candles. */
+    * Runs the config-driven engine spine: events → ticks → candles across
+    * every configured timeframe (F2 fan-out, P12 parameters). */
   def entry(spark: SparkSession): DataFrame =
-    TradingQueries.candles1m(spark, "/root/testdata/sf0.001")
+    graft.operators.Flows.candleFlow(
+      graft.queries.TradingQueries.ticks(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -69,12 +69,11 @@ object Streams {
       .withWatermark("time", watermark)
       .dropDuplicates("pair", "time")
 
-  /** T2: tumbling 1-minute OHLC over (already deduped) ticks — same
-    * `min_by`/`max_by` shape as the batch `Ohlc.ohlcBase`, emitted when the
-    * watermark passes the window end (append mode). */
-  def ohlc1m(ticks: DataFrame, watermark: String = "1 minute"): DataFrame =
+  /** The windowed OHLC aggregation itself — no watermark call, so it can
+    * sit downstream of another stateful operator (a stream may define its
+    * watermark only once; it propagates through). */
+  private def ohlcAgg(ticks: DataFrame): DataFrame =
     ticks
-      .withWatermark("time", watermark)
       .groupBy(col("pair"), window(col("time"), "1 minute"))
       .agg(
         min_by(col("bid"), col("time")).as("open"),
@@ -83,6 +82,19 @@ object Streams {
         max_by(col("bid"), col("time")).as("close"))
       .select(col("pair"), col("window.start").as("time"),
         col("open"), col("high"), col("low"), col("close"))
+
+  /** T2: tumbling 1-minute OHLC over (already deduped) ticks — same
+    * `min_by`/`max_by` shape as the batch `Ohlc.ohlcBase`, emitted when the
+    * watermark passes the window end (append mode). */
+  def ohlc1m(ticks: DataFrame, watermark: String = "1 minute"): DataFrame =
+    ohlcAgg(ticks.withWatermark("time", watermark))
+
+  /** T1+T2 chained in one streaming query: first-per-second dedup feeding
+    * the windowed OHLC — two stateful operators, one watermark (set at the
+    * dedup, propagated to the aggregation). The streaming restatement of
+    * the batch spine `Ohlc.ohlcBase ∘ Ticks.dedupSecond`. */
+  def dedupThenOhlc(ticks: DataFrame, watermark: String = "1 minute"): DataFrame =
+    ohlcAgg(dedupTicks(ticks, watermark))
 
   /** T5: per-pair latest-tick cache as keyed streaming state. Emits the
     * updated latest row per pair per micro-batch (update output mode). */

@@ -53,6 +53,15 @@ class CosineSimilaritySpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("data type mismatch"))
   }
 
+  test("foldable inputs constant-fold in the optimizer (native integration)") {
+    // eval() is implemented, so Catalyst's ConstantFolding collapses the
+    // whole expression to a literal — no runtime work survives in the plan
+    val plan = spark.range(1)
+      .select(CosineSimilarity(lit(Array(3.0, 4.0)), lit(Array(4.0, 3.0))).as("c"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("0.96"), s"expected folded literal in: $plan")
+  }
+
   test("extensions register cosine_sim for plain SQL") {
     // getOrCreate() returns the suite's shared session (extensions apply
     // only at session creation) — detach it, build a fresh session on the

@@ -101,6 +101,27 @@ class StreamingSpec extends SparkSpec {
       Seq(("X", ts("2024-01-01 00:01:10"), 9.0), ("Y", ts("2024-01-01 00:01:02"), 6.0)))
   }
 
+  test("T1+T2 chained: dedup then windowed OHLC in ONE streaming query") {
+    // two stateful operators back to back (Spark 3.4+ watermark
+    // propagation); result must equal the batch spine on the same data
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TickRow]
+    val q = Streams.dedupThenOhlc(in.toDF()).writeStream
+      .format("memory").queryName("chain_out").outputMode("append").start()
+    in.addData(ticks)
+    in.addData(flush)
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("chain_out")
+      .filter(col("time") < ts("2024-01-01 09:00:00"))
+      .orderBy("pair", "time").collect().toSeq
+    val exp = Ohlc.ohlcBase(Ticks.dedupSecond(
+        ticks.toDF().withColumn("seq", monotonically_increasing_id())))
+      .select("pair", "time", "open", "high", "low", "close")
+      .orderBy("pair", "time").collect().toSeq
+    assert(got === exp)
+  }
+
   test("T4: relay sink is idempotent across redelivery") {
     implicit val sqlCtx = spark.sqlContext
     val dir = Files.createTempDirectory("relay").toString
