@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{AsofJoin, Backtest, Incremental, Indicators, Relay, Signals}
+import graft.operators.{AsofJoin, Backtest, Incremental, Indicators, RangeJoin, Relay, Signals}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -64,6 +64,20 @@ object PipelineQueries {
           col("asof_close"))
     }),
 
+    // range join: candles in the 10 minutes from each signal
+    // (oracle = plain inequality join in DuckDB)
+    "j5_range_signal_candle" -> ((s, d) => {
+      val c = candles1m(s, d)
+      val sig = Signals.strategy(
+          Indicators.indicatorFacts(c, Seq("SMA"), Seq(14, 28)), 14, 28)
+        .select(col("pair"), col("event_datetime").as("time"), col("event_type"))
+      RangeJoin.rangeJoin(sig, c.select(col("pair"), col("time"), col("close")),
+          Seq("pair"), "time", 0, 600)
+        .select(col("pair"), unix_timestamp(col("l_time")).as("sig_time_s"),
+          col("l_event_type").as("event_type"),
+          unix_timestamp(col("r_time")).as("candle_time_s"), col("r_close").as("close"))
+    }),
+
     "f6_backtest" -> ((s, d) => {
       val sma = Indicators.indicatorFacts(candles1m(s, d), Seq("SMA"), Seq(14, 28))
       Backtest.run(Signals.strategy(sma, 14, 28)).toDF()
@@ -124,6 +138,31 @@ object PipelineQueries {
          |  || ',"timestamp":"' || strftime(time, '%Y-%m-%dT%H:%M:%S.%g') || 'Z"}'
          |  AS message
          |FROM dedup""".stripMargin,
+
+    "j5_range_signal_candle" ->
+      s"""$prelude,
+         |sma AS (
+         |  SELECT pair, time,
+         |         CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 14
+         |              THEN avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) END AS s14,
+         |         CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 28
+         |              THEN avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                   ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) END AS s28
+         |  FROM c1m),
+         |x AS (
+         |  SELECT pair, time, s14, s28,
+         |         lag(s14) OVER (PARTITION BY pair ORDER BY time) AS ps,
+         |         lag(s28) OVER (PARTITION BY pair ORDER BY time) AS pl
+         |  FROM sma),
+         |ev AS (
+         |  SELECT pair, time, 'BUY' AS et FROM x WHERE ps <= pl AND s14 > s28
+         |  UNION ALL
+         |  SELECT pair, time, 'SELL' FROM x WHERE ps >= pl AND s14 < s28)
+         |SELECT e.pair, epoch(e.time)::BIGINT AS sig_time_s, e.et AS event_type,
+         |       epoch(c.time)::BIGINT AS candle_time_s, c.close
+         |FROM ev e JOIN c1m c ON e.pair = c.pair
+         |  AND epoch(c.time) BETWEEN epoch(e.time) AND epoch(e.time) + 600""".stripMargin,
 
     // Window-based restatement of the alternating long-only fold: SMA cross
     // events strictly alternate per pair (a second golden cross cannot fire

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Regression tripwires on the physical plans of representative queries —
+  * guards against the optimizer-inlining class of bugs found in round 2
+  * (computed-column predicates pushed below exchanges re-run heavy
+  * expressions serially on the scan partition). */
+class PlanGuardSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("near-dup plans never evaluate tokenization inside a scan-side filter") {
+    for (q <- Seq("llm_dedup_minhash", "llm_dedup_ngram", "llm_dedup_simhash")) {
+      val p = plan(q)
+      // tokenization appears in projections; a Filter carrying it means an
+      // optimizer rule inlined the computed column as a scan predicate
+      val badFilter = p.linesIterator.exists(l =>
+        l.trim.startsWith("+- Filter") && l.contains("regexp_replace"))
+      assert(!badFilter, s"$q: tokenization inlined into a Filter:\n$p")
+    }
+  }
+
+  test("star queries keep partition/data filters at the scan") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("PushedFilters") || p.contains("Scan parquet"),
+      s"q3 lost its parquet scan:\n$p")
+  }
+
+  test("documents scans prune to the referenced columns only") {
+    val p = plan("llm_lang_id")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") && read.contains("lang"))
+    assert(!read.contains("source") && !read.contains("n_chars"),
+      s"unpruned columns in: $read")
+  }
+
+  test("self-join-free candidate generation: one scan per near-dup query") {
+    // bucket-pair expansion reads the corpus once per pipeline branch; a
+    // reintroduced self-join would double the parquet scans
+    for ((q, maxScans) <- Seq("llm_dedup_minhash" -> 3, "llm_dedup_simhash" -> 1)) {
+      val scans = plan(q).linesIterator.count(_.contains("Scan parquet"))
+      assert(scans <= maxScans, s"$q has $scans parquet scans (max $maxScans)")
+    }
+  }
+}
