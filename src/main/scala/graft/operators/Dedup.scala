@@ -17,17 +17,19 @@ import org.apache.spark.sql.functions._
   *
   *  - MinHash-LSH: banded signatures; only docs sharing a band bucket meet
   *    (probabilistic recall, tunable via bands × rowsPerBand);
-  *  - n-gram Jaccard: prefix filtering (PPJoin-style) — docs must share one
-  *    of their `|s| - ceil(θ|s|) + 1` globally-rarest shingles, which is
-  *    *exact*: any pair with true Jaccard ≥ θ is guaranteed to collide;
+  *  - n-gram Jaccard: inverted shingle index — shared-shingle pair counts
+  *    ARE the intersection sizes, so Jaccard falls out *exactly* (any pair
+  *    with J ≥ θ > 0 shares a shingle: full recall by construction);
   *  - SimHash: pigeonhole banding — a ≤ k-bit hamming difference forces an
   *    exact match in one of k+1 disjoint bit-bands, also exact recall.
   *
-  * Candidate verification then touches only the collided pairs. At 100 TB
-  * the bucket joins shuffle on high-cardinality keys (band hashes / rare
-  * shingles); degenerate buckets (a shingle shared by millions of docs)
-  * should be frequency-capped upstream — see the `df` join in
-  * [[nearDupNgram]], which already computes the needed statistic.
+  * All candidate emission goes through bucket-grouping + in-bucket pair
+  * expansion ([[bucketPairs]]), never a self-join: a self-join evaluates
+  * the upstream pipeline once per side when planned broadcast-hash. At
+  * 100 TB the bucket groupBys shuffle on high-cardinality keys (band
+  * hashes / shingles); degenerate postings (a shingle shared by millions
+  * of docs) are df-capped ([[nearDupNgram]]'s `maxDf`, `maxBucket` in the
+  * LSH paths).
   */
 object Dedup {
 
