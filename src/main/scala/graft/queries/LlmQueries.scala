@@ -132,6 +132,13 @@ object LlmQueries {
 
     "llm_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
 
+    "w4_sessionize" -> ((s, d) =>
+      graft.operators.Sessions.sessionize(Tables.events(s, d), gapSeconds = 1800)
+        .select(col("user_id"), col("session_no"),
+          unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"),
+          col("n_events"), round(col("total_value"), 6).as("total_value"))),
+
     "p11_props_parse" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
@@ -298,6 +305,24 @@ object LlmQueries {
          |SELECT doc_id, md5(norm) AS digest,
          |       ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp60
          |FROM toks""".stripMargin,
+
+    "w4_sessionize" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |                     PARTITION BY user_id ORDER BY ts)) >= 1800000000
+        |              THEN 1 ELSE 0 END AS nw
+        |  FROM events),
+        |s2 AS (
+        |  SELECT user_id, ts, value,
+        |         sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM s)
+        |SELECT user_id, session_no,
+        |       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+        |       count(*) AS n_events, round(sum(value), 6) AS total_value
+        |FROM s2 GROUP BY 1, 2""".stripMargin,
 
     "p11_props_parse" ->
       """SELECT event_id, CAST(props::JSON->>'k' AS INTEGER) AS k FROM events""",

@@ -96,6 +96,18 @@ object Streams {
   def dedupThenOhlc(ticks: DataFrame, watermark: String = "1 minute"): DataFrame =
     ohlcAgg(dedupTicks(ticks, watermark))
 
+  /** Streaming sessionization: `session_window` gap sessions per user —
+    * the streaming twin of [[graft.operators.Sessions.sessionize]];
+    * sessions emit when the watermark passes their close. */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
   /** T5: per-pair latest-tick cache as keyed streaming state. Emits the
     * updated latest row per pair per micro-batch (update output mode). */
   def latestPerPair(ticks: Dataset[TickRow]): Dataset[TickRow] = {
