@@ -40,6 +40,33 @@ object CorpusPrep {
       .join(qualified, Seq("doc_id"), "left_semi")
   }
 
+  /** Deterministic train/val/test assignment by content hash: the split is
+    * a pure function of the text (stable across runs, re-shards, and
+    * engine versions — MD5, not a seeded RNG), so no example can leak
+    * between splits when the corpus is re-processed. Buckets: hash mod 100
+    * < trainPct → train, < trainPct+valPct → val, else test. */
+  def assignSplit(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val bucket = TextOps.hash60(TextOps.normalize(col("text"))) % 100
+    docs.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic stratified downsampling: keep a doc iff its content-hash
+    * bucket (mod 10000) falls under the per-stratum rate — reproducible
+    * corpus mixing without an RNG, tunable per (lang or source) stratum.
+    * Rates are permille-of-10000 fractions; missing strata keep nothing. */
+  def sampleStrata(docs: DataFrame, stratumCol: String,
+                   rates: Map[String, Double]): DataFrame = {
+    val bucket = TextOps.hash60(TextOps.normalize(col("text"))) % 10000
+    val rateExpr = rates.foldLeft(lit(0.0)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    }
+    docs.filter(bucket < rateExpr * 10000)
+  }
+
   /** Per-(lang, source) corpus statistics of the cleaned set — the rollup a
     * data curator reads before training. */
   def corpusStats(cleaned: DataFrame): DataFrame =

@@ -132,6 +132,15 @@ object LlmQueries {
 
     "llm_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
 
+    "llm_split_assign" -> ((s, d) =>
+      CorpusPrep.assignSplit(Tables.documents(s, d))
+        .select(col("doc_id"), col("split"))),
+
+    "llm_sample_strata" -> ((s, d) =>
+      CorpusPrep.sampleStrata(Tables.documents(s, d), "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 1.0, "zh" -> 0.1))
+        .select(col("doc_id"), col("lang"))),
+
     "w4_sessionize" -> ((s, d) =>
       graft.operators.Sessions.sessionize(Tables.events(s, d), gapSeconds = 1800)
         .select(col("user_id"), col("session_no"),
@@ -305,6 +314,27 @@ object LlmQueries {
          |SELECT doc_id, md5(norm) AS digest,
          |       ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp60
          |FROM toks""".stripMargin,
+
+    "llm_split_assign" ->
+      s"""WITH $toksCte,
+         |h AS (SELECT doc_id,
+         |             ('0x' || substr(md5(norm), 1, 15))::BIGINT % 100 AS b
+         |      FROM toks)
+         |SELECT doc_id,
+         |       CASE WHEN b < 90 THEN 'train'
+         |            WHEN b < 95 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM h""".stripMargin,
+
+    "llm_sample_strata" ->
+      s"""WITH $toksCte,
+         |h AS (SELECT doc_id, lang,
+         |             ('0x' || substr(md5(norm), 1, 15))::BIGINT % 10000 AS b
+         |      FROM toks)
+         |SELECT doc_id, lang FROM h
+         |WHERE b < (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+         |           WHEN 'es' THEN 0.25 WHEN 'fr' THEN 1.0
+         |           WHEN 'zh' THEN 0.1 ELSE 0.0 END) * 10000""".stripMargin,
 
     "w4_sessionize" ->
       """WITH s AS (
