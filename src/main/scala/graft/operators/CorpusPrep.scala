@@ -68,7 +68,15 @@ object CorpusPrep {
   }
 
   /** Per-(lang, source) corpus statistics of the cleaned set — the rollup a
-    * data curator reads before training. */
+    * data curator reads before training.
+    *
+    * `avg_quality` is NOT `avg(double)`: double addition is order-sensitive,
+    * so a partition-order sum diverges from a sequential engine by a ulp and
+    * can cross a rounding boundary. Quality is exact at 6 dp by construction
+    * ([[TextAnalysis.stats]]), so the sum goes through DECIMAL(18,6)
+    * (associative, exact), snaps back to the 6-dp double grid, and only then
+    * divides by the count — every input to the final rounding is
+    * bit-identical regardless of aggregation order. */
   def corpusStats(cleaned: DataFrame): DataFrame =
     TextAnalysis.stats(cleaned)
       .join(cleaned.select("doc_id", "lang", "source"), "doc_id")
@@ -76,5 +84,6 @@ object CorpusPrep {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
-        round(avg(col("quality")), 6).as("avg_quality"))
+        round(round(sum(col("quality").cast("decimal(18,6)")).cast("double"), 6)
+          / count(lit(1)), 6).as("avg_quality"))
 }

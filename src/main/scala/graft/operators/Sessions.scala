@@ -35,11 +35,22 @@ object Sessions {
           unix_micros(col("ts")) - unix_micros(col("_prev")) >=
             gapSeconds * 1000000L, 1L)
           .otherwise(0L))
-      .withColumn("session_no", sum(col("_new")).over(w))
+      // ROWS, not the default RANGE frame: with duplicate (user_id, ts)
+      // events RANGE includes tie peers in the running sum, diverging from
+      // engines that define the frame row-wise
+      .withColumn("session_no",
+        sum(col("_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("_prev", "_new")
   }
 
-  /** Session-level rollup: bounds, event count, value sum per session. */
+  /** Session-level rollup: bounds, event count, value sum per session.
+    *
+    * `total_value` sums through DECIMAL(18,6): double addition is
+    * order-sensitive, so a partition-order sum can differ by a ulp from a
+    * time-order sum and cross a rounding boundary downstream. The decimal
+    * sum is associative/exact and lands exactly on the 6-dp grid, so the
+    * emitted double is identical regardless of aggregation order. */
   def sessionize(events: DataFrame, gapSeconds: Long): DataFrame =
     withSessionNo(events, gapSeconds)
       .groupBy(col("user_id"), col("session_no"))
@@ -47,5 +58,5 @@ object Sessions {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(col("value")).as("total_value"))
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
 }

@@ -279,7 +279,8 @@ object LlmQueries {
          |    AND d.doc_id IN (SELECT doc_id FROM st WHERE quality >= 0.2))
          |SELECT k.lang, k.source, count(*) AS n_docs,
          |       sum(st.n_tokens) AS total_tokens,
-         |       round(avg(st.quality), 6) AS avg_quality
+         |       round(round(sum(st.quality::DECIMAL(18,6))::DOUBLE, 6)
+         |             / count(*), 6) AS avg_quality
          |FROM kept k JOIN st USING (doc_id)
          |GROUP BY 1, 2""".stripMargin,
 
@@ -351,7 +352,8 @@ object LlmQueries {
         |  FROM s)
         |SELECT user_id, session_no,
         |       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
-        |       count(*) AS n_events, round(sum(value), 6) AS total_value
+        |       count(*) AS n_events,
+        |       round(sum(value::DECIMAL(18,6))::DOUBLE, 6) AS total_value
         |FROM s2 GROUP BY 1, 2""".stripMargin,
 
     "p11_props_parse" ->
