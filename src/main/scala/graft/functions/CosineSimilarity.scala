@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Numerics: one pass, accumulating dot/‖a‖²/‖b‖² in index order —
   * bit-identical to the sequential-fold formulation and to DuckDB's
   * `list_cosine_similarity` on `DOUBLE[]` (oracle parity). Null if either
-  * side is null or lengths differ; NaN propagates per IEEE.
+  * side is null, lengths differ, or any element is null; NaN propagates per
+  * IEEE. The per-element null guard is emitted only when the input schema
+  * has `containsNull=true` (parquet default), so vectors with
+  * provably-non-null elements keep the branch-free loop.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,14 +41,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
+  private def elemsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val guard = elemsNullable
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var k = 0
     while (k < n) {
+      if (guard && (x.isNullAt(k) || y.isNullAt(k))) return null
       val xv = x.getDouble(k); val yv = y.getDouble(k)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       k += 1
@@ -62,6 +73,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val nullGuard = if (elemsNullable)
+        s"if ($a.isNullAt($k) || $b.isNullAt($k)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -69,11 +83,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $k = 0; $k < $n; $k++) {
+         |    $nullGuard
          |    final double $xv = $a.getDouble($k);
          |    final double $yv = $b.getDouble($k);
          |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

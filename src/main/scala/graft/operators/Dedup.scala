@@ -138,10 +138,11 @@ object Dedup {
   }
 
   /** Expand each bucket's sorted member array into its `i < j` pairs —
-    * the shared candidate-emission step of every blocking scheme. Input
-    * needs a `ds array<bigint>` column; degenerate buckets above
-    * `maxBucket` are skipped (df²-bounded). */
-  private def bucketPairs(buckets: DataFrame, maxBucket: Int): DataFrame =
+    * the shared candidate-emission step of every blocking scheme (shared
+    * with [[Similarity.embedNearDup]]). Input needs a `ds array<bigint>`
+    * column; degenerate buckets above `maxBucket` are skipped
+    * (df²-bounded). */
+  private[operators] def bucketPairs(buckets: DataFrame, maxBucket: Int): DataFrame =
     buckets
       .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxBucket)
       .select(explode(flatten(transform(col("ds"), (x, i) =>

@@ -106,22 +106,29 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH candidate
     * generation (docs sharing ≥ 1 sign-band), exact-cosine verification at
-    * `threshold`. Candidate-only — never an all-pairs join. Band width
-    * defaults to corpus-adaptive ([[adaptiveBits]]): wider bands on bigger
-    * corpora keep bucket joins near-linear, at the usual LSH recall
-    * trade-off (raise `bands` to compensate). */
+    * `threshold`. Candidate-only — never an all-pairs join, and (like every
+    * blocking scheme in [[Dedup]]) candidates come from bucket-grouping +
+    * in-bucket pair expansion, NOT a banded self-join: a broadcast-hash
+    * self-join evaluates the whole `lshBands` hyperplane pipeline once per
+    * side. Band width defaults to corpus-adaptive ([[adaptiveBits]]): wider
+    * bands on bigger corpora keep bucket joins near-linear, at the usual
+    * LSH recall trade-off (raise `bands` to compensate).
+    *
+    * `nHint`: corpus row count, if the caller already knows it — avoids a
+    * counting pass (a full scan at 100 TB) that is otherwise needed for the
+    * adaptive band width and the verify-strategy choice. */
   def embedNearDup(embs: DataFrame, threshold: Double = 0.45, bands: Int = 48,
                    bitsPerBand: Int = 0, seed: Long = 42,
-                   broadcastVerifyMaxRows: Long = 1L << 19): DataFrame = {
+                   broadcastVerifyMaxRows: Long = 1L << 19,
+                   maxBucket: Int = 4096, nHint: Long = -1L): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val n = embs.count()
+    val n = if (nHint >= 0) nHint else embs.count()
     val bits = if (bitsPerBand > 0) bitsPerBand else adaptiveBits(n)
     val banded = lshBands(embs, bands, bits, seed)
-    val cands = banded.as("l").join(banded.as("r"),
-        col("l.band") === col("r.band") && col("l.bv") === col("r.bv") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("i"), col("r.id").as("j"))
+    val cands = Dedup.bucketPairs(
+        banded.groupBy(col("band"), col("bv"))
+          .agg(array_sort(collect_list(col("id"))).as("ds")), maxBucket)
       .distinct()
     if (n <= broadcastVerifyMaxRows) {
       // low thresholds make banding non-selective (candidates ~ O(pairs)),
@@ -160,13 +167,18 @@ object Similarity {
     * stages that re-rank survivors at full precision). Per-vector absmax
     * scaling: `q_i = round(x_i / absmax · 127)`, `scale = absmax / 127`,
     * dequantization error ≤ scale/2 per component. Pure column algebra with
-    * exact DuckDB parity (round is half-away-from-zero in both engines). */
+    * exact DuckDB parity (round is half-away-from-zero in both engines).
+    * All-zero vectors quantize to all-zero with scale 0 — without the guard
+    * 0/0 = NaN and `round(NaN).cast("int")` THROWS under ANSI mode (Spark 4
+    * default) instead of producing a row. */
   def quantizeInt8(embs: DataFrame): DataFrame = {
     val v = col("embedding").cast("array<double>")
     embs
       .withColumn("absmax", array_max(transform(v, x => abs(x))))
       .select(col("vec_id"), (col("absmax") / 127).as("scale"),
-        transform(v, x => round(x / col("absmax") * 127).cast("int")).as("q"))
+        transform(v, x =>
+          when(col("absmax") === 0, lit(0))
+            .otherwise(round(x / col("absmax") * 127).cast("int"))).as("q"))
   }
 
   /** Train an IVF coarse quantizer: spherical k-means on a deterministic

@@ -224,7 +224,8 @@ object LlmQueries {
         |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
         |  FROM embeddings),
         |q AS (SELECT vec_id, ma,
-        |             list_transform(v, x -> round(x / ma * 127)::INT) AS qs
+        |             list_transform(v, x -> CASE WHEN ma = 0 THEN 0
+        |               ELSE round(x / ma * 127)::INT END) AS qs
         |      FROM m)
         |SELECT vec_id, round(ma / 127, 6) AS scale,
         |       list_sum(qs)::BIGINT AS qsum,
