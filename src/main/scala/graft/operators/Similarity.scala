@@ -99,9 +99,14 @@ object Similarity {
 
   /** Band width that keeps expected bucket size ≈ 32 vectors for a corpus
     * of `n` — buckets of b vectors cost b² candidate rows, so width must
-    * grow with the corpus (log₂ n) for the join to stay near-linear. */
+    * grow with the corpus (log₂ n) for the join to stay near-linear.
+    * Ceiling is 30 bits (bucket keys stay in an Int): expected bucket size
+    * only exceeds `targetBucket` once the corpus passes
+    * `targetBucket · 2³⁰ ≈ 34 B` vectors — and past that, oversized buckets
+    * degrade to star pairing in [[embedNearDup]] rather than being
+    * dropped. */
   def adaptiveBits(n: Long, targetBucket: Int = 32): Int =
-    math.min(16, math.max(2,
+    math.min(30, math.max(2,
       math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt))
 
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH candidate
@@ -114,23 +119,57 @@ object Similarity {
     * bands on bigger corpora keep bucket joins near-linear, at the usual
     * LSH recall trade-off (raise `bands` to compensate).
     *
+    * Bucket-size bound: buckets are counted with a windowed aggregate over
+    * the one (band, bv) shuffle — a skewed bucket spills to disk instead of
+    * building a driver- or executor-resident array — and buckets larger
+    * than `maxBucket` are NOT dropped: they fall back to **star pairing**
+    * (every member paired with the bucket's lowest id), so each member
+    * still reaches verification through its representative. The trade is
+    * explicit: within an oversized bucket, pair recall degrades from
+    * all-pairs to connectivity-through-the-representative (non-rep pairs
+    * are still found by any other band that separates them). Candidate cost
+    * per bucket is therefore min(b², b·maxBucket) — never quadratic in a
+    * degenerate bucket.
+    *
     * `nHint`: corpus row count, if the caller already knows it — avoids a
-    * counting pass (a full scan at 100 TB) that is otherwise needed for the
-    * adaptive band width and the verify-strategy choice. */
+    * counting pass (a full scan at 100 TB) otherwise needed for the
+    * adaptive band width. The hint is used ONLY for band width: the
+    * broadcast-vs-join verify decision always comes from a bounded probe
+    * (`limit(max+1).count()`, ≤ `broadcastVerifyMaxRows`+1 rows scanned),
+    * so a wrong hint can cost recall tuning but can never collect an
+    * unbounded corpus onto the driver. */
   def embedNearDup(embs: DataFrame, threshold: Double = 0.45, bands: Int = 48,
                    bitsPerBand: Int = 0, seed: Long = 42,
                    broadcastVerifyMaxRows: Long = 1L << 19,
                    maxBucket: Int = 4096, nHint: Long = -1L): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val n = if (nHint >= 0) nHint else embs.count()
-    val bits = if (bitsPerBand > 0) bitsPerBand else adaptiveBits(n)
+    val bits =
+      if (bitsPerBand > 0) bitsPerBand
+      else adaptiveBits(if (nHint >= 0) nHint else embs.count())
     val banded = lshBands(embs, bands, bits, seed)
-    val cands = Dedup.bucketPairs(
-        banded.groupBy(col("band"), col("bv"))
-          .agg(array_sort(collect_list(col("id"))).as("ds")), maxBucket)
-      .distinct()
-    if (n <= broadcastVerifyMaxRows) {
+    // one shuffle on (band, bv): the window marks every row with its
+    // bucket's size and canonical member WITHOUT materializing the bucket
+    // as an aggregation buffer (WindowExec buffers per-group rows in a
+    // spillable array); both branches below reuse the same exchange
+    val w = Window.partitionBy(col("band"), col("bv"))
+    val marked = banded
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("rep", min(col("id")).over(w))
+      .filter(col("cnt") >= 2)
+    val smallPairs = Dedup.bucketPairs(
+      marked.filter(col("cnt") <= maxBucket)
+        .groupBy(col("band"), col("bv"))
+        .agg(array_sort(collect_list(col("id"))).as("ds")), maxBucket)
+    val starPairs = marked
+      .filter(col("cnt") > maxBucket && col("id") =!= col("rep"))
+      .select(col("rep").as("i"), col("id").as("j"))
+    val cands = smallPairs.unionByName(starPairs).distinct()
+    // verify strategy from a bounded row probe, never from nHint: scanning
+    // max+1 rows is always cheap, and a hint that undercounts a huge
+    // corpus must not trigger a full collect() onto the driver
+    val probe = math.min(broadcastVerifyMaxRows + 1, Int.MaxValue.toLong).toInt
+    if (embs.limit(probe).count() <= broadcastVerifyMaxRows) {
       // low thresholds make banding non-selective (candidates ~ O(pairs)),
       // so verification cost dominates: stream the (i,j) ids through a
       // broadcast of the corpus instead of shipping two dim-sized arrays

@@ -41,7 +41,10 @@ class PlanGuardSpec extends SparkSpec {
   test("self-join-free candidate generation: one scan per near-dup query") {
     // bucket-pair expansion reads the corpus once per pipeline branch; a
     // reintroduced self-join would double the parquet scans
-    for ((q, maxScans) <- Seq("llm_dedup_minhash" -> 3, "llm_dedup_simhash" -> 1)) {
+    for ((q, maxScans) <- Seq("llm_dedup_minhash" -> 3, "llm_dedup_simhash" -> 1,
+        // embed: small/star branches share one banding exchange (reused);
+        // the probe + broadcast collect are separate bounded jobs
+        "llm_dedup_embed" -> 2)) {
       val scans = plan(q).linesIterator.count(_.contains("Scan parquet"))
       assert(scans <= maxScans, s"$q has $scans parquet scans (max $maxScans)")
     }

@@ -59,6 +59,40 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L)))
   }
 
+  test("embedNearDup star-pairs oversized buckets instead of dropping them") {
+    // five exact duplicates land in the same bucket in EVERY band; with
+    // maxBucket = 3 that bucket is always oversized, so without the star
+    // fallback the cluster would vanish from the candidate set entirely
+    val dup = Seq(0.3f, -0.7f, 0.5f, 0.1f)
+    val d = embs(
+      ((1L to 5L).map(i => (i, dup, 0)) ++ Seq(
+        (6L, Seq(0f, 1f, 0f, 0f), 1),
+        (7L, Seq(-1f, 0f, 0.2f, 0f), 2))): _*)
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val pairs = Similarity.embedNearDup(d, threshold = 0.999, bands = 8,
+        bitsPerBand = 2, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (2L to 5L).map(j => (1L, j)).toSet)
+  }
+
+  test("embedNearDup join-verify path matches the broadcast-verify path") {
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(8)(rnd.nextGaussian().toFloat)
+    val d = embs((0L until 30L).map { i =>
+      val v = if (i % 3 == 0) base.map(x => x + rnd.nextGaussian().toFloat * 0.01f)
+              else Seq.fill(8)(rnd.nextGaussian().toFloat)
+      (i, v, 0)
+    }: _*).select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    def run(maxRows: Long) =
+      Similarity.embedNearDup(d, threshold = 0.9, bands = 24, bitsPerBand = 2,
+          broadcastVerifyMaxRows = maxRows)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+    // 30 rows: maxRows=1 forces the shuffle-join verify, 1<<19 broadcasts
+    assert(run(1L) === run(1L << 19))
+    assert(run(1L << 19).nonEmpty)
+  }
+
   test("quantizeInt8: values in [-127,127], dequant error bounded by scale/2") {
     val rnd = new scala.util.Random(9)
     val d = embs((0L until 20L).map { i =>
