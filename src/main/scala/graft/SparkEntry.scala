@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{IndicatorQueries, LlmQueries, PipelineQueries, StarQueries, TradingQueries}
+import graft.queries.{IndicatorQueries, LlmQueries, PipelineQueries, StarQueries, StreamQueries, TradingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -16,11 +16,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     TradingQueries.queries ++ IndicatorQueries.queries ++ PipelineQueries.queries ++
-      StarQueries.queries ++ LlmQueries.queries
+      StarQueries.queries ++ LlmQueries.queries ++ StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     TradingQueries.oracleSql ++ IndicatorQueries.oracleSql ++ PipelineQueries.oracleSql ++
-      StarQueries.oracleSql ++ LlmQueries.oracleSql
+      StarQueries.oracleSql ++ LlmQueries.oracleSql ++ StreamQueries.oracleSql
 }

@@ -127,20 +127,29 @@ object Streams {
     * Source offsets play the reference's `last_time` cursor; `foreachBatch`
     * re-runs on failure with the same batch, so the idempotent merge
     * ([[Incremental.appendNew]] against what the sink already holds) makes
-    * redelivery safe — the streaming analogue of ON CONFLICT DO NOTHING. */
+    * redelivery safe — the streaming analogue of ON CONFLICT DO NOTHING.
+    *
+    * `perBatch` runs with *batch* semantics inside each micro-batch before
+    * the merge — the slot for deterministic per-poll normalization (e.g.
+    * [[graft.operators.Ticks.dedupSecond]], whose (time, seq) tie-break the
+    * streaming `dropDuplicates` cannot express), exactly where the
+    * reference normalizes each poll's rows before its conflict-skipping
+    * insert (reference: src/gmo/ws_ticker_server.py:228-243). */
   def relayToParquet(ticks: DataFrame, sinkPath: String, checkpoint: String,
-                     keys: Seq[String] = Seq("pair", "time")): StreamingQuery =
+                     keys: Seq[String] = Seq("pair", "time"),
+                     perBatch: DataFrame => DataFrame = identity): StreamingQuery =
     ticks.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val staged = perBatch(batch)
         // append-only: anti-join the batch against the sink's existing keys
         // and append just the novel rows — O(batch), never a sink rewrite
         val toWrite =
-          try Incremental.newRows(spark.read.parquet(sinkPath), batch, keys)
-          catch { case _: org.apache.spark.sql.AnalysisException => batch }
+          try Incremental.newRows(spark.read.parquet(sinkPath), staged, keys)
+          catch { case _: org.apache.spark.sql.AnalysisException => staged }
         toWrite.write.mode("append").parquet(sinkPath)
       }
       .start()
