@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * side 1), so an exactly-simultaneous right row IS visible to the left row
   * — matching DuckDB/pandas `ASOF JOIN` `>=` semantics, which the oracle
   * checks.
+  *
+  * **Scale caveat (low-cardinality keys)**: the window partitions on the
+  * key columns alone, so each key's full history sorts on ONE task. The
+  * trading domain has ~6 currency pairs — at 100 TB the per-pair sort is
+  * the tail and added executors buy nothing. [[asofJoinBucketed]] is the
+  * scale path: it co-partitions on (keys, coarse time bucket) — parallelism
+  * keys × buckets — and restores cross-bucket visibility with a carry-in
+  * computed on a compact per-bucket summary.
   */
 object AsofJoin {
 
@@ -29,23 +37,84 @@ object AsofJoin {
     * `rightCols` are the payload columns to carry from the right side;
     * the right row's own event time arrives as `asof_time`. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               timeCol: String, rightCols: Seq[String]): DataFrame = {
+               timeCol: String, rightCols: Seq[String]): DataFrame =
+    unionAsof(left, right, keys, timeCol, rightCols, bucketSeconds = None)
+
+  /** [[asofJoin]] with (keys, time-bucket) partitioning — identical results,
+    * parallelism keys × buckets instead of keys. Each bucket's window sees
+    * its own right rows plus one virtual "carry-in" row: the latest right
+    * row from any earlier bucket, computed by a second tiny union-window
+    * over per-(key, bucket) latest-right summaries (≤ one row per populated
+    * bucket per key — for daily buckets over a year of data that is ~365
+    * rows per key, never a scale term). Left rows in buckets with no
+    * earlier right row are dropped, exactly as in [[asofJoin]].
+    *
+    * Pick `bucketSeconds` so a single key-bucket's rows sort comfortably in
+    * one task (e.g. 1 day of ticks); determinism requires right-side times
+    * unique per key (true for candles — same contract as [[asofJoin]],
+    * where equal right times make `last` pick an arbitrary one). */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       timeCol: String, rightCols: Seq[String],
+                       bucketSeconds: Long = 86400L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    unionAsof(left, right, keys, timeCol, rightCols, Some(bucketSeconds))
+  }
+
+  /** Shared core: tag both sides, union (plus carry-in rows when bucketed),
+    * run the carrying window, keep left rows with a match. */
+  private def unionAsof(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        timeCol: String, rightCols: Seq[String],
+                        bucketSeconds: Option[Long]): DataFrame = {
     require(rightCols.nonEmpty, "as-of join needs at least one right payload column")
     val leftCols = left.columns.filterNot(keys.contains).filterNot(_ == timeCol)
+    val bktOf = bucketSeconds.map(b =>
+      floor(unix_timestamp(col(timeCol)) / lit(b)).cast("long").as("_bkt")).toSeq
     val taggedLeft = left.select(
-      keys.map(col) ++ Seq(col(timeCol), lit(1).as("_side")) ++
+      keys.map(col) ++ Seq(col(timeCol), lit(1).as("_side")) ++ bktOf ++
         leftCols.map(col) ++
         Seq(lit(null).cast("timestamp").as("_r_time")) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
     val taggedRight = right.select(
-      keys.map(col) ++ Seq(col(timeCol), lit(0).as("_side")) ++
+      keys.map(col) ++ Seq(col(timeCol), lit(0).as("_side")) ++ bktOf ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col(timeCol).as("_r_time")) ++
         rightCols.map(c => col(c).as(s"_r_$c")): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
+    val union = bucketSeconds match {
+      case None => taggedLeft.unionByName(taggedRight)
+      case Some(_) =>
+        // compact per-(keys, bucket) latest right row; struct max orders by
+        // time first (payload is only a deterministic tie-break)
+        val pay = struct(col("_r_time") +: rightCols.map(c => col(s"_r_$c")): _*)
+        val rCompact = taggedRight
+          .groupBy(keys.map(col) :+ col("_bkt"): _*).agg(max(pay).as("_p"))
+        // carry-in per populated left bucket: the latest summary row at-or-
+        // before it — the same union-window trick, at bucket granularity
+        val markers = taggedLeft.select(keys.map(col) :+ col("_bkt"): _*).distinct()
+          .withColumn("_cs", lit(0))
+          .withColumn("_p", lit(null).cast(rCompact.schema("_p").dataType))
+        val cw = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("_bkt"), col("_cs"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // _cs ordering puts the marker BEFORE its own bucket's summary, so
+        // the carry is the latest right row of a strictly earlier bucket —
+        // a same-bucket summary row could postdate early left rows and mask
+        // their true earlier-bucket match
+        val carryRows = markers.unionByName(rCompact.withColumn("_cs", lit(1)))
+          .withColumn("_c", last(col("_p"), ignoreNulls = true).over(cw))
+          .filter(col("_cs") === 0 && col("_c").isNotNull)
+          .select(
+            keys.map(col) ++
+              Seq(col("_c._r_time").as(timeCol), lit(0).as("_side"), col("_bkt")) ++
+              leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+              Seq(col("_c._r_time").as("_r_time")) ++
+              rightCols.map(c => col(s"_c._r_$c").as(s"_r_$c")): _*)
+        taggedLeft.unionByName(taggedRight).unionByName(carryRows)
+    }
+    val partCols = keys.map(col) ++ bucketSeconds.map(_ => col("_bkt")).toSeq
+    val w = Window.partitionBy(partCols: _*)
       .orderBy(col(timeCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = taggedLeft.unionByName(taggedRight)
+    val carried = union
       .withColumn("asof_time", last(col("_r_time"), ignoreNulls = true).over(w))
     val withPayload = rightCols.foldLeft(carried) { (df, c) =>
       df.withColumn(s"asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))

@@ -64,6 +64,19 @@ object PipelineQueries {
           col("asof_close"))
     }),
 
+    // the same as-of join through the (keys, time-bucket) scale path: daily
+    // buckets → parallelism pairs × days instead of pairs; must reproduce
+    // the global-window result exactly (same DuckDB ASOF oracle)
+    "j4b_asof_bucketed" -> ((s, d) => {
+      val t = ticks(s, d).select(col("pair"), col("time"), col("bid"))
+      val c = candles1m(s, d).select(col("pair"), col("time"), col("close"))
+      AsofJoin.asofJoinBucketed(t, c, Seq("pair"), "time", Seq("close"),
+          bucketSeconds = 86400L)
+        .select(col("pair"), unix_timestamp(col("time")).as("time_s"), col("bid"),
+          unix_timestamp(col("asof_time")).as("asof_time_s"),
+          col("asof_close"))
+    }),
+
     // range join: candles in the 10 minutes from each signal
     // (oracle = plain inequality join in DuckDB)
     "j5_range_signal_candle" -> ((s, d) => {
@@ -123,6 +136,12 @@ object PipelineQueries {
          |FROM dedup WHERE time > TIMESTAMP '$Cursor'""".stripMargin,
 
     "j4_asof_tick_candle" ->
+      s"""$prelude
+         |SELECT t.pair, epoch(t.time)::BIGINT AS time_s, t.bid,
+         |       epoch(c.time)::BIGINT AS asof_time_s, c.close AS asof_close
+         |FROM dedup t ASOF JOIN c1m c ON t.pair = c.pair AND t.time >= c.time""".stripMargin,
+
+    "j4b_asof_bucketed" ->
       s"""$prelude
          |SELECT t.pair, epoch(t.time)::BIGINT AS time_s, t.bid,
          |       epoch(c.time)::BIGINT AS asof_time_s, c.close AS asof_close

@@ -38,4 +38,35 @@ class AsofJoinSpec extends SparkSpec {
     val got = AsofJoin.asofJoin(events, quotes, Seq("pair"), "time", Seq("close"))
     assert(got.filter($"label" === "before-any").count() === 0)
   }
+
+  test("bucketed variant matches the global window, carrying across empty buckets") {
+    // 60 s buckets: the 00:30 event is 20 empty buckets past the last quote
+    // (00:10), so its match must arrive via the carry-in row
+    val global = AsofJoin.asofJoin(events, quotes, Seq("pair"), "time", Seq("close"))
+      .orderBy("pair", "time").collect().toSeq
+    val bucketed = AsofJoin.asofJoinBucketed(events, quotes, Seq("pair"), "time",
+        Seq("close"), bucketSeconds = 60L)
+      .orderBy("pair", "time").collect().toSeq
+    assert(bucketed === global)
+  }
+
+  test("bucketed ≡ global on randomized data (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val base = ts("2024-01-01 00:00:00").getTime
+    def t(off: Long) = new java.sql.Timestamp(base + off * 1000L)
+    val keys = Seq("A", "B", "C")
+    val right = Seq.tabulate(120) { i =>
+      (keys(rnd.nextInt(3)), t(rnd.nextInt(7200).toLong), rnd.nextDouble())
+    }.distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique right times per key
+      .toDF("pair", "time", "close")
+    val left = Seq.tabulate(300) { i =>
+      (keys(rnd.nextInt(3)), t(rnd.nextInt(7200).toLong), i.toLong)
+    }.toDF("pair", "time", "seq")
+    val global = AsofJoin.asofJoin(left, right, Seq("pair"), "time", Seq("close"))
+      .orderBy("pair", "time", "seq").collect().toSeq
+    val bucketed = AsofJoin.asofJoinBucketed(left, right, Seq("pair"), "time",
+        Seq("close"), bucketSeconds = 600L)
+      .orderBy("pair", "time", "seq").collect().toSeq
+    assert(bucketed === global)
+  }
 }
