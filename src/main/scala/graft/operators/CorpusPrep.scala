@@ -86,4 +86,18 @@ object CorpusPrep {
         sum(col("n_tokens")).as("total_tokens"),
         round(round(sum(col("quality").cast("decimal(18,6)")).cast("double"), 6)
           / count(lit(1)), 6).as("avg_quality"))
+
+  /** Per-split rollup of a cleaned, split-assigned corpus — the last stage
+    * of the end-to-end curation flow (clean → [[assignSplit]] → audit the
+    * train/val/test balance before training). Same order-insensitive
+    * decimal summation as [[corpusStats]]. */
+  def splitStats(cleanedSplit: DataFrame): DataFrame =
+    TextAnalysis.stats(cleanedSplit)
+      .join(cleanedSplit.select("doc_id", "split"), "doc_id")
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(round(sum(col("quality").cast("decimal(18,6)")).cast("double"), 6)
+          / count(lit(1)), 6).as("avg_quality"))
 }

@@ -126,6 +126,11 @@ object LlmQueries {
     "llm_corpus_stats" -> ((s, d) =>
       CorpusPrep.corpusStats(CorpusPrep.clean(docsPar(s, d)))),
 
+    // the full curation flow one query deep: clean → content-hash split
+    // assignment → per-split audit rollup
+    "llm_corpus_splits" -> ((s, d) =>
+      CorpusPrep.splitStats(CorpusPrep.assignSplit(CorpusPrep.clean(docsPar(s, d))))),
+
     "llm_text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d))),
 
     "llm_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -284,6 +289,41 @@ object LlmQueries {
          |             / count(*), 6) AS avg_quality
          |FROM kept k JOIN st USING (doc_id)
          |GROUP BY 1, 2""".stripMargin,
+
+    "llm_corpus_splits" ->
+      s"""WITH $shingleCte,
+         |losers AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+         |          / len(list_distinct(a.s || b.s)) >= 0.8),
+         |canon AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY
+         |      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep
+         |    FROM documents) WHERE keep),
+         |st AS (
+         |  SELECT doc_id,
+         |         len(w)::BIGINT AS n_tokens,
+         |         ('0x' || substr(md5(norm), 1, 15))::BIGINT % 100 AS b,
+         |         round(least(len(w)::DOUBLE / 50.0, 1.0)
+         |           * (1.0 - len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
+         |                    / len(w)), 6) AS quality
+         |  FROM toks),
+         |kept AS (
+         |  SELECT d.doc_id FROM documents d
+         |  JOIN canon USING (doc_id)
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+         |    AND d.doc_id IN (SELECT doc_id FROM st WHERE quality >= 0.2))
+         |SELECT CASE WHEN st.b < 90 THEN 'train'
+         |            WHEN st.b < 95 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       count(*) AS n_docs,
+         |       sum(st.n_tokens) AS total_tokens,
+         |       round(round(sum(st.quality::DECIMAL(18,6))::DOUBLE, 6)
+         |             / count(*), 6) AS avg_quality
+         |FROM kept k JOIN st USING (doc_id)
+         |GROUP BY 1""".stripMargin,
 
     "llm_text_stats" ->
       s"""WITH $toksCte
