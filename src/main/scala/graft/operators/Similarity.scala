@@ -133,8 +133,10 @@ object Similarity {
     *
     * `nHint`: corpus row count, if the caller already knows it — avoids a
     * counting pass (a full scan at 100 TB) otherwise needed for the
-    * adaptive band width. The hint is used ONLY for band width: the
-    * broadcast-vs-join verify decision always comes from a bounded probe
+    * adaptive band width. The hint is used ONLY for band width, and only
+    * when the corpus overflows the verify probe (a probe that fits within
+    * `broadcastVerifyMaxRows` IS the exact count). The broadcast-vs-join
+    * verify decision always comes from the bounded probe
     * (`limit(max+1).count()`, ≤ `broadcastVerifyMaxRows`+1 rows scanned),
     * so a wrong hint can cost recall tuning but can never collect an
     * unbounded corpus onto the driver. */
@@ -144,9 +146,17 @@ object Similarity {
                    maxBucket: Int = 4096, nHint: Long = -1L): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
+    // one bounded probe serves two decisions: ≤ broadcastVerifyMaxRows rows
+    // means (a) broadcast-verify is safe and (b) the probe IS the exact
+    // corpus count — no separate counting job. Only a corpus that overflows
+    // the probe falls back to nHint / a full count for the band width.
+    val probeN = math.min(broadcastVerifyMaxRows + 1, Int.MaxValue.toLong).toInt
+    val probed = embs.limit(probeN).count()
+    val smallCorpus = probed <= broadcastVerifyMaxRows
     val bits =
       if (bitsPerBand > 0) bitsPerBand
-      else adaptiveBits(if (nHint >= 0) nHint else embs.count())
+      else adaptiveBits(
+        if (smallCorpus) probed else if (nHint >= 0) nHint else embs.count())
     val banded = lshBands(embs, bands, bits, seed)
     // one shuffle on (band, bv): the window marks every row with its
     // bucket's size and canonical member WITHOUT materializing the bucket
@@ -165,11 +175,10 @@ object Similarity {
       .filter(col("cnt") > maxBucket && col("id") =!= col("rep"))
       .select(col("rep").as("i"), col("id").as("j"))
     val cands = smallPairs.unionByName(starPairs).distinct()
-    // verify strategy from a bounded row probe, never from nHint: scanning
-    // max+1 rows is always cheap, and a hint that undercounts a huge
-    // corpus must not trigger a full collect() onto the driver
-    val probe = math.min(broadcastVerifyMaxRows + 1, Int.MaxValue.toLong).toInt
-    if (embs.limit(probe).count() <= broadcastVerifyMaxRows) {
+    // verify strategy from the bounded probe above, never from nHint: a
+    // hint that undercounts a huge corpus must not trigger a full
+    // collect() onto the driver
+    if (smallCorpus) {
       // low thresholds make banding non-selective (candidates ~ O(pairs)),
       // so verification cost dominates: stream the (i,j) ids through a
       // broadcast of the corpus instead of shipping two dim-sized arrays
