@@ -3,62 +3,149 @@ package graft.queries
 import java.nio.file.Files
 
 import graft.operators.Ticks
-import graft.streaming.Streams
+import graft.streaming.{Streams, TickRow}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver-gate queries that EXECUTE the Structured Streaming layer — a real
-  * `readStream` → `foreachBatch` → sink run per invocation, not a batch
+  * `readStream` → stateful transform → sink run per invocation, not a batch
   * twin. The streaming suites (StreamingSpec) prove streaming ≡ batch at
-  * the operator level; these queries put an actual streaming execution
-  * behind the DuckDB oracle, closing the round-2 verdict's gap ("no
-  * CORRECTNESS row exercises readStream/writeStream").
+  * the operator level; these queries put actual streaming executions behind
+  * the DuckDB oracle, closing the round-2 verdict's gap ("no CORRECTNESS
+  * row exercises readStream/writeStream").
   *
-  * Determinism contract (what makes a streaming run hash-checkable): the
-  * relay normalizes each micro-batch with the *batch* dedup
-  * ([[Ticks.dedupSecond]], (time, seq) tie-break) inside `foreachBatch`,
-  * and the sink merge is first-write-wins on (pair, second) — so for any
-  * micro-batch partitioning of a replayed fixture the sink converges to
-  * the batch result (a later batch can only add keys the earlier ones did
-  * not hold; within a batch the survivor is order-independent).
+  * The fixture replays as FOUR micro-batches (range-partitioned by time,
+  * `maxFilesPerTrigger=1`), so every query exercises cross-batch state:
+  * the relay's idempotent merge sees keys arriving over multiple batches,
+  * the windowed OHLC accumulates windows across batch boundaries and its
+  * watermark advances batch-over-batch, and the keyed latest state merges
+  * four generations. Each query's determinism contract is stated inline —
+  * results are independent of the micro-batch split (commutative merges +
+  * total-order tie-breaks), which is what makes a streaming run
+  * hash-checkable against a batch oracle.
   */
 object StreamQueries {
 
-  /** The events fixture as a bounded file-source stream. A streaming source
-    * needs an explicit schema and a *directory* basePath (the fixture is a
-    * single file, so it is staged behind a symlink in a temp dir); the
+  /** The events fixture staged as a bounded MULTI-BATCH file stream: rows
+    * re-written as `chunks` range-partitioned files (ascending (ts,
+    * event_id) ranges, each sorted within), file mtimes ascending with the
+    * range index so the file source (which orders by mtime) replays chunks
+    * in time order, one micro-batch each via `maxFilesPerTrigger=1`. A
+    * streaming source needs an explicit schema and a directory path; the
     * fixture's ns timestamps read as raw longs (same legacy switch as
     * [[graft.sources.Tables.events]]) and are normalized to microsecond
     * timestamps with integer division. */
-  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+  private def eventsStream(s: SparkSession, d: String,
+                           chunks: Int = 4): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$d/events.parquet"
-    val stage = Files.createTempDirectory("graft-t4-src-")
-    Files.createSymbolicLink(stage.resolve("events.parquet"),
-      java.nio.file.Paths.get(path).toAbsolutePath)
-    val schema = s.read.parquet(path).schema
-    s.readStream.schema(schema).parquet(stage.toString)
+    val batch = s.read.parquet(s"$d/events.parquet")
+    val stage = Files.createTempDirectory("graft-stream-src-")
+    batch.repartitionByRange(chunks, col("ts"), col("event_id"))
+      .sortWithinPartitions(col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(stage.toString)
+    val parts = new java.io.File(stage.toString).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1600000000000L + i * 60000L)
+    }
+    s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  private def tickStream(s: SparkSession, d: String): DataFrame =
+    Ticks.valid(Ticks.fromEvents(eventsStream(s, d)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T4 (CDC relay cursor): stream the fixture through the idempotent
     // relay — per-batch second-dedup, first-write-wins parquet sink — then
-    // read the sink back. Oracle: the batch tick-dedup SQL (S2); the relay
-    // of a full replay must converge to exactly the batch dedup.
+    // read the sink back. Oracle: the batch tick-dedup SQL (S2).
+    // Determinism across the 4-batch split: chunks are (time, seq) ranges
+    // replayed in order, so a (pair, second) group's (time, seq)-minimal
+    // row is in the EARLIEST batch that touches the group — per-batch
+    // dedup keeps exactly it, and first-write-wins preserves it against
+    // later batches' partial-group survivors.
     "t4_relay_sink" -> ((s, d) => {
       val tmp = Files.createTempDirectory("graft-t4-").toString
-      val ticks = Ticks.valid(Ticks.fromEvents(eventsStream(s, d)))
-      Streams.relayToParquet(ticks, s"$tmp/sink", s"$tmp/ckpt",
+      Streams.relayToParquet(tickStream(s, d), s"$tmp/sink", s"$tmp/ckpt",
           keys = Seq("pair", "time"), perBatch = Ticks.dedupSecond)
         .awaitTermination()
       s.read.parquet(s"$tmp/sink")
         .select(col("pair"), unix_timestamp(col("time")).as("time_s"),
           col("bid"), col("ask"))
+    }),
+
+    // T2 (windowed OHLC): watermark-finalized 1-minute candles through the
+    // NATIVE streaming parquet sink in append mode — windows emit when the
+    // batch-over-batch watermark passes their end; the last window(s) stay
+    // in state at shutdown, and the oracle applies the same cutoff
+    // (window end ≤ max event time − 1 minute). Open/close picked by the
+    // (time, seq) total order, so any batch split yields the same candle.
+    "t2_ohlc_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t2-").toString
+      val q = Streams.ohlc1mSeq(tickStream(s, d))
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/sink")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/sink")
+        .select(col("pair"), unix_timestamp(col("time")).as("time_s"),
+          col("open"), col("high"), col("low"), col("close"))
+    }),
+
+    // T5 (keyed latest-value state): mapGroupsWithState latest-tick cache,
+    // update-mode emissions appended to a log sink; the log's per-pair
+    // (time, bid)-max equals the batch latest for any batch split or
+    // redelivery (a max cannot be changed by duplicate appends).
+    "t5_latest_sink" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t5-").toString
+      import s.implicits._
+      val ticks = tickStream(s, d)
+        .select(col("pair"), col("time"), col("bid"), col("ask")).as[TickRow]
+      Streams.latestToParquet(ticks, s"$tmp/sink", s"$tmp/ckpt")
+        .awaitTermination()
+      s.read.parquet(s"$tmp/sink")
+        .groupBy(col("pair"))
+        .agg(max_by(struct(col("time"), col("bid"), col("ask")),
+          struct(col("time"), col("bid"))).as("l"))
+        .select(col("pair"), unix_timestamp(col("l.time")).as("time_s"),
+          col("l.bid").as("bid"), col("l.ask").as("ask"))
     }))
 
   val oracleSql: Map[String, String] = Map(
     "t4_relay_sink" ->
       s"""WITH ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte}
-         |SELECT pair, epoch(time)::BIGINT AS time_s, bid, ask FROM dedup""".stripMargin)
+         |SELECT pair, epoch(time)::BIGINT AS time_s, bid, ask FROM dedup""".stripMargin,
+
+    // watermark cutoff: only windows whose end the final watermark
+    // (max truncated event time − 1 minute) has passed are in the sink
+    "t2_ohlc_stream" ->
+      s"""WITH ${TradingQueries.ticksCte},
+         |tsec AS (
+         |  SELECT pair, date_trunc('second', time) AS time, bid, seq FROM ticks),
+         |mx AS (SELECT max(time) AS m FROM tsec),
+         |agg AS (
+         |  SELECT pair, time_bucket(INTERVAL '1 minute', time) AS bkt,
+         |         arg_min(bid, epoch(time)::HUGEINT * 10000000 + seq) AS open,
+         |         max(bid) AS high, min(bid) AS low,
+         |         arg_max(bid, epoch(time)::HUGEINT * 10000000 + seq) AS close
+         |  FROM tsec GROUP BY 1, 2)
+         |SELECT pair, epoch(bkt)::BIGINT AS time_s, open, high, low, close
+         |FROM agg
+         |WHERE bkt + INTERVAL '1 minute' <= (SELECT m FROM mx) - INTERVAL '1 minute'""".stripMargin,
+
+    // epoch(ts)::BIGINT ROUNDS fractional seconds (these ticks keep µs
+    // precision, unlike the second-truncated dedup set) — integer-divide
+    // µs instead to match Spark's truncating unix_timestamp
+    "t5_latest_sink" ->
+      s"""WITH ${TradingQueries.ticksCte}
+         |SELECT pair, epoch_us(time) // 1000000 AS time_s, bid, ask FROM (
+         |  SELECT pair, time, bid, ask,
+         |         row_number() OVER (PARTITION BY pair
+         |           ORDER BY time DESC, bid DESC) AS rn
+         |  FROM ticks) WHERE rn = 1""".stripMargin)
 }

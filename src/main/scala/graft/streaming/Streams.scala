@@ -71,15 +71,17 @@ object Streams {
 
   /** The windowed OHLC aggregation itself — no watermark call, so it can
     * sit downstream of another stateful operator (a stream may define its
-    * watermark only once; it propagates through). */
-  private def ohlcAgg(ticks: DataFrame): DataFrame =
+    * watermark only once; it propagates through). `ord` is the open/close
+    * pick order — a TOTAL order makes the result independent of micro-batch
+    * partitioning (min/max/min_by/max_by merge commutatively). */
+  private def ohlcAgg(ticks: DataFrame, ord: org.apache.spark.sql.Column): DataFrame =
     ticks
       .groupBy(col("pair"), window(col("time"), "1 minute"))
       .agg(
-        min_by(col("bid"), col("time")).as("open"),
+        min_by(col("bid"), ord).as("open"),
         max(col("bid")).as("high"),
         min(col("bid")).as("low"),
-        max_by(col("bid"), col("time")).as("close"))
+        max_by(col("bid"), ord).as("close"))
       .select(col("pair"), col("window.start").as("time"),
         col("open"), col("high"), col("low"), col("close"))
 
@@ -87,14 +89,28 @@ object Streams {
     * `min_by`/`max_by` shape as the batch `Ohlc.ohlcBase`, emitted when the
     * watermark passes the window end (append mode). */
   def ohlc1m(ticks: DataFrame, watermark: String = "1 minute"): DataFrame =
-    ohlcAgg(ticks.withWatermark("time", watermark))
+    ohlcAgg(ticks.withWatermark("time", watermark), col("time"))
 
   /** T1+T2 chained in one streaming query: first-per-second dedup feeding
     * the windowed OHLC — two stateful operators, one watermark (set at the
     * dedup, propagated to the aggregation). The streaming restatement of
     * the batch spine `Ohlc.ohlcBase ∘ Ticks.dedupSecond`. */
   def dedupThenOhlc(ticks: DataFrame, watermark: String = "1 minute"): DataFrame =
-    ohlcAgg(dedupTicks(ticks, watermark))
+    ohlcAgg(dedupTicks(ticks, watermark), col("time"))
+
+  /** T2 driver-gate variant: tumbling OHLC over raw (un-deduped) valid
+    * ticks, open/close picked by the (time, seq) TOTAL order — fully
+    * deterministic for any arrival order and any micro-batch split, so an
+    * AvailableNow replay is hash-comparable against a batch oracle. Event
+    * times are truncated to the second (the tick grain) before windowing;
+    * only watermark-finalized windows are emitted (append mode): windows
+    * later than `max(event time) − watermark` stay in state at shutdown,
+    * and the oracle must exclude them the same way. */
+  def ohlc1mSeq(ticks: DataFrame, watermark: String = "1 minute"): DataFrame =
+    ohlcAgg(
+      ticks.withColumn("time", date_trunc("second", col("time")))
+        .withWatermark("time", watermark),
+      struct(col("time"), col("seq")))
 
   /** Streaming sessionization: `session_window` gap sessions per user —
     * the streaming twin of [[graft.operators.Sessions.sessionize]];
@@ -116,12 +132,29 @@ object Streams {
     ticks.groupByKey(_.pair)
       .mapGroupsWithState[TickRow, TickRow](GroupStateTimeout.NoTimeout) {
         (_, rows, state: GroupState[TickRow]) =>
+          // (seconds, nanos, bid): getTime alone is MILLISECOND precision —
+          // µs-apart ticks would tie and the pick would be arrival-dependent
           val latest = (state.getOption.iterator ++ rows)
-            .maxBy(r => (r.time.getTime, r.bid))
+            .maxBy(r => (r.time.getTime / 1000, r.time.getNanos, r.bid))
           state.update(latest)
           latest
       }
   }
+
+  /** T5 driver-gate wiring: the keyed latest-tick state emitted per batch
+    * (update mode) into an append-only parquet log. The log's final
+    * per-pair max over (time, bid) equals the batch latest regardless of
+    * batch count or replay (duplicate appends cannot change a max). */
+  def latestToParquet(ticks: Dataset[TickRow], sinkPath: String,
+                      checkpoint: String): StreamingQuery =
+    latestPerPair(ticks).writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[TickRow], _: Long) =>
+        batch.write.mode("append").parquet(sinkPath)
+      }
+      .start()
 
   /** T4: CDC relay into a parquet sink with first-write-wins semantics.
     * Source offsets play the reference's `last_time` cursor; `foreachBatch`
