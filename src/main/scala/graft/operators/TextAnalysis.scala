@@ -56,6 +56,31 @@ object TextAnalysis {
         .otherwise("und").as("lang_guess"))
   }
 
+  /** GPT-2-family BPE *pre-tokenizer* pattern: contraction suffixes,
+    * space-prefixed letter runs, digit runs, punctuation runs, whitespace
+    * runs. The original's trailing-whitespace lookahead `\s+(?!\S)` is
+    * dropped deliberately — RE2 (DuckDB) has no lookahead, and both engines
+    * must tokenize identically for the oracle; alternation is
+    * leftmost-first in both Java regex and RE2's Perl mode. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token counting both ways a data pipeline needs it: whitespace words
+    * (the cheap budget estimate) and BPE-style pre-tokens (the
+    * tokenizer-faithful count), plus their ratio ("fertility" — pre-tokens
+    * per word, a standard tokenizer-cost diagnostic). Shuffle-free scan;
+    * the regex is applied once per document. */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val nWs = size(TextOps.tokens(col("text"))).cast("bigint")
+    val nBpe = size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+      .cast("bigint")
+    docs.select(
+      col("doc_id"),
+      nWs.as("n_ws"),
+      nBpe.as("n_bpe"),
+      round(nBpe.cast("double") / nWs.cast("double"), 6).as("fertility"))
+  }
+
   /** 60-bit content fingerprint of the normalized text (portable MD5-derived
     * hash), plus the raw hex digest for exact-dedup joins. */
   def fingerprint(docs: DataFrame): DataFrame = {

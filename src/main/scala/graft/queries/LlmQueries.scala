@@ -135,6 +135,8 @@ object LlmQueries {
 
     "llm_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
 
+    "llm_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+
     "llm_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
 
     "llm_split_assign" -> ((s, d) =>
@@ -350,6 +352,17 @@ object LlmQueries {
          |            WHEN es > 0 THEN 'es'
          |            ELSE 'und' END AS lang_guess
          |FROM hits""".stripMargin,
+
+    "llm_token_count" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, len(w)::BIGINT AS n_ws,
+         |       len(regexp_extract_all(text,
+         |         '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))::BIGINT
+         |         AS n_bpe,
+         |       round(len(regexp_extract_all(text,
+         |         '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))::DOUBLE
+         |         / len(w), 6) AS fertility
+         |FROM toks""".stripMargin,
 
     "llm_fingerprint" ->
       s"""WITH $toksCte
