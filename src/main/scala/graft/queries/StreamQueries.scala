@@ -97,6 +97,31 @@ object StreamQueries {
           col("open"), col("high"), col("low"), col("close"))
     }),
 
+    // Streaming sessionization: session_window gap sessions accumulating
+    // ACROSS the four micro-batches (session-state merge), append-emitted
+    // once the watermark passes a session's close; the oracle applies the
+    // same cutoff (last event + gap ≤ max event time − watermark delay).
+    // Event times truncate to seconds so the watermark arithmetic is exact;
+    // total_value decimal-sums on both sides (merge-order-insensitive).
+    "t6_session_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t6-").toString
+      val ev = eventsStream(s, d)
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+          col("value"))
+      val q = Streams.sessionizeStream(ev)
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/sink")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/sink")
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("start_s"),
+          col("n_events"), round(col("total_value"), 6).as("total_value"))
+    }),
+
     // T5 (keyed latest-value state): mapGroupsWithState latest-tick cache,
     // update-mode emissions appended to a log sink; the log's per-pair
     // (time, bid)-max equals the batch latest for any batch split or
@@ -137,6 +162,29 @@ object StreamQueries {
          |SELECT pair, epoch(bkt)::BIGINT AS time_s, open, high, low, close
          |FROM agg
          |WHERE bkt + INTERVAL '1 minute' <= (SELECT m FROM mx) - INTERVAL '1 minute'""".stripMargin,
+
+    "t6_session_stream" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS t, value FROM events),
+        |s AS (
+        |  SELECT user_id, t, value,
+        |         CASE WHEN lag(t) OVER w IS NULL
+        |                OR epoch(t) - epoch(lag(t) OVER w) >= 1800
+        |              THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s2 AS (
+        |  SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY t
+        |           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |g AS (
+        |  SELECT user_id, sid, min(t) AS start, max(t) AS last,
+        |         count(*) AS n_events,
+        |         round(sum(value::DECIMAL(18,6))::DOUBLE, 6) AS total_value
+        |  FROM s2 GROUP BY 1, 2),
+        |mx AS (SELECT max(t) AS m FROM e)
+        |SELECT user_id, epoch(start)::BIGINT AS start_s, n_events, total_value
+        |FROM g
+        |WHERE last + INTERVAL 30 MINUTE <= (SELECT m FROM mx) - INTERVAL 30 MINUTE""".stripMargin,
 
     // epoch(ts)::BIGINT ROUNDS fractional seconds (these ticks keep µs
     // precision, unlike the second-truncated dedup set) — integer-divide

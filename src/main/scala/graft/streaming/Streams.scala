@@ -114,13 +114,17 @@ object Streams {
 
   /** Streaming sessionization: `session_window` gap sessions per user —
     * the streaming twin of [[graft.operators.Sessions.sessionize]];
-    * sessions emit when the watermark passes their close. */
+    * sessions emit when the watermark passes their close. `total_value`
+    * sums through DECIMAL(18,6) exactly like the batch op, so the result
+    * is independent of micro-batch split and session-state merge order
+    * (double addition is not). */
   def sessionizeStream(events: DataFrame, gap: String = "30 minutes",
                        watermark: String = "30 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), gap))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("total_value"))
 
