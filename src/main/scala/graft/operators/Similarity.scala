@@ -157,11 +157,16 @@ object Similarity {
       if (bitsPerBand > 0) bitsPerBand
       else adaptiveBits(
         if (smallCorpus) probed else if (nHint >= 0) nHint else embs.count())
-    val banded = lshBands(embs, bands, bits, seed)
     // one shuffle on (band, bv): the window marks every row with its
     // bucket's size and canonical member WITHOUT materializing the bucket
     // as an aggregation buffer (WindowExec buffers per-group rows in a
-    // spillable array); both branches below reuse the same exchange
+    // spillable array); both branches below reuse the same exchange.
+    // EXPLICIT partition count: band rows are tiny in bytes but this stage
+    // also runs the in-bucket pair EXPANSION (b² generate per bucket) —
+    // AQE's byte-based coalescing would funnel it onto 1-2 tasks.
+    val sp = spark.sessionState.conf.numShufflePartitions
+    val banded = lshBands(embs, bands, bits, seed)
+      .repartition(sp, col("band"), col("bv"))
     val w = Window.partitionBy(col("band"), col("bv"))
     val marked = banded
       .withColumn("cnt", count(lit(1)).over(w))
@@ -174,7 +179,14 @@ object Similarity {
     val starPairs = marked
       .filter(col("cnt") > maxBucket && col("id") =!= col("rep"))
       .select(col("rep").as("i"), col("id").as("j"))
-    val cands = smallPairs.unionByName(starPairs).distinct()
+    // EXPLICIT partition count for the dedup shuffle: candidate id-pairs
+    // are tiny in bytes but each costs a full-vector cosine downstream, so
+    // AQE's byte-based coalescing of a plain distinct() funnels the verify
+    // stage onto 1-2 tasks (measured: a 2-task 2.1 s serial stage at
+    // sf0.1). repartition-by-num is exempt from coalescing and satisfies
+    // the dedup aggregate's clustering, so verification keeps full width.
+    val cands = smallPairs.unionByName(starPairs)
+      .repartition(sp, col("i"), col("j")).dropDuplicates()
     // verify strategy from the bounded probe above, never from nHint: a
     // hint that undercounts a huge corpus must not trigger a full
     // collect() onto the driver
