@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data preparation over a document corpus — the
@@ -86,6 +87,42 @@ object CorpusPrep {
         sum(col("n_tokens")).as("total_tokens"),
         round(round(sum(col("quality").cast("decimal(18,6)")).cast("double"), 6)
           / count(lit(1)), 6).as("avg_quality"))
+
+  /** Sequence packing, concat-and-chop style: the corpus token stream in
+    * `doc_id` order is conceptually concatenated and chopped into
+    * fixed-`budget` training blocks; each doc gets its block span
+    * (`seq_first`..`seq_last`) and offset within the first block. Pure
+    * integer arithmetic — bit-exact everywhere.
+    *
+    * The global running sum is computed scale-safely as a two-phase
+    * parallel prefix sum, NOT one unpartitioned window (which would sort
+    * the corpus on a single task): per-bucket running sums over
+    * contiguous `doc_id` ranges in parallel, then per-bucket totals — at
+    * most `buckets` rows — prefix-summed on one (tiny, deliberate) task
+    * and broadcast back as offsets. Input needs (`doc_id`, `n_tokens`);
+    * compose with [[TextAnalysis.stats]]. */
+  def packSequences(docs: DataFrame, budget: Long, buckets: Int = 256): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+    val span = maxId / buckets + 1
+    val local = docs
+      .withColumn("_b", expr(s"doc_id div $span"))
+      .withColumn("_lc", sum(col("n_tokens")).over(
+        Window.partitionBy(col("_b")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val prefixes = local.groupBy(col("_b")).agg(max(col("_lc")).as("_bt"))
+      .withColumn("_pre", coalesce(sum(col("_bt")).over(
+        Window.orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_b"), col("_pre"))
+    local.join(broadcast(prefixes), "_b")
+      .withColumn("_end", col("_pre") + col("_lc"))
+      .withColumn("_start", col("_end") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"_start div $budget").as("seq_first"),
+        expr(s"(_end - 1) div $budget").as("seq_last"),
+        expr(s"_start % $budget").as("seq_offset"))
+  }
 
   /** Per-split rollup of a cleaned, split-assigned corpus — the last stage
     * of the end-to-end curation flow (clean → [[assignSplit]] → audit the

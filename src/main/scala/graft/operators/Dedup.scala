@@ -217,6 +217,41 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
+  /** Cross-corpus n-gram decontamination — the benchmark-hygiene pass a
+    * training pipeline runs before eval: find every (eval doc, train doc)
+    * pair sharing ≥ `minShared` distinct word `n`-grams, so contaminated
+    * eval examples can be dropped or the train docs scrubbed.
+    *
+    * Same inverted-index shape as [[nearDupNgram]], but the postings carry
+    * a side tag and only CROSS-side pairs expand — never train×train or
+    * eval×eval, so cost is Σ_shingle df_train·df_eval (df² only in the
+    * worst case), with the usual `maxDf` valve per side. Exact recall for
+    * any `minShared` ≥ 1 among uncapped shingles. */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, n: Int = 3,
+                    minShared: Long = 2L, maxDf: Option[Int] = None): DataFrame = {
+    val posts = shingleSets(train, n)
+      .select(explode(col("shingles")).as("sh"), col("doc_id").as("id"),
+        lit(0).as("side"))
+      .unionByName(shingleSets(evalDocs, n)
+        .select(explode(col("shingles")).as("sh"), col("doc_id").as("id"),
+          lit(1).as("side")))
+    // one groupBy builds both sides' postings; collect_list drops the
+    // other side's nulls, so each shingle row holds (train ids, eval ids)
+    val lists = posts.groupBy(col("sh")).agg(
+      array_sort(collect_list(when(col("side") === 0, col("id")))).as("ts"),
+      array_sort(collect_list(when(col("side") === 1, col("id")))).as("es"))
+    val capped = maxDf.map(cap =>
+      lists.filter(size(col("ts")) <= cap && size(col("es")) <= cap))
+      .getOrElse(lists)
+    capped
+      .filter(size(col("ts")) >= 1 && size(col("es")) >= 1)
+      .select(explode(flatten(transform(col("es"), e =>
+        transform(col("ts"), t => struct(e.as("e"), t.as("t")))))).as("p"))
+      .groupBy(col("p.e").as("eval_id"), col("p.t").as("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** 60-bit term-frequency-weighted SimHash per doc, built from the portable
     * [[TextOps.hash60]] token hash so a DuckDB oracle computes the identical
     * value. Per-bit vote sums are 60 aggregate columns over the (doc, token,

@@ -81,6 +81,31 @@ object TextAnalysis {
       round(nBpe.cast("double") / nWs.cast("double"), 6).as("fertility"))
   }
 
+  /** Gopher/RefinedWeb-family repetition signals: the fraction of duplicate
+    * words and duplicate word-bigrams per document — high values flag
+    * boilerplate/spam for quality filtering. The token and bigram arrays
+    * are materialized in their OWN projection before the ratio expressions:
+    * Catalyst does not eliminate common subexpressions across lambda
+    * boundaries, so referencing the `transform` twice (size + distinct)
+    * would tokenize every document twice. Shuffle-free scan. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val mat = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        transform(sequence(lit(1), greatest(size(col("w")) - 1, lit(1))),
+          i => concat_ws(" ", slice(col("w"), i, lit(2)))).as("g"))
+    val n = size(col("w")).cast("bigint")
+    val ng = size(col("g")).cast("bigint")
+    mat.select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      round((n - size(array_distinct(col("w"))).cast("bigint")).cast("double")
+        / n, 6).as("dup_word_ratio"),
+      when(n >= 2,
+        round((ng - size(array_distinct(col("g"))).cast("bigint")).cast("double")
+          / ng, 6))
+        .otherwise(0.0).as("dup_bigram_ratio"))
+  }
+
   /** 60-bit content fingerprint of the normalized text (portable MD5-derived
     * hash), plus the raw hex digest for exact-dedup joins. */
   def fingerprint(docs: DataFrame): DataFrame = {

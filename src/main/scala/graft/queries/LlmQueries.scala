@@ -137,6 +137,24 @@ object LlmQueries {
 
     "llm_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
 
+    "llm_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docsPar(s, d))),
+
+    // concat-and-chop sequence packing at a 1024-token budget (whitespace
+    // token counts), via the two-phase parallel prefix sum
+    "llm_pack_sequences" -> ((s, d) =>
+      CorpusPrep.packSequences(
+        TextAnalysis.stats(docsPar(s, d)).select(col("doc_id"), col("n_tokens")),
+        budget = 1024L)),
+
+    // benchmark decontamination: val/test docs (content-hash split) sharing
+    // >= 2 trigram shingles with any train doc
+    "llm_decontaminate" -> ((s, d) => {
+      val split = CorpusPrep.assignSplit(docsPar(s, d))
+      Dedup.decontaminate(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") =!= "train"), n = 3, minShared = 2L)
+    }),
+
     "llm_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
 
     "llm_split_assign" -> ((s, d) =>
@@ -363,6 +381,45 @@ object LlmQueries {
          |         '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))::DOUBLE
          |         / len(w), 6) AS fertility
          |FROM toks""".stripMargin,
+
+    "llm_repetition" ->
+      s"""WITH $toksCte,
+         |g AS (
+         |  SELECT doc_id, w,
+         |         list_transform(range(1, greatest(len(w), 2)),
+         |           i -> w[i] || ' ' || w[i + 1]) AS bg
+         |  FROM toks)
+         |SELECT doc_id, len(w)::BIGINT AS n_tokens,
+         |       round((len(w) - len(list_distinct(w)))::DOUBLE / len(w), 6)
+         |         AS dup_word_ratio,
+         |       CASE WHEN len(w) >= 2
+         |            THEN round((len(bg) - len(list_distinct(bg)))::DOUBLE
+         |                       / len(bg), 6)
+         |            ELSE 0.0 END AS dup_bigram_ratio
+         |FROM g""".stripMargin,
+
+    "llm_pack_sequences" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, len(w)::BIGINT AS nt FROM toks),
+         |c AS (SELECT doc_id, nt,
+         |             sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM t)
+         |SELECT doc_id, nt AS n_tokens,
+         |       (cum - nt) // 1024 AS seq_first,
+         |       (cum - 1) // 1024 AS seq_last,
+         |       (cum - nt) % 1024 AS seq_offset
+         |FROM c""".stripMargin,
+
+    "llm_decontaminate" ->
+      s"""WITH $shingleCte,
+         |h AS (SELECT doc_id,
+         |             ('0x' || substr(md5(norm), 1, 15))::BIGINT % 100 AS b
+         |      FROM toks),
+         |tr AS (SELECT sh.doc_id, s FROM sh JOIN h USING (doc_id) WHERE b < 90),
+         |ev AS (SELECT sh.doc_id, s FROM sh JOIN h USING (doc_id) WHERE b >= 90)
+         |SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+         |       len(list_intersect(e.s, t.s))::BIGINT AS n_shared
+         |FROM ev e JOIN tr t ON len(list_intersect(e.s, t.s)) >= 2""".stripMargin,
 
     "llm_fingerprint" ->
       s"""WITH $toksCte

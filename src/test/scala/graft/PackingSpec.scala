@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.CorpusPrep
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("concat-and-chop packing: spans, offsets, and bucket-boundary continuity") {
+    // budget 10; cumulative: 4, 12, 22, 23, 40 — docs 2 and 5 span blocks
+    val docs = Seq((0L, 4L), (1L, 8L), (2L, 10L), (3L, 1L), (4L, 17L))
+      .toDF("doc_id", "n_tokens")
+    // buckets=2 forces the two-phase prefix sum across a bucket boundary
+    val got = CorpusPrep.packSequences(docs, budget = 10L, buckets = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seq_first"),
+        r.getAs[Long]("seq_last"), r.getAs[Long]("seq_offset")))
+    assert(got.toSeq === Seq(
+      (0L, 0L, 0L, 0L),  // tokens [0,4)
+      (1L, 0L, 1L, 4L),  // [4,12) spans blocks 0-1
+      (2L, 1L, 2L, 2L),  // [12,22) spans 1-2
+      (3L, 2L, 2L, 2L),  // [22,23)
+      (4L, 2L, 3L, 3L))) // [23,40) spans 2-3
+  }
+
+  test("bucketed prefix sum equals a single global cumsum on random sizes") {
+    val rnd = new scala.util.Random(11)
+    val docs = Seq.tabulate(200)(i => (i.toLong, (rnd.nextInt(50) + 1).toLong))
+      .toDF("doc_id", "n_tokens")
+    val bucketed = CorpusPrep.packSequences(docs, budget = 64L, buckets = 7)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val global = CorpusPrep.packSequences(docs, budget = 64L, buckets = 1)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(bucketed === global)
+  }
+}
