@@ -30,14 +30,11 @@ object Bench {
     // steady-state execution, not each plan's one-off codegen/JIT cost
     // (cold-vs-warm differs 2-3× for the widest plans). SPARK_GRAFT_WARMUP=
     // none skips it; headline warms three representative queries only.
-    // Streaming-execution queries (t*) build a fresh stream + temp sink per
-    // invocation — warming buys nothing and doubles their fixed start/stop
-    // cost, so they are excluded from the warm-up pass.
-    val warmup = (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "full") match {
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "full") match {
       case "none" => Seq.empty
       case "headline" => Seq("a1_ohlc_1m", "q5_region_revenue", "llm_text_stats")
       case _ => names
-    }).filterNot(_.startsWith("t"))
+    }
     warmup.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
