@@ -49,4 +49,29 @@ class PlanGuardSpec extends SparkSpec {
       assert(scans <= maxScans, s"$q has $scans parquet scans (max $maxScans)")
     }
   }
+
+  test("packing never sorts the full corpus on one task") {
+    // the two-phase prefix sum's only unpartitioned window runs over the
+    // per-bucket totals (≤ buckets rows); a global Sort directly above the
+    // documents scan would mean the single-task cumsum came back
+    val p = plan("llm_pack_sequences")
+    val lines = p.linesIterator.toSeq
+    // exactly ONE single-partition exchange — the deliberate tiny one over
+    // the per-bucket totals (aggregated to ≤ buckets rows before it)
+    assert(lines.count(_.contains("Exchange SinglePartition")) === 1,
+      s"expected exactly one deliberate SinglePartition exchange:\n$p")
+    assert(p.contains("_bt"), s"per-bucket totals aggregate missing:\n$p")
+    // the full-corpus running sum must keep its _b partitioning
+    assert(lines.exists(l => l.contains("Window") && l.contains("_b#")
+      && l.contains("_lc")), s"per-bucket running-sum window missing:\n$p")
+  }
+
+  test("decontamination expands only cross-side pairs via one inverted index") {
+    val p = plan("llm_decontaminate")
+    // one groupBy over the tagged union → exactly one aggregate pair of
+    // the postings (plus the final count agg); a per-side join on the
+    // shingle column would appear as SortMergeJoin/ShuffledHashJoin
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"decontaminate picked a shingle join over the inverted index:\n$p")
+  }
 }
