@@ -217,6 +217,46 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
+  /** Connected components over match pairs — the transitive-closure step
+    * that turns pairwise near-dup hits into dedup CLUSTERS (A≈B and B≈C
+    * must collapse to one canonical doc even when A and C never matched).
+    *
+    * Iterative min-label propagation: every round each node adopts the
+    * minimum label in its closed neighborhood; converges in O(cluster
+    * diameter) rounds — near-dup clusters are shallow (similarity is
+    * near-transitive), so the cap is a safety valve, not a truncation
+    * (convergence is detected, and hitting the cap throws rather than
+    * silently emitting partial clusters — the no-silent-caps rule). Each
+    * round is one co-partitioned join + one aggregation;
+    * `localCheckpoint` materializes every round's labels, truncating the
+    * otherwise exponentially deepening iterative lineage. At 100 TB this
+    * is the standard hash-min CC; edges are |pairs|·2 rows, labels one row
+    * per matched doc. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = edges
+        .join(labels.select(col("id").as("b"), col("lbl").as("nl")), "b")
+        .select(col("a").as("id"), col("nl").as("cand"))
+        .unionByName(labels.select(col("id"), col("lbl").as("cand")))
+        .groupBy(col("id")).agg(min(col("cand")).as("lbl"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") < col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Cross-corpus n-gram decontamination — the benchmark-hygiene pass a
     * training pipeline runs before eval: find every (eval doc, train doc)
     * pair sharing ≥ `minShared` distinct word `n`-grams, so contaminated

@@ -139,6 +139,17 @@ object LlmQueries {
 
     "llm_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docsPar(s, d))),
 
+    // transitive near-dup clusters: minhash pairs → connected components;
+    // unmatched docs are their own singleton cluster
+    "llm_dedup_clusters" -> ((s, d) => {
+      val docs = docsPar(s, d)
+      val cc = Dedup.connectedComponents(
+        Dedup.nearDupMinhash(docs, threshold = 0.8).select(col("i"), col("j")))
+      docs.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    }),
+
     // concat-and-chop sequence packing at a 1024-token budget (whitespace
     // token counts), via the two-phase parallel prefix sum
     "llm_pack_sequences" -> ((s, d) =>
@@ -397,6 +408,23 @@ object LlmQueries {
          |                       / len(bg), 6)
          |            ELSE 0.0 END AS dup_bigram_ratio
          |FROM g""".stripMargin,
+
+    // reachability closure (recursive CTE) replays the same clusters the
+    // hash-min propagation converges to: label = min reachable doc_id
+    "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+         |          / len(list_distinct(a.s || b.s)) >= 0.8),
+         |edges AS (SELECT i AS a, j AS b FROM pairs
+         |          UNION ALL SELECT j, i FROM pairs),
+         |reach(v, u) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)
+         |SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v""".stripMargin,
 
     "llm_pack_sequences" ->
       s"""WITH $toksCte,

@@ -78,4 +78,21 @@ class DedupSpec extends SparkSpec {
     val mh = Dedup.nearDupMinhash(d).collect()
     assert(mh.length === 1 && mh(0).getDouble(2) === 1.0)
   }
+
+  test("connected components: chains collapse transitively, clusters stay disjoint") {
+    // chain 1-2-3-4 (diameter 3 — needs >1 propagation round) + pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")
+    val got = Dedup.connectedComponents(pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components refuses to emit partial clusters at the iteration cap") {
+    val chain = Seq.tabulate(6)(k => (k.toLong, k + 1L)).toDF("i", "j")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 1)
+    }
+  }
 }
