@@ -241,6 +241,37 @@ object Similarity {
             .otherwise(round(x / col("absmax") * 127).cast("int"))).as("q"))
   }
 
+  /** Two-phase quantized ANN: int8 coarse scan + exact re-rank — the
+    * IO-bound 100 TB path where [[quantizeInt8]] earns its 4-8× scan
+    * reduction. Coarse scores are the cosine of the QUANTIZED vectors
+    * (int components cast to double: exact in IEEE, so coarse ranking is
+    * bit-reproducible across engines); the top `candFactor·k` per query by
+    * (coarse score, cid) then re-rank at full precision. Recall depends on
+    * the corpus's score spread vs int8 noise (~1/127 per component):
+    * clustered real embeddings need small factors; near-isotropic synthetic
+    * corpora (tight score spread) need larger ones — same caveat as IVF
+    * nprobe. Both phases are broadcast linear scans with
+    * [[graft.functions.TopKByScore]] partial-agg heaps: no shuffle wider
+    * than partitions × candidates. */
+  def quantizedTopK(embs: DataFrame, queries: DataFrame, k: Int,
+                    candFactor: Int = 10): DataFrame = {
+    val c8 = quantizeInt8(embs)
+      .select(col("vec_id").as("cid"), col("q").cast("array<double>").as("e8"))
+    val q8 = quantizeInt8(queries)
+      .select(col("vec_id").as("qid"), col("q").cast("array<double>").as("q8"))
+    val coarse = c8.crossJoin(broadcast(q8))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), cosine(col("q8"), col("e8")).as("score"))
+    val cands = topKPerQuery(coarse, candFactor * k).select(col("qid"), col("cid"))
+    val corpus = prep(embs).select(col("id").as("cid"), col("emb"))
+    val qv = prep(queries).select(col("id").as("qid"), col("emb").as("qemb"))
+    val exact = cands
+      .join(corpus, "cid")
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("cid"), cosine(col("qemb"), col("emb")).as("score"))
+    topKPerQuery(exact, k)
+  }
+
   /** Train an IVF coarse quantizer: spherical k-means on a deterministic
     * corpus sample, driver-side (k·dim doubles; the standard approach — at
     * 100 TB the quantizer is still trained on a bounded sample and

@@ -112,6 +112,16 @@ object LlmQueries {
         .select(col("qid"), col("cid"), col("rank"), round(col("score"), 6).as("sim"))
     }),
 
+    // candFactor 40: this synthetic corpus is near-isotropic (tight coarse
+    // score spread vs int8 noise), so full recall at oracle SF needs a
+    // wide candidate margin; clustered real embeddings use small factors
+    "llm_ann_quant" -> ((s, d) => {
+      val e = embsPar(s, d)
+      Similarity.quantizedTopK(e, e.filter(col("vec_id") < 10), k = 5,
+          candFactor = 40)
+        .select(col("qid"), col("cid"), col("rank"), round(col("score"), 6).as("sim"))
+    }),
+
     // scalar summary projection (array columns stringify differently across
     // the compare harness, so the check hashes sums/extrema instead)
     "llm_embed_quant" -> ((s, d) =>
@@ -253,6 +263,7 @@ object LlmQueries {
     "llm_ann_topk" -> annOracle,
     "llm_ann_lsh" -> annOracle,
     "llm_ann_ivf" -> annOracle,
+    "llm_ann_quant" -> annOracle,
 
     "llm_embed_quant" ->
       """WITH m AS (
