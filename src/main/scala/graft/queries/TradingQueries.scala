@@ -94,12 +94,40 @@ object TradingQueries {
     "a2_ohlc_4h" -> ((s, d) =>
       Ohlc.resample(candles1m(s, d), Timeframe.byCode("4h"))
         .select(col("pair"), epochS("time"),
-          col("open"), col("high"), col("low"), col("close"))))
+          col("open"), col("high"), col("low"), col("close"))),
+
+    // sliding (overlapping) windows — the one window shape the tumbling
+    // OHLC family doesn't cover: 5-minute TWAP advancing every minute.
+    // Spark replicates each row into its ≤5 covering windows (Expand);
+    // mid is rounded to the 6-dp grid FIRST so the decimal sum is exact
+    // and aggregation-order-insensitive on both engines
+    "w5_twap_sliding" -> ((s, d) => {
+      val m = ticks(s, d).select(col("pair"), col("time"),
+        round((col("bid") + col("ask")) / 2, 6).as("mid"))
+      m.groupBy(col("pair"), window(col("time"), "5 minutes", "1 minute"))
+        .agg(count(lit(1)).as("n_ticks"),
+          round(round(sum(col("mid").cast("decimal(18,6)")).cast("double"), 6)
+            / count(lit(1)), 6).as("twap"))
+        .select(col("pair"), unix_timestamp(col("window.start")).as("time_s"),
+          col("n_ticks"), col("twap"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "s2_tick_dedup" ->
       s"""WITH $ticksCte, $dedupCte
          |SELECT pair, epoch(time)::BIGINT AS time_s, bid, ask FROM dedup""".stripMargin,
+
+    "w5_twap_sliding" ->
+      s"""WITH $ticksCte, $dedupCte,
+         |m AS (SELECT pair, time, round((bid + ask) / 2, 6) AS mid FROM dedup),
+         |x AS (
+         |  SELECT pair,
+         |         time_bucket(INTERVAL '1 minute', time) - r.k * INTERVAL '1 minute' AS ws,
+         |         mid
+         |  FROM m CROSS JOIN range(0, 5) r(k))
+         |SELECT pair, epoch(ws)::BIGINT AS time_s, count(*) AS n_ticks,
+         |       round(round(sum(mid::DECIMAL(18,6))::DOUBLE, 6) / count(*), 6) AS twap
+         |FROM x GROUP BY 1, 2""".stripMargin,
     "p5_mid_relay" ->
       s"""WITH $ticksCte
          |SELECT pair, epoch_us(time) AS time_us, bid, ask,
