@@ -133,6 +133,16 @@ object StarQueries {
           col("p_partkey") === col("l_partkey"), "left_semi")
         .groupBy(col("p_brand")).agg(count(lit(1)).as("n_parts"))),
 
+    // exact grouped percentiles — the exact counterpart of the L20
+    // sketches (Spark's `percentile` = continuous interpolated quantile,
+    // same definition as DuckDB quantile_cont; verified bit-parity at 6dp)
+    "a6_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med_price"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"),
+          count(lit(1)).as("n"))),
+
     // O1/W: per-customer running total (window over shuffled key)
     "w_running_total" -> ((s, d) =>
       Tables.orders(s, d)
@@ -211,6 +221,13 @@ object StarQueries {
       """SELECT p_brand, COUNT(*) AS n_parts FROM part p
         |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
         |GROUP BY p_brand""".stripMargin,
+
+    "a6_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price,
+        |       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "w_running_total" ->
       """SELECT o_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS odate_s,
