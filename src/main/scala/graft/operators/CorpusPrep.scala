@@ -41,6 +41,32 @@ object CorpusPrep {
       .join(qualified, Seq("doc_id"), "left_semi")
   }
 
+  /** Cluster-exact variant of [[clean]]: transitive near-dup CLUSTERS
+    * ([[Dedup.connectedComponents]] over the minhash pairs) each keep only
+    * their minimum doc_id. Closes the pair-loser policy's hub gap: with
+    * pairs (1,3) and (2,3) but never (1,2), keep-first pair removal drops
+    * only 3 and keeps both 1 and 2 even though they are transitive
+    * near-dups; cluster-exact keeps only 1. Exact-dup canon and quality
+    * filters are unchanged from [[clean]]. */
+  def cleanClustered(docs: DataFrame, nearDupThreshold: Double = 0.8,
+                     minQuality: Double = 0.2): DataFrame = {
+    val canonical = Dedup.exact(docs)
+      .filter(col("is_canonical"))
+      .select(col("doc_id"))
+    val losers = Dedup.connectedComponents(
+        Dedup.nearDupMinhash(docs, threshold = nearDupThreshold)
+          .select(col("i"), col("j")))
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+    val qualified = TextAnalysis.stats(docs)
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id"))
+    docs
+      .join(canonical, Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(qualified, Seq("doc_id"), "left_semi")
+  }
+
   /** Deterministic train/val/test assignment by content hash: the split is
     * a pure function of the text (stable across runs, re-shards, and
     * engine versions — MD5, not a seeded RNG), so no example can leak

@@ -136,6 +136,9 @@ object LlmQueries {
     "llm_corpus_stats" -> ((s, d) =>
       CorpusPrep.corpusStats(CorpusPrep.clean(docsPar(s, d)))),
 
+    "llm_corpus_clean_cc" -> ((s, d) =>
+      CorpusPrep.cleanClustered(docsPar(s, d)).select("doc_id", "lang", "source")),
+
     // the full curation flow one query deep: clean → content-hash split
     // assignment → per-split audit rollup
     "llm_corpus_splits" -> ((s, d) =>
@@ -419,6 +422,39 @@ object LlmQueries {
          |                       / len(bg), 6)
          |            ELSE 0.0 END AS dup_bigram_ratio
          |FROM g""".stripMargin,
+
+    // cluster-exact clean: drop every non-minimum member of each transitive
+    // near-dup cluster (reachability closure), keep exact-dedup canon +
+    // quality — strictly stronger dedup than the pair-loser policy
+    "llm_corpus_clean_cc" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+         |          / len(list_distinct(a.s || b.s)) >= 0.8),
+         |edges AS (SELECT i AS a, j AS b FROM pairs
+         |          UNION ALL SELECT j, i FROM pairs),
+         |reach(v, u) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+         |lbl AS (SELECT v AS doc_id, min(u) AS cid FROM reach GROUP BY v),
+         |canon AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY
+         |      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep
+         |    FROM documents) WHERE keep),
+         |q AS (
+         |  SELECT doc_id FROM toks
+         |  WHERE round(least(len(w)::DOUBLE / 50.0, 1.0)
+         |        * (1.0 - len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
+         |                 / len(w)), 6) >= 0.2)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |JOIN canon USING (doc_id)
+         |JOIN q USING (doc_id)
+         |JOIN lbl USING (doc_id)
+         |WHERE lbl.cid = d.doc_id""".stripMargin,
 
     // reachability closure (recursive CTE) replays the same clusters the
     // hash-min propagation converges to: label = min reachable doc_id

@@ -49,4 +49,27 @@ class CorpusPrepSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept.contains(1L) && !kept.contains(9001L)) // exact dup loses
   }
+
+  test("cleanClustered collapses hub-connected transitive near-dups that clean keeps") {
+    // hub topology: docs 1 and 2 are each ≥0.8-similar to hub 3 but <0.8
+    // to each other — pair-loser removal drops only the hub; cluster-exact
+    // removal keeps just the cluster minimum
+    // 56 tokens, 54 shingles; two-token interior edits touch 4 shingles
+    // each: J(1,3)=J(2,3)=50/58≈0.862 ≥ 0.8, J(1,2)=46/62≈0.742 < 0.8
+    val base = (0 until 56).map(i => f"w$i%02d")
+    val d3 = base.mkString(" ")
+    val d1 = base.updated(52, "z0").updated(53, "z1").mkString(" ")
+    val d2 = base.updated(2, "x0").updated(3, "x1").mkString(" ")
+    val hub = Seq((1L, d1, "en"), (2L, d2, "en"), (3L, d3, "en"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = graft.operators.Dedup.nearDupMinhash(hub, threshold = 0.8)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 3L), (2L, 3L))) // hub edges only, no (1,2)
+    val pairKept = CorpusPrep.clean(hub, minQuality = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    val ccKept = CorpusPrep.cleanClustered(hub, minQuality = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pairKept === Set(1L, 2L)) // transitive dup 2 survives pair policy
+    assert(ccKept === Set(1L))       // cluster-exact keeps only the minimum
+  }
 }
