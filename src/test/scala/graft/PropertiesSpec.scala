@@ -76,6 +76,33 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("decontaminate ≡ brute-force shared-shingle count for random corpora") {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = Gen.listOfN(8, Gen.oneOf(vocab)).map(_.mkString(" "))
+    checkProp(forAll(Gen.listOfN(10, docGen), Gen.listOfN(4, docGen),
+        Gen.chooseNum(1L, 3L)) { (trainTexts, evalTexts, minShared) =>
+      val train = trainTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val ev = evalTexts.zipWithIndex.map { case (t, i) => (100L + i, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup.decontaminate(train, ev, n = 3,
+          minShared = minShared)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def shingles(t: String): Set[String] = {
+        val w = t.trim.toLowerCase.split("\\s+").toSeq
+        if (w.length < 3) Set.empty
+        else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val exp = (for {
+        (et, ei) <- evalTexts.zipWithIndex
+        (tt, ti) <- trainTexts.zipWithIndex
+        shared = (shingles(et) & shingles(tt)).size.toLong
+        if shared >= minShared
+      } yield (100L + ei, ti.toLong, shared)).toSet
+      got == exp
+    }, n = 8)
+  }
+
   test("TopKByScore ≡ sort-take for arbitrary scored sets") {
     val sGen = for {
       q <- Gen.chooseNum(0L, 2L)
