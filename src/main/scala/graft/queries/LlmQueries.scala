@@ -329,7 +329,7 @@ object LlmQueries {
          |  WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
          |    AND d.doc_id IN (SELECT doc_id FROM st WHERE quality >= 0.2))
          |SELECT k.lang, k.source, count(*) AS n_docs,
-         |       sum(st.n_tokens) AS total_tokens,
+         |       sum(st.n_tokens)::BIGINT AS total_tokens,
          |       round(round(sum(st.quality::DECIMAL(18,6))::DOUBLE, 6)
          |             / count(*), 6) AS avg_quality
          |FROM kept k JOIN st USING (doc_id)
@@ -364,7 +364,7 @@ object LlmQueries {
          |            WHEN st.b < 95 THEN 'val'
          |            ELSE 'test' END AS split,
          |       count(*) AS n_docs,
-         |       sum(st.n_tokens) AS total_tokens,
+         |       sum(st.n_tokens)::BIGINT AS total_tokens,
          |       round(round(sum(st.quality::DECIMAL(18,6))::DOUBLE, 6)
          |             / count(*), 6) AS avg_quality
          |FROM kept k JOIN st USING (doc_id)
@@ -480,9 +480,9 @@ object LlmQueries {
          |             sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
          |      FROM t)
          |SELECT doc_id, nt AS n_tokens,
-         |       (cum - nt) // 1024 AS seq_first,
-         |       (cum - 1) // 1024 AS seq_last,
-         |       (cum - nt) % 1024 AS seq_offset
+         |       ((cum - nt) // 1024)::BIGINT AS seq_first,
+         |       ((cum - 1) // 1024)::BIGINT AS seq_last,
+         |       ((cum - nt) % 1024)::BIGINT AS seq_offset
          |FROM c""".stripMargin,
 
     "llm_decontaminate" ->
@@ -536,7 +536,7 @@ object LlmQueries {
         |         sum(nw) OVER (PARTITION BY user_id ORDER BY ts
         |           ROWS UNBOUNDED PRECEDING) AS session_no
         |  FROM s)
-        |SELECT user_id, session_no,
+        |SELECT user_id, session_no::BIGINT AS session_no,
         |       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
         |       count(*) AS n_events,
         |       round(sum(value::DECIMAL(18,6))::DOUBLE, 6) AS total_value

@@ -21,6 +21,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+# Types Spark can emit through the driver's type-sensitive hash. Anything
+# else in an oracle's output schema (HUGEINT from sum(BIGINT)/windowed sums,
+# UHUGEINT, DECIMAL, INTERVAL, ...) hash-mismatches even when every value is
+# bit-identical — cast in the oracle SQL instead (e.g. sum(x)::BIGINT).
+SPARK_TYPES = {"BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+               "FLOAT", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP",
+               "TIMESTAMP WITH TIME ZONE", "BLOB"}
+
+def bad_types(con, sql):
+    """Columns of the oracle whose DuckDB type Spark cannot emit."""
+    desc = con.sql(f"DESCRIBE {sql}").df()
+    bad = []
+    for _, r in desc.iterrows():
+        t = r["column_type"].strip().upper()
+        base = t[:-2] if t.endswith("[]") else t  # allow arrays of ok types
+        if base not in SPARK_TYPES:
+            bad.append(f"{r['column_name']}:{t}")
+    return bad
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -34,6 +53,11 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
+            bad = bad_types(con, oracle[name])
+            if bad:
+                print(f"FAIL {name}: oracle emits non-Spark types {bad} "
+                      f"(driver hash is type-sensitive; cast in oracle SQL)")
+                n_fail += 1; continue
             got = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
             exp = canon(con.sql(oracle[name]).df())
         except Exception as e:
