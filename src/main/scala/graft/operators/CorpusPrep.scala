@@ -129,7 +129,15 @@ object CorpusPrep {
     * compose with [[TextAnalysis.stats]]. */
   def packSequences(docs: DataFrame, budget: Long, buckets: Int = 256): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+    // max(doc_id) is NULL on an empty corpus; packing an empty corpus is
+    // well-defined (empty result), so short-circuit instead of NPE-ing.
+    val maxIdRow = docs.agg(max(col("doc_id"))).first()
+    if (maxIdRow.isNullAt(0))
+      return docs.sparkSession.range(0).select(
+        col("id").as("doc_id"), col("id").as("n_tokens"),
+        col("id").as("seq_first"), col("id").as("seq_last"),
+        col("id").as("seq_offset"))
+    val maxId = maxIdRow.getLong(0)
     val span = maxId / buckets + 1
     val local = docs
       .withColumn("_b", expr(s"doc_id div $span"))

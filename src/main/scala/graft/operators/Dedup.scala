@@ -275,15 +275,25 @@ object Dedup {
       .unionByName(shingleSets(evalDocs, n)
         .select(explode(col("shingles")).as("sh"), col("doc_id").as("id"),
           lit(1).as("side")))
+    // The df cap must bite BEFORE postings materialize: a degenerate
+    // high-df shingle (a stopword trigram) would otherwise build its full
+    // document list inside one aggregation buffer. Counting is
+    // constant-space per key, so pre-count df per side and semi-join away
+    // over-cap shingles; only survivors reach collect_list.
+    val eligible = maxDf.fold(posts) { cap =>
+      val ok = posts.groupBy(col("sh")).agg(
+          count(when(col("side") === 0, lit(1))).as("dft"),
+          count(when(col("side") === 1, lit(1))).as("dfe"))
+        .filter(col("dft") <= cap && col("dfe") <= cap)
+        .select(col("sh"))
+      posts.join(ok, Seq("sh"), "left_semi")
+    }
     // one groupBy builds both sides' postings; collect_list drops the
     // other side's nulls, so each shingle row holds (train ids, eval ids)
-    val lists = posts.groupBy(col("sh")).agg(
+    val lists = eligible.groupBy(col("sh")).agg(
       array_sort(collect_list(when(col("side") === 0, col("id")))).as("ts"),
       array_sort(collect_list(when(col("side") === 1, col("id")))).as("es"))
-    val capped = maxDf.map(cap =>
-      lists.filter(size(col("ts")) <= cap && size(col("es")) <= cap))
-      .getOrElse(lists)
-    capped
+    lists
       .filter(size(col("ts")) >= 1 && size(col("es")) >= 1)
       .select(explode(flatten(transform(col("es"), e =>
         transform(col("ts"), t => struct(e.as("e"), t.as("t")))))).as("p"))

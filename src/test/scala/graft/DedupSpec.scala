@@ -95,4 +95,24 @@ class DedupSpec extends SparkSpec {
       Dedup.connectedComponents(chain, maxIter = 1)
     }
   }
+
+  test("decontaminate maxDf drops over-cap shingles before pair expansion") {
+    // "aa bb cc" appears in every train doc (df=3) and the eval doc; the
+    // unique tail shingles appear once each. With cap=2 the common shingle
+    // must not contribute, so only the doc sharing 2 rare shingles survives.
+    val train = docs(
+      1L -> "aa bb cc dd ee",   // shares "aa bb cc","bb cc dd","cc dd ee" w/ eval
+      2L -> "aa bb cc xx yy",
+      3L -> "aa bb cc zz ww")
+    val ev = docs(100L -> "aa bb cc dd ee")
+    val capped = Dedup.decontaminate(train, ev, n = 3, minShared = 2L,
+        maxDf = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // "aa bb cc" has train-df 3 > cap → excluded; doc 1 still shares
+    // "bb cc dd" + "cc dd ee" (df 1 each); docs 2/3 drop to 0 shared.
+    assert(capped === Set((100L, 1L, 2L)))
+    val uncapped = Dedup.decontaminate(train, ev, n = 3, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(uncapped === Set((100L, 1L, 3L), (100L, 2L, 1L), (100L, 3L, 1L)))
+  }
 }

@@ -33,4 +33,12 @@ class PackingSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(bucketed === global)
   }
+
+  test("packing an empty corpus yields an empty result, not an NPE") {
+    val docs = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    val got = CorpusPrep.packSequences(docs, budget = 10L)
+    assert(got.columns.toSeq ===
+      Seq("doc_id", "n_tokens", "seq_first", "seq_last", "seq_offset"))
+    assert(got.count() === 0L)
+  }
 }
