@@ -40,22 +40,31 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
     }
-    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // Timed pass runs each query SPARK_GRAFT_RUNS times (default 2) and
+    // reports the per-query MIN: single runs made round-over-round deltas
+    // indistinguishable from documented host-load noise (simhash observed
+    // 6.97s -> 1.84s across identical builds); min-of-N is the standard
+    // noise-robust point estimate for a warmed, deterministic workload.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"runs":$runs,"stat":"min","sf":"$sfDir"}""")
     spark.stop()
   }
 }

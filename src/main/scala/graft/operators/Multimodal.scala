@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
 final case class MediaRow(asset_id: Long, content: Array[Byte], mime: String,
                           n_bytes: Long, checksum: String)
 
-/** Decoded-frame features for one asset (decode itself is stubbed — see
-  * [[Multimodal.featureExtract]]). */
+/** Decoded-frame features for one asset (see [[Multimodal.featureExtract]]:
+  * real ImageIO decode for image mimes, checksum stub otherwise). */
 final case class MediaFeatures(asset_id: Long, width: Int, height: Int,
                                n_frames: Int, features: Array[Float])
 
@@ -18,17 +18,21 @@ final case class MediaFeatures(asset_id: Long, width: Int, height: Int,
   * columns with typed metadata, and run decode / feature-extract / resize /
   * frame-sample as per-partition batch functions over the binary payload.
   *
-  * The *decode step is a deterministic stub* — this container has no image
-  * or audio codecs, so "decoding" derives dimensions and features from the
-  * content checksum instead of real pixels. Everything around the stub —
-  * the schema, the binary column handling, the `mapPartitions` batch shape
-  * (one partition = one batch of assets through the "codec"), the metadata
-  * projection — is the real production plumbing and is tested.
+  * Decode is REAL for image payloads: [[featureExtract]] routes `image/ *`
+  * mimes through JDK `javax.imageio` (PNG/BMP/GIF/JPEG — whatever readers
+  * the JRE ships, no external codec needed) and derives width/height/frame
+  * count/features from actual decoded pixels. Non-image mimes (and bytes no
+  * reader accepts) fall back to a deterministic checksum-derived stub, so
+  * the pipeline shape stays total: audio/video codecs are not in this
+  * container. The column-level [[decodeMeta]] keeps the checksum arithmetic
+  * on purpose — it is the SQL-expressible twin that the DuckDB gate oracle
+  * reproduces bit-for-bit.
   *
   * Scale: binary payloads ride along in parquet; metadata predicates
   * (mime, n_bytes, checksum) push down to the scan so full-content reads
-  * only happen for selected assets. The feature extraction is a
-  * shuffle-free narrow transformation.
+  * only happen for selected assets. Feature extraction is a shuffle-free
+  * narrow transformation; one partition = one batch of assets through the
+  * codec, so reader setup amortizes per partition, not per row.
   */
 object Multimodal {
 
@@ -43,10 +47,12 @@ object Multimodal {
       octet_length(col("text")).cast("bigint").as("n_bytes"),
       md5(col("text")).as("checksum"))
 
-  /** Deterministic fake "decode": dimensions and frame count derived from
-    * the checksum's portable 60-bit hash — integer arithmetic only, so a
-    * DuckDB oracle reproduces it exactly. A real deployment swaps this
-    * column block for a codec call inside [[featureExtract]]. */
+  /** Deterministic checksum "decode" at the column level: dimensions and
+    * frame count derived from the checksum's portable 60-bit hash — integer
+    * arithmetic only, so a DuckDB oracle reproduces it exactly. The typed
+    * [[featureExtract]] path decodes real pixels for image mimes; this
+    * column twin exists for the cross-engine gate and for metadata-only
+    * scans that must not fetch content bytes. */
   def decodeMeta(assets: DataFrame): DataFrame =
     // integer `div`, not `/`: float division of a 60-bit value loses ulps
     // past 2^53 and would truncate differently than DuckDB's `//`
@@ -64,26 +70,74 @@ object Multimodal {
       .withColumn("n_sampled", (floor((col("n_frames") - 1) / step) + 1).cast("int"))
       .withColumn("last_frame", (col("n_sampled") - 1) * step)
 
-  /** Feature extraction over the binary payload: per-partition batches
-    * through the (stubbed) codec, emitting fixed-width float features.
-    * The stub folds content bytes into `dim` accumulators — deterministic,
-    * shuffle-free, and shaped exactly like a real encoder pass. */
+  /** Feature extraction over the binary payload, per-partition batches.
+    *
+    * `image/ *` payloads decode through `javax.imageio`: width/height from
+    * the first frame, `n_frames` from the reader's frame count (multi-frame
+    * GIFs report all frames), and `dim` luminance accumulators folded from
+    * every pixel of frame 0 — deterministic for a fixed image. Anything
+    * else — non-image mimes, or image bytes no installed reader accepts —
+    * takes the checksum stub (same fold over raw content bytes, dims from
+    * the 60-bit hash, matching [[decodeMeta]]), so a poisoned blob degrades
+    * to metadata instead of failing the batch. */
   def featureExtract(assets: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions { rows =>
       rows.map { r =>
-        // --- stubbed decode: real impl would decode r.content here ---
-        val acc = new Array[Float](dim)
-        var i = 0
-        while (i < r.content.length) {
-          acc(i % dim) += (r.content(i) & 0xff) / 255.0f
-          i += 1
-        }
-        val h = java.lang.Long.parseLong(r.checksum.take(15), 16)
-        MediaFeatures(r.asset_id, (h % 624 + 16).toInt, ((h / 1024) % 464 + 16).toInt,
-          (h % 16 + 1).toInt, acc)
+        val decoded =
+          if (r.mime.startsWith("image/")) decodeImage(r, dim) else None
+        decoded.getOrElse(stubFeatures(r, dim))
       }
     }
+  }
+
+  /** Real ImageIO decode; None when no installed reader accepts the bytes. */
+  private def decodeImage(r: MediaRow, dim: Int): Option[MediaFeatures] = {
+    import javax.imageio.ImageIO
+    val in = ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(r.content))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(in, false, true)
+        val nFrames = math.max(reader.getNumImages(true), 1)
+        val img = reader.read(0)
+        val (w, h) = (img.getWidth, img.getHeight)
+        // luminance fold over the real raster, row-major — one accumulator
+        // per (pixel index mod dim), mirroring the byte fold of the stub
+        val acc = new Array[Float](dim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)) / (3.0f * 255.0f)
+            acc((y * w + x) % dim) += lum
+            x += 1
+          }
+          y += 1
+        }
+        Some(MediaFeatures(r.asset_id, w, h, nFrames, acc))
+      } catch {
+        case _: java.io.IOException => None // truncated/corrupt stream
+      } finally reader.dispose()
+    } finally in.close()
+  }
+
+  /** Checksum-derived fallback, bit-compatible with [[decodeMeta]]. */
+  private def stubFeatures(r: MediaRow, dim: Int): MediaFeatures = {
+    val acc = new Array[Float](dim)
+    var i = 0
+    while (i < r.content.length) {
+      acc(i % dim) += (r.content(i) & 0xff) / 255.0f
+      i += 1
+    }
+    val h = java.lang.Long.parseLong(r.checksum.take(15), 16)
+    MediaFeatures(r.asset_id, (h % 624 + 16).toInt, ((h / 1024) % 464 + 16).toInt,
+      (h % 16 + 1).toInt, acc)
   }
 }
