@@ -38,6 +38,22 @@ object PipelineQueries {
         col("period"), round(col("value"), 6).as("value"))
     }),
 
+    // incremental EMA through the full S8/A3/W2 path: the previous run wrote
+    // the prefix; the incremental run recomputes only from the per-key
+    // warm-up boundary (period*2 rows before the watermark) with the EMA
+    // seeded from that truncated window — the reference's accepted
+    // approximation (transform_services.py:158-172) — and merges
+    // first-write-wins. Prefix rows stay bit-identical to the full prefix
+    // computation; appended rows carry the truncated-seed values.
+    "s8b_idempotent_ema" -> ((s, d) => {
+      val c = candles1m(s, d)
+      val existing = Indicators.ema(c.filter(col("time") < lit(Cutoff)), 14).toDF()
+      val merged = Incremental.incrementalIndicator(c, existing, 14,
+        cc => Indicators.ema(cc, 14).toDF())
+      merged.select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+        col("period"), round(col("value"), 6).as("value"))
+    }),
+
     "s6_latest_tick" -> ((s, d) =>
       Relay.latestPerPair(ticks(s, d))
         .select(col("pair"), unix_timestamp(col("time")).as("time_s"),
@@ -123,6 +139,57 @@ object PipelineQueries {
          |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6)
          |       END AS value
          |FROM c1m""".stripMargin,
+
+    // Two recursive EMA recurrences: the full prefix run (rows < cutoff,
+    // identical to u2's oracle over the restricted series) plus the
+    // truncated recompute seeded 2*period rows before the per-pair
+    // watermark; appended rows are the recompute's post-watermark tail.
+    "s8b_idempotent_ema" -> {
+      val p = 14
+      s"""WITH RECURSIVE ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte}, ${TradingQueries.c1mCte},
+         |cpre AS (SELECT pair, time, close,
+         |                row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+         |         FROM c1m WHERE time < TIMESTAMP '$Cutoff'),
+         |rpre AS (
+         |  SELECT pair, rn, time, close AS seed_sum, CAST(NULL AS DOUBLE) AS prev
+         |  FROM cpre WHERE rn = 1
+         |  UNION ALL
+         |  SELECT c.pair, c.rn, c.time,
+         |         CASE WHEN c.rn < $p THEN r.seed_sum + c.close
+         |              ELSE CAST(0.0 AS DOUBLE) END,
+         |         CASE WHEN c.rn < $p THEN NULL
+         |              WHEN c.rn = $p THEN (r.seed_sum + c.close) / $p
+         |              ELSE (c.close - r.prev) * (2.0 / ${p + 1}) + r.prev END
+         |  FROM rpre r JOIN cpre c ON c.pair = r.pair AND c.rn = r.rn + 1),
+         |wm AS (SELECT pair, max(time) AS watermark FROM cpre GROUP BY pair),
+         |b AS (SELECT pair, time AS boundary FROM (
+         |        SELECT c.pair, c.time,
+         |               row_number() OVER (PARTITION BY c.pair ORDER BY c.time DESC) AS drn
+         |        FROM c1m c JOIN wm USING (pair) WHERE c.time <= wm.watermark)
+         |      WHERE drn = ${2 * p + 1}),
+         |ct AS (SELECT c.pair, c.time, c.close,
+         |              row_number() OVER (PARTITION BY c.pair ORDER BY c.time) AS rn
+         |       FROM c1m c LEFT JOIN b USING (pair)
+         |       WHERE b.boundary IS NULL OR c.time >= b.boundary),
+         |rt AS (
+         |  SELECT pair, rn, time, close AS seed_sum, CAST(NULL AS DOUBLE) AS prev
+         |  FROM ct WHERE rn = 1
+         |  UNION ALL
+         |  SELECT c.pair, c.rn, c.time,
+         |         CASE WHEN c.rn < $p THEN r.seed_sum + c.close
+         |              ELSE CAST(0.0 AS DOUBLE) END,
+         |         CASE WHEN c.rn < $p THEN NULL
+         |              WHEN c.rn = $p THEN (r.seed_sum + c.close) / $p
+         |              ELSE (c.close - r.prev) * (2.0 / ${p + 1}) + r.prev END
+         |  FROM rt r JOIN ct c ON c.pair = r.pair AND c.rn = r.rn + 1)
+         |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+         |       $p AS period, round(prev, 6) AS value
+         |FROM rpre
+         |UNION ALL
+         |SELECT r.pair, '1m', epoch(r.time)::BIGINT, $p, round(r.prev, 6)
+         |FROM rt r LEFT JOIN wm USING (pair)
+         |WHERE wm.watermark IS NULL OR r.time > wm.watermark""".stripMargin
+    },
 
     "s6_latest_tick" ->
       s"""$prelude

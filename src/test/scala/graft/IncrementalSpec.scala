@@ -46,6 +46,36 @@ class IncrementalSpec extends SparkSpec {
     assert(full.exceptAll(merged).count() === 0)
   }
 
+  test("incremental EMA: prefix untouched, tail seeded from the truncated window") {
+    // single pair, closes 1..10 at minute spacing, period 2, cutoff after
+    // row 6 → watermark=t6, boundary = 2*p=4 rows before → t2; truncated
+    // series = t2..t10 with EMA re-seeded at t3; appended rows are t7..t10.
+    val base = ts("2024-01-01 00:00:00").getTime
+    val c = (1 to 10).map(i =>
+        ("A", "1m", new java.sql.Timestamp(base + i * 60000L), i.toDouble))
+      .toDF("pair", "timeframe", "time", "close")
+    val cutoff = new java.sql.Timestamp(base + 6 * 60000L + 1)
+    val existing = Indicators.ema(c.filter($"time" < lit(cutoff)), 2).toDF()
+    val merged = Incremental.incrementalIndicator(c, existing, 2,
+      cc => Indicators.ema(cc, 2).toDF())
+    def emaSeq(closes: Seq[Double], p: Int): Seq[Option[Double]] = {
+      val k = 2.0 / (p + 1); var seed = 0.0; var prev = 0.0
+      closes.zipWithIndex.map { case (v, i) =>
+        if (i < p - 1) { seed += v; None }
+        else if (i == p - 1) { prev = (seed + v) / p; Some(prev) }
+        else { prev = (v - prev) * k + prev; Some(prev) }
+      }
+    }
+    // expected: full-prefix EMA for t1..t6, truncated-series EMA for t7..t10
+    val pre = emaSeq((1 to 6).map(_.toDouble), 2)
+    val tail = emaSeq((2 to 10).map(_.toDouble), 2).drop(5) // t2..t10, keep t7+
+    val expected = (pre ++ tail).zipWithIndex.map { case (v, i) => (i + 1) -> v }.toMap
+    val got = merged.orderBy("time").collect().map(r =>
+      ((r.getAs[java.sql.Timestamp]("time").getTime - base) / 60000L).toInt ->
+        Option(r.getAs[java.lang.Double]("value")).map(_.doubleValue)).toMap
+    assert(got === expected)
+  }
+
   test("keys with no watermark are recomputed fully") {
     val cutoff = ts("2024-01-01 05:00:00")
     // previous run only ever saw pair A
