@@ -25,7 +25,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run (A/B profiling a subset
+    // without paying the full-suite wall clock); default is every query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // warm-up: run every query once untimed so the timed pass measures
     // steady-state execution, not each plan's one-off codegen/JIT cost
     // (cold-vs-warm differs 2-3× for the widest plans). SPARK_GRAFT_WARMUP=
