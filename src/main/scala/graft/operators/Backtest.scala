@@ -11,6 +11,12 @@ final case class SignalRow(pair: String, time: Timestamp, event_type: String, pr
 final case class BacktestResult(pair: String, trades: Int, total_pnl: Double,
                                 open_position: Boolean)
 
+/** One round-trip trade (exit fields None while the position is still open). */
+final case class TradeRow(pair: String, trade_no: Int,
+                          entry_time: Timestamp, entry_price: Double,
+                          exit_time: Option[Timestamp], exit_price: Option[Double],
+                          pnl: Option[Double])
+
 /** F6: event-driven backtest over buy/sell signal events.
   *
   * The reference ships this as a stub that reads `fact_buysell_events` in
@@ -42,6 +48,41 @@ object Backtest {
           }
         }
         Iterator.single(BacktestResult(pair, trades, pnl, long))
+      }
+  }
+
+  /** Per-trade ledger — the reference's user story asks for the individual
+    * entry/exit rows behind the per-pair totals (docs/requirements.md:11-19,
+    * src/core/backtest_engine.py:5-44). Same long-only alternating state
+    * machine as [[run]], emitting one row per round trip; a position still
+    * open at end-of-data becomes a final row with NULL exit fields.
+    * Σpnl and row counts reconcile exactly with [[run]]. */
+  def trades(signals: DataFrame): Dataset[TradeRow] = {
+    val spark = signals.sparkSession
+    import spark.implicits._
+    signals.select($"pair", $"event_datetime".as("time"), $"event_type", $"price")
+      .as[SignalRow]
+      .groupByKey(_.pair)
+      .flatMapSortedGroups($"time", $"event_type") { (pair, rows) =>
+        val out = Vector.newBuilder[TradeRow]
+        var entryTime: Timestamp = null
+        var entry = 0.0
+        var long = false
+        var n = 0
+        rows.foreach { r =>
+          r.event_type match {
+            case "BUY" if !long =>
+              entryTime = r.time; entry = r.price; long = true
+            case "SELL" if long =>
+              n += 1
+              out += TradeRow(pair, n, entryTime, entry,
+                Some(r.time), Some(r.price), Some(r.price - entry))
+              long = false
+            case _ => // already long on BUY / flat on SELL: ignore
+          }
+        }
+        if (long) out += TradeRow(pair, n + 1, entryTime, entry, None, None, None)
+        out.result().iterator
       }
   }
 }

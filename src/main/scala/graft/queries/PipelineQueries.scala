@@ -112,6 +112,19 @@ object PipelineQueries {
       Backtest.run(Signals.strategy(sma, 14, 28)).toDF()
         .select(col("pair"), col("trades"), round(col("total_pnl"), 6).as("total_pnl"),
           col("open_position"))
+    }),
+
+    // the per-trade ledger behind f6's totals: one row per round trip,
+    // NULL exits for the position still open at end-of-data
+    "f6b_trades" -> ((s, d) => {
+      val sma = Indicators.indicatorFacts(candles1m(s, d), Seq("SMA"), Seq(14, 28))
+      Backtest.trades(Signals.strategy(sma, 14, 28)).toDF()
+        .select(col("pair"), col("trade_no"),
+          unix_timestamp(col("entry_time")).as("entry_s"),
+          round(col("entry_price"), 6).as("entry_price"),
+          unix_timestamp(col("exit_time")).as("exit_s"),
+          round(col("exit_price"), 6).as("exit_price"),
+          round(col("pnl"), 6).as("pnl"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -288,5 +301,43 @@ object PipelineQueries {
          |             + CASE WHEN any_value(last_et) = 'BUY'
          |                    THEN max_by(price, time) ELSE 0 END, 6) AS total_pnl,
          |       any_value(last_et) = 'BUY' AS open_position
-         |FROM kept GROUP BY pair""".stripMargin)
+         |FROM kept GROUP BY pair""".stripMargin,
+
+    // Same alternation argument as f6: after the first BUY, events strictly
+    // alternate per pair, so odd rows are entries and lead() is the exit;
+    // a trailing BUY (open position) gets NULL exit fields from lead().
+    "f6b_trades" ->
+      s"""$prelude,
+         |sma AS (
+         |  SELECT pair, time,
+         |         CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 14
+         |              THEN avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) END AS s14,
+         |         CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 28
+         |              THEN avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                   ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) END AS s28
+         |  FROM c1m),
+         |x AS (
+         |  SELECT pair, time, s14, s28,
+         |         lag(s14) OVER (PARTITION BY pair ORDER BY time) AS ps,
+         |         lag(s28) OVER (PARTITION BY pair ORDER BY time) AS pl
+         |  FROM sma),
+         |ev AS (
+         |  SELECT pair, time, 'BUY' AS et, s14 AS price FROM x
+         |  WHERE ps <= pl AND s14 > s28
+         |  UNION ALL
+         |  SELECT pair, time, 'SELL', s14 FROM x
+         |  WHERE ps >= pl AND s14 < s28),
+         |fb AS (SELECT pair, min(time) FILTER (et = 'BUY') AS fbt FROM ev GROUP BY pair),
+         |kept AS (
+         |  SELECT ev.pair, ev.time, ev.et, ev.price,
+         |         row_number() OVER (PARTITION BY ev.pair ORDER BY ev.time) AS rn,
+         |         lead(ev.time) OVER (PARTITION BY ev.pair ORDER BY ev.time) AS x_time,
+         |         lead(ev.price) OVER (PARTITION BY ev.pair ORDER BY ev.time) AS x_price
+         |  FROM ev JOIN fb USING (pair) WHERE ev.time >= fb.fbt)
+         |SELECT pair, ((rn + 1) // 2)::INT AS trade_no,
+         |       epoch(time)::BIGINT AS entry_s, round(price, 6) AS entry_price,
+         |       epoch(x_time)::BIGINT AS exit_s, round(x_price, 6) AS exit_price,
+         |       round(x_price - price, 6) AS pnl
+         |FROM kept WHERE rn % 2 = 1""".stripMargin)
 }

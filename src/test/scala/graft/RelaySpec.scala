@@ -46,4 +46,28 @@ class RelaySpec extends SparkSpec {
     assert(res("Y").trades === 0)
     assert(res("Y").open_position === false)
   }
+
+  test("trade ledger: per-trade rows reconcile with the per-pair totals") {
+    val signals = Seq(
+      ("X", ts("2024-01-01 10:00:00"), "BUY", 100.0),
+      ("X", ts("2024-01-01 11:00:00"), "BUY", 105.0), // ignored: already long
+      ("X", ts("2024-01-01 12:00:00"), "SELL", 110.0), // trade 1: +10
+      ("X", ts("2024-01-01 13:00:00"), "SELL", 120.0), // ignored: flat
+      ("X", ts("2024-01-01 14:00:00"), "BUY", 115.0), // trade 2: open
+      ("Y", ts("2024-01-01 10:00:00"), "SELL", 50.0)) // flat: ignored
+      .toDF("pair", "event_datetime", "event_type", "price")
+    val ledger = Backtest.trades(signals).collect().sortBy(t => (t.pair, t.trade_no))
+    assert(ledger.map(t => (t.pair, t.trade_no, t.entry_price, t.exit_price, t.pnl)).toSeq
+      === Seq(
+        ("X", 1, 100.0, Some(110.0), Some(10.0)),
+        ("X", 2, 115.0, None, None)))
+    assert(ledger(0).entry_time === ts("2024-01-01 10:00:00"))
+    assert(ledger(0).exit_time === Some(ts("2024-01-01 12:00:00")))
+    // reconciliation with run(): closed count, Σpnl, open flag
+    val totals = Backtest.run(signals).collect().map(r => r.pair -> r).toMap
+    val closed = ledger.filter(_.pnl.isDefined)
+    assert(closed.length === totals("X").trades)
+    assert(closed.flatMap(_.pnl).sum === totals("X").total_pnl)
+    assert(ledger.exists(_.exit_time.isEmpty) === totals("X").open_position)
+  }
 }
