@@ -158,6 +158,34 @@ object CorpusPrep {
         expr(s"_start % $budget").as("seq_offset"))
   }
 
+  /** Fixed-size token-window chunking with stride — the complement of
+    * [[packSequences]]: packing concatenates short docs into budget-sized
+    * blocks, chunking splits long docs into overlapping `size`-token
+    * windows (`stride` < `size` ⇒ overlap, the usual context-window prep
+    * for embedding / pretraining corpora).
+    *
+    * Shuffle-free narrow transformation: tokens materialize in their own
+    * projection (lambda-CSE), window starts come from `sequence(0, n-1,
+    * stride)` + `posexplode`, the chunk text from `slice` + `array_join` —
+    * all codegen'd built-ins, no UDF. Output grows by ≤ `size`/`stride`×
+    * the token volume; the trailing window is allowed to run short (every
+    * token appears in ≥ 1 chunk, starts are always `k·stride`). */
+  def chunkWindows(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in 1..chunkSize, got $stride")
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .as(Seq("chunk_no", "start_tok")))
+      .select(col("doc_id"), col("chunk_no"), col("start_tok"),
+        least(size(col("toks")) - col("start_tok"), lit(chunkSize))
+          .cast("int").as("n_tokens"),
+        array_join(slice(col("toks"), col("start_tok") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   /** Per-split rollup of a cleaned, split-assigned corpus — the last stage
     * of the end-to-end curation flow (clean → [[assignSplit]] → audit the
     * train/val/test balance before training). Same order-insensitive

@@ -170,6 +170,10 @@ object LlmQueries {
         TextAnalysis.stats(docsPar(s, d)).select(col("doc_id"), col("n_tokens")),
         budget = 1024L)),
 
+    // context-window chunking: 64-token windows, stride 48 (16-token overlap)
+    "llm_chunk_windows" -> ((s, d) =>
+      CorpusPrep.chunkWindows(docsPar(s, d), chunkSize = 64, stride = 48)),
+
     // benchmark decontamination: val/test docs (content-hash split) sharing
     // >= 2 trigram shingles with any train doc
     "llm_decontaminate" -> ((s, d) => {
@@ -484,6 +488,17 @@ object LlmQueries {
          |       ((cum - 1) // 1024)::BIGINT AS seq_last,
          |       ((cum - nt) % 1024)::BIGINT AS seq_offset
          |FROM c""".stripMargin,
+
+    // lateral generate_series = the posexplode'd start sequence; DuckDB list
+    // slice is 1-based inclusive and end-truncating, matching Spark's slice
+    "llm_chunk_windows" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, w, len(w) AS n FROM toks),
+         |g AS (SELECT doc_id, w, n, unnest(range(0, n, 48)) AS start_tok FROM t)
+         |SELECT doc_id, (start_tok // 48)::INT AS chunk_no, start_tok::INT AS start_tok,
+         |       least(n - start_tok, 64)::INT AS n_tokens,
+         |       array_to_string(w[start_tok + 1 : start_tok + 64], ' ') AS chunk_text
+         |FROM g""".stripMargin,
 
     "llm_decontaminate" ->
       s"""WITH $shingleCte,

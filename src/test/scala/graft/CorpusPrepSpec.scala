@@ -72,4 +72,24 @@ class CorpusPrepSpec extends SparkSpec {
     assert(pairKept === Set(1L, 2L)) // transitive dup 2 survives pair policy
     assert(ccKept === Set(1L))       // cluster-exact keeps only the minimum
   }
+
+  test("chunkWindows: strided windows cover every token, trailing chunk runs short") {
+    // 10 tokens, size 4, stride 3 → starts 0,3,6,9
+    val doc = Seq((7L, (0 until 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = CorpusPrep.chunkWindows(doc, chunkSize = 4, stride = 3)
+      .orderBy("chunk_no").collect()
+      .map(r => (r.getAs[Int]("chunk_no"), r.getAs[Int]("start_tok"),
+        r.getAs[Int]("n_tokens"), r.getAs[String]("chunk_text")))
+    assert(got.toSeq === Seq(
+      (0, 0, 4, "t0 t1 t2 t3"),
+      (1, 3, 4, "t3 t4 t5 t6"),
+      (2, 6, 4, "t6 t7 t8 t9"),
+      (3, 9, 1, "t9")))
+    // overlap = size - stride tokens between consecutive chunks
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4.split(" ").takeRight(1).head === b._4.split(" ").head ||
+        a._3 < 4) // last short chunk exempt
+    }
+  }
 }
