@@ -80,6 +80,36 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1).features.toSeq === expected(33, 7, 8).toSeq)
   }
 
+  /** Animated GIF via the ImageIO sequence-writing API (pure JDK). */
+  private def animatedGif(w: Int, h: Int, frames: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until frames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = (x + y + f * 31) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val meta = writer.getDefaultImageMetadata(
+        new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      writer.writeToSequence(new IIOImage(img, null, meta), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    out.toByteArray
+  }
+
+  test("featureExtract counts all frames of an animated GIF") {
+    val rows = Seq(mediaRow(3L, animatedGif(12, 8, 4), "image/gif")).toDS()
+    val f = Multimodal.featureExtract(rows, dim = 8).collect().head
+    assert((f.width, f.height, f.n_frames) === (12, 8, 4))
+    assert(f.features.sum > 0f) // frame-0 pixels folded in
+  }
+
   test("featureExtract falls back to the checksum stub on undecodable bytes") {
     val garbage = mediaRow(9L, Array[Byte](1, 2, 3, 4, 5), "image/png")
     val f = Multimodal.featureExtract(Seq(garbage).toDS(), dim = 4).collect().head

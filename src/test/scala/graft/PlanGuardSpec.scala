@@ -74,4 +74,14 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"decontaminate picked a shingle join over the inverted index:\n$p")
   }
+
+  test("chunking stays a narrow transformation: only the corpus-spread exchange") {
+    // chunkWindows itself is shuffle-free; the single Exchange in the plan
+    // must be the query layer's deliberate test-corpus repartition
+    val p = plan("llm_chunk_windows")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1, s"chunking grew a shuffle beyond the corpus spread:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"chunking must not join or window:\n$p")
+  }
 }

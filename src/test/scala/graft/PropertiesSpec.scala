@@ -123,4 +123,35 @@ class PropertiesSpec extends SparkSpec {
       }
     })
   }
+
+  test("chunkWindows reconstructs the corpus: stride prefixes concatenate to the tokens") {
+    val docGen = for {
+      n <- Gen.chooseNum(1, 40)
+      ws <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd"))
+    } yield ws.mkString(" ")
+    checkProp(forAll(Gen.listOfN(5, docGen), Gen.chooseNum(1, 8), Gen.chooseNum(1, 8)) {
+      (texts, sz, st) =>
+        val (size, stride) = (math.max(sz, st), math.min(sz, st))
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val chunks = graft.operators.CorpusPrep.chunkWindows(docs, size, stride)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+          .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+        texts.zipWithIndex.forall { case (t, i) =>
+          val toks = t.trim.toLowerCase.split("\\s+").toSeq
+          val cs = chunks(i.toLong)
+          // chunk_no dense from 0; starts at k*stride; n_tokens consistent
+          val structural = cs.zipWithIndex.forall { case ((_, no, start, n, text), k) =>
+            no == k && start == k * stride &&
+              n == math.min(toks.length - start, size) &&
+              text == toks.slice(start, start + size).mkString(" ")
+          }
+          // every chunk's stride-prefix (last chunk whole) rebuilds the doc
+          val rebuilt = cs.dropRight(1).flatMap(_._5.split(" ").take(stride)) ++
+            cs.last._5.split(" ")
+          structural && rebuilt.toSeq == toks
+        }
+    }, n = 8)
+  }
 }
