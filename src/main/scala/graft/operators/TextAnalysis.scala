@@ -81,6 +81,22 @@ object TextAnalysis {
       round(nBpe.cast("double") / nWs.cast("double"), 6).as("fertility"))
   }
 
+  /** Corpus vocabulary: the `topV` most frequent tokens with a dense rank
+    * (ties broken lexically, so the result is deterministic and
+    * engine-portable). Scale shape: per-token counting map-side-combines
+    * before its one shuffle, and the top-V cut is Spark's distributed
+    * TakeOrdered (per-partition heaps, no global sort); only the final
+    * V-row ranking window runs on a single (deliberate, tiny) task. */
+  def vocab(docs: DataFrame, topV: Int): DataFrame = {
+    require(topV > 0, s"topV must be positive, got $topV")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("tok"))
+    docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(topV)
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** Gopher/RefinedWeb-family repetition signals: the fraction of duplicate
     * words and duplicate word-bigrams per document — high values flag
     * boilerplate/spam for quality filtering. The token and bigram arrays

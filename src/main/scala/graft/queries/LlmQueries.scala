@@ -174,6 +174,10 @@ object LlmQueries {
     "llm_chunk_windows" -> ((s, d) =>
       CorpusPrep.chunkWindows(docsPar(s, d), chunkSize = 64, stride = 48)),
 
+    // corpus vocabulary: top-50 tokens by frequency, lexical tie-break
+    "llm_vocab_topk" -> ((s, d) =>
+      TextAnalysis.vocab(docsPar(s, d), topV = 50)),
+
     // benchmark decontamination: val/test docs (content-hash split) sharing
     // >= 2 trigram shingles with any train doc
     "llm_decontaminate" -> ((s, d) => {
@@ -488,6 +492,16 @@ object LlmQueries {
          |       ((cum - 1) // 1024)::BIGINT AS seq_last,
          |       ((cum - nt) % 1024)::BIGINT AS seq_offset
          |FROM c""".stripMargin,
+
+    // rank computed over the full frequency table then cut at 50 — equal to
+    // ranking within the top-50 because the orders coincide
+    "llm_vocab_topk" ->
+      s"""WITH $toksCte,
+         |f AS (SELECT unnest(w) AS tok FROM toks)
+         |SELECT tok, count(*)::BIGINT AS freq,
+         |       row_number() OVER (ORDER BY count(*) DESC, tok)::INT AS rank
+         |FROM f GROUP BY tok
+         |ORDER BY freq DESC, tok LIMIT 50""".stripMargin,
 
     // lateral generate_series = the posexplode'd start sequence; DuckDB list
     // slice is 1-based inclusive and end-truncating, matching Spark's slice

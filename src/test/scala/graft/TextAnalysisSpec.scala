@@ -30,4 +30,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.getAs[Long]("n_bpe") === 4L)
     assert(df.getAs[Double]("fertility") === math.round(4.0 / 3.0 * 1e6) / 1e6)
   }
+
+  test("vocab ranks by frequency with lexical tie-break, cuts at topV") {
+    val docs = Seq((1L, "b b b a a c c d"), (2L, "a d")).toDF("doc_id", "text")
+    // freqs: a=3, b=3, c=2, d=2 → rank: a,b (tie on 3), c,d (tie on 2)
+    val got = TextAnalysis.vocab(docs, topV = 3).orderBy("rank").collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("freq"), r.getAs[Int]("rank")))
+    assert(got.toSeq === Seq(("a", 3L, 1), ("b", 3L, 2), ("c", 2L, 3)))
+  }
 }
