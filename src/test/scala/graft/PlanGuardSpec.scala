@@ -84,4 +84,15 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
       s"chunking must not join or window:\n$p")
   }
+
+  test("vocab top-V cuts with distributed TakeOrdered, never a global sort") {
+    val p = plan("llm_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab lost its per-partition-heap top-V cut:\n$p")
+    // the only acceptable Sort is inside the tiny post-limit rank window
+    assert(p.linesIterator.count(_.trim.startsWith("+- Sort")) <= 1,
+      s"vocab grew a full sort before the limit:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"token counting must map-side combine:\n$p")
+  }
 }
