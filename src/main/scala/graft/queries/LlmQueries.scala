@@ -187,6 +187,16 @@ object LlmQueries {
         split.filter(col("split") =!= "train"), n = 3, minShared = 2L)
     }),
 
+    // the 100 TB valve under the gate: same decontamination with the df cap
+    // active, so high-df shingles are excluded BEFORE posting expansion
+    "llm_decontaminate_capped" -> ((s, d) => {
+      val split = CorpusPrep.assignSplit(docsPar(s, d))
+      Dedup.decontaminate(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") =!= "train"), n = 3, minShared = 1L,
+        maxDf = Some(2))
+    }),
+
     "llm_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
 
     "llm_split_assign" -> ((s, d) =>
@@ -524,6 +534,25 @@ object LlmQueries {
          |SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
          |       len(list_intersect(e.s, t.s))::BIGINT AS n_shared
          |FROM ev e JOIN tr t ON len(list_intersect(e.s, t.s)) >= 2""".stripMargin,
+
+    // inverted-index restatement (unlike llm_decontaminate's brute-force
+    // list_intersect) so the df cap applies per (shingle, side) exactly as
+    // the engine does: a shingle over the cap on EITHER side is excluded
+    // before any pair forms
+    "llm_decontaminate_capped" ->
+      s"""WITH $shingleCte,
+         |h AS (SELECT doc_id,
+         |             ('0x' || substr(md5(norm), 1, 15))::BIGINT % 100 AS b
+         |      FROM toks),
+         |te AS (SELECT sh.doc_id, unnest(s) AS g FROM sh JOIN h USING (doc_id) WHERE b < 90),
+         |ee AS (SELECT sh.doc_id, unnest(s) AS g FROM sh JOIN h USING (doc_id) WHERE b >= 90),
+         |bad AS (SELECT g FROM (SELECT g, count(*) AS d FROM te GROUP BY g) WHERE d > 2
+         |        UNION SELECT g FROM (SELECT g, count(*) AS d FROM ee GROUP BY g) WHERE d > 2)
+         |SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+         |       count(*)::BIGINT AS n_shared
+         |FROM (SELECT * FROM ee WHERE g NOT IN (SELECT g FROM bad)) e
+         |JOIN (SELECT * FROM te WHERE g NOT IN (SELECT g FROM bad)) t USING (g)
+         |GROUP BY 1, 2""".stripMargin,
 
     "llm_fingerprint" ->
       s"""WITH $toksCte
