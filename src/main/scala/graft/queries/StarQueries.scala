@@ -83,6 +83,24 @@ object StarQueries {
         .agg(round(sum(revenue).cast("double"), 2).as("revenue"))
     }),
 
+    // TPC-H Q10 shape: returned-items revenue per customer over a date
+    // window, top-20 — fact-fact shuffle join, bounded nation dim
+    // broadcast, customer join left to AQE (grows with scale factor)
+    "q10_returned_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1999-01-01") &&
+          col("o_orderdate") < lit("2000-01-01"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(revenue).cast("double"), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // O2 top-k: TakeOrderedAndProject, never a full sort
     "o2_top_customers" -> ((s, d) =>
       Tables.orders(s, d)
@@ -191,6 +209,19 @@ object StarQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "o2_top_customers" ->
       """SELECT o_custkey,
