@@ -149,6 +149,36 @@ object StreamQueries {
           col("n_events"), round(col("total_value"), 6).as("total_value"))
     }),
 
+    // T7 (stream-stream join): two independent watermarked streams joined
+    // on their 1-minute event-time window — every (signup, error) quote
+    // combination in minutes where both streams ticked. Inner-join output
+    // is the complete batch-join set for this bounded replay (see
+    // Streams.windowJoin's eviction argument), so the read-back per-minute
+    // aggregation is split-independent and hash-checkable.
+    "t7_stream_join" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t7-").toString
+      withStreamShuffle(s, 8) {
+        val l = tickStream(s, d).filter(col("pair") === "signup")
+          .select(col("time"), col("bid"))
+        val r = tickStream(s, d).filter(col("pair") === "error")
+          .select(col("time"), col("bid"))
+        Streams.windowJoin(l, r)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/sink")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
+      s.read.parquet(s"$tmp/sink")
+        .groupBy(col("time"))
+        .agg(count(lit(1)).as("n_pairs"),
+          max(col("l_bid")).as("max_l_bid"), max(col("r_bid")).as("max_r_bid"))
+        .select(unix_timestamp(col("time")).as("minute_s"),
+          col("n_pairs"), col("max_l_bid"), col("max_r_bid"))
+    }),
+
     // T5 (keyed latest-value state): mapGroupsWithState latest-tick cache,
     // update-mode emissions appended to a log sink; the log's per-pair
     // (time, bid)-max equals the batch latest for any batch split or
@@ -214,6 +244,17 @@ object StreamQueries {
         |SELECT user_id, epoch(start)::BIGINT AS start_s, n_events, total_value
         |FROM g
         |WHERE last + INTERVAL 30 MINUTE <= (SELECT m FROM mx) - INTERVAL 30 MINUTE""".stripMargin,
+
+    "t7_stream_join" ->
+      s"""WITH ${TradingQueries.ticksCte},
+         |a AS (SELECT date_trunc('minute', time) AS m, bid FROM ticks
+         |      WHERE pair = 'signup'),
+         |b AS (SELECT date_trunc('minute', time) AS m, bid FROM ticks
+         |      WHERE pair = 'error')
+         |SELECT epoch(a.m)::BIGINT AS minute_s, count(*) AS n_pairs,
+         |       max(a.bid) AS max_l_bid, max(b.bid) AS max_r_bid
+         |FROM a JOIN b ON a.m = b.m
+         |GROUP BY 1""".stripMargin,
 
     // epoch(ts)::BIGINT ROUNDS fractional seconds (these ticks keep µs
     // precision, unlike the second-truncated dedup set) — integer-divide

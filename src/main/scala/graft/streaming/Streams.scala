@@ -128,6 +128,32 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** T7: stream-stream inner join on event-time windows — align two live
+    * streams on the same `windowLen` bucket (concurrent-activity pairing).
+    * Both sides carry their own watermark and the join key is the window
+    * itself (window-equality stream-stream join), so each side's buffered
+    * state is dropped as soon as the combined watermark passes a window —
+    * state stays bounded by (keys in flight × watermark horizon) at any
+    * scale.
+    *
+    * Determinism under a bounded AvailableNow replay: an inner join's
+    * output set equals the batch join provided no row is evicted before
+    * its partner arrives. Partners share a window, and the staged chunks
+    * replay in (time, seq) order, so partners straddle at most one chunk
+    * boundary; at that boundary the watermark is `maxTs(chunk) − delay`
+    * and the partner's own timestamp is ≥ that max − windowLen, so with
+    * `delay` ≥ `windowLen` the window is provably still in state. */
+  def windowJoin(left: DataFrame, right: DataFrame,
+                 windowLen: String = "1 minute",
+                 delay: String = "60 seconds"): DataFrame = {
+    val l = left.withWatermark("time", delay)
+      .select(window(col("time"), windowLen).as("lw"), col("bid").as("l_bid"))
+    val r = right.withWatermark("time", delay)
+      .select(window(col("time"), windowLen).as("rw"), col("bid").as("r_bid"))
+    l.join(r, expr("lw = rw"))
+      .select(col("lw.start").as("time"), col("l_bid"), col("r_bid"))
+  }
+
   /** T5: per-pair latest-tick cache as keyed streaming state. Emits the
     * updated latest row per pair per micro-batch (update output mode). */
   def latestPerPair(ticks: Dataset[TickRow]): Dataset[TickRow] = {

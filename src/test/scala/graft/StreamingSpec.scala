@@ -64,6 +64,33 @@ class StreamingSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("T7: stream-stream window join == batch join per minute bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[TickRow]
+    val rIn = MemoryStream[TickRow]
+    val q = Streams.windowJoin(lIn.toDF(), rIn.toDF()).writeStream
+      .format("memory").queryName("wjoin_out").outputMode("append").start()
+    // partners split ACROSS batches: left minute-0 rows arrive in batch 1,
+    // their right partners only in batch 2 — state must hold the window
+    lIn.addData(tick("X", "2024-01-01 00:00:05", 10.0),
+      tick("X", "2024-01-01 00:00:30", 12.0))
+    rIn.addData(tick("Y", "2024-01-01 00:01:02", 6.0))
+    q.processAllAvailable()
+    lIn.addData(tick("X", "2024-01-01 00:01:10", 9.0))
+    rIn.addData(tick("Y", "2024-01-01 00:00:59", 5.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("wjoin_out")
+      .select("time", "l_bid", "r_bid")
+      .orderBy("time", "l_bid").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("time"),
+        r.getAs[Double]("l_bid"), r.getAs[Double]("r_bid"))).toSeq
+    // batch truth: minute 0 has l={10,12} × r={5}; minute 1 has l={9} × r={6}
+    assert(got === Seq(
+      (ts("2024-01-01 00:00:00"), 10.0, 5.0),
+      (ts("2024-01-01 00:00:00"), 12.0, 5.0),
+      (ts("2024-01-01 00:01:00"), 9.0, 6.0)))
+  }
+
   test("T2: streaming 1m OHLC == batch ohlcBase on deduped ticks") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TickRow]
