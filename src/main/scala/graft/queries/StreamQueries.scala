@@ -157,7 +157,11 @@ object StreamQueries {
     // aggregation is split-independent and hash-checkable.
     "t7_stream_join" -> ((s, d) => {
       val tmp = Files.createTempDirectory("graft-t7-").toString
-      withStreamShuffle(s, 8) {
+      // 2 state partitions, not the other streaming queries' 8: a join
+      // keeps per-partition state on BOTH sides, so state-file commits
+      // scale 2× per partition and dominate at this volume (measured
+      // min-of-2 at sf0.1: 8 -> 6.7 s, 4 -> 4.9 s, 2 -> 4.3 s)
+      withStreamShuffle(s, 2) {
         val l = tickStream(s, d).filter(col("pair") === "signup")
           .select(col("time"), col("bid"))
         val r = tickStream(s, d).filter(col("pair") === "error")
