@@ -200,10 +200,19 @@ object Dedup {
     // self-join on the shingle — that would evaluate the posting pipeline
     // once per join side). Each pair occurrence = one shared shingle, so
     // the pair count IS |A∩B|; |A∪B| = ni + nj − |A∩B|.
-    val lists = exploded.groupBy(col("sh"))
+    // The df cap must bite BEFORE the postings buffer materializes (same
+    // valve ordering as [[decontaminate]]): a stopword shingle shared by
+    // 10^8 docs would otherwise build its full posting array inside one
+    // aggregation buffer just to be discarded. Counting df is
+    // constant-space per key, so pre-count and semi-join away over-cap
+    // shingles; only survivors reach collect_list.
+    val eligible = maxDf.fold(exploded) { cap =>
+      val ok = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select(col("sh"))
+      exploded.join(ok, Seq("sh"), "left_semi")
+    }
+    eligible.groupBy(col("sh"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
-    val capped = maxDf.map(cap => lists.filter(size(col("ds")) <= cap)).getOrElse(lists)
-    capped
       .filter(size(col("ds")) >= 2)
       .select(explode(flatten(transform(col("ds"), (x, i) =>
         transform(slice(col("ds"), i + 2, size(col("ds"))),

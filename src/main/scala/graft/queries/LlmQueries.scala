@@ -82,6 +82,14 @@ object LlmQueries {
       Dedup.nearDupNgram(docsPar(s, d), threshold = 0.6)
         .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // the 100 TB valve under the gate: same Jaccard join with the df cap
+    // active, so high-df shingles are semi-joined away BEFORE the postings
+    // arrays materialize (intersection counts then see eligible shingles
+    // only, while |A|/|B| stay full-set — the documented cap semantics)
+    "llm_dedup_ngram_capped" -> ((s, d) =>
+      Dedup.nearDupNgram(docsPar(s, d), threshold = 0.6, maxDf = Some(2))
+        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))),
+
     "llm_dedup_simhash" -> ((s, d) =>
       Dedup.nearDupSimhash(docsPar(s, d), maxHamming = 3)
         .select(col("i"), col("j"), col("hamming").cast("int").as("hamming"))),
@@ -256,6 +264,23 @@ object LlmQueries {
 
     "llm_dedup_minhash" -> jaccardOracle(0.8),
     "llm_dedup_ngram" -> jaccardOracle(0.6),
+
+    // inverted-index restatement (vs jaccardOracle's brute-force
+    // list_intersect) so the df cap applies per shingle exactly as the
+    // engine does: over-cap shingles are excluded before any pair forms;
+    // set sizes stay full, so jaccard = c / (ni + nj - c) over survivors
+    "llm_dedup_ngram_capped" ->
+      s"""WITH $shingleCte,
+         |e AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+         |ok AS (SELECT g FROM (SELECT g, count(*) AS d FROM e GROUP BY g)
+         |       WHERE d <= 2),
+         |f AS (SELECT doc_id, sz, g FROM e WHERE g IN (SELECT g FROM ok)),
+         |p AS (SELECT a.doc_id AS i, a.sz AS ni, b.doc_id AS j, b.sz AS nj,
+         |             count(*) AS c
+         |      FROM f a JOIN f b ON a.g = b.g AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2, 3, 4)
+         |SELECT i, j, round(c::DOUBLE / (ni + nj - c), 6) AS jaccard
+         |FROM p WHERE c::DOUBLE / (ni + nj - c) >= 0.6""".stripMargin,
 
     "llm_dedup_simhash" ->
       s"""WITH $toksCte,

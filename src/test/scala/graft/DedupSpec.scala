@@ -96,6 +96,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ngram maxDf drops over-cap shingles before postings materialize") {
+    // "aa bb cc" appears in all 3 docs (df=3 > cap) → excluded before
+    // collect_list; the duplicate pair keeps its 2 rare shared shingles
+    val d = docs(
+      1L -> "aa bb cc dd ee",
+      2L -> "aa bb cc dd ee",
+      3L -> "aa bb cc zz ww")
+    val capped = Dedup.nearDupNgram(d, threshold = 0.3, maxDf = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // J(1,2) = 2 shared eligible shingles / (3 + 3 - 2) = 0.5; (·,3) pairs
+    // lose their only shared shingle and vanish entirely
+    assert(capped === Set((1L, 2L, 0.5)))
+    val uncapped = Dedup.nearDupNgram(d, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncapped === Set((1L, 2L, 1.0)))
+  }
+
   test("decontaminate maxDf drops over-cap shingles before pair expansion") {
     // "aa bb cc" appears in every train doc (df=3) and the eval doc; the
     // unique tail shingles appear once each. With cap=2 the common shingle

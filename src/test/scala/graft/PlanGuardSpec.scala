@@ -66,6 +66,21 @@ class PlanGuardSpec extends SparkSpec {
       && l.contains("_lc")), s"per-bucket running-sum window missing:\n$p")
   }
 
+  test("capped ngram semi-joins the df valve below the postings aggregate") {
+    val p = plan("llm_dedup_ngram_capped")
+    val lines = p.linesIterator.toSeq
+    val agg = lines.indexWhere(_.contains("collect_list"))
+    val semi = lines.indexWhere(_.contains("LeftSemi"))
+    assert(semi >= 0, s"df-cap semi-join missing from the capped plan:\n$p")
+    // tree prints parents first: the aggregate ABOVE the semi-join means the
+    // cap bites before any posting array materializes
+    assert(agg >= 0 && agg < semi,
+      s"df-cap semi-join must feed the collect_list aggregate:\n$p")
+    // the uncapped path stays join-free (maxDf.fold identity)
+    assert(!plan("llm_dedup_ngram").contains("LeftSemi"),
+      "uncapped ngram grew a join")
+  }
+
   test("decontamination expands only cross-side pairs via one inverted index") {
     val p = plan("llm_decontaminate")
     // one groupBy over the tagged union → exactly one aggregate pair of
