@@ -64,11 +64,30 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"runs":$runs,"stat":"min","sf":"$sfDir"}""")
+    def line(qs: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"runs":$runs,"stat":"min","sf":"$sfDir"}"""
+    val full = line(results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}"))
+    // Full-precision record goes to a file (and stderr): the driver captures
+    // only the last ~2000 chars of stdout, and the full line is ~4 KB — every
+    // round before r7 recorded `parsed: null` because the one JSON line was
+    // truncated mid-object. stdout gets a rounded line instead, degraded one
+    // step further if the registry ever grows past the capture budget (sbt's
+    // trailing "[success] Total time..." line eats ~90 chars of the window).
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, full.getBytes("UTF-8"))
+    System.err.println(full)
+    def rounded(dp: Int) = line(results.map { case (k, v) =>
+      "\"" + k + "\":" + BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+    }.mkString("{", ",", "}"))
+    val budget = 1800
+    val compact = Seq(rounded(3), rounded(2))
+      .find(_.length <= budget)
+      .getOrElse(line("\"target/bench.json\""))
+    println(compact)
     spark.stop()
   }
 }
