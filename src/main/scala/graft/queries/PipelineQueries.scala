@@ -54,6 +54,19 @@ object PipelineQueries {
         col("period"), round(col("value"), 6).as("value"))
     }),
 
+    // incremental RSI — the third indicator family through the same
+    // S8/A3/W2 path (transform_services.py:146-182 loops all three); Wilder
+    // smoothing reseeded from the truncated warm-up window, merged
+    // first-write-wins against the prefix run.
+    "s8c_idempotent_rsi" -> ((s, d) => {
+      val c = candles1m(s, d)
+      val existing = Indicators.rsi(c.filter(col("time") < lit(Cutoff)), 14).toDF()
+      val merged = Incremental.incrementalIndicator(c, existing, 14,
+        cc => Indicators.rsi(cc, 14).toDF())
+      merged.select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+        col("period"), round(col("value"), 6).as("value"))
+    }),
+
     "s6_latest_tick" -> ((s, d) =>
       Relay.latestPerPair(ticks(s, d))
         .select(col("pair"), unix_timestamp(col("time")).as("time_s"),
@@ -200,6 +213,63 @@ object PipelineQueries {
          |FROM rpre
          |UNION ALL
          |SELECT r.pair, '1m', epoch(r.time)::BIGINT, $p, round(r.prev, 6)
+         |FROM rt r LEFT JOIN wm USING (pair)
+         |WHERE wm.watermark IS NULL OR r.time > wm.watermark""".stripMargin
+    },
+
+    // Same dual-recurrence shape as s8b, with Wilder's (avgGain, avgLoss)
+    // pair as the carried state: sums through rn<=period, first average at
+    // rn=period+1, Wilder smoothing after; RSI derived from the stored state
+    // in the outer SELECT (recomputing 100*g/(g+l) from carried doubles is
+    // bit-identical to the engine's fold, which derives it the same way).
+    "s8c_idempotent_rsi" -> {
+      val p = 14
+      def wilder(r: String, c: String) =
+        s"""CASE WHEN $c.rn <= $p THEN $r.g + greatest($c.close - $r.close, CAST(0.0 AS DOUBLE))
+           |     WHEN $c.rn = ${p + 1} THEN ($r.g + greatest($c.close - $r.close, CAST(0.0 AS DOUBLE))) / $p
+           |     ELSE ($r.g * ${p - 1} + greatest($c.close - $r.close, CAST(0.0 AS DOUBLE))) / $p END,
+           |CASE WHEN $c.rn <= $p THEN $r.l + greatest($r.close - $c.close, CAST(0.0 AS DOUBLE))
+           |     WHEN $c.rn = ${p + 1} THEN ($r.l + greatest($r.close - $c.close, CAST(0.0 AS DOUBLE))) / $p
+           |     ELSE ($r.l * ${p - 1} + greatest($r.close - $c.close, CAST(0.0 AS DOUBLE))) / $p END""".stripMargin
+      def rsiVal(a: String) =
+        s"""round(CASE WHEN $a.rn <= $p THEN NULL
+           |           WHEN $a.g + $a.l = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+           |           ELSE 100.0 * $a.g / ($a.g + $a.l) END, 6)""".stripMargin
+      s"""WITH RECURSIVE ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte}, ${TradingQueries.c1mCte},
+         |cpre AS (SELECT pair, time, close,
+         |                row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+         |         FROM c1m WHERE time < TIMESTAMP '$Cutoff'),
+         |rpre AS (
+         |  SELECT pair, rn, time, close,
+         |         CAST(0.0 AS DOUBLE) AS g, CAST(0.0 AS DOUBLE) AS l
+         |  FROM cpre WHERE rn = 1
+         |  UNION ALL
+         |  SELECT c.pair, c.rn, c.time, c.close,
+         |         ${wilder("r", "c")}
+         |  FROM rpre r JOIN cpre c ON c.pair = r.pair AND c.rn = r.rn + 1),
+         |wm AS (SELECT pair, max(time) AS watermark FROM cpre GROUP BY pair),
+         |b AS (SELECT pair, time AS boundary FROM (
+         |        SELECT c.pair, c.time,
+         |               row_number() OVER (PARTITION BY c.pair ORDER BY c.time DESC) AS drn
+         |        FROM c1m c JOIN wm USING (pair) WHERE c.time <= wm.watermark)
+         |      WHERE drn = ${2 * p + 1}),
+         |ct AS (SELECT c.pair, c.time, c.close,
+         |              row_number() OVER (PARTITION BY c.pair ORDER BY c.time) AS rn
+         |       FROM c1m c LEFT JOIN b USING (pair)
+         |       WHERE b.boundary IS NULL OR c.time >= b.boundary),
+         |rt AS (
+         |  SELECT pair, rn, time, close,
+         |         CAST(0.0 AS DOUBLE) AS g, CAST(0.0 AS DOUBLE) AS l
+         |  FROM ct WHERE rn = 1
+         |  UNION ALL
+         |  SELECT c.pair, c.rn, c.time, c.close,
+         |         ${wilder("r", "c")}
+         |  FROM rt r JOIN ct c ON c.pair = r.pair AND c.rn = r.rn + 1)
+         |SELECT p.pair, '1m' AS timeframe, epoch(p.time)::BIGINT AS time_s,
+         |       $p AS period, ${rsiVal("p")} AS value
+         |FROM rpre p
+         |UNION ALL
+         |SELECT r.pair, '1m', epoch(r.time)::BIGINT, $p, ${rsiVal("r")}
          |FROM rt r LEFT JOIN wm USING (pair)
          |WHERE wm.watermark IS NULL OR r.time > wm.watermark""".stripMargin
     },
