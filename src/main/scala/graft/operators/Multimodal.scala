@@ -10,7 +10,9 @@ final case class MediaRow(asset_id: Long, content: Array[Byte], mime: String,
                           n_bytes: Long, checksum: String)
 
 /** Decoded-frame features for one asset (see [[Multimodal.featureExtract]]:
-  * real ImageIO decode for image mimes, checksum stub otherwise). */
+  * real ImageIO decode for image mimes, real javax.sound WAV/PCM decode for
+  * audio mimes (width/height carry sample-rate/channels there), checksum
+  * stub otherwise). */
 final case class MediaFeatures(asset_id: Long, width: Int, height: Int,
                                n_frames: Int, features: Array[Float])
 
@@ -18,12 +20,14 @@ final case class MediaFeatures(asset_id: Long, width: Int, height: Int,
   * columns with typed metadata, and run decode / feature-extract / resize /
   * frame-sample as per-partition batch functions over the binary payload.
   *
-  * Decode is REAL for image payloads: [[featureExtract]] routes `image/ *`
-  * mimes through JDK `javax.imageio` (PNG/BMP/GIF/JPEG — whatever readers
-  * the JRE ships, no external codec needed) and derives width/height/frame
-  * count/features from actual decoded pixels. Non-image mimes (and bytes no
-  * reader accepts) fall back to a deterministic checksum-derived stub, so
-  * the pipeline shape stays total: audio/video codecs are not in this
+  * Decode is REAL for image and audio payloads: [[featureExtract]] routes
+  * `image/ *` mimes through JDK `javax.imageio` (PNG/BMP/GIF/JPEG — whatever
+  * readers the JRE ships, no external codec needed) and derives width/height/
+  * frame count/features from actual decoded pixels; `audio/ *` mimes go
+  * through `javax.sound.sampled` (WAV/PCM, also codec-free JDK) with sample
+  * rate/channels/frame count and an amplitude fold. Other mimes (and bytes
+  * no reader accepts) fall back to a deterministic checksum-derived stub, so
+  * the pipeline shape stays total: video codecs are not in this
   * container. The column-level [[decodeMeta]] keeps the checksum arithmetic
   * on purpose — it is the SQL-expressible twin that the DuckDB gate oracle
   * reproduces bit-for-bit.
@@ -86,7 +90,9 @@ object Multimodal {
     assets.mapPartitions { rows =>
       rows.map { r =>
         val decoded =
-          if (r.mime.startsWith("image/")) decodeImage(r, dim) else None
+          if (r.mime.startsWith("image/")) decodeImage(r, dim)
+          else if (r.mime.startsWith("audio/")) decodeAudio(r, dim)
+          else None
         decoded.getOrElse(stubFeatures(r, dim))
       }
     }
@@ -126,6 +132,56 @@ object Multimodal {
         case _: java.io.IOException => None // truncated/corrupt stream
       } finally reader.dispose()
     } finally in.close()
+  }
+
+  /** Real WAV/PCM decode via JDK `javax.sound.sampled` (no external codec —
+    * the same move as ImageIO for images); None when the bytes aren't a
+    * parseable audio file or the encoding isn't 8/16-bit PCM. Field mapping
+    * for audio assets: width = sample rate (Hz), height = channel count,
+    * n_frames = PCM frame count, features = per-(sample index mod dim)
+    * accumulators of amplitude normalized to [0,1] — the audio twin of the
+    * image path's luminance fold. */
+  private def decodeAudio(r: MediaRow, dim: Int): Option[MediaFeatures] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.content))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val signed = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+        if ((bits != 8 && bits != 16) || !(signed || unsigned)) return None
+        val bytes = in.readAllBytes()
+        val nFrames =
+          if (in.getFrameLength >= 0) in.getFrameLength.toInt
+          else bytes.length / math.max(fmt.getFrameSize, 1)
+        val acc = new Array[Float](dim)
+        var i = 0
+        var s = 0
+        if (bits == 8) {
+          while (i < bytes.length) {
+            val v = if (signed) bytes(i).toInt else (bytes(i) & 0xff) - 128
+            acc(s % dim) += (v / 128f + 1f) / 2f
+            i += 1; s += 1
+          }
+        } else {
+          while (i + 1 < bytes.length) {
+            val raw =
+              if (fmt.isBigEndian) (bytes(i) << 8) | (bytes(i + 1) & 0xff)
+              else (bytes(i + 1) << 8) | (bytes(i) & 0xff)
+            val v = if (signed) raw.toShort.toInt else (raw & 0xffff) - 32768
+            acc(s % dim) += (v / 32768f + 1f) / 2f
+            i += 2; s += 1
+          }
+        }
+        Some(MediaFeatures(r.asset_id, fmt.getSampleRate.toInt,
+          fmt.getChannels, nFrames, acc))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None // truncated/corrupt stream
+    }
   }
 
   /** Checksum-derived fallback, bit-compatible with [[decodeMeta]]. */

@@ -120,6 +120,55 @@ class MultimodalSpec extends SparkSpec {
     assert(f.features.length === 4)
   }
 
+  /** Deterministic synthetic WAV through the JDK's own writer: 16-bit
+    * signed little-endian PCM, sample i = (i * 2617 - 20000) mod-wrapped
+    * into short range. */
+  private def wavBytes(sampleRate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = nFrames * channels
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = ((i * 2617 - 20000) % 32768).toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sampleRate, 16, channels, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("featureExtract decodes real WAV/PCM samples via javax.sound") {
+    val rows = Seq(
+      mediaRow(4L, wavBytes(8000f, 1, 120), "audio/wav"),
+      mediaRow(5L, wavBytes(44100f, 2, 75), "audio/wav")).toDS()
+    val feats = Multimodal.featureExtract(rows, dim = 8).collect().sortBy(_.asset_id)
+    // width/height/n_frames carry sample rate / channels / PCM frame count
+    assert((feats(0).width, feats(0).height, feats(0).n_frames) === (8000, 1, 120))
+    assert((feats(1).width, feats(1).height, feats(1).n_frames) === (44100, 2, 75))
+    // expected amplitude fold computed independently from the same ramp
+    def expected(nSamples: Int, dim: Int): Array[Float] = {
+      val acc = new Array[Float](dim)
+      for (i <- 0 until nSamples) {
+        val s = ((i * 2617 - 20000) % 32768).toShort
+        acc(i % dim) += (s / 32768f + 1f) / 2f
+      }
+      acc
+    }
+    assert(feats(0).features.toSeq === expected(120, 8).toSeq)
+    assert(feats(1).features.toSeq === expected(150, 8).toSeq)
+  }
+
+  test("featureExtract falls back to the checksum stub on undecodable audio") {
+    val garbage = mediaRow(10L, Array[Byte](82, 73, 70, 70, 0), "audio/wav")
+    val f = Multimodal.featureExtract(Seq(garbage).toDS(), dim = 4).collect().head
+    val h = java.lang.Long.parseLong(garbage.checksum.take(15), 16)
+    assert((f.width, f.height, f.n_frames) ===
+      ((h % 624 + 16).toInt, ((h / 1024) % 464 + 16).toInt, (h % 16 + 1).toInt))
+  }
+
   test("featureExtract: typed pipeline agrees with the column-level decode") {
     val assets = Multimodal.assets(d).as[MediaRow]
     val feats = Multimodal.featureExtract(assets, dim = 8).collect()
