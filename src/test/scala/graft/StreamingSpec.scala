@@ -91,6 +91,69 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-01-01 00:01:00"), 9.0, 6.0)))
   }
 
+  /** Batch truth for the window-equality join: minute buckets × inner join. */
+  private def batchWindowJoin(l: Seq[TickRow], r: Seq[TickRow]): Set[(java.sql.Timestamp, Double, Double)] = {
+    val lw = l.toDF().select(window(col("time"), "1 minute").as("w"), col("bid").as("l_bid"))
+    val rw = r.toDF().select(window(col("time"), "1 minute").as("w"), col("bid").as("r_bid"))
+    lw.join(rw, "w").select(col("w.start"), col("l_bid"), col("r_bid"))
+      .collect().map(x => (x.getTimestamp(0), x.getDouble(1), x.getDouble(2))).toSet
+  }
+
+  test("T7: shuffled + late-within-watermark replay still equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = Seq(tick("X", "2024-01-01 00:00:10", 1.0), tick("X", "2024-01-01 00:00:45", 2.0),
+      tick("X", "2024-01-01 00:01:20", 3.0), tick("X", "2024-01-01 00:02:15", 4.0))
+    val right = Seq(tick("Y", "2024-01-01 00:00:30", 5.0), tick("Y", "2024-01-01 00:01:05", 6.0),
+      tick("Y", "2024-01-01 00:01:55", 7.0), tick("Y", "2024-01-01 00:02:40", 8.0))
+    val lIn = MemoryStream[TickRow]
+    val rIn = MemoryStream[TickRow]
+    val q = Streams.windowJoin(lIn.toDF(), rIn.toDF()).writeStream
+      .format("memory").queryName("wjoin_ooo").outputMode("append").start()
+    // batch 1 delivers LATER rows first (fixed scramble, not time order);
+    // global watermark after it = min(02:15, 01:55) − 60s = 00:55 — below
+    // every delivered window's end, so nothing is evicted early
+    lIn.addData(left(3), left(1))
+    rIn.addData(right(2))
+    q.processAllAvailable()
+    // batch 2 delivers the minute-0 stragglers LATE but within the
+    // watermark (window end 01:00 ≥ 00:55) plus the rest, again shuffled
+    lIn.addData(left(0), left(2))
+    rIn.addData(right(3), right(0), right(1))
+    q.processAllAvailable()
+    lIn.addData(flush.head); rIn.addData(flush.last)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("wjoin_ooo")
+      .filter(col("time") < ts("2024-01-01 09:00:00"))
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("time"),
+        r.getAs[Double]("l_bid"), r.getAs[Double]("r_bid"))).toSet
+    assert(got === batchWindowJoin(left, right))
+  }
+
+  test("T7: a row beyond the watermark is dropped (documented divergence from batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[TickRow]
+    val rIn = MemoryStream[TickRow]
+    val q = Streams.windowJoin(lIn.toDF(), rIn.toDF()).writeStream
+      .format("memory").queryName("wjoin_late").outputMode("append").start()
+    // batch 1: a minute-0 left row plus minute-10 rows on BOTH sides —
+    // global watermark advances to 09:00, evicting the minute-0 window
+    lIn.addData(tick("X", "2024-01-01 00:00:10", 1.0), tick("X", "2024-01-01 00:10:00", 99.0))
+    rIn.addData(tick("Y", "2024-01-01 00:10:00", 88.0))
+    q.processAllAvailable()
+    // batch 2: the minute-0 right partner arrives BEYOND the watermark
+    // (window end 00:01 < 09:00) — Structured Streaming drops it, so the
+    // (1.0, 5.0) pair a batch join would produce never appears
+    rIn.addData(tick("Y", "2024-01-01 00:00:30", 5.0))
+    q.processAllAvailable()
+    lIn.addData(flush.head); rIn.addData(flush.last)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("wjoin_late")
+      .filter(col("time") < ts("2024-01-01 09:00:00"))
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("time"),
+        r.getAs[Double]("l_bid"), r.getAs[Double]("r_bid"))).toSet
+    assert(got === Set((ts("2024-01-01 00:10:00"), 99.0, 88.0)))
+  }
+
   test("T2: streaming 1m OHLC == batch ohlcBase on deduped ticks") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[TickRow]
