@@ -161,6 +161,58 @@ object StarQueries {
           round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"),
           count(lit(1)).as("n"))),
 
+    // TPC-H Q18 shape: large-volume orders — group-by-having over the
+    // lineitem fact, joined back to the orders fact + customer dim. The
+    // HAVING prunes the agg output to a sliver BEFORE the fact-fact join,
+    // so AQE sees a tiny build side and broadcasts it; sum(l_quantity) is
+    // integral-valued doubles (exact under any partial-agg order). Top-100
+    // under a total order (totalprice DESC, date, orderkey) for a
+    // deterministic LIMIT.
+    "q18_large_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("odate_s"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("odate_s"), col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // L20 gate row: the sketch family's documented error bounds, emitted as
+    // per-slice booleans the driver hash-checks. Sketch estimates themselves
+    // differ across engines (HLL++/KLL internals), so the oracle cannot
+    // compare values — but the BOUNDS are engine-independent claims:
+    //  - HLL++ at rsd=0.05 within 3σ (15%) of the exact distinct count;
+    //  - approx_percentile at accuracy=10000 returns an element whose RANK
+    //    is within n/10000 + 1 of the target rank p·n.
+    // The oracle asserts all-true per slice; any bound violation flips a
+    // boolean and fails the hash. Sketches are deterministic for fixed
+    // input, so this is a stable (not flaky) gate.
+    "a6b_sketch_bounds" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val hll = graft.operators.Sketches.distinctUsersPerType(e, rsd = 0.05)
+        .select(col("event_type"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.15).as("hll_ok"))
+      val approx = e.groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("aq"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("aq")(0).as("a50"), col("aq")(1).as("a95"), col("n"))
+      val ranked = e.join(broadcast(approx), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(first(col("n")).as("n"),
+          sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("value") <= col("a95"), 1L).otherwise(0L)).as("r95"))
+        .select(col("event_type"),
+          (abs(col("r50") - col("n") * 0.5) <= col("n") / 10000.0 + 1).as("q50_ok"),
+          (abs(col("r95") - col("n") * 0.95) <= col("n") / 10000.0 + 1).as("q95_ok"))
+      hll.join(ranked, Seq("event_type"))
+    }),
+
     // O1/W: per-customer running total (window over shuffled key)
     "w_running_total" -> ((s, d) =>
       Tables.orders(s, d)
@@ -259,6 +311,22 @@ object StarQueries {
         |       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
         |       count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS odate_s,
+        |       o_totalprice, sum_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+        |      GROUP BY l_orderkey HAVING sum(l_quantity) > 300) b
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, odate_s, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    // the bounds hold ⟺ every boolean is true; the oracle states exactly
+    // that, so a violated bound hash-mismatches
+    "a6b_sketch_bounds" ->
+      """SELECT event_type, true AS hll_ok, true AS q50_ok, true AS q95_ok
+        |FROM (SELECT DISTINCT event_type FROM events)""".stripMargin,
 
     "w_running_total" ->
       """SELECT o_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS odate_s,
