@@ -86,8 +86,13 @@ object LlmQueries {
     // active, so high-df shingles are semi-joined away BEFORE the postings
     // arrays materialize (intersection counts then see eligible shingles
     // only, while |A|/|B| stay full-set — the documented cap semantics)
+    // maxDf=4, not 2: at the gate SF a cap of 2 leaves ZERO qualifying
+    // pairs (every theta-similar pair loses too much intersection mass), so
+    // the hash would compare empty sets — trivially green. At 4 the cap
+    // both excludes shingles (3 pairs drop vs uncapped) AND lets 22 pairs
+    // survive, so the gate checks real exclusion + survival semantics.
     "llm_dedup_ngram_capped" -> ((s, d) =>
-      Dedup.nearDupNgram(docsPar(s, d), threshold = 0.6, maxDf = Some(2))
+      Dedup.nearDupNgram(docsPar(s, d), threshold = 0.6, maxDf = Some(4))
         .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))),
 
     "llm_dedup_simhash" -> ((s, d) =>
@@ -273,7 +278,7 @@ object LlmQueries {
       s"""WITH $shingleCte,
          |e AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
          |ok AS (SELECT g FROM (SELECT g, count(*) AS d FROM e GROUP BY g)
-         |       WHERE d <= 2),
+         |       WHERE d <= 4),
          |f AS (SELECT doc_id, sz, g FROM e WHERE g IN (SELECT g FROM ok)),
          |p AS (SELECT a.doc_id AS i, a.sz AS ni, b.doc_id AS j, b.sz AS nj,
          |             count(*) AS c
