@@ -186,6 +186,50 @@ object CorpusPrep {
           .as("chunk_text"))
   }
 
+  /** Per-source quota: keep at most `maxPerGroup` docs per `groupCol`,
+    * chosen by deterministic content-hash order (caps domination of the
+    * training mix by any one crawl/source without RNG — re-runs and
+    * retried tasks pick identical survivors).
+    *
+    * Selection runs through the bounded top-k heap aggregate
+    * ([[graft.functions.TopKByScore]]), NOT a per-group row_number window:
+    * partial buffers hold ≤ k entries and merge map-side, so a source with
+    * 10⁹ docs shuffles k rows, not 10⁹ — the window form would sort the
+    * whole skewed group on one task. The hash score drops the low 7 bits
+    * (60-bit → 53-bit) so its double image is exact and the (score desc,
+    * id asc) tie-break is engine-portable. */
+  def sourceQuota(docs: DataFrame, maxPerGroup: Int,
+                  groupCol: String = "source"): DataFrame = {
+    docs
+      .withColumn("hscore",
+        expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint) div 128")
+          .cast("double"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.TopKByScore(col("hscore"), col("doc_id"), maxPerGroup).as("top"))
+      .select(col(groupCol), posexplode(col("top")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("doc_id"))
+  }
+
+  /** PII scrubbing: emails, IPv4 literals, and phone-like digit runs become
+    * typed placeholder tokens (the C4/CCNet curation step). A pure
+    * codegen'd `regexp_replace` chain — shuffle-free linear scan at any
+    * scale; patterns are RE2-compatible (no lookaround) so the same regexes
+    * run identically in any engine. Order matters: emails first (they
+    * contain digits and dots), then IPs (dotted digits), then bare digit
+    * runs. */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+?\\d[\\d\\- ]{7,}\\d"
+    docs.withColumn(textCol,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), email, "<EMAIL>"),
+          ip, "<IP>"),
+        phone, "<PHONE>"))
+  }
+
   /** Per-split rollup of a cleaned, split-assigned corpus — the last stage
     * of the end-to-end curation flow (clean → [[assignSplit]] → audit the
     * train/val/test balance before training). Same order-insensitive

@@ -165,6 +165,28 @@ object LlmQueries {
 
     "llm_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docsPar(s, d))),
 
+    // per-source quota: cap each source at 16 docs, content-hash order —
+    // the anti-domination valve for training-mix construction (16 < the
+    // 25-docs-per-source gate corpus, so the cap provably bites there)
+    "llm_source_quota" -> ((s, d) =>
+      CorpusPrep.sourceQuota(docsPar(s, d), maxPerGroup = 16)),
+
+    // PII scrubbing over a deterministically PII-seeded corpus: the raw
+    // corpus contains no emails/IPs/phones, so the query appends a synthetic
+    // contact line derived from doc_id before scrubbing — the hash compares
+    // the SCRUBBED text, so any mis-scrub (missed match, wrong span,
+    // placeholder typo) flips it
+    "llm_pii_scrub" -> ((s, d) => {
+      val seeded = Tables.documents(s, d).withColumn("text",
+        concat(col("text"), format_string(
+          " contact user%d@mail.example phone +81 %09d ip 10.%d.0.33",
+          col("doc_id"), pmod(col("doc_id") * 7919, lit(100000000)),
+          pmod(col("doc_id"), lit(250)) + 1)))
+      CorpusPrep.scrubPii(seeded)
+        .select(col("doc_id"), length(col("text")).cast("bigint").as("n_chars_scrubbed"),
+          expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)").as("h"))
+    }),
+
     // transitive near-dup clusters: minhash pairs → connected components;
     // unmatched docs are their own singleton cluster
     "llm_dedup_clusters" -> ((s, d) => {
@@ -266,6 +288,35 @@ object LlmQueries {
         |       min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
         |       doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
         |FROM h""".stripMargin,
+
+    // same 60-bit MD5 hash >> 7 (exact in double) and the same
+    // (hash desc, doc_id asc) total order as the engine's top-k heaps
+    "llm_source_quota" ->
+      """SELECT source, rk::INT AS rk, doc_id FROM (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY ('0x' || substr(md5(text), 1, 15))::BIGINT // 128 DESC,
+        |                    doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 16""".stripMargin,
+
+    // identical seeding + identical RE2-compatible regex chain; the hash of
+    // the scrubbed text is the check
+    "llm_pii_scrub" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |         text || printf(' contact user%d@mail.example phone +81 %09d ip 10.%d.0.33',
+        |                        doc_id, (doc_id * 7919) % 100000000, doc_id % 250 + 1) AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS text
+        |  FROM seeded)
+        |SELECT doc_id, length(text)::BIGINT AS n_chars_scrubbed,
+        |       ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |FROM s""".stripMargin,
 
     "llm_dedup_minhash" -> jaccardOracle(0.8),
     "llm_dedup_ngram" -> jaccardOracle(0.6),

@@ -73,6 +73,40 @@ class CorpusPrepSpec extends SparkSpec {
     assert(ccKept === Set(1L))       // cluster-exact keeps only the minimum
   }
 
+  test("sourceQuota caps each group deterministically, heap-agg not window-sort") {
+    val docs = (1L to 30L).map(i => (i, s"doc body ${i * 37}", if (i <= 25) "big" else "small"))
+      .toDF("doc_id", "text", "source")
+    val got = CorpusPrep.sourceQuota(docs, maxPerGroup = 8)
+    val bySrc = got.collect().groupBy(_.getAs[String]("source"))
+    assert(bySrc("big").length === 8)   // capped
+    assert(bySrc("small").length === 5) // under quota, all kept
+    assert(bySrc("big").map(_.getAs[Int]("rk")).sorted.toSeq === (1 to 8))
+    // deterministic: a second run picks identical survivors
+    assert(got.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq ===
+      CorpusPrep.sourceQuota(docs, maxPerGroup = 8)
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq)
+    // skew-safety tripwire: selection is the bounded top-k AGGREGATE
+    // (partial heaps, map-side merge), never a per-group Window sort of
+    // the full corpus on one task
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("top_k_by_score"), s"top-k aggregate missing:\n$plan")
+    assert(!plan.contains("Window"), s"per-group window sort crept in:\n$plan")
+  }
+
+  test("scrubPii replaces emails, IPs, and phone runs with typed tokens") {
+    val docs = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org today"),
+      (2L, "server 192.168.001.4 is up, call +81 90-1234-5678 now"),
+      (3L, "no pii here at all"),
+      (4L, "bare digits 123456789012 also scrub")).toDF("doc_id", "text")
+    val got = CorpusPrep.scrubPii(docs).orderBy("doc_id")
+      .collect().map(_.getAs[String]("text"))
+    assert(got(0) === "mail me at <EMAIL> today")
+    assert(got(1) === "server <IP> is up, call <PHONE> now")
+    assert(got(2) === "no pii here at all")
+    assert(got(3) === "bare digits <PHONE> also scrub")
+  }
+
   test("chunkWindows: strided windows cover every token, trailing chunk runs short") {
     // 10 tokens, size 4, stride 3 → starts 0,3,6,9
     val doc = Seq((7L, (0 until 10).map(i => s"t$i").mkString(" ")))
