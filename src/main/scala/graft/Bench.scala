@@ -80,10 +80,19 @@ object Bench {
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     System.err.println(full)
-    def rounded(dp: Int) = line(results.map { case (k, v) =>
-      "\"" + k + "\":" + BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
-    }.mkString("{", ",", "}"))
-    val budget = 1800
+    // compact stdout variant: rounded times, no runs/stat fields, basename
+    // sf — full fidelity lives in target/bench.json; this line only has to
+    // parse inside the capture window (~1918 usable chars after sbt's
+    // "[info] " prefix and trailing success line)
+    val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
+    def rounded(dp: Int) = {
+      val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+      }.mkString("{", ",", "}")
+      val tot = BigDecimal(total).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfShort"}"""
+    }
+    val budget = 1890
     val compact = Seq(rounded(3), rounded(2))
       .find(_.length <= budget)
       .getOrElse(line("\"target/bench.json\""))
