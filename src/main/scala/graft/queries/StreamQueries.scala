@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.Files
 
 import graft.operators.Ticks
-import graft.streaming.{Streams, TickRow}
+import graft.streaming.{SeqTick, Streams, TickRow}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -183,6 +183,32 @@ object StreamQueries {
           col("n_pairs"), col("max_l_bid"), col("max_r_bid"))
     }),
 
+    // T8 (keyed custom state): streaming EMA-14 over every valid tick via
+    // flatMapGroupsWithState — 3-number state per pair folded across the
+    // four micro-batches. Determinism: the staged chunks replay in
+    // (time, seq)-ascending ranges and the fold sorts within each batch,
+    // so the double recurrence runs in exactly the batch order and the
+    // result is bit-identical to the recursive-CTE oracle.
+    "t8_ema_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t8-").toString
+      import s.implicits._
+      withStreamShuffle(s, 8) {
+        val ticks = tickStream(s, d)
+          .select(col("pair"), col("time"), col("seq"), col("bid")).as[SeqTick]
+        Streams.emaStream(ticks, 14)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/sink")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
+      s.read.parquet(s"$tmp/sink")
+        .select(col("pair"), unix_micros(col("time")).as("time_us"),
+          round(col("ema"), 6).as("ema"))
+    }),
+
     // T5 (keyed latest-value state): mapGroupsWithState latest-tick cache,
     // update-mode emissions appended to a log sink; the log's per-pair
     // (time, bid)-max equals the batch latest for any batch split or
@@ -259,6 +285,29 @@ object StreamQueries {
          |       max(a.bid) AS max_l_bid, max(b.bid) AS max_r_bid
          |FROM a JOIN b ON a.m = b.m
          |GROUP BY 1""".stripMargin,
+
+    // recursive-CTE replay of the identical TA-Lib recurrence over ticks in
+    // (µs time, seq) order — same double ops in the same order ⇒ bit-exact
+    // (the u2_ema oracle pattern, over raw valid ticks instead of candles)
+    "t8_ema_stream" ->
+      s"""WITH RECURSIVE ${TradingQueries.ticksCte},
+         |c AS (SELECT pair, time, bid,
+         |             row_number() OVER (PARTITION BY pair
+         |               ORDER BY epoch_us(time), seq) AS rn
+         |      FROM ticks),
+         |r AS (
+         |  SELECT pair, rn, time, bid AS seed_sum, CAST(NULL AS DOUBLE) AS prev
+         |  FROM c WHERE rn = 1
+         |  UNION ALL
+         |  SELECT c.pair, c.rn, c.time,
+         |         CASE WHEN c.rn < 14 THEN r.seed_sum + c.bid
+         |              ELSE CAST(0.0 AS DOUBLE) END,
+         |         CASE WHEN c.rn < 14 THEN NULL
+         |              WHEN c.rn = 14 THEN (r.seed_sum + c.bid) / 14
+         |              ELSE (c.bid - r.prev) * (2.0 / 15) + r.prev END
+         |  FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1)
+         |SELECT pair, epoch_us(time) AS time_us, round(prev, 6) AS ema
+         |FROM r WHERE prev IS NOT NULL""".stripMargin,
 
     // epoch(ts)::BIGINT ROUNDS fractional seconds (these ticks keep µs
     // precision, unlike the second-truncated dedup set) — integer-divide

@@ -10,6 +10,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQ
 /** A live tick in the streaming layer (same shape as the batch tick set). */
 final case class TickRow(pair: String, time: Timestamp, bid: Double, ask: Double)
 
+/** A tick carrying its arrival sequence — the total-order tiebreak the
+  * stateful indicator fold needs (same role `seq` plays in the batch dedup). */
+final case class SeqTick(pair: String, time: Timestamp, seq: Long, bid: Double)
+
+/** Carried state of the streaming EMA fold: ticks seen, partial seed sum,
+  * and the last EMA value (TA-Lib recurrence — see
+  * [[graft.operators.Indicators.ema]]). */
+final case class EmaState(n: Long, seedSum: Double, prev: Double)
+
+/** One emitted EMA point (defined from the `period`-th tick onward). */
+final case class EmaPoint(pair: String, time: Timestamp, ema: Double)
+
 /** Structured Streaming layer (SURVEY.md §2.8 T1/T2/T4/T5) — the Spark-first
   * restatement of the reference's streaming paths:
   *
@@ -185,6 +197,49 @@ object Streams {
         batch.write.mode("append").parquet(sinkPath)
       }
       .start()
+
+  /** T8: streaming EMA as keyed custom state — `flatMapGroupsWithState`,
+    * the arbitrary-state API (vs `mapGroupsWithState`'s one-output-per-key
+    * in T5): each micro-batch emits one point per in-order tick once the
+    * seed window is full, and the carried state is three numbers per pair
+    * (count, partial seed sum, last EMA) — O(keys) state, no timeline
+    * buffering, at any scale.
+    *
+    * The recurrence is the batch [[graft.operators.Indicators.ema]]
+    * (TA-Lib semantics: SMA-of-first-`period` seed, then
+    * `ema = (x - prev)·k + prev`, `k = 2/(period+1)`) folded ACROSS
+    * micro-batches instead of within one sorted group. Determinism
+    * contract: a double recurrence is order-dependent, so streaming ≡
+    * batch requires ticks to be folded in exactly the batch (time, seq)
+    * order — within a batch the group's rows are sorted here; across
+    * batches the source must replay in (time, seq)-ascending chunks (the
+    * gate's staged source does; a Kafka deployment keys partitions by pair,
+    * which gives per-key arrival order the same way). */
+  def emaStream(ticks: Dataset[SeqTick], period: Int): Dataset[EmaPoint] = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val k = 2.0 / (period + 1)
+    ticks.groupByKey(_.pair)
+      .flatMapGroupsWithState[EmaState, EmaPoint](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (pair, rows, state: GroupState[EmaState]) =>
+        val st = state.getOption.getOrElse(EmaState(0L, 0.0, 0.0))
+        var n = st.n; var seed = st.seedSum; var prev = st.prev
+        val out = Vector.newBuilder[EmaPoint]
+        // (seconds, nanos, seq): getTime alone is millisecond precision
+        rows.toVector
+          .sortBy(r => (r.time.getTime / 1000, r.time.getNanos, r.seq))
+          .foreach { r =>
+            n += 1
+            if (n < period) seed += r.bid
+            else if (n == period) { prev = (seed + r.bid) / period; out += EmaPoint(pair, r.time, prev) }
+            else { prev = (r.bid - prev) * k + prev; out += EmaPoint(pair, r.time, prev) }
+          }
+        state.update(EmaState(n, seed, prev))
+        out.result().iterator
+      }
+  }
 
   /** T4: CDC relay into a parquet sink with first-write-wins semantics.
     * Source offsets play the reference's `last_time` cursor; `foreachBatch`
