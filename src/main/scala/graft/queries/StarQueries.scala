@@ -101,6 +101,51 @@ object StarQueries {
         .limit(20)
     }),
 
+    // TPC-H Q4 shape: priority counts over orders that had at least one
+    // line shipped after the order date — a semi-join whose condition mixes
+    // an equi key (shuffle/broadcast-able) with a correlated inequality
+    // (applied as a post-join filter, never a nested loop). The date filter
+    // sits on the orders scan and pushes into parquet.
+    "q4_priority_exists" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1999-01-01") &&
+          col("o_orderdate") < lit("2000-01-01"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))),
+
+    // TPC-H Q12 shape: conditional aggregation over a fact-fact join —
+    // per return flag, how many lines belong to high- vs low-priority
+    // orders. sum(when) compiles to a partial-aggregated conditional count
+    // (map-side combined; the join shuffles once on the order key).
+    "q12_priority_by_flag" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1999-01-01") &&
+          col("l_shipdate") < lit("2000-01-01"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))),
+
+    // TPC-H Q14 shape: promo revenue share — conditional DECIMAL sums
+    // (exact under any partial-agg order) with ONE double division at the
+    // end; part joins via broadcast (bounded dim at any scale factor
+    // relative to lineitem).
+    "q14_promo_share" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1999-09-01") &&
+          col("l_shipdate") < lit("1999-10-01"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) * sum(when(col("p_type") === "PROMO", revenue)).cast("double")
+            / sum(revenue).cast("double"), 6).as("promo_share"),
+          count(lit(1)).as("n_lines"))),
+
     // O2 top-k: TakeOrderedAndProject, never a full sort
     "o2_top_customers" -> ((s, d) =>
       Tables.orders(s, d)
@@ -274,6 +319,36 @@ object StarQueries {
         |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1""".stripMargin,
+
+    "q12_priority_by_flag" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT round(100.0 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6)))
+        |                         FILTER (p_type = 'PROMO') AS DOUBLE)
+        |             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_share,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1999-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-10-01 00:00:00'""".stripMargin,
 
     "o2_top_customers" ->
       """SELECT o_custkey,
