@@ -358,4 +358,43 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Duplicate-SPAN removal: exact substring dedup at a fixed token grid —
+    * the within-corpus repeated-passage scrub (boilerplate paragraphs,
+    * licence headers, navigation chrome) that doc-level dedup cannot see.
+    * Each doc is cut into consecutive `span`-token segments; a segment seen
+    * before anywhere in the corpus (first occurrence = lowest (doc_id,
+    * position)) is dropped, and each doc is reassembled from its surviving
+    * segments in order.
+    *
+    * Scale: two shuffles — first-wins over the segment hash (wide uniform
+    * key, the exact-dedup shape), then reassembly grouped by doc_id
+    * (per-group state bounded by one doc's segments). Segment explosion is
+    * linear in corpus tokens; nothing is quadratic and no postings list is
+    * ever materialized. Spark-first: sequence/slice/concat_ws are all
+    * codegen'd built-ins — no UDF.
+    */
+  def dedupSpans(docs: DataFrame, span: Int = 10): DataFrame = {
+    require(span >= 1, s"span must be >= 1, got $span")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val segs = toks
+      .select(col("doc_id"), col("toks"),
+        // `div`, not `/`: int `/` is double division in Spark SQL
+        explode(sequence(lit(0),
+          expr(s"greatest((size(toks) + ${span - 1}) div $span - 1, 0)"))).as("i"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("toks"), col("i") * span + 1, lit(span))).as("seg"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("i"))
+    segs
+      .withColumn("h", md5(col("seg")))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("i"), col("seg"))))),
+          x => x.getField("seg"))).as("clean_text"))
+  }
 }

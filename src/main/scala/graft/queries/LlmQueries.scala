@@ -74,6 +74,10 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
 
+    // L30: duplicate-span removal — exact substring scrub at a 10-token
+    // grid; first occurrence (lowest (doc_id, position)) survives
+    "llm_dedup_spans" -> ((s, d) => Dedup.dedupSpans(docsPar(s, d), span = 10)),
+
     "llm_dedup_minhash" -> ((s, d) =>
       Dedup.nearDupMinhash(docsPar(s, d), threshold = 0.8)
         .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))),
@@ -288,6 +292,27 @@ object LlmQueries {
         |       min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
         |       doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
         |FROM h""".stripMargin,
+
+    // independent restatement: raw-text token grid, span strings grouped
+    // directly (the engine groups by md5(seg) — same partition), list
+    // slices are 1-based inclusive end-truncating like Spark slice()
+    "llm_dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |             unnest(range(0, greatest((len(toks) + 9) // 10, 1))) AS i,
+        |             toks
+        |      FROM t),
+        |g AS (SELECT doc_id, i,
+        |             array_to_string(toks[i*10+1 : i*10+10], ' ') AS seg
+        |      FROM s),
+        |f AS (SELECT doc_id, i, seg,
+        |             row_number() OVER (PARTITION BY seg ORDER BY doc_id, i) AS rn
+        |      FROM g)
+        |SELECT doc_id, count(*) AS n_spans,
+        |       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |       coalesce(array_to_string(list(seg ORDER BY i) FILTER (rn = 1), ' '),
+        |                '') AS clean_text
+        |FROM f GROUP BY doc_id""".stripMargin,
 
     // same 60-bit MD5 hash >> 7 (exact in double) and the same
     // (hash desc, doc_id asc) total order as the engine's top-k heaps

@@ -132,4 +132,27 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(uncapped === Set((100L, 1L, 3L), (100L, 2L, 1L), (100L, 3L, 1L)))
   }
+
+  test("span dedup: repeated segments drop, first occurrence wins, order kept") {
+    // span=2: doc 1 = [ab][cd][ef]; doc 2 repeats [ab] and [cd] grid-aligned
+    // plus its own tail; doc 3 duplicates doc 1 entirely
+    val d = Dedup.dedupSpans(docs(
+      1L -> "a b c d e f",
+      2L -> "a b c d x y",
+      3L -> "a b c d e f"), span = 2)
+      .orderBy("doc_id").collect()
+    assert(d.map(_.getAs[Long]("n_spans")).toSeq === Seq(3L, 3L, 3L))
+    assert(d.map(_.getAs[Long]("n_kept")).toSeq === Seq(3L, 1L, 0L))
+    assert(d.map(_.getAs[String]("clean_text")).toSeq ===
+      Seq("a b c d e f", "x y", ""))
+  }
+
+  test("span dedup: within-doc repeats collapse; ragged tail is its own span") {
+    val d = Dedup.dedupSpans(docs(1L -> "p q p q r"), span = 2)
+      .collect().head
+    // segments: [p q], [p q], [r] → second [p q] drops
+    assert(d.getAs[Long]("n_spans") === 3L)
+    assert(d.getAs[Long]("n_kept") === 2L)
+    assert(d.getAs[String]("clean_text") === "p q r")
+  }
 }
