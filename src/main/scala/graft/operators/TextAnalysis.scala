@@ -97,6 +97,31 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
   }
 
+  /** L31: vocabulary-coverage quality scoring — the cheap stand-in for
+    * LM-perplexity filtering (CCNet-family): score each doc by how well a
+    * top-V corpus vocabulary covers it. Emits per doc the token count, the
+    * out-of-vocabulary count and ratio, and the median in-vocab token
+    * frequency (a doc of rare-but-known words scores lower than one of
+    * stopwords — the same signal direction as LM log-prob, with exact
+    * integer/single-division arithmetic instead of a float sum, so it is
+    * engine-portable).
+    *
+    * Scale: the vocabulary is bounded (V rows) and broadcast — the per-doc
+    * pass is a broadcast left join + one groupBy(doc_id) shuffle; nothing
+    * grows with corpus size except the linear token explosion. */
+  def vocabCoverage(docs: DataFrame, topV: Int): DataFrame = {
+    val v = vocab(docs, topV).select(col("tok"), col("freq"))
+    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .join(broadcast(v), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("freq").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(sum(when(col("freq").isNull, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("oov_ratio"),
+        round(expr("percentile(freq, 0.5)"), 6).as("med_freq"))
+  }
+
   /** Gopher/RefinedWeb-family repetition signals: the fraction of duplicate
     * words and duplicate word-bigrams per document — high values flag
     * boilerplate/spam for quality filtering. The token and bigram arrays

@@ -217,6 +217,11 @@ object LlmQueries {
     "llm_vocab_topk" -> ((s, d) =>
       TextAnalysis.vocab(docsPar(s, d), topV = 50)),
 
+    // L31: vocabulary-coverage scoring against the top-50 vocab — the
+    // perplexity-filter stand-in with exact engine-portable arithmetic
+    "llm_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(docsPar(s, d), topV = 50)),
+
     // benchmark decontamination: val/test docs (content-hash split) sharing
     // >= 2 trigram shingles with any train doc
     "llm_decontaminate" -> ((s, d) => {
@@ -618,6 +623,22 @@ object LlmQueries {
          |       row_number() OVER (ORDER BY count(*) DESC, tok)::INT AS rank
          |FROM f GROUP BY tok
          |ORDER BY freq DESC, tok LIMIT 50""".stripMargin,
+
+    // quantile_cont == Spark percentile (continuous interpolated quantile,
+    // parity verified in a6_percentiles); both engines skip NULL freq
+    "llm_vocab_coverage" ->
+      s"""WITH $toksCte,
+         |v AS (SELECT tok, count(*)::BIGINT AS freq
+         |      FROM (SELECT unnest(w) AS tok FROM toks)
+         |      GROUP BY tok ORDER BY freq DESC, tok LIMIT 50),
+         |f AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+         |j AS (SELECT f.doc_id, v.freq FROM f LEFT JOIN v USING (tok))
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       sum(CASE WHEN freq IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+         |       round(sum(CASE WHEN freq IS NULL THEN 1 ELSE 0 END)::DOUBLE
+         |             / count(*), 6) AS oov_ratio,
+         |       round(quantile_cont(freq, 0.5), 6) AS med_freq
+         |FROM j GROUP BY doc_id""".stripMargin,
 
     // lateral generate_series = the posexplode'd start sequence; DuckDB list
     // slice is 1-based inclusive and end-truncating, matching Spark's slice
