@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.operators.{CorpusPrep, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.MisraGries
+import graft.operators.{CorpusPrep, Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -168,6 +169,29 @@ object LlmQueries {
     "llm_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
 
     "llm_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docsPar(s, d))),
+
+    // L32: Misra-Gries heavy hitters under the gate — like a6b, sketch
+    // internals differ per partitioning, but the BOUNDS are deterministic
+    // claims: for EVERY distinct token, 0 ≤ est ≤ exact and
+    // est ≥ exact − n/(k+1) (est = 0 when untracked). k=8 < 31 distinct
+    // tokens, so evictions and the merge reduction genuinely fire; a
+    // violated bound flips a boolean and fails the hash. Integer
+    // arithmetic only (est·(k+1) ≥ exact·(k+1) − n).
+    "llm_heavy_hitters" -> ((s, d) => {
+      val k = 8
+      val toks = docsPar(s, d).select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val est = toks.agg(MisraGries(col("tok"), k).as("mg"))
+        .select(explode(col("mg")).as("e"))
+        .select(col("e.item").as("tok"), col("e.est").as("est"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+        .crossJoin(broadcast(total))
+        .join(est, Seq("tok"), "left")
+        .select(col("tok"), col("exact"),
+          (coalesce(col("est"), lit(0L)) <= col("exact") &&
+            coalesce(col("est"), lit(0L)) * (k + 1) >=
+              col("exact") * (k + 1) - col("n")).as("mg_ok"))
+    }),
 
     // per-source quota: cap each source at 16 docs, content-hash order —
     // the anti-domination valve for training-mix construction (16 < the
@@ -623,6 +647,14 @@ object LlmQueries {
          |       row_number() OVER (ORDER BY count(*) DESC, tok)::INT AS rank
          |FROM f GROUP BY tok
          |ORDER BY freq DESC, tok LIMIT 50""".stripMargin,
+
+    // the oracle states the bounds hold for every token; estimates
+    // themselves are partitioning-dependent and not comparable
+    "llm_heavy_hitters" ->
+      s"""WITH $toksCte,
+         |f AS (SELECT unnest(w) AS tok FROM toks)
+         |SELECT tok, count(*) AS exact, true AS mg_ok
+         |FROM f GROUP BY tok""".stripMargin,
 
     // quantile_cont == Spark percentile (continuous interpolated quantile,
     // parity verified in a6_percentiles); both engines skip NULL freq
