@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   * private) because Catalyst's generated deserializer must access it. */
 final case class CloseRow(pair: String, timeframe: String, time: Timestamp, close: Double)
 
+/** One MACD output row: fast/slow EMA difference, its signal EMA, and the
+  * histogram; all None during the respective warm-ups. */
+final case class MacdRow(pair: String, timeframe: String, time: Timestamp,
+                         macd: Option[Double], signal: Option[Double],
+                         hist: Option[Double])
+
 /** Technical-indicator operators (SURVEY.md §2.9 U1-U3, §2.5 W3).
   *
   * The reference round-trips the ordered close series into Python/NumPy and
@@ -91,6 +97,72 @@ object Indicators {
         out
       }
     }
+
+  /** U5: MACD — fast EMA − slow EMA, with a `sig`-period signal EMA over
+    * the MACD line and the histogram (macd − signal). TA-Lib-style seeds:
+    * each EMA seeds with the SMA of its first `period` inputs (the signal
+    * EMA seeds over the first `sig` *defined* MACD values), so
+    * macd is defined from row `slow`, signal/hist from row `slow+sig−1`.
+    * Same single-shuffle sorted-group fold as EMA/RSI — three recurrences
+    * carried through one pass, state is six numbers per series. */
+  def macd(candles: DataFrame, fast: Int = 12, slow: Int = 26, sig: Int = 9): Dataset[MacdRow] = {
+    require(2 <= fast && fast < slow, s"need 2 <= fast < slow, got $fast/$slow")
+    require(sig >= 2, s"sig must be >= 2, got $sig")
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val kF = 2.0 / (fast + 1); val kS = 2.0 / (slow + 1); val kG = 2.0 / (sig + 1)
+    candles.select($"pair", $"timeframe", $"time", $"close").as[CloseRow]
+      .groupByKey(r => (r.pair, r.timeframe))
+      .flatMapSortedGroups($"time") { case ((pair, tf), rows) =>
+        var sumF = 0.0; var sumS = 0.0; var emaF = 0.0; var emaS = 0.0
+        var nMacd = 0; var sumG = 0.0; var sigV = 0.0
+        rows.zipWithIndex.map { case (r, i) =>
+          val c = r.close
+          if (i < fast - 1) sumF += c
+          else if (i == fast - 1) emaF = (sumF + c) / fast
+          else emaF = (c - emaF) * kF + emaF
+          if (i < slow - 1) sumS += c
+          else if (i == slow - 1) emaS = (sumS + c) / slow
+          else emaS = (c - emaS) * kS + emaS
+          val macdO = if (i >= slow - 1) Some(emaF - emaS) else None
+          val sigO = macdO.flatMap { m =>
+            nMacd += 1
+            if (nMacd < sig) { sumG += m; None }
+            else if (nMacd == sig) { sigV = (sumG + m) / sig; Some(sigV) }
+            else { sigV = (m - sigV) * kG + sigV; Some(sigV) }
+          }
+          MacdRow(pair, tf, r.time, macdO, sigO,
+            sigO.map(s => macdO.get - s))
+        }
+      }
+  }
+
+  /** U6: Bollinger bands — `period`-row SMA ± `width`·σ (population stddev
+    * over the same window). Engine-portable numerics: Σx and Σx² are EXACT
+    * decimal window sums (close has fixed scale, so x² does too); the only
+    * float work is one identical mean/variance/sqrt expression at the end —
+    * never a running float accumulation, so any engine computing the same
+    * formula over the same exact sums agrees bit-for-bit. Pure window
+    * aggregate: whole-stage codegen, one shuffle on the series key. */
+  def bollinger(candles: DataFrame, period: Int = 20, width: Double = 2.0,
+                calcVersion: String = CalcVersion): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val frame = w.rowsBetween(-(period - 1), Window.currentRow)
+    val dec = col("close").cast("decimal(18,6)")
+    val mean = col("sum_c").cast("double") / period
+    val variance = col("sum_sq").cast("double") / period - mean * mean
+    val sd = sqrt(greatest(variance, lit(0.0)))
+    candles
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sum_c", sum(dec).over(frame))
+      .withColumn("sum_sq", sum(dec * dec).over(frame))
+      .select(col("pair"), col("timeframe"), col("time"),
+        lit(period).as("period"), lit(calcVersion).as("calc_version"),
+        when(col("rn") >= period, mean).as("mid"),
+        when(col("rn") >= period, mean + lit(width) * sd).as("upper"),
+        when(col("rn") >= period, mean - lit(width) * sd).as("lower"))
+  }
 
   /** Shared recursive-fold plumbing: shuffle once on (pair, timeframe),
     * secondary-sort by time, fold the in-order close sequence. `f` maps the

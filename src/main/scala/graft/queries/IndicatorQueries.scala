@@ -47,6 +47,16 @@ object IndicatorQueries {
     }),
     "u2_ema_14_1m" -> ((s, d) => indOut(Indicators.ema(candles1m(s, d), 14).toDF())),
     "u3_rsi_14_1m" -> ((s, d) => indOut(Indicators.rsi(candles1m(s, d), 14).toDF())),
+    "u5_macd_1m" -> ((s, d) =>
+      Indicators.macd(candles1m(s, d)).toDF()
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          round(col("macd"), 6).as("macd"), round(col("signal"), 6).as("signal"),
+          round(col("hist"), 6).as("hist"))),
+    "u6_bollinger_20_1m" -> ((s, d) =>
+      Indicators.bollinger(candles1m(s, d), 20)
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          col("period"), round(col("mid"), 6).as("mid"),
+          round(col("upper"), 6).as("upper"), round(col("lower"), 6).as("lower"))),
     "w1_golden_cross" -> ((s, d) =>
       signalOut(Signals.goldenCross(Indicators.indicatorFacts(candles1m(s, d), Seq("SMA"), Seq(14, 28)), 14, 28))),
     "w1_dead_cross" -> ((s, d) =>
@@ -132,8 +142,83 @@ object IndicatorQueries {
        |       END AS value
        |FROM r""".stripMargin
 
+  /** Recursive-CTE MACD oracle replicating [[graft.operators.Indicators.macd]]
+    * step-for-step: both EMA seeds, the MACD difference, and the signal EMA
+    * seeded over the first `sig` defined MACD values. The recursive term
+    * computes the updated EMAs in a nested subquery so the MACD/signal
+    * updates can reference them without re-deriving the expressions. */
+  private def macdSql(fast: Int, slow: Int, sig: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS (SELECT pair, time, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |r AS (
+       |  SELECT pair, rn, time,
+       |         close AS sum_f, CAST(NULL AS DOUBLE) AS ema_f,
+       |         close AS sum_s, CAST(NULL AS DOUBLE) AS ema_s,
+       |         0 AS n_macd, CAST(0.0 AS DOUBLE) AS sum_g,
+       |         CAST(NULL AS DOUBLE) AS sig, CAST(NULL AS DOUBLE) AS macd
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT pair, rn, time, sum_f, ema_f, sum_s, ema_s,
+       |         CASE WHEN macd IS NULL THEN n0 ELSE n0 + 1 END AS n_macd,
+       |         CASE WHEN macd IS NULL THEN g0
+       |              WHEN n0 + 1 < $sig THEN g0 + macd
+       |              ELSE CAST(0.0 AS DOUBLE) END AS sum_g,
+       |         CASE WHEN macd IS NULL THEN sig0
+       |              WHEN n0 + 1 < $sig THEN NULL
+       |              WHEN n0 + 1 = $sig THEN (g0 + macd) / $sig
+       |              ELSE (macd - sig0) * (2.0 / ${sig + 1}) + sig0 END AS sig,
+       |         macd
+       |  FROM (
+       |    SELECT *, CASE WHEN rn >= $slow THEN ema_f - ema_s END AS macd
+       |    FROM (
+       |      SELECT c.pair, c.rn, c.time, c.close,
+       |             r.n_macd AS n0, r.sum_g AS g0, r.sig AS sig0,
+       |             CASE WHEN c.rn < $fast THEN r.sum_f + c.close
+       |                  ELSE CAST(0.0 AS DOUBLE) END AS sum_f,
+       |             CASE WHEN c.rn < $fast THEN NULL
+       |                  WHEN c.rn = $fast THEN (r.sum_f + c.close) / $fast
+       |                  ELSE (c.close - r.ema_f) * (2.0 / ${fast + 1}) + r.ema_f END AS ema_f,
+       |             CASE WHEN c.rn < $slow THEN r.sum_s + c.close
+       |                  ELSE CAST(0.0 AS DOUBLE) END AS sum_s,
+       |             CASE WHEN c.rn < $slow THEN NULL
+       |                  WHEN c.rn = $slow THEN (r.sum_s + c.close) / $slow
+       |                  ELSE (c.close - r.ema_s) * (2.0 / ${slow + 1}) + r.ema_s END AS ema_s
+       |      FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t1) t2)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       round(macd, 6) AS macd, round(sig, 6) AS signal,
+       |       round(macd - sig, 6) AS hist
+       |FROM r""".stripMargin
+
+  private def bollingerSql(p: Int, width: String): String =
+    s"""$prelude,
+       |b AS (
+       |  SELECT pair, time,
+       |         row_number() OVER (PARTITION BY pair ORDER BY time) AS rn,
+       |         sum(CAST(close AS DECIMAL(18,6))) OVER
+       |           (PARTITION BY pair ORDER BY time
+       |            ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW) AS sum_c,
+       |         sum(CAST(close AS DECIMAL(18,6)) * CAST(close AS DECIMAL(18,6))) OVER
+       |           (PARTITION BY pair ORDER BY time
+       |            ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW) AS sum_sq
+       |  FROM c1m)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
+       |  CASE WHEN rn >= $p THEN round(CAST(sum_c AS DOUBLE) / $p, 6) END AS mid,
+       |  CASE WHEN rn >= $p THEN round(CAST(sum_c AS DOUBLE) / $p
+       |    + $width * sqrt(greatest(CAST(sum_sq AS DOUBLE) / $p
+       |        - (CAST(sum_c AS DOUBLE) / $p) * (CAST(sum_c AS DOUBLE) / $p),
+       |      CAST(0.0 AS DOUBLE))), 6) END AS upper,
+       |  CASE WHEN rn >= $p THEN round(CAST(sum_c AS DOUBLE) / $p
+       |    - $width * sqrt(greatest(CAST(sum_sq AS DOUBLE) / $p
+       |        - (CAST(sum_c AS DOUBLE) / $p) * (CAST(sum_c AS DOUBLE) / $p),
+       |      CAST(0.0 AS DOUBLE))), 6) END AS lower
+       |FROM b""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "u1_sma_14_1m" -> s"$prelude\n${smaSelect(14)}",
+    "u5_macd_1m" -> macdSql(12, 26, 9),
+    "u6_bollinger_20_1m" -> bollingerSql(20, "CAST(2.0 AS DOUBLE)"),
     "u2_ema_14_1m" -> emaSql(14),
     "u3_rsi_14_1m" -> rsiSql(14),
     "u1_sma_multi" -> s"$prelude\n${smaSelect(14)}\nUNION ALL\n${smaSelect(28)}",

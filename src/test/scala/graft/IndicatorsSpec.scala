@@ -69,4 +69,49 @@ class IndicatorsSpec extends SparkSpec {
     assert(out.count() === 2L * 3 * 2 * closes.length)
     assert(out.select("indicator").distinct().count() === 3)
   }
+
+  test("MACD: ema(fast)-ema(slow), signal seeds over first sig defined values") {
+    // fast=2, slow=3, sig=2 over the 10-row series: independently replay
+    // the three recurrences here and compare every row
+    val out = Indicators.macd(candles, fast = 2, slow = 3, sig = 2).toDF()
+      .filter($"pair" === "A").orderBy("time")
+      .select("macd", "signal", "hist").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2))))
+    var sF = 0.0; var eF = 0.0; var sS = 0.0; var eS = 0.0
+    var n = 0; var g = 0.0; var sg = 0.0
+    val exp = closes.zipWithIndex.map { case (c, i) =>
+      if (i < 1) sF += c else if (i == 1) eF = (sF + c) / 2
+      else eF = (c - eF) * (2.0 / 3) + eF
+      if (i < 2) sS += c else if (i == 2) eS = (sS + c) / 3
+      else eS = (c - eS) * (2.0 / 4) + eS
+      val m = if (i >= 2) Some(eF - eS) else None
+      val s = m.flatMap { mv =>
+        n += 1
+        if (n < 2) { g += mv; None }
+        else if (n == 2) { sg = (g + mv) / 2; Some(sg) }
+        else { sg = (mv - sg) * (2.0 / 3) + sg; Some(sg) }
+      }
+      (m, s, s.map(m.get - _))
+    }
+    out.zip(exp).foreach { case ((am, as, ah), (em, es, eh)) =>
+      assert(am.map(_.asInstanceOf[Double]) === em)
+      assert(as.map(_.asInstanceOf[Double]) === es)
+      assert(ah.map(_.asInstanceOf[Double]) === eh)
+    }
+  }
+
+  test("Bollinger: mid is the SMA, band width is 2 population stddevs") {
+    val out = Indicators.bollinger(candles, period = 4).filter($"pair" === "A")
+      .orderBy("time").select("mid", "upper", "lower").collect()
+    // warm-up rows are null
+    assert((0 until 3).forall(i => out(i).isNullAt(0)))
+    closes.indices.drop(3).foreach { i =>
+      val w = closes.slice(i - 3, i + 1)
+      val mean = w.sum / 4
+      val sd = math.sqrt(w.map(x => x * x).sum / 4 - mean * mean)
+      assert(math.abs(out(i).getDouble(0) - mean) < 1e-9)
+      assert(math.abs(out(i).getDouble(1) - (mean + 2 * sd)) < 1e-9)
+      assert(math.abs(out(i).getDouble(2) - (mean - 2 * sd)) < 1e-9)
+    }
+  }
 }
