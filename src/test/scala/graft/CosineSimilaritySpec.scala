@@ -79,6 +79,17 @@ class CosineSimilaritySpec extends SparkSpec {
         "SELECT cosine_sim(array(3.0d, 4.0d), array(4.0d, 3.0d)) AS c")
         .collect()(0).getDouble(0)
       assert(v === 24.0 / 25.0)
+      // the native aggregates resolve from SQL too
+      val topk = ext.sql(
+        """SELECT top_k_by_score(s, id, 2) AS t
+          |FROM VALUES (1.0d, 1L), (3.0d, 2L), (2.0d, 3L) AS v(s, id)""".stripMargin)
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      assert(topk.map(r => (r.getDouble(0), r.getLong(1))) === Seq((3.0, 2L), (2.0, 3L)))
+      val mg = ext.sql(
+        """SELECT misra_gries(w, 4) AS m
+          |FROM VALUES ('a'), ('a'), ('b') AS v(w)""".stripMargin)
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      assert(mg.map(r => (r.getString(0), r.getLong(1))) === Seq(("a", 2L), ("b", 1L)))
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
