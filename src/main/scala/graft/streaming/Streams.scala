@@ -183,6 +183,41 @@ object Streams {
       }
   }
 
+  /** T5 with state TTL: the latest-tick cache with an EVENT-time timeout —
+    * a pair whose latest tick is older than `ttlMs` when the watermark
+    * passes has its state evicted (emitting nothing), so state size tracks
+    * the ACTIVE key set, not every key ever seen. That is the difference
+    * between O(pairs currently trading) and O(all pairs in history) at
+    * scale; the reference's in-process dict (reference:
+    * src/gmo/ws_ticker_server.py:175-190) grows forever by comparison.
+    * Event-time (not processing-time) timeout keeps eviction deterministic
+    * — driven by the data's own clock, replayable in tests and backfills.
+    * Note the watermark is load-bearing twice: it fires the timeouts AND
+    * pre-filters rows older than itself before they reach the operator,
+    * so an evicted pair cannot be re-seeded by a stale straggler — only
+    * by a genuinely fresh tick. */
+  def latestPerPairTtl(ticks: Dataset[TickRow], ttlMs: Long,
+                       watermarkDelay: String = "0 seconds"): Dataset[TickRow] = {
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.withWatermark("time", watermarkDelay)
+      .groupByKey(_.pair)
+      .flatMapGroupsWithState[TickRow, TickRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state: GroupState[TickRow]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val latest = (state.getOption.iterator ++ rows)
+              .maxBy(r => (r.time.getTime / 1000, r.time.getNanos, r.bid))
+            state.update(latest)
+            state.setTimeoutTimestamp(latest.time.getTime + ttlMs)
+            Iterator.single(latest)
+          }
+      }
+  }
+
   /** T5 driver-gate wiring: the keyed latest-tick state emitted per batch
     * (update mode) into an append-only parquet log. The log's final
     * per-pair max over (time, bid) equals the batch latest regardless of

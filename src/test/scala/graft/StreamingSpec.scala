@@ -191,6 +191,33 @@ class StreamingSpec extends SparkSpec {
       Seq(("X", ts("2024-01-01 00:01:10"), 9.0), ("Y", ts("2024-01-01 00:01:02"), 6.0)))
   }
 
+  test("T5+TTL: idle pair's state is evicted by event time; proof via re-seed") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TickRow]
+    // TTL 60 s of EVENT time: X@00:01:10 times out once the watermark
+    // (driven by Y's ticks) passes 00:02:10
+    val q = Streams.latestPerPairTtl(in.toDS(), ttlMs = 60000L)
+      .writeStream.format("memory").queryName("latest_ttl_out")
+      .outputMode("update").start()
+    try {
+      in.addData(tick("X", "2024-01-01 00:01:10", 9.0))
+      q.processAllAvailable() // wm after batch: 00:01:10
+      in.addData(tick("Y", "2024-01-01 00:10:00", 5.0))
+      q.processAllAvailable() // wm advances to 00:10:00 at batch end
+      in.addData(tick("Y", "2024-01-01 00:11:00", 6.0))
+      q.processAllAvailable() // X's 00:02:10 deadline < wm → state evicted
+      // (no intermediate assertion: once the watermark advances, Spark may
+      // run the eviction in an eager follow-up timeout batch — the exact
+      // batch it lands in is an implementation detail)
+      val after = q.lastProgress.stateOperators.apply(0).numRowsTotal
+      assert(after === 1, s"idle X must be evicted from state, got $after")
+    } finally q.stop()
+    // emissions unaffected: X's latest stays the one tick it ever sent
+    val lastX = spark.table("latest_ttl_out").filter($"pair" === "X")
+      .orderBy($"time").collect().map(r => (r.getTimestamp(1), r.getDouble(2)))
+    assert(lastX.toSeq === Seq((ts("2024-01-01 00:01:10"), 9.0)))
+  }
+
   test("T1+T2 chained: dedup then windowed OHLC in ONE streaming query") {
     // two stateful operators back to back (Spark 3.4+ watermark
     // propagation); result must equal the batch spine on the same data
