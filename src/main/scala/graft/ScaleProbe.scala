@@ -36,10 +36,11 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   private val Family = Seq(
-    "llm_dedup_exact", "llm_dedup_minhash", "llm_dedup_ngram",
-    "llm_dedup_ngram_capped", "llm_dedup_simhash", "llm_dedup_embed",
-    "llm_dedup_clusters", "llm_ann_topk", "llm_ann_lsh", "llm_ann_ivf",
-    "llm_ann_quant", "llm_decontaminate", "llm_decontaminate_capped")
+    "llm_dedup_exact", "llm_dedup_spans", "llm_dedup_minhash",
+    "llm_dedup_ngram", "llm_dedup_ngram_capped", "llm_dedup_simhash",
+    "llm_dedup_embed", "llm_dedup_clusters", "llm_ann_topk", "llm_ann_lsh",
+    "llm_ann_ivf", "llm_ann_quant", "llm_decontaminate",
+    "llm_decontaminate_capped")
 
   private val Off = 1000000L
 
