@@ -100,6 +100,30 @@ class PlanGuardSpec extends SparkSpec {
       s"chunking must not join or window:\n$p")
   }
 
+  test("span dedup: no joins, no postings — two shuffles plus the corpus spread") {
+    val p = plan("llm_dedup_spans")
+    assert(!p.contains("Join"), s"span dedup must not join:\n$p")
+    // hash(first-wins window) + doc reassembly groupBy + the query layer's
+    // deliberate corpus-spread repartition = 3 exchanges, nothing more
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 3, s"span dedup grew extra shuffles ($exchanges):\n$p")
+  }
+
+  test("vocab coverage joins the bounded vocab by broadcast, never a shuffle join") {
+    val p = plan("llm_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab must broadcast into the token stream:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"vocab joined by shuffle — corpus-sized exchange at scale:\n$p")
+  }
+
+  test("q14 joins the part dim by broadcast; lineitem date filter is pushed") {
+    val p = plan("q14_promo_share")
+    assert(p.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"shipdate filter must reach the lineitem scan:\n$p")
+  }
+
   test("vocab top-V cuts with distributed TakeOrdered, never a global sort") {
     val p = plan("llm_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"),
