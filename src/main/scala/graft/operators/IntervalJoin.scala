@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval-OVERLAP join — the second time-inequality join Spark lacks
+  * natively (the first, point-in-band, is [[RangeJoin]]): all pairs of
+  * closed intervals `[start_s, end_s]` with `l.start ≤ r.end ∧
+  * r.start ≤ l.end` (concurrent sessions, colliding maintenance windows,
+  * position-overlap in genomics-style data).
+  *
+  * Spark plans the naive inequality join as a BroadcastNestedLoop — O(n·m)
+  * comparisons and a broadcast of a scale-growing side. Here each interval
+  * replicates to the fixed-width time buckets it covers, pairs meet in an
+  * EQUI-join on the bucket, the exact predicate filters, and each
+  * surviving pair is ATTRIBUTED to exactly one bucket — the bucket of
+  * `max(l.start, r.start)` (the overlap's left edge, which both sides
+  * provably cover) — so no `distinct` pass is ever needed.
+  *
+  * Scale: shuffle keys are buckets (uniform, high-cardinality over time);
+  * replication factor per row is `len/bucketSec + 1`, so pick `bucketSec`
+  * near the typical interval length. Join output per bucket is
+  * (intervals alive in that bucket)² — the same locality bound any
+  * interval-tree would give, reached with plain hash-shuffle machinery.
+  */
+object IntervalJoin {
+
+  /** Overlap-join `left` and `right` (each with BIGINT `start_s`/`end_s`
+    * columns, payload columns free-form). Output carries every column of
+    * both sides under `lPrefix`/`rPrefix`. */
+  def overlapJoin(left: DataFrame, right: DataFrame, bucketSec: Long,
+                  lPrefix: String = "l_", rPrefix: String = "r_"): DataFrame = {
+    require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    def side(df: DataFrame, p: String) = {
+      val renamed = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
+      renamed.withColumn("bkt", explode(sequence(
+        expr(s"${p}start_s div $bucketSec"), expr(s"${p}end_s div $bucketSec"))))
+    }
+    side(left, lPrefix).join(side(right, rPrefix), Seq("bkt"))
+      .filter(col(s"${lPrefix}start_s") <= col(s"${rPrefix}end_s") &&
+        col(s"${rPrefix}start_s") <= col(s"${lPrefix}end_s"))
+      // one-bucket attribution: both sides cover the overlap's left edge,
+      // so exactly one replica pair survives — dedup without a shuffle
+      .filter(expr(s"greatest(${lPrefix}start_s, ${rPrefix}start_s) div $bucketSec") === col("bkt"))
+      .drop("bkt")
+  }
+}

@@ -283,6 +283,23 @@ object LlmQueries {
           unix_micros(col("session_end")).as("end_us"),
           col("n_events"), round(col("total_value"), 6).as("total_value"))),
 
+    // J6: interval-overlap join (bucket-replicated equi-join, one-bucket
+    // attribution — never a nested loop, never a distinct): per session,
+    // how many OTHER users' sessions overlap it in time. 300 s buckets ≈
+    // the 43 s mean session length at gate SF.
+    "j6_session_overlap" -> ((s, d) => {
+      val sess = graft.operators.Sessions.sessionize(Tables.events(s, d), gapSeconds = 1800)
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("start_s"),
+          unix_timestamp(col("session_end")).as("end_s"))
+      graft.operators.IntervalJoin.overlapJoin(sess, sess, bucketSec = 300)
+        .filter(col("l_user_id") =!= col("r_user_id"))
+        .groupBy(col("l_user_id"), col("l_start_s"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(col("l_user_id").as("user_id"), col("l_start_s").as("start_s"),
+          col("n_overlap"))
+    }),
+
     "p11_props_parse" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
@@ -758,6 +775,31 @@ object LlmQueries {
         |       count(*) AS n_events,
         |       round(sum(value::DECIMAL(18,6))::DOUBLE, 6) AS total_value
         |FROM s2 GROUP BY 1, 2""".stripMargin,
+
+    // brute-force inequality self-join over the same session set — the
+    // ground truth the bucketed equi-join must reproduce exactly
+    "j6_session_overlap" ->
+      """WITH s AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |                     PARTITION BY user_id ORDER BY ts)) >= 1800000000
+        |              THEN 1 ELSE 0 END AS nw
+        |  FROM events),
+        |s2 AS (
+        |  SELECT user_id, ts,
+        |         sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |g AS (
+        |  SELECT user_id, sid, epoch_us(min(ts)) // 1000000 AS start_s,
+        |         epoch_us(max(ts)) // 1000000 AS end_s
+        |  FROM s2 GROUP BY 1, 2)
+        |SELECT a.user_id, a.start_s, count(*) AS n_overlap
+        |FROM g a JOIN g b
+        |  ON a.user_id <> b.user_id
+        | AND a.start_s <= b.end_s AND b.start_s <= a.end_s
+        |GROUP BY 1, 2""".stripMargin,
 
     "p11_props_parse" ->
       """SELECT event_id, CAST(props::JSON->>'k' AS INTEGER) AS k FROM events""",
