@@ -40,6 +40,18 @@ object AsofJoin {
                timeCol: String, rightCols: Seq[String]): DataFrame =
     unionAsof(left, right, keys, timeCol, rightCols, bucketSeconds = None)
 
+  /** FORWARD as-of join: attach the EARLIEST right row with
+    * `right.time >= left.time` (settlement after order, next candle after
+    * signal). Same single-shuffle union-window core run mirrored: left
+    * rows sort BEFORE a simultaneous right row, and `first ignoreNulls`
+    * reads forward over a (current, unbounded following) frame — so an
+    * exactly-simultaneous right row IS visible, the mirror of the
+    * backward `>=` tie rule. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      timeCol: String, rightCols: Seq[String]): DataFrame =
+    unionAsof(left, right, keys, timeCol, rightCols, bucketSeconds = None,
+      forward = true)
+
   /** [[asofJoin]] with (keys, time-bucket) partitioning — identical results,
     * parallelism keys × buckets instead of keys. Each bucket's window sees
     * its own right rows plus one virtual "carry-in" row: the latest right
@@ -64,18 +76,24 @@ object AsofJoin {
     * run the carrying window, keep left rows with a match. */
   private def unionAsof(left: DataFrame, right: DataFrame, keys: Seq[String],
                         timeCol: String, rightCols: Seq[String],
-                        bucketSeconds: Option[Long]): DataFrame = {
+                        bucketSeconds: Option[Long],
+                        forward: Boolean = false): DataFrame = {
     require(rightCols.nonEmpty, "as-of join needs at least one right payload column")
+    require(!forward || bucketSeconds.isEmpty,
+      "forward direction has no bucketed variant yet")
+    // tie rule: the side that must SEE a simultaneous partner sorts second
+    // backward — right first (left reads back); forward — left first
+    val leftSide = if (forward) 0 else 1
     val leftCols = left.columns.filterNot(keys.contains).filterNot(_ == timeCol)
     val bktOf = bucketSeconds.map(b =>
       floor(unix_timestamp(col(timeCol)) / lit(b)).cast("long").as("_bkt")).toSeq
     val taggedLeft = left.select(
-      keys.map(col) ++ Seq(col(timeCol), lit(1).as("_side")) ++ bktOf ++
+      keys.map(col) ++ Seq(col(timeCol), lit(leftSide).as("_side")) ++ bktOf ++
         leftCols.map(col) ++
         Seq(lit(null).cast("timestamp").as("_r_time")) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
     val taggedRight = right.select(
-      keys.map(col) ++ Seq(col(timeCol), lit(0).as("_side")) ++ bktOf ++
+      keys.map(col) ++ Seq(col(timeCol), lit(1 - leftSide).as("_side")) ++ bktOf ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(col(timeCol).as("_r_time")) ++
         rightCols.map(c => col(c).as(s"_r_$c")): _*)
@@ -111,16 +129,19 @@ object AsofJoin {
         taggedLeft.unionByName(taggedRight).unionByName(carryRows)
     }
     val partCols = keys.map(col) ++ bucketSeconds.map(_ => col("_bkt")).toSeq
-    val w = Window.partitionBy(partCols: _*)
-      .orderBy(col(timeCol), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = union
-      .withColumn("asof_time", last(col("_r_time"), ignoreNulls = true).over(w))
+    val wBase = Window.partitionBy(partCols: _*).orderBy(col(timeCol), col("_side"))
+    val w =
+      if (forward) wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def carry(c: org.apache.spark.sql.Column) =
+      if (forward) first(c, ignoreNulls = true).over(w)
+      else last(c, ignoreNulls = true).over(w)
+    val carried = union.withColumn("asof_time", carry(col("_r_time")))
     val withPayload = rightCols.foldLeft(carried) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
+      df.withColumn(s"asof_$c", carry(col(s"_r_$c")))
     }
     withPayload
-      .filter(col("_side") === 1 && col("asof_time").isNotNull)
+      .filter(col("_side") === leftSide && col("asof_time").isNotNull)
       .select(keys.map(col) ++ Seq(col(timeCol)) ++ leftCols.map(col) ++
         Seq(col("asof_time")) ++ rightCols.map(c => col(s"asof_$c")): _*)
   }

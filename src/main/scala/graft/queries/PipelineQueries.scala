@@ -93,6 +93,17 @@ object PipelineQueries {
           col("asof_close"))
     }),
 
+    // J4 mirrored: each tick paired with the NEXT candle at-or-after it —
+    // the settlement/next-bar lookup; same union-window core run forward
+    "j4c_asof_forward" -> ((s, d) => {
+      val t = ticks(s, d).select(col("pair"), col("time"), col("bid"))
+      val c = candles1m(s, d).select(col("pair"), col("time"), col("close"))
+      AsofJoin.asofJoinForward(t, c, Seq("pair"), "time", Seq("close"))
+        .select(col("pair"), unix_timestamp(col("time")).as("time_s"), col("bid"),
+          unix_timestamp(col("asof_time")).as("asof_time_s"),
+          col("asof_close"))
+    }),
+
     // the same as-of join through the (keys, time-bucket) scale path: daily
     // buckets → parallelism pairs × days instead of pairs; must reproduce
     // the global-window result exactly (same DuckDB ASOF oracle)
@@ -296,6 +307,13 @@ object PipelineQueries {
          |SELECT t.pair, epoch(t.time)::BIGINT AS time_s, t.bid,
          |       epoch(c.time)::BIGINT AS asof_time_s, c.close AS asof_close
          |FROM dedup t ASOF JOIN c1m c ON t.pair = c.pair AND t.time >= c.time""".stripMargin,
+
+    // DuckDB's native ASOF also runs forward when the inequality flips
+    "j4c_asof_forward" ->
+      s"""$prelude
+         |SELECT t.pair, epoch(t.time)::BIGINT AS time_s, t.bid,
+         |       epoch(c.time)::BIGINT AS asof_time_s, c.close AS asof_close
+         |FROM dedup t ASOF JOIN c1m c ON t.pair = c.pair AND t.time <= c.time""".stripMargin,
 
     "u4_messages" ->
       s"""$prelude

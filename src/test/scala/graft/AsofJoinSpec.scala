@@ -39,6 +39,20 @@ class AsofJoinSpec extends SparkSpec {
     assert(got.filter($"label" === "before-any").count() === 0)
   }
 
+  test("forward direction picks the earliest right row at-or-after; tie visible") {
+    val got = AsofJoin.asofJoinForward(events, quotes, Seq("pair"), "time", Seq("close"))
+      .orderBy("pair", "time").collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[String]("label"),
+        r.getAs[java.sql.Timestamp]("asof_time"), r.getAs[Double]("asof_close")))
+    assert(got.toSeq === Seq(
+      ("X", "at-tie", ts("2024-01-01 00:00:00"), 100.0),  // == time still visible
+      ("X", "mid", ts("2024-01-01 00:05:00"), 105.0),
+      ("X", "after-2nd", ts("2024-01-01 00:10:00"), 110.0),
+      // "late" (X, 00:30) and "ok" (Y, 00:03) have no following quote →
+      // dropped (inner, mirrored); "before-any" now matches
+      ("Y", "before-any", ts("2024-01-01 00:02:00"), 50.0)))
+  }
+
   test("bucketed variant matches the global window, carrying across empty buckets") {
     // 60 s buckets: the 00:30 event is 20 empty buckets past the last quote
     // (00:10), so its match must arrive via the carry-in row
