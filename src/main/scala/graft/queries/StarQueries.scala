@@ -146,6 +146,33 @@ object StarQueries {
             / sum(revenue).cast("double"), 6).as("promo_share"),
           count(lit(1)).as("n_lines"))),
 
+    // rollup: region/nation revenue with subtotal and grand-total rows —
+    // Spark expands grouping sets in ONE aggregation pass (no self-union);
+    // grouping_id disambiguates real NULLs from rollup NULLs
+    "a7_rollup_revenue" -> ((s, d) => {
+      val nr = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(round(sum(revenue).cast("double"), 2).as("revenue"),
+          grouping_id().as("gid"))
+    }),
+
+    // pivot: order counts per priority spread across status columns —
+    // fixed pivot values keep the schema static (the only scale-safe form:
+    // an inferred pivot collects the distinct set to the driver)
+    "a8_pivot_status" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"), coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_filled"),
+          coalesce(col("P"), lit(0L)).as("n_pending"))),
+
     // O2 top-k: TakeOrderedAndProject, never a full sort
     "o2_top_customers" -> ((s, d) =>
       Tables.orders(s, d)
@@ -349,6 +376,26 @@ object StarQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1999-09-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1999-10-01 00:00:00'""".stripMargin,
+
+    // DuckDB GROUPING() bit order matches Spark grouping_id for the same
+    // column list (r_name = high bit, n_name = low bit)
+    "a7_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  GROUPING(r_name, n_name)::BIGINT AS gid
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "a8_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'O') AS n_open,
+        |  count(*) FILTER (o_orderstatus = 'F') AS n_filled,
+        |  count(*) FILTER (o_orderstatus = 'P') AS n_pending
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "o2_top_customers" ->
       """SELECT o_custkey,
