@@ -209,6 +209,45 @@ object StreamQueries {
           round(col("ema"), 6).as("ema"))
     }),
 
+    // T9 (stream-static join): the live tick stream enriched with a
+    // bounded static dim (pair → type_id, the j2 pattern) via broadcast
+    // INSIDE the streaming query, then watermark-finalized per-(type_id,
+    // minute) counts in append mode — the production enrich-then-aggregate
+    // shape. The static side is planned once and broadcast to every
+    // micro-batch; determinism: counts/maxes are merge-commutative and the
+    // t2 watermark cutoff applies.
+    "t9_stream_enrich" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t9-").toString
+      val pairs = graft.sources.Tables.events(s, d)
+        .select(col("event_type").as("pair")).distinct()
+        .orderBy(col("pair")).limit(10001).collect().map(_.getString(0))
+      require(pairs.length <= 10000, "dimension cardinality guard")
+      import s.implicits._
+      val dim = pairs.zipWithIndex.map { case (p, i) => (p, (i + 1).toLong) }
+        .toSeq.toDF("pair", "type_id")
+      withStreamShuffle(s, 8) {
+        val enriched = tickStream(s, d)
+          .withColumn("time", date_trunc("second", col("time")))
+          .withWatermark("time", "1 minute")
+          .join(broadcast(dim), Seq("pair"))
+        enriched
+          .groupBy(col("type_id"), window(col("time"), "1 minute"))
+          .agg(count(lit(1)).as("n_ticks"), max(col("bid")).as("max_bid"))
+          .select(col("type_id"), col("window.start").as("time"),
+            col("n_ticks"), col("max_bid"))
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/sink")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+      }
+      s.read.parquet(s"$tmp/sink")
+        .select(col("type_id"), unix_timestamp(col("time")).as("time_s"),
+          col("n_ticks"), col("max_bid"))
+    }),
+
     // T5 (keyed latest-value state): mapGroupsWithState latest-tick cache,
     // update-mode emissions appended to a log sink; the log's per-pair
     // (time, bid)-max equals the batch latest for any batch split or
@@ -308,6 +347,25 @@ object StreamQueries {
          |  FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1)
          |SELECT pair, epoch_us(time) AS time_us, round(prev, 6) AS ema
          |FROM r WHERE prev IS NOT NULL""".stripMargin,
+
+    // batch restatement: same dim derivation, same aggregation, same
+    // watermark cutoff as the t2 oracle
+    "t9_stream_enrich" ->
+      s"""WITH ${TradingQueries.ticksCte},
+         |tsec AS (
+         |  SELECT pair, date_trunc('second', time) AS time, bid FROM ticks),
+         |mx AS (SELECT max(time) AS m FROM tsec),
+         |dim AS (
+         |  SELECT pair, row_number() OVER (ORDER BY pair) AS type_id
+         |  FROM (SELECT DISTINCT event_type AS pair FROM events) t),
+         |agg AS (
+         |  SELECT d.type_id, time_bucket(INTERVAL '1 minute', t.time) AS bkt,
+         |         count(*) AS n_ticks, max(t.bid) AS max_bid
+         |  FROM tsec t JOIN dim d USING (pair)
+         |  GROUP BY 1, 2)
+         |SELECT type_id, epoch(bkt)::BIGINT AS time_s, n_ticks, max_bid
+         |FROM agg
+         |WHERE bkt + INTERVAL '1 minute' <= (SELECT m FROM mx) - INTERVAL '1 minute'""".stripMargin,
 
     // epoch(ts)::BIGINT ROUNDS fractional seconds (these ticks keep µs
     // precision, unlike the second-truncated dedup set) — integer-divide
