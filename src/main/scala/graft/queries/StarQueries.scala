@@ -285,6 +285,47 @@ object StarQueries {
       hll.join(ranked, Seq("event_type"))
     }),
 
+    // equi-depth binning WITHOUT a global sort (ntile would serialize the
+    // corpus through one task): exact decile boundaries from one
+    // aggregation, broadcast as literals into a codegen'd scan pass.
+    // Engine parity: percentile == quantile_cont bit-exactly (a6), and
+    // both engines then run identical comparisons on identical doubles.
+    "a9_equidepth_bins" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val bounds = e.agg(expr(
+        "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"))
+        .head().getSeq[Double](0)
+      val binExpr = "1 + " + bounds.map(b =>
+        s"(CASE WHEN value > $b THEN 1 ELSE 0 END)").mkString(" + ")
+      e.withColumn("bin", expr(binExpr))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 6).as("lo"),
+          round(max(col("value")), 6).as("hi"))
+    }),
+
+    // correlation with ENGINEERED parity: Spark's corr/covar stream float
+    // moments in partition order (non-deterministic tails) — instead take
+    // exact DECIMAL sums of x, y, xy, x², y² (associative) and evaluate
+    // one identical double formula per engine at the end.
+    "a10_corr_qty_price" -> ((s, d) => {
+      val q = col("l_quantity").cast("decimal(18,6)")
+      val p = col("l_extendedprice").cast("decimal(18,6)")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(q).cast("double").as("sx"), sum(p).cast("double").as("sy"),
+          sum(q * p).cast("double").as("sxy"),
+          sum(q * q).cast("double").as("sxx"),
+          sum(p * p).cast("double").as("syy"))
+        .select(col("l_returnflag"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qp"),
+          col("n").cast("long").as("n_rows"))
+    }),
+
     // O1/W: per-customer running total (window over shuffled key)
     "w_running_total" -> ((s, d) =>
       Tables.orders(s, d)
@@ -449,6 +490,42 @@ object StarQueries {
     "a6b_sketch_bounds" ->
       """SELECT event_type, true AS hll_ok, true AS q50_ok, true AS q95_ok
         |FROM (SELECT DISTINCT event_type FROM events)""".stripMargin,
+
+    "a9_equidepth_bins" ->
+      """WITH b AS (
+        |  SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q
+        |  FROM events),
+        |binned AS (
+        |  SELECT value,
+        |         1 + (CASE WHEN value > q[1] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN value > q[2] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN value > q[3] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN value > q[4] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN value > q[5] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN value > q[6] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN value > q[7] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN value > q[8] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN value > q[9] THEN 1 ELSE 0 END) AS bin
+        |  FROM events, b)
+        |SELECT bin, count(*) AS n, round(min(value), 6) AS lo,
+        |       round(max(value), 6) AS hi
+        |FROM binned GROUP BY 1""".stripMargin,
+
+    "a10_corr_qty_price" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    count(*)::DOUBLE AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |       round((n * sxy - sx * sy)
+        |             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qp,
+        |       n::BIGINT AS n_rows
+        |FROM m""".stripMargin,
 
     "w_running_total" ->
       """SELECT o_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS odate_s,
