@@ -42,11 +42,17 @@ object AsofJoin {
 
   /** FORWARD as-of join: attach the EARLIEST right row with
     * `right.time >= left.time` (settlement after order, next candle after
-    * signal). Same single-shuffle union-window core run mirrored: left
-    * rows sort BEFORE a simultaneous right row, and `first ignoreNulls`
-    * reads forward over a (current, unbounded following) frame — so an
-    * exactly-simultaneous right row IS visible, the mirror of the
-    * backward `>=` tie rule. */
+    * signal). Same single-shuffle union-window core run MIRRORED: the
+    * window scans in DESCENDING time order with the same running
+    * (unbounded preceding, current) frame — at any row, the last non-null
+    * right payload seen is the nearest one at-or-after it. A simultaneous
+    * right row sorts before the left row in the descending scan, so `==`
+    * ties stay visible — the mirror of the backward `>=` rule.
+    *
+    * The descending scan is load-bearing for SCALE, not style: Spark's
+    * running frame is O(1) per row, but a (current, unbounded following)
+    * frame re-evaluates its whole frame per row — O(n²) per partition
+    * (measured: 125 s vs 1 s on the bench tick series). */
   def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                       timeCol: String, rightCols: Seq[String]): DataFrame =
     unionAsof(left, right, keys, timeCol, rightCols, bucketSeconds = None,
@@ -129,13 +135,17 @@ object AsofJoin {
         taggedLeft.unionByName(taggedRight).unionByName(carryRows)
     }
     val partCols = keys.map(col) ++ bucketSeconds.map(_ => col("_bkt")).toSeq
-    val wBase = Window.partitionBy(partCols: _*).orderBy(col(timeCol), col("_side"))
-    val w =
-      if (forward) wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      else wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward = the same RUNNING frame over a descending scan (an
+    // unbounded-following frame would be O(n²) per partition — see above);
+    // side desc puts a simultaneous right row (side 1) first
+    val wBase =
+      if (forward)
+        Window.partitionBy(partCols: _*).orderBy(col(timeCol).desc, col("_side").desc)
+      else
+        Window.partitionBy(partCols: _*).orderBy(col(timeCol), col("_side"))
+    val w = wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def carry(c: org.apache.spark.sql.Column) =
-      if (forward) first(c, ignoreNulls = true).over(w)
-      else last(c, ignoreNulls = true).over(w)
+      last(c, ignoreNulls = true).over(w)
     val carried = union.withColumn("asof_time", carry(col("_r_time")))
     val withPayload = rightCols.foldLeft(carried) { (df, c) =>
       df.withColumn(s"asof_$c", carry(col(s"_r_$c")))
