@@ -110,6 +110,22 @@ object TradingQueries {
             / count(lit(1)), 6).as("twap"))
         .select(col("pair"), unix_timestamp(col("window.start")).as("time_s"),
           col("n_ticks"), col("twap"))
+    }),
+
+    // running-peak drawdown per pair (the risk metric behind every
+    // backtest report): cumulative max is a running frame (O(1)/row), the
+    // drawdown is a single subtraction — no float accumulation anywhere,
+    // so cross-engine parity needs no decimal detour. Trough picked by
+    // (max dd, earliest time) — a total order.
+    "w7_max_drawdown" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("pair"))
+        .orderBy(col("time")).rowsBetween(Long.MinValue, 0)
+      candles1m(s, d)
+        .withColumn("time_s", unix_timestamp(col("time")))
+        .withColumn("dd", max(col("close")).over(w) - col("close"))
+        .groupBy(col("pair"))
+        .agg(round(max(col("dd")), 6).as("max_drawdown"),
+          max_by(col("time_s"), struct(col("dd"), -col("time_s"))).as("trough_s"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -128,6 +144,18 @@ object TradingQueries {
          |SELECT pair, epoch(ws)::BIGINT AS time_s, count(*) AS n_ticks,
          |       round(round(sum(mid::DECIMAL(18,6))::DOUBLE, 6) / count(*), 6) AS twap
          |FROM x GROUP BY 1, 2""".stripMargin,
+    "w7_max_drawdown" ->
+      s"""WITH $ticksCte, $dedupCte, $c1mCte,
+         |p AS (
+         |  SELECT pair, epoch(time)::BIGINT AS time_s,
+         |         max(close) OVER (PARTITION BY pair ORDER BY time
+         |           ROWS UNBOUNDED PRECEDING) - close AS dd
+         |  FROM c1m)
+         |SELECT pair, round(dd, 6) AS max_drawdown, time_s AS trough_s
+         |FROM p
+         |QUALIFY row_number() OVER (PARTITION BY pair
+         |  ORDER BY dd DESC, time_s) = 1""".stripMargin,
+
     "p5_mid_relay" ->
       s"""WITH $ticksCte
          |SELECT pair, epoch_us(time) AS time_us, bid, ask,
