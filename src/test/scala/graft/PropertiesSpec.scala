@@ -124,6 +124,30 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("dedupSpans ≡ in-memory first-occurrence model for random corpora") {
+    val docGen = for {
+      n <- Gen.chooseNum(1, 30)
+      ws <- Gen.listOfN(n, Gen.oneOf("p", "q", "r", "s"))
+    } yield ws.mkString(" ")
+    checkProp(forAll(Gen.listOfN(6, docGen), Gen.chooseNum(1, 7)) { (texts, span) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup.dedupSpans(docs, span).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      // reference model: enumerate segments in (doc_id, position) order,
+      // keep the first occurrence of each segment string
+      val seen = scala.collection.mutable.Set.empty[String]
+      val exp = texts.zipWithIndex.map { case (t, i) =>
+        val toks = t.split(" ").toSeq
+        val segs = toks.grouped(span).map(_.mkString(" ")).toSeq
+        val kept = segs.filter(seg => seen.add(seg))
+        i.toLong -> ((segs.size.toLong, kept.size.toLong, kept.mkString(" ")))
+      }.toMap
+      got == exp
+    })
+  }
+
   test("chunkWindows reconstructs the corpus: stride prefixes concatenate to the tokens") {
     val docGen = for {
       n <- Gen.chooseNum(1, 40)
