@@ -149,6 +149,22 @@ object PipelineQueries {
           unix_timestamp(col("exit_time")).as("exit_s"),
           round(col("exit_price"), 6).as("exit_price"),
           round(col("pnl"), 6).as("pnl"))
+    }),
+
+    // F6 report layer: per-pair strategy summary off the trade ledger —
+    // per-trade PnL rounded to the 6-dp grid FIRST so the decimal total is
+    // exact and order-insensitive; win counts/extremes skip the open
+    // (NULL-pnl) final trade identically on both engines
+    "f6c_backtest_summary" -> ((s, d) => {
+      val sma = Indicators.indicatorFacts(candles1m(s, d), Seq("SMA"), Seq(14, 28))
+      Backtest.trades(Signals.strategy(sma, 14, 28)).toDF()
+        .withColumn("pnl6", round(col("pnl"), 6))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n_trades"),
+          sum(when(col("pnl6") > 0, 1L).otherwise(0L)).as("n_wins"),
+          round(sum(col("pnl6").cast("decimal(18,6)")).cast("double"), 6).as("total_pnl"),
+          round(max(col("pnl6")), 6).as("best"),
+          round(min(col("pnl6")), 6).as("worst"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -427,5 +443,44 @@ object PipelineQueries {
          |       epoch(time)::BIGINT AS entry_s, round(price, 6) AS entry_price,
          |       epoch(x_time)::BIGINT AS exit_s, round(x_price, 6) AS exit_price,
          |       round(x_price - price, 6) AS pnl
-         |FROM kept WHERE rn % 2 = 1""".stripMargin)
+         |FROM kept WHERE rn % 2 = 1""".stripMargin,
+
+    // the f6b ledger aggregated: NULL pnl (open final trade) counts as a
+    // trade but is skipped by the win/total/extreme aggregates
+    "f6c_backtest_summary" ->
+      s"""$prelude,
+         |sma AS (
+         |  SELECT pair, time,
+         |         CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 14
+         |              THEN avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) END AS s14,
+         |         CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 28
+         |              THEN avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                   ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) END AS s28
+         |  FROM c1m),
+         |x AS (
+         |  SELECT pair, time, s14, s28,
+         |         lag(s14) OVER (PARTITION BY pair ORDER BY time) AS ps,
+         |         lag(s28) OVER (PARTITION BY pair ORDER BY time) AS pl
+         |  FROM sma),
+         |ev AS (
+         |  SELECT pair, time, 'BUY' AS et, s14 AS price FROM x
+         |  WHERE ps <= pl AND s14 > s28
+         |  UNION ALL
+         |  SELECT pair, time, 'SELL', s14 FROM x
+         |  WHERE ps >= pl AND s14 < s28),
+         |fb AS (SELECT pair, min(time) FILTER (et = 'BUY') AS fbt FROM ev GROUP BY pair),
+         |kept AS (
+         |  SELECT ev.pair, ev.time, ev.price,
+         |         row_number() OVER (PARTITION BY ev.pair ORDER BY ev.time) AS rn,
+         |         lead(ev.price) OVER (PARTITION BY ev.pair ORDER BY ev.time) AS x_price
+         |  FROM ev JOIN fb USING (pair) WHERE ev.time >= fb.fbt),
+         |led AS (
+         |  SELECT pair, round(x_price - price, 6) AS pnl
+         |  FROM kept WHERE rn % 2 = 1)
+         |SELECT pair, count(*) AS n_trades,
+         |       sum(CASE WHEN pnl > 0 THEN 1 ELSE 0 END)::BIGINT AS n_wins,
+         |       round(sum(pnl::DECIMAL(18,6))::DOUBLE, 6) AS total_pnl,
+         |       round(max(pnl), 6) AS best, round(min(pnl), 6) AS worst
+         |FROM led GROUP BY 1""".stripMargin)
 }

@@ -1,5 +1,7 @@
 package graft.queries
 
+import java.nio.file.Files
+
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -145,6 +147,28 @@ object StarQueries {
           round(lit(100.0) * sum(when(col("p_type") === "PROMO", revenue)).cast("double")
             / sum(revenue).cast("double"), 6).as("promo_share"),
           count(lit(1)).as("n_lines"))),
+
+    // J7: the bucketed LAYOUT path under the gate — both facts written as
+    // external bucketed+sorted tables on the join key (the one-time ingest
+    // cost), then the co-located join (zero exchanges of either fact —
+    // plan-proven in BucketingSpec) aggregates revenue per priority. The
+    // result must equal the plain shuffled join's, which is what the
+    // oracle states.
+    "j7_bucketed_join" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-j7-").toString
+      graft.sources.Bucketed.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        s"$tmp/o", "graft_bkt_orders", Seq("o_orderkey"), buckets = 16)
+      graft.sources.Bucketed.writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+          revenue.as("rev")),
+        s"$tmp/l", "graft_bkt_lineitem", Seq("o_orderkey"), buckets = 16)
+      s.table("graft_bkt_orders")
+        .join(s.table("graft_bkt_lineitem"), Seq("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
 
     // rollup: region/nation revenue with subtotal and grand-total rows —
     // Spark expands grouping sets in ONE aggregation pass (no self-union);
@@ -417,6 +441,13 @@ object StarQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1999-09-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1999-10-01 00:00:00'""".stripMargin,
+
+    "j7_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
 
     // DuckDB GROUPING() bit order matches Spark grouping_id for the same
     // column list (r_name = high bit, n_name = low bit)
