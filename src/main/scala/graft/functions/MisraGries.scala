@@ -98,11 +98,17 @@ case class MisraGries(itemExpr: Expression, k: Int,
     }.asInstanceOf[Array[Any]])
   }
 
+  // length-prefixed raw UTF-8, not writeUTF: writeUTF throws on items
+  // whose encoding exceeds 64 KB, and misra_gries is SQL-reachable on
+  // arbitrary strings (e.g. whole documents as items)
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    buf.foreach { case (s, c) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -112,7 +118,12 @@ case class MisraGries(itemExpr: Expression, k: Int,
     val n = in.readInt()
     val buf = createAggregationBuffer()
     var i = 0
-    while (i < n) { buf.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     buf
   }
 

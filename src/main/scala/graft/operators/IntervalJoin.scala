@@ -29,12 +29,27 @@ object IntervalJoin {
     * columns, payload columns free-form). Output carries every column of
     * both sides under `lPrefix`/`rPrefix`. */
   def overlapJoin(left: DataFrame, right: DataFrame, bucketSec: Long,
-                  lPrefix: String = "l_", rPrefix: String = "r_"): DataFrame = {
+                  lPrefix: String = "l_", rPrefix: String = "r_",
+                  maxReplication: Long = 100000L): DataFrame = {
     require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
+    // fail FAST on degenerate intervals: one open-ended/sentinel row
+    // (end_s = Long.MaxValue) would otherwise explode into an
+    // end/bucketSec-element sequence and OOM an executor or hit Spark's
+    // sequence-length ceiling mid-job
     def side(df: DataFrame, p: String) = {
       val renamed = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
-      renamed.withColumn("bkt", explode(sequence(
-        expr(s"${p}start_s div $bucketSec"), expr(s"${p}end_s div $bucketSec"))))
+      renamed
+        .withColumn("_nrep",
+          expr(s"${p}end_s div $bucketSec - ${p}start_s div $bucketSec + 1"))
+        .withColumn("_nrep", when(col("_nrep") <= maxReplication, col("_nrep"))
+          .otherwise(raise_error(concat(
+            lit(s"interval spans more than $maxReplication buckets of ${bucketSec}s: ["),
+            col(s"${p}start_s"), lit(", "), col(s"${p}end_s"),
+            lit("] — raise bucketSec or split the interval")))))
+        .withColumn("bkt", explode(sequence(
+          expr(s"${p}start_s div $bucketSec"),
+          expr(s"${p}start_s div $bucketSec") + col("_nrep") - 1)))
+        .drop("_nrep")
     }
     side(left, lPrefix).join(side(right, rPrefix), Seq("bkt"))
       .filter(col(s"${lPrefix}start_s") <= col(s"${rPrefix}end_s") &&

@@ -183,9 +183,12 @@ object LlmQueries {
       val est = toks.agg(MisraGries(col("tok"), k).as("mg"))
         .select(explode(col("mg")).as("e"))
         .select(col("e.item").as("tok"), col("e.est").as("est"))
-      val total = toks.agg(count(lit(1)).as("n"))
+      // n = sum of the grouped exact counts (a window over the tiny
+      // grouped result) — NOT a third full corpus scan
+      val nW = org.apache.spark.sql.expressions.Window
+        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
       toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
-        .crossJoin(broadcast(total))
+        .withColumn("n", sum(col("exact")).over(nW))
         .join(est, Seq("tok"), "left")
         .select(col("tok"), col("exact"),
           (coalesce(col("est"), lit(0L)) <= col("exact") &&

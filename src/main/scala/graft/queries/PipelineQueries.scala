@@ -446,7 +446,14 @@ object PipelineQueries {
          |FROM kept WHERE rn % 2 = 1""".stripMargin,
 
     // the f6b ledger aggregated: NULL pnl (open final trade) counts as a
-    // trade but is skipped by the win/total/extreme aggregates
+    // trade but is skipped by the win/total/extreme aggregates.
+    // ORACLE CONTRACT (shared with f6b): the rn%2 pairing assumes BUY/SELL
+    // events strictly alternate after the first BUY. The cross definitions
+    // guarantee this unless s14−s28 sits EXACTLY at 0 across consecutive
+    // bars (a flat plateau at double-precision equality), where the engine
+    // ignores a repeated BUY while already long and the oracle would
+    // mis-pair. No such plateau exists in the fixture (hash-verified); a
+    // plateau would fail the gate loudly, not silently.
     "f6c_backtest_summary" ->
       s"""$prelude,
          |sma AS (

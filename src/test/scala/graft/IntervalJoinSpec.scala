@@ -26,6 +26,16 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("degenerate interval fails fast instead of exploding the replication") {
+    val df = Seq((1L, 0L, Long.MaxValue / 2)).toDF("id", "start_s", "end_s")
+    val ex = intercept[Exception] {
+      IntervalJoin.overlapJoin(df, df, bucketSec = 300L).count()
+    }
+    assert(ex.getMessage.contains("buckets") ||
+      Option(ex.getCause).exists(_.getMessage.contains("buckets")),
+      s"expected the replication guard, got: $ex")
+  }
+
   test("closed-interval edge cases: touching endpoints overlap, gap of 1 does not") {
     val df = Seq(
       (1L, 0L, 10L),
