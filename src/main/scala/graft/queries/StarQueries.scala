@@ -107,6 +107,47 @@ object StarQueries {
         .limit(20)
     }),
 
+    // TPC-H Q6 shape: forecast-revenue — a pure filter-aggregate whose
+    // three predicates ALL push into the parquet scan (date range,
+    // discount band, quantity cap); the plan is scan → partial agg →
+    // single-row exchange, nothing else
+    "q6_forecast_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1999-01-01") &&
+          col("l_shipdate") < lit("2000-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum((col("l_extendedprice").cast("decimal(18,6)") *
+          col("l_discount").cast("decimal(18,6)"))).cast("double"), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // TPC-H Q2 shape (min-per-group correlated subquery): the cheapest
+    // part(s) per brand — window min + equality filter, one shuffle on the
+    // group key, no join-back
+    "q2_cheapest_parts" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_brand"))
+      Tables.part(s, d)
+        .withColumn("min_price", min(col("p_retailprice")).over(w))
+        .filter(col("p_retailprice") === col("min_price"))
+        .select(col("p_brand"), col("p_partkey"), col("p_name"),
+          round(col("p_retailprice"), 2).as("p_retailprice"))
+    }),
+
+    // TPC-H Q19 shape: disjunctive mixed-side predicates — the OR spans
+    // both join sides so it cannot push below the join; the optimizer must
+    // still push the shared l_shipdate conjunct to the scan and keep the
+    // part dim broadcast
+    "q19_disjunctive" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1999-01-01"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter((col("p_type") === "PROMO" && col("l_quantity") < 10) ||
+          (col("p_type") === "STANDARD" && col("l_quantity") >= 40))
+        .groupBy(col("p_type"))
+        .agg(round(sum(revenue).cast("double"), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
     // TPC-H Q4 shape: priority counts over orders that had at least one
     // line shipped after the order date — a semi-join whose condition mixes
     // an equi key (shuffle/broadcast-able) with a correlated inequality
@@ -427,6 +468,31 @@ object StarQueries {
         |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q2_cheapest_parts" ->
+      """SELECT p_brand, p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
+        |FROM part p
+        |WHERE p_retailprice = (SELECT min(p_retailprice) FROM part p2
+        |                       WHERE p2.p_brand = p.p_brand)""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT p_type,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |  AND ((p_type = 'PROMO' AND l_quantity < 10)
+        |    OR (p_type = 'STANDARD' AND l_quantity >= 40))
+        |GROUP BY 1""".stripMargin,
 
     "q4_priority_exists" ->
       """SELECT o_orderpriority, count(*) AS order_count

@@ -117,6 +117,19 @@ class PlanGuardSpec extends SparkSpec {
       s"vocab joined by shuffle — corpus-sized exchange at scale:\n$p")
   }
 
+  test("q6 pushes all three predicate families into the lineitem scan") {
+    // read the scan's metadata directly — the plan's toString truncates
+    // long PushedFilters lists
+    val pushed = SparkEntry.queries("q6_forecast_revenue")(spark, d)
+      .queryExecution.sparkPlan // pre-AQE: the scan is directly collectible
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata("PushedFilters") }
+      .getOrElse(fail("no parquet scan in the q6 plan"))
+    for (f <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity,24.0)",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)"))
+      assert(pushed.contains(f), s"$f must reach the scan, got: $pushed")
+  }
+
   test("q14 joins the part dim by broadcast; lineitem date filter is pushed") {
     val p = plan("q14_promo_share")
     assert(p.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p")
