@@ -192,6 +192,9 @@ object StreamQueries {
     "t8_ema_stream" -> ((s, d) => {
       val tmp = Files.createTempDirectory("graft-t8-").toString
       import s.implicits._
+      // 8 state partitions, like t2/t6 and unlike t7's 2: single-sided
+      // state (one store per partition) still gains from parallel commits
+      // (measured min-of-2 at sf0.1: 8 -> 2.30 s, 2 -> 2.71 s)
       withStreamShuffle(s, 8) {
         val ticks = tickStream(s, d)
           .select(col("pair"), col("time"), col("seq"), col("bid")).as[SeqTick]
@@ -225,6 +228,7 @@ object StreamQueries {
       import s.implicits._
       val dim = pairs.zipWithIndex.map { case (p, i) => (p, (i + 1).toLong) }
         .toSeq.toDF("pair", "type_id")
+      // same sweep as t8: 8 -> 3.25 s, 2 -> 3.72 s (min-of-2, sf0.1)
       withStreamShuffle(s, 8) {
         val enriched = tickStream(s, d)
           .withColumn("time", date_trunc("second", col("time")))
