@@ -183,17 +183,17 @@ object LlmQueries {
       val est = toks.agg(MisraGries(col("tok"), k).as("mg"))
         .select(explode(col("mg")).as("e"))
         .select(col("e.item").as("tok"), col("e.est").as("est"))
-      // n = sum of the grouped exact counts (a window over the tiny
-      // grouped result) — NOT a third full corpus scan
-      val nW = org.apache.spark.sql.expressions.Window
-        .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-      toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
-        .withColumn("n", sum(col("exact")).over(nW))
-        .join(est, Seq("tok"), "left")
+      // materialize the grouped counts ONCE (vocab-sized, distributed),
+      // then n is a tiny aggregate over them — no third corpus scan and
+      // no single-partition window over the vocabulary
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+        .localCheckpoint()
+      val n = exact.agg(sum(col("exact"))).head().getLong(0)
+      exact.join(est, Seq("tok"), "left")
         .select(col("tok"), col("exact"),
           (coalesce(col("est"), lit(0L)) <= col("exact") &&
             coalesce(col("est"), lit(0L)) * (k + 1) >=
-              col("exact") * (k + 1) - col("n")).as("mg_ok"))
+              col("exact") * (k + 1) - lit(n)).as("mg_ok"))
     }),
 
     // per-source quota: cap each source at 16 docs, content-hash order —
