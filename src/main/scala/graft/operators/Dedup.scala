@@ -311,6 +311,19 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Act on the decontamination report: the scrub direction — drop every
+    * TRAIN doc sharing ≥ `minShared` n-grams with any eval doc (keeping
+    * the benchmark intact; anti-joining on `eval_id` instead drops the
+    * compromised eval rows). One extra left-anti against the detected
+    * pair set's distinct train ids — O(detected) on top of
+    * [[decontaminate]]. */
+  def removeContaminated(train: DataFrame, evalDocs: DataFrame, n: Int = 3,
+                         minShared: Long = 2L, maxDf: Option[Int] = None): DataFrame =
+    train.join(
+      decontaminate(train, evalDocs, n, minShared, maxDf)
+        .select(col("train_id")).distinct(),
+      col("doc_id") === col("train_id"), "left_anti")
+
   /** 60-bit term-frequency-weighted SimHash per doc, built from the portable
     * [[TextOps.hash60]] token hash so a DuckDB oracle computes the identical
     * value. Per-bit vote sums are 60 aggregate columns over the (doc, token,

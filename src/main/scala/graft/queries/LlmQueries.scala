@@ -258,6 +258,16 @@ object LlmQueries {
         split.filter(col("split") =!= "train"), n = 3, minShared = 2L)
     }),
 
+    // the ACT step on the decontamination report: train corpus minus every
+    // doc sharing >= 2 trigrams with the held-out side (detect -> scrub)
+    "llm_decontaminate_clean" -> ((s, d) => {
+      val split = CorpusPrep.assignSplit(docsPar(s, d))
+      Dedup.removeContaminated(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") =!= "train"), n = 3, minShared = 2L)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // the 100 TB valve under the gate: same decontamination with the df cap
     // active, so high-df shingles are excluded BEFORE posting expansion
     "llm_decontaminate_capped" -> ((s, d) => {
@@ -713,6 +723,19 @@ object LlmQueries {
          |SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
          |       len(list_intersect(e.s, t.s))::BIGINT AS n_shared
          |FROM ev e JOIN tr t ON len(list_intersect(e.s, t.s)) >= 2""".stripMargin,
+
+    "llm_decontaminate_clean" ->
+      s"""WITH $shingleCte,
+         |h AS (SELECT doc_id,
+         |             ('0x' || substr(md5(norm), 1, 15))::BIGINT % 100 AS b
+         |      FROM toks),
+         |tr AS (SELECT sh.doc_id, s FROM sh JOIN h USING (doc_id) WHERE b < 90),
+         |ev AS (SELECT sh.doc_id, s FROM sh JOIN h USING (doc_id) WHERE b >= 90),
+         |bad AS (SELECT DISTINCT t.doc_id
+         |        FROM ev e JOIN tr t ON len(list_intersect(e.s, t.s)) >= 2)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN h USING (doc_id)
+         |WHERE h.b < 90 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     // inverted-index restatement (unlike llm_decontaminate's brute-force
     // list_intersect) so the df cap applies per (shingle, side) exactly as
