@@ -58,6 +58,29 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("composite-key bucketing co-locates multi-column joins shuffle-free") {
+    val tmp = Files.createTempDirectory("graft-bucketed-").toString
+    val a = (1L to 400L).map(k => (k % 7, k, k * 2)).toDF("p", "t", "va")
+    val b = (1L to 400L).filter(_ % 2 == 0).map(k => (k % 7, k, k * 3)).toDF("p", "t", "vb")
+    Bucketed.writeBucketed(a, s"$tmp/a", "bkt_m_a", Seq("p", "t"), buckets = 4)
+    Bucketed.writeBucketed(b, s"$tmp/b", "bkt_m_b", Seq("p", "t"), buckets = 4)
+    try {
+      withConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true") {
+        val j = spark.table("bkt_m_a").join(spark.table("bkt_m_b"), Seq("p", "t"))
+        assert(j.count() === 200L)
+        val plan = j.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"composite-key bucketed join must not shuffle:\n$plan")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_m_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_m_b")
+    }
+  }
+
   test("bucketed scan still prunes columns and pushes filters") {
     val tmp = Files.createTempDirectory("graft-bucketed-").toString
     val a = (1L to 1000L).map(k => (k, k * 2, s"pad$k")).toDF("k", "va", "pad")
