@@ -34,10 +34,17 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MisraGries(itemExpr: Expression, k: Int,
                       mutableAggBufferOffset: Int = 0,
                       inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+    extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+    with org.apache.spark.sql.graftglue.StringInputCast {
 
   require(k > 0, s"k must be positive, got $k")
 
+  // input type contract (via StringInputCast): the item must arrive as a
+  // STRING — update()'s buffer key is the item's string value, and catalyst
+  // containers (UnsafeArrayData etc.) have no stable toString. Atomic
+  // non-string inputs (ints, dates) implicit-cast to string at analysis;
+  // arrays/structs/binary have no implicit cast and fail the query at
+  // analysis instead of silently aggregating object identities.
   override def children: Seq[Expression] = Seq(itemExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

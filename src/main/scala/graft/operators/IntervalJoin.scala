@@ -32,20 +32,24 @@ object IntervalJoin {
                   lPrefix: String = "l_", rPrefix: String = "r_",
                   maxReplication: Long = 100000L): DataFrame = {
     require(bucketSec > 0, s"bucketSec must be positive, got $bucketSec")
-    // fail FAST on degenerate intervals: one open-ended/sentinel row
-    // (end_s = Long.MaxValue) would otherwise explode into an
+    // fail FAST on degenerate intervals, both kinds: one open-ended/sentinel
+    // row (end_s = Long.MaxValue) would otherwise explode into an
     // end/bucketSec-element sequence and OOM an executor or hit Spark's
-    // sequence-length ceiling mid-job
+    // sequence-length ceiling mid-job; and an INVERTED interval
+    // (end_s < start_s, e.g. swapped columns upstream) yields _nrep ≤ 0,
+    // where sequence(start, stop) with stop < start silently generates a
+    // DESCENDING sequence — the same explosion the cap exists to prevent
     def side(df: DataFrame, p: String) = {
       val renamed = df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
       renamed
         .withColumn("_nrep",
           expr(s"${p}end_s div $bucketSec - ${p}start_s div $bucketSec + 1"))
-        .withColumn("_nrep", when(col("_nrep") <= maxReplication, col("_nrep"))
+        .withColumn("_nrep",
+          when(col("_nrep") >= 1 && col("_nrep") <= maxReplication, col("_nrep"))
           .otherwise(raise_error(concat(
-            lit(s"interval spans more than $maxReplication buckets of ${bucketSec}s: ["),
+            lit(s"degenerate interval (inverted, or spanning more than $maxReplication buckets of ${bucketSec}s): ["),
             col(s"${p}start_s"), lit(", "), col(s"${p}end_s"),
-            lit("] — raise bucketSec or split the interval")))))
+            lit("] — fix the interval or raise bucketSec")))))
         .withColumn("bkt", explode(sequence(
           expr(s"${p}start_s div $bucketSec"),
           expr(s"${p}start_s div $bucketSec") + col("_nrep") - 1)))

@@ -196,6 +196,30 @@ object LlmQueries {
               col("exact") * (k + 1) - lit(n)).as("mg_ok"))
     }),
 
+    // L32 through the SQL surface: the SAME bounds contract as
+    // llm_heavy_hitters, but the whole query is a spark.sql(...) text
+    // against a session carrying GraftExtensions — so analyzer resolution
+    // of `misra_gries`, its literal-k argument check, and the
+    // ImplicitCastInputTypes string contract are under the hash gate, not
+    // just the Column-API path the other rows exercise.
+    "llm_heavy_hitters_sql" -> ((s, d) => {
+      val ext = graft.GraftExtensions.sessionFor(s)
+      docsPar(ext, d).createOrReplaceTempView("graft_docs_sql")
+      ext.sql(
+        """WITH toks AS (
+          |  SELECT explode(split(lower(trim(regexp_replace(text, '\\s+', ' '))), ' ')) AS tok
+          |  FROM graft_docs_sql),
+          |est AS (
+          |  SELECT e.item AS tok, e.est AS est
+          |  FROM (SELECT explode(misra_gries(tok, 8)) AS e FROM toks)),
+          |exact AS (SELECT tok, count(*) AS exact FROM toks GROUP BY tok),
+          |n AS (SELECT sum(exact) AS n FROM exact)
+          |SELECT exact.tok, exact.exact,
+          |       (coalesce(est.est, CAST(0 AS BIGINT)) <= exact.exact AND
+          |        coalesce(est.est, CAST(0 AS BIGINT)) * 9 >= exact.exact * 9 - n.n) AS mg_ok
+          |FROM exact LEFT JOIN est USING (tok) CROSS JOIN n""".stripMargin)
+    }),
+
     // per-source quota: cap each source at 16 docs, content-hash order —
     // the anti-domination valve for training-mix construction (16 < the
     // 25-docs-per-source gate corpus, so the cap provably bites there)
@@ -681,6 +705,13 @@ object LlmQueries {
     // the oracle states the bounds hold for every token; estimates
     // themselves are partitioning-dependent and not comparable
     "llm_heavy_hitters" ->
+      s"""WITH $toksCte,
+         |f AS (SELECT unnest(w) AS tok FROM toks)
+         |SELECT tok, count(*) AS exact, true AS mg_ok
+         |FROM f GROUP BY tok""".stripMargin,
+
+    // identical contract through the SQL surface
+    "llm_heavy_hitters_sql" ->
       s"""WITH $toksCte,
          |f AS (SELECT unnest(w) AS tok FROM toks)
          |SELECT tok, count(*) AS exact, true AS mg_ok

@@ -202,21 +202,27 @@ object StarQueries {
     "j7_bucketed_join" -> ((s, d) => {
       // layout staging is a one-time ingest cost: cache per dataset dir so
       // repeated gate/bench invocations reuse the SAME path and tables
-      // instead of leaking a fresh two-fact copy into /tmp per run
+      // instead of leaking a fresh two-fact copy into /tmp per run.
+      // Table names carry a hash of the dataset dir: catalog tables are
+      // global per JVM, so a second dataset must get its OWN tables rather
+      // than overwrite the first's while its cache entry still points there.
+      val suffix = Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff)
+      val (tblO, tblL) = (s"graft_bkt_orders_$suffix", s"graft_bkt_lineitem_$suffix")
       val tmp = bucketedStage.getOrElseUpdate(d, {
         val t = Files.createTempDirectory("graft-j7-").toString
         graft.sources.Bucketed.writeBucketed(
           Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
-          s"$t/o", "graft_bkt_orders", Seq("o_orderkey"), buckets = 16)
+          s"$t/o", tblO, Seq("o_orderkey"), buckets = 16)
         graft.sources.Bucketed.writeBucketed(
           Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
             revenue.as("rev")),
-          s"$t/l", "graft_bkt_lineitem", Seq("o_orderkey"), buckets = 16)
+          s"$t/l", tblL, Seq("o_orderkey"), buckets = 16)
         t
       })
       require(tmp.nonEmpty)
-      s.table("graft_bkt_orders")
-        .join(s.table("graft_bkt_lineitem"), Seq("o_orderkey"))
+      s.table(tblO)
+        .join(s.table(tblL), Seq("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"),
           count(lit(1)).as("n_lines"))
@@ -405,6 +411,73 @@ object StarQueries {
               * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
             .as("corr_qp"),
           col("n").cast("long").as("n_rows"))
+    }),
+
+    // J3 dim_time: the reference's calendar dimension
+    // (/root/reference/docs/dimensional_modeling.md:37-47 sketches
+    // `fact LEFT JOIN dim_time t ON f.time = t.time` — design intent with
+    // no shipped DDL). The dim is GENERATED from the fact's own date span
+    // (sequence over min..max date, one row per day) entirely inside the
+    // plan — no driver collect — and is bounded by construction (a century
+    // of days is 36k rows), so the fact join is always a broadcast: zero
+    // shuffle of the fact side at any scale factor.
+    "j3_dim_time" -> ((s, d) => {
+      val span = Tables.orders(s, d)
+        .agg(to_date(min(col("o_orderdate"))).as("lo"),
+          to_date(max(col("o_orderdate"))).as("hi"))
+      val dimTime = span
+        .select(explode(sequence(col("lo"), col("hi"))).as("d_date"))
+        .select(col("d_date"),
+          year(col("d_date")).cast("long").as("d_year"),
+          quarter(col("d_date")).cast("long").as("d_quarter"),
+          // ISO day-of-week (Mon=1..Sun=7): weekday() is Mon=0
+          (weekday(col("d_date")) + 1).cast("long").as("d_isodow"))
+        .withColumn("is_weekend", col("d_isodow") >= 6)
+      Tables.orders(s, d)
+        .withColumn("d_date", to_date(col("o_orderdate")))
+        .join(broadcast(dimTime), Seq("d_date"))
+        .groupBy(col("d_year"), col("d_quarter"), col("is_weekend"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("spend"))
+    }),
+
+    // TPC-H Q21 shape: suppliers who kept others waiting — the hardest
+    // join shape in the suite: a fact-fact join (late-line detection needs
+    // o_orderdate; "late" = shipped >80 days after order date, standing in
+    // for receipt>commit which the fixture lacks) followed by TWO
+    // correlated self-joins over the same fact with DIFFERENT predicates:
+    // EXISTS (another supplier in the order) → left_semi; NOT EXISTS
+    // (another supplier ALSO late) → left_anti. Both right sides are the
+    // raw lineitem scan column-pruned to 2-3 columns (the late predicate
+    // correlates through l1's o_orderdate — same order ⇒ same date — so
+    // neither re-joins orders); AQE picks build sides from runtime sizes.
+    "q21_waiting_suppliers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 80 DAYS")
+      val l1 = li
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(late)
+      val others = li.select(col("l_orderkey").as("x_orderkey"),
+        col("l_suppkey").as("x_suppkey"))
+      val lateOthers = li.select(col("l_orderkey").as("y_orderkey"),
+        col("l_suppkey").as("y_suppkey"), col("l_shipdate").as("y_shipdate"))
+      l1
+        .join(others,
+          col("l_orderkey") === col("x_orderkey") &&
+            col("l_suppkey") =!= col("x_suppkey"), "left_semi")
+        .join(lateOthers,
+          col("l_orderkey") === col("y_orderkey") &&
+            col("l_suppkey") =!= col("y_suppkey") &&
+            col("y_shipdate") > col("o_orderdate") + expr("INTERVAL 80 DAYS"),
+          "left_anti")
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
     }),
 
     // O1/W: per-customer running total (window over shuffled key)
@@ -639,6 +712,44 @@ object StarQueries {
         |             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qp,
         |       n::BIGINT AS n_rows
         |FROM m""".stripMargin,
+
+    // generate_series over the span (single-row CTE, so the list-returning
+    // form + unnest works on DuckDB 1.0); isodow matches Spark weekday()+1
+    "j3_dim_time" ->
+      """WITH span AS (
+        |  SELECT min(o_orderdate)::DATE AS lo, max(o_orderdate)::DATE AS hi
+        |  FROM orders),
+        |dim AS (
+        |  SELECT unnest(generate_series(lo::TIMESTAMP, hi::TIMESTAMP,
+        |                                INTERVAL 1 DAY))::DATE AS d_date
+        |  FROM span),
+        |dim2 AS (
+        |  SELECT d_date, year(d_date)::BIGINT AS d_year,
+        |         quarter(d_date)::BIGINT AS d_quarter,
+        |         isodow(d_date)::BIGINT >= 6 AS is_weekend
+        |  FROM dim)
+        |SELECT d_year, d_quarter, is_weekend, count(*) AS n_orders,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS spend
+        |FROM orders JOIN dim2 ON o_orderdate::DATE = d_date
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 80 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 80 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
 
     "w_running_total" ->
       """SELECT o_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS odate_s,

@@ -14,3 +14,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Input-type contract "one STRING argument", expressible only here:
+  * `ExpectsInputTypes.inputTypes` is typed with the `private[sql]`
+  * `AbstractDataType`, so a library expression outside the sql namespace
+  * cannot write the override itself. Mixing this in gives analysis-time
+  * implicit casts for atomics and an analysis ERROR for arrays/structs/
+  * binary (which have no implicit cast to string) instead of silently
+  * aggregating unstable catalyst-object toStrings. */
+trait StringInputCast
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+}

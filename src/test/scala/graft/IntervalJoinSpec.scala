@@ -36,6 +36,19 @@ class IntervalJoinSpec extends SparkSpec {
       s"expected the replication guard, got: $ex")
   }
 
+  test("inverted interval (end < start) fails fast, not a descending-sequence explosion") {
+    // sequence(start, stop) with stop < start silently generates a
+    // DESCENDING sequence — an inverted row (swapped columns upstream)
+    // must hit the guard, not replicate
+    val df = Seq((1L, 500L, 100L)).toDF("id", "start_s", "end_s")
+    val ex = intercept[Exception] {
+      IntervalJoin.overlapJoin(df, df, bucketSec = 10L).count()
+    }
+    assert(ex.getMessage.contains("degenerate") ||
+      Option(ex.getCause).exists(_.getMessage.contains("degenerate")),
+      s"expected the degenerate-interval guard, got: $ex")
+  }
+
   test("closed-interval edge cases: touching endpoints overlap, gap of 1 does not") {
     val df = Seq(
       (1L, 0L, 10L),

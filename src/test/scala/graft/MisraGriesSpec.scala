@@ -50,6 +50,20 @@ class MisraGriesSpec extends SparkSpec {
     assert(est === Map("x" -> 10L, "y" -> 7L, "z" -> 3L))
   }
 
+  test("input type contract: atomics implicit-cast, containers fail at analysis") {
+    // ints cast to their string form — stable values, exact counts
+    val est = Seq(1, 1, 2).toDF("v").agg(MisraGries($"v", 8).as("mg"))
+      .select(explode($"mg").as("e")).select($"e.item", $"e.est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === Map("1" -> 2L, "2" -> 1L))
+    // arrays have no implicit cast to string: analysis error, never a
+    // silent aggregation over catalyst-object toStrings
+    val bad = Seq(Seq("a"), Seq("b")).toDF("v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.agg(MisraGries($"v", 8).as("mg")).collect()
+    }
+  }
+
   test("output is sorted est desc, item asc") {
     val items = Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(9)("c")
     val arr = items.toDF("item").coalesce(1)
