@@ -50,6 +50,16 @@ object Bench {
     // 6.97s -> 1.84s across identical builds); min-of-N is the standard
     // noise-robust point estimate for a warmed, deterministic workload.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
+    // noise hardening: record the host 1-min loadavg either side of the
+    // timed pass and flag comparability — every round before r8 had to
+    // reconstruct "was the host busy?" by hand in BASELINE.md's noise
+    // ledger. Threshold: a quarter of the bench's own cores of EXTERNAL
+    // load before we start is enough to distort min-of-N.
+    def loadavg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadBefore = loadavg
+    val loadThreshold = cpus.toDouble / 4.0
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
@@ -66,8 +76,13 @@ object Bench {
     }
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val loadAfter = loadavg
+    def f2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val loadFields =
+      s""""load_before":${f2(loadBefore)},"load_after":${f2(loadAfter)},""" +
+        s""""comparable":${loadBefore < loadThreshold}"""
     def line(qs: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"runs":$runs,"stat":"min","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"runs":$runs,"stat":"min",$loadFields,"sf":"$sfDir"}"""
     val full = line(results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}"))
     // Full-precision record goes to a file (and stderr): the driver captures
@@ -90,7 +105,7 @@ object Bench {
         "\"" + k + "\":" + BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
       }.mkString("{", ",", "}")
       val tot = BigDecimal(total).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"failed":$fl,$loadFields,"sf":"$sfShort"}"""
     }
     val budget = 1890
     val compact = Seq(rounded(3), rounded(2))

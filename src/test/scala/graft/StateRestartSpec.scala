@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.{SeqTick, Streams, TickRow}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Crash-recovery for the CUSTOM-state streaming operators (the relay's
+  * cursor recovery is RelayRestartSpec): kill the query mid-replay, restart
+  * from the same checkpoint, and the result must be bit-identical to an
+  * uninterrupted run — which requires the checkpoint to restore
+  *  - t8: the EMA fold's carried (n, seedSum, prev) per key — a double
+  *    recurrence diverges forever if one tick is lost or replayed;
+  *  - t5+TTL: the latest-tick value AND its event-time timeout timestamp,
+  *    plus the watermark that drives eviction.
+  */
+class StateRestartSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Stage chunk `name` into `src` as a single parquet file with the given
+    * mtime (the file source replays ascending-mtime files one per batch). */
+  private def stage(df: DataFrame, root: String, src: String,
+                    name: String, mtime: Long): Unit = {
+    val tmp = s"$root/tmp-$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.startsWith("part-")).get
+    val dst = new java.io.File(src, s"$name.parquet")
+    Files.copy(part.toPath, dst.toPath)
+    dst.setLastModified(mtime)
+  }
+
+  // ---------------------------------------------------------------- t8: EMA
+
+  private def seqTicks(rows: Seq[(String, String, Long, Double)]) =
+    rows.map { case (p, t, q, b) => (p, ts(t), q, b) }
+      .toDF("pair", "time", "seq", "bid")
+
+  // period=3: the SMA seed for X completes in chunk 2, so the kill point
+  // lands exactly between "seed full, recurrence started" and "recurrence
+  // continuing" — the state the checkpoint must carry
+  private val emaChunks = Seq(
+    seqTicks(Seq(("X", "2024-01-01 00:00:00", 1L, 10.0),
+      ("X", "2024-01-01 00:00:10", 2L, 11.0),
+      ("Y", "2024-01-01 00:00:05", 3L, 5.0))),
+    seqTicks(Seq(("X", "2024-01-01 00:00:20", 4L, 12.0),
+      ("Y", "2024-01-01 00:00:25", 5L, 6.0))),
+    seqTicks(Seq(("X", "2024-01-01 00:00:30", 6L, 9.0),
+      ("X", "2024-01-01 00:00:40", 7L, 14.0),
+      ("Y", "2024-01-01 00:00:35", 8L, 7.0))),
+    seqTicks(Seq(("X", "2024-01-01 00:00:50", 9L, 13.0))))
+
+  private def runEma(src: String, sink: String, ckpt: String): Unit = {
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    Streams.emaStream(stream.as[SeqTick], period = 3)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+  }
+
+  private def emaRows(sink: String) =
+    spark.read.parquet(sink).select("pair", "time", "ema")
+      .orderBy("pair", "time").collect().toSeq
+
+  test("t8: EMA fold resumes from checkpointed (n, seedSum, prev) bit-exactly") {
+    val root = Files.createTempDirectory("graft-t8-restart-").toString
+    val (srcA, srcB) = (s"$root/srcA", s"$root/srcB")
+    new java.io.File(srcA).mkdirs(); new java.io.File(srcB).mkdirs()
+
+    // uninterrupted reference: all four chunks staged up front
+    emaChunks.zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcA, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runEma(srcA, s"$root/sinkA", s"$root/ckptA")
+
+    // interrupted run: two chunks, drain, process "dies"; two more chunks,
+    // restart from the SAME checkpoint
+    emaChunks.take(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runEma(srcB, s"$root/sinkB", s"$root/ckptB")
+    emaChunks.drop(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c${i + 2}", 1600000120000L + i * 60000L)
+    }
+    runEma(srcB, s"$root/sinkB", s"$root/ckptB")
+
+    val (a, b) = (emaRows(s"$root/sinkA"), emaRows(s"$root/sinkB"))
+    assert(a.nonEmpty, "reference run emitted nothing")
+    assert(b === a) // bit-equality: same doubles, same rows
+  }
+
+  // ------------------------------------------------------------ t5 with TTL
+
+  private def tickRows(rows: Seq[(String, String, Double)]) =
+    rows.map { case (p, t, b) => (p, ts(t), b, b + 0.01) }
+      .toDF("pair", "time", "bid", "ask")
+
+  // TTL 60 s of event time: Y ticks stop at 00:00:40, so its timeout
+  // (00:01:40) is passed by the watermark once X@02:00 commits — Y must be
+  // evicted in the final batch, in the restarted run just like the
+  // uninterrupted one (timeout timestamp + watermark live in the checkpoint)
+  private val ttlChunks = Seq(
+    tickRows(Seq(("X", "2024-01-01 00:00:00", 10.0),
+      ("Y", "2024-01-01 00:00:05", 5.0))),
+    tickRows(Seq(("X", "2024-01-01 00:00:30", 11.0),
+      ("Y", "2024-01-01 00:00:40", 6.0))),
+    tickRows(Seq(("X", "2024-01-01 00:02:00", 12.0))),
+    tickRows(Seq(("X", "2024-01-01 00:02:30", 13.0))))
+
+  /** Returns the final batch's state-store row count (post-eviction). */
+  private def runTtl(src: String, sink: String, ckpt: String): Long = {
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = Streams.latestPerPairTtl(stream.as[TickRow], ttlMs = 60000L)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[TickRow], _: Long) =>
+        batch.write.mode("append").parquet(sink)
+      }
+      .start()
+    q.awaitTermination()
+    q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption
+      .getOrElse(-1L)
+  }
+
+  private def ttlLog(sink: String) =
+    spark.read.parquet(sink).select("pair", "time", "bid", "ask")
+      .orderBy("pair", "time", "bid").collect().toSeq
+
+  test("t5+TTL: latest-value state, watermark and timeout survive restart") {
+    val root = Files.createTempDirectory("graft-t5-restart-").toString
+    val (srcA, srcB) = (s"$root/srcA", s"$root/srcB")
+    new java.io.File(srcA).mkdirs(); new java.io.File(srcB).mkdirs()
+
+    ttlChunks.zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcA, s"c$i", 1600000000000L + i * 60000L)
+    }
+    val stateA = runTtl(srcA, s"$root/sinkA", s"$root/ckptA")
+
+    ttlChunks.take(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runTtl(srcB, s"$root/sinkB", s"$root/ckptB")
+    ttlChunks.drop(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c${i + 2}", 1600000120000L + i * 60000L)
+    }
+    val stateB = runTtl(srcB, s"$root/sinkB", s"$root/ckptB")
+
+    // identical emission logs (same batch boundaries, restored state)
+    val (a, b) = (ttlLog(s"$root/sinkA"), ttlLog(s"$root/sinkB"))
+    assert(a.nonEmpty, "reference run emitted nothing")
+    assert(b === a)
+    // Y evicted by event-time TTL in BOTH runs: had the restart lost the
+    // timeout timestamp or the watermark, the restarted run would end with
+    // 2 state rows (X and a zombie Y)
+    assert(stateA === 1L, s"uninterrupted run final state rows: $stateA")
+    assert(stateB === 1L, s"restarted run final state rows: $stateB")
+  }
+}
