@@ -92,10 +92,69 @@ object Multimodal {
         val decoded =
           if (r.mime.startsWith("image/")) decodeImage(r, dim)
           else if (r.mime.startsWith("audio/")) decodeAudio(r, dim)
+          else if (r.mime.startsWith("video/")) decodeVideo(r, dim)
           else None
         decoded.getOrElse(stubFeatures(r, dim))
       }
     }
+  }
+
+  /** Real MJPEG-AVI decode: a pure-JVM RIFF/AVI container walk (no native
+    * codec — the container is just framed chunks) collecting the video
+    * stream's `##dc`/`##db` frame chunks, then a real ImageIO JPEG decode
+    * of frame 0 for dimensions + the luminance fold. `n_frames` counts the
+    * actual frame chunks in `movi` (not the header's declared total, which
+    * lies in truncated files). None — i.e. checksum-stub degradation — for
+    * anything that is not a parseable RIFF-AVI with a decodable first
+    * frame; other video containers (mp4 etc.) need codecs the JDK does not
+    * ship and stay stubbed by design (SURVEY §2.11 L12). */
+  private def decodeVideo(r: MediaRow, dim: Int): Option[MediaFeatures] = {
+    val frames = aviVideoFrames(r.content)
+    if (frames.isEmpty) return None
+    decodeImage(MediaRow(r.asset_id, frames.head, "image/jpeg",
+        frames.head.length.toLong, r.checksum), dim)
+      .map(f => f.copy(n_frames = frames.length))
+  }
+
+  /** Walk a RIFF-AVI chunk tree and return the video frame payloads
+    * (`##dc` compressed / `##db` uncompressed chunks inside `movi` LISTs),
+    * in file order. Empty for non-AVI or structurally broken bytes. */
+  private[operators] def aviVideoFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    def fourcc(off: Int): String =
+      if (off + 4 > bytes.length) ""
+      else new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(off: Int): Long =
+      if (off + 4 > bytes.length) -1L
+      else (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Nil
+    val out = Seq.newBuilder[Array[Byte]]
+    def isFrame(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.substring(2) == "dc" || id.substring(2) == "db")
+    // iterative chunk walk with an explicit stack — a hostile file cannot
+    // recurse the JVM stack away
+    val stack = scala.collection.mutable.Stack((12, bytes.length))
+    while (stack.nonEmpty) {
+      var (pos, end) = stack.pop()
+      var steps = 0
+      while (pos + 8 <= end && steps < 1000000) {
+        steps += 1
+        val id = fourcc(pos)
+        val size = u32(pos + 4)
+        if (size < 0 || pos + 8 + size > bytes.length) { pos = end } // truncated
+        else {
+          val dataOff = pos + 8
+          if (id == "LIST" || id == "RIFF") {
+            stack.push((dataOff + 4, dataOff + size.toInt)) // skip list-type fourcc
+          } else if (isFrame(id) && size > 0) {
+            out += java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + size.toInt)
+          }
+          pos = dataOff + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        }
+      }
+    }
+    out.result()
   }
 
   /** Real ImageIO decode; None when no installed reader accepts the bytes. */

@@ -57,10 +57,16 @@ object StreamQueries {
       }
       stage.toString
     })
-    s.readStream.schema(batch.schema)
+    val stream = s.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stagePath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // driver fixtures carry ns-as-long ts; synthesized scale-up corpora
+    // (graft.ScaleUp) carry µs TIMESTAMP — normalize only the former
+    batch.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => stream
+    }
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered:
@@ -78,6 +84,24 @@ object StreamQueries {
   private def tickStream(s: SparkSession, d: String): DataFrame =
     Ticks.valid(Ticks.fromEvents(eventsStream(s, d)))
 
+  /** Telemetry from the most recent run of each streaming gate query (per
+    * JVM): micro-batch count, final-batch state-store rows, state memory —
+    * the quantities the stream-family scale probe reports next to wall
+    * time (state growth, not wall clock, is the scale claim for stateful
+    * streaming). */
+  val telemetry =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, Long]]
+
+  private def awaitAndRecord(name: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    val last = q.recentProgress.lastOption
+    telemetry(name) = Map(
+      "batches" -> q.recentProgress.length.toLong,
+      "state_rows" -> last.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L),
+      "state_mem_bytes" -> last.map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T4 (CDC relay cursor): stream the fixture through the idempotent
     // relay — per-batch second-dedup, first-write-wins parquet sink — then
@@ -90,9 +114,9 @@ object StreamQueries {
     "t4_relay_sink" -> ((s, d) => {
       val tmp = Files.createTempDirectory("graft-t4-").toString
       withStreamShuffle(s, 8) {
-        Streams.relayToParquet(tickStream(s, d), s"$tmp/sink", s"$tmp/ckpt",
-            keys = Seq("pair", "time"), perBatch = Ticks.dedupSecond)
-          .awaitTermination()
+        awaitAndRecord("t4_relay_sink",
+          Streams.relayToParquet(tickStream(s, d), s"$tmp/sink", s"$tmp/ckpt",
+            keys = Seq("pair", "time"), perBatch = Ticks.dedupSecond))
       }
       s.read.parquet(s"$tmp/sink")
         .select(col("pair"), unix_timestamp(col("time")).as("time_s"),
@@ -108,14 +132,13 @@ object StreamQueries {
     "t2_ohlc_stream" -> ((s, d) => {
       val tmp = Files.createTempDirectory("graft-t2-").toString
       withStreamShuffle(s, 8) {
-        Streams.ohlc1mSeq(tickStream(s, d))
+        awaitAndRecord("t2_ohlc_stream", Streams.ohlc1mSeq(tickStream(s, d))
           .writeStream.format("parquet")
           .option("path", s"$tmp/sink")
           .option("checkpointLocation", s"$tmp/ckpt")
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+          .start())
       }
       s.read.parquet(s"$tmp/sink")
         .select(col("pair"), unix_timestamp(col("time")).as("time_s"),
@@ -134,14 +157,13 @@ object StreamQueries {
         val ev = eventsStream(s, d)
           .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
             col("value"))
-        Streams.sessionizeStream(ev)
+        awaitAndRecord("t6_session_stream", Streams.sessionizeStream(ev)
           .writeStream.format("parquet")
           .option("path", s"$tmp/sink")
           .option("checkpointLocation", s"$tmp/ckpt")
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+          .start())
       }
       s.read.parquet(s"$tmp/sink")
         .select(col("user_id"),
@@ -166,14 +188,13 @@ object StreamQueries {
           .select(col("time"), col("bid"))
         val r = tickStream(s, d).filter(col("pair") === "error")
           .select(col("time"), col("bid"))
-        Streams.windowJoin(l, r)
+        awaitAndRecord("t7_stream_join", Streams.windowJoin(l, r)
           .writeStream.format("parquet")
           .option("path", s"$tmp/sink")
           .option("checkpointLocation", s"$tmp/ckpt")
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+          .start())
       }
       s.read.parquet(s"$tmp/sink")
         .groupBy(col("time"))
@@ -198,14 +219,13 @@ object StreamQueries {
       withStreamShuffle(s, 8) {
         val ticks = tickStream(s, d)
           .select(col("pair"), col("time"), col("seq"), col("bid")).as[SeqTick]
-        Streams.emaStream(ticks, 14)
+        awaitAndRecord("t8_ema_stream", Streams.emaStream(ticks, 14)
           .writeStream.format("parquet")
           .option("path", s"$tmp/sink")
           .option("checkpointLocation", s"$tmp/ckpt")
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+          .start())
       }
       s.read.parquet(s"$tmp/sink")
         .select(col("pair"), unix_micros(col("time")).as("time_us"),
@@ -234,7 +254,7 @@ object StreamQueries {
           .withColumn("time", date_trunc("second", col("time")))
           .withWatermark("time", "1 minute")
           .join(broadcast(dim), Seq("pair"))
-        enriched
+        awaitAndRecord("t9_stream_enrich", enriched
           .groupBy(col("type_id"), window(col("time"), "1 minute"))
           .agg(count(lit(1)).as("n_ticks"), max(col("bid")).as("max_bid"))
           .select(col("type_id"), col("window.start").as("time"),
@@ -244,8 +264,7 @@ object StreamQueries {
           .option("checkpointLocation", s"$tmp/ckpt")
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-          .awaitTermination()
+          .start())
       }
       s.read.parquet(s"$tmp/sink")
         .select(col("type_id"), unix_timestamp(col("time")).as("time_s"),
@@ -262,8 +281,8 @@ object StreamQueries {
       withStreamShuffle(s, 8) {
         val ticks = tickStream(s, d)
           .select(col("pair"), col("time"), col("bid"), col("ask")).as[TickRow]
-        Streams.latestToParquet(ticks, s"$tmp/sink", s"$tmp/ckpt")
-          .awaitTermination()
+        awaitAndRecord("t5_latest_sink",
+          Streams.latestToParquet(ticks, s"$tmp/sink", s"$tmp/ckpt"))
       }
       s.read.parquet(s"$tmp/sink")
         .groupBy(col("pair"))

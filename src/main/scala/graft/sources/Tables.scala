@@ -31,7 +31,14 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = read(spark, d, "events")
     // `div` (integer division) — ns epochs ≈ 1.7e18 overflow double precision,
-    // so a floating floor(ts/1000) would be off by ±1 µs.
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // so a floating floor(ts/1000) would be off by ±1 µs. The synthesized
+    // scale-up corpora (graft.ScaleUp) carry µs TIMESTAMP ts (Spark cannot
+    // write ns parquet), which the legacy switch leaves untouched — so
+    // normalize only when ts actually arrives as raw nanos.
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
   }
 }

@@ -181,4 +181,66 @@ class MultimodalSpec extends SparkSpec {
       assert(f.features.sum > 0f) // bytes actually folded in
     }
   }
+  // --- minimal MJPEG-AVI writer (test fixture): RIFF(AVI )/LIST(hdrl)/
+  // avih + LIST(movi)/00dc chunks — enough structure for any chunk-walking
+  // reader; frame payloads are REAL ImageIO-encoded JPEGs
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + data.length + (data.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+    bb.array()
+  }
+  private def list(kind: String, children: Array[Byte]): Array[Byte] =
+    chunk("LIST", kind.getBytes("US-ASCII") ++ children)
+
+  private def jpegBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def buildAvi(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(40000).putInt(0).putInt(0).putInt(0)    // usec/frame, maxbps, pad, flags
+    avih.putInt(frames.length).putInt(0).putInt(1).putInt(0) // total, initial, streams, bufsize
+    avih.putInt(w).putInt(h)                             // width, height (+16 reserved)
+    val hdrl = list("hdrl", chunk("avih", avih.array()))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    chunk("RIFF", body)
+  }
+
+  test("L12 video: MJPEG-AVI container parse + real JPEG frame decode") {
+    val w = 32; val h = 24
+    val frames = Seq(jpegBytes(w, h, 0xffffff), jpegBytes(w, h, 0x000000),
+      jpegBytes(w, h, 0x808080))
+    val avi = buildAvi(frames, w, h)
+    val rows = Seq(MediaRow(1L, avi, "video/avi", avi.length.toLong, "00" * 16))
+      .toDS()
+    val f = Multimodal.featureExtract(rows, dim = 8).collect().head
+    assert(f.width === w && f.height === h)
+    assert(f.n_frames === 3) // counted from real movi chunks
+    // frame 0 is all-white: every luminance accumulator ≈ (w*h/dim) * 1.0
+    val perSlot = w * h / 8.0f
+    f.features.foreach(v => assert(math.abs(v - perSlot) / perSlot < 0.05,
+      s"luminance fold off: $v vs $perSlot"))
+  }
+
+  test("L12 video: non-AVI and truncated AVI degrade to the checksum stub") {
+    val junk = Array.fill[Byte](64)(7)
+    val sum = "a" * 32
+    val rows = Seq(
+      MediaRow(1L, junk, "video/mp4", 64L, sum),
+      MediaRow(2L, buildAvi(Seq(jpegBytes(8, 8, 0)), 8, 8).take(20), "video/avi", 20L, sum))
+      .toDS()
+    val got = Multimodal.featureExtract(rows, dim = 4).collect()
+    val h60 = java.lang.Long.parseLong(sum.take(15), 16)
+    got.foreach { f =>
+      assert(f.width === (h60 % 624 + 16).toInt, s"asset ${f.asset_id} not stubbed")
+    }
+  }
 }
