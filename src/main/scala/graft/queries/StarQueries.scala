@@ -480,6 +480,110 @@ object StarQueries {
         .limit(100)
     }),
 
+    // TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    // year. Each dim side pre-filters to the two qualifying nations BEFORE
+    // its join (the classic Q7 rewrite — the cross-side pair disjunction
+    // cannot push below the joins, but its per-side implications can), so
+    // the star joins drop non-qualifying rows at the earliest point; the
+    // residual filter only removes the two same-nation combinations.
+    "q7_nation_volume" -> ((s, d) => {
+      val picks = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.nation(s, d).filter(col("n_name").isin(picks: _*))
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d).filter(col("n_name").isin(picks: _*))
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(revenue).cast("double"), 2).as("revenue"))
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution — the outer-join-
+    // with-ON-clause-filter shape (the filter must NOT drop customers, only
+    // orders, so it sits on the orders side BEFORE the left join), then a
+    // count that treats the null-extended rows as zero, then a second
+    // aggregation over the counts.
+    "q13_custdist" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count")) // count skips nulls
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))),
+
+    // TPC-H Q15 shape: the top supplier(s) by quarterly revenue — an
+    // aggregate-of-aggregate (max over the per-supplier rollup) joined back
+    // as a one-row broadcast, never a global window over the rollup (which
+    // would single-task the supplier dimension at scale). Revenue rounds
+    // to cents BEFORE the max so tie semantics are decimal-exact in both
+    // engines.
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1999-01-01") &&
+          col("l_shipdate") < lit("1999-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(revenue).cast("double"), 2).as("total_rev"))
+      rev.join(broadcast(rev.agg(max(col("total_rev")).as("mx"))),
+          col("total_rev") === col("mx"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+    }),
+
+    // TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    // per-part scalar average (lines under 20% of their own part's mean
+    // quantity), restricted to one brand. The brand's part keys broadcast
+    // into BOTH lineitem passes (average + detail), so the per-part mean is
+    // computed only where needed; the mean is exact decimal-sum / count so
+    // the 0.2·avg comparison is bit-identical cross-engine.
+    "q17_small_qty_revenue" -> ((s, d) => {
+      val bparts = Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(bparts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val avgs = li.groupBy(col("l_partkey"))
+        .agg((sum(col("l_quantity").cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("avg_qty"))
+      li.join(avgs, Seq("l_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+          / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q22 shape: wealthy inactive customers — a one-row global
+    // average broadcast into the scan filter, then an anti-join against
+    // orders, rolled up per nation. The scalar subquery is a broadcast
+    // cross-join of a single aggregated row (the a9/L6 pattern), never a
+    // re-scan per row.
+    "q22_wealthy_inactive" -> ((s, d) => {
+      val avgBal = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("ab"))
+      Tables.customer(s, d)
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        // "inactive" = no order in the final year of the date range (every
+        // fixture customer has SOME order, so the unscoped anti-join would
+        // be vacuously empty and the gate row would prove nothing)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2001-01-01"))
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+    }),
+
     // O1/W: per-customer running total (window over shuffled key)
     "w_running_total" -> ((s, d) =>
       Tables.orders(s, d)
@@ -750,6 +854,70 @@ object StarQueries {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l_shipdate)::BIGINT AS l_year,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c
+        |GROUP BY c_count""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1999-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1'),
+        |a AS (
+        |  SELECT l_partkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |           / count(*) AS avg_qty
+        |  FROM li GROUP BY 1)
+        |SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |             / 7.0, 2) AS avg_yearly,
+        |       count(*) AS n_lines
+        |FROM li JOIN a USING (l_partkey)
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q22_wealthy_inactive" ->
+      """WITH ab AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |           / count(*) AS ab
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
 
     "w_running_total" ->
       """SELECT o_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS odate_s,

@@ -204,6 +204,39 @@ object StreamQueries {
           col("n_pairs"), col("max_l_bid"), col("max_r_bid"))
     }),
 
+    // T10 (stream-stream OUTER join): the left-outer variant of t7 —
+    // signup-minutes with no error tick must STILL appear, null-extended,
+    // once the combined watermark certifies no partner can arrive.
+    // Determinism: inner matches are t7's argument; null verdicts are
+    // final because chunks replay in time order and delay ≥ windowLen
+    // keeps any window alive until both sides have passed it. The oracle
+    // includes an unmatched minute only when the final combined watermark
+    // (min of the two sides' max event time − delay) passed its window
+    // end — unexpired buffered windows emit nothing at shutdown, in both
+    // engines' restatements.
+    "t10_stream_outer_join" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t10-").toString
+      withStreamShuffle(s, 2) { // dual-sided state, like t7
+        val l = tickStream(s, d).filter(col("pair") === "signup")
+          .select(col("time"), col("bid"))
+        val r = tickStream(s, d).filter(col("pair") === "error")
+          .select(col("time"), col("bid"))
+        awaitAndRecord("t10_stream_outer_join", Streams.windowJoinOuter(l, r)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/sink")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      }
+      s.read.parquet(s"$tmp/sink")
+        .groupBy(col("time"))
+        .agg(count(lit(1)).as("n_rows"), count(col("r_bid")).as("n_matched"),
+          max(col("l_bid")).as("max_l_bid"))
+        .select(unix_timestamp(col("time")).as("minute_s"),
+          col("n_rows"), col("n_matched"), col("max_l_bid"))
+    }),
+
     // T8 (keyed custom state): streaming EMA-14 over every valid tick via
     // flatMapGroupsWithState — 3-number state per pair folded across the
     // four micro-batches. Determinism: the staged chunks replay in
@@ -347,6 +380,30 @@ object StreamQueries {
          |       max(a.bid) AS max_l_bid, max(b.bid) AS max_r_bid
          |FROM a JOIN b ON a.m = b.m
          |GROUP BY 1""".stripMargin,
+
+    // matched minutes restate the inner join; unmatched minutes appear
+    // null-extended only when the final combined watermark (min of the two
+    // sides' max event time − 60 s) passed their window end
+    "t10_stream_outer_join" ->
+      s"""WITH ${TradingQueries.ticksCte},
+         |a AS (SELECT date_trunc('minute', time) AS m, bid, time FROM ticks
+         |      WHERE pair = 'signup'),
+         |b AS (SELECT date_trunc('minute', time) AS m, bid, time FROM ticks
+         |      WHERE pair = 'error'),
+         |wm AS (SELECT least((SELECT max(time) FROM a), (SELECT max(time) FROM b))
+         |              - INTERVAL 60 SECOND AS w),
+         |matched AS (
+         |  SELECT a.m, count(*) AS n_rows, count(*) AS n_matched,
+         |         max(a.bid) AS max_l_bid
+         |  FROM a JOIN b ON a.m = b.m GROUP BY a.m),
+         |unmatched AS (
+         |  SELECT a.m, count(*) AS n_rows, 0::BIGINT AS n_matched,
+         |         max(a.bid) AS max_l_bid
+         |  FROM a WHERE a.m NOT IN (SELECT m FROM b)
+         |    AND a.m + INTERVAL 1 MINUTE <= (SELECT w FROM wm)
+         |  GROUP BY a.m)
+         |SELECT epoch(m)::BIGINT AS minute_s, n_rows, n_matched, max_l_bid
+         |FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)""".stripMargin,
 
     // recursive-CTE replay of the identical TA-Lib recurrence over ticks in
     // (µs time, seq) order — same double ops in the same order ⇒ bit-exact

@@ -166,6 +166,27 @@ object Streams {
       .select(col("lw.start").as("time"), col("l_bid"), col("r_bid"))
   }
 
+  /** T10: stream-stream LEFT OUTER join on event-time windows — the outer
+    * variant of [[windowJoin]]. Inner matches emit as they join; a minute
+    * where only the left stream ticked emits its null-extended rows when
+    * the COMBINED watermark (min of both sides') passes the window and the
+    * buffered left state is evicted — so "no partner arrived" is a final,
+    * watermark-certified verdict, not a race against a late partner. At
+    * shutdown, unmatched windows the watermark has NOT yet passed are
+    * still buffered and emit nothing (the oracle must apply the same
+    * cutoff). State bounds are the inner join's: both sides drop a
+    * window's rows once the watermark passes it. */
+  def windowJoinOuter(left: DataFrame, right: DataFrame,
+                      windowLen: String = "1 minute",
+                      delay: String = "60 seconds"): DataFrame = {
+    val l = left.withWatermark("time", delay)
+      .select(window(col("time"), windowLen).as("lw"), col("bid").as("l_bid"))
+    val r = right.withWatermark("time", delay)
+      .select(window(col("time"), windowLen).as("rw"), col("bid").as("r_bid"))
+    l.join(r, expr("lw = rw"), "left_outer")
+      .select(col("lw.start").as("time"), col("l_bid"), col("r_bid"))
+  }
+
   /** T5: per-pair latest-tick cache as keyed streaming state. Emits the
     * updated latest row per pair per micro-batch (update output mode). */
   def latestPerPair(ticks: Dataset[TickRow]): Dataset[TickRow] = {

@@ -50,6 +50,19 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q21 reads lineitem exactly thrice (l1 + semi + anti) and orders once") {
+    // TPC-H Q21's EXISTS/NOT EXISTS require two correlated self-joins over
+    // the fact — three lineitem references total. A fourth scan would mean
+    // the late-line predicate re-joined orders on a right side (the
+    // correlation-through-l1 optimization regressed); two orders scans
+    // would mean the status filter stopped being shared.
+    val p = plan("q21_waiting_suppliers")
+    val li = p.linesIterator.count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    val ord = p.linesIterator.count(l => l.contains("Scan parquet") && l.contains("orders"))
+    assert(li === 3, s"q21 lineitem scans: $li (want 3)\n$p")
+    assert(ord === 1, s"q21 orders scans: $ord (want 1)\n$p")
+  }
+
   test("packing never sorts the full corpus on one task") {
     // the two-phase prefix sum's only unpartitioned window runs over the
     // per-bucket totals (≤ buckets rows); a global Sort directly above the
