@@ -584,6 +584,102 @@ object StarQueries {
         .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
     }),
 
+    // TPC-H Q8 shape: national market share — the target nation's revenue
+    // share of a (region, part-type) market per order year. The share is a
+    // conditional-sum ratio over ONE aggregation pass (no self-join);
+    // both sums go through DECIMAL so the final double division is
+    // bit-identical cross-engine.
+    "q8_market_share" -> ((s, d) => {
+      val nr = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nkey"))
+      val sn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1999-01-01") &&
+            col("o_orderdate") < lit("2001-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nr), col("c_nationkey") === col("c_nkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_1", revenue)
+            .otherwise(lit(0).cast("decimal(18,6)"))).cast("double")
+            / sum(revenue).cast("double"), 6).as("mkt_share"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q11 shape (partsupp-free restatement): parts whose revenue
+    // exceeds a fraction of TOTAL revenue — group-by-having against a
+    // one-row global scalar, the exact-arithmetic way: per-part and total
+    // sums stay DECIMAL (associative) and convert to double only inside
+    // the final comparison/emission, so the threshold predicate is
+    // bit-identical cross-engine.
+    "q11_important_parts" -> ((s, d) => {
+      val perPart = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(revenue).as("value_dec"))
+      perPart
+        .crossJoin(broadcast(perPart.agg(sum(col("value_dec")).as("total_dec"))))
+        .filter(col("value_dec").cast("double") >
+          col("total_dec").cast("double") * 0.0001)
+        // exact integer ten-thousandths, NO rounding anywhere: these totals
+        // are big enough that decimal→double differs by 1 ulp exactly at
+        // half-cent boundaries, and the engines' decimal scale-down
+        // rounding modes differ too (Spark HALF_UP, DuckDB truncates).
+        // price(2dp) × (1−discount)(2dp) has ≤ 4 exact decimals, so ×10⁴
+        // is integral — both engines emit the identical BIGINT.
+        .select(col("l_partkey"),
+          (col("value_dec") * 10000).cast("long").as("value_e4"))
+    }),
+
+    // TPC-H Q16 shape: supplier diversity per (brand, type) — exclusion
+    // filters on the dim, a distinct fact projection, an anti-join against
+    // the "complaint" supplier set (the NOT IN subquery), then COUNT
+    // DISTINCT per group.
+    "q16_supplier_diversity" -> ((s, d) => {
+      val parts = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"))
+      val complaints = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(complaints, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q20 shape: dominant suppliers — nested aggregate semi-chain:
+    // per-(part, supplier) volume vs the part's total (both exact DECIMAL,
+    // one shuffle each sharing the l_partkey key), the >50% filter, then a
+    // SEMI-join reducing suppliers (a supplier dominating several parts
+    // must appear once).
+    "q20_dominant_suppliers" -> ((s, d) => {
+      val li99 = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1999-01-01") &&
+          col("l_shipdate") < lit("2000-01-01"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("decimal(18,6)").as("qty"))
+      val perPS = li99.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qty")).as("ps_qty"))
+      val perP = li99.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("p_qty"))
+      val dominant = perPS.join(perP, Seq("l_partkey"))
+        .filter(col("ps_qty").cast("double") > col("p_qty").cast("double") * 0.5)
+        .select(col("l_suppkey"))
+      Tables.supplier(s, d)
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
     // O1/W: per-customer running total (window over shuffled key)
     "w_running_total" -> ((s, d) =>
       Tables.orders(s, d)
@@ -918,6 +1014,58 @@ object StarQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
         |                  AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
         |GROUP BY 1""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT year(o_orderdate)::BIGINT AS o_year,
+        |  round(CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+        |                 THEN CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))
+        |                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS value_dec
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT SUM(value_dec) AS total_dec FROM v)
+        |SELECT l_partkey, (value_dec * 10000)::BIGINT AS value_e4
+        |FROM v, t
+        |WHERE CAST(value_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * 0.0001""".stripMargin,
+
+    "q16_supplier_diversity" ->
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q20_dominant_suppliers" ->
+      """WITH li99 AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(18,6)) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '2000-01-01 00:00:00'),
+        |ps AS (SELECT l_partkey, l_suppkey, SUM(qty) AS ps_qty FROM li99 GROUP BY 1, 2),
+        |p AS (SELECT l_partkey, SUM(qty) AS p_qty FROM li99 GROUP BY 1)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (
+        |  SELECT 1 FROM ps JOIN p USING (l_partkey)
+        |  WHERE ps.l_suppkey = s_suppkey
+        |    AND CAST(ps_qty AS DOUBLE) > CAST(p_qty AS DOUBLE) * 0.5)""".stripMargin,
 
     "w_running_total" ->
       """SELECT o_custkey, o_orderkey, epoch(o_orderdate)::BIGINT AS odate_s,

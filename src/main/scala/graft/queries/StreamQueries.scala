@@ -204,6 +204,34 @@ object StreamQueries {
           col("n_pairs"), col("max_l_bid"), col("max_r_bid"))
     }),
 
+    // T11 (bounded-state streaming dedup): t4's first-per-second dedup
+    // through `dropDuplicatesWithinWatermark` — state expires with the
+    // watermark instead of accumulating every key forever (the only form
+    // that survives an unbounded stream). The hash covers the emitted KEY
+    // SET — exactly one row per (pair, second), no key dropped, no key
+    // resurrected after expiry (a resurrection would emit a duplicate and
+    // break rows+hash). WHICH duplicate's payload survives is arrival-
+    // order-dependent inside a micro-batch (same-key rows can land in
+    // different tasks), so payload columns are deliberately outside the
+    // hash — t4 is the payload-deterministic dedup (explicit (time, seq)
+    // tie-break in its per-batch stage). Dedup emits rows immediately, so
+    // no shutdown cutoff applies.
+    "t11_dedup_bounded" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t11-").toString
+      withStreamShuffle(s, 8) {
+        awaitAndRecord("t11_dedup_bounded",
+          Streams.dedupTicksBounded(tickStream(s, d))
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/sink")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      }
+      s.read.parquet(s"$tmp/sink")
+        .select(col("pair"), unix_timestamp(col("time")).as("time_s"))
+    }),
+
     // T10 (stream-stream OUTER join): the left-outer variant of t7 —
     // signup-minutes with no error tick must STILL appear, null-extended,
     // once the combined watermark certifies no partner can arrive.
@@ -380,6 +408,13 @@ object StreamQueries {
          |       max(a.bid) AS max_l_bid, max(b.bid) AS max_r_bid
          |FROM a JOIN b ON a.m = b.m
          |GROUP BY 1""".stripMargin,
+
+    // the key set of the batch dedup — one row per (pair, second)
+    "t11_dedup_bounded" ->
+      s"""WITH ${TradingQueries.ticksCte}
+         |SELECT DISTINCT pair,
+         |       epoch(date_trunc('second', time))::BIGINT AS time_s
+         |FROM ticks""".stripMargin,
 
     // matched minutes restate the inner join; unmatched minutes appear
     // null-extended only when the final combined watermark (min of the two

@@ -81,6 +81,22 @@ object Streams {
       .withWatermark("time", watermark)
       .dropDuplicates("pair", "time")
 
+  /** T1 scale variant: first-per-second dedup with BOUNDED state via
+    * `dropDuplicatesWithinWatermark` — unlike [[dedupTicks]]'s plain
+    * `dropDuplicates` (whose key state lives forever), a key's state is
+    * dropped once the watermark passes it by `watermark`, so state tracks
+    * the ACTIVE horizon, not every (pair, second) ever seen — the
+    * difference between O(horizon) and O(history) on an unbounded stream.
+    * Contract: duplicates are only guaranteed dropped when they arrive
+    * within `watermark` of the first — exactly the tick-stream case (a
+    * second's ticks arrive together; anything later is late data the
+    * watermark already discards). */
+  def dedupTicksBounded(ticks: DataFrame, watermark: String = "60 seconds"): DataFrame =
+    ticks
+      .withColumn("time", date_trunc("second", col("time")))
+      .withWatermark("time", watermark)
+      .dropDuplicatesWithinWatermark("pair", "time")
+
   /** The windowed OHLC aggregation itself — no watermark call, so it can
     * sit downstream of another stateful operator (a stream may define its
     * watermark only once; it propagates through). `ord` is the open/close
