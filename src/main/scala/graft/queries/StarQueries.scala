@@ -615,6 +615,37 @@ object StarQueries {
           count(lit(1)).as("n_lines"))
     }),
 
+    // TPC-H Q9 shape (partsupp-free restatement): product-type profit by
+    // (supplier nation, order year). Supply cost comes from the part dim
+    // (p_retailprice × 0.5 × l_quantity) since partsupp doesn't exist in
+    // this schema — keeping Q9's character: a computed profit expression
+    // mixing fact and dim columns under a 4-table join, grouped on
+    // attributes from two different dimension arms. Profit stays exact
+    // DECIMAL end-to-end (two-factor products only — a triple decimal
+    // product overflows DuckDB's width-38 multiply) and is emitted as
+    // exact integer hundred-thousandths: revenue has ≤4 decimals and cost
+    // ≤3, so ×10⁵ is integral — no rounding mode in play on either engine.
+    "q9_product_profit" -> ((s, d) => {
+      val sn = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val bolts = Tables.part(s, d).filter(col("p_name").like("%bolt%"))
+        .select(col("p_partkey"),
+          (col("p_retailprice").cast("decimal(18,6)") *
+            lit(0.5).cast("decimal(18,6)")).cast("decimal(18,6)").as("cost_unit"))
+      val amount =
+        revenue - col("cost_unit") * col("l_quantity").cast("decimal(18,6)")
+      Tables.lineitem(s, d)
+        .join(broadcast(bolts), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(amount) * lit(100000)).cast("long").as("profit_e5"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // TPC-H Q11 shape (partsupp-free restatement): parts whose revenue
     // exceeds a fraction of TOTAL revenue — group-by-having against a
     // one-row global scalar, the exact-arithmetic way: per-part and total
@@ -1034,6 +1065,20 @@ object StarQueries {
         |  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '2001-01-01 00:00:00'
         |GROUP BY 1""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+        |  (SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))
+        |       - CAST(CAST(p_retailprice AS DECIMAL(18,6)) * CAST(0.5 AS DECIMAL(18,6)) AS DECIMAL(18,6))
+        |         * CAST(l_quantity AS DECIMAL(18,6))) * 100000)::BIGINT AS profit_e5,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2""".stripMargin,
 
     "q11_important_parts" ->
       """WITH v AS (
