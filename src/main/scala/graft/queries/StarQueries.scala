@@ -243,6 +243,18 @@ object StarQueries {
           grouping_id().as("gid"))
     }),
 
+    // cube: the full 2^k grouping-set lattice over two independent
+    // dimensions (status × priority) — unlike a7's rollup (a prefix
+    // hierarchy), cube emits the cross-dimension margins too. One Expand +
+    // one aggregation pass; at 100 TB the Expand multiplies rows by the
+    // grouping-set count BEFORE the shuffle, so k stays small by design.
+    "a7b_cube_status_priority" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"),
+          grouping_id().as("gid"))),
+
     // pivot: order counts per priority spread across status columns —
     // fixed pivot values keep the schema static (the only scale-safe form:
     // an inferred pivot collects the distinct set to the driver)
@@ -689,20 +701,28 @@ object StarQueries {
     }),
 
     // TPC-H Q20 shape: dominant suppliers — nested aggregate semi-chain:
-    // per-(part, supplier) volume vs the part's total (both exact DECIMAL,
-    // one shuffle each sharing the l_partkey key), the >50% filter, then a
-    // SEMI-join reducing suppliers (a supplier dominating several parts
-    // must appear once).
+    // per-(part, supplier) volume vs the part's total, the >50% filter,
+    // then a SEMI-join reducing suppliers (a supplier dominating several
+    // parts must appear once). Scale shape: the fact is scanned and
+    // shuffled ONCE — the per-part total re-aggregates the per-(part,
+    // supplier) output (exact: decimal addition is associative), and that
+    // second aggregation plus the dominant join are all keyed on
+    // l_partkey, so AQE keeps them on the first shuffle's partitioning
+    // instead of re-scanning lineitem for an independent aggregate.
     "q20_dominant_suppliers" -> ((s, d) => {
-      val li99 = Tables.lineitem(s, d)
+      val perPS = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1999-01-01") &&
-          col("l_shipdate") < lit("2000-01-01"))
-        .select(col("l_partkey"), col("l_suppkey"),
-          col("l_quantity").cast("decimal(18,6)").as("qty"))
-      val perPS = li99.groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(sum(col("qty")).as("ps_qty"))
-      val perP = li99.groupBy(col("l_partkey"))
-        .agg(sum(col("qty")).as("p_qty"))
+          col("l_shipdate") < lit("2000-01-01") &&
+          // explicit null guards so BOTH consumers of this aggregate see
+          // the identical filter set — the semi-join branch infers
+          // isnotnull(l_suppkey) on its own, and a one-sided inferred
+          // filter makes the two Exchange subplans differ, defeating
+          // ReusedExchange (→ a second full fact scan at 100 TB)
+          col("l_partkey").isNotNull && col("l_suppkey").isNotNull)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("ps_qty"))
+      val perP = perPS.groupBy(col("l_partkey"))
+        .agg(sum(col("ps_qty")).as("p_qty"))
       val dominant = perPS.join(perP, Seq("l_partkey"))
         .filter(col("ps_qty").cast("double") > col("p_qty").cast("double") * 0.5)
         .select(col("l_suppkey"))
@@ -847,6 +867,13 @@ object StarQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "a7b_cube_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_price,
+        |  GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "a8_pivot_status" ->
       """SELECT o_orderpriority,

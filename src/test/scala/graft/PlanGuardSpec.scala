@@ -63,6 +63,21 @@ class PlanGuardSpec extends SparkSpec {
     assert(ord === 1, s"q21 orders scans: $ord (want 1)\n$p")
   }
 
+  test("q20 scans lineitem once: per-part totals reuse the per-(part,supplier) shuffle") {
+    // The per-part total is a re-aggregation of the per-(part,supplier)
+    // output, not an independent aggregate over the fact — the second
+    // consumer must be fed by exchange reuse (one fact scan + one fact
+    // shuffle executed; losing reuse doubles fact traffic at 100 TB).
+    // Reuse needs the two Exchange subtrees canonically identical, which
+    // the query guarantees with explicit null guards on the shared base
+    // (a one-sided INFERRED isnotnull breaks the match). AQE decides
+    // reuse at runtime, so execute and inspect the final plan.
+    val df = SparkEntry.queries("q20_dominant_suppliers")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), s"q20 lost exchange reuse:\n$p")
+  }
+
   test("packing never sorts the full corpus on one task") {
     // the two-phase prefix sum's only unpartitioned window runs over the
     // per-bucket totals (≤ buckets rows); a global Sort directly above the

@@ -23,6 +23,56 @@ class SkewSpec extends SparkSpec {
     assert(got.toSeq === exp.toSeq)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (and results are unchanged)") {
+    // The 100 TB path for skew the engine does NOT pre-salt: AQE's
+    // OptimizeSkewedJoin splitting an oversized partition into parallel
+    // sub-reads. Thresholds are forced low so the hot key's partition
+    // qualifies at test scale; broadcast is disabled to keep the join a
+    // shuffled SMJ (the shape skew splitting applies to).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled", "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(Option(conf.get(k))).toOption.flatten).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+      val left = spark.range(20000)
+        .select(when(col("id") % 10 =!= 0, lit("hot")).otherwise(concat(lit("k"), col("id"))).as("key"),
+          col("id").as("n"))
+      val right = spark.range(200)
+        .select(when(col("id") % 10 =!= 0, lit("hot")).otherwise(concat(lit("r"), col("id"))).as("key"),
+          col("id").as("m"))
+      val joined = left.join(right, "key")
+      // drive THIS plan (df.count() would execute a different QueryExecution
+      // and leave the join's adaptive plan unexecuted); RDD count keeps the
+      // 3.24M joined rows off the driver
+      val qe = joined.queryExecution
+      val cnt = qe.executedPlan.execute().count()
+      // 18000 hot-left × 180 hot-right; the k*/r* tails never overlap
+      assert(cnt === 18000L * 180L)
+
+      val p = qe.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"skew test must exercise a shuffled join:\n$p")
+      assert(p.contains("skew=true") || p.contains("skewed"),
+        s"OptimizeSkewedJoin did not fire — hot partition runs on one task at scale:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("saltedJoin == plain inner join, including the hot key") {
     val dim = Seq(("hot", "H"), ("k1", "A"), ("k3", "B"), ("missing", "Z"))
       .toDF("key", "label")
