@@ -154,4 +154,54 @@ object TextAnalysis {
     docs.select(col("doc_id"), md5(norm).as("digest"),
       TextOps.hash60(norm).as("fp60"))
   }
+
+  /** L33: BM25 relevance scoring of every document against a fixed query-term
+    * set, top-k by score — the retrieval scorer behind quality-targeted data
+    * selection (rank a corpus against a seed query, keep the best matches).
+    *
+    * Uses BM25's RATIONAL idf form `(N − df + 0.5) / (df + 0.5)` — i.e. the
+    * argument of the usual `log(...)` idf. log is strictly monotone, so
+    * per-term orderings are identical, and staying rational keeps every
+    * arithmetic op a correctly-rounded IEEE +,−,×,÷ (bit-identical
+    * cross-engine; libm's log is only 1-ulp-accurate and differs between
+    * JVM and C runtimes — this module's no-transcendentals rule). Per-term
+    * scores are rounded to 6 dp and summed as exact DECIMAL, so the
+    * per-document total cannot depend on term arrival order.
+    *
+    * Scale shape: the query-term filter cuts the exploded token stream
+    * BEFORE any aggregation, so the tf pass shuffles only matching postings
+    * (|query| ≪ vocab); df is an aggregation OF the tf output (no second
+    * corpus pass) and broadcasts (≤ |query| rows); N and avgdl are one
+    * scalar row broadcast from the doc-length pass; the final top-k is a
+    * TakeOrdered (per-partition heaps), never a global sort. Nothing grows
+    * super-linearly in corpus size. */
+  def bm25(docs: DataFrame, query: Seq[String], k: Int = 20): DataFrame = {
+    require(query.nonEmpty, "query terms must be non-empty")
+    // k1 = 1.2, b = 0.75 (the standard Okapi constants). Literals are spelled
+    // the same in the DuckDB oracle: identical decimal numerals parse to
+    // identical doubles.
+    val dl = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("bigint").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(array_contains(array(query.map(lit): _*), col("tok")))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val tfd = col("tf").cast("double")
+    val dfd = col("df").cast("double")
+    val idf = (col("n_docs") - dfd + lit(0.5)) / (dfd + lit(0.5))
+    val sat = (tfd * lit(2.2)) /
+      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+    tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(idf * sat, 6).as("score_t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("score_t").cast("decimal(18,6)")).cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
 }

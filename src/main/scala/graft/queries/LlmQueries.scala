@@ -273,6 +273,12 @@ object LlmQueries {
     "llm_vocab_coverage" -> ((s, d) =>
       TextAnalysis.vocabCoverage(docsPar(s, d), topV = 50)),
 
+    // L33: BM25 retrieval scoring against a fixed seed query — rational-idf
+    // form (monotone equivalent of log-idf, exact cross-engine arithmetic),
+    // per-term scores decimal-summed, TakeOrdered top-20
+    "llm_bm25_topk" -> ((s, d) =>
+      TextAnalysis.bm25(docsPar(s, d), query = Seq("spark", "stream", "merge"))),
+
     // benchmark decontamination: val/test docs (content-hash split) sharing
     // >= 2 trigram shingles with any train doc
     "llm_decontaminate" -> ((s, d) => {
@@ -732,6 +738,28 @@ object LlmQueries {
          |             / count(*), 6) AS oov_ratio,
          |       round(quantile_cont(freq, 0.5), 6) AS med_freq
          |FROM j GROUP BY doc_id""".stripMargin,
+
+    // BM25 with rational idf — every op is +,-,*,/ with the identical
+    // parenthesization as the Spark side, so doubles are bit-identical;
+    // per-term scores round to 6dp then sum as exact DECIMAL
+    "llm_bm25_topk" ->
+      s"""WITH $toksCte,
+         |dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM toks),
+         |st AS (SELECT count(*)::DOUBLE AS n_docs,
+         |              (SUM(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS nt
+         |       FROM (SELECT doc_id, unnest(w) AS tok FROM toks) u
+         |       WHERE tok IN ('spark', 'stream', 'merge') GROUP BY 1, 2),
+         |dfq AS (SELECT tok, count(*)::BIGINT AS nd FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |         round(((st.n_docs - nd::DOUBLE + 0.5) / (nd::DOUBLE + 0.5)) *
+         |               ((nt::DOUBLE * 2.2) /
+         |                (nt::DOUBLE + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE / st.avgdl)))), 6) AS score_t
+         |       FROM tf JOIN dfq USING (tok) JOIN dl ON tf.doc_id = dl.doc_id, st)
+         |SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+         |       CAST(SUM(CAST(score_t AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+         |FROM sc GROUP BY 1
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     // lateral generate_series = the posexplode'd start sequence; DuckDB list
     // slice is 1-based inclusive and end-truncating, matching Spark's slice

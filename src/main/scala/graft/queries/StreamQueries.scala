@@ -232,6 +232,36 @@ object StreamQueries {
         .select(col("pair"), unix_timestamp(col("time")).as("time_s"))
     }),
 
+    // T12 (stream-static ANTI-join): incremental ingest against an
+    // existing warehouse — the fixture's first half (by integer-midpoint
+    // epoch second over the deduped keys) plays the "already ingested"
+    // static table; streamed ticks pass only when their (pair, second)
+    // key is new. Stateless per-row, so the 4-batch split can't affect
+    // the emitted set; every surviving VALID tick is emitted (including
+    // several in one new second — the warehouse filter is not a dedup).
+    "t12_stream_antijoin" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t12-").toString
+      val keys = TradingQueries.ticks(s, d).select(col("pair"), col("time"))
+      val mm = keys.agg(min(unix_timestamp(col("time"))).as("mn"),
+        max(unix_timestamp(col("time"))).as("mx"))
+      val existing = keys.crossJoin(broadcast(mm))
+        .filter(unix_timestamp(col("time")) <= expr("mn + (mx - mn) div 2"))
+        .select(col("pair"), col("time").as("sec"))
+      withStreamShuffle(s, 8) {
+        awaitAndRecord("t12_stream_antijoin",
+          Streams.antiJoinStatic(tickStream(s, d), existing)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/sink")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      }
+      s.read.parquet(s"$tmp/sink")
+        .select(col("pair"), unix_micros(col("time")).as("time_us"),
+          col("bid"), col("ask"), col("seq"))
+    }),
+
     // T10 (stream-stream OUTER join): the left-outer variant of t7 —
     // signup-minutes with no error tick must STILL appear, null-extended,
     // once the combined watermark certifies no partner can arrive.
@@ -408,6 +438,19 @@ object StreamQueries {
          |       max(a.bid) AS max_l_bid, max(b.bid) AS max_r_bid
          |FROM a JOIN b ON a.m = b.m
          |GROUP BY 1""".stripMargin,
+
+    // every valid tick whose (pair, second) is not in the first-half
+    // warehouse key set — identical integer-midpoint cutoff
+    "t12_stream_antijoin" ->
+      s"""WITH ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte},
+         |mm AS (SELECT min(epoch(time)::BIGINT) AS mn,
+         |              max(epoch(time)::BIGINT) AS mx FROM dedup),
+         |half AS (SELECT pair, time FROM dedup, mm
+         |         WHERE epoch(time)::BIGINT <= mn + (mx - mn) // 2)
+         |SELECT t.pair, epoch_us(t.time)::BIGINT AS time_us, t.bid, t.ask, t.seq
+         |FROM ticks t
+         |WHERE NOT EXISTS (SELECT 1 FROM half h
+         |  WHERE h.pair = t.pair AND h.time = date_trunc('second', t.time))""".stripMargin,
 
     // the key set of the batch dedup — one row per (pair, second)
     "t11_dedup_bounded" ->

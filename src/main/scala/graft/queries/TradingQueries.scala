@@ -112,6 +112,38 @@ object TradingQueries {
           col("n_ticks"), col("twap"))
     }),
 
+    // rolling z-score outlier detection — the tick-validity filter P4
+    // upgraded from static bounds to a statistical one (flag prints > 3σ
+    // from the trailing-window mean; the standard bad-print/fat-finger
+    // screen). The window EXCLUDES the current row (rows -100..-1) so an
+    // outlier can't drag its own baseline. Moments come from exact decimal
+    // window sums (mid is on the 6-dp grid, squares on the 12-dp grid);
+    // mean/var/z then use identical double ops on both engines, and sqrt
+    // is correctly rounded per IEEE-754 — bit-identical, no decimal
+    // detour needed. var > 0 guards the constant-window NaN case (the
+    // engines' NaN-comparison conventions differ — never emit one).
+    "w8_zscore_outliers" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("pair"))
+        .orderBy(col("time")).rowsBetween(-100, -1)
+      ticks(s, d)
+        .select(col("pair"), col("time"),
+          round((col("bid") + col("ask")) / 2, 6).as("mid"))
+        .withColumn("n", count(col("mid")).over(w))
+        .withColumn("s", sum(col("mid").cast("decimal(18,6)")).over(w).cast("double"))
+        .withColumn("ss", sum(col("mid").cast("decimal(18,6)") *
+          col("mid").cast("decimal(18,6)")).over(w).cast("double"))
+        .filter(col("n") >= 30)
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("mean", col("s") / col("nd"))
+        .withColumn("vr",
+          (col("ss") - (col("s") * col("s")) / col("nd")) / (col("nd") - lit(1.0)))
+        .filter(col("vr") > 0)
+        .withColumn("z", (col("mid") - col("mean")) / sqrt(col("vr")))
+        .filter(abs(col("z")) > 3.0)
+        .select(col("pair"), epochS("time"), col("mid"), col("n"),
+          round(col("z"), 6).as("z"))
+    }),
+
     // running-peak drawdown per pair (the risk metric behind every
     // backtest report): cumulative max is a running frame (O(1)/row), the
     // drawdown is a single subtraction — no float accumulation anywhere,
@@ -144,6 +176,31 @@ object TradingQueries {
          |SELECT pair, epoch(ws)::BIGINT AS time_s, count(*) AS n_ticks,
          |       round(round(sum(mid::DECIMAL(18,6))::DOUBLE, 6) / count(*), 6) AS twap
          |FROM x GROUP BY 1, 2""".stripMargin,
+    "w8_zscore_outliers" ->
+      s"""WITH $ticksCte, $dedupCte,
+         |m AS (SELECT pair, time, round((bid + ask) / 2, 6) AS mid FROM dedup),
+         |x AS (
+         |  SELECT pair, time, mid,
+         |         count(mid) OVER w AS n,
+         |         sum(mid::DECIMAL(18,6)) OVER w AS s_dec,
+         |         sum((mid::DECIMAL(18,6)) * (mid::DECIMAL(18,6))) OVER w AS ss_dec
+         |  FROM m
+         |  WINDOW w AS (PARTITION BY pair ORDER BY time
+         |               ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)),
+         |y AS (
+         |  SELECT pair, time, mid, n,
+         |         s_dec::DOUBLE AS s, ss_dec::DOUBLE AS ss, n::DOUBLE AS nd
+         |  FROM x WHERE n >= 30),
+         |z AS (
+         |  SELECT pair, time, mid, n,
+         |         (ss - (s * s) / nd) / (nd - 1.0) AS vr,
+         |         s / nd AS mean
+         |  FROM y)
+         |SELECT pair, epoch(time)::BIGINT AS time_s, mid, n,
+         |       round((mid - mean) / sqrt(vr), 6) AS z
+         |FROM z
+         |WHERE vr > 0 AND abs((mid - mean) / sqrt(vr)) > 3.0""".stripMargin,
+
     "w7_max_drawdown" ->
       s"""WITH $ticksCte, $dedupCte, $c1mCte,
          |p AS (

@@ -97,6 +97,21 @@ object Streams {
       .withWatermark("time", watermark)
       .dropDuplicatesWithinWatermark("pair", "time")
 
+  /** T12: stream-static ANTI-join — incremental ingest against an existing
+    * warehouse: a tick passes only if its (pair, second) key is NOT already
+    * present in the static `existing` key set. This is the streaming half
+    * of S8's idempotency story: S8's first-write-wins sink dedupes what the
+    * RUN writes; this drops what the WAREHOUSE already has, before any
+    * state or sink is touched. Stateless per-row (no watermark, no state
+    * store — the static side is just a join relation rebuilt per
+    * micro-batch), so emission is batch-split-independent by construction.
+    * `existing` must have columns (pair, sec) with `sec` second-truncated. */
+  def antiJoinStatic(ticks: DataFrame, existing: DataFrame): DataFrame =
+    ticks
+      .withColumn("sec", date_trunc("second", col("time")))
+      .join(existing, Seq("pair", "sec"), "left_anti")
+      .drop("sec")
+
   /** The windowed OHLC aggregation itself — no watermark call, so it can
     * sit downstream of another stateful operator (a stream may define its
     * watermark only once; it propagates through). `ord` is the open/close
