@@ -112,6 +112,52 @@ object TradingQueries {
           col("n_ticks"), col("twap"))
     }),
 
+    // duration-weighted TWAP — w5's tick-count TWAP weights every print
+    // equally; the honest time-weighted average weights each print by how
+    // long it was the live price (lead(time) − time). Weights are integer
+    // seconds and mid sits on the 6-dp grid, so Σ(mid·dur) is an exact
+    // decimal sum; the single division happens in double on both engines.
+    // Each pair's final print has no successor and is dropped (its price
+    // was "live" for an unknowable duration).
+    "w9_twap_weighted" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("pair"))
+        .orderBy(col("time"))
+      ticks(s, d)
+        .select(col("pair"), unix_timestamp(col("time")).as("t_s"),
+          round((col("bid") + col("ask")) / 2, 6).as("mid"))
+        .withColumn("dur", lead(col("t_s"), 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("pair"))
+            .orderBy(col("t_s"))) - col("t_s"))
+        .filter(col("dur").isNotNull)
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n_prints"),
+          sum(col("dur")).as("total_s"),
+          round(sum(col("mid").cast("decimal(18,6)") * col("dur").cast("decimal(18,6)"))
+            .cast("double") / sum(col("dur")).cast("double"), 6).as("twap_w"))
+    }),
+
+    // candle gap-fill / forward-fill — the resample-asfreq op every
+    // time-series store needs: a DENSE per-pair minute grid (min..max of
+    // that pair's 1m candles) where missing minutes carry the last known
+    // close forward as a flat print. The grid is generated per pair on
+    // executors (sequence + explode, no driver loop); the fill is one
+    // last(ignoreNulls) running frame — O(1)/row, one shuffle on pair.
+    "a2b_gapfill_1m" -> ((s, d) => {
+      val span = candles1m(s, d)
+        .groupBy(col("pair"))
+        .agg(min(col("time")).as("mn"), max(col("time")).as("mx"))
+        .select(col("pair"),
+          explode(sequence(col("mn"), col("mx"),
+            expr("INTERVAL 1 MINUTE"))).as("time"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("pair"))
+        .orderBy(col("time")).rowsBetween(Long.MinValue, 0)
+      span.join(candles1m(s, d).select(col("pair"), col("time"), col("close")),
+          Seq("pair", "time"), "left")
+        .withColumn("close_f", last(col("close"), ignoreNulls = true).over(w))
+        .select(col("pair"), epochS("time"),
+          col("close_f"), col("close").isNull.as("is_gap"))
+    }),
+
     // rolling z-score outlier detection — the tick-validity filter P4
     // upgraded from static bounds to a statistical one (flag prints > 3σ
     // from the trailing-window mean; the standard bad-print/fat-finger
@@ -123,15 +169,30 @@ object TradingQueries {
     // detour needed. var > 0 guards the constant-window NaN case (the
     // engines' NaN-comparison conventions differ — never emit one).
     "w8_zscore_outliers" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("pair"))
-        .orderBy(col("time")).rowsBetween(-100, -1)
+      // Spark's WindowExec re-evaluates a SLIDING frame's aggregate from
+      // scratch for every row (no inverse-add), so a rows(-100,-1) decimal
+      // sum costs O(100·n) — measured 3.6 s at sf0.1 vs 1.2 s for this
+      // prefix-subtraction form: two UNBOUNDED-PRECEDING running frames
+      // (O(1)/row incremental) and the trailing window becomes
+      // cum[rn−1] − cum[rn−101]. Decimal prefix sums are exact, so the
+      // subtraction reproduces the direct frame sum bit-for-bit.
+      val wRun = org.apache.spark.sql.expressions.Window.partitionBy(col("pair"))
+        .orderBy(col("time")).rowsBetween(Long.MinValue, 0)
+      val wOrd = org.apache.spark.sql.expressions.Window.partitionBy(col("pair"))
+        .orderBy(col("time"))
+      val zeroDec = lit(0).cast("decimal(28,6)")
       ticks(s, d)
         .select(col("pair"), col("time"),
           round((col("bid") + col("ask")) / 2, 6).as("mid"))
-        .withColumn("n", count(col("mid")).over(w))
-        .withColumn("s", sum(col("mid").cast("decimal(18,6)")).over(w).cast("double"))
-        .withColumn("ss", sum(col("mid").cast("decimal(18,6)") *
-          col("mid").cast("decimal(18,6)")).over(w).cast("double"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("cum", sum(col("mid").cast("decimal(18,6)")).over(wRun))
+        .withColumn("cumsq", sum(col("mid").cast("decimal(18,6)") *
+          col("mid").cast("decimal(18,6)")).over(wRun))
+        .withColumn("n", least(col("rn") - 1, lit(100)).cast("bigint"))
+        .withColumn("s", (coalesce(lag(col("cum"), 1).over(wOrd), zeroDec) -
+          coalesce(lag(col("cum"), 101).over(wOrd), zeroDec)).cast("double"))
+        .withColumn("ss", (coalesce(lag(col("cumsq"), 1).over(wOrd), zeroDec) -
+          coalesce(lag(col("cumsq"), 101).over(wOrd), zeroDec)).cast("double"))
         .filter(col("n") >= 30)
         .withColumn("nd", col("n").cast("double"))
         .withColumn("mean", col("s") / col("nd"))
@@ -176,6 +237,38 @@ object TradingQueries {
          |SELECT pair, epoch(ws)::BIGINT AS time_s, count(*) AS n_ticks,
          |       round(round(sum(mid::DECIMAL(18,6))::DOUBLE, 6) / count(*), 6) AS twap
          |FROM x GROUP BY 1, 2""".stripMargin,
+    "w9_twap_weighted" ->
+      s"""WITH $ticksCte, $dedupCte,
+         |m AS (SELECT pair, epoch(time)::BIGINT AS t_s,
+         |             round((bid + ask) / 2, 6) AS mid FROM dedup),
+         |x AS (SELECT pair, t_s, mid,
+         |        lead(t_s) OVER (PARTITION BY pair ORDER BY t_s) - t_s AS dur
+         |      FROM m)
+         |SELECT pair, count(*) AS n_prints, sum(dur)::BIGINT AS total_s,
+         |       -- DECIMAL(12,6)×DECIMAL(9,0): DuckDB 1.0 multiplies two
+         |       -- width-18 decimals in int64 and overflows at runtime;
+         |       -- narrower declared widths route it through int128. The
+         |       -- values are identical either way (sums stay exact).
+         |       round(sum((mid::DECIMAL(12,6)) * (dur::DECIMAL(9,0)))::DOUBLE
+         |             / sum(dur)::DOUBLE, 6) AS twap_w
+         |FROM x WHERE dur IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "a2b_gapfill_1m" ->
+      s"""WITH $ticksCte, $dedupCte, $c1mCte,
+         |g AS (SELECT pair,
+         |             unnest(range(epoch(mn)::BIGINT, epoch(mx)::BIGINT + 60, 60)) AS t_s
+         |      FROM (SELECT pair, min(time) AS mn, max(time) AS mx
+         |            FROM c1m GROUP BY 1) s),
+         |j AS (SELECT g.pair, g.t_s, c.close
+         |      FROM g LEFT JOIN (SELECT pair, epoch(time)::BIGINT AS t_s, close
+         |                        FROM c1m) c
+         |        ON g.pair = c.pair AND g.t_s = c.t_s)
+         |SELECT pair, t_s AS time_s,
+         |       last_value(close IGNORE NULLS) OVER (PARTITION BY pair ORDER BY t_s
+         |         ROWS UNBOUNDED PRECEDING) AS close_f,
+         |       close IS NULL AS is_gap
+         |FROM j""".stripMargin,
+
     "w8_zscore_outliers" ->
       s"""WITH $ticksCte, $dedupCte,
          |m AS (SELECT pair, time, round((bid + ask) / 2, 6) AS mid FROM dedup),
