@@ -165,6 +165,49 @@ class PlanGuardSpec extends SparkSpec {
       s"shipdate filter must reach the lineitem scan:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffled join") {
+    // At 100 TB the win for a selective dim filter on a SHUFFLED fact join
+    // is Spark's InjectRuntimeFilter: a bloom filter built from the dim's
+    // join keys is pushed into the fact scan as might_contain(...), so
+    // non-matching fact rows die before the exchange. Broadcast joins get
+    // this for free (the hash relation IS the filter); this proves the
+    // shuffled path keeps it too. Thresholds are relaxed because the rule
+    // requires a plausibly-large application side; results must be
+    // byte-identical with the filter off.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> util.Try(Option(conf.get(k))).toOption.flatten).toMap
+    def q() = {
+      import org.apache.spark.sql.functions.col
+      graft.sources.Tables.lineitem(spark, d)
+        .join(graft.sources.Tables.supplier(spark, d)
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+    }
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val base = q().collect().map(_.toString).sorted
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val df = q()
+      val got = df.collect().map(_.toString).sorted
+      assert(got.toSeq === base.toSeq, "runtime filter changed results")
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"InjectRuntimeFilter did not fire on the fact side:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("vocab top-V cuts with distributed TakeOrdered, never a global sort") {
     val p = plan("llm_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"),
