@@ -30,6 +30,10 @@ object StarQueries {
   private val bucketedStage =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // j8's z-ordered-layout staging, same lifecycle as bucketedStage
+  private val zorderStage =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Exact sum: cast each double to DECIMAL(18,6), sum exactly, emit double. */
   /** Exact decimal sum emitted as a 2-dp-rounded double. The sum itself is
     * exact in both engines; the final decimal->double conversion can differ
@@ -226,6 +230,52 @@ object StarQueries {
         .groupBy(col("o_orderpriority"))
         .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"),
           count(lit(1)).as("n_lines"))
+    }),
+
+    // Z-order layout end-to-end: lineitem written Morton-clustered on
+    // (l_partkey, l_suppkey), read back through a range predicate on BOTH
+    // dimensions — the case a single-column layout can't prune (ZOrderSpec
+    // measures the per-file span tightening that drives the skipping).
+    // Results must equal the same predicate over the raw table.
+    "j8_zorder_scan" -> ((s, d) => {
+      val zdir = zorderStage.getOrElseUpdate(d, {
+        val t = Files.createTempDirectory("graft-j8-").toString
+        graft.sources.ZOrder.writeZOrdered(
+          Tables.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "l_partkey", "l_suppkey", numFiles = 16, t)
+        t
+      })
+      s.read.parquet(zdir)
+        .filter(col("l_partkey") >= 100 && col("l_partkey") < 400 &&
+          col("l_suppkey") >= 10 && col("l_suppkey") < 40)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"),
+          round(sum(revenue).cast("double"), 2).as("revenue"))
+    }),
+
+    // SCD Type-2 merge end-to-end: the customer dim versioned against a
+    // deterministic update batch (each customer's latest order restates
+    // segment/acctbal). Changed keys close + reopen, absent keys pass
+    // through, new keys open fresh — the full branch set under the hash
+    // gate; ScdSpec covers the equal-update no-op and NULL-attr semantics.
+    "j9_scd2_customers" -> ((s, d) => {
+      val cur = Tables.customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"),
+        lit("1990-01-01 00:00:00").cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val upd = Tables.orders(s, d)
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("o_custkey").as("c_custkey"),
+          col("o_orderpriority").as("segment"),
+          col("o_totalprice").as("acctbal"), col("o_orderdate").as("ts"))
+      graft.operators.Scd.merge2(cur, upd, Seq("c_custkey"), Seq("segment", "acctbal"))
+        .select(col("c_custkey"), col("segment"), col("acctbal"),
+          unix_timestamp(col("valid_from")).as("valid_from_s"),
+          unix_timestamp(col("valid_to")).as("valid_to_s"))
     }),
 
     // rollup: region/nation revenue with subtotal and grand-total rows —
@@ -854,6 +904,53 @@ object StarQueries {
         |  count(*) AS n_lines
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1""".stripMargin,
+
+    // the z-layout is a pure re-clustering: the oracle is the same 2-D
+    // predicate over the raw table
+    "j8_zorder_scan" ->
+      """SELECT l_suppkey, count(*) AS n_lines,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_partkey >= 100 AND l_partkey < 400
+        |  AND l_suppkey >= 10 AND l_suppkey < 40
+        |GROUP BY 1""".stripMargin,
+
+    // the three live branches of the type-2 merge restated as explicit
+    // UNION ALL arms over one full-outer join
+    "j9_scd2_customers" ->
+      """WITH cur AS (
+        |  SELECT c_custkey, c_mktsegment AS segment, c_acctbal AS acctbal,
+        |         TIMESTAMP '1990-01-01 00:00:00' AS vf
+        |  FROM customer),
+        |u AS (
+        |  SELECT c_custkey, segment, acctbal, uts FROM (
+        |    SELECT o_custkey AS c_custkey, o_orderpriority AS segment,
+        |           o_totalprice AS acctbal, o_orderdate AS uts,
+        |           row_number() OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders) x WHERE rn = 1),
+        |j AS (
+        |  SELECT coalesce(cur.c_custkey, u.c_custkey) AS c_custkey,
+        |         cur.segment AS cs, cur.acctbal AS ca, cur.vf AS vf,
+        |         u.segment AS us, u.acctbal AS ua, u.uts AS uts,
+        |         cur.c_custkey IS NOT NULL AS has_open,
+        |         u.c_custkey IS NOT NULL AS has_upd
+        |  FROM cur FULL OUTER JOIN u ON cur.c_custkey = u.c_custkey),
+        |chg AS (SELECT * FROM j WHERE has_open AND has_upd
+        |        AND (cs IS DISTINCT FROM us OR ca IS DISTINCT FROM ua))
+        |SELECT c_custkey, cs AS segment, ca AS acctbal,
+        |       epoch(vf)::BIGINT AS valid_from_s, epoch(uts)::BIGINT AS valid_to_s
+        |FROM chg
+        |UNION ALL
+        |SELECT c_custkey, us, ua, epoch(uts)::BIGINT, CAST(NULL AS BIGINT) FROM chg
+        |UNION ALL
+        |SELECT c_custkey, cs, ca, epoch(vf)::BIGINT, CAST(NULL AS BIGINT)
+        |FROM j WHERE has_open AND (NOT has_upd
+        |  OR (cs IS NOT DISTINCT FROM us AND ca IS NOT DISTINCT FROM ua))
+        |UNION ALL
+        |SELECT c_custkey, us, ua, epoch(uts)::BIGINT, CAST(NULL AS BIGINT)
+        |FROM j WHERE NOT has_open""".stripMargin,
 
     // DuckDB GROUPING() bit order matches Spark grouping_id for the same
     // column list (r_name = high bit, n_name = low bit)
