@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction — the housekeeping op every incremental sink needs
+  * at scale: micro-batch appends (t4/t11/t12-style) and partitioned
+  * first-write-wins sinks (S7/S8) accrete files far below the
+  * row-group-efficient size, and at 100 TB the scan-planning and
+  * footer-read overhead of millions of tiny files dominates before a
+  * single value is decoded.
+  *
+  * `compact` sizes the output from the INPUT's actual on-disk bytes (not a
+  * row count — rows don't predict encoded size), targeting `targetBytes`
+  * per output file, and rewrites with `coalesce` — a narrow, shuffle-free
+  * repack (each output task concatenates whole input partitions; no data
+  * moves between executors). An optional sort column re-clusters while
+  * compacting (that variant shuffles — stated cost, it's a layout rebuild).
+  * Writes to a NEW directory: compaction must be atomic-swap-able and never
+  * rewrite in place over its own input.
+  */
+object Compact {
+
+  /** Total bytes of the parquet part-files under `dir`. */
+  def dirBytes(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.startsWith("part-")) total += f.getLen
+    }
+    total
+  }
+
+  /** Repack `srcDir` into `dstDir` at ~`targetBytes` per file. Returns the
+    * output file count. Shuffle-free (`coalesce`); pass `sortBy` to
+    * re-cluster during the rewrite (adds one range shuffle). */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+              targetBytes: Long, sortBy: Option[String] = None): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val n = math.max(1, math.ceil(dirBytes(spark, srcDir).toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(srcDir)
+    val packed = sortBy match {
+      case Some(c) => df.repartitionByRange(n, col(c)).sortWithinPartitions(col(c))
+      case None    => df.coalesce(n)
+    }
+    packed.write.mode("overwrite").parquet(dstDir)
+    val out = new java.io.File(dstDir).listFiles()
+    out.count(_.getName.startsWith("part-"))
+  }
+}
