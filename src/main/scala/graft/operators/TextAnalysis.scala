@@ -187,7 +187,16 @@ object TextAnalysis {
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
     val tf = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .filter(array_contains(array(query.map(lit): _*), col("tok")))
+      // tok can't be null (explode of split), but the guard must be
+      // EXPLICIT: `tf` feeds both the df-aggregation branch and the join
+      // branch, the join infers isnotnull(tok) on its side only, and a
+      // one-sided inferred filter makes the two Exchange subtrees differ —
+      // defeating ReusedExchange and re-running the corpus token-explode
+      // (the q20 lesson, same mechanism)
+      // (doc_id likewise: the dl join infers its null guard on the join
+      // branch only)
+      .filter(col("doc_id").isNotNull && col("tok").isNotNull &&
+        array_contains(array(query.map(lit): _*), col("tok")))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val tfd = col("tf").cast("double")

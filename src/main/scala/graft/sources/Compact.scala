@@ -47,7 +47,10 @@ object Compact {
       case None    => df.coalesce(n)
     }
     packed.write.mode("overwrite").parquet(dstDir)
-    val out = new java.io.File(dstDir).listFiles()
-    out.count(_.getName.startsWith("part-"))
+    // count through the Hadoop FS API (like dirBytes) — java.io.File only
+    // sees the local filesystem
+    val path = new org.apache.hadoop.fs.Path(dstDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).count(_.getPath.getName.startsWith("part-"))
   }
 }

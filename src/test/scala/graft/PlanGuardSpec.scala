@@ -78,6 +78,16 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), s"q20 lost exchange reuse:\n$p")
   }
 
+  test("bm25 reuses the tf exchange between the join and df-aggregation branches") {
+    // df is an aggregation OF tf; without explicit null guards the join
+    // branch's inferred isnotnull filters make the two tf Exchange
+    // subtrees differ and the corpus token-explode runs twice
+    val df = SparkEntry.queries("llm_bm25_topk")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), s"bm25 lost tf exchange reuse:\n$p")
+  }
+
   test("packing never sorts the full corpus on one task") {
     // the two-phase prefix sum's only unpartitioned window runs over the
     // per-bucket totals (≤ buckets rows); a global Sort directly above the
