@@ -5,8 +5,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sessionization — group each user's event stream into sessions separated
-  * by inactivity gaps ≥ `gapSeconds`. The canonical user-analytics /
-  * training-data segmentation operator.
+  * by inactivity gaps strictly greater than `gapSeconds`: an event exactly
+  * `gapSeconds` after its predecessor still merges, matching Spark's
+  * `session_window` (each event's window is `[t, t+gap]` for merging, so
+  * batch and streaming agree on EVERY boundary, including exact-gap ties —
+  * a tie found at sf0.1 is what forced this convention to be pinned down).
+  * The canonical user-analytics / training-data segmentation operator.
   *
   * Batch form is the classic two-window pass: flag rows whose gap from the
   * previous event exceeds the threshold, running-sum the flags into a
@@ -32,7 +36,7 @@ object Sessions {
         // microsecond arithmetic: unix_timestamp would truncate to seconds
         // and disagree with a sub-second-aware oracle on near-gap events
         when(col("_prev").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("_prev")) >=
+          unix_micros(col("ts")) - unix_micros(col("_prev")) >
             gapSeconds * 1000000L, 1L)
           .otherwise(0L))
       // ROWS, not the default RANGE frame: with duplicate (user_id, ts)

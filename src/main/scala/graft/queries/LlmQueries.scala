@@ -847,7 +847,7 @@ object LlmQueries {
         |  SELECT user_id, ts, value,
         |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |                OR epoch_us(ts) - epoch_us(lag(ts) OVER (
-        |                     PARTITION BY user_id ORDER BY ts)) >= 1800000000
+        |                     PARTITION BY user_id ORDER BY ts)) > 1800000000
         |              THEN 1 ELSE 0 END AS nw
         |  FROM events),
         |s2 AS (
@@ -868,7 +868,7 @@ object LlmQueries {
         |  SELECT user_id, ts,
         |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |                OR epoch_us(ts) - epoch_us(lag(ts) OVER (
-        |                     PARTITION BY user_id ORDER BY ts)) >= 1800000000
+        |                     PARTITION BY user_id ORDER BY ts)) > 1800000000
         |              THEN 1 ELSE 0 END AS nw
         |  FROM events),
         |s2 AS (

@@ -411,7 +411,7 @@ object StreamQueries {
         |s AS (
         |  SELECT user_id, t, value,
         |         CASE WHEN lag(t) OVER w IS NULL
-        |                OR epoch(t) - epoch(lag(t) OVER w) >= 1800
+        |                OR epoch(t) - epoch(lag(t) OVER w) > 1800
         |              THEN 1 ELSE 0 END AS nw
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
         |s2 AS (

@@ -13,7 +13,8 @@ class SessionsSpec extends SparkSpec {
     (1L, ts("2024-01-01 00:10:00"), 20.0), // same session (gap 10m < 30m)
     (1L, ts("2024-01-01 01:00:00"), 30.0), // new session (gap 50m)
     (1L, ts("2024-01-01 01:05:00"), 40.0),
-    (2L, ts("2024-01-01 00:00:00"), 5.0))  // separate user
+    (2L, ts("2024-01-01 00:00:00"), 5.0),  // separate user
+    (2L, ts("2024-01-01 00:30:00"), 6.0))  // exact-gap tie: MERGES (not a split)
     .toDF("user_id", "ts", "value")
 
   test("gap-based sessionization splits exactly at the threshold") {
@@ -24,13 +25,22 @@ class SessionsSpec extends SparkSpec {
     assert(got.toSeq === Seq(
       (1L, 1L, ts("2024-01-01 00:00:00"), 2L, 30.0),
       (1L, 2L, ts("2024-01-01 01:00:00"), 2L, 70.0),
-      (2L, 1L, ts("2024-01-01 00:00:00"), 1L, 5.0)))
+      (2L, 1L, ts("2024-01-01 00:00:00"), 2L, 11.0)))
   }
 
-  test("a gap of exactly the threshold opens a new session (>= semantics)") {
+  test("a gap of exactly the threshold still merges (session_window parity)") {
+    // Spark's session_window merges an event landing exactly `gap` after
+    // its predecessor (windows [t, t+gap] touch); the batch operator must
+    // use the same strict-> break or batch and streaming disagree on ties —
+    // found in the wild at sf0.1 (two events exactly 1800 s apart).
     val e = Seq((1L, ts("2024-01-01 00:00:00"), 1.0),
       (1L, ts("2024-01-01 00:30:00"), 1.0)).toDF("user_id", "ts", "value")
-    assert(Sessions.sessionize(e, 1800).count() === 2)
+    assert(Sessions.sessionize(e, 1800).count() === 1)
+    // one microsecond past the gap does split
+    val e2 = Seq((1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, new java.sql.Timestamp(ts("2024-01-01 00:30:00").getTime + 1), 1.0))
+      .toDF("user_id", "ts", "value")
+    assert(Sessions.sessionize(e2, 1800).count() === 2)
   }
 
   test("streaming session_window matches batch sessions on gap-closed data") {
