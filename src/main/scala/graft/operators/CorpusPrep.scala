@@ -94,6 +94,34 @@ object CorpusPrep {
     docs.filter(bucket < rateExpr * 10000)
   }
 
+  /** L38: deterministic mixture sampling — fill per-source character budgets
+    * (DoReMi/Pile-style domain weighting made reproducible): source `s` gets
+    * `floor(weight_s · totalBudget)` characters; docs are admitted in
+    * content-hash order (a pure function of the text — stable across runs
+    * and re-shards, no RNG) while the running character total stays within
+    * the source's budget. Because the running sum is monotone,
+    * `cum <= budget` IS take-while.
+    *
+    * Scale shape: one shuffle on `source`; each source's window is an
+    * independent partition, so 100 TB mixes with per-source parallelism
+    * (sub-partition salting is unnecessary — the window stops mattering
+    * after the budget row, and budgets bound the kept prefix). */
+  def dataMix(docs: DataFrame, weights: Map[String, Double],
+              defaultWeight: Double, totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    val wcol = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, wt)) =>
+      when(col("source") === s, lit(wt)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docs
+      .withColumn("h", TextOps.hash60(TextOps.normalize(col("text"))))
+      .withColumn("budget", floor(wcol * totalBudget).cast("bigint"))
+      .withColumn("cum", sum(col("n_chars")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= col("budget"))
+      .select(col("doc_id"), col("source"), col("cum").as("cum_chars"))
+  }
+
   /** Per-(lang, source) corpus statistics of the cleaned set — the rollup a
     * data curator reads before training.
     *

@@ -17,6 +17,11 @@ final case class MacdRow(pair: String, timeframe: String, time: Timestamp,
                          macd: Option[Double], signal: Option[Double],
                          hist: Option[Double])
 
+/** Full-candle row for folds that need the high/low range (ATR). Public for
+  * the same Catalyst-deserializer reason as [[CloseRow]]. */
+final case class HlcRow(pair: String, timeframe: String, time: Timestamp,
+                        high: Double, low: Double, close: Double)
+
 /** Technical-indicator operators (SURVEY.md §2.9 U1-U3, §2.5 W3).
   *
   * The reference round-trips the ordered close series into Python/NumPy and
@@ -162,6 +167,84 @@ object Indicators {
         when(col("rn") >= period, mean).as("mid"),
         when(col("rn") >= period, mean + lit(width) * sd).as("upper"),
         when(col("rn") >= period, mean - lit(width) * sd).as("lower"))
+  }
+
+  /** U7: Wilder Average True Range, TA-Lib semantics. True range needs the
+    * previous close (`TR = max(high−low, |high−prevClose|, |low−prevClose|)`)
+    * so the first TR exists at row 2; the seed at row `period+1` is the
+    * simple mean of the first `period` TRs, then Wilder smoothing
+    * `atr = (prevAtr·(period−1) + tr)/period` — the same recurrence family
+    * as [[rsi]], and the same single-shuffle sorted-group fold (state per
+    * series: three doubles). */
+  def atr(candles: DataFrame, period: Int, calcVersion: String = CalcVersion): Dataset[IndicatorValue] = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select($"pair", $"timeframe", $"time", $"high", $"low", $"close").as[HlcRow]
+      .groupByKey(r => (r.pair, r.timeframe))
+      .flatMapSortedGroups($"time") { case ((pair, tf), rows) =>
+        var prevClose = 0.0
+        var trSum = 0.0
+        var atrV = 0.0
+        rows.zipWithIndex.map { case (r, i) =>
+          val out =
+            if (i == 0) None
+            else {
+              val tr = math.max(r.high - r.low,
+                math.max(math.abs(r.high - prevClose), math.abs(r.low - prevClose)))
+              if (i < period) { trSum += tr; None }
+              else {
+                if (i == period) atrV = (trSum + tr) / period
+                else atrV = (atrV * (period - 1) + tr) / period
+                Some(atrV)
+              }
+            }
+          prevClose = r.close
+          IndicatorValue("ATR", pair, tf, r.time, period, calcVersion, out)
+        }
+      }
+  }
+
+  /** U8: stochastic oscillator — `%K = 100·(close − LL) / (HH − LL)` over the
+    * trailing `period` rows (NULL while the window is short or flat) and
+    * `%D` = 3-row simple mean of %K (NULL until three %K values exist).
+    * Pure window aggregates — codegen'd, one shuffle on the series key; the
+    * O(period)/row frame re-scan is fine at period=14 (the w8 prefix-
+    * subtraction rewrite only pays above ~50-row frames, and min/max have no
+    * exact inverse anyway). */
+  def stochastic(candles: DataFrame, period: Int = 14): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val frame = w.rowsBetween(-(period - 1), Window.currentRow)
+    candles
+      .withColumn("rn", row_number().over(w))
+      .withColumn("hh", max(col("high")).over(frame))
+      .withColumn("ll", min(col("low")).over(frame))
+      .withColumn("k",
+        when(col("rn") >= period && col("hh") =!= col("ll"),
+          (col("close") - col("ll")) * lit(100.0) / (col("hh") - col("ll"))))
+      .withColumn("d",
+        (col("k") + lag(col("k"), 1).over(w) + lag(col("k"), 2).over(w)) / lit(3.0))
+      .select(col("pair"), col("timeframe"), col("time"),
+        lit(period).as("period"), col("k"), col("d"))
+  }
+
+  /** On-balance volume over candles carrying a `vol` column: running sum of
+    * volume signed by the close-to-close direction (first candle contributes
+    * 0 by convention). Integer arithmetic throughout — exact at any scale —
+    * and one shuffle on the series key. */
+  def obv(candlesWithVol: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("pair")).orderBy(col("time"))
+    candlesWithVol
+      .withColumn("prev_close", lag(col("close"), 1).over(w))
+      .withColumn("signed_vol",
+        when(col("prev_close").isNull, lit(0L))
+          .when(col("close") > col("prev_close"), col("vol"))
+          .when(col("close") < col("prev_close"), -col("vol"))
+          .otherwise(lit(0L)))
+      .withColumn("obv",
+        sum(col("signed_vol")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("pair"), col("time"), col("close"), col("vol"), col("obv"))
   }
 
   /** Shared recursive-fold plumbing: shuffle once on (pair, timeframe),

@@ -35,6 +35,46 @@ object Ohlc {
         col("window.start").as("time"),
         col("open"), col("high"), col("low"), col("close"))
 
+  /** A1 variant carrying tick volume: `vol` = tick count per candle — the
+    * standard volume proxy when the feed publishes no trade sizes. Same
+    * single hash-aggregate plan as [[ohlcBase]]. */
+  def ohlcBaseWithVol(ticks: DataFrame): DataFrame =
+    ticks
+      .groupBy(col("pair"), window(col("time"), "1 minute"))
+      .agg(
+        min_by(col("bid"), col("time")).as("open"),
+        max(col("bid")).as("high"),
+        min(col("bid")).as("low"),
+        max_by(col("bid"), col("time")).as("close"),
+        count(lit(1)).as("vol"))
+      .select(col("pair"), lit(Timeframe.Base.code).as("timeframe"),
+        col("window.start").as("time"),
+        col("open"), col("high"), col("low"), col("close"), col("vol"))
+
+  /** Size-weighted average price per (pair, epoch-floor bucket):
+    * `vwap = Σ(mid·size) / Σ(size)`. The numerator is an EXACT decimal sum
+    * (so the result is independent of Spark's partial-aggregation order and
+    * engine-portable); the only float op is one final division. One
+    * map-side-combined hash aggregate — at 100 TB the shuffle carries one
+    * row per (pair, bucket), not per tick. Buckets with zero total size
+    * emit NULL. */
+  def vwap(ticksWithSize: DataFrame, durationSeconds: Long): DataFrame = {
+    val bucket = (floor(unix_timestamp(col("time")) / durationSeconds) * durationSeconds)
+      .cast("bigint")
+    // mid snaps to the 6-dp grid BEFORE the decimal cast (the w5 convention:
+    // a rounded double is within half-ulp of its decimal, so the cast
+    // recovers the same decimal on every engine — no tie-rounding drift)
+    val pv = round(col("mid"), 6).cast("decimal(18,6)") * col("size")
+    ticksWithSize
+      .groupBy(col("pair"), bucket.as("time_s"))
+      .agg(
+        sum(pv).as("pv"),
+        sum(col("size")).cast("bigint").as("qty"))
+      .select(col("pair"), col("time_s"),
+        when(col("qty") > 0, col("pv").cast("double") / col("qty")).as("vwap"),
+        col("qty"))
+  }
+
   /** A2: resample base candles into a coarser timeframe by epoch-floor
     * bucketing (reference: transform_services.py:108-110). */
   def resample(candles: DataFrame, tf: Timeframe): DataFrame = {

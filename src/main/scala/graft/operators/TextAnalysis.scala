@@ -3,6 +3,12 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** One-row linear-model weight vector for [[TextAnalysis.qualityModel]]:
+  * intercept + one weight per feature. A case class (not a Map) so the
+  * broadcast side has a fixed schema the optimizer can see. */
+final case class QualityWeights(w0: Double = -0.1, w_len: Double = 0.9,
+                                w_stop: Double = -0.6, w_avg: Double = 0.05)
+
 /** Text-analysis operators for the LLM-data-pipeline layer: token counting,
   * quality scoring, stopword-based language ID, and content fingerprinting.
   *
@@ -40,6 +46,37 @@ object TextAnalysis {
       round(stopRatio, 6).as("stopword_ratio"),
       round(least(nTok.cast("double") / 50.0, lit(1.0)) * (lit(1.0) - stopRatio), 6)
         .as("quality"))
+  }
+
+  /** L37: model-based quality filtering — a linear classifier over the L8
+    * feature vector (length saturation, stopword ratio, scaled average token
+    * length) scored against a broadcast one-row weight vector: the shape of
+    * a fastText/logistic-regression quality filter at scale. The model rides
+    * a broadcast, the features are a shuffle-free scan, so scoring 100 TB is
+    * embarrassingly parallel. Thresholding on the raw score (the logit) is
+    * exactly equivalent to `sigmoid(score) >= p` — sigmoid is monotone — so
+    * no transcendental enters the engine-portable arithmetic: the score is
+    * a fixed left-associated chain of IEEE +/×/÷.
+    *
+    * Emits only the KEPT docs with their scores (the act step, like
+    * [[graft.operators.CorpusPrep.clean]]). */
+  def qualityModel(docs: DataFrame, weights: QualityWeights = QualityWeights(),
+                   threshold: Double = 0.35): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = broadcast(Seq(weights).toDS().toDF())
+    val toks = TextOps.tokens(col("text"))
+    val nTok = size(toks).cast("bigint")
+    val alpha = length(regexp_replace(TextOps.normalize(col("text")), " ", ""))
+    val fLen = least(nTok.cast("double") / 50.0, lit(1.0))
+    val fStop = hitCount(toks, StopwordsEn).cast("double") / nTok
+    val fAvg = alpha.cast("double") / nTok / lit(10.0)
+    docs
+      .crossJoin(w)
+      .withColumn("score",
+        col("w0") + col("w_len") * fLen + col("w_stop") * fStop + col("w_avg") * fAvg)
+      .filter(col("score") >= threshold)
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
   }
 
   /** Heuristic language ID: stopword hit counts per language, fixed-priority

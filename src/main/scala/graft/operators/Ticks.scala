@@ -31,6 +31,20 @@ object Ticks {
       (col("value") + lit(0.01)).as("ask"),
       col("event_id").as("seq"))
 
+  /** [[fromEvents]] plus the JSON trade-size field (`props.k`) as `size` —
+    * the volume-carrying tick shape for VWAP-style size-weighted analytics.
+    * `get_json_object` stays inside codegen; rows whose `props` lack `k`
+    * get a NULL size (excluded from size-weighted sums by Spark/SQL NULL
+    * aggregation semantics). */
+  def fromEventsWithSize(events: DataFrame): DataFrame =
+    events.select(
+      col("event_type").as("pair"),
+      col("ts").as("time"),
+      col("value").as("bid"),
+      (col("value") + lit(0.01)).as("ask"),
+      get_json_object(col("props"), "$.k").cast("int").as("size"),
+      col("event_id").as("seq"))
+
   /** Validity filter (P4): positive prices, bid ≤ ask. */
   def valid(ticks: DataFrame): DataFrame =
     ticks.filter(col("bid") > 0 && col("ask") > 0 && col("bid") <= col("ask"))

@@ -57,6 +57,11 @@ object IndicatorQueries {
         .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
           col("period"), round(col("mid"), 6).as("mid"),
           round(col("upper"), 6).as("upper"), round(col("lower"), 6).as("lower"))),
+    "u7_atr_14_1m" -> ((s, d) => indOut(Indicators.atr(candles1m(s, d), 14).toDF())),
+    "u8_stoch_14_1m" -> ((s, d) =>
+      Indicators.stochastic(candles1m(s, d), 14)
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          col("period"), round(col("k"), 6).as("k"), round(col("d"), 6).as("d"))),
     "w1_golden_cross" -> ((s, d) =>
       signalOut(Signals.goldenCross(Indicators.indicatorFacts(candles1m(s, d), Seq("SMA"), Seq(14, 28)), 14, 28))),
     "w1_dead_cross" -> ((s, d) =>
@@ -191,6 +196,63 @@ object IndicatorQueries {
        |       round(macd - sig, 6) AS hist
        |FROM r""".stripMargin
 
+  /** Recursive-CTE Wilder ATR oracle replicating
+    * [[graft.operators.Indicators.atr]]: TR from row 2 (needs the previous
+    * close), simple-mean seed of the first `p` TRs at row `p+1`, Wilder
+    * smoothing after. `greatest` of three doubles is an exact comparison —
+    * nesting-order-free, so it matches the Scala `math.max` chain. */
+  private def atrSql(p: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS (SELECT pair, time, high, low, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |r AS (
+       |  SELECT pair, rn, time, close AS prev_close,
+       |         CAST(0.0 AS DOUBLE) AS tr_sum, CAST(NULL AS DOUBLE) AS atr
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT pair, rn, time, close,
+       |         CASE WHEN rn <= $p THEN tr_sum + tr
+       |              ELSE CAST(0.0 AS DOUBLE) END,
+       |         CASE WHEN rn <= $p THEN NULL
+       |              WHEN rn = ${p + 1} THEN (tr_sum + tr) / $p
+       |              ELSE (atr * ${p - 1} + tr) / $p END
+       |  FROM (
+       |    SELECT c.pair, c.rn, c.time, c.close, r.tr_sum, r.atr,
+       |           greatest(c.high - c.low, abs(c.high - r.prev_close),
+       |                    abs(c.low - r.prev_close)) AS tr
+       |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period, round(atr, 6) AS value
+       |FROM r""".stripMargin
+
+  /** Stochastic-oscillator oracle: window min/max mirror of
+    * [[graft.operators.Indicators.stochastic]] — identical expression text
+    * (and so identical IEEE operation order) on both engines. */
+  private def stochSql(p: Int): String =
+    s"""$prelude,
+       |b AS (
+       |  SELECT pair, time, close,
+       |         row_number() OVER (PARTITION BY pair ORDER BY time) AS rn,
+       |         max(high) OVER (PARTITION BY pair ORDER BY time
+       |              ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW) AS hh,
+       |         min(low) OVER (PARTITION BY pair ORDER BY time
+       |              ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW) AS ll
+       |  FROM c1m),
+       |k AS (
+       |  SELECT pair, time,
+       |         CASE WHEN rn >= $p AND hh <> ll
+       |              THEN (close - ll) * 100.0 / (hh - ll) END AS k
+       |  FROM b),
+       |d AS (
+       |  SELECT pair, time, k,
+       |         (k + lag(k, 1) OVER (PARTITION BY pair ORDER BY time)
+       |            + lag(k, 2) OVER (PARTITION BY pair ORDER BY time)) / 3.0 AS d
+       |  FROM k)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period, round(k, 6) AS k, round(d, 6) AS d
+       |FROM d""".stripMargin
+
   private def bollingerSql(p: Int, width: String): String =
     s"""$prelude,
        |b AS (
@@ -221,6 +283,8 @@ object IndicatorQueries {
     "u6_bollinger_20_1m" -> bollingerSql(20, "CAST(2.0 AS DOUBLE)"),
     "u2_ema_14_1m" -> emaSql(14),
     "u3_rsi_14_1m" -> rsiSql(14),
+    "u7_atr_14_1m" -> atrSql(14),
+    "u8_stoch_14_1m" -> stochSql(14),
     "u1_sma_multi" -> s"$prelude\n${smaSelect(14)}\nUNION ALL\n${smaSelect(28)}",
     "w1_golden_cross" -> crossSql("<=", ">", "BUY"),
     "w1_dead_cross" -> crossSql(">=", "<", "SELL"))

@@ -166,6 +166,21 @@ object LlmQueries {
 
     "llm_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
 
+    // L37: model-based quality filtering — linear classifier over the L8
+    // features with a broadcast one-row weight vector; thresholding the raw
+    // logit == thresholding the sigmoid (monotone), so the whole score is
+    // exact-order IEEE arithmetic with no transcendentals
+    "llm_quality_model" -> ((s, d) =>
+      TextAnalysis.qualityModel(Tables.documents(s, d))),
+
+    // L38: deterministic mixture sampling — per-source character budgets
+    // filled in content-hash order (DoReMi-style domain weighting with no
+    // RNG: re-running the pipeline admits the same docs)
+    "llm_data_mix" -> ((s, d) =>
+      CorpusPrep.dataMix(Tables.documents(s, d),
+        Map("src0" -> 0.30, "src1" -> 0.15, "src2" -> 0.05),
+        defaultWeight = 0.02, totalBudget = 100000L)),
+
     "llm_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
 
     "llm_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docsPar(s, d))),
@@ -593,6 +608,44 @@ object LlmQueries {
          |             * (1.0 - len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
          |                      / len(w)), 6) AS quality
          |FROM toks""".stripMargin,
+
+    "llm_quality_model" ->
+      s"""WITH $toksCte,
+         |f AS (
+         |  SELECT doc_id,
+         |         least(len(w)::DOUBLE / 50.0, 1.0) AS f_len,
+         |         len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
+         |           / len(w) AS f_stop,
+         |         length(replace(norm, ' ', ''))::DOUBLE / len(w) / 10.0 AS f_avg
+         |  FROM toks),
+         |s AS (
+         |  SELECT doc_id,
+         |         -0.1 + 0.9 * f_len + -0.6 * f_stop + 0.05 * f_avg AS score
+         |  FROM f)
+         |SELECT doc_id, round(score, 6) AS score
+         |FROM s WHERE score >= 0.35""".stripMargin,
+
+    "llm_data_mix" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |         ('0x' || substr(md5(lower(trim(
+        |            regexp_replace(text, '\s+', ' ', 'g')))), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source, n_chars, h,
+        |         -- ::DOUBLE: DuckDB parses 0.30 as DECIMAL and would keep
+        |         -- wt*100000 exact; Spark multiplies doubles — match it
+        |         (CASE source WHEN 'src0' THEN 0.30 WHEN 'src1' THEN 0.15
+        |                      WHEN 'src2' THEN 0.05 ELSE 0.02 END)::DOUBLE AS wt
+        |  FROM h),
+        |c AS (
+        |  SELECT doc_id, source,
+        |         floor(wt * 100000)::BIGINT AS budget,
+        |         sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+        |           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+        |  FROM b)
+        |SELECT doc_id, source, cum AS cum_chars
+        |FROM c WHERE cum <= budget""".stripMargin,
 
     "llm_lang_id" ->
       s"""WITH $toksCte,

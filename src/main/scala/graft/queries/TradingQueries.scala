@@ -205,6 +205,24 @@ object TradingQueries {
           round(col("z"), 6).as("z"))
     }),
 
+    // on-balance volume over the 1m candles, volume = tick count (the
+    // standard proxy when the feed publishes no trade sizes): running sum
+    // of volume signed by close-to-close direction. Integer arithmetic
+    // throughout — exact at any scale, no decimal detour needed.
+    "w10_obv_1m" -> ((s, d) =>
+      graft.operators.Indicators.obv(Ohlc.ohlcBaseWithVol(ticks(s, d)))
+        .select(col("pair"), epochS("time"), col("close"), col("vol"), col("obv"))),
+
+    // size-weighted VWAP per (pair, hour): sizes come from the tick
+    // message's JSON payload (props.k), the numerator is an exact decimal
+    // sum of 6-dp-grid mids — partial-aggregation-order-proof — and the
+    // one float division happens identically on both engines.
+    "w11_vwap_1h" -> ((s, d) => {
+      val t = Ticks.withMid(Ticks.valid(Ticks.fromEventsWithSize(Tables.events(s, d))))
+      Ohlc.vwap(t, 3600)
+        .select(col("pair"), col("time_s"), round(col("vwap"), 6).as("vwap"), col("qty"))
+    }),
+
     // running-peak drawdown per pair (the risk metric behind every
     // backtest report): cumulative max is a running frame (O(1)/row), the
     // drawdown is a single subtraction — no float accumulation anywhere,
@@ -293,6 +311,51 @@ object TradingQueries {
          |       round((mid - mean) / sqrt(vr), 6) AS z
          |FROM z
          |WHERE vr > 0 AND abs((mid - mean) / sqrt(vr)) > 3.0""".stripMargin,
+
+    "w10_obv_1m" ->
+      s"""WITH $ticksCte, $dedupCte,
+         |c1v AS (
+         |  SELECT pair, date_trunc('minute', time) AS time,
+         |         max_by(bid, time) AS close, count(*) AS vol
+         |  FROM dedup GROUP BY 1, 2),
+         |x AS (
+         |  SELECT pair, time, close, vol,
+         |         lag(close) OVER (PARTITION BY pair ORDER BY time) AS pc
+         |  FROM c1v),
+         |sv AS (
+         |  SELECT pair, time, close, vol,
+         |         CASE WHEN pc IS NULL THEN 0
+         |              WHEN close > pc THEN vol
+         |              WHEN close < pc THEN -vol
+         |              ELSE 0 END AS signed_vol
+         |  FROM x)
+         |SELECT pair, epoch(time)::BIGINT AS time_s, close, vol,
+         |       sum(signed_vol) OVER (PARTITION BY pair ORDER BY time
+         |         ROWS UNBOUNDED PRECEDING)::BIGINT AS obv
+         |FROM sv""".stripMargin,
+
+    "w11_vwap_1h" ->
+      """WITH tks AS (
+        |  SELECT event_type AS pair, ts AS time, value AS bid,
+        |         value + 0.01 AS ask,
+        |         CAST(props::JSON->>'k' AS INTEGER) AS sz
+        |  FROM events
+        |  WHERE value > 0 AND value + 0.01 > 0 AND value <= value + 0.01),
+        |b AS (
+        |  -- epoch_us // 1000000 floors the sub-second part like Spark's
+        |  -- unix_timestamp (epoch(t)::BIGINT would ROUND it — off-by-one
+        |  -- bucket for ticks in the last half-second of an hour)
+        |  SELECT pair, ((epoch_us(time) // 1000000) // 3600) * 3600 AS time_s,
+        |         -- DECIMAL(12,6)×DECIMAL(9,0) keeps the product in int128
+        |         -- (the w9 lesson: two width-18 decimals overflow int64)
+        |         sum((round((bid + ask) / 2, 6)::DECIMAL(12,6))
+        |             * (sz::DECIMAL(9,0))) AS pv,
+        |         sum(sz)::BIGINT AS qty
+        |  FROM tks GROUP BY 1, 2)
+        |SELECT pair, time_s,
+        |       CASE WHEN qty > 0 THEN round(pv::DOUBLE / qty, 6) END AS vwap,
+        |       qty
+        |FROM b""".stripMargin,
 
     "w7_max_drawdown" ->
       s"""WITH $ticksCte, $dedupCte, $c1mCte,
