@@ -378,4 +378,86 @@ object Similarity {
       .select(col("qid"), col("cid"), cosine(col("qemb"), col("emb")).as("score"))
     topKPerQuery(scored, k)
   }
+
+  /** L39: fully-distributed deterministic k-means document clustering
+    * (Lloyd's) over the embedding column — the corpus-organization step of a
+    * training-data pipeline (topic balancing, cluster-based dedup/sampling a
+    * la SemDeDup). Unlike [[ivfCentroids]] (sample-trained, driver-side),
+    * every step here runs over the FULL corpus as DataFrame jobs:
+    *
+    *  - init: the `k` vectors with the smallest `(hash60(id), id)` — a pure
+    *    function of the corpus (no RNG), fetched with a TakeOrdered top-k,
+    *    never a global sort;
+    *  - assign: broadcast the k centroids (k·dim doubles), score with the
+    *    sequential-fold [[cosine]], pick argmax with `(score DESC, cid ASC)`
+    *    tie-break — embarrassingly parallel scan;
+    *  - recompute: per-dimension EXACT decimal sums via posexplode +
+    *    map-side-combined hash aggregate (one shuffle of n·dim skinny rows
+    *    per iteration, the linear-cost heart of distributed Lloyd), mean =
+    *    one IEEE division of exact operands — so the centroids are
+    *    independent of partial-aggregation order and bit-reproducible on any
+    *    engine; empty clusters keep their previous centroid.
+    *
+    * Between iterations only the k centroid rows land on the driver
+    * (bounded: k·dim doubles, same contract as [[ivfCentroids]]'s
+    * broadcast). Vectors snap to the 6-dp grid up front so the decimal sums
+    * are exact by construction.
+    *
+    * Returns one row per document: `(id, cluster, score)` under the final
+    * centroids. Fixed `iters` unrolled — reproducible plan, CTE-unrollable
+    * oracle. */
+  def kmeansAssign(embs: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val vecs = embs.select(col("vec_id").as("id"),
+      transform(col("embedding").cast("array<double>"), x => round(x, 6)).as("v"))
+
+    def centroidDf(cs: Array[(Int, Array[Double])]): DataFrame =
+      broadcast(cs.toSeq.toDF("cid", "c"))
+
+    // assignment under a given centroid set: argmax cosine with a
+    // (score DESC, cid ASC) tie-break. max_by over struct(score, -cid) is a
+    // declarative aggregate — partial aggregation reduces each partition to
+    // one row per id BEFORE the shuffle, where a row_number window would
+    // shuffle all n·k scored rows
+    def assign(cents: Array[(Int, Array[Double])]): DataFrame =
+      vecs.crossJoin(centroidDf(cents))
+        .withColumn("score", cosine(col("v"), col("c")))
+        .groupBy(col("id"))
+        .agg(max_by(struct(col("cid"), col("score"), col("v")),
+          struct(col("score"), (-col("cid")).as("t"))).as("b"))
+        .select(col("id"), col("b.v").as("v"), col("b.cid").as("cid"),
+          col("b.score").as("score"))
+
+    // init: k smallest (hash60(id), id) — TakeOrdered, then number the k
+    // survivors (the window runs over k rows, not the corpus)
+    val wInit = Window.orderBy(col("h"), col("id"))
+    var centroids: Array[(Int, Array[Double])] = vecs
+      .withColumn("h", graft.operators.TextOps.hash60(col("id").cast("string")))
+      .orderBy(col("h"), col("id")).limit(k)
+      .withColumn("cid", row_number().over(wInit) - 1)
+      .select(col("cid"), col("v"))
+      .as[(Int, Array[Double])].collect()
+
+    for (_ <- 0 until iters) {
+      val means = assign(centroids)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("x").cast("decimal(27,6)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"))
+        .as[(Int, Array[Double])].collect().toMap
+      // empty clusters keep their previous centroid
+      centroids = centroids.map { case (cid, old) =>
+        (cid, means.getOrElse(cid, old))
+      }
+    }
+    assign(centroids)
+      .select(col("id"), col("cid").as("cluster"),
+        round(col("score"), 6).as("score"))
+  }
 }

@@ -250,4 +250,52 @@ object TextAnalysis {
         sum(col("score_t").cast("decimal(18,6)")).cast("double").as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
   }
+
+  /** L40: bigram language-model fluency scoring — the CCNet-style
+    * "perplexity filter" with the LM trained on the corpus ITSELF (so the
+    * score ranks each document's n-gram typicality against the corpus, and
+    * no external model rides along). For every adjacent token pair,
+    * `P(b|a) = count(a,b) / count(a as context)`; a document's score is the
+    * mean of its pairs' probabilities.
+    *
+    * No transcendentals (the house rule): mean probability is used instead
+    * of mean log-probability — both rank "typical" above "atypical" text,
+    * and every operation stays a correctly-rounded IEEE divide plus an
+    * EXACT decimal sum of 6-dp-rounded probabilities, so the result is
+    * independent of aggregation order and engine.
+    *
+    * Scale shape (three linear passes, all map-side combined):
+    *  1. bigram counts: one hash aggregate over exploded adjacent pairs;
+    *  2. context counts: re-aggregate the COMPACT bigram table on its first
+    *     token (`count(a·) = Σ_b count(a,b)` exactly — no second corpus
+    *     pass, and consistency with the numerator is by construction);
+    *  3. scoring: equi-join exploded pairs back to the counts table on the
+    *     bigram key — distinct-bigram cardinality, not corpus cardinality,
+    *     bounds the build side.
+    * Docs with fewer than two tokens have no bigrams and are not emitted. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    // token arrays in their OWN projection (lambda-CSE rule)
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val pairs = toks.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("pr"))
+      .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+    val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val bi = cab.join(ca, "a")
+      .select(col("a"), col("b"),
+        (col("cab").cast("double") / col("ca")).as("p"))
+    pairs.join(bi, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(round(col("p"), 6).cast("decimal(27,6)")).cast("double") /
+          count(lit(1))).as("score"))
+      // NO final 6-dp round: the mean is already bit-reproducible (exact
+      // decimal sum, one IEEE division), and re-rounding it can land on a
+      // representable half-way tie where the engines' round() disagree
+      .select(col("doc_id"), col("n_pairs"), col("score"))
+  }
 }

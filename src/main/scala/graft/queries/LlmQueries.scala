@@ -114,6 +114,13 @@ object LlmQueries {
         .select(col("qid"), col("cid"), col("rank"), round(col("score"), 6).as("sim"))
     }),
 
+    // L39: fully-distributed deterministic k-means (Lloyd's) over the
+    // embedding corpus — hash-order init, broadcast-centroid cosine
+    // assignment, per-dimension exact-decimal centroid means; 2 unrolled
+    // iterations so the DuckDB oracle can replay them as chained CTEs
+    "llm_kmeans_assign" -> ((s, d) =>
+      Similarity.kmeansAssign(embsPar(s, d), k = 8, iters = 2)),
+
     "llm_ann_lsh" -> ((s, d) => {
       val e = embsPar(s, d)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
@@ -180,6 +187,11 @@ object LlmQueries {
       CorpusPrep.dataMix(Tables.documents(s, d),
         Map("src0" -> 0.30, "src1" -> 0.15, "src2" -> 0.05),
         defaultWeight = 0.02, totalBudget = 100000L)),
+
+    // L40: bigram-LM fluency scoring — the CCNet-style perplexity filter
+    // with the LM trained on the corpus itself; mean bigram probability
+    // (monotone surrogate for perplexity under the no-transcendentals rule)
+    "llm_lm_score" -> ((s, d) => TextAnalysis.lmScore(docsPar(s, d))),
 
     "llm_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
 
@@ -386,7 +398,70 @@ object LlmQueries {
       |      FROM s)
       |SELECT qid, cid, rn::INT AS rank, round(sim, 6) AS sim FROM r WHERE rn <= 5""".stripMargin
 
+  /** Unrolled-Lloyd k-means oracle: iteration `i` re-assigns against the
+    * previous centroids (row_number argmax with the same (score DESC, cid
+    * ASC) tie-break), then recomputes per-dimension means from EXACT decimal
+    * sums (one IEEE division of exact operands — partial-order-free on both
+    * engines); empty clusters inherit the previous centroid via the LEFT
+    * JOIN coalesce, mirroring the engine's getOrElse. */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+         |  SELECT id, v, cid FROM (
+         |    SELECT x.id, x.v, c.cid,
+         |           row_number() OVER (PARTITION BY x.id
+         |             ORDER BY list_cosine_similarity(x.v, c.c) DESC, c.cid) AS rn
+         |    FROM v x CROSS JOIN $prev c) WHERE rn = 1),
+         |m$i AS (
+         |  SELECT cid, pos, sum(x::DECIMAL(27,6))::DOUBLE / count(*) AS m
+         |  FROM (SELECT cid, unnest(range(0, len(v))) AS pos, unnest(v) AS x
+         |        FROM a$i)
+         |  GROUP BY cid, pos),
+         |c$i AS (
+         |  SELECT p.cid, coalesce(mm.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN
+         |    (SELECT cid, list(m ORDER BY pos) AS c FROM m$i GROUP BY cid) mm
+         |    ON p.cid = mm.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id AS id,
+       |         list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY h, id) - 1 AS cid, v AS c
+       |  FROM (SELECT id, v,
+       |               ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+       |        FROM v)
+       |  ORDER BY h, id LIMIT $k),
+       |$iterCtes
+       |SELECT id, cid AS cluster, round(sc, 6) AS score FROM (
+       |  SELECT x.id, c.cid, list_cosine_similarity(x.v, c.c) AS sc,
+       |         row_number() OVER (PARTITION BY x.id
+       |           ORDER BY list_cosine_similarity(x.v, c.c) DESC, c.cid) AS rn
+       |  FROM v x CROSS JOIN c$iters c) WHERE rn = 1""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "llm_kmeans_assign" -> kmeansOracle(8, 2),
+
+    // bigram-LM restatement: DuckDB list slices w[a:b] are 1-based
+    // inclusive end-truncating == Spark slice(w, a, len); parallel unnests
+    // zip positionally; P(b|a) = one IEEE divide of exact longs; per-doc
+    // mean from an exact decimal sum of 6-dp probabilities
+    "llm_lm_score" ->
+      s"""WITH $toksCte,
+         |pairs AS (
+         |  SELECT doc_id, unnest(w[1:len(w) - 1]) AS a, unnest(w[2:len(w)]) AS b
+         |  FROM toks WHERE len(w) >= 2),
+         |cab AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY a, b),
+         |ca AS (SELECT a, sum(cab) AS ca FROM cab GROUP BY a),
+         |bi AS (SELECT a, b, cab::DOUBLE / ca AS p
+         |       FROM cab JOIN ca USING (a))
+         |SELECT doc_id, count(*) AS n_pairs,
+         |       sum(round(p, 6)::DECIMAL(27,6))::DOUBLE / count(*) AS score
+         |FROM pairs JOIN bi USING (a, b)
+         |GROUP BY doc_id""".stripMargin,
     "llm_dedup_exact" ->
       """WITH h AS (
         |  SELECT doc_id,

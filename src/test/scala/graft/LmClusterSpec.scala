@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Specs for the L39 distributed k-means and the L40 bigram-LM scorer. */
+class LmClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmeansAssign recovers two orthogonal groups; cid order = hash-order init") {
+    // md5-hash order of ids 0..5 is [4, 1, 2, 0, 5, 3] → k=2 seeds are id 4
+    // (cid 0) and id 1 (cid 1). Group X = {4, 0, 2} near e1, group Y =
+    // {1, 3, 5} near e2 — one seed per group, so Lloyd separates them.
+    val groupX = Seq(4L, 0L, 2L)
+    val groupY = Seq(1L, 3L, 5L)
+    val rows =
+      groupX.zipWithIndex.map { case (id, i) =>
+        (id, Array(1.0f, 0.0f, 0.02f * (i + 1), 0.0f)) } ++
+      groupY.zipWithIndex.map { case (id, i) =>
+        (id, Array(0.0f, 1.0f, 0.0f, 0.02f * (i + 1))) }
+    val embs = rows.toDF("vec_id", "embedding")
+
+    val got = Similarity.kmeansAssign(embs, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.keySet === (groupX ++ groupY).toSet) // total partition
+    groupX.foreach(id => assert(got(id) === 0, s"id $id"))
+    groupY.foreach(id => assert(got(id) === 1, s"id $id"))
+
+    // determinism under input permutation (hash-order init, no RNG)
+    val got2 = Similarity.kmeansAssign(embs.orderBy(rand(5)), k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got2 === got)
+  }
+
+  test("kmeansAssign: scores are valid cosines and every doc appears once") {
+    val embs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toFloat / 5f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(embs, k = 4, iters = 2).collect()
+    assert(out.length === 40)
+    assert(out.map(_.getLong(0)).distinct.length === 40)
+    out.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) < 4)
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("lmScore: hand-computed bigram means; sub-2-token docs dropped") {
+    val docs = Seq(
+      (1L, "a b a b"), // pairs (a,b),(b,a),(a,b)
+      (2L, "a c"),     // pair  (a,c)
+      (3L, "z"))       // no bigram -> not emitted
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus counts: cab(a,b)=2, cab(b,a)=1, cab(a,c)=1; ca(a)=3, ca(b)=1
+    // p(a,b)=2/3 -> 0.666667 (rounded), p(b,a)=1, p(a,c)=1/3 -> 0.333333
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(1L)._2 - (0.666667 * 2 + 1.0) / 3) < 1e-12)
+    assert(got(2L)._1 === 1L)
+    assert(math.abs(got(2L)._2 - 0.333333) < 1e-12)
+  }
+
+  test("lmScore is invariant to doc order and partitioning (exact decimal sums)") {
+    val docs = (1L to 120L).map { i =>
+      (i, Seq.tabulate(12)(j => s"w${(i * 5 + j * 3) % 9}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val a = TextAnalysis.lmScore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val b = TextAnalysis.lmScore(docs.repartition(7, col("doc_id")).orderBy(rand(3)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(a === b) // bit-equal, not approximately equal
+  }
+}
