@@ -460,4 +460,44 @@ object Similarity {
       .select(col("id"), col("cid").as("cluster"),
         round(col("score"), 6).as("score"))
   }
+
+  /** L41: semantic deduplication (SemDeDup, Abbas et al. 2023) — the step
+    * [[kmeansAssign]] exists to enable: embedding-similar documents are
+    * near-duplicates in MEANING even when no n-gram overlaps, and the
+    * cluster structure bounds the candidate space so no all-pairs join ever
+    * runs. A document is dropped when an earlier (lower-id) document in the
+    * SAME cluster has cosine ≥ `threshold` — first-wins, the house dedup
+    * convention, independent of whether the earlier doc itself survives
+    * (the paper's semantics: similarity to ANY earlier doc suffices).
+    *
+    * Scale: one equi-join shuffle on the cluster key; within a cluster the
+    * pairing is O(m²) cosines — the SemDeDup tradeoff, controlled by
+    * growing k with the corpus so E[m] = n/k stays bounded. Because a
+    * silently-oversized cluster would quadratically blow up an executor,
+    * cluster sizes above `maxClusterSize` fail fast (the cap-throws rule:
+    * truncation is never silent).
+    *
+    * Returns every document: `(id, cluster, keep)`. */
+  def semanticDedup(embs: DataFrame, k: Int, iters: Int = 2,
+                    threshold: Double = 0.45,
+                    maxClusterSize: Long = 1000000L): DataFrame = {
+    val asg = kmeansAssign(embs, k, iters).select(col("id"), col("cluster"))
+    val vecs = embs.select(col("vec_id").as("id"),
+      transform(col("embedding").cast("array<double>"), x => round(x, 6)).as("v"))
+    // the guard must sit in a FILTER: a guarded-then-dropped column gets
+    // column-pruned and the raise_error silently vanishes with it
+    val sized = asg.join(vecs, "id")
+      .withColumn("_m", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .filter(assert_true(col("_m") <= maxClusterSize, concat(
+        lit(s"cluster larger than $maxClusterSize — raise k: "),
+        col("cluster").cast("string"))).isNull)
+      .drop("_m")
+    val dropped = sized.as("x")
+      .join(sized.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.id") < col("y.id"))
+      .filter(cosine(col("x.v"), col("y.v")) >= threshold)
+      .select(col("y.id").as("id")).distinct()
+    asg.join(dropped.withColumn("_drop", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("_drop").isNull.as("keep"))
+  }
 }

@@ -121,6 +121,12 @@ object LlmQueries {
     "llm_kmeans_assign" -> ((s, d) =>
       Similarity.kmeansAssign(embsPar(s, d), k = 8, iters = 2)),
 
+    // L41: SemDeDup — semantic near-dup removal inside the k-means
+    // clusters; the cluster key bounds the candidate space (no all-pairs)
+    "llm_dedup_semantic" -> ((s, d) =>
+      Similarity.semanticDedup(embsPar(s, d), k = 8, iters = 2,
+        threshold = 0.45)),
+
     "llm_ann_lsh" -> ((s, d) => {
       val e = embsPar(s, d)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
@@ -403,8 +409,10 @@ object LlmQueries {
     * ASC) tie-break), then recomputes per-dimension means from EXACT decimal
     * sums (one IEEE division of exact operands — partial-order-free on both
     * engines); empty clusters inherit the previous centroid via the LEFT
-    * JOIN coalesce, mirroring the engine's getOrElse. */
-  private def kmeansOracle(k: Int, iters: Int): String = {
+    * JOIN coalesce, mirroring the engine's getOrElse. Returns the CTE chain
+    * ending in `af` (final assignment: id, v, cid, sc) so the k-means and
+    * semantic-dedup oracles share one replay. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val iterCtes = (1 to iters).map { i =>
       val prev = s"c${i - 1}"
       s"""a$i AS (
@@ -434,16 +442,30 @@ object LlmQueries {
        |               ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
        |        FROM v)
        |  ORDER BY h, id LIMIT $k),
-       |$iterCtes
-       |SELECT id, cid AS cluster, round(sc, 6) AS score FROM (
-       |  SELECT x.id, c.cid, list_cosine_similarity(x.v, c.c) AS sc,
-       |         row_number() OVER (PARTITION BY x.id
-       |           ORDER BY list_cosine_similarity(x.v, c.c) DESC, c.cid) AS rn
-       |  FROM v x CROSS JOIN c$iters c) WHERE rn = 1""".stripMargin
+       |$iterCtes,
+       |af AS (
+       |  SELECT id, v, cid, sc FROM (
+       |    SELECT x.id, x.v, c.cid, list_cosine_similarity(x.v, c.c) AS sc,
+       |           row_number() OVER (PARTITION BY x.id
+       |             ORDER BY list_cosine_similarity(x.v, c.c) DESC, c.cid) AS rn
+       |    FROM v x CROSS JOIN c$iters c) WHERE rn = 1)""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
-    "llm_kmeans_assign" -> kmeansOracle(8, 2),
+    "llm_kmeans_assign" ->
+      s"""${kmeansCtes(8, 2)}
+         |SELECT id, cid AS cluster, round(sc, 6) AS score FROM af""".stripMargin,
+
+    // SemDeDup restatement: within-cluster first-wins — y is dropped when
+    // ANY earlier x in the same final cluster has cosine >= threshold
+    "llm_dedup_semantic" ->
+      s"""${kmeansCtes(8, 2)},
+         |dropped AS (
+         |  SELECT DISTINCT y.id
+         |  FROM af x JOIN af y ON x.cid = y.cid AND x.id < y.id
+         |  WHERE list_cosine_similarity(x.v, y.v) >= 0.45)
+         |SELECT a.id, a.cid AS cluster, d.id IS NULL AS keep
+         |FROM af a LEFT JOIN dropped d ON a.id = d.id""".stripMargin,
 
     // bigram-LM restatement: DuckDB list slices w[a:b] are 1-based
     // inclusive end-truncating == Spark slice(w, a, len); parallel unnests

@@ -45,6 +45,40 @@ class LmClusterSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup: later near-dup dropped within cluster; first-wins; total output") {
+    // same two orthogonal groups as above (seeds 4 and 1) plus id 5 an exact
+    // copy of id 3's vector: both land in cluster 1, id 5 is later -> dropped.
+    // id 2 is a near-copy of id 0 (cos ~ 1) in cluster 0 -> dropped too.
+    // within-group non-duplicates differ by a 0.3-weight axis swap
+    // (cos ~ 0.917, below the 0.999 threshold); copies are exact (cos = 1)
+    val rows = Seq(
+      (4L, Array(1.0f, 0.0f, 0.3f, 0.0f)),
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.3f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.3f)), // = id 0 -> dropped (0 < 2)
+      (1L, Array(0.0f, 1.0f, 0.3f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.3f)),
+      (5L, Array(0.0f, 1.0f, 0.0f, 0.3f))) // = id 3 -> dropped (3 < 5)
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(rows, k = 2, iters = 2, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L, 4L, 5L)) // every doc present
+    assert(got(2L)._2 === false && got(5L)._2 === false)
+    assert(Seq(0L, 1L, 3L, 4L).forall(got(_)._2), s"unexpected drops: $got")
+    // the dropped docs' survivors sit in the SAME cluster (cluster-bounded
+    // candidate generation is the SemDeDup contract)
+    assert(got(2L)._1 === got(0L)._1 && got(5L)._1 === got(3L)._1)
+  }
+
+  test("semanticDedup: oversized cluster fails fast instead of pairing quadratically") {
+    val rows = (0L until 30L).map(i => (i, Array(1.0f, 0.0f + i * 1e-4f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.semanticDedup(rows, k = 2, iters = 1, threshold = 0.9,
+        maxClusterSize = 10L).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("cluster larger"))
+  }
+
   test("lmScore: hand-computed bigram means; sub-2-token docs dropped") {
     val docs = Seq(
       (1L, "a b a b"), // pairs (a,b),(b,a),(a,b)
