@@ -481,7 +481,13 @@ object Similarity {
   def semanticDedup(embs: DataFrame, k: Int, iters: Int = 2,
                     threshold: Double = 0.45,
                     maxClusterSize: Long = 1000000L): DataFrame = {
-    val asg = kmeansAssign(embs, k, iters).select(col("id"), col("cluster"))
+    // materialize the slim (id, cluster) assignment ONCE: it feeds three
+    // plan branches (pair-join x side, y side, final keep join), and the
+    // one-sided inferred-isnotnull asymmetry defeats ReusedExchange on
+    // self-joins (the recorded round-8 lesson) — without this the full
+    // assignment scan would run three times
+    val asg = kmeansAssign(embs, k, iters)
+      .select(col("id"), col("cluster")).localCheckpoint()
     val vecs = embs.select(col("vec_id").as("id"),
       transform(col("embedding").cast("array<double>"), x => round(x, 6)).as("v"))
     // the guard must sit in a FILTER: a guarded-then-dropped column gets

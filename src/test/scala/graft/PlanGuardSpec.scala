@@ -218,6 +218,44 @@ class PlanGuardSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("kmeans assignment partial-aggregates before its shuffle; no window over n*k rows") {
+    // the argmax is max_by(struct) — a declarative aggregate whose partial
+    // phase reduces each partition to <= one row per id BEFORE the exchange;
+    // a row_number rewrite would shuffle every scored (doc x centroid) row
+    val p = plan("llm_kmeans_assign")
+    assert(p.contains("partial_max_by") || p.contains("partial_max"),
+      s"kmeans argmax lost its partial-aggregation phase:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"centroid pairing must be a broadcast, not a cartesian:\n$p")
+  }
+
+  test("semantic dedup pairs only within clusters: equi-join on cluster, no all-pairs") {
+    val p = plan("llm_dedup_semantic")
+    // the doc-pair join must key on the cluster (SMJ or shuffled hash with
+    // the cosine/id predicates as residual conditions)
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+        l.contains("cluster") && l.contains("cosine_sim")),
+      s"pair join lost its cluster equi-key:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"semantic dedup degraded to an all-pairs join:\n$p")
+    // the only nested-loop allowed is the k-row centroid broadcast fan-out
+    // inside the (checkpointed, so evaluated once) assignment
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) === 0,
+      s"assignment must be pre-materialized (localCheckpoint), not replayed:\n$p")
+  }
+
+  test("lm score never joins on the raw corpus: bigram counts build sides only") {
+    // the p(b|a) table joins cab (distinct bigrams) with ca (distinct
+    // contexts) — both compact aggregates; and every aggregate in the plan
+    // map-side combines
+    val p = plan("llm_lm_score")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"lm score grew a non-equi join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"bigram counting must map-side combine:\n$p")
+  }
+
   test("vocab top-V cuts with distributed TakeOrdered, never a global sort") {
     val p = plan("llm_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"),
