@@ -253,6 +253,29 @@ object LlmQueries {
           |FROM exact LEFT JOIN est USING (tok) CROSS JOIN n""".stripMargin)
     }),
 
+    // L6 through the SQL surface: the exact brute-force ANN as ONE
+    // spark.sql(...) text — analyzer resolution of BOTH remaining native
+    // expressions (`cosine_sim` scalar, `top_k_by_score` aggregate with its
+    // literal-k check) goes under the hash gate; with llm_heavy_hitters_sql
+    // every GraftExtensions function is now SQL-exercised. Same oracle as
+    // llm_ann_topk.
+    "llm_ann_sql" -> ((s, d) => {
+      val ext = graft.GraftExtensions.sessionFor(s)
+      embsPar(ext, d).createOrReplaceTempView("graft_embs_sql")
+      ext.sql(
+        """WITH q AS (
+          |  SELECT vec_id AS qid, CAST(embedding AS ARRAY<DOUBLE>) AS qe
+          |  FROM graft_embs_sql WHERE vec_id < 10),
+          |s AS (
+          |  SELECT q.qid, e.vec_id AS cid,
+          |         cosine_sim(q.qe, CAST(e.embedding AS ARRAY<DOUBLE>)) AS sim
+          |  FROM q JOIN graft_embs_sql e ON e.vec_id <> q.qid),
+          |t AS (SELECT qid, top_k_by_score(sim, cid, 5) AS tk FROM s GROUP BY qid)
+          |SELECT qid, e.id AS cid, CAST(pos + 1 AS INT) AS rank,
+          |       round(e.score, 6) AS sim
+          |FROM t LATERAL VIEW posexplode(tk) AS pos, e""".stripMargin)
+    }),
+
     // per-source quota: cap each source at 16 docs, content-hash order —
     // the anti-domination valve for training-mix construction (16 < the
     // 25-docs-per-source gate corpus, so the cap provably bites there)
@@ -589,6 +612,7 @@ object LlmQueries {
         |SELECT i, j, round(c, 6) AS cos FROM p WHERE c >= 0.45""".stripMargin,
 
     "llm_ann_topk" -> annOracle,
+    "llm_ann_sql" -> annOracle,
     "llm_ann_lsh" -> annOracle,
     "llm_ann_ivf" -> annOracle,
     "llm_ann_quant" -> annOracle,
