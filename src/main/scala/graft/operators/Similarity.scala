@@ -506,4 +506,25 @@ object Similarity {
     asg.join(dropped.withColumn("_drop", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cluster"), col("_drop").isNull.as("keep"))
   }
+
+  /** L42: cluster-balanced (diversity) sampling — at most `maxPerCluster`
+    * docs per k-means cluster, admitted in id-hash order. The topic-balance
+    * counterpart of [[graft.operators.CorpusPrep.sourceQuota]]: quotas by
+    * LEARNED clusters instead of a metadata column, which is how dominant
+    * topics (boilerplate, templates) get capped when no source label
+    * betrays them. Same scale shape as sourceQuota: the per-cluster cut is
+    * a `TopKByScore` partial aggregate (≤ m rows per partition per cluster
+    * cross the shuffle — never a window over the corpus), on top of
+    * [[kmeansAssign]]'s assignment scan. */
+  def clusterSample(embs: DataFrame, k: Int, iters: Int = 2,
+                    maxPerCluster: Int = 32): DataFrame =
+    kmeansAssign(embs, k, iters)
+      .withColumn("hscore",
+        expr("cast(conv(substring(md5(cast(id as string)), 1, 15), 16, 10) as bigint) div 128")
+          .cast("double"))
+      .groupBy(col("cluster"))
+      .agg(graft.functions.TopKByScore(col("hscore"), col("id"), maxPerCluster).as("top"))
+      .select(col("cluster"), posexplode(col("top")))
+      .select(col("cluster"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.id").as("id"))
 }

@@ -127,6 +127,12 @@ object LlmQueries {
       Similarity.semanticDedup(embsPar(s, d), k = 8, iters = 2,
         threshold = 0.45)),
 
+    // L42: cluster-balanced sampling — at most 32 docs per learned cluster
+    // in id-hash order (32 < 500/8, so the cap provably bites)
+    "llm_cluster_sample" -> ((s, d) =>
+      Similarity.clusterSample(embsPar(s, d), k = 8, iters = 2,
+        maxPerCluster = 32)),
+
     "llm_ann_lsh" -> ((s, d) => {
       val e = embsPar(s, d)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
@@ -478,6 +484,19 @@ object LlmQueries {
     "llm_kmeans_assign" ->
       s"""${kmeansCtes(8, 2)}
          |SELECT id, cid AS cluster, round(sc, 6) AS score FROM af""".stripMargin,
+
+    // cluster-balanced sampling restatement: per-cluster row_number in
+    // id-hash order (DESC + id tie-break = TopKByScore's keep-highest with
+    // lowest-id-on-tie eviction), capped at 32
+    "llm_cluster_sample" ->
+      s"""${kmeansCtes(8, 2)}
+         |SELECT cid AS cluster, rk::INT AS rk, id FROM (
+         |  SELECT cid, id,
+         |         row_number() OVER (PARTITION BY cid
+         |           ORDER BY ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT // 128 DESC,
+         |                    id) AS rk
+         |  FROM af)
+         |WHERE rk <= 32""".stripMargin,
 
     // SemDeDup restatement: within-cluster first-wins — y is dropped when
     // ANY earlier x in the same final cluster has cosine >= threshold

@@ -79,6 +79,26 @@ class LmClusterSpec extends SparkSpec {
     assert(ex.getMessage.toLowerCase.contains("cluster larger"))
   }
 
+  test("clusterSample caps each cluster, ranks 1..m, deterministic under permutation") {
+    val embs = (0L until 60L).map { i =>
+      // two orthogonal groups of 30
+      val v = if (i % 2 == 0) Array(1.0f, 0.0f, (i % 7) * 0.01f)
+              else Array(0.0f, 1.0f, (i % 7) * 0.01f)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.clusterSample(embs, k = 2, iters = 2, maxPerCluster = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val byCluster = out.groupBy(_._1)
+    assert(byCluster.size === 2)
+    byCluster.foreach { case (c, rows) =>
+      assert(rows.length === 10, s"cluster $c kept ${rows.length}") // cap bites (30 > 10)
+      assert(rows.map(_._2).sorted.toSeq === (1 to 10)) // dense ranks
+    }
+    val out2 = Similarity.clusterSample(embs.orderBy(rand(13)), 2, 2, 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(out2.sorted.toSeq === out.sorted.toSeq)
+  }
+
   test("lmScore: hand-computed bigram means; sub-2-token docs dropped") {
     val docs = Seq(
       (1L, "a b a b"), // pairs (a,b),(b,a),(a,b)
