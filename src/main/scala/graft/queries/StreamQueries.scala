@@ -323,6 +323,39 @@ object StreamQueries {
           round(col("ema"), 6).as("ema"))
     }),
 
+    // T13 (transformWithState): running peak + drawdown per pair on
+    // Spark 4's arbitrary-state API — the ELEVENTH distinct streaming
+    // primitive under the gate (typed named-state handle, RocksDB-backed
+    // as the API requires; provider conf scoped to this query). State is
+    // one double per pair. Determinism across the 4-batch split: each
+    // batch folds in (second, nanos, seq) order and chunks replay in
+    // ascending time ranges, so every row's peak equals the batch
+    // running-max window — the w7 risk metric, per tick, streaming.
+    "t13_twstate_drawdown" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t13-").toString
+      import s.implicits._
+      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try withStreamShuffle(s, 8) {
+        val ticks = tickStream(s, d)
+          .select(col("pair"), col("time"), col("seq"), col("bid")).as[SeqTick]
+        awaitAndRecord("t13_twstate_drawdown", Streams.drawdownStream(ticks)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/sink")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      } finally prevProvider match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      s.read.parquet(s"$tmp/sink")
+        .select(col("pair"), unix_micros(col("time")).as("time_us"), col("seq"),
+          round(col("peak"), 6).as("peak"), round(col("dd"), 6).as("dd"))
+    }),
+
     // T9 (stream-static join): the live tick stream enriched with a
     // bounded static dim (pair → type_id, the j2 pattern) via broadcast
     // INSIDE the streaming query, then watermark-finalized per-(type_id,
@@ -505,6 +538,17 @@ object StreamQueries {
          |  FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1)
          |SELECT pair, epoch_us(time) AS time_us, round(prev, 6) AS ema
          |FROM r WHERE prev IS NOT NULL""".stripMargin,
+
+    // batch restatement: the running-peak window in the same
+    // (epoch_us, seq) total order the processor folds in
+    "t13_twstate_drawdown" ->
+      s"""WITH ${TradingQueries.ticksCte}
+         |SELECT pair, epoch_us(time) AS time_us, seq,
+         |       round(max(bid) OVER w, 6) AS peak,
+         |       round(max(bid) OVER w - bid, 6) AS dd
+         |FROM ticks
+         |WINDOW w AS (PARTITION BY pair ORDER BY epoch_us(time), seq
+         |             ROWS UNBOUNDED PRECEDING)""".stripMargin,
 
     // batch restatement: same dim derivation, same aggregation, same
     // watermark cutoff as the t2 oracle

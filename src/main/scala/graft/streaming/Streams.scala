@@ -22,6 +22,45 @@ final case class EmaState(n: Long, seedSum: Double, prev: Double)
 /** One emitted EMA point (defined from the `period`-th tick onward). */
 final case class EmaPoint(pair: String, time: Timestamp, ema: Double)
 
+/** One running-drawdown point per processed tick (T13). */
+final case class DrawdownPoint(pair: String, time: Timestamp, seq: Long,
+                               peak: Double, dd: Double)
+
+/** T13 processor: per-pair running peak + drawdown on Spark 4's
+  * `transformWithState` arbitrary-state API — the successor of
+  * map/flatMapGroupsWithState (typed named-state handles, RocksDB-backed,
+  * TTL/timers available). State is ONE double per pair (the running peak);
+  * each batch's rows fold in (second, nanos, seq) order — the same total
+  * order every other streaming fold here uses — so the emitted points are
+  * independent of the micro-batch split: max is commutative and the peak
+  * at each row depends only on the set of earlier rows.
+  *
+  * The batch twin is `w7_max_drawdown`'s running-peak window; the oracle
+  * restates it per tick. */
+class DrawdownProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, SeqTick, DrawdownPoint] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+
+  @transient private var peak: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    peak = getHandle.getValueState[Double]("peak",
+      org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[SeqTick],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[DrawdownPoint] = {
+    var p = if (peak.exists()) peak.get() else Double.NegativeInfinity
+    val out = rows.toVector
+      .sortBy(r => (r.time.getTime / 1000, r.time.getNanos, r.seq))
+      .map { r =>
+        if (r.bid > p) p = r.bid
+        DrawdownPoint(key, r.time, r.seq, p, p - r.bid)
+      }
+    peak.update(p)
+    out.iterator
+  }
+}
+
 /** Structured Streaming layer (SURVEY.md §2.8 T1/T2/T4/T5) — the Spark-first
   * restatement of the reference's streaming paths:
   *
@@ -326,6 +365,18 @@ object Streams {
         state.update(EmaState(n, seed, prev))
         out.result().iterator
       }
+  }
+
+  /** T13: running drawdown per pair via [[DrawdownProcessor]] — the
+    * `transformWithState` path. Requires the RocksDB state-store provider
+    * (the API's contract); the caller scopes that conf to the query. */
+  def drawdownStream(ticks: Dataset[SeqTick]): Dataset[DrawdownPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.groupByKey(_.pair)
+      .transformWithState(new DrawdownProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
   /** T4: CDC relay into a parquet sink with first-write-wins semantics.
