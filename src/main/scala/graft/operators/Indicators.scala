@@ -3,7 +3,7 @@ package graft.operators
 import java.sql.Timestamp
 
 import graft.model.IndicatorValue
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,6 +21,12 @@ final case class MacdRow(pair: String, timeframe: String, time: Timestamp,
   * the same Catalyst-deserializer reason as [[CloseRow]]. */
 final case class HlcRow(pair: String, timeframe: String, time: Timestamp,
                         high: Double, low: Double, close: Double)
+
+/** One ADX output row: ±DI and the ADX, all None during their respective
+  * warm-ups (DI from row `period+1`, ADX from row `2·period`). */
+final case class AdxRow(pair: String, timeframe: String, time: Timestamp,
+                        pdi: Option[Double], ndi: Option[Double],
+                        adx: Option[Double])
 
 /** Technical-indicator operators (SURVEY.md §2.9 U1-U3, §2.5 W3).
   *
@@ -227,6 +233,179 @@ object Indicators {
         (col("k") + lag(col("k"), 1).over(w) + lag(col("k"), 2).over(w)) / lit(3.0))
       .select(col("pair"), col("timeframe"), col("time"),
         lit(period).as("period"), col("k"), col("d"))
+  }
+
+  /** U9: Williams %R — `%R = (close − HH) · 100 / (HH − LL)` over the
+    * trailing `period` rows: the stochastic %K reflected to the [−100, 0]
+    * convention chartists expect. Spelled `(close − HH)` rather than the
+    * textbook `−(HH − close)` so a close AT the window high yields +0.0 on
+    * every engine (the negated form emits −0.0 on engines that preserve
+    * the zero sign through `round`, which hash-splits from +0.0). NULL
+    * while the window is short or flat. Pure window aggregate — codegen'd,
+    * one shuffle on the series key. */
+  def williamsR(candles: DataFrame, period: Int = 14): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val frame = w.rowsBetween(-(period - 1), Window.currentRow)
+    candles
+      .withColumn("rn", row_number().over(w))
+      .withColumn("hh", max(col("high")).over(frame))
+      .withColumn("ll", min(col("low")).over(frame))
+      .select(col("pair"), col("timeframe"), col("time"),
+        lit(period).as("period"),
+        when(col("rn") >= period && col("hh") =!= col("ll"),
+          (col("close") - col("hh")) * lit(100.0) / (col("hh") - col("ll"))).as("value"))
+  }
+
+  /** U10: Donchian channel — trailing-`period` highest high / lowest low and
+    * their midpoint (the breakout bands behind turtle-style strategies).
+    * Min/max are order-free and the midpoint is one identical float
+    * expression per row, so cross-engine parity is free. */
+  def donchian(candles: DataFrame, period: Int = 20): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val frame = w.rowsBetween(-(period - 1), Window.currentRow)
+    candles
+      .withColumn("rn", row_number().over(w))
+      .withColumn("up", when(col("rn") >= period, max(col("high")).over(frame)))
+      .withColumn("lo", when(col("rn") >= period, min(col("low")).over(frame)))
+      .select(col("pair"), col("timeframe"), col("time"),
+        lit(period).as("period"), col("up").as("upper"),
+        ((col("up") + col("lo")) / lit(2.0)).as("mid"), col("lo").as("lower"))
+  }
+
+  /** U11: rate of change — `100 · (close/close[−period] − 1)`, the momentum
+    * ratio. One lag, one float expression; NULL until the lag exists (and
+    * guarded against a zero reference price). */
+  def roc(candles: DataFrame, period: Int = 10): DataFrame = {
+    require(period >= 1, s"period must be >= 1, got $period")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val prev = lag(col("close"), period).over(w)
+    candles
+      .withColumn("prevp", prev)
+      .select(col("pair"), col("timeframe"), col("time"),
+        lit(period).as("period"),
+        when(col("prevp").isNotNull && col("prevp") =!= 0.0,
+          (col("close") / col("prevp") - lit(1.0)) * lit(100.0)).as("value"))
+  }
+
+  /** U12: Money Flow Index over candles carrying a `vol` column —
+    * volume-weighted RSI: raw flow = typicalPrice · vol signed by the
+    * typical-price direction, `mfi = 100·pos/(pos+neg)` over the trailing
+    * `period` flows. Engine-portable numerics: the typical price is carried
+    * as 3·TP = high+low+close in EXACT decimal (the /3 cancels in the
+    * ratio, so it is never computed), flows and their window sums stay
+    * exact decimal, and the only float work is one identical final
+    * division. First candle (no direction) contributes to neither side;
+    * NULL until `period` flows exist or when both sides are zero. */
+  def mfi(candlesWithVol: DataFrame, period: Int = 14): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val frame = w.rowsBetween(-(period - 1), Window.currentRow)
+    val tp3 = col("high").cast("decimal(12,6)") + col("low").cast("decimal(12,6)") +
+      col("close").cast("decimal(12,6)")
+    val posd = coalesce(col("pos").cast("double"), lit(0.0))
+    val negd = coalesce(col("neg").cast("double"), lit(0.0))
+    val denom = posd + negd
+    candlesWithVol
+      .withColumn("tp3", tp3)
+      .withColumn("ptp", lag(col("tp3"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pf", when(col("ptp").isNotNull && col("tp3") > col("ptp"),
+        col("tp3") * col("vol").cast("decimal(9,0)")))
+      .withColumn("nf", when(col("ptp").isNotNull && col("tp3") < col("ptp"),
+        col("tp3") * col("vol").cast("decimal(9,0)")))
+      .withColumn("pos", sum(col("pf")).over(frame))
+      .withColumn("neg", sum(col("nf")).over(frame))
+      .select(col("pair"), col("timeframe"), col("time"),
+        lit(period).as("period"),
+        when(col("rn") >= period + 1 && denom =!= 0.0,
+          lit(100.0) * posd / denom).as("value"))
+  }
+
+  /** U13: Wilder ADX with ±DI — trend-strength from smoothed directional
+    * movement. Per row (from row 2): `TR` as in [[atr]]; `+DM = high−prevHigh`
+    * when that exceeds both `prevLow−low` and 0 (else 0), `−DM` mirrored.
+    * TR/+DM/−DM are Wilder-smoothed with a simple-mean seed at row
+    * `period+1` (the [[atr]] convention); `±DI = 100·smDM/smTR`;
+    * `DX = 100·|+DI−−DI|/(+DI+−DI)`; ADX is DX Wilder-smoothed again with
+    * its mean seed over the first `period` DX values (first ADX at row
+    * `2·period`). Same single-shuffle sorted-group fold as [[rsi]]/[[atr]] —
+    * state per series is eight doubles, so a 100 TB corpus of series costs
+    * one shuffle and a linear scan. */
+  def adx(candles: DataFrame, period: Int, calcVersion: String = CalcVersion): Dataset[AdxRow] = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select($"pair", $"timeframe", $"time", $"high", $"low", $"close").as[HlcRow]
+      .groupByKey(r => (r.pair, r.timeframe))
+      .flatMapSortedGroups($"time") { case ((pair, tf), rows) =>
+        var ph = 0.0; var pl = 0.0; var pc = 0.0
+        var trSum = 0.0; var pdmSum = 0.0; var ndmSum = 0.0
+        var sTr = 0.0; var sPdm = 0.0; var sNdm = 0.0
+        var dxSum = 0.0; var adxV = 0.0
+        rows.zipWithIndex.map { case (r, i) =>
+          val out =
+            if (i == 0) AdxRow(pair, tf, r.time, None, None, None)
+            else {
+              val tr = math.max(r.high - r.low,
+                math.max(math.abs(r.high - pc), math.abs(r.low - pc)))
+              val up = r.high - ph
+              val dn = pl - r.low
+              val pdm = if (up > dn && up > 0.0) up else 0.0
+              val ndm = if (dn > up && dn > 0.0) dn else 0.0
+              if (i < period) { trSum += tr; pdmSum += pdm; ndmSum += ndm }
+              else if (i == period) {
+                sTr = (trSum + tr) / period
+                sPdm = (pdmSum + pdm) / period
+                sNdm = (ndmSum + ndm) / period
+              } else {
+                sTr = (sTr * (period - 1) + tr) / period
+                sPdm = (sPdm * (period - 1) + pdm) / period
+                sNdm = (sNdm * (period - 1) + ndm) / period
+              }
+              if (i < period) AdxRow(pair, tf, r.time, None, None, None)
+              else {
+                val pdi = if (sTr == 0.0) 0.0 else 100.0 * sPdm / sTr
+                val ndi = if (sTr == 0.0) 0.0 else 100.0 * sNdm / sTr
+                val dx = if (pdi + ndi == 0.0) 0.0 else 100.0 * math.abs(pdi - ndi) / (pdi + ndi)
+                val adxO =
+                  if (i < 2 * period - 1) { dxSum += dx; None }
+                  else if (i == 2 * period - 1) { adxV = (dxSum + dx) / period; Some(adxV) }
+                  else { adxV = (adxV * (period - 1) + dx) / period; Some(adxV) }
+                AdxRow(pair, tf, r.time, Some(pdi), Some(ndi), adxO)
+              }
+            }
+          ph = r.high; pl = r.low; pc = r.close
+          out
+        }
+      }
+  }
+
+  /** U14: Ichimoku Kinko Hyo — conversion/base lines are trailing-window
+    * range midpoints, the two Senkou spans are those midpoints displaced
+    * `kijunP` rows forward (spelled as `lag` over the already-gated
+    * columns, so warm-up NULLs displace with them), and Chikou is the close
+    * displaced backward (`lead`). All plain window aggregates + lag/lead —
+    * codegen'd, one shuffle on the series key, no recurrence anywhere. */
+  def ichimoku(candles: DataFrame, tenkanP: Int = 9, kijunP: Int = 26,
+               senkouP: Int = 52): DataFrame = {
+    require(2 <= tenkanP && tenkanP < kijunP && kijunP < senkouP,
+      s"need 2 <= tenkan < kijun < senkou, got $tenkanP/$kijunP/$senkouP")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    def mid(p: Int): Column = {
+      val frame = w.rowsBetween(-(p - 1), Window.currentRow)
+      when(row_number().over(w) >= p,
+        (max(col("high")).over(frame) + min(col("low")).over(frame)) / lit(2.0))
+    }
+    candles
+      .withColumn("tenkan", mid(tenkanP))
+      .withColumn("kijun", mid(kijunP))
+      .withColumn("senkou_a", lag((col("tenkan") + col("kijun")) / lit(2.0), kijunP).over(w))
+      .withColumn("senkou_b", lag(mid(senkouP), kijunP).over(w))
+      .withColumn("chikou", lead(col("close"), kijunP).over(w))
+      .select(col("pair"), col("timeframe"), col("time"),
+        col("tenkan"), col("kijun"), col("senkou_a"), col("senkou_b"), col("chikou"))
   }
 
   /** On-balance volume over candles carrying a `vol` column: running sum of

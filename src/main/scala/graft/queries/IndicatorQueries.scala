@@ -62,6 +62,28 @@ object IndicatorQueries {
       Indicators.stochastic(candles1m(s, d), 14)
         .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
           col("period"), round(col("k"), 6).as("k"), round(col("d"), 6).as("d"))),
+    "u9_williams_r_14_1m" -> ((s, d) => indOut(Indicators.williamsR(candles1m(s, d), 14))),
+    "u10_donchian_20_1m" -> ((s, d) =>
+      Indicators.donchian(candles1m(s, d), 20)
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          col("period"), round(col("upper"), 6).as("upper"),
+          round(col("mid"), 6).as("mid"), round(col("lower"), 6).as("lower"))),
+    "u11_roc_10_1m" -> ((s, d) => indOut(Indicators.roc(candles1m(s, d), 10))),
+    "u12_mfi_14_1m" -> ((s, d) =>
+      indOut(Indicators.mfi(
+        graft.operators.Ohlc.ohlcBaseWithVol(TradingQueries.ticks(s, d)), 14))),
+    "u13_adx_14_1m" -> ((s, d) =>
+      Indicators.adx(candles1m(s, d), 14).toDF()
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          lit(14).as("period"), round(col("pdi"), 6).as("pdi"),
+          round(col("ndi"), 6).as("ndi"), round(col("adx"), 6).as("adx"))),
+    "u14_ichimoku_1m" -> ((s, d) =>
+      Indicators.ichimoku(candles1m(s, d))
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          round(col("tenkan"), 6).as("tenkan"), round(col("kijun"), 6).as("kijun"),
+          round(col("senkou_a"), 6).as("senkou_a"),
+          round(col("senkou_b"), 6).as("senkou_b"),
+          round(col("chikou"), 6).as("chikou"))),
     "w1_golden_cross" -> ((s, d) =>
       signalOut(Signals.goldenCross(Indicators.indicatorFacts(candles1m(s, d), Seq("SMA"), Seq(14, 28)), 14, 28))),
     "w1_dead_cross" -> ((s, d) =>
@@ -277,7 +299,218 @@ object IndicatorQueries {
        |      CAST(0.0 AS DOUBLE))), 6) END AS lower
        |FROM b""".stripMargin
 
+  /** Williams %R oracle — identical expression text (⇒ identical IEEE
+    * operation order) to [[graft.operators.Indicators.williamsR]]. */
+  private def williamsSql(p: Int): String =
+    s"""$prelude,
+       |b AS (
+       |  SELECT pair, time, close,
+       |         row_number() OVER (PARTITION BY pair ORDER BY time) AS rn,
+       |         max(high) OVER (PARTITION BY pair ORDER BY time
+       |              ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW) AS hh,
+       |         min(low) OVER (PARTITION BY pair ORDER BY time
+       |              ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW) AS ll
+       |  FROM c1m)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
+       |       CASE WHEN rn >= $p AND hh <> ll
+       |            THEN round((close - hh) * 100.0 / (hh - ll), 6) END AS value
+       |FROM b""".stripMargin
+
+  /** Donchian oracle — min/max are order-free; the midpoint is the one
+    * float op, spelled identically on both engines. */
+  private def donchianSql(p: Int): String =
+    s"""$prelude,
+       |b AS (
+       |  SELECT pair, time,
+       |         row_number() OVER (PARTITION BY pair ORDER BY time) AS rn,
+       |         max(high) OVER (PARTITION BY pair ORDER BY time
+       |              ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW) AS hh,
+       |         min(low) OVER (PARTITION BY pair ORDER BY time
+       |              ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW) AS ll
+       |  FROM c1m)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
+       |       CASE WHEN rn >= $p THEN round(hh, 6) END AS upper,
+       |       CASE WHEN rn >= $p THEN round((hh + ll) / 2.0, 6) END AS mid,
+       |       CASE WHEN rn >= $p THEN round(ll, 6) END AS lower
+       |FROM b""".stripMargin
+
+  private def rocSql(p: Int): String =
+    s"""$prelude
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
+       |       CASE WHEN prevp IS NOT NULL AND prevp <> 0
+       |            THEN round((close / prevp - 1.0) * 100.0, 6) END AS value
+       |FROM (SELECT pair, time, close,
+       |             lag(close, $p) OVER (PARTITION BY pair ORDER BY time) AS prevp
+       |      FROM c1m) t""".stripMargin
+
+  /** MFI oracle mirror of [[graft.operators.Indicators.mfi]]: 3·TP and the
+    * signed flows stay EXACT decimal end-to-end (DECIMAL(12,6) inputs keep
+    * the tp3·vol product on DuckDB's int128 path — the w9/w11 width
+    * lesson), so the only float op is the identical final division. */
+  private def mfiSql(p: Int): String =
+    s"""WITH $ticksCte, $dedupCte,
+       |c1v AS (
+       |  SELECT pair, date_trunc('minute', time) AS time,
+       |         max(bid) AS high, min(bid) AS low,
+       |         max_by(bid, time) AS close, count(*) AS vol
+       |  FROM dedup GROUP BY 1, 2),
+       |x AS (
+       |  SELECT pair, time, vol,
+       |         (high::DECIMAL(12,6) + low::DECIMAL(12,6) + close::DECIMAL(12,6)) AS tp3
+       |  FROM c1v),
+       |y AS (
+       |  SELECT pair, time, vol, tp3,
+       |         lag(tp3) OVER (PARTITION BY pair ORDER BY time) AS ptp,
+       |         row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |  FROM x),
+       |f AS (
+       |  SELECT pair, time, rn,
+       |         CASE WHEN ptp IS NOT NULL AND tp3 > ptp
+       |              THEN tp3 * vol::DECIMAL(9,0) END AS pf,
+       |         CASE WHEN ptp IS NOT NULL AND tp3 < ptp
+       |              THEN tp3 * vol::DECIMAL(9,0) END AS nf
+       |  FROM y),
+       |s AS (
+       |  SELECT pair, time, rn,
+       |         coalesce(CAST(sum(pf) OVER w AS DOUBLE), 0.0) AS pos,
+       |         coalesce(CAST(sum(nf) OVER w AS DOUBLE), 0.0) AS neg
+       |  FROM f
+       |  WINDOW w AS (PARTITION BY pair ORDER BY time
+       |               ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW))
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
+       |       CASE WHEN rn >= ${p + 1} AND pos + neg <> 0.0
+       |            THEN round(100.0 * pos / (pos + neg), 6) END AS value
+       |FROM s""".stripMargin
+
+  /** Recursive-CTE Wilder ADX oracle replicating
+    * [[graft.operators.Indicators.adx]] step-for-step: TR/±DM from row 2,
+    * simple-mean seeds for the three smoothed series at row `p+1`, ±DI/DX
+    * from row `p+1`, and the ADX's own mean seed over the first `p` DX
+    * values at row `2p`. The recursive branch nests four subquery levels so
+    * each derived value (tr/dm → smoothed → DI → DX → ADX) can reference
+    * the previous level without re-deriving the expression — the same
+    * double ops in the same order as the Scala fold ⇒ bit-identical. */
+  private def adxSql(p: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS (SELECT pair, time, high, low, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |r AS (
+       |  SELECT pair, rn, time, high AS ph, low AS pl, close AS pc,
+       |         CAST(0.0 AS DOUBLE) AS tr_sum, CAST(0.0 AS DOUBLE) AS pdm_sum,
+       |         CAST(0.0 AS DOUBLE) AS ndm_sum,
+       |         CAST(NULL AS DOUBLE) AS s_tr, CAST(NULL AS DOUBLE) AS s_pdm,
+       |         CAST(NULL AS DOUBLE) AS s_ndm,
+       |         CAST(0.0 AS DOUBLE) AS dx_sum, CAST(NULL AS DOUBLE) AS adx,
+       |         CAST(NULL AS DOUBLE) AS pdi, CAST(NULL AS DOUBLE) AS ndi
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT pair, rn, time, ph, pl, pc, tr_sum2, pdm_sum2, ndm_sum2,
+       |         s_tr2, s_pdm2, s_ndm2,
+       |         CASE WHEN rn >= ${p + 1} AND rn <= ${2 * p - 1} THEN dx_sum + dx
+       |              ELSE CAST(0.0 AS DOUBLE) END AS dx_sum,
+       |         CASE WHEN rn < ${2 * p} THEN CAST(NULL AS DOUBLE)
+       |              WHEN rn = ${2 * p} THEN (dx_sum + dx) / $p
+       |              ELSE (adx * ${p - 1} + dx) / $p END AS adx,
+       |         pdi2, ndi2
+       |  FROM (
+       |    SELECT *,
+       |           CASE WHEN rn >= ${p + 1} THEN
+       |             CASE WHEN pdi2 + ndi2 = 0 THEN CAST(0.0 AS DOUBLE)
+       |                  ELSE 100.0 * abs(pdi2 - ndi2) / (pdi2 + ndi2) END END AS dx
+       |    FROM (
+       |      SELECT *,
+       |             CASE WHEN rn >= ${p + 1} THEN
+       |               CASE WHEN s_tr2 = 0 THEN CAST(0.0 AS DOUBLE)
+       |                    ELSE 100.0 * s_pdm2 / s_tr2 END END AS pdi2,
+       |             CASE WHEN rn >= ${p + 1} THEN
+       |               CASE WHEN s_tr2 = 0 THEN CAST(0.0 AS DOUBLE)
+       |                    ELSE 100.0 * s_ndm2 / s_tr2 END END AS ndi2
+       |      FROM (
+       |        SELECT pair, rn, time, ph, pl, pc, dx_sum, adx,
+       |               CASE WHEN rn <= $p THEN tr_sum + tr
+       |                    ELSE CAST(0.0 AS DOUBLE) END AS tr_sum2,
+       |               CASE WHEN rn <= $p THEN pdm_sum + pdm
+       |                    ELSE CAST(0.0 AS DOUBLE) END AS pdm_sum2,
+       |               CASE WHEN rn <= $p THEN ndm_sum + ndm
+       |                    ELSE CAST(0.0 AS DOUBLE) END AS ndm_sum2,
+       |               CASE WHEN rn <= $p THEN CAST(NULL AS DOUBLE)
+       |                    WHEN rn = ${p + 1} THEN (tr_sum + tr) / $p
+       |                    ELSE (s_tr * ${p - 1} + tr) / $p END AS s_tr2,
+       |               CASE WHEN rn <= $p THEN CAST(NULL AS DOUBLE)
+       |                    WHEN rn = ${p + 1} THEN (pdm_sum + pdm) / $p
+       |                    ELSE (s_pdm * ${p - 1} + pdm) / $p END AS s_pdm2,
+       |               CASE WHEN rn <= $p THEN CAST(NULL AS DOUBLE)
+       |                    WHEN rn = ${p + 1} THEN (ndm_sum + ndm) / $p
+       |                    ELSE (s_ndm * ${p - 1} + ndm) / $p END AS s_ndm2
+       |        FROM (
+       |          SELECT c.pair, c.rn, c.time,
+       |                 c.high AS ph, c.low AS pl, c.close AS pc,
+       |                 r.tr_sum, r.pdm_sum, r.ndm_sum,
+       |                 r.s_tr, r.s_pdm, r.s_ndm, r.dx_sum, r.adx,
+       |                 greatest(c.high - c.low, abs(c.high - r.pc),
+       |                          abs(c.low - r.pc)) AS tr,
+       |                 CASE WHEN (c.high - r.ph) > (r.pl - c.low)
+       |                           AND (c.high - r.ph) > 0
+       |                      THEN c.high - r.ph
+       |                      ELSE CAST(0.0 AS DOUBLE) END AS pdm,
+       |                 CASE WHEN (r.pl - c.low) > (c.high - r.ph)
+       |                           AND (r.pl - c.low) > 0
+       |                      THEN r.pl - c.low
+       |                      ELSE CAST(0.0 AS DOUBLE) END AS ndm
+       |          FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t0) t1) t2) t3)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
+       |       round(pdi, 6) AS pdi, round(ndi, 6) AS ndi, round(adx, 6) AS adx
+       |FROM r""".stripMargin
+
+  /** Ichimoku oracle — window range midpoints with lag/lead displacement;
+    * the midpoint division is the only float op, spelled identically. */
+  private def ichimokuSql(tp: Int, kp: Int, sp: Int): String =
+    s"""$prelude,
+       |b AS (
+       |  SELECT pair, time, close,
+       |         row_number() OVER (PARTITION BY pair ORDER BY time) AS rn,
+       |         max(high) OVER (PARTITION BY pair ORDER BY time
+       |              ROWS BETWEEN ${tp - 1} PRECEDING AND CURRENT ROW) AS h_t,
+       |         min(low) OVER (PARTITION BY pair ORDER BY time
+       |              ROWS BETWEEN ${tp - 1} PRECEDING AND CURRENT ROW) AS l_t,
+       |         max(high) OVER (PARTITION BY pair ORDER BY time
+       |              ROWS BETWEEN ${kp - 1} PRECEDING AND CURRENT ROW) AS h_k,
+       |         min(low) OVER (PARTITION BY pair ORDER BY time
+       |              ROWS BETWEEN ${kp - 1} PRECEDING AND CURRENT ROW) AS l_k,
+       |         max(high) OVER (PARTITION BY pair ORDER BY time
+       |              ROWS BETWEEN ${sp - 1} PRECEDING AND CURRENT ROW) AS h_s,
+       |         min(low) OVER (PARTITION BY pair ORDER BY time
+       |              ROWS BETWEEN ${sp - 1} PRECEDING AND CURRENT ROW) AS l_s
+       |  FROM c1m),
+       |m AS (
+       |  SELECT pair, time, close,
+       |         CASE WHEN rn >= $tp THEN (h_t + l_t) / 2.0 END AS tenkan,
+       |         CASE WHEN rn >= $kp THEN (h_k + l_k) / 2.0 END AS kijun,
+       |         CASE WHEN rn >= $sp THEN (h_s + l_s) / 2.0 END AS span_b0
+       |  FROM b),
+       |f AS (
+       |  SELECT pair, time, tenkan, kijun,
+       |         lag((tenkan + kijun) / 2.0, $kp) OVER
+       |           (PARTITION BY pair ORDER BY time) AS senkou_a,
+       |         lag(span_b0, $kp) OVER
+       |           (PARTITION BY pair ORDER BY time) AS senkou_b,
+       |         lead(close, $kp) OVER
+       |           (PARTITION BY pair ORDER BY time) AS chikou
+       |  FROM m)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       round(tenkan, 6) AS tenkan, round(kijun, 6) AS kijun,
+       |       round(senkou_a, 6) AS senkou_a, round(senkou_b, 6) AS senkou_b,
+       |       round(chikou, 6) AS chikou
+       |FROM f""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "u13_adx_14_1m" -> adxSql(14),
+    "u14_ichimoku_1m" -> ichimokuSql(9, 26, 52),
+    "u9_williams_r_14_1m" -> williamsSql(14),
+    "u10_donchian_20_1m" -> donchianSql(20),
+    "u11_roc_10_1m" -> rocSql(10),
+    "u12_mfi_14_1m" -> mfiSql(14),
     "u1_sma_14_1m" -> s"$prelude\n${smaSelect(14)}",
     "u5_macd_1m" -> macdSql(12, 26, 9),
     "u6_bollinger_20_1m" -> bollingerSql(20, "CAST(2.0 AS DOUBLE)"),

@@ -100,6 +100,134 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  // six candles with a real high/low range (the SMA/EMA fixture is flat,
+  // which would make every %R / Donchian window degenerate)
+  private lazy val hlcCandles = {
+    val rows = Seq(
+      (12.0, 8.0, 10.0, 2L), (13.0, 9.0, 11.0, 3L), (12.0, 8.0, 10.0, 1L),
+      (14.0, 10.0, 12.0, 2L), (14.0, 10.0, 12.0, 5L), (13.0, 9.0, 11.0, 2L)
+    ).zipWithIndex.map { case ((h, l, c, v), i) =>
+      ("A", "1m", ts(f"2024-01-01 00:0$i:00"), c, h, l, c, v)
+    }
+    rows.toDF("pair", "timeframe", "time", "open", "high", "low", "close", "vol")
+  }
+
+  test("Williams %R: -100..0 reflection of stochastic %K, null warm-up") {
+    val out = values(Indicators.williamsR(hlcCandles, 3), "A")
+    val exp = Seq(None, None, Some(-60.0), Some((14.0 - 12.0) * -100.0 / 6.0),
+      Some((14.0 - 12.0) * -100.0 / 6.0), Some(-60.0))
+    assertSeries(out, exp)
+  }
+
+  test("Donchian channel: trailing max/min/mid, null warm-up") {
+    val out = Indicators.donchian(hlcCandles, 3).filter($"pair" === "A")
+      .orderBy("time").select("upper", "mid", "lower").collect()
+    assert((0 until 2).forall(i => out(i).isNullAt(0) && out(i).isNullAt(1) && out(i).isNullAt(2)))
+    val exp = Seq((13.0, 10.5, 8.0), (14.0, 11.0, 8.0), (14.0, 11.0, 8.0), (14.0, 11.5, 9.0))
+    exp.zipWithIndex.foreach { case ((u, m, l), i) =>
+      assert(out(i + 2).getDouble(0) === u)
+      assert(out(i + 2).getDouble(1) === m)
+      assert(out(i + 2).getDouble(2) === l)
+    }
+  }
+
+  test("ROC: 100*(close/lag - 1), null until the lag exists") {
+    val out = values(Indicators.roc(hlcCandles, 2), "A")
+    val exp = Seq(None, None, Some(0.0), Some((12.0 / 11.0 - 1.0) * 100.0),
+      Some(20.0), Some((11.0 / 12.0 - 1.0) * 100.0))
+    assertSeries(out, exp)
+  }
+
+  test("MFI: volume-weighted flow ratio; equal typical price feeds neither side") {
+    val out = values(Indicators.mfi(hlcCandles, 3), "A")
+    // tp3: 30,33,30,36,36,33; flows: +99,-30,+72,(equal->none),-66
+    val exp = Seq(None, None, None, Some(100.0 * 171.0 / 201.0),
+      Some(100.0 * 72.0 / 102.0), Some(100.0 * 72.0 / 138.0))
+    assertSeries(out, exp)
+  }
+
+  test("MFI of a monotone series has no negative flow: value is 100") {
+    val up = (0 until 6).map(i => ("A", "1m", ts(f"2024-01-01 00:0$i:00"),
+      10.0 + i, 12.0 + i, 8.0 + i, 10.0 + i, 1L))
+      .toDF("pair", "timeframe", "time", "open", "high", "low", "close", "vol")
+    val out = values(Indicators.mfi(up, 3), "A")
+    assert(out.take(3).forall(_.isEmpty))
+    assert(out.drop(3).forall(_.contains(100.0)))
+  }
+
+  test("ADX: Wilder-smoothed directional movement, double-seeded warm-up") {
+    // period=2 over the 6-row hlc fixture: DI defined from row 3 (rn p+1),
+    // ADX from row 4 (rn 2p). Replay the fold independently row by row.
+    val highs = Seq(12.0, 13.0, 12.0, 14.0, 14.0, 13.0)
+    val lows = Seq(8.0, 9.0, 8.0, 10.0, 10.0, 9.0)
+    val closes6 = Seq(10.0, 11.0, 10.0, 12.0, 12.0, 11.0)
+    val p = 2
+    var ph = 0.0; var pl = 0.0; var pc = 0.0
+    var trS = 0.0; var pdmS = 0.0; var ndmS = 0.0
+    var sTr = 0.0; var sPdm = 0.0; var sNdm = 0.0
+    var dxS = 0.0; var adxV = 0.0
+    val exp = highs.indices.map { i =>
+      val out = if (i == 0) (None, None, None)
+      else {
+        val tr = math.max(highs(i) - lows(i),
+          math.max(math.abs(highs(i) - pc), math.abs(lows(i) - pc)))
+        val up = highs(i) - ph; val dn = pl - lows(i)
+        val pdm = if (up > dn && up > 0) up else 0.0
+        val ndm = if (dn > up && dn > 0) dn else 0.0
+        if (i < p) { trS += tr; pdmS += pdm; ndmS += ndm }
+        else if (i == p) { sTr = (trS + tr) / p; sPdm = (pdmS + pdm) / p; sNdm = (ndmS + ndm) / p }
+        else { sTr = (sTr * (p - 1) + tr) / p; sPdm = (sPdm * (p - 1) + pdm) / p; sNdm = (sNdm * (p - 1) + ndm) / p }
+        if (i < p) (None, None, None)
+        else {
+          val pdi = if (sTr == 0) 0.0 else 100.0 * sPdm / sTr
+          val ndi = if (sTr == 0) 0.0 else 100.0 * sNdm / sTr
+          val dx = if (pdi + ndi == 0) 0.0 else 100.0 * math.abs(pdi - ndi) / (pdi + ndi)
+          val a = if (i < 2 * p - 1) { dxS += dx; None }
+          else if (i == 2 * p - 1) { adxV = (dxS + dx) / p; Some(adxV) }
+          else { adxV = (adxV * (p - 1) + dx) / p; Some(adxV) }
+          (Some(pdi), Some(ndi), a)
+        }
+      }
+      ph = highs(i); pl = lows(i); pc = closes6(i)
+      out
+    }
+    val got = Indicators.adx(hlcCandles, p).toDF().filter($"pair" === "A")
+      .orderBy("time").select("pdi", "ndi", "adx").collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Double]),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    got.zip(exp).zipWithIndex.foreach { case (((gp, gn, ga), (ep, en, ea)), i) =>
+      assert(gp === ep, s"pdi idx $i"); assert(gn === en, s"ndi idx $i")
+      assert(ga === ea, s"adx idx $i")
+    }
+    // sanity: the fixture trends up then down — +DI exceeded -DI at the peak
+    assert(got(3)._1.get > got(3)._2.get)
+  }
+
+  test("Ichimoku: range midpoints with forward/backward displacement") {
+    val out = Indicators.ichimoku(hlcCandles, tenkanP = 2, kijunP = 3, senkouP = 4)
+      .filter($"pair" === "A").orderBy("time")
+      .select("tenkan", "kijun", "senkou_a", "senkou_b", "chikou").collect()
+    def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    // tenkan (p=2): mid of trailing-2 range
+    assert(d(out(0), 0) === None)
+    assert(d(out(1), 0) === Some((13.0 + 8.0) / 2))
+    assert(d(out(5), 0) === Some((14.0 + 9.0) / 2))
+    // kijun (p=3) from row 3
+    assert(d(out(1), 1) === None)
+    assert(d(out(2), 1) === Some((13.0 + 8.0) / 2))
+    // senkou_a = lag((tenkan+kijun)/2, 3): first defined at row 6 (source row 3)
+    assert(d(out(4), 2) === None)
+    assert(d(out(5), 2) === Some(((13.0 + 8.0) / 2 + (13.0 + 8.0) / 2) / 2))
+    // senkou_b = lag(mid4, 3): source row 4 lands on... row 7 (beyond fixture)
+    assert(out.forall(_.isNullAt(3)))
+    // chikou = lead(close, 3)
+    assert(d(out(0), 4) === Some(12.0))
+    assert(d(out(2), 4) === Some(11.0))
+    assert(d(out(3), 4) === None)
+  }
+
   test("Bollinger: mid is the SMA, band width is 2 population stddevs") {
     val out = Indicators.bollinger(candles, period = 4).filter($"pair" === "A")
       .orderBy("time").select("mid", "upper", "lower").collect()
