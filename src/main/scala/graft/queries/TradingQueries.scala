@@ -223,6 +223,17 @@ object TradingQueries {
         .select(col("pair"), col("time_s"), round(col("vwap"), 6).as("vwap"), col("qty"))
     }),
 
+    // rolling correlation + OLS beta between two pairs' 1m close-change
+    // series, joined on the minute: the diversification/hedge-sizing stats
+    // a trading warehouse computes BETWEEN series (every reference
+    // indicator is within one). Moments are exact decimal window sums of
+    // exact decimal diffs (the w8 convention) — only the final corr/beta
+    // expression is float, spelled identically in the oracle.
+    "w12_roll_corr_30m" -> ((s, d) =>
+      graft.operators.CrossPair.rollingCorrelation(candles1m(s, d), "click", "view", 30)
+        .select(epochS("time"), col("n"),
+          round(col("corr"), 6).as("corr"), round(col("beta"), 6).as("beta"))),
+
     // running-peak drawdown per pair (the risk metric behind every
     // backtest report): cumulative max is a running frame (O(1)/row), the
     // drawdown is a single subtraction — no float accumulation anywhere,
@@ -356,6 +367,37 @@ object TradingQueries {
         |       CASE WHEN qty > 0 THEN round(pv::DOUBLE / qty, 6) END AS vwap,
         |       qty
         |FROM b""".stripMargin,
+
+    "w12_roll_corr_30m" ->
+      s"""WITH $ticksCte, $dedupCte, $c1mCte,
+         |a AS (SELECT time, close::DECIMAL(12,6) AS ca FROM c1m WHERE pair = 'click'),
+         |b AS (SELECT time, close::DECIMAL(12,6) AS cb FROM c1m WHERE pair = 'view'),
+         |j AS (SELECT a.time, a.ca, b.cb FROM a JOIN b USING (time)),
+         |dd AS (
+         |  SELECT time,
+         |         ca - lag(ca) OVER (ORDER BY time) AS dx,
+         |         cb - lag(cb) OVER (ORDER BY time) AS dy,
+         |         row_number() OVER (ORDER BY time) AS rn
+         |  FROM j),
+         |s AS (
+         |  SELECT time, rn,
+         |         CAST(sum(dx) OVER w AS DOUBLE) AS sx,
+         |         CAST(sum(dy) OVER w AS DOUBLE) AS sy,
+         |         CAST(sum(dx * dy) OVER w AS DOUBLE) AS sxy,
+         |         CAST(sum(dx * dx) OVER w AS DOUBLE) AS sxx,
+         |         CAST(sum(dy * dy) OVER w AS DOUBLE) AS syy
+         |  FROM dd
+         |  WINDOW w AS (ORDER BY time ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+         |SELECT epoch(time)::BIGINT AS time_s, 30 AS n,
+         |       CASE WHEN rn >= 31 AND (30.0 * sxx - sx * sx) > 0.0
+         |                 AND (30.0 * syy - sy * sy) > 0.0
+         |            THEN round((30.0 * sxy - sx * sy)
+         |                 / sqrt((30.0 * sxx - sx * sx) * (30.0 * syy - sy * sy)), 6)
+         |       END AS corr,
+         |       CASE WHEN rn >= 31 AND (30.0 * sxx - sx * sx) > 0.0
+         |            THEN round((30.0 * sxy - sx * sy) / (30.0 * sxx - sx * sx), 6)
+         |       END AS beta
+         |FROM s""".stripMargin,
 
     "w7_max_drawdown" ->
       s"""WITH $ticksCte, $dedupCte, $c1mCte,
