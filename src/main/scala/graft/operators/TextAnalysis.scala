@@ -273,6 +273,74 @@ object TextAnalysis {
     *     bigram key — distinct-bigram cardinality, not corpus cardinality,
     *     bounds the build side.
     * Docs with fewer than two tokens have no bigrams and are not emitted. */
+  /** L43: TF-IDF top terms per document — the per-doc keyword extractor
+    * behind topic tagging and quality-targeted selection. Same rational
+    * idf as [[bm25]] (`(N − df + 0.5)/(df + 0.5)` — the monotone no-log
+    * form, so every op is a correctly-rounded IEEE +,−,×,÷). Ranking is a
+    * per-doc `row_number` window — partitioned by doc_id, so groups stay
+    * tiny and parallel at any corpus size; df re-aggregates the tf output
+    * (one corpus pass), N is one broadcast scalar. Explicit null guards
+    * keep the tf subtree canonically identical for both its consumers (the
+    * q20/bm25 ReusedExchange lesson). */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .filter(col("doc_id").isNotNull)
+    val nDocs = toks.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = toks.select(col("doc_id"), explode(col("w")).as("tok"))
+      .filter(col("doc_id").isNotNull && col("tok").isNotNull)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dfd = col("df").cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") * ((col("n_docs") - dfd + lit(0.5)) / (dfd + lit(0.5))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("tok").as("term"), col("tf"), col("score"), col("rank"))
+  }
+
+  /** L44: PMI collocation mining — the corpus's statistically-bound word
+    * pairs (named entities, idioms, templated boilerplate), the standard
+    * phrase-discovery pass before tokenizer training. Score is the
+    * monotone rational PMI `cab·U²/(B·ca·cb)` (U = unigram total, B =
+    * bigram total — log being monotone, the no-transcendentals rule
+    * applies), with a min-count floor killing the unstable singleton tail.
+    * Scale shape: two map-side-combined hash aggregates (bigrams,
+    * unigrams) re-using the one token-array projection; totals
+    * re-aggregate the COMPACT count tables (no second corpus pass);
+    * the final join keys on the min-count-filtered bigram table; top-k is
+    * a distributed TakeOrdered, never a global sort. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, k: Int = 20): DataFrame = {
+    require(minCount >= 1 && k > 0, s"bad minCount=$minCount/k=$k")
+    val toks = docs.select(TextOps.tokens(col("text")).as("w"))
+    val pairs = toks.filter(size(col("w")) >= 2)
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (x, y) => struct(x.as("t1"), y.as("t2")))).as("pr"))
+      .select(col("pr.t1").as("t1"), col("pr.t2").as("t2"))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+    val cb = pairs.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cab"))
+    val cu = toks.select(explode(col("w")).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = cu.agg(sum(col("c")).cast("double").as("ut"))
+      .crossJoin(cb.agg(sum(col("cab")).cast("double").as("bt")))
+    cb.filter(col("cab") >= minCount)
+      .join(cu.select(col("tok").as("t1"), col("c").as("c1")), "t1")
+      .join(cu.select(col("tok").as("t2"), col("c").as("c2")), "t2")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi",
+        col("cab").cast("double") * col("ut") * col("ut") /
+          (col("bt") * col("c1").cast("double") * col("c2").cast("double")))
+      .orderBy(col("pmi").desc, col("t1"), col("t2")).limit(k)
+      .select(col("t1"), col("t2"), col("cab"), col("pmi"))
+  }
+
   def lmScore(docs: DataFrame): DataFrame = {
     // token arrays in their OWN projection (lambda-CSE rule)
     val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))

@@ -341,6 +341,21 @@ object LlmQueries {
     "llm_bm25_topk" -> ((s, d) =>
       TextAnalysis.bm25(docsPar(s, d), query = Seq("spark", "stream", "merge"))),
 
+    // L43: per-doc TF-IDF keywords — rational idf (the bm25 convention),
+    // per-doc row_number ranking (partitioned window: parallel at any
+    // corpus size), raw-double rank order with a lexical tie-break
+    "llm_tfidf_topterms" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(docsPar(s, d), k = 3)
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("score"), 6).as("score"), col("rank"))),
+
+    // L44: PMI collocations — rational-PMI phrase mining with a min-count
+    // floor; counts are exact integers, the one float expression ranks
+    "llm_pmi_colloc" -> ((s, d) =>
+      TextAnalysis.pmiCollocations(docsPar(s, d), minCount = 5, k = 20)
+        .select(col("t1"), col("t2"), col("cab"),
+          round(col("pmi"), 6).as("pmi"))),
+
     // benchmark decontamination: val/test docs (content-hash split) sharing
     // >= 2 trigram shingles with any train doc
     "llm_decontaminate" -> ((s, d) => {
@@ -931,6 +946,46 @@ object LlmQueries {
          |             / count(*), 6) AS oov_ratio,
          |       round(quantile_cont(freq, 0.5), 6) AS med_freq
          |FROM j GROUP BY doc_id""".stripMargin,
+
+    // TF-IDF with the bm25-style rational idf: identical parenthesization
+    // on both engines; ranking on the RAW double (before rounding) with a
+    // lexical tie-break, so order is engine-independent
+    "llm_tfidf_topterms" ->
+      s"""WITH $toksCte,
+         |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+         |       FROM (SELECT doc_id, unnest(w) AS tok FROM toks) u
+         |       GROUP BY 1, 2),
+         |dfq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*)::DOUBLE AS n_docs FROM toks),
+         |sc AS (SELECT doc_id, tok, tf,
+         |         tf::DOUBLE * ((n_docs - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) AS score
+         |       FROM tf JOIN dfq USING (tok), n),
+         |r AS (SELECT doc_id, tok, tf, score,
+         |        row_number() OVER (PARTITION BY doc_id
+         |                           ORDER BY score DESC, tok) AS rank
+         |      FROM sc)
+         |SELECT doc_id, tok AS term, tf, round(score, 6) AS score, rank
+         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // rational PMI cab*U^2/(B*ca*cb): zipped unnest of the two shifted
+    // list slices = Spark's zip_with bigrams; totals re-aggregate the
+    // compact count tables exactly as the Spark side does
+    "llm_pmi_colloc" ->
+      s"""WITH $toksCte,
+         |bg AS (SELECT unnest(w[1:len(w) - 1]) AS t1,
+         |              unnest(w[2:len(w)]) AS t2
+         |       FROM toks WHERE len(w) >= 2),
+         |cb AS (SELECT t1, t2, count(*)::BIGINT AS cab FROM bg GROUP BY 1, 2),
+         |cu AS (SELECT tok, count(*)::BIGINT AS c
+         |       FROM (SELECT unnest(w) AS tok FROM toks) u GROUP BY 1),
+         |tot AS (SELECT (SELECT sum(c) FROM cu)::DOUBLE AS ut,
+         |               (SELECT sum(cab) FROM cb)::DOUBLE AS bt),
+         |sc AS (SELECT t1, t2, cab,
+         |         cab::DOUBLE * ut * ut / (bt * a.c::DOUBLE * b.c::DOUBLE) AS pmi
+         |       FROM cb JOIN cu a ON cb.t1 = a.tok JOIN cu b ON cb.t2 = b.tok, tot
+         |       WHERE cab >= 5)
+         |SELECT t1, t2, cab, round(pmi, 6) AS pmi
+         |FROM sc ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin,
 
     // BM25 with rational idf — every op is +,-,*,/ with the identical
     // parenthesization as the Spark side, so doubles are bit-identical;
