@@ -35,7 +35,9 @@ object ScaleUp {
     def write(df: DataFrame, name: String, parts: Int = 32): Unit =
       df.repartition(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
 
-    val read = (n: String) => spark.read.parquet(s"$base/$n.parquet")
+    // canonical reader — applies the fixture timestamp policy (naive µs =
+    // UTC instant) so replicated date/ts columns are TimestampType
+    val read = (n: String) => graft.sources.Tables.read(spark, base, n)
 
     // fixed dims: copy as-is (single file — they are tiny by contract)
     write(read("region"), "region", parts = 1)

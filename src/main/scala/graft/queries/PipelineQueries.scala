@@ -82,6 +82,26 @@ object PipelineQueries {
     "u4_messages" -> ((s, d) =>
       Relay.toWireMessages(ticks(s, d))),
 
+    // S1 wire round-trip (reference contract docs/ws_ticker_spec.md:16-89):
+    // encode every deduped tick to the ws JSON message, parse it BACK with
+    // from_json, and surface the parsed fields — proving encode∘decode is
+    // the identity against an oracle that computes the fields directly
+    // (the relay edge's gate no longer rides only the p5 path).
+    "u4b_wire_roundtrip" -> ((s, d) => {
+      val parsed = from_json(col("message"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("symbol", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("bid", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ask", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("mid", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("timestamp", org.apache.spark.sql.types.StringType))))
+      Relay.toWireMessages(ticks(s, d))
+        .select(col("pair"), parsed.as("m"))
+        .select(col("pair"), col("m.type").as("msg_type"), col("m.symbol").as("symbol"),
+          col("m.bid").as("bid"), col("m.ask").as("ask"), col("m.mid").as("mid"),
+          col("m.timestamp").as("ts_iso"))
+    }),
+
     // as-of join: every tick matched to the latest candle at-or-before it
     // (oracle = DuckDB's native ASOF JOIN)
     "j4_asof_tick_candle" -> ((s, d) => {
@@ -340,6 +360,18 @@ object PipelineQueries {
          |  || ',"mid":' || printf('%.6f', (bid + ask) / 2)
          |  || ',"timestamp":"' || strftime(time, '%Y-%m-%dT%H:%M:%S.%g') || 'Z"}'
          |  AS message
+         |FROM dedup""".stripMargin,
+
+    // oracle computes the parsed fields DIRECTLY (no JSON detour): if the
+    // Spark side's encode→decode drifts anywhere — number formatting,
+    // field order, timestamp rendering — the round-trip stops matching
+    "u4b_wire_roundtrip" ->
+      s"""$prelude
+         |SELECT pair, 'ticker' AS msg_type, pair AS symbol,
+         |       printf('%.6f', bid)::DOUBLE AS bid,
+         |       printf('%.6f', ask)::DOUBLE AS ask,
+         |       printf('%.6f', (bid + ask) / 2)::DOUBLE AS mid,
+         |       strftime(time, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS ts_iso
          |FROM dedup""".stripMargin,
 
     "j5_range_signal_candle" ->

@@ -43,7 +43,9 @@ object StreamQueries {
 
   private def eventsStream(s: SparkSession, d: String,
                            chunks: Int = 4): DataFrame = {
+    // same timestamp policy as the batch reader (naive µs = UTC instant)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val batch = s.read.parquet(s"$d/events.parquet")
     val stagePath = stageCache.getOrElseUpdate((d, chunks), {
       val stage = Files.createTempDirectory("graft-stream-src-")
@@ -60,13 +62,9 @@ object StreamQueries {
     val stream = s.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stagePath)
-    // driver fixtures carry ns-as-long ts; synthesized scale-up corpora
-    // (graft.ScaleUp) carry µs TIMESTAMP — normalize only the former
-    batch.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => stream
-    }
+    // same ns-long / TIMESTAMP_NTZ / TIMESTAMP canonicalization as the
+    // batch path — one policy, applied at every source edge
+    graft.sources.Tables.normalizeEventTime(stream)
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered:

@@ -234,6 +234,15 @@ object TradingQueries {
         .select(epochS("time"), col("n"),
           round(col("corr"), 6).as("corr"), round(col("beta"), 6).as("beta"))),
 
+    // the full correlation matrix: every unordered pair combo's rolling
+    // corr/beta in ONE combo-partitioned window — P·(P-1)/2 bounded
+    // partitions, no global ordering (the round-8 verdict's scale fix for
+    // w12 generalized to the "all combos" fan-out it warned about).
+    "w13_roll_corr_all" -> ((s, d) =>
+      graft.operators.CrossPair.rollingCorrelationAll(candles1m(s, d), 30)
+        .select(col("pair_a"), col("pair_b"), epochS("time"), col("n"),
+          round(col("corr"), 6).as("corr"), round(col("beta"), 6).as("beta"))),
+
     // running-peak drawdown per pair (the risk metric behind every
     // backtest report): cumulative max is a running frame (O(1)/row), the
     // drawdown is a single subtraction — no float accumulation anywhere,
@@ -389,6 +398,40 @@ object TradingQueries {
          |  FROM dd
          |  WINDOW w AS (ORDER BY time ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
          |SELECT epoch(time)::BIGINT AS time_s, 30 AS n,
+         |       CASE WHEN rn >= 31 AND (30.0 * sxx - sx * sx) > 0.0
+         |                 AND (30.0 * syy - sy * sy) > 0.0
+         |            THEN round((30.0 * sxy - sx * sy)
+         |                 / sqrt((30.0 * sxx - sx * sx) * (30.0 * syy - sy * sy)), 6)
+         |       END AS corr,
+         |       CASE WHEN rn >= 31 AND (30.0 * sxx - sx * sx) > 0.0
+         |            THEN round((30.0 * sxy - sx * sy) / (30.0 * sxx - sx * sx), 6)
+         |       END AS beta
+         |FROM s""".stripMargin,
+
+    "w13_roll_corr_all" ->
+      s"""WITH $ticksCte, $dedupCte, $c1mCte,
+         |a AS (SELECT pair AS pair_a, time, close::DECIMAL(12,6) AS ca FROM c1m),
+         |b AS (SELECT pair AS pair_b, time, close::DECIMAL(12,6) AS cb FROM c1m),
+         |j AS (SELECT pair_a, pair_b, a.time, ca, cb
+         |      FROM a JOIN b ON a.time = b.time WHERE pair_a < pair_b),
+         |dd AS (
+         |  SELECT pair_a, pair_b, time,
+         |         ca - lag(ca) OVER w0 AS dx,
+         |         cb - lag(cb) OVER w0 AS dy,
+         |         row_number() OVER w0 AS rn
+         |  FROM j
+         |  WINDOW w0 AS (PARTITION BY pair_a, pair_b ORDER BY time)),
+         |s AS (
+         |  SELECT pair_a, pair_b, time, rn,
+         |         CAST(sum(dx) OVER w AS DOUBLE) AS sx,
+         |         CAST(sum(dy) OVER w AS DOUBLE) AS sy,
+         |         CAST(sum(dx * dy) OVER w AS DOUBLE) AS sxy,
+         |         CAST(sum(dx * dx) OVER w AS DOUBLE) AS sxx,
+         |         CAST(sum(dy * dy) OVER w AS DOUBLE) AS syy
+         |  FROM dd
+         |  WINDOW w AS (PARTITION BY pair_a, pair_b ORDER BY time
+         |               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+         |SELECT pair_a, pair_b, epoch(time)::BIGINT AS time_s, 30 AS n,
          |       CASE WHEN rn >= 31 AND (30.0 * sxx - sx * sx) > 0.0
          |                 AND (30.0 * syy - sy * sy) > 0.0
          |            THEN round((30.0 * sxy - sx * sy)

@@ -256,6 +256,53 @@ class PlanGuardSpec extends SparkSpec {
       s"bigram counting must map-side combine:\n$p")
   }
 
+  test("cross-pair rolling windows are always combo-partitioned, never global") {
+    // round-8 verdict's one scale-killer: w12's Window.orderBy(time) with
+    // no partition key serialized the whole aligned series through one
+    // task. Both the 2-pair gate and the all-combos generalization must
+    // key every window (lag/row_number/moment sums) by the pair combo.
+    for (q <- Seq("w12_roll_corr_30m", "w13_roll_corr_all")) {
+      val plan = SparkEntry.queries(q)(spark, d).queryExecution.optimizedPlan
+      val unpartitioned = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        s"$q has ${unpartitioned.size} unpartitioned Window(s):\n$plan")
+    }
+  }
+
+  test("no batch query's analyzed plan carries a TIMESTAMP_NTZ attribute") {
+    // Event-time typing is POLICY, not luck: fixtures have shipped `ts` as
+    // ns-long, µs NTZ, and µs UTC across driver regenerations, and every
+    // flavor must be canonicalized to TimestampType at the source readers
+    // (Tables.normalizeEventTime) — an NTZ column surviving into a plan
+    // breaks withWatermark / unix_micros downstream (round-8 regression).
+    // Streaming gates execute real streams on invocation, so they are
+    // covered by their own gate runs; everything else is analyzed here.
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType, TimestampNTZType}
+    def hasNtz(dt: DataType): Boolean = dt match {
+      case TimestampNTZType => true
+      case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
+      case a: ArrayType => hasNtz(a.elementType)
+      case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
+      case _ => false
+    }
+    val streaming = graft.queries.StreamQueries.queries.keySet
+    val offenders = SparkEntry.queries.filterNot(q => streaming(q._1))
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, d).queryExecution.analyzed
+        // every intermediate attribute surfaces in some node's output, so
+        // scanning node outputs covers the whole resolved tree
+        val ntz = plan.collect { case p => p.output.filter(a =>
+          hasNtz(a.dataType)) }.flatten
+        if (ntz.nonEmpty) Some(s"$name: ${ntz.map(_.toString).distinct.mkString(", ")}")
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"TIMESTAMP_NTZ leaked past the source readers:\n${offenders.mkString("\n")}")
+  }
+
   test("vocab top-V cuts with distributed TakeOrdered, never a global sort") {
     val p = plan("llm_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"),

@@ -17,7 +17,8 @@ class ScaleUpSpec extends SparkSpec {
     ScaleUp.generate(spark, "/root/testdata/sf0.001", dir, factor = 2)
     dir
   }
-  private def base(n: String) = spark.read.parquet(s"/root/testdata/sf0.001/$n.parquet")
+  private def base(n: String) =
+    graft.sources.Tables.read(spark, "/root/testdata/sf0.001", n)
   private def big(n: String) = spark.read.parquet(s"$out/$n.parquet")
 
   test("every scaled table is exactly factor x rows; fixed dims unchanged") {
