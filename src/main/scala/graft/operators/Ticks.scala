@@ -45,6 +45,34 @@ object Ticks {
       get_json_object(col("props"), "$.k").cast("int").as("size"),
       col("event_id").as("seq"))
 
+  /** S1 wire ingest: parse raw ws ticker messages (reference
+    * src/gmo/ws-connection.py:143-150) into the canonical tick shape.
+    * One JSON object per line: `{"symbol":"USD_JPY","timestamp":
+    * "2026-02-16T13:05:10.123Z","bid":"151.245","ask":"151.249"}` —
+    * bid/ask arrive as STRINGS (cast on parse, like the reference),
+    * `symbol` uses `_` where the warehouse pair uses `/`, timestamps are
+    * ISO-8601 millisecond UTC. Malformed lines and non-numeric prices
+    * parse to NULL and are dropped (the reference's skip-bad-rows loop) —
+    * `try_*` forms so ANSI mode cannot fail the stream. Works on any
+    * line-shaped source — the socket source's `value` column, a Kafka
+    * value, or a text file — batch or streaming. No `seq` is assigned:
+    * wire order is the source's order; [[dedupSecond]] callers supply
+    * their own tiebreak. */
+  def fromWireJson(lines: DataFrame, lineCol: String = "value"): DataFrame = {
+    val schema = "symbol STRING, timestamp STRING, bid STRING, ask STRING"
+    lines
+      .select(from_json(col(lineCol), org.apache.spark.sql.types.StructType
+        .fromDDL(schema)).as("m"))
+      .select(
+        regexp_replace(col("m.symbol"), "_", "/").as("pair"),
+        try_to_timestamp(col("m.timestamp"),
+          lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")).as("time"),
+        col("m.bid").try_cast("double").as("bid"),
+        col("m.ask").try_cast("double").as("ask"))
+      .filter(col("pair").isNotNull && col("time").isNotNull &&
+        col("bid").isNotNull && col("ask").isNotNull)
+  }
+
   /** Validity filter (P4): positive prices, bid ≤ ask. */
   def valid(ticks: DataFrame): DataFrame =
     ticks.filter(col("bid") > 0 && col("ask") > 0 && col("bid") <= col("ask"))
