@@ -102,6 +102,17 @@ object PipelineQueries {
           col("m.timestamp").as("ts_iso"))
     }),
 
+    // S1 ingest parser under the hash gate: ticks → wire JSON → parsed
+    // back through the PRODUCTION wire-ingest operator (the same
+    // fromWireJson a socket/Kafka stream feeds, SocketIngestSpec) — pair
+    // symbol round-trips through the `_`/`/` normalization, prices through
+    // %.6f formatting, time through ISO-8601 ms rendering and re-parse.
+    "u4c_wire_ingest" -> ((s, d) =>
+      graft.operators.Ticks.fromWireJson(
+        Relay.toWireMessages(ticks(s, d)).select(col("message").as("value")))
+        .select(col("pair"), unix_millis(col("time")).as("time_ms"),
+          col("bid"), col("ask"))),
+
     // as-of join: every tick matched to the latest candle at-or-before it
     // (oracle = DuckDB's native ASOF JOIN)
     "j4_asof_tick_candle" -> ((s, d) => {
@@ -372,6 +383,14 @@ object PipelineQueries {
          |       printf('%.6f', ask)::DOUBLE AS ask,
          |       printf('%.6f', (bid + ask) / 2)::DOUBLE AS mid,
          |       strftime(time, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS ts_iso
+         |FROM dedup""".stripMargin,
+
+    // parse-back of the %.6f-formatted, ms-truncated wire rendering
+    "u4c_wire_ingest" ->
+      s"""$prelude
+         |SELECT pair, epoch_ms(time)::BIGINT AS time_ms,
+         |       printf('%.6f', bid)::DOUBLE AS bid,
+         |       printf('%.6f', ask)::DOUBLE AS ask
          |FROM dedup""".stripMargin,
 
     "j5_range_signal_candle" ->

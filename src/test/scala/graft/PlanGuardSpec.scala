@@ -272,6 +272,46 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("unpartitioned windows exist only where the input is provably bounded") {
+    // A Window with no partition key serializes its whole input through
+    // one task — fatal on a fact-sized input at 100 TB, fine on a
+    // deliberately tiny tail (per-bucket totals, a bounded dim). Every
+    // such window must be on this allowlist WITH its boundedness
+    // argument; anything new fails the build until argued here.
+    val allowed: Map[String, String] = Map(
+      // prefix-sum over per-bucket totals: <= `buckets` (256) rows by
+      // construction (the corpus-sized running sum is _b-partitioned)
+      "llm_pack_sequences" -> "per-bucket totals, <= buckets rows",
+      // decile edges over an aggregated histogram of value buckets
+      "a9_equidepth_bins" -> "aggregated bucket histogram, not raw rows",
+      // global running total over o_orderdate DAYS — bounded by calendar
+      "w_running_total" -> "per-day aggregate, rows = distinct days",
+      // the backtest's equity curve is one portfolio's trade sequence —
+      // inherently serial (each trade depends on the previous position)
+      "f6_backtest" -> "single portfolio fold, rows = signals per pair",
+      "f6b_trades" -> "single portfolio fold",
+      "f6c_backtest_summary" -> "single portfolio fold",
+      // signal edges per pair ride a pair-keyed window upstream; the
+      // global tail ranks the handful of surviving cross events
+      "j5_range_signal_candle" -> "cross-event signals, ~1e2 rows",
+      // rank window sits ABOVE the TakeOrdered limit: <= topV rows (its
+      // own plan test asserts the limit comes first)
+      "llm_vocab_topk" -> "post-TakeOrdered rank, <= topV rows")
+    val streaming = graft.queries.StreamQueries.queries.keySet
+    val offenders = SparkEntry.queries.filterNot(q => streaming(q._1))
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, d).queryExecution.optimizedPlan
+        val n = plan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.size
+        if (n > 0 && !allowed.contains(name)) Some(s"$name ($n)") else None
+      }
+    assert(offenders.isEmpty,
+      "unpartitioned Window in queries without a boundedness argument: " +
+        offenders.mkString(", "))
+  }
+
   test("no batch query's analyzed plan carries a TIMESTAMP_NTZ attribute") {
     // Event-time typing is POLICY, not luck: fixtures have shipped `ts` as
     // ns-long, µs NTZ, and µs UTC across driver regenerations, and every
