@@ -106,14 +106,92 @@ object Multimodal {
     * actual frame chunks in `movi` (not the header's declared total, which
     * lies in truncated files). None — i.e. checksum-stub degradation — for
     * anything that is not a parseable RIFF-AVI with a decodable first
-    * frame; other video containers (mp4 etc.) need codecs the JDK does not
-    * ship and stay stubbed by design (SURVEY §2.11 L12). */
+    * frame. MP4/ISO-BMFF gets a REAL container-metadata parse
+    * ([[mp4Meta]]: moov box tree → duration, track dimensions, sample
+    * count — the container framing needs no codec); its FRAME PIXELS
+    * stay undecodable by design (H.264 et al. are not in the JDK), so
+    * the feature vector for mp4 is the same content-byte fold the stub
+    * uses, with the metadata fields real. */
   private def decodeVideo(r: MediaRow, dim: Int): Option[MediaFeatures] = {
     val frames = aviVideoFrames(r.content)
-    if (frames.isEmpty) return None
-    decodeImage(MediaRow(r.asset_id, frames.head, "image/jpeg",
-        frames.head.length.toLong, r.checksum), dim)
-      .map(f => f.copy(n_frames = frames.length))
+    if (frames.nonEmpty)
+      return decodeImage(MediaRow(r.asset_id, frames.head, "image/jpeg",
+          frames.head.length.toLong, r.checksum), dim)
+        .map(f => f.copy(n_frames = frames.length))
+    mp4Meta(r.content).map { m =>
+      MediaFeatures(r.asset_id, m.width, m.height, m.nSamples,
+        stubFeatures(r, dim).features)
+    }
+  }
+
+  /** Parsed ISO-BMFF (mp4/mov) container metadata. */
+  final case class Mp4Meta(durationSec: Double, width: Int, height: Int,
+                           nSamples: Int)
+
+  /** Walk an ISO-BMFF box tree (big-endian u32 size + fourcc; size 1 =
+    * 64-bit largesize follows, size 0 = to-end-of-scope) and read the
+    * metadata the container carries without any codec: `mvhd` movie
+    * duration/timescale, the video `tkhd`'s 16.16 fixed-point dimensions,
+    * and that track's `stsz` sample (frame) count. The video track is the
+    * first trak with nonzero tkhd width; None for bytes that are not a
+    * plausible BMFF file (no `ftyp`/`moov` at the top level). The walk
+    * descends only the fixed moov→trak→mdia→minf→stbl path, one level at
+    * a time — hostile nesting cannot recurse, and each level is a
+    * step-capped linear scan. */
+  private[graft] def mp4Meta(bytes: Array[Byte]): Option[Mp4Meta] = {
+    def fourcc(off: Int): String =
+      if (off + 4 > bytes.length) ""
+      else new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(off: Int): Long =
+      if (off + 4 > bytes.length) -1L
+      else ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    // the (id, dataOff, boxEnd) children of one box scope
+    def children(start: Int, end: Int): List[(String, Int, Int)] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var pos = start; var steps = 0
+      while (pos + 8 <= end && steps < 100000) {
+        steps += 1
+        val size0 = u32(pos)
+        val (dataOff, boxEnd) =
+          if (size0 == 1) (pos + 16, pos + u64(pos + 8))
+          else if (size0 == 0) (pos + 8, end.toLong)
+          else (pos + 8, pos + size0)
+        if (boxEnd < dataOff || boxEnd > end) pos = end // truncated/corrupt
+        else {
+          out += ((fourcc(pos + 4), dataOff, boxEnd.toInt))
+          pos = boxEnd.toInt
+        }
+      }
+      out.result()
+    }
+    if (bytes.length < 8) return None
+    val top = children(0, bytes.length)
+    if (!top.exists(_._1 == "ftyp") && !top.exists(_._1 == "moov")) return None
+    val moov = top.find(_._1 == "moov").getOrElse(return None)
+    val moovKids = children(moov._2, moov._3)
+    val (timescale, duration) = moovKids.find(_._1 == "mvhd").map { case (_, o, _) =>
+      if ((bytes(o) & 0xff) == 1) (u32(o + 20), u64(o + 24))
+      else (u32(o + 12), u32(o + 16))
+    }.getOrElse((0L, 0L))
+    val vid = moovKids.iterator.filter(_._1 == "trak").map { case (_, to, te) =>
+      val kids = children(to, te)
+      val (w, h) = kids.find(_._1 == "tkhd").map { case (_, o, _) =>
+        val wOff = if ((bytes(o) & 0xff) == 1) o + 88 else o + 76
+        ((u32(wOff) >> 16).toInt, (u32(wOff + 4) >> 16).toInt)
+      }.getOrElse((0, 0))
+      val samples = (for {
+        (id1, o1, e1) <- kids if id1 == "mdia"
+        (id2, o2, e2) <- children(o1, e1) if id2 == "minf"
+        (id3, o3, e3) <- children(o2, e2) if id3 == "stbl"
+        (id4, o4, _) <- children(o3, e3) if id4 == "stsz"
+      } yield u32(o4 + 8).toInt).headOption.getOrElse(0)
+      (w, h, samples)
+    }.find(_._1 > 0)
+    vid.collect { case (w, h, n) if timescale > 0 =>
+      Mp4Meta(duration.toDouble / timescale, w, h, n)
+    }
   }
 
   /** Walk a RIFF-AVI chunk tree and return the video frame payloads

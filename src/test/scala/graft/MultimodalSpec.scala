@@ -230,6 +230,72 @@ class MultimodalSpec extends SparkSpec {
       s"luminance fold off: $v vs $perSlot"))
   }
 
+  // --- minimal ISO-BMFF (mp4) writer: big-endian size+fourcc boxes,
+  // ftyp + moov(mvhd + trak(tkhd + mdia(minf(stbl(stsz))))) — the
+  // codec-free container framing mp4Meta walks
+  private def box(id: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + data.length) // big-endian default
+    bb.putInt(8 + data.length).put(id.getBytes("US-ASCII")).put(data)
+    bb.array()
+  }
+  private def buildMp4(timescale: Int, duration: Int, w: Int, h: Int,
+                       nSamples: Int): Array[Byte] = {
+    def fullBox(id: String, version: Int, payload: java.nio.ByteBuffer) =
+      box(id, java.nio.ByteBuffer.allocate(4 + payload.position())
+        .putInt(version << 24).put(payload.array(), 0, payload.position()).array())
+    val mvhd = fullBox("mvhd", 0, java.nio.ByteBuffer.allocate(96)
+      .putInt(0).putInt(0).putInt(timescale).putInt(duration))
+    // tkhd v0: creation/mod/id/reserved/duration + reserved(8) + layer/
+    // alt/volume/reserved (8) + matrix(36), then width/height 16.16
+    val tkhdBody = java.nio.ByteBuffer.allocate(80)
+    tkhdBody.putInt(0).putInt(0).putInt(1).putInt(0).putInt(duration)
+    tkhdBody.position(20 + 8 + 8 + 36)
+    tkhdBody.putInt(w << 16).putInt(h << 16)
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 0) ++ tkhdBody.array())
+    val stsz = fullBox("stsz", 0, java.nio.ByteBuffer.allocate(8)
+      .putInt(0).putInt(nSamples))
+    val trak = box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stsz))))
+    box("ftyp", "isom".getBytes("US-ASCII") ++ new Array[Byte](4)) ++
+      box("moov", mvhd ++ trak)
+  }
+
+  test("L12 video: mp4 box-tree metadata parses without a codec") {
+    val mp4 = buildMp4(timescale = 600, duration = 1200, w = 320, h = 240,
+      nSamples = 48)
+    val meta = Multimodal.mp4Meta(mp4)
+    assert(meta.isDefined, "mp4Meta rejected a well-formed BMFF tree")
+    assert(meta.get.durationSec === 2.0)
+    assert(meta.get.width === 320 && meta.get.height === 240)
+    assert(meta.get.nSamples === 48)
+    // the typed pipeline routes video/mp4 through the container parse:
+    // REAL dimensions and sample count, stub feature fold (no codec)
+    val rows = Seq(MediaRow(9L, mp4, "video/mp4", mp4.length.toLong, "b" * 32))
+      .toDS()
+    val f = Multimodal.featureExtract(rows, dim = 4).collect().head
+    assert(f.width === 320 && f.height === 240 && f.n_frames === 48)
+  }
+
+  test("L12 video: audio-only trak (zero tkhd width) is not the video track") {
+    // trak 1: width 0 (audio); trak 2: real video dims — parser must skip
+    // to the nonzero-width trak
+    def trakOf(w: Int, h: Int, n: Int): Array[Byte] = {
+      val tkhdBody = java.nio.ByteBuffer.allocate(80)
+      tkhdBody.position(20 + 8 + 8 + 36)
+      tkhdBody.putInt(w << 16).putInt(h << 16)
+      val tkhd = box("tkhd", Array[Byte](0, 0, 0, 0) ++ tkhdBody.array())
+      val stsz = box("stsz", java.nio.ByteBuffer.allocate(12)
+        .putInt(0).putInt(0).putInt(n).array())
+      box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stsz))))
+    }
+    val mvhd = box("mvhd", java.nio.ByteBuffer.allocate(100)
+      .putInt(0).putInt(0).putInt(0).putInt(90000).putInt(90000).array())
+    val mp4 = box("ftyp", "isom".getBytes("US-ASCII") ++ new Array[Byte](4)) ++
+      box("moov", mvhd ++ trakOf(0, 0, 999) ++ trakOf(64, 48, 7))
+    val meta = Multimodal.mp4Meta(mp4)
+    assert(meta.exists(m => m.width === 64 && m.height === 48 && m.nSamples === 7))
+    assert(meta.get.durationSec === 1.0)
+  }
+
   test("L12 video: non-AVI and truncated AVI degrade to the checksum stub") {
     val junk = Array.fill[Byte](64)(7)
     val sum = "a" * 32
