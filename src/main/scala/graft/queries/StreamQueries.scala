@@ -329,6 +329,33 @@ object StreamQueries {
     // batch folds in (second, nanos, seq) order and chunks replay in
     // ascending time ranges, so every row's peak equals the batch
     // running-max window — the w7 risk metric, per tick, streaming.
+    // T14 (streaming cross-pair correlation): the stream twin of w12 and
+    // the TWELFTH streaming primitive — ONE keyed fold doing per-second
+    // dedup, per-minute candling, two-pair minute alignment, and the
+    // 30-diff rolling moments (exact decimal state; see
+    // Streams.corrStream). Append-mode cutoff: the open minute at
+    // shutdown never finalizes — the oracle excludes aligned minutes at
+    // or after the max tick's minute, like every other append gate.
+    "t14_corr_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t14-").toString
+      import s.implicits._
+      withStreamShuffle(s, 1) { // one combo = one state partition
+        val ticks = tickStream(s, d)
+          .select(col("pair"), col("time"), col("seq"), col("bid")).as[SeqTick]
+        awaitAndRecord("t14_corr_stream",
+          Streams.corrStream(ticks, "click", "view", 30)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/sink")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      }
+      s.read.parquet(s"$tmp/sink")
+        .select(unix_timestamp(col("time")).as("time_s"), col("n"),
+          round(col("corr"), 6).as("corr"), round(col("beta"), 6).as("beta"))
+    }),
+
     "t13_twstate_drawdown" -> ((s, d) => {
       val tmp = Files.createTempDirectory("graft-t13-").toString
       import s.implicits._
@@ -536,6 +563,43 @@ object StreamQueries {
          |  FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1)
          |SELECT pair, epoch_us(time) AS time_us, round(prev, 6) AS ema
          |FROM r WHERE prev IS NOT NULL""".stripMargin,
+
+    // batch restatement: w12's aligned-grid rolling moments with the
+    // append-mode cutoff — the fold's open minute at shutdown (the max
+    // two-pair tick's minute) never finalizes, so the oracle stops
+    // strictly before it
+    "t14_corr_stream" ->
+      s"""WITH ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte}, ${TradingQueries.c1mCte},
+         |a AS (SELECT time, close::DECIMAL(12,6) AS ca FROM c1m WHERE pair = 'click'),
+         |b AS (SELECT time, close::DECIMAL(12,6) AS cb FROM c1m WHERE pair = 'view'),
+         |j AS (SELECT a.time, a.ca, b.cb FROM a JOIN b USING (time)),
+         |mx AS (SELECT date_trunc('minute', max(time)) AS m
+         |       FROM dedup WHERE pair IN ('click', 'view')),
+         |dd AS (
+         |  SELECT time,
+         |         ca - lag(ca) OVER (ORDER BY time) AS dx,
+         |         cb - lag(cb) OVER (ORDER BY time) AS dy,
+         |         row_number() OVER (ORDER BY time) AS rn
+         |  FROM j),
+         |s AS (
+         |  SELECT time, rn,
+         |         CAST(sum(dx) OVER w AS DOUBLE) AS sx,
+         |         CAST(sum(dy) OVER w AS DOUBLE) AS sy,
+         |         CAST(sum(dx * dy) OVER w AS DOUBLE) AS sxy,
+         |         CAST(sum(dx * dx) OVER w AS DOUBLE) AS sxx,
+         |         CAST(sum(dy * dy) OVER w AS DOUBLE) AS syy
+         |  FROM dd
+         |  WINDOW w AS (ORDER BY time ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+         |SELECT epoch(time)::BIGINT AS time_s, 30 AS n,
+         |       CASE WHEN rn >= 31 AND (30.0 * sxx - sx * sx) > 0.0
+         |                 AND (30.0 * syy - sy * sy) > 0.0
+         |            THEN round((30.0 * sxy - sx * sy)
+         |                 / sqrt((30.0 * sxx - sx * sx) * (30.0 * syy - sy * sy)), 6)
+         |       END AS corr,
+         |       CASE WHEN rn >= 31 AND (30.0 * sxx - sx * sx) > 0.0
+         |            THEN round((30.0 * sxy - sx * sy) / (30.0 * sxx - sx * sx), 6)
+         |       END AS beta
+         |FROM s WHERE time < (SELECT m FROM mx)""".stripMargin,
 
     // batch restatement: the running-peak window in the same
     // (epoch_us, seq) total order the processor folds in

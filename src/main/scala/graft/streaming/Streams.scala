@@ -26,6 +26,28 @@ final case class EmaPoint(pair: String, time: Timestamp, ema: Double)
 final case class DrawdownPoint(pair: String, time: Timestamp, seq: Long,
                                peak: Double, dd: Double)
 
+/** First-tick-of-second pick buffered for an OPEN candle minute in the
+  * streaming correlation fold (`sec`/`us` in epoch µs). */
+final case class CorrSecPick(sec: Long, us: Long, seq: Long, bid: Double)
+
+/** Carried state of the streaming cross-pair correlation fold (T14):
+  * the one open (not-yet-final) candle minute with both pairs' per-second
+  * first-tick picks, the aligned-grid position, the previous aligned
+  * closes, and the ring of the last `n` close-change pairs. Decimals ride
+  * as plain strings — exact, and trivially encodable. */
+final case class CorrComboState(openMinute: Long,
+                                picksA: List[CorrSecPick],
+                                picksB: List[CorrSecPick],
+                                aligned: Long,
+                                prevCa: String, prevCb: String,
+                                ring: List[String])
+
+/** One aligned-minute point of the streaming correlation (corr/beta are
+  * None until `n` diffs exist or while a variance term is zero — the
+  * batch w12 convention). */
+final case class CorrPoint(time: Timestamp, n: Int,
+                           corr: Option[Double], beta: Option[Double])
+
 /** T13 processor: per-pair running peak + drawdown on Spark 4's
   * `transformWithState` arbitrary-state API — the successor of
   * map/flatMapGroupsWithState (typed named-state handles, RocksDB-backed,
@@ -363,6 +385,116 @@ object Streams {
             else { prev = (r.bid - prev) * k + prev; out += EmaPoint(pair, r.time, prev) }
           }
         state.update(EmaState(n, seed, prev))
+        out.result().iterator
+      }
+  }
+
+  /** T14: streaming cross-pair rolling correlation + OLS beta — the
+    * stream twin of the batch `CrossPair.rollingCorrelation` (w12), and
+    * the TWELFTH streaming primitive. One keyed fold does the whole
+    * pipeline the batch side composes from four operators: per-second
+    * first-tick dedup, per-minute last-close candling, the two-pair
+    * minute alignment (inner join), and the `n`-diff rolling moments.
+    *
+    * Mechanics: ticks of both pairs fold in (µs, seq) order under the
+    * combo key. The fold keeps ONE open candle minute buffered (per-second
+    * picks for both pairs, ≤ 60 each); a row in a LATER minute finalizes
+    * it — close = the pick of the max second per pair (the c1m
+    * `max_by(bid, time)` over second-truncated dedup rows), and a minute
+    * where both pairs closed becomes the next aligned-grid row. Diffs and
+    * their rolling sums are EXACT decimal (scale-6 closes via the same
+    * HALF_UP cast the batch side uses; stored as strings in state), so
+    * recomputing the `n`-window sums from the ring reproduces the batch
+    * window sums bit-for-bit; the one float expression is spelled
+    * identically. The open minute at shutdown never finalizes — the
+    * oracle applies the same cutoff (strictly before the max tick's
+    * minute), exactly like the other append-mode gates.
+    *
+    * Determinism: chunks replay in (ts, event_id)-ascending ranges and
+    * the fold sorts within each batch, so a minute spanning a micro-batch
+    * boundary keeps collecting picks across batches and every emitted row
+    * is independent of the batch split. Scale: state is O(60 picks + n
+    * diffs) per combo; the all-combos fan-out keys the SAME fold by the
+    * combo column — P·(P-1)/2 independent groups, matching w13's
+    * partitioned-window shape. */
+  def corrStream(ticks: Dataset[SeqTick], pairA: String, pairB: String,
+                 n: Int = 30): Dataset[CorrPoint] = {
+    require(n >= 2, s"window must be >= 2, got $n")
+    require(pairA != pairB, "pairs must differ")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val nd = n.toDouble
+    ticks.filter(t => t.pair == pairA || t.pair == pairB)
+      .groupByKey(_ => s"$pairA|$pairB")
+      .flatMapGroupsWithState[CorrComboState, CorrPoint](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (_, rows, state: GroupState[CorrComboState]) =>
+        var st = state.getOption.getOrElse(
+          CorrComboState(-1L, Nil, Nil, 0L, "", "", Nil))
+        val out = Vector.newBuilder[CorrPoint]
+        // epoch µs: getTime is ms (incl. sub-second), getNanos the full
+        // sub-second — combine without double-counting the ms part
+        def usOf(t: Timestamp): Long =
+          t.getTime / 1000 * 1000000L + t.getNanos / 1000
+        // the batch side's double→DECIMAL(12,6) cast (Spark Decimal wraps
+        // BigDecimal.decimal = valueOf(double), then HALF_UP to scale 6)
+        def dec(d: Double): BigDecimal =
+          BigDecimal.decimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        def close(picks: List[CorrSecPick]): Option[Double] =
+          picks.sortBy(_.sec).lastOption.map(_.bid)
+        def finalizeMinute(): Unit = if (st.openMinute >= 0) {
+          (close(st.picksA), close(st.picksB)) match {
+            case (Some(a), Some(b)) => // aligned minute → grid row
+              val ca = dec(a); val cb = dec(b)
+              var ring = st.ring
+              if (st.prevCa.nonEmpty) {
+                val dx = ca - BigDecimal(st.prevCa)
+                val dy = cb - BigDecimal(st.prevCb)
+                ring = (ring :+ s"$dx $dy").takeRight(n)
+              }
+              val (corr, beta) =
+                if (ring.size == n) { // rn >= n+1 in batch terms
+                  val ds = ring.map { s =>
+                    val i = s.indexOf(' ')
+                    (BigDecimal(s.substring(0, i)), BigDecimal(s.substring(i + 1)))
+                  }
+                  // exact decimal sums (order-independent), THEN doubles —
+                  // the same boundary the batch plan crosses
+                  val sx = ds.map(_._1).sum.toDouble
+                  val sy = ds.map(_._2).sum.toDouble
+                  val sxy = ds.map(d => d._1 * d._2).sum.toDouble
+                  val sxx = ds.map(d => d._1 * d._1).sum.toDouble
+                  val syy = ds.map(d => d._2 * d._2).sum.toDouble
+                  val vx = nd * sxx - sx * sx
+                  val vy = nd * syy - sy * sy
+                  val cov = nd * sxy - sx * sy
+                  (if (vx > 0.0 && vy > 0.0) Some(cov / math.sqrt(vx * vy)) else None,
+                    if (vx > 0.0) Some(cov / vx) else None)
+                } else (None, None)
+              out += CorrPoint(new Timestamp(st.openMinute / 1000), n, corr, beta)
+              st = st.copy(aligned = st.aligned + 1,
+                prevCa = ca.toString, prevCb = cb.toString, ring = ring)
+            case _ => () // unaligned: no grid row, prev/ring untouched
+          }
+          st = st.copy(picksA = Nil, picksB = Nil)
+        }
+        rows.toVector.sortBy(r => (usOf(r.time), r.seq)).foreach { r =>
+          val us = usOf(r.time)
+          val m = us - us % 60000000L
+          if (st.openMinute < 0) st = st.copy(openMinute = m)
+          else if (m > st.openMinute) { finalizeMinute(); st = st.copy(openMinute = m) }
+          // m < openMinute cannot happen under ordered chunk replay; such
+          // a straggler is simply ignored (its minute already finalized)
+          if (m == st.openMinute) {
+            val sec = us - us % 1000000L
+            val pick = CorrSecPick(sec, us, r.seq, r.bid)
+            def keep(l: List[CorrSecPick]): List[CorrSecPick] =
+              if (l.exists(_.sec == sec)) l else pick :: l // sorted ⇒ first wins
+            if (r.pair == pairA) st = st.copy(picksA = keep(st.picksA))
+            else st = st.copy(picksB = keep(st.picksB))
+          }
+        }
+        state.update(st)
         out.result().iterator
       }
   }

@@ -146,6 +146,69 @@ class StateRestartSpec extends SparkSpec {
     assert(x9.isDefined, s"no row proves carried peak state: $a")
   }
 
+  // ---------------------------------------- t14: cross-pair correlation
+
+  // n=2 so corr warms fast. The kill lands MID-MINUTE: chunk 1 ends
+  // inside minute 00:03 (X has ticked, Y not yet), so the restart must
+  // restore the open-minute pick buffers AND the diff ring/prev closes
+  // from the checkpoint to finalize 00:03 identically.
+  private val corrChunks = Seq(
+    seqTicks(Seq(("X", "2024-01-01 00:00:10", 1L, 10.0),
+      ("Y", "2024-01-01 00:00:20", 2L, 5.0),
+      ("X", "2024-01-01 00:01:10", 3L, 11.0),
+      ("Y", "2024-01-01 00:01:20", 4L, 7.0))),
+    seqTicks(Seq(("X", "2024-01-01 00:02:10", 5L, 13.0),
+      ("Y", "2024-01-01 00:02:15", 6L, 6.0),
+      ("X", "2024-01-01 00:03:05", 7L, 12.5))),
+    seqTicks(Seq(("Y", "2024-01-01 00:03:30", 8L, 8.5),
+      ("X", "2024-01-01 00:04:10", 9L, 14.0),
+      ("Y", "2024-01-01 00:04:40", 10L, 9.0),
+      ("X", "2024-01-01 00:05:59", 11L, 15.0))))
+
+  private def runCorr(src: String, sink: String, ckpt: String): Unit = {
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    Streams.corrStream(stream.as[SeqTick], "X", "Y", n = 2)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+  }
+
+  test("t14: open-minute buffers and the diff ring survive a restart bit-exactly") {
+    val root = Files.createTempDirectory("graft-t14-restart-").toString
+    val (srcA, srcB) = (s"$root/srcA", s"$root/srcB")
+    new java.io.File(srcA).mkdirs(); new java.io.File(srcB).mkdirs()
+
+    corrChunks.zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcA, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runCorr(srcA, s"$root/sinkA", s"$root/ckptA")
+
+    corrChunks.take(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runCorr(srcB, s"$root/sinkB", s"$root/ckptB")
+    corrChunks.drop(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c${i + 2}", 1600000120000L + i * 60000L)
+    }
+    runCorr(srcB, s"$root/sinkB", s"$root/ckptB")
+
+    def rows(sink: String) = spark.read.parquet(sink)
+      .select("time", "n", "corr", "beta")
+      .orderBy("time").collect().map(_.toString).toSeq
+    val (a, b) = (rows(s"$root/sinkA"), rows(s"$root/sinkB"))
+    assert(a.nonEmpty, "reference run emitted nothing")
+    // minutes 00:00-00:04 aligned (00:05 stays open): 5 grid rows, and
+    // the minute the kill split (00:03) must carry a non-null corr
+    assert(a.length === 5, a.mkString("\n"))
+    val m3 = spark.read.parquet(s"$root/sinkA")
+      .filter(col("time") === ts("2024-01-01 00:03:00")).collect().head
+    assert(!m3.isNullAt(2), s"00:03 corr must be warm: $m3")
+    assert(b === a, s"restart diverged:\nref=${a.mkString("\n")}\ncut=${b.mkString("\n")}")
+  }
+
   // ------------------------------------------------------------ t5 with TTL
 
   private def tickRows(rows: Seq[(String, String, Double)]) =
