@@ -356,6 +356,32 @@ object StreamQueries {
           round(col("corr"), 6).as("corr"), round(col("beta"), 6).as("beta"))
     }),
 
+    // T14b (all-combos streaming correlation matrix): the same fold as
+    // t14 keyed by combo — every tick fans out to its P-1 combos, the
+    // P·(P-1)/2 groups fold independently (the streaming twin of w13's
+    // combo-partitioned window). Per-combo append cutoff: each combo's
+    // open minute is the max tick minute among ITS two pairs.
+    "t14b_corr_stream_all" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t14b-").toString
+      import s.implicits._
+      withStreamShuffle(s, 3) { // 3 combos
+        val ticks = tickStream(s, d)
+          .select(col("pair"), col("time"), col("seq"), col("bid")).as[SeqTick]
+        awaitAndRecord("t14b_corr_stream_all",
+          Streams.corrStreamAll(ticks, Seq("click", "view", "signup"), 30)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/sink")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      }
+      s.read.parquet(s"$tmp/sink")
+        .select(col("pair_a"), col("pair_b"),
+          unix_timestamp(col("time")).as("time_s"), col("n"),
+          round(col("corr"), 6).as("corr"), round(col("beta"), 6).as("beta"))
+    }),
+
     "t13_twstate_drawdown" -> ((s, d) => {
       val tmp = Files.createTempDirectory("graft-t13-").toString
       import s.implicits._
@@ -600,6 +626,50 @@ object StreamQueries {
          |            THEN round((30.0 * sxy - sx * sy) / (30.0 * sxx - sx * sx), 6)
          |       END AS beta
          |FROM s WHERE time < (SELECT m FROM mx)""".stripMargin,
+
+    // batch restatement: w13's combo-partitioned grid over the 3-pair
+    // universe, with each combo's OWN append cutoff (greatest of its two
+    // pairs' max tick minutes)
+    "t14b_corr_stream_all" ->
+      s"""WITH ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte}, ${TradingQueries.c1mCte},
+         |cc AS (SELECT * FROM c1m WHERE pair IN ('click', 'signup', 'view')),
+         |a AS (SELECT pair AS pair_a, time, close::DECIMAL(12,6) AS ca FROM cc),
+         |b AS (SELECT pair AS pair_b, time, close::DECIMAL(12,6) AS cb FROM cc),
+         |j AS (SELECT pair_a, pair_b, a.time, ca, cb
+         |      FROM a JOIN b ON a.time = b.time WHERE pair_a < pair_b),
+         |mxp AS (SELECT pair, max(time) AS m FROM dedup
+         |        WHERE pair IN ('click', 'signup', 'view') GROUP BY 1),
+         |mx AS (SELECT p1.pair AS pair_a, p2.pair AS pair_b,
+         |              date_trunc('minute', greatest(p1.m, p2.m)) AS cut
+         |       FROM mxp p1 JOIN mxp p2 ON p1.pair < p2.pair),
+         |dd AS (
+         |  SELECT pair_a, pair_b, time,
+         |         ca - lag(ca) OVER w0 AS dx,
+         |         cb - lag(cb) OVER w0 AS dy,
+         |         row_number() OVER w0 AS rn
+         |  FROM j
+         |  WINDOW w0 AS (PARTITION BY pair_a, pair_b ORDER BY time)),
+         |s AS (
+         |  SELECT pair_a, pair_b, time, rn,
+         |         CAST(sum(dx) OVER w AS DOUBLE) AS sx,
+         |         CAST(sum(dy) OVER w AS DOUBLE) AS sy,
+         |         CAST(sum(dx * dy) OVER w AS DOUBLE) AS sxy,
+         |         CAST(sum(dx * dx) OVER w AS DOUBLE) AS sxx,
+         |         CAST(sum(dy * dy) OVER w AS DOUBLE) AS syy
+         |  FROM dd
+         |  WINDOW w AS (PARTITION BY pair_a, pair_b ORDER BY time
+         |               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+         |SELECT s.pair_a, s.pair_b, epoch(s.time)::BIGINT AS time_s, 30 AS n,
+         |       CASE WHEN rn >= 31 AND (30.0 * sxx - sx * sx) > 0.0
+         |                 AND (30.0 * syy - sy * sy) > 0.0
+         |            THEN round((30.0 * sxy - sx * sy)
+         |                 / sqrt((30.0 * sxx - sx * sx) * (30.0 * syy - sy * sy)), 6)
+         |       END AS corr,
+         |       CASE WHEN rn >= 31 AND (30.0 * sxx - sx * sx) > 0.0
+         |            THEN round((30.0 * sxy - sx * sy) / (30.0 * sxx - sx * sx), 6)
+         |       END AS beta
+         |FROM s JOIN mx ON s.pair_a = mx.pair_a AND s.pair_b = mx.pair_b
+         |WHERE s.time < mx.cut""".stripMargin,
 
     // batch restatement: the running-peak window in the same
     // (epoch_us, seq) total order the processor folds in

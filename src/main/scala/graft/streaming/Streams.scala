@@ -48,6 +48,16 @@ final case class CorrComboState(openMinute: Long,
 final case class CorrPoint(time: Timestamp, n: Int,
                            corr: Option[Double], beta: Option[Double])
 
+/** A [[CorrPoint]] labeled with its pair combo (the all-combos stream). */
+final case class CorrPointCombo(pair_a: String, pair_b: String,
+                                time: Timestamp, n: Int,
+                                corr: Option[Double], beta: Option[Double])
+
+/** A tick fanned out to one combo group of the all-combos correlation
+  * stream (`combo` = "a|b", lexical order). */
+final case class ComboTick(combo: String, pair: String, time: Timestamp,
+                           seq: Long, bid: Double)
+
 /** T13 processor: per-pair running peak + drawdown on Spark 4's
   * `transformWithState` arbitrary-state API — the successor of
   * map/flatMapGroupsWithState (typed named-state handles, RocksDB-backed,
@@ -423,13 +433,55 @@ object Streams {
     require(pairA != pairB, "pairs must differ")
     val spark = ticks.sparkSession
     import spark.implicits._
-    val nd = n.toDouble
     ticks.filter(t => t.pair == pairA || t.pair == pairB)
       .groupByKey(_ => s"$pairA|$pairB")
       .flatMapGroupsWithState[CorrComboState, CorrPoint](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) { (_, rows, state: GroupState[CorrComboState]) =>
-        var st = state.getOption.getOrElse(
+        foldCombo(pairA, n, rows, state)
+      }
+  }
+
+  /** The all-combos correlation matrix as ONE stream: every tick fans out
+    * to the combos containing its pair (P-1 groups per tick), and the
+    * SAME fold as [[corrStream]] runs independently per combo group —
+    * P·(P-1)/2 state partitions, the streaming twin of w13's
+    * combo-partitioned window. `pairs` is the bounded pair universe (a
+    * dimension, known up front — reference `dim_currency` seeds 6). */
+  def corrStreamAll(ticks: Dataset[SeqTick], pairs: Seq[String],
+                    n: Int = 30): Dataset[CorrPointCombo] = {
+    require(n >= 2, s"window must be >= 2, got $n")
+    require(pairs.distinct.size == pairs.size && pairs.size >= 2,
+      "pairs must be >= 2 distinct names")
+    require(pairs.forall(!_.contains('|')), "pair names must not contain '|'")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val sorted = pairs.sorted
+    val combos = for { a <- sorted; b <- sorted if a < b } yield (a, b)
+    ticks.flatMap { t =>
+      combos.collect { case (a, b) if a == t.pair || b == t.pair =>
+        ComboTick(s"$a|$b", t.pair, t.time, t.seq, t.bid)
+      }
+    }
+      .groupByKey(_.combo)
+      .flatMapGroupsWithState[CorrComboState, CorrPointCombo](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (key, rows, state: GroupState[CorrComboState]) =>
+        val sep = key.indexOf('|')
+        val (a, b) = (key.substring(0, sep), key.substring(sep + 1))
+        foldCombo(a, n,
+          rows.map(ct => SeqTick(ct.pair, ct.time, ct.seq, ct.bid)), state)
+          .map(p => CorrPointCombo(a, b, p.time, p.n, p.corr, p.beta))
+      }
+  }
+
+  /** The per-combo correlation fold shared by [[corrStream]] and
+    * [[corrStreamAll]]: `pairA` is x (beta = cov/var(x)); every other
+    * pair in the group is the y side. */
+  private def foldCombo(pairA: String, n: Int, rows: Iterator[SeqTick],
+                        state: GroupState[CorrComboState]): Iterator[CorrPoint] = {
+    val nd = n.toDouble
+    var st = state.getOption.getOrElse(
           CorrComboState(-1L, Nil, Nil, 0L, "", "", Nil))
         val out = Vector.newBuilder[CorrPoint]
         // epoch µs: getTime is ms (incl. sub-second), getNanos the full
@@ -496,7 +548,6 @@ object Streams {
         }
         state.update(st)
         out.result().iterator
-      }
   }
 
   /** T13: running drawdown per pair via [[DrawdownProcessor]] — the
