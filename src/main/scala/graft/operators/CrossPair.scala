@@ -37,14 +37,23 @@ object CrossPair {
     val vy = nd * col("syy").cast("double") - sy * sy
     val cov = nd * col("sxy").cast("double") - sx * sy
     joined
+      // window pass 1: the two lags (one Window node — shared spec)
       .withColumn("dx", col("ca") - lag(col("ca"), 1).over(w))
       .withColumn("dy", col("cb") - lag(col("cb"), 1).over(w))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("sx", sum(col("dx")).over(frame))
-      .withColumn("sy", sum(col("dy")).over(frame))
-      .withColumn("sxy", sum(col("dx") * col("dy")).over(frame))
-      .withColumn("sxx", sum(col("dx") * col("dx")).over(frame))
-      .withColumn("syy", sum(col("dy") * col("dy")).over(frame))
+      // products materialize in a PLAIN projection so every rolling sum
+      // references an attribute: Catalyst then co-locates rn + all five
+      // sums in ONE Window node (sums over derived expressions would
+      // stage one Window pass per product — 5 passes instead of 1)
+      .withColumn("dxy", col("dx") * col("dy"))
+      .withColumn("dxx", col("dx") * col("dx"))
+      .withColumn("dyy", col("dy") * col("dy"))
+      .select(col("pair_a"), col("pair_b"), col("time"),
+        row_number().over(w).as("rn"),
+        sum(col("dx")).over(frame).as("sx"),
+        sum(col("dy")).over(frame).as("sy"),
+        sum(col("dxy")).over(frame).as("sxy"),
+        sum(col("dxx")).over(frame).as("sxx"),
+        sum(col("dyy")).over(frame).as("syy"))
       .select(col("pair_a"), col("pair_b"), col("time"), lit(n).as("n"),
         when(col("rn") >= n + 1 && vx > 0.0 && vy > 0.0,
           cov / sqrt(vx * vy)).as("corr"),

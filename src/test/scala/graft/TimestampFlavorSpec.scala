@@ -99,6 +99,25 @@ class TimestampFlavorSpec extends SparkSpec {
     assert(got.select(unix_micros(col("ts"))).head().getLong(0) === epochMicros)
   }
 
+  test("ingestion is session-TZ-proof: naive µs loads as the same UTC instant") {
+    // with inferTimestampNTZ pinned off, a naive µs value copies verbatim
+    // into TimestampType's UTC epoch — no session-TZ conversion on read —
+    // so a user session running in any timezone sees the same instants
+    // (only rendering differs). A TZ-dependent read would silently shift
+    // every watermark and epoch emission for non-UTC users.
+    val d = "/root/testdata/sf0.001"
+    val utc = graft.sources.Tables.events(spark, d)
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val tokyo = graft.sources.Tables.events(spark, d)
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      assert(tokyo === utc,
+        s"session TZ changed the loaded instants: $tokyo vs $utc")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("current driver fixtures read canonical through both readers") {
     val df = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     assert(df.schema("ts").dataType === TimestampType)
