@@ -37,9 +37,11 @@ object CrossPair {
     val vy = nd * col("syy").cast("double") - sy * sy
     val cov = nd * col("sxy").cast("double") - sx * sy
     joined
-      // window pass 1: the two lags (one Window node — shared spec)
-      .withColumn("dx", col("ca") - lag(col("ca"), 1).over(w))
-      .withColumn("dy", col("cb") - lag(col("cb"), 1).over(w))
+      // window pass 1: the two lags in ONE select (a withColumn chain
+      // stages one Window node per call)
+      .select(col("pair_a"), col("pair_b"), col("time"),
+        (col("ca") - lag(col("ca"), 1).over(w)).as("dx"),
+        (col("cb") - lag(col("cb"), 1).over(w)).as("dy"))
       // products materialize in a PLAIN projection so every rolling sum
       // references an attribute: Catalyst then co-locates rn + all five
       // sums in ONE Window node (sums over derived expressions would

@@ -165,9 +165,14 @@ object Indicators {
     val variance = col("sum_sq").cast("double") / period - mean * mean
     val sd = sqrt(greatest(variance, lit(0.0)))
     candles
+      // materialize the cast/square in a plain projection so both sums
+      // and row_number share ONE Window node (sums over derived
+      // expressions stage one Window pass each — see CrossPair)
+      .withColumn("c6", dec)
+      .withColumn("c6sq", dec * dec)
       .withColumn("rn", row_number().over(w))
-      .withColumn("sum_c", sum(dec).over(frame))
-      .withColumn("sum_sq", sum(dec * dec).over(frame))
+      .withColumn("sum_c", sum(col("c6")).over(frame))
+      .withColumn("sum_sq", sum(col("c6sq")).over(frame))
       .select(col("pair"), col("timeframe"), col("time"),
         lit(period).as("period"), lit(calcVersion).as("calc_version"),
         when(col("rn") >= period, mean).as("mid"),
@@ -399,13 +404,21 @@ object Indicators {
         (max(col("high")).over(frame) + min(col("low")).over(frame)) / lit(2.0))
     }
     candles
-      .withColumn("tenkan", mid(tenkanP))
-      .withColumn("kijun", mid(kijunP))
-      .withColumn("senkou_a", lag((col("tenkan") + col("kijun")) / lit(2.0), kijunP).over(w))
-      .withColumn("senkou_b", lag(mid(senkouP), kijunP).over(w))
-      .withColumn("chikou", lead(col("close"), kijunP).over(w))
+      // pass 1 (ONE select → one Window node): every frame aggregate —
+      // tenkan/kijun, the senkou-B span mid, the chikou lead — none of
+      // which depend on other window outputs; pass 2 (one select): the
+      // two shifts, which must read pass-1 outputs. A withColumn chain
+      // stages one Window node per call — 4 passes instead of 2.
       .select(col("pair"), col("timeframe"), col("time"),
-        col("tenkan"), col("kijun"), col("senkou_a"), col("senkou_b"), col("chikou"))
+        mid(tenkanP).as("tenkan"),
+        mid(kijunP).as("kijun"),
+        mid(senkouP).as("span_b_mid"),
+        lead(col("close"), kijunP).over(w).as("chikou"))
+      .select(col("pair"), col("timeframe"), col("time"),
+        col("tenkan"), col("kijun"),
+        lag((col("tenkan") + col("kijun")) / lit(2.0), kijunP).over(w).as("senkou_a"),
+        lag(col("span_b_mid"), kijunP).over(w).as("senkou_b"),
+        col("chikou"))
   }
 
   /** On-balance volume over candles carrying a `vol` column: running sum of

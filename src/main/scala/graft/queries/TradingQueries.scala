@@ -184,15 +184,24 @@ object TradingQueries {
       ticks(s, d)
         .select(col("pair"), col("time"),
           round((col("bid") + col("ask")) / 2, 6).as("mid"))
-        .withColumn("rn", row_number().over(wOrd))
-        .withColumn("cum", sum(col("mid").cast("decimal(18,6)")).over(wRun))
-        .withColumn("cumsq", sum(col("mid").cast("decimal(18,6)") *
-          col("mid").cast("decimal(18,6)")).over(wRun))
-        .withColumn("n", least(col("rn") - 1, lit(100)).cast("bigint"))
-        .withColumn("s", (coalesce(lag(col("cum"), 1).over(wOrd), zeroDec) -
-          coalesce(lag(col("cum"), 101).over(wOrd), zeroDec)).cast("double"))
-        .withColumn("ss", (coalesce(lag(col("cumsq"), 1).over(wOrd), zeroDec) -
-          coalesce(lag(col("cumsq"), 101).over(wOrd), zeroDec)).cast("double"))
+        // rn + both running sums in ONE select (one Window node — a
+        // withColumn chain would stage one node per call), then the four
+        // lags (over the sums' outputs — necessarily a second pass) in
+        // ONE second select: 2 window passes total instead of 4
+        .withColumn("mid6", col("mid").cast("decimal(18,6)"))
+        .withColumn("mid6sq", col("mid6") * col("mid6"))
+        .select(col("pair"), col("time"), col("mid"),
+          row_number().over(wOrd).as("rn"),
+          sum(col("mid6")).over(wRun).as("cum"),
+          sum(col("mid6sq")).over(wRun).as("cumsq"))
+        .select(col("pair"), col("time"), col("mid"), col("rn"),
+          least(col("rn") - 1, lit(100)).cast("bigint").as("n"),
+          (coalesce(lag(col("cum"), 1).over(wOrd), zeroDec) -
+            coalesce(lag(col("cum"), 101).over(wOrd), zeroDec))
+            .cast("double").as("s"),
+          (coalesce(lag(col("cumsq"), 1).over(wOrd), zeroDec) -
+            coalesce(lag(col("cumsq"), 101).over(wOrd), zeroDec))
+            .cast("double").as("ss"))
         .filter(col("n") >= 30)
         .withColumn("nd", col("n").cast("double"))
         .withColumn("mean", col("s") / col("nd"))

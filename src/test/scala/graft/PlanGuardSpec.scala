@@ -312,6 +312,31 @@ class PlanGuardSpec extends SparkSpec {
         offenders.mkString(", "))
   }
 
+  test("window-heavy queries stay at their minimum Window-pass count") {
+    // Each Window node is a full O(n) pass over the partition. Window
+    // functions added via withColumn chains (or over derived-expression
+    // arguments) get staged one node each by the analyzer; grouping them
+    // in single selects with attribute arguments collapses them. These
+    // counts are the per-query minimum (first count includes the
+    // upstream dedup window where the tick pipeline feeds the query) —
+    // a regression to staged extraction fails here.
+    for ((q, maxWindows) <- Seq(
+        "w8_zscore_outliers" -> 3,  // dedup rn + (rn,cum,cumsq) + 4 lags
+        "u6_bollinger_20_1m" -> 2,  // dedup rn + (rn, both sums)
+        "u14_ichimoku_1m" -> 3,     // dedup rn + frame aggs + shifts
+        // w12's 2-pair form filters the candle pipeline once per side, so
+        // the dedup window appears in BOTH logical branches (physically
+        // one — the exchange is reused): 2 dedup + lags + (rn, 5 sums)
+        "w12_roll_corr_30m" -> 4,
+        "w13_roll_corr_all" -> 4)) {
+      val plan = SparkEntry.queries(q)(spark, d).queryExecution.optimizedPlan
+      val n = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.size
+      assert(n <= maxWindows, s"$q grew to $n Window passes (max $maxWindows)")
+    }
+  }
+
   test("no batch query's analyzed plan carries a TIMESTAMP_NTZ attribute") {
     // Event-time typing is POLICY, not luck: fixtures have shipped `ts` as
     // ns-long, µs NTZ, and µs UTC across driver regenerations, and every
