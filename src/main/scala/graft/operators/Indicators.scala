@@ -421,6 +421,58 @@ object Indicators {
         col("chikou"))
   }
 
+  /** U15: Commodity Channel Index — how far the typical price sits from
+    * its `period`-mean, scaled by the window's mean absolute deviation:
+    * `CCI = (tp − SMA(tp)) / (0.015 · MD)`. MD is the catch: each
+    * element's deviation is taken against the CURRENT row's window mean,
+    * so it is not a plain frame aggregate — the frame's typical prices
+    * are collected and folded with a higher-order `aggregate`. Parity
+    * discipline: tp is snapped to the 6-dp grid, so the window sum, the
+    * per-element `p·tpᵢ − Σtp` deviations, and their sum are ALL exact
+    * decimals (the division-free form `p·(p·tp − Σ) / (0.015·Σ|p·tpᵢ −
+    * Σ|)` clears the two /p's); the single float expression at the end is
+    * spelled identically in the oracle. Decimal exactness also makes the
+    * fold order irrelevant — either engine may sum the list any way. */
+  def cci(candles: DataFrame, period: Int = 20): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val frame = w.rowsBetween(-(period - 1), Window.currentRow)
+    val p = period
+    candles
+      .withColumn("tpd",
+        round((col("high") + col("low") + col("close")) / 3.0, 6)
+          .cast("decimal(18,6)"))
+      .select(col("pair"), col("timeframe"), col("time"), col("tpd"),
+        row_number().over(w).as("rn"),
+        sum(col("tpd")).over(frame).as("sum_tp"),
+        collect_list(col("tpd")).over(frame).as("arr"))
+      .withColumn("md_num",
+        aggregate(col("arr"), lit(0).cast("decimal(38,6)"),
+          (acc, x) => acc + abs(x * lit(p) - col("sum_tp"))))
+      .select(col("pair"), col("timeframe"), col("time"), lit(p).as("period"),
+        when(col("rn") >= p && col("md_num") =!= lit(0),
+          (lit(p.toDouble) * (col("tpd") * lit(p) - col("sum_tp")).cast("double")) /
+            (lit(0.015) * col("md_num").cast("double"))).as("value"))
+  }
+
+  /** U16: Keltner channels — EMA(close, `emaPeriod`) midline, banded by
+    * ±`mult`·ATR(`atrPeriod`): the volatility-adaptive sibling of
+    * Bollinger. Pure composition of the two existing recurrence folds
+    * (each one shuffle on the series key), joined on the candle key; the
+    * bands are NULL until BOTH folds are warm, by null propagation. */
+  def keltner(candles: DataFrame, emaPeriod: Int = 20, atrPeriod: Int = 10,
+              mult: Double = 2.0): DataFrame = {
+    val e = ema(candles, emaPeriod).toDF()
+      .select(col("pair"), col("timeframe"), col("time"), col("value").as("mid"))
+    val a = atr(candles, atrPeriod).toDF()
+      .select(col("pair"), col("timeframe"), col("time"), col("value").as("atrv"))
+    e.join(a, Seq("pair", "timeframe", "time"))
+      .select(col("pair"), col("timeframe"), col("time"),
+        col("mid"),
+        (col("mid") + lit(mult) * col("atrv")).as("upper"),
+        (col("mid") - lit(mult) * col("atrv")).as("lower"))
+  }
+
   /** On-balance volume over candles carrying a `vol` column: running sum of
     * volume signed by the close-to-close direction (first candle contributes
     * 0 by convention). Integer arithmetic throughout — exact at any scale —

@@ -77,6 +77,12 @@ object IndicatorQueries {
         .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
           lit(14).as("period"), round(col("pdi"), 6).as("pdi"),
           round(col("ndi"), 6).as("ndi"), round(col("adx"), 6).as("adx"))),
+    "u15_cci_20_1m" -> ((s, d) => indOut(Indicators.cci(candles1m(s, d), 20))),
+    "u16_keltner_1m" -> ((s, d) =>
+      Indicators.keltner(candles1m(s, d), emaPeriod = 20, atrPeriod = 10)
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          round(col("mid"), 6).as("mid"), round(col("upper"), 6).as("upper"),
+          round(col("lower"), 6).as("lower"))),
     "u14_ichimoku_1m" -> ((s, d) =>
       Indicators.ichimoku(candles1m(s, d))
         .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
@@ -251,6 +257,77 @@ object IndicatorQueries {
   /** Stochastic-oscillator oracle: window min/max mirror of
     * [[graft.operators.Indicators.stochastic]] — identical expression text
     * (and so identical IEEE operation order) on both engines. */
+  /** CCI oracle — mirrors [[graft.operators.Indicators.cci]]'s
+    * division-free exact-decimal form: every moment (window sum, the
+    * per-element deviations against the CURRENT row's sum, their sum) is
+    * exact decimal, so the list fold order is irrelevant; the one float
+    * expression is spelled identically. */
+  private def cciSql(p: Int): String =
+    s"""$prelude,
+       |b AS (
+       |  SELECT pair, time,
+       |         row_number() OVER w AS rn,
+       |         CAST(round((high + low + close) / 3.0, 6) AS DECIMAL(18,6)) AS tpd,
+       |         sum(CAST(round((high + low + close) / 3.0, 6) AS DECIMAL(18,6)))
+       |           OVER wf AS sum_tp,
+       |         list(CAST(round((high + low + close) / 3.0, 6) AS DECIMAL(18,6)))
+       |           OVER wf AS arr
+       |  FROM c1m
+       |  WINDOW w AS (PARTITION BY pair ORDER BY time),
+       |         wf AS (PARTITION BY pair ORDER BY time
+       |                ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW)),
+       |m AS (
+       |  SELECT pair, time, rn, tpd, sum_tp,
+       |         list_aggregate(list_transform(arr, x -> abs(x * $p - sum_tp)),
+       |                        'sum') AS md_num
+       |  FROM b)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
+       |       CASE WHEN rn >= $p AND md_num <> 0
+       |            THEN round(($p.0 * CAST(tpd * $p - sum_tp AS DOUBLE))
+       |                 / (0.015 * CAST(md_num AS DOUBLE)), 6) END AS value
+       |FROM m""".stripMargin
+
+  /** Keltner oracle — the u2 EMA and u7 ATR recursive CTEs composed in one
+    * statement, joined on the series row; band arithmetic spelled
+    * identically to [[graft.operators.Indicators.keltner]]. */
+  private def keltnerSql(ep: Int, ap: Int, mult: String): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS (SELECT pair, time, high, low, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |re AS (
+       |  SELECT pair, rn, time, close AS seed_sum, CAST(NULL AS DOUBLE) AS prev
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT c.pair, c.rn, c.time,
+       |         CASE WHEN c.rn < $ep THEN re.seed_sum + c.close
+       |              ELSE CAST(0.0 AS DOUBLE) END,
+       |         CASE WHEN c.rn < $ep THEN NULL
+       |              WHEN c.rn = $ep THEN (re.seed_sum + c.close) / $ep
+       |              ELSE (c.close - re.prev) * (2.0 / ${ep + 1}) + re.prev END
+       |  FROM re JOIN c ON c.pair = re.pair AND c.rn = re.rn + 1),
+       |ra AS (
+       |  SELECT pair, rn, time, close AS prev_close,
+       |         CAST(0.0 AS DOUBLE) AS tr_sum, CAST(NULL AS DOUBLE) AS atr
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT pair, rn, time, close,
+       |         CASE WHEN rn <= $ap THEN tr_sum + tr
+       |              ELSE CAST(0.0 AS DOUBLE) END,
+       |         CASE WHEN rn <= $ap THEN NULL
+       |              WHEN rn = ${ap + 1} THEN (tr_sum + tr) / $ap
+       |              ELSE (atr * ${ap - 1} + tr) / $ap END
+       |  FROM (
+       |    SELECT c.pair, c.rn, c.time, c.close, ra.tr_sum, ra.atr,
+       |           greatest(c.high - c.low, abs(c.high - ra.prev_close),
+       |                    abs(c.low - ra.prev_close)) AS tr
+       |    FROM ra JOIN c ON c.pair = ra.pair AND c.rn = ra.rn + 1) t)
+       |SELECT re.pair, '1m' AS timeframe, epoch(re.time)::BIGINT AS time_s,
+       |       round(re.prev, 6) AS mid,
+       |       round(re.prev + $mult * ra.atr, 6) AS upper,
+       |       round(re.prev - $mult * ra.atr, 6) AS lower
+       |FROM re JOIN ra ON re.pair = ra.pair AND re.rn = ra.rn""".stripMargin
+
   private def stochSql(p: Int): String =
     s"""$prelude,
        |b AS (
@@ -507,6 +584,8 @@ object IndicatorQueries {
   val oracleSql: Map[String, String] = Map(
     "u13_adx_14_1m" -> adxSql(14),
     "u14_ichimoku_1m" -> ichimokuSql(9, 26, 52),
+    "u15_cci_20_1m" -> cciSql(20),
+    "u16_keltner_1m" -> keltnerSql(20, 10, "2.0"),
     "u9_williams_r_14_1m" -> williamsSql(14),
     "u10_donchian_20_1m" -> donchianSql(20),
     "u11_roc_10_1m" -> rocSql(10),

@@ -131,6 +131,28 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("CCI: deviation against the current window mean, division-free form") {
+    // tp = (10, 11, 10, 12, 12, 11); hand-computed with p=3 via
+    // p*(p*tp - sum) / (0.015 * sum|p*tp_i - sum|)
+    val out = values(Indicators.cci(hlcCandles, 3), "A")
+    assertSeries(out, Seq(None, None, Some(-50.0), Some(100.0),
+      Some(50.0), Some(-100.0)))
+  }
+
+  test("Keltner: EMA midline, bands at 2x ATR, null until BOTH folds warm") {
+    val out = Indicators.keltner(hlcCandles, emaPeriod = 3, atrPeriod = 2)
+      .filter($"pair" === "A").orderBy("time")
+      .select("mid", "upper", "lower").collect()
+    assert((0 until 2).forall(i => out(i).isNullAt(0) && out(i).isNullAt(1)))
+    // rows 3-4: tr is constant 4 => atr = 4, so the band is mid ± 8
+    val mid3 = 31.0 / 3.0
+    assert(math.abs(out(2).getDouble(0) - mid3) < 1e-12)
+    assert(math.abs(out(2).getDouble(1) - (mid3 + 8.0)) < 1e-12)
+    assert(math.abs(out(2).getDouble(2) - (mid3 - 8.0)) < 1e-12)
+    val mid4 = (12.0 - mid3) * 0.5 + mid3
+    assert(math.abs(out(3).getDouble(1) - (mid4 + 8.0)) < 1e-12)
+  }
+
   test("ROC: 100*(close/lag - 1), null until the lag exists") {
     val out = values(Indicators.roc(hlcCandles, 2), "A")
     val exp = Seq(None, None, Some(0.0), Some((12.0 / 11.0 - 1.0) * 100.0),
