@@ -473,6 +473,60 @@ object Indicators {
         (col("mid") - lit(mult) * col("atrv")).as("lower"))
   }
 
+  /** U17: Parabolic SAR (Wilder's stop-and-reverse) — the most
+    * path-dependent recurrence in the family: per bar, the stop ratchets
+    * toward the trend's extreme point (`sar += af·(ep − sar)`), clamps to
+    * the prior two bars' lows (uptrend) or highs (downtrend), and FLIPS
+    * trend when price crosses it, resetting the acceleration factor.
+    * Convention (documented, pinned by the oracle): the initial trend at
+    * bar 2 is up iff `close₂ ≥ close₁`; the first SAR is bar 1's low
+    * (up) or high (down); rows emit from bar 2. One shuffle on the series
+    * key, 8 doubles of state per series; every step is +, ×, min/max and
+    * comparisons — spelled identically in the recursive-CTE oracle, so
+    * the whole path is bit-exact cross-engine. */
+  def sar(candles: DataFrame, afStep: Double = 0.02, afMax: Double = 0.2): DataFrame = {
+    require(afStep > 0 && afMax >= afStep, s"need 0 < afStep <= afMax")
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select($"pair", $"timeframe", $"time", $"high", $"low", $"close").as[HlcRow]
+      .groupByKey(r => (r.pair, r.timeframe))
+      .flatMapSortedGroups($"time") { case ((pair, tf), rows) =>
+        val rs = rows.toVector
+        if (rs.length < 2) Iterator.empty
+        else {
+          var up = rs(1).close >= rs(0).close
+          var sarV = if (up) rs(0).low else rs(0).high
+          var ep = if (up) rs(1).high else rs(1).low
+          var af = afStep
+          var pl1 = rs(1).low; var pl2 = rs(0).low
+          var ph1 = rs(1).high; var ph2 = rs(0).high
+          val out = Vector.newBuilder[(String, String, Timestamp, Double)]
+          out += ((pair, tf, rs(1).time, sarV))
+          var i = 2
+          while (i < rs.length) {
+            val r = rs(i)
+            var s = sarV + af * (ep - sarV)
+            if (up) {
+              s = math.min(s, math.min(pl1, pl2))
+              if (r.low < s) { up = false; s = ep; ep = r.low; af = afStep }
+              else if (r.high > ep) { ep = r.high; af = math.min(af + afStep, afMax) }
+            } else {
+              s = math.max(s, math.max(ph1, ph2))
+              if (r.high > s) { up = true; s = ep; ep = r.high; af = afStep }
+              else if (r.low < ep) { ep = r.low; af = math.min(af + afStep, afMax) }
+            }
+            sarV = s
+            out += ((pair, tf, r.time, sarV))
+            pl2 = pl1; pl1 = r.low
+            ph2 = ph1; ph1 = r.high
+            i += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("pair", "timeframe", "time", "value")
+  }
+
   /** On-balance volume over candles carrying a `vol` column: running sum of
     * volume signed by the close-to-close direction (first candle contributes
     * 0 by convention). Integer arithmetic throughout — exact at any scale —

@@ -78,6 +78,10 @@ object IndicatorQueries {
           lit(14).as("period"), round(col("pdi"), 6).as("pdi"),
           round(col("ndi"), 6).as("ndi"), round(col("adx"), 6).as("adx"))),
     "u15_cci_20_1m" -> ((s, d) => indOut(Indicators.cci(candles1m(s, d), 20))),
+    "u17_sar_1m" -> ((s, d) =>
+      Indicators.sar(candles1m(s, d))
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          round(col("value"), 6).as("value"))),
     "u16_keltner_1m" -> ((s, d) =>
       Indicators.keltner(candles1m(s, d), emaPeriod = 20, atrPeriod = 10)
         .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
@@ -327,6 +331,54 @@ object IndicatorQueries {
        |       round(re.prev + $mult * ra.atr, 6) AS upper,
        |       round(re.prev - $mult * ra.atr, 6) AS lower
        |FROM re JOIN ra ON re.pair = ra.pair AND re.rn = ra.rn""".stripMargin
+
+  /** Parabolic SAR oracle — the full stop-and-reverse path (ratchet,
+    * two-bar clamp, trend flip, af reset/step) replayed by a recursive
+    * CTE carrying the identical 8-value state in the identical operation
+    * order as [[graft.operators.Indicators.sar]]; every step is +, ×,
+    * least/greatest and comparisons, so the whole path is bit-exact. */
+  private def sarSql(afStep: String, afMax: String): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS (SELECT pair, time, high, low, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |r AS (
+       |  SELECT c2.pair, c2.rn, c2.time,
+       |         (c2.close >= c1.close) AS up,
+       |         CASE WHEN c2.close >= c1.close THEN c1.low ELSE c1.high END AS sar,
+       |         CASE WHEN c2.close >= c1.close THEN c2.high ELSE c2.low END AS ep,
+       |         CAST($afStep AS DOUBLE) AS af,
+       |         c2.low AS pl1, c1.low AS pl2, c2.high AS ph1, c1.high AS ph2
+       |  FROM c c1 JOIN c c2 ON c1.pair = c2.pair AND c1.rn = 1 AND c2.rn = 2
+       |  UNION ALL
+       |  SELECT pair, rn, time,
+       |         CASE WHEN flip THEN NOT up ELSE up END,
+       |         CASE WHEN flip THEN ep ELSE s1 END,
+       |         CASE WHEN flip AND up THEN low
+       |              WHEN flip THEN high
+       |              WHEN up AND high > ep THEN high
+       |              WHEN NOT up AND low < ep THEN low
+       |              ELSE ep END,
+       |         CASE WHEN flip THEN CAST($afStep AS DOUBLE)
+       |              WHEN up AND high > ep THEN least(af + $afStep, $afMax)
+       |              WHEN NOT up AND low < ep THEN least(af + $afStep, $afMax)
+       |              ELSE af END,
+       |         low, pl1, high, ph1
+       |  FROM (
+       |    SELECT r.pair, c.rn, c.time, r.up, r.ep, r.af, r.pl1, r.ph1,
+       |           c.low, c.high,
+       |           CASE WHEN r.up
+       |                THEN c.low < least(r.sar + r.af * (r.ep - r.sar), r.pl1, r.pl2)
+       |                ELSE c.high > greatest(r.sar + r.af * (r.ep - r.sar), r.ph1, r.ph2)
+       |           END AS flip,
+       |           CASE WHEN r.up
+       |                THEN least(r.sar + r.af * (r.ep - r.sar), r.pl1, r.pl2)
+       |                ELSE greatest(r.sar + r.af * (r.ep - r.sar), r.ph1, r.ph2)
+       |           END AS s1
+       |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       round(sar, 6) AS value
+       |FROM r""".stripMargin
 
   private def stochSql(p: Int): String =
     s"""$prelude,
@@ -585,6 +637,7 @@ object IndicatorQueries {
     "u13_adx_14_1m" -> adxSql(14),
     "u14_ichimoku_1m" -> ichimokuSql(9, 26, 52),
     "u15_cci_20_1m" -> cciSql(20),
+    "u17_sar_1m" -> sarSql("0.02", "0.2"),
     "u16_keltner_1m" -> keltnerSql(20, 10, "2.0"),
     "u9_williams_r_14_1m" -> williamsSql(14),
     "u10_donchian_20_1m" -> donchianSql(20),

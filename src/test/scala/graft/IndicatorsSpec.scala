@@ -153,6 +153,27 @@ class IndicatorsSpec extends SparkSpec {
     assert(math.abs(out(3).getDouble(1) - (mid4 + 8.0)) < 1e-12)
   }
 
+  test("Parabolic SAR: ratchet, two-bar clamp, and a hand-traced trend flip") {
+    val rows = Seq(
+      (10.0, 9.0, 9.5), (11.0, 10.0, 10.5), (12.0, 10.5, 11.5),
+      (9.2, 8.8, 9.0), (9.0, 8.5, 8.7)
+    ).zipWithIndex.map { case ((h, l, c), i) =>
+      ("A", "1m", ts(f"2024-01-01 00:0$i:00"), c, h, l, c)
+    }.toDF("pair", "timeframe", "time", "open", "high", "low", "close")
+    val out = Indicators.sar(rows).orderBy("time")
+      .select("value").collect().map(_.getDouble(0))
+    // bar2: initial sar = bar1 low 9.0; bar3: 9 + 0.02*(11-9) = 9.04 but
+    // the up-clamp holds the stop at min(9.04, low1=9, low2=10) = 9.0
+    // (ep ratchets to 12, af to 0.04); bar4: stop 9 + 0.04*(12-9) = 9.12,
+    // low 8.8 crosses it -> FLIP, sar = prior EP 12; bar5:
+    // 12 + 0.02*(8.8-12) = 11.936 clamps back UP to prior high 12
+    assert(out.length === 4)
+    assert(out(0) === 9.0)
+    assert(out(1) === 9.0)
+    assert(out(2) === 12.0)
+    assert(out(3) === 12.0)
+  }
+
   test("ROC: 100*(close/lag - 1), null until the lag exists") {
     val out = values(Indicators.roc(hlcCandles, 2), "A")
     val exp = Seq(None, None, Some(0.0), Some((12.0 / 11.0 - 1.0) * 100.0),
