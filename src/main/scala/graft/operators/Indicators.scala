@@ -527,6 +527,58 @@ object Indicators {
       .toDF("pair", "timeframe", "time", "value")
   }
 
+  /** U18: SuperTrend — Wilder-ATR bands around the bar midpoint with
+    * one-way band ratchets and a trend flip when the close crosses the
+    * active band: `ub/lb = (h+l)/2 ± mult·ATR(p)`; the final upper band
+    * only falls (unless the prior close broke it), the final lower band
+    * only rises; trend turns down when close < final lower in an
+    * uptrend, up when close > final upper in a downtrend; the line is
+    * the active band. Init at the first ATR bar: trend is up iff close
+    * exceeds that bar's upper band. Same single-shuffle fold family as
+    * [[atr]]/[[sar]]; the oracle replays the identical state machine. */
+  def supertrend(candles: DataFrame, period: Int = 10,
+                 mult: Double = 3.0): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select($"pair", $"timeframe", $"time", $"high", $"low", $"close").as[HlcRow]
+      .groupByKey(r => (r.pair, r.timeframe))
+      .flatMapSortedGroups($"time") { case ((pair, tf), rows) =>
+        var prevClose = 0.0
+        var trSum = 0.0
+        var atrV = 0.0
+        var fub = 0.0; var flb = 0.0
+        var dirUp = false
+        rows.zipWithIndex.map { case (r, i) =>
+          val out =
+            if (i == 0) None
+            else {
+              val tr = math.max(r.high - r.low,
+                math.max(math.abs(r.high - prevClose), math.abs(r.low - prevClose)))
+              if (i < period) { trSum += tr; None }
+              else {
+                if (i == period) atrV = (trSum + tr) / period
+                else atrV = (atrV * (period - 1) + tr) / period
+                val mid = (r.high + r.low) / 2.0
+                val ub = mid + mult * atrV
+                val lb = mid - mult * atrV
+                if (i == period) { fub = ub; flb = lb; dirUp = r.close > fub }
+                else {
+                  if (ub < fub || prevClose > fub) fub = ub
+                  if (lb > flb || prevClose < flb) flb = lb
+                  if (dirUp && r.close < flb) dirUp = false
+                  else if (!dirUp && r.close > fub) dirUp = true
+                }
+                Some((if (dirUp) flb else fub, dirUp))
+              }
+            }
+          prevClose = r.close
+          (pair, tf, r.time, out.map(_._1), out.map(_._2))
+        }
+      }
+      .toDF("pair", "timeframe", "time", "value", "dir_up")
+  }
+
   /** On-balance volume over candles carrying a `vol` column: running sum of
     * volume signed by the close-to-close direction (first candle contributes
     * 0 by convention). Integer arithmetic throughout — exact at any scale —

@@ -78,6 +78,11 @@ object IndicatorQueries {
           lit(14).as("period"), round(col("pdi"), 6).as("pdi"),
           round(col("ndi"), 6).as("ndi"), round(col("adx"), 6).as("adx"))),
     "u15_cci_20_1m" -> ((s, d) => indOut(Indicators.cci(candles1m(s, d), 20))),
+    "u18_supertrend_1m" -> ((s, d) =>
+      Indicators.supertrend(candles1m(s, d), period = 10, mult = 3.0)
+        .filter(col("value").isNotNull) // oracle emits warm rows only
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          round(col("value"), 6).as("value"), col("dir_up"))),
     "u17_sar_1m" -> ((s, d) =>
       Indicators.sar(candles1m(s, d))
         .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
@@ -380,6 +385,65 @@ object IndicatorQueries {
        |       round(sar, 6) AS value
        |FROM r""".stripMargin
 
+  /** SuperTrend oracle — the atrSql recursion extended with the two band
+    * ratchets and the direction flip, in the same operation order as
+    * [[graft.operators.Indicators.supertrend]]. fub'/flb' are computed in
+    * an inner layer because the flip test reads the UPDATED bands. */
+  private def supertrendSql(p: Int, mult: String): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS (SELECT pair, time, high, low, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |r AS (
+       |  SELECT pair, rn, time, close AS prev_close,
+       |         CAST(0.0 AS DOUBLE) AS tr_sum, CAST(NULL AS DOUBLE) AS atr,
+       |         CAST(NULL AS DOUBLE) AS fub, CAST(NULL AS DOUBLE) AS flb,
+       |         CAST(NULL AS BOOLEAN) AS dir_up
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT pair, rn, time, close,
+       |         CASE WHEN rn <= $p THEN tr_sum + tr ELSE CAST(0.0 AS DOUBLE) END,
+       |         atr2,
+       |         fub2, flb2,
+       |         CASE WHEN rn <= $p THEN NULL
+       |              WHEN rn = ${p + 1} THEN close > fub2
+       |              WHEN dir_up AND close < flb2 THEN FALSE
+       |              WHEN NOT dir_up AND close > fub2 THEN TRUE
+       |              ELSE dir_up END
+       |  FROM (
+       |    SELECT pair, rn, time, close, tr_sum, tr, dir_up, prev_close,
+       |           atr2,
+       |           CASE WHEN rn <= $p THEN NULL
+       |                WHEN rn = ${p + 1} THEN (high + low) / 2.0 + $mult * atr2
+       |                WHEN ((high + low) / 2.0 + $mult * atr2) < fub
+       |                     OR prev_close > fub
+       |                THEN (high + low) / 2.0 + $mult * atr2
+       |                ELSE fub END AS fub2,
+       |           CASE WHEN rn <= $p THEN NULL
+       |                WHEN rn = ${p + 1} THEN (high + low) / 2.0 - $mult * atr2
+       |                WHEN ((high + low) / 2.0 - $mult * atr2) > flb
+       |                     OR prev_close < flb
+       |                THEN (high + low) / 2.0 - $mult * atr2
+       |                ELSE flb END AS flb2
+       |    FROM (
+       |      SELECT c.pair, c.rn, c.time, c.close, c.high, c.low,
+       |             r.tr_sum, r.fub, r.flb, r.dir_up, r.prev_close,
+       |             greatest(c.high - c.low, abs(c.high - r.prev_close),
+       |                      abs(c.low - r.prev_close)) AS tr,
+       |             CASE WHEN c.rn <= $p THEN NULL
+       |                  WHEN c.rn = ${p + 1}
+       |                  THEN (r.tr_sum + greatest(c.high - c.low,
+       |                         abs(c.high - r.prev_close),
+       |                         abs(c.low - r.prev_close))) / $p
+       |                  ELSE (r.atr * ${p - 1} + greatest(c.high - c.low,
+       |                         abs(c.high - r.prev_close),
+       |                         abs(c.low - r.prev_close))) / $p END AS atr2
+       |      FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t1) t2)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       round(CASE WHEN dir_up THEN flb ELSE fub END, 6) AS value,
+       |       dir_up
+       |FROM r WHERE rn > $p""".stripMargin
+
   private def stochSql(p: Int): String =
     s"""$prelude,
        |b AS (
@@ -638,6 +702,7 @@ object IndicatorQueries {
     "u14_ichimoku_1m" -> ichimokuSql(9, 26, 52),
     "u15_cci_20_1m" -> cciSql(20),
     "u17_sar_1m" -> sarSql("0.02", "0.2"),
+    "u18_supertrend_1m" -> supertrendSql(10, "3.0"),
     "u16_keltner_1m" -> keltnerSql(20, 10, "2.0"),
     "u9_williams_r_14_1m" -> williamsSql(14),
     "u10_donchian_20_1m" -> donchianSql(20),

@@ -174,6 +174,26 @@ class IndicatorsSpec extends SparkSpec {
     assert(out(3) === 12.0)
   }
 
+  test("SuperTrend: band ratchets and flips, hand-traced both directions") {
+    val rows = Seq(
+      (10.5, 9.5, 10.0), (11.5, 10.5, 11.0), (12.5, 11.5, 12.0),
+      (13.5, 12.5, 13.0), (14.5, 13.5, 14.0), (6.0, 4.0, 5.0)
+    ).zipWithIndex.map { case ((h, l, c), i) =>
+      ("A", "1m", ts(f"2024-01-01 00:0$i:00"), c, h, l, c)
+    }.toDF("pair", "timeframe", "time", "open", "high", "low", "close")
+    val out = Indicators.supertrend(rows, period = 2, mult = 1.0)
+      .orderBy("time").select("value", "dir_up").collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0)) // warm-up
+    // init bar: close 12 <= ub 13.5 -> down, line = fub; flb ratchets up
+    // under the rally until close 14 breaks fub 13.5 -> UP, line = flb
+    // 12.5; the crash bar drops fub to 10.75 and close 5 < flb -> DOWN
+    val exp = Seq((13.5, false), (13.5, false), (12.5, true), (10.75, false))
+    exp.zipWithIndex.foreach { case ((v, dir), i) =>
+      assert(out(i + 2).getDouble(0) === v, s"bar ${i + 3} line")
+      assert(out(i + 2).getBoolean(1) === dir, s"bar ${i + 3} dir")
+    }
+  }
+
   test("ROC: 100*(close/lag - 1), null until the lag exists") {
     val out = values(Indicators.roc(hlcCandles, 2), "A")
     val exp = Seq(None, None, Some(0.0), Some((12.0 / 11.0 - 1.0) * 100.0),
