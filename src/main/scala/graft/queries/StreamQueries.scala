@@ -356,6 +356,30 @@ object StreamQueries {
           round(col("corr"), 6).as("corr"), round(col("beta"), 6).as("beta"))
     }),
 
+    // T15 (tick-grain trailing stop): parabolic SAR as keyed streaming
+    // state — the THIRTEENTH streaming primitive, the live stop-loss line
+    // a serving layer polls per tick. Per-row emission like t8 (no
+    // watermark cutoff); bit-exact against the tick-series recursive CTE.
+    "t15_sar_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t15-").toString
+      import s.implicits._
+      withStreamShuffle(s, 8) {
+        val ticks = tickStream(s, d)
+          .select(col("pair"), col("time"), col("seq"), col("bid")).as[SeqTick]
+        awaitAndRecord("t15_sar_stream",
+          Streams.sarStream(ticks)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/sink")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      }
+      s.read.parquet(s"$tmp/sink")
+        .select(col("pair"), unix_micros(col("time")).as("time_us"),
+          round(col("value"), 6).as("value"))
+    }),
+
     // T14b (all-combos streaming correlation matrix): the same fold as
     // t14 keyed by combo — every tick fans out to its P-1 combos, the
     // P·(P-1)/2 groups fold independently (the streaming twin of w13's
@@ -589,6 +613,49 @@ object StreamQueries {
          |  FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1)
          |SELECT pair, epoch_us(time) AS time_us, round(prev, 6) AS ema
          |FROM r WHERE prev IS NOT NULL""".stripMargin,
+
+    // batch restatement: the u17 SAR state machine at tick grain (point
+    // bars: tr = |Δbid|, clamp window = prior two bids), replayed in the
+    // (epoch_us, seq) total order the fold uses
+    "t15_sar_stream" ->
+      s"""WITH RECURSIVE ${TradingQueries.ticksCte},
+         |c AS (SELECT pair, time, bid,
+         |             row_number() OVER (PARTITION BY pair
+         |               ORDER BY epoch_us(time), seq) AS rn
+         |      FROM ticks),
+         |r AS (
+         |  SELECT c2.pair, c2.rn, c2.time,
+         |         (c2.bid >= c1.bid) AS up,
+         |         c1.bid AS sar, c2.bid AS ep,
+         |         CAST(0.02 AS DOUBLE) AS af,
+         |         c2.bid AS b1, c1.bid AS b2
+         |  FROM c c1 JOIN c c2 ON c1.pair = c2.pair AND c1.rn = 1 AND c2.rn = 2
+         |  UNION ALL
+         |  SELECT pair, rn, time,
+         |         CASE WHEN flip THEN NOT up ELSE up END,
+         |         CASE WHEN flip THEN ep ELSE s1 END,
+         |         CASE WHEN flip THEN bid
+         |              WHEN up AND bid > ep THEN bid
+         |              WHEN NOT up AND bid < ep THEN bid
+         |              ELSE ep END,
+         |         CASE WHEN flip THEN CAST(0.02 AS DOUBLE)
+         |              WHEN up AND bid > ep THEN least(af + 0.02, 0.2)
+         |              WHEN NOT up AND bid < ep THEN least(af + 0.02, 0.2)
+         |              ELSE af END,
+         |         bid, b1
+         |  FROM (
+         |    SELECT r.pair, c.rn, c.time, r.up, r.ep, r.af, r.b1, c.bid,
+         |           CASE WHEN r.up
+         |                THEN c.bid < least(r.sar + r.af * (r.ep - r.sar), r.b1, r.b2)
+         |                ELSE c.bid > greatest(r.sar + r.af * (r.ep - r.sar), r.b1, r.b2)
+         |           END AS flip,
+         |           CASE WHEN r.up
+         |                THEN least(r.sar + r.af * (r.ep - r.sar), r.b1, r.b2)
+         |                ELSE greatest(r.sar + r.af * (r.ep - r.sar), r.b1, r.b2)
+         |           END AS s1
+         |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t)
+         |SELECT pair, epoch_us(time) AS time_us, round(sar, 6) AS value
+         |FROM r""".stripMargin,
 
     // batch restatement: w12's aligned-grid rolling moments with the
     // append-mode cutoff — the fold's open minute at shutdown (the max

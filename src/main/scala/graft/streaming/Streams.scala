@@ -48,6 +48,15 @@ final case class CorrComboState(openMinute: Long,
 final case class CorrPoint(time: Timestamp, n: Int,
                            corr: Option[Double], beta: Option[Double])
 
+/** Carried state of the streaming tick-grain parabolic-SAR fold (T15):
+  * bootstrap count/first bid, the prior two bids (the clamp window), and
+  * the (trend, sar, ep, af) stop state. */
+final case class SarState(n: Long, firstBid: Double, b1: Double, b2: Double,
+                          up: Boolean, sar: Double, ep: Double, af: Double)
+
+/** One emitted trailing-stop point (from the second tick onward). */
+final case class SarPoint(pair: String, time: Timestamp, value: Double)
+
 /** A [[CorrPoint]] labeled with its pair combo (the all-combos stream). */
 final case class CorrPointCombo(pair_a: String, pair_b: String,
                                 time: Timestamp, n: Int,
@@ -395,6 +404,56 @@ object Streams {
             else { prev = (r.bid - prev) * k + prev; out += EmaPoint(pair, r.time, prev) }
           }
         state.update(EmaState(n, seed, prev))
+        out.result().iterator
+      }
+  }
+
+  /** T15: tick-grain parabolic SAR as keyed streaming state — the LIVE
+    * trailing stop a serving layer polls (the batch u17 runs on candles;
+    * at tick grain every bar is a point, so the true range degenerates to
+    * |Δbid| and the two-bar clamp to the prior two bids). Same Wilder
+    * state machine as [[graft.operators.Indicators.sar]], 8 values of
+    * state per pair, folded in the (µs, seq) total order every other
+    * streaming fold uses — emitted points are batch-split-independent and
+    * bit-exact against the tick-series recursive-CTE oracle. */
+  def sarStream(ticks: Dataset[SeqTick], afStep: Double = 0.02,
+                afMax: Double = 0.2): Dataset[SarPoint] = {
+    require(afStep > 0 && afMax >= afStep, "need 0 < afStep <= afMax")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.groupByKey(_.pair)
+      .flatMapGroupsWithState[SarState, SarPoint](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (pair, rows, state: GroupState[SarState]) =>
+        var st = state.getOption.getOrElse(
+          SarState(0L, 0.0, 0.0, 0.0, up = false, 0.0, 0.0, afStep))
+        val out = Vector.newBuilder[SarPoint]
+        rows.toVector
+          .sortBy(r => (r.time.getTime / 1000, r.time.getNanos, r.seq))
+          .foreach { r =>
+            if (st.n == 0) st = st.copy(n = 1, firstBid = r.bid)
+            else if (st.n == 1) {
+              st = SarState(2, st.firstBid, r.bid, st.firstBid,
+                up = r.bid >= st.firstBid, sar = st.firstBid, ep = r.bid,
+                af = afStep)
+              out += SarPoint(pair, r.time, st.sar)
+            } else {
+              var up = st.up; var ep = st.ep; var af = st.af
+              var s = st.sar + af * (ep - st.sar)
+              if (up) {
+                s = math.min(s, math.min(st.b1, st.b2))
+                if (r.bid < s) { up = false; s = ep; ep = r.bid; af = afStep }
+                else if (r.bid > ep) { ep = r.bid; af = math.min(af + afStep, afMax) }
+              } else {
+                s = math.max(s, math.max(st.b1, st.b2))
+                if (r.bid > s) { up = true; s = ep; ep = r.bid; af = afStep }
+                else if (r.bid < ep) { ep = r.bid; af = math.min(af + afStep, afMax) }
+              }
+              st = SarState(st.n + 1, st.firstBid, r.bid, st.b1, up, s, ep, af)
+              out += SarPoint(pair, r.time, s)
+            }
+          }
+        state.update(st)
         out.result().iterator
       }
   }

@@ -146,6 +146,46 @@ class StateRestartSpec extends SparkSpec {
     assert(x9.isDefined, s"no row proves carried peak state: $a")
   }
 
+  // ------------------------------------------------ t15: tick-grain SAR
+
+  private def runSar(src: String, sink: String, ckpt: String): Unit = {
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    Streams.sarStream(stream.as[SeqTick])
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+  }
+
+  test("t15: the trailing-stop state machine resumes bit-exactly after a kill") {
+    // reuses the EMA chunks: X's bid path (10,11,12,9,14,13) flips the
+    // stop around the kill point, so the restart must restore (trend,
+    // sar, ep, af) AND the two-bid clamp window to reproduce the path
+    val root = Files.createTempDirectory("graft-t15-restart-").toString
+    val (srcA, srcB) = (s"$root/srcA", s"$root/srcB")
+    new java.io.File(srcA).mkdirs(); new java.io.File(srcB).mkdirs()
+    emaChunks.zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcA, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runSar(srcA, s"$root/sinkA", s"$root/ckptA")
+    emaChunks.take(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runSar(srcB, s"$root/sinkB", s"$root/ckptB")
+    emaChunks.drop(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c${i + 2}", 1600000120000L + i * 60000L)
+    }
+    runSar(srcB, s"$root/sinkB", s"$root/ckptB")
+    def rows(sink: String) = spark.read.parquet(sink)
+      .select("pair", "time", "value").orderBy("pair", "time")
+      .collect().map(_.toString).toSeq
+    val (a, b) = (rows(s"$root/sinkA"), rows(s"$root/sinkB"))
+    assert(a.nonEmpty, "reference run emitted nothing")
+    assert(b === a)
+  }
+
   // ---------------------------------------- t14: cross-pair correlation
 
   // n=2 so corr warms fast. The kill lands MID-MINUTE: chunk 1 ends
