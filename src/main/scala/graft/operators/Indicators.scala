@@ -579,6 +579,36 @@ object Indicators {
       .toDF("pair", "timeframe", "time", "value", "dir_up")
   }
 
+  /** W15: classic floor-trader pivot points — the support/resistance
+    * ladder every trading desk publishes each morning: from the PRIOR
+    * day's high/low/close, `P = (H+L+C)/3`, `R1 = 2P − L`, `S1 = 2P − H`,
+    * `R2 = P + (H−L)`, `S2 = P − (H−L)`, `R3 = H + 2(P−L)`,
+    * `S3 = L − 2(H−P)`. Daily bars roll up from the 1m candles (close =
+    * last by time); the lag runs over each pair's day sequence. One
+    * aggregation + one tiny window — trivially scale-safe. */
+  def pivotPoints(candles: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("pair")).orderBy(col("day"))
+    val daily = candles
+      .groupBy(col("pair"), date_trunc("day", col("time")).as("day"))
+      .agg(max(col("high")).as("h"), min(col("low")).as("l"),
+        max_by(col("close"), col("time")).as("c"))
+    val ph = lag(col("h"), 1).over(w)
+    val plo = lag(col("l"), 1).over(w)
+    val pc = lag(col("c"), 1).over(w)
+    daily
+      .select(col("pair"), col("day"),
+        ph.as("ph"), plo.as("pl"), pc.as("pc"))
+      .withColumn("p", (col("ph") + col("pl") + col("pc")) / 3.0)
+      .select(col("pair"), col("day"), col("p"),
+        (col("p") * 2.0 - col("pl")).as("r1"),
+        (col("p") * 2.0 - col("ph")).as("s1"),
+        (col("p") + (col("ph") - col("pl"))).as("r2"),
+        (col("p") - (col("ph") - col("pl"))).as("s2"),
+        (col("ph") + (col("p") - col("pl")) * 2.0).as("r3"),
+        (col("pl") - (col("ph") - col("p")) * 2.0).as("s3"))
+      .filter(col("p").isNotNull)
+  }
+
   /** On-balance volume over candles carrying a `vol` column: running sum of
     * volume signed by the close-to-close direction (first candle contributes
     * 0 by convention). Integer arithmetic throughout — exact at any scale —

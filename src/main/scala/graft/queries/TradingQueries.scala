@@ -252,6 +252,42 @@ object TradingQueries {
         .select(col("pair_a"), col("pair_b"), epochS("time"), col("n"),
           round(col("corr"), 6).as("corr"), round(col("beta"), 6).as("beta"))),
 
+    // volume profile per (pair, day): size-weighted volume histogram over
+    // half-point price bins, with the point of control (the bin holding
+    // the day's most volume, lowest bin on ties) flagged — the
+    // market-profile view desks read support/acceptance from. Bin math is
+    // exact: mids sit on the 6-dp grid, so mid*2 and its floor are exact
+    // doubles; volumes are integer sums. One shuffle to the bins, one
+    // tiny per-(pair,day) window over bin rows.
+    "w14_volume_profile" -> ((s, d) => {
+      val t = Ticks.withMid(Ticks.valid(Ticks.fromEventsWithSize(Tables.events(s, d))))
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pair"), col("day"))
+        .orderBy(col("vol").desc, col("bin").asc)
+      t.filter(col("size").isNotNull)
+        .groupBy(col("pair"), date_trunc("day", col("time")).as("day"),
+          // round to the 6-dp grid BEFORE the bin floor (both engines):
+          // grid values at bin boundaries (.0/.5) are exact doubles, so
+          // floor(grid*2) can never straddle an ulp across engines
+          floor(round(col("mid"), 6) * 2.0).cast("bigint").as("bin"))
+        .agg(sum(col("size")).cast("bigint").as("vol"),
+          count(lit(1)).as("n_ticks"))
+        .withColumn("poc", row_number().over(wd) === 1)
+        .select(col("pair"), unix_timestamp(col("day")).as("day_s"),
+          col("bin"), (col("bin") / lit(2.0)).as("price_lo"),
+          col("vol"), col("n_ticks"), col("poc"))
+    }),
+
+    // floor-trader pivot ladder from the prior day's daily bar — the
+    // support/resistance levels a desk publishes each morning
+    "w15_pivot_points" -> ((s, d) =>
+      graft.operators.Indicators.pivotPoints(candles1m(s, d))
+        .select(col("pair"), unix_timestamp(col("day")).as("day_s"),
+          round(col("p"), 6).as("p"),
+          round(col("r1"), 6).as("r1"), round(col("s1"), 6).as("s1"),
+          round(col("r2"), 6).as("r2"), round(col("s2"), 6).as("s2"),
+          round(col("r3"), 6).as("r3"), round(col("s3"), 6).as("s3"))),
+
     // running-peak drawdown per pair (the risk metric behind every
     // backtest report): cumulative max is a running frame (O(1)/row), the
     // drawdown is a single subtraction — no float accumulation anywhere,
@@ -450,6 +486,46 @@ object TradingQueries {
          |            THEN round((30.0 * sxy - sx * sy) / (30.0 * sxx - sx * sx), 6)
          |       END AS beta
          |FROM s""".stripMargin,
+
+    "w14_volume_profile" ->
+      """WITH tks AS (
+        |  SELECT event_type AS pair, ts AS time, value AS bid,
+        |         value + 0.01 AS ask,
+        |         CAST(props::JSON->>'k' AS INTEGER) AS sz
+        |  FROM events
+        |  WHERE value > 0 AND value + 0.01 > 0 AND value <= value + 0.01),
+        |b AS (
+        |  SELECT pair, date_trunc('day', time) AS day,
+        |         CAST(floor(round((bid + ask) / 2, 6) * 2.0) AS BIGINT) AS bin,
+        |         sum(sz)::BIGINT AS vol, count(*) AS n_ticks
+        |  FROM tks WHERE sz IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT pair, epoch(day)::BIGINT AS day_s, bin, bin / 2.0 AS price_lo,
+        |       vol, n_ticks,
+        |       row_number() OVER (PARTITION BY pair, day
+        |                          ORDER BY vol DESC, bin ASC) = 1 AS poc
+        |FROM b""".stripMargin,
+
+    "w15_pivot_points" ->
+      s"""WITH $ticksCte, $dedupCte, $c1mCte,
+         |daily AS (
+         |  SELECT pair, date_trunc('day', time) AS day,
+         |         max(high) AS h, min(low) AS l, max_by(close, time) AS c
+         |  FROM c1m GROUP BY 1, 2),
+         |lagged AS (
+         |  SELECT pair, day,
+         |         lag(h) OVER w AS ph, lag(l) OVER w AS pl, lag(c) OVER w AS pc
+         |  FROM daily WINDOW w AS (PARTITION BY pair ORDER BY day)),
+         |pv AS (
+         |  SELECT pair, day, ph, pl, pc, (ph + pl + pc) / 3.0 AS p FROM lagged)
+         |SELECT pair, epoch(day)::BIGINT AS day_s,
+         |       round(p, 6) AS p,
+         |       round(p * 2.0 - pl, 6) AS r1,
+         |       round(p * 2.0 - ph, 6) AS s1,
+         |       round(p + (ph - pl), 6) AS r2,
+         |       round(p - (ph - pl), 6) AS s2,
+         |       round(ph + (p - pl) * 2.0, 6) AS r3,
+         |       round(pl - (ph - p) * 2.0, 6) AS s3
+         |FROM pv WHERE p IS NOT NULL""".stripMargin,
 
     "w7_max_drawdown" ->
       s"""WITH $ticksCte, $dedupCte, $c1mCte,
