@@ -19,6 +19,8 @@ final case class MacdRow(pair: String, timeframe: String, time: Timestamp,
 
 /** Full-candle row for folds that need the high/low range (ATR). Public for
   * the same Catalyst-deserializer reason as [[CloseRow]]. */
+final case class OhlcRow(pair: String, timeframe: String, time: Timestamp,
+                         open: Double, high: Double, low: Double, close: Double)
 final case class HlcRow(pair: String, timeframe: String, time: Timestamp,
                         high: Double, low: Double, close: Double)
 
@@ -607,6 +609,65 @@ object Indicators {
         (col("ph") + (col("p") - col("pl")) * 2.0).as("r3"),
         (col("pl") - (col("ph") - col("p")) * 2.0).as("s3"))
       .filter(col("p").isNotNull)
+  }
+
+  /** A11: Heikin-Ashi candles — the trend-smoothing recast every charting
+    * stack offers: `haClose = (o+h+l+c)/4` per bar, `haOpen` recursing as
+    * the midpoint of the PRIOR bar's haOpen/haClose (seed: (o₁+c₁)/2),
+    * `haHigh/haLow` the extremes of the raw bar vs both HA values. The
+    * haOpen recurrence makes this a fold (same single-shuffle family as
+    * EMA); every op is +, /2, /4, min/max — bit-exact in the
+    * recursive-CTE oracle. */
+  def heikinAshi(candles: DataFrame): DataFrame = {
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select($"pair", $"timeframe", $"time", $"open", $"high", $"low", $"close")
+      .as[OhlcRow]
+      .groupByKey(r => (r.pair, r.timeframe))
+      .flatMapSortedGroups($"time") { case ((pair, tf), rows) =>
+        var haOpen = 0.0; var haClose = 0.0; var first = true
+        rows.map { r =>
+          val hc = (r.open + r.high + r.low + r.close) / 4.0
+          val ho = if (first) { first = false; (r.open + r.close) / 2.0 }
+                   else (haOpen + haClose) / 2.0
+          haOpen = ho; haClose = hc
+          val hh = math.max(r.high, math.max(ho, hc))
+          val hl = math.min(r.low, math.min(ho, hc))
+          (pair, tf, r.time, ho, hh, hl, hc)
+        }
+      }
+      .toDF("pair", "timeframe", "time", "ha_open", "ha_high", "ha_low", "ha_close")
+  }
+
+  /** W16: candlestick pattern flags — the screener predicates a desk runs
+    * over every bar (definitions documented here and pinned by the
+    * oracle): doji (body ≤ 10% of a nonzero range), hammer (range > 3×
+    * body, lower shadow ≥ 2× body, upper shadow ≤ body), bullish/bearish
+    * engulfing (current body swallows a prior opposite-color body). Pure
+    * per-row comparisons plus one lag — stateless at any scale. */
+  def candlePatterns(candles: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val body = abs(col("close") - col("open"))
+    val range = col("high") - col("low")
+    val upper = col("high") - greatest(col("open"), col("close"))
+    val lower = least(col("open"), col("close")) - col("low")
+    candles
+      .select(col("pair"), col("timeframe"), col("time"),
+        col("open"), col("high"), col("low"), col("close"),
+        lag(col("open"), 1).over(w).as("po"),
+        lag(col("close"), 1).over(w).as("pc"))
+      .select(col("pair"), col("timeframe"), col("time"),
+        (range > 0.0 && body <= range * 0.1).as("doji"),
+        (range > body * 3.0 && lower >= body * 2.0 && upper <= body)
+          .as("hammer"),
+        coalesce(col("pc") < col("po") && col("close") > col("open") &&
+          col("open") <= col("pc") && col("close") >= col("po"), lit(false))
+          .as("bull_engulf"),
+        coalesce(col("pc") > col("po") && col("close") < col("open") &&
+          col("open") >= col("pc") && col("close") <= col("po"), lit(false))
+          .as("bear_engulf"))
+      .filter(col("doji") || col("hammer") || col("bull_engulf") ||
+        col("bear_engulf"))
   }
 
   /** On-balance volume over candles carrying a `vol` column: running sum of

@@ -278,6 +278,24 @@ object TradingQueries {
           col("vol"), col("n_ticks"), col("poc"))
     }),
 
+    // Heikin-Ashi recast of the 1m candles (haOpen recurrence = fold)
+    "a11_heikin_ashi" -> ((s, d) =>
+      graft.operators.Indicators.heikinAshi(candles1m(s, d))
+        .select(col("pair"), col("timeframe"), epochS("time"),
+          round(col("ha_open"), 6).as("ha_open"),
+          round(col("ha_high"), 6).as("ha_high"),
+          round(col("ha_low"), 6).as("ha_low"),
+          round(col("ha_close"), 6).as("ha_close"))),
+
+    // candlestick screener: doji / hammer / engulfing flags per 1h bar —
+    // 1m bars in this feed are mostly single-tick (open=close=high=low),
+    // so the screener runs at the grain where OHLC shape is real
+    "w16_candle_patterns" -> ((s, d) =>
+      graft.operators.Indicators.candlePatterns(
+        Ohlc.resample(candles1m(s, d), Timeframe.byCode("1h")))
+        .select(col("pair"), col("timeframe"), epochS("time"),
+          col("doji"), col("hammer"), col("bull_engulf"), col("bear_engulf"))),
+
     // floor-trader pivot ladder from the prior day's daily bar — the
     // support/resistance levels a desk publishes each morning
     "w15_pivot_points" -> ((s, d) =>
@@ -486,6 +504,52 @@ object TradingQueries {
          |            THEN round((30.0 * sxy - sx * sy) / (30.0 * sxx - sx * sx), 6)
          |       END AS beta
          |FROM s""".stripMargin,
+
+    "a11_heikin_ashi" ->
+      s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+         |c AS (SELECT pair, time, open, high, low, close,
+         |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+         |      FROM c1m),
+         |r AS (
+         |  SELECT pair, rn, time, high, low,
+         |         (open + close) / 2.0 AS ha_open,
+         |         (open + high + low + close) / 4.0 AS ha_close
+         |  FROM c WHERE rn = 1
+         |  UNION ALL
+         |  SELECT c.pair, c.rn, c.time, c.high, c.low,
+         |         (r.ha_open + r.ha_close) / 2.0,
+         |         (c.open + c.high + c.low + c.close) / 4.0
+         |  FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1)
+         |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+         |       round(ha_open, 6) AS ha_open,
+         |       round(greatest(high, ha_open, ha_close), 6) AS ha_high,
+         |       round(least(low, ha_open, ha_close), 6) AS ha_low,
+         |       round(ha_close, 6) AS ha_close
+         |FROM r""".stripMargin,
+
+    "w16_candle_patterns" ->
+      s"""WITH $ticksCte, $dedupCte, $c1mCte,
+         |c1h AS (${resampleSql(3600)}),
+         |b AS (
+         |  SELECT pair, time_s, open, high, low, close,
+         |         lag(open) OVER w AS po, lag(close) OVER w AS pc,
+         |         abs(close - open) AS body, high - low AS rng,
+         |         high - greatest(open, close) AS upper_s,
+         |         least(open, close) - low AS lower_s
+         |  FROM c1h WINDOW w AS (PARTITION BY pair ORDER BY time_s)),
+         |f AS (
+         |  SELECT pair, time_s,
+         |         (rng > 0.0 AND body <= rng * 0.1) AS doji,
+         |         (rng > body * 3.0 AND lower_s >= body * 2.0
+         |          AND upper_s <= body) AS hammer,
+         |         coalesce(pc < po AND close > open
+         |                  AND open <= pc AND close >= po, FALSE) AS bull_engulf,
+         |         coalesce(pc > po AND close < open
+         |                  AND open >= pc AND close <= po, FALSE) AS bear_engulf
+         |  FROM b)
+         |SELECT pair, '1h' AS timeframe, time_s,
+         |       doji, hammer, bull_engulf, bear_engulf
+         |FROM f WHERE doji OR hammer OR bull_engulf OR bear_engulf""".stripMargin,
 
     "w14_volume_profile" ->
       """WITH tks AS (

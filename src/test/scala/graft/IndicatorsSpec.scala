@@ -194,6 +194,38 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("Heikin-Ashi: haOpen recurrence, extremes span raw and HA values") {
+    val rows = Seq((10.0, 12.0, 9.0, 11.0), (11.0, 13.0, 10.0, 12.0))
+      .zipWithIndex.map { case ((o, h, l, c), i) =>
+        ("A", "1m", ts(f"2024-01-01 00:0$i:00"), o, h, l, c)
+      }.toDF("pair", "timeframe", "time", "open", "high", "low", "close")
+    val out = Indicators.heikinAshi(rows).orderBy("time")
+      .select("ha_open", "ha_high", "ha_low", "ha_close").collect()
+    assert(out(0).getDouble(0) === 10.5 && out(0).getDouble(3) === 10.5)
+    assert(out(0).getDouble(1) === 12.0 && out(0).getDouble(2) === 9.0)
+    // bar2: haOpen = (10.5 + 10.5)/2; haClose = (11+13+10+12)/4
+    assert(out(1).getDouble(0) === 10.5 && out(1).getDouble(3) === 11.5)
+    assert(out(1).getDouble(1) === 13.0 && out(1).getDouble(2) === 10.0)
+  }
+
+  test("candle patterns: doji, hammer, and a bullish engulfing sequence") {
+    val rows = Seq(
+      (10.0, 11.0, 9.0, 10.05),    // doji: body .05 <= 10% of range 2
+      (10.5, 10.65, 9.5, 10.6),    // hammer: long lower shadow, tiny upper
+      (11.0, 11.1, 10.4, 10.5),    // bearish bar setting up the engulfing
+      (10.4, 11.3, 10.3, 11.2)     // bullish body swallowing the prior one
+    ).zipWithIndex.map { case ((o, h, l, c), i) =>
+      ("A", "1m", ts(f"2024-01-01 00:0$i:00"), o, h, l, c)
+    }.toDF("pair", "timeframe", "time", "open", "high", "low", "close")
+    val out = Indicators.candlePatterns(rows).orderBy("time").collect()
+    val byTime = out.map(r => r.getTimestamp(2).toString.substring(14, 16) ->
+      (r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    assert(byTime("00")._1, "bar1 must flag doji")
+    assert(byTime("01")._2, "bar2 must flag hammer")
+    assert(byTime("03")._3, "bar4 must flag bull_engulf")
+    assert(!byTime.contains("02") || !byTime("02")._3)
+  }
+
   test("ROC: 100*(close/lag - 1), null until the lag exists") {
     val out = values(Indicators.roc(hlcCandles, 2), "A")
     val exp = Seq(None, None, Some(0.0), Some((12.0 / 11.0 - 1.0) * 100.0),
