@@ -40,9 +40,11 @@ final case class AdxRow(pair: String, timeframe: String, time: Timestamp,
   *  - EMA/RSI are order-dependent recurrences, not expressible as frame
   *    aggregates — computed with `flatMapSortedGroups` (shuffle once on the
   *    series key, secondary-sort by time, single sequential fold per group).
-  *    One group = one (pair, timeframe) series, bounded in practice (a year
-  *    of 1m bars ≈ 525k rows), so groups never exceed executor memory even
-  *    at 100 TB total input.
+  *    MEMORY CONTRACT: every fold in this file streams the group's sorted
+  *    iterator through O(period) scalars of state — no fold materializes a
+  *    per-key collection — so a series of ANY length (tick grain, decades)
+  *    holds constant executor heap; the sort itself is Spark's spillable
+  *    external sort, not an in-memory buffer.
   *
   * Numerics replicate TA-Lib exactly (SURVEY.md §7.4): SMA/EMA have
   * `period-1` warm-up rows, RSI has `period`; warm-up emits NULL (the
@@ -66,13 +68,15 @@ object Indicators {
 
   /** U2: exponential moving average, TA-Lib semantics — seeded with the SMA
     * of the first `period` closes, then `ema = k*close + (1-k)*prev` with
-    * `k = 2/(period+1)`. */
+    * `k = 2/(period+1)`. State per series: an index and two doubles. */
   def ema(candles: DataFrame, period: Int, calcVersion: String = CalcVersion): Dataset[IndicatorValue] =
-    foldSeries(candles, "EMA", period, calcVersion) { closes =>
+    foldSeries(candles, "EMA", period, calcVersion) { () =>
       val k = 2.0 / (period + 1)
+      var i = -1
       var seedSum = 0.0
       var prev = 0.0
-      closes.zipWithIndex.map { case (c, i) =>
+      c => {
+        i += 1
         if (i < period - 1) { seedSum += c; None }
         else if (i == period - 1) { prev = (seedSum + c) / period; Some(prev) }
         else { prev = (c - prev) * k + prev; Some(prev) }
@@ -84,11 +88,13 @@ object Indicators {
     * smoothing `avg = (prevAvg*(period-1) + cur)/period`;
     * `rsi = 100*gain/(gain+loss)`, 0 when both averages are 0. */
   def rsi(candles: DataFrame, period: Int, calcVersion: String = CalcVersion): Dataset[IndicatorValue] =
-    foldSeries(candles, "RSI", period, calcVersion) { closes =>
+    foldSeries(candles, "RSI", period, calcVersion) { () =>
+      var i = -1
       var prevClose = 0.0
       var avgGain = 0.0
       var avgLoss = 0.0
-      closes.zipWithIndex.map { case (c, i) =>
+      c => {
+        i += 1
         val out =
           if (i == 0) None
           else {
@@ -483,9 +489,11 @@ object Indicators {
     * Convention (documented, pinned by the oracle): the initial trend at
     * bar 2 is up iff `close₂ ≥ close₁`; the first SAR is bar 1's low
     * (up) or high (down); rows emit from bar 2. One shuffle on the series
-    * key, 8 doubles of state per series; every step is +, ×, min/max and
-    * comparisons — spelled identically in the recursive-CTE oracle, so
-    * the whole path is bit-exact cross-engine. */
+    * key; the sorted group iterator streams through the fold — the two
+    * bootstrap bars plus the two-bar clamp window live in 8 locals, so
+    * per-key heap is O(1) (a tick-grain series never materializes). Every
+    * step is +, ×, min/max and comparisons — spelled identically in the
+    * recursive-CTE oracle, so the whole path is bit-exact cross-engine. */
   def sar(candles: DataFrame, afStep: Double = 0.02, afMax: Double = 0.2): DataFrame = {
     require(afStep > 0 && afMax >= afStep, s"need 0 < afStep <= afMax")
     val spark = candles.sparkSession
@@ -493,37 +501,37 @@ object Indicators {
     candles.select($"pair", $"timeframe", $"time", $"high", $"low", $"close").as[HlcRow]
       .groupByKey(r => (r.pair, r.timeframe))
       .flatMapSortedGroups($"time") { case ((pair, tf), rows) =>
-        val rs = rows.toVector
-        if (rs.length < 2) Iterator.empty
+        if (!rows.hasNext) Iterator.empty
         else {
-          var up = rs(1).close >= rs(0).close
-          var sarV = if (up) rs(0).low else rs(0).high
-          var ep = if (up) rs(1).high else rs(1).low
-          var af = afStep
-          var pl1 = rs(1).low; var pl2 = rs(0).low
-          var ph1 = rs(1).high; var ph2 = rs(0).high
-          val out = Vector.newBuilder[(String, String, Timestamp, Double)]
-          out += ((pair, tf, rs(1).time, sarV))
-          var i = 2
-          while (i < rs.length) {
-            val r = rs(i)
-            var s = sarV + af * (ep - sarV)
-            if (up) {
-              s = math.min(s, math.min(pl1, pl2))
-              if (r.low < s) { up = false; s = ep; ep = r.low; af = afStep }
-              else if (r.high > ep) { ep = r.high; af = math.min(af + afStep, afMax) }
-            } else {
-              s = math.max(s, math.max(ph1, ph2))
-              if (r.high > s) { up = true; s = ep; ep = r.high; af = afStep }
-              else if (r.low < ep) { ep = r.low; af = math.min(af + afStep, afMax) }
+          val r0 = rows.next()
+          if (!rows.hasNext) Iterator.empty
+          else {
+            val r1 = rows.next()
+            var up = r1.close >= r0.close
+            var sarV = if (up) r0.low else r0.high
+            var ep = if (up) r1.high else r1.low
+            var af = afStep
+            var pl1 = r1.low; var pl2 = r0.low
+            var ph1 = r1.high; var ph2 = r0.high
+            // lazy concat: the tail maps the still-unconsumed group iterator,
+            // one bar at a time, through the mutable stop state above
+            Iterator.single((pair, tf, r1.time, sarV)) ++ rows.map { r =>
+              var s = sarV + af * (ep - sarV)
+              if (up) {
+                s = math.min(s, math.min(pl1, pl2))
+                if (r.low < s) { up = false; s = ep; ep = r.low; af = afStep }
+                else if (r.high > ep) { ep = r.high; af = math.min(af + afStep, afMax) }
+              } else {
+                s = math.max(s, math.max(ph1, ph2))
+                if (r.high > s) { up = true; s = ep; ep = r.high; af = afStep }
+                else if (r.low < ep) { ep = r.low; af = math.min(af + afStep, afMax) }
+              }
+              sarV = s
+              pl2 = pl1; pl1 = r.low
+              ph2 = ph1; ph1 = r.high
+              (pair, tf, r.time, sarV)
             }
-            sarV = s
-            out += ((pair, tf, r.time, sarV))
-            pl2 = pl1; pl1 = r.low
-            ph2 = ph1; ph1 = r.high
-            i += 1
           }
-          out.result().iterator
         }
       }
       .toDF("pair", "timeframe", "time", "value")
@@ -689,20 +697,27 @@ object Indicators {
   }
 
   /** Shared recursive-fold plumbing: shuffle once on (pair, timeframe),
-    * secondary-sort by time, fold the in-order close sequence. `f` maps the
-    * ordered closes to per-row values (None = warm-up). */
+    * secondary-sort by time, fold the in-order close sequence. `mkStep`
+    * builds a FRESH stateful per-close step function per series (None =
+    * warm-up); the group's sorted iterator streams through it one row at a
+    * time, so per-key heap is the step's own state — O(period) scalars for
+    * every indicator in the family — never the series length. (The
+    * reference holds the whole series because its TA-Lib path is NumPy,
+    * transform_services.py:184-214 — the scalability ceiling SURVEY §4
+    * names; a decade of tick-grain rows per key streams through this fold
+    * in constant memory.) */
   private def foldSeries(candles: DataFrame, indicator: String, period: Int,
                          calcVersion: String)(
-      f: Seq[Double] => Seq[Option[Double]]): Dataset[IndicatorValue] = {
+      mkStep: () => Double => Option[Double]): Dataset[IndicatorValue] = {
     require(period >= 2, s"period must be >= 2, got $period")
     val spark = candles.sparkSession
     import spark.implicits._
     candles.select($"pair", $"timeframe", $"time", $"close").as[CloseRow]
       .groupByKey(r => (r.pair, r.timeframe))
       .flatMapSortedGroups($"time") { case ((pair, tf), rows) =>
-        val rs = rows.toVector
-        f(rs.map(_.close)).iterator.zip(rs.iterator).map { case (v, r) =>
-          IndicatorValue(indicator, pair, tf, r.time, period, calcVersion, v)
+        val step = mkStep()
+        rows.map { r =>
+          IndicatorValue(indicator, pair, tf, r.time, period, calcVersion, step(r.close))
         }
       }
   }

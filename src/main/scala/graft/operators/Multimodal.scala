@@ -143,10 +143,15 @@ object Multimodal {
       if (off + 4 > bytes.length) ""
       else new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     def u32(off: Int): Long =
-      if (off + 4 > bytes.length) -1L
+      if (off < 0 || off + 4 > bytes.length) -1L
       else ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
         ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
     def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    // version byte of a full box, bounds-checked: a truncated mvhd/tkhd whose
+    // payload offset lands at end-of-buffer must degrade (contract: poisoned
+    // media yields the stub row, never a task failure), not throw AIOOBE
+    def ver(off: Int): Int =
+      if (off < 0 || off >= bytes.length) -1 else bytes(off) & 0xff
     // the (id, dataOff, boxEnd) children of one box scope
     def children(start: Int, end: Int): List[(String, Int, Int)] = {
       val out = List.newBuilder[(String, Int, Int)]
@@ -172,13 +177,15 @@ object Multimodal {
     val moov = top.find(_._1 == "moov").getOrElse(return None)
     val moovKids = children(moov._2, moov._3)
     val (timescale, duration) = moovKids.find(_._1 == "mvhd").map { case (_, o, _) =>
-      if ((bytes(o) & 0xff) == 1) (u32(o + 20), u64(o + 24))
+      if (ver(o) == 1) (u32(o + 20), u64(o + 24))
       else (u32(o + 12), u32(o + 16))
     }.getOrElse((0L, 0L))
     val vid = moovKids.iterator.filter(_._1 == "trak").map { case (_, to, te) =>
       val kids = children(to, te)
       val (w, h) = kids.find(_._1 == "tkhd").map { case (_, o, _) =>
-        val wOff = if ((bytes(o) & 0xff) == 1) o + 88 else o + 76
+        val wOff = if (ver(o) == 1) o + 88 else o + 76
+        // truncated reads come back -1 → negative width → the _._1 > 0
+        // video-track probe below rejects the track, degrading cleanly
         ((u32(wOff) >> 16).toInt, (u32(wOff + 4) >> 16).toInt)
       }.getOrElse((0, 0))
       val samples = (for {

@@ -51,13 +51,16 @@ object Ticks {
     * "2026-02-16T13:05:10.123Z","bid":"151.245","ask":"151.249"}` —
     * bid/ask arrive as STRINGS (cast on parse, like the reference),
     * `symbol` uses `_` where the warehouse pair uses `/`, timestamps are
-    * ISO-8601 millisecond UTC. Malformed lines and non-numeric prices
-    * parse to NULL and are dropped (the reference's skip-bad-rows loop) —
-    * `try_*` forms so ANSI mode cannot fail the stream. Works on any
-    * line-shaped source — the socket source's `value` column, a Kafka
-    * value, or a text file — batch or streaming. No `seq` is assigned:
-    * wire order is the source's order; [[dedupSecond]] callers supply
-    * their own tiebreak. */
+    * ISO-8601 UTC at ANY fractional precision (the spec pins the format,
+    * not the digit count, and the reference's `datetime.fromisoformat`
+    * accepts 0–6 fractional digits — the lenient default parse here
+    * matches that instead of silently dropping a 2- or 6-digit source).
+    * Malformed lines and non-numeric prices parse to NULL and are dropped
+    * (the reference's skip-bad-rows loop) — `try_*` forms so ANSI mode
+    * cannot fail the stream. Works on any line-shaped source — the socket
+    * source's `value` column, a Kafka value, or a text file — batch or
+    * streaming. No `seq` is assigned: wire order is the source's order;
+    * [[dedupSecond]] callers supply their own tiebreak. */
   def fromWireJson(lines: DataFrame, lineCol: String = "value"): DataFrame = {
     val schema = "symbol STRING, timestamp STRING, bid STRING, ask STRING"
     lines
@@ -65,8 +68,7 @@ object Ticks {
         .fromDDL(schema)).as("m"))
       .select(
         regexp_replace(col("m.symbol"), "_", "/").as("pair"),
-        try_to_timestamp(col("m.timestamp"),
-          lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")).as("time"),
+        try_to_timestamp(col("m.timestamp")).as("time"),
         col("m.bid").try_cast("double").as("bid"),
         col("m.ask").try_cast("double").as("ask"))
       .filter(col("pair").isNotNull && col("time").isNotNull &&

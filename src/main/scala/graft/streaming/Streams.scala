@@ -128,27 +128,15 @@ object Streams {
   /** S1 (parse step): decode raw tick messages — the reference's WebSocket
     * payload `{"symbol": ..., "timestamp": ISO-8601Z, "bid": "...",
     * "ask": "..."}` (reference: src/gmo/ws-connection.py:131-160) — into
-    * the canonical tick shape. `from_json` with an explicit schema: rows
-    * that fail to parse or fail the validity rules (non-positive prices,
-    * bid > ask, missing keys) are dropped, mirroring the reference's
-    * skip-and-continue behavior. Works identically on a streaming or batch
-    * frame. */
-  def parseTicks(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
-    val schema = "symbol STRING, timestamp STRING, bid STRING, ask STRING"
-    raw
-      .select(from_json(col(jsonCol), org.apache.spark.sql.types.StructType
-        .fromDDL(schema)).as("m"))
-      .select(
-        col("m.symbol").as("pair"),
-        // try_ variants: ANSI mode (Spark 4 default) makes plain casts
-        // THROW on malformed input; skip-and-continue needs NULL + filter
-        try_to_timestamp(col("m.timestamp")).as("time"),
-        expr("try_cast(m.bid AS DOUBLE)").as("bid"),
-        expr("try_cast(m.ask AS DOUBLE)").as("ask"))
-      .filter(col("pair").isNotNull && col("time").isNotNull &&
-        col("bid").isNotNull && col("ask").isNotNull &&
-        col("bid") > 0 && col("ask") > 0 && col("bid") <= col("ask"))
-  }
+    * the canonical tick shape, then apply the validity rules (non-positive
+    * prices, bid > ask), mirroring the reference's skip-and-continue
+    * behavior. Delegates to [[graft.operators.Ticks.fromWireJson]] — ONE
+    * parser owns the wire contract (symbol `_`→`/` normalization, lenient
+    * ISO-8601 fractional precision, try_* null-and-drop), so the gated
+    * batch path and the streaming path cannot drift. Works identically on
+    * a streaming or batch frame. */
+  def parseTicks(raw: DataFrame, jsonCol: String = "value"): DataFrame =
+    graft.operators.Ticks.valid(graft.operators.Ticks.fromWireJson(raw, jsonCol))
 
   /** T1: streaming first-tick-per-second dedup. Event times are truncated to
     * the second (the dedup grain), late data beyond `watermark` is dropped,
@@ -485,7 +473,16 @@ object Streams {
     * is independent of the batch split. Scale: state is O(60 picks + n
     * diffs) per combo; the all-combos fan-out keys the SAME fold by the
     * combo column — P·(P-1)/2 independent groups, matching w13's
-    * partitioned-window shape. */
+    * partitioned-window shape.
+    *
+    * ORDERING REQUIREMENT (applies to [[corrStreamAll]] too): the source
+    * must deliver each pair's ticks in non-decreasing minute order ACROSS
+    * micro-batches (per-key ordered delivery — a Kafka topic partitioned
+    * by pair, or the gate's staged replay). The fold keeps exactly one
+    * open minute; a tick for an already-finalized earlier minute is
+    * DROPPED silently (its candle has been emitted — there is no
+    * retraction in append mode). A genuinely unordered source needs a
+    * watermark-style buffer upstream, not this operator. */
   def corrStream(ticks: Dataset[SeqTick], pairA: String, pairB: String,
                  n: Int = 30): Dataset[CorrPoint] = {
     require(n >= 2, s"window must be >= 2, got $n")

@@ -296,6 +296,27 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.get.durationSec === 1.0)
   }
 
+  test("L12 video: empty mvhd/tkhd payloads at end-of-buffer degrade, not throw") {
+    // mvhd/tkhd boxes whose PAYLOAD offset lands exactly at end-of-buffer:
+    // the version-byte read must bounds-check (return None), not AIOOBE —
+    // the contract is that a poisoned container degrades to the stub row
+    val emptyMvhd = box("ftyp", "isom".getBytes("US-ASCII") ++ new Array[Byte](4)) ++
+      box("moov", box("mvhd", Array.emptyByteArray))
+    assert(Multimodal.mp4Meta(emptyMvhd).isEmpty)
+    val emptyTkhd = box("ftyp", "isom".getBytes("US-ASCII") ++ new Array[Byte](4)) ++
+      box("moov", box("mvhd", java.nio.ByteBuffer.allocate(96)
+        .putInt(0).putInt(0).putInt(0).putInt(600).putInt(600).array()) ++
+        box("trak", box("tkhd", Array.emptyByteArray)))
+    assert(Multimodal.mp4Meta(emptyTkhd).isEmpty)
+    // and through the typed pipeline: the stub row, not a task failure
+    val sum = "c" * 32
+    val rows = Seq(MediaRow(3L, emptyMvhd, "video/mp4", emptyMvhd.length.toLong, sum))
+      .toDS()
+    val f = Multimodal.featureExtract(rows, dim = 4).collect().head
+    val h60 = java.lang.Long.parseLong(sum.take(15), 16)
+    assert(f.width === (h60 % 624 + 16).toInt)
+  }
+
   test("L12 video: non-AVI and truncated AVI degrade to the checksum stub") {
     val junk = Array.fill[Byte](64)(7)
     val sum = "a" * 32
