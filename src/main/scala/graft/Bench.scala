@@ -76,13 +76,22 @@ object Bench {
     }
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // Batch vs streaming subtotals: the 13 t-gates each carry 2-4.7 s of
+    // FIXED checkpoint machinery regardless of data volume, so the grand
+    // total increasingly measures checkpoint constants — the batch subtotal
+    // is the number whose round-over-round trend tracks engine speed.
+    def isStreaming(name: String) = name.matches("^t\\d.*")
+    val streamingTotal = results.collect { case (n, t) if isStreaming(n) => t }.sum
+    val batchTotal = total - streamingTotal
     val loadAfter = loadavg
     def f2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val loadFields =
       s""""load_before":${f2(loadBefore)},"load_after":${f2(loadAfter)},""" +
         s""""comparable":${loadBefore < loadThreshold}"""
+    val subtotalFields =
+      s""""batch_total":${f2(batchTotal)},"streaming_total":${f2(streamingTotal)}"""
     def line(qs: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"runs":$runs,"stat":"min",$loadFields,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$subtotalFields,"queries":$qs,"failed":$fl,"runs":$runs,"stat":"min",$loadFields,"sf":"$sfDir"}"""
     val full = line(results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}"))
     // Full-precision record goes to a file (and stderr): the driver captures
@@ -105,7 +114,7 @@ object Bench {
         "\"" + k + "\":" + BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
       }.mkString("{", ",", "}")
       val tot = BigDecimal(total).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$qs,"failed":$fl,$loadFields,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":$tot,"unit":"sec",$subtotalFields,"queries":$qs,"failed":$fl,$loadFields,"sf":"$sfShort"}"""
     }
     val budget = 1890
     val compact = Seq(rounded(3), rounded(2))

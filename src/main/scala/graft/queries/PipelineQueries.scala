@@ -67,6 +67,20 @@ object PipelineQueries {
         col("period"), round(col("value"), 6).as("value"))
     }),
 
+    // incremental ATR — the fourth indicator family through the S8/A3/W2
+    // path, covering the Wilder-TR recurrence (needs the prior close, so
+    // the truncated recompute's first row has no TR): seed re-derived from
+    // the 2·period warm-up window before the watermark, merged
+    // first-write-wins against the prefix run.
+    "s8d_idempotent_atr" -> ((s, d) => {
+      val c = candles1m(s, d)
+      val existing = Indicators.atr(c.filter(col("time") < lit(Cutoff)), 14).toDF()
+      val merged = Incremental.incrementalIndicator(c, existing, 14,
+        cc => Indicators.atr(cc, 14).toDF())
+      merged.select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+        col("period"), round(col("value"), 6).as("value"))
+    }),
+
     "s6_latest_tick" -> ((s, d) =>
       Relay.latestPerPair(ticks(s, d))
         .select(col("pair"), unix_timestamp(col("time")).as("time_s"),
@@ -196,6 +210,25 @@ object PipelineQueries {
           round(sum(col("pnl6").cast("decimal(18,6)")).cast("double"), 6).as("total_pnl"),
           round(max(col("pnl6")), 6).as("best"),
           round(min(col("pnl6")), 6).as("worst"))
+    }),
+
+    // F6 depth: the sized ledger at a SECOND parameter set — SMA(10,40)
+    // crosses, constant-notional sizing (1M per position) and 2bp
+    // per-side fees; gross/fee/net are plain double algebra in a fixed
+    // order, spelled identically in the oracle's lead()-paired form
+    "f6d_trades_sized" -> ((s, d) => {
+      val sma = Indicators.indicatorFacts(candles1m(s, d), Seq("SMA"), Seq(10, 40))
+      Backtest.tradesSized(Signals.strategy(sma, 10, 40),
+          notional = 1000000.0, feeRate = 0.0002).toDF()
+        .select(col("pair"), col("trade_no"),
+          unix_timestamp(col("entry_time")).as("entry_s"),
+          round(col("entry_price"), 6).as("entry_price"),
+          round(col("qty"), 6).as("qty"),
+          unix_timestamp(col("exit_time")).as("exit_s"),
+          round(col("exit_price"), 6).as("exit_price"),
+          round(col("gross"), 6).as("gross"),
+          round(col("fee"), 6).as("fee"),
+          round(col("net"), 6).as("net"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -328,6 +361,60 @@ object PipelineQueries {
          |FROM rpre p
          |UNION ALL
          |SELECT r.pair, '1m', epoch(r.time)::BIGINT, $p, ${rsiVal("r")}
+         |FROM rt r LEFT JOIN wm USING (pair)
+         |WHERE wm.watermark IS NULL OR r.time > wm.watermark""".stripMargin
+    },
+
+    // Same dual-recurrence shape as s8b/s8c with Wilder's ATR as the
+    // carried state: TR needs the PREVIOUS close (carried through the
+    // recursion as r.close), sums through rn<=period, simple-mean seed at
+    // rn=period+1, Wilder smoothing after — each step replays the engine
+    // fold's double ops in the identical order.
+    "s8d_idempotent_atr" -> {
+      val p = 14
+      def tr(r: String, c: String) =
+        s"greatest($c.high - $c.low, abs($c.high - $r.close), abs($c.low - $r.close))"
+      def atrState(r: String, c: String) =
+        s"""CASE WHEN $c.rn <= $p THEN $r.trs + ${tr(r, c)}
+           |     ELSE CAST(0.0 AS DOUBLE) END,
+           |CASE WHEN $c.rn <= $p THEN NULL
+           |     WHEN $c.rn = ${p + 1} THEN ($r.trs + ${tr(r, c)}) / $p
+           |     ELSE ($r.a * ${p - 1} + ${tr(r, c)}) / $p END""".stripMargin
+      s"""WITH RECURSIVE ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte}, ${TradingQueries.c1mCte},
+         |cpre AS (SELECT pair, time, high, low, close,
+         |                row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+         |         FROM c1m WHERE time < TIMESTAMP '$Cutoff'),
+         |rpre AS (
+         |  SELECT pair, rn, time, high, low, close,
+         |         CAST(0.0 AS DOUBLE) AS trs, CAST(NULL AS DOUBLE) AS a
+         |  FROM cpre WHERE rn = 1
+         |  UNION ALL
+         |  SELECT c.pair, c.rn, c.time, c.high, c.low, c.close,
+         |         ${atrState("r", "c")}
+         |  FROM rpre r JOIN cpre c ON c.pair = r.pair AND c.rn = r.rn + 1),
+         |wm AS (SELECT pair, max(time) AS watermark FROM cpre GROUP BY pair),
+         |b AS (SELECT pair, time AS boundary FROM (
+         |        SELECT c.pair, c.time,
+         |               row_number() OVER (PARTITION BY c.pair ORDER BY c.time DESC) AS drn
+         |        FROM c1m c JOIN wm USING (pair) WHERE c.time <= wm.watermark)
+         |      WHERE drn = ${2 * p + 1}),
+         |ct AS (SELECT c.pair, c.time, c.high, c.low, c.close,
+         |              row_number() OVER (PARTITION BY c.pair ORDER BY c.time) AS rn
+         |       FROM c1m c LEFT JOIN b USING (pair)
+         |       WHERE b.boundary IS NULL OR c.time >= b.boundary),
+         |rt AS (
+         |  SELECT pair, rn, time, high, low, close,
+         |         CAST(0.0 AS DOUBLE) AS trs, CAST(NULL AS DOUBLE) AS a
+         |  FROM ct WHERE rn = 1
+         |  UNION ALL
+         |  SELECT c.pair, c.rn, c.time, c.high, c.low, c.close,
+         |         ${atrState("r", "c")}
+         |  FROM rt r JOIN ct c ON c.pair = r.pair AND c.rn = r.rn + 1)
+         |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+         |       $p AS period, round(a, 6) AS value
+         |FROM rpre
+         |UNION ALL
+         |SELECT r.pair, '1m', epoch(r.time)::BIGINT, $p, round(r.a, 6)
          |FROM rt r LEFT JOIN wm USING (pair)
          |WHERE wm.watermark IS NULL OR r.time > wm.watermark""".stripMargin
     },
@@ -540,5 +627,53 @@ object PipelineQueries {
          |       sum(CASE WHEN pnl > 0 THEN 1 ELSE 0 END)::BIGINT AS n_wins,
          |       round(sum(pnl::DECIMAL(18,6))::DOUBLE, 6) AS total_pnl,
          |       round(max(pnl), 6) AS best, round(min(pnl), 6) AS worst
-         |FROM led GROUP BY 1""".stripMargin)
+         |FROM led GROUP BY 1""".stripMargin,
+
+    // f6b's lead()-paired ledger at the (10,40) parameter set, with the
+    // money columns as the engine's exact double expressions: qty =
+    // notional/entry FIRST, then gross = qty·Δ, fee = (rate·qty)·(sum),
+    // net = gross − fee — parenthesized to force the engine's
+    // left-to-right evaluation order; rounding only at the surface.
+    "f6d_trades_sized" ->
+      s"""$prelude,
+         |sma AS (
+         |  SELECT pair, time,
+         |         CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 10
+         |              THEN avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) END AS s10,
+         |         CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 40
+         |              THEN avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                   ROWS BETWEEN 39 PRECEDING AND CURRENT ROW) END AS s40
+         |  FROM c1m),
+         |x AS (
+         |  SELECT pair, time, s10, s40,
+         |         lag(s10) OVER (PARTITION BY pair ORDER BY time) AS ps,
+         |         lag(s40) OVER (PARTITION BY pair ORDER BY time) AS pl
+         |  FROM sma),
+         |ev AS (
+         |  SELECT pair, time, 'BUY' AS et, s10 AS price FROM x
+         |  WHERE ps <= pl AND s10 > s40
+         |  UNION ALL
+         |  SELECT pair, time, 'SELL', s10 FROM x
+         |  WHERE ps >= pl AND s10 < s40),
+         |fb AS (SELECT pair, min(time) FILTER (et = 'BUY') AS fbt FROM ev GROUP BY pair),
+         |kept AS (
+         |  SELECT ev.pair, ev.time, ev.et, ev.price,
+         |         row_number() OVER (PARTITION BY ev.pair ORDER BY ev.time) AS rn,
+         |         lead(ev.time) OVER (PARTITION BY ev.pair ORDER BY ev.time) AS x_time,
+         |         lead(ev.price) OVER (PARTITION BY ev.pair ORDER BY ev.time) AS x_price
+         |  FROM ev JOIN fb USING (pair) WHERE ev.time >= fb.fbt),
+         |m AS (
+         |  SELECT pair, rn, time, price, x_time, x_price,
+         |         (CAST(1000000 AS DOUBLE) / price) AS qty
+         |  FROM kept WHERE rn % 2 = 1)
+         |SELECT pair, ((rn + 1) // 2)::INT AS trade_no,
+         |       epoch(time)::BIGINT AS entry_s, round(price, 6) AS entry_price,
+         |       round(qty, 6) AS qty,
+         |       epoch(x_time)::BIGINT AS exit_s, round(x_price, 6) AS exit_price,
+         |       round(qty * (x_price - price), 6) AS gross,
+         |       round((CAST(0.0002 AS DOUBLE) * qty) * (price + x_price), 6) AS fee,
+         |       round(qty * (x_price - price)
+         |             - (CAST(0.0002 AS DOUBLE) * qty) * (price + x_price), 6) AS net
+         |FROM m""".stripMargin)
 }
