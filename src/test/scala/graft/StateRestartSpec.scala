@@ -249,6 +249,133 @@ class StateRestartSpec extends SparkSpec {
     assert(b === a, s"restart diverged:\nref=${a.mkString("\n")}\ncut=${b.mkString("\n")}")
   }
 
+  // ------------------------------------------- t2: windowed OHLC aggregate
+
+  // X's minute 00:03 is SPLIT by the kill (13.0 before, 9.0 after): the
+  // restart must restore the window's partial aggregate — min_by/max_by
+  // open/close picks and the min/max extremes — to finalize it as one
+  // candle (open 13, close 9), not two fragments.
+  private val ohlcChunks = Seq(
+    seqTicks(Seq(("X", "2024-01-01 00:00:10", 1L, 10.0),
+      ("X", "2024-01-01 00:00:40", 2L, 12.0),
+      ("Y", "2024-01-01 00:00:20", 3L, 5.0))),
+    seqTicks(Seq(("X", "2024-01-01 00:01:10", 4L, 11.0),
+      ("X", "2024-01-01 00:03:05", 5L, 13.0))),
+    seqTicks(Seq(("X", "2024-01-01 00:03:40", 6L, 9.0),
+      ("Y", "2024-01-01 00:03:50", 7L, 6.0))),
+    seqTicks(Seq(("X", "2024-01-01 00:10:00", 8L, 1.0),
+      ("Y", "2024-01-01 00:10:00", 9L, 1.0))))
+
+  private def runOhlc(src: String, sink: String, ckpt: String): Unit = {
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    Streams.ohlc1mSeq(stream)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+  }
+
+  test("t2: a window split by the kill finalizes as ONE candle after restart") {
+    val root = Files.createTempDirectory("graft-t2-restart-").toString
+    val (srcA, srcB) = (s"$root/srcA", s"$root/srcB")
+    new java.io.File(srcA).mkdirs(); new java.io.File(srcB).mkdirs()
+
+    ohlcChunks.zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcA, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runOhlc(srcA, s"$root/sinkA", s"$root/ckptA")
+
+    ohlcChunks.take(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runOhlc(srcB, s"$root/sinkB", s"$root/ckptB")
+    ohlcChunks.drop(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c${i + 2}", 1600000120000L + i * 60000L)
+    }
+    runOhlc(srcB, s"$root/sinkB", s"$root/ckptB")
+
+    def rows(sink: String) = spark.read.parquet(sink)
+      .select("pair", "time", "open", "high", "low", "close")
+      .orderBy("pair", "time").collect().map(_.toString).toSeq
+    val (a, b) = (rows(s"$root/sinkA"), rows(s"$root/sinkB"))
+    assert(a.nonEmpty, "reference run emitted nothing")
+    assert(b === a, s"restart diverged:\nref=${a.mkString("\n")}\ncut=${b.mkString("\n")}")
+    // the split window merged: one X@00:03 candle spanning both sides
+    val m3 = spark.read.parquet(s"$root/sinkB")
+      .filter(col("pair") === "X" && col("time") === ts("2024-01-01 00:03:00"))
+      .collect()
+    assert(m3.length === 1, s"X@00:03 did not finalize as one candle: ${m3.toSeq}")
+    assert(m3.head.getDouble(2) === 13.0 && m3.head.getDouble(5) === 9.0,
+      s"pre/post-kill halves not merged: ${m3.head}")
+  }
+
+  // ---------------------------------------------- t6: session-window state
+
+  private def eventRows(rows: Seq[(String, String, Double)]) =
+    rows.map { case (u, t, v) => (u, ts(t), v) }
+      .toDF("user_id", "ts", "value")
+
+  // u1's session is OPEN at the kill (00:00-00:20 events, 30 min gap) and
+  // chunk 2's 00:40 event falls INSIDE the gap: the restarted query must
+  // restore the open session from the checkpoint and MERGE, emitting one
+  // four-event session — a lost state would emit two fragments.
+  private val sessionChunks = Seq(
+    eventRows(Seq(("u1", "2024-01-01 00:00:00", 1.0),
+      ("u1", "2024-01-01 00:10:00", 2.0),
+      ("u2", "2024-01-01 00:05:00", 10.0))),
+    eventRows(Seq(("u1", "2024-01-01 00:20:00", 3.0),
+      ("u2", "2024-01-01 00:50:00", 20.0))),
+    eventRows(Seq(("u1", "2024-01-01 00:40:00", 4.0),
+      ("u2", "2024-01-01 01:40:00", 30.0))),
+    eventRows(Seq(("u1", "2024-01-01 06:00:00", 0.0),
+      ("u2", "2024-01-01 06:00:00", 0.0))))
+
+  private def runSessions(src: String, sink: String, ckpt: String): Unit = {
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    Streams.sessionizeStream(stream)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+  }
+
+  test("t6: an open session survives the kill and merges across the restart") {
+    val root = Files.createTempDirectory("graft-t6-restart-").toString
+    val (srcA, srcB) = (s"$root/srcA", s"$root/srcB")
+    new java.io.File(srcA).mkdirs(); new java.io.File(srcB).mkdirs()
+
+    sessionChunks.zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcA, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runSessions(srcA, s"$root/sinkA", s"$root/ckptA")
+
+    sessionChunks.take(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runSessions(srcB, s"$root/sinkB", s"$root/ckptB")
+    sessionChunks.drop(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c${i + 2}", 1600000120000L + i * 60000L)
+    }
+    runSessions(srcB, s"$root/sinkB", s"$root/ckptB")
+
+    def rows(sink: String) = spark.read.parquet(sink)
+      .select("user_id", "session_start", "n_events", "total_value")
+      .orderBy("user_id", "session_start").collect().map(_.toString).toSeq
+    val (a, b) = (rows(s"$root/sinkA"), rows(s"$root/sinkB"))
+    assert(a.nonEmpty, "reference run emitted nothing")
+    assert(b === a, s"restart diverged:\nref=${a.mkString("\n")}\ncut=${b.mkString("\n")}")
+    // the kill-spanning session emitted as ONE row with all four events
+    val u1 = spark.read.parquet(s"$root/sinkB")
+      .filter(col("user_id") === "u1" &&
+        col("session_start") === ts("2024-01-01 00:00:00")).collect()
+    assert(u1.length === 1 && u1.head.getLong(2) === 4L,
+      s"open session not merged across restart: ${u1.toSeq}")
+  }
+
   // ------------------------------------------------------------ t5 with TTL
 
   private def tickRows(rows: Seq[(String, String, Double)]) =
