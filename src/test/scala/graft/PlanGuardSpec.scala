@@ -368,6 +368,67 @@ class PlanGuardSpec extends SparkSpec {
       s"TIMESTAMP_NTZ leaked past the source readers:\n${offenders.mkString("\n")}")
   }
 
+  test("streaming operator plans: every Window partitioned, no NTZ attribute") {
+    // The batch sweeps above skip the streaming GATES (invoking them runs
+    // real checkpointed streams), but the streaming OPERATORS analyze
+    // without executing — a streaming Dataset's logical plan exists before
+    // any writeStream.start(). Sweep every streaming transform over
+    // MemoryStream inputs for the same two plan invariants: no
+    // unpartitioned Window (one-task serialization) and no TIMESTAMP_NTZ
+    // attribute (breaks withWatermark/unix_micros — the round-8 class).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType, TimestampNTZType}
+    import graft.streaming.{SeqTick, Streams, TickRow}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def hasNtz(dt: DataType): Boolean = dt match {
+      case TimestampNTZType => true
+      case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
+      case a: ArrayType => hasNtz(a.elementType)
+      case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
+      case _ => false
+    }
+    val ticks = MemoryStream[TickRow].toDF()
+    val ticks2 = MemoryStream[TickRow].toDF()
+    val seqTicks = MemoryStream[SeqTick].toDS()
+    val events = MemoryStream[(String, java.sql.Timestamp, Double)].toDF()
+      .toDF("user_id", "ts", "value")
+    val existing = Seq(("X", ts("2024-01-01 00:00:00"))).toDF("pair", "sec")
+    val wire = MemoryStream[String].toDF().toDF("value")
+    val plans = Map[String, org.apache.spark.sql.DataFrame](
+      "parseTicks" -> Streams.parseTicks(wire),
+      "t1_dedup" -> Streams.dedupTicks(ticks),
+      "t11_dedup_bounded" -> Streams.dedupTicksBounded(ticks),
+      "t12_anti_static" -> Streams.antiJoinStatic(ticks, existing),
+      "t2_ohlc" -> Streams.ohlc1m(ticks),
+      "t2_ohlc_seq" -> Streams.ohlc1mSeq(MemoryStream[SeqTick].toDF()),
+      "t1t2_chained" -> Streams.dedupThenOhlc(ticks),
+      "t6_sessions" -> Streams.sessionizeStream(events),
+      "t7_window_join" -> Streams.windowJoin(ticks, ticks2),
+      "t10_window_join_outer" -> Streams.windowJoinOuter(ticks, ticks2),
+      "t5_latest" -> Streams.latestPerPair(ticks.as[TickRow]).toDF(),
+      "t5_latest_ttl" -> Streams.latestPerPairTtl(ticks.as[TickRow], 60000L).toDF(),
+      "t8_ema" -> Streams.emaStream(seqTicks, 14).toDF(),
+      "t15_sar" -> Streams.sarStream(seqTicks).toDF(),
+      "t14_corr" -> Streams.corrStream(seqTicks, "X", "Y").toDF(),
+      "t14b_corr_all" -> Streams.corrStreamAll(seqTicks, Seq("X", "Y", "Z")).toDF())
+    val offenders = plans.flatMap { case (name, df) =>
+      val plan = df.queryExecution.analyzed
+      val badWindows = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.size
+      val ntz = plan.collect { case p => p.output.filter(a => hasNtz(a.dataType)) }
+        .flatten
+      val problems =
+        (if (badWindows > 0) Seq(s"$badWindows unpartitioned Window(s)") else Nil) ++
+          (if (ntz.nonEmpty) Seq(s"NTZ: ${ntz.map(_.name).distinct.mkString(",")}") else Nil)
+      if (problems.nonEmpty) Some(s"$name: ${problems.mkString("; ")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"streaming plan invariants violated:\n${offenders.mkString("\n")}")
+  }
+
   test("vocab top-V cuts with distributed TakeOrdered, never a global sort") {
     val p = plan("llm_vocab_topk")
     assert(p.contains("TakeOrderedAndProject"),
