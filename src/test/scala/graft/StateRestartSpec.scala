@@ -446,4 +446,65 @@ class StateRestartSpec extends SparkSpec {
     assert(stateA === 1L, s"uninterrupted run final state rows: $stateA")
     assert(stateB === 1L, s"restarted run final state rows: $stateB")
   }
+
+  // -------------------------------------------- t11: bounded dedup state
+
+  // The duplicate in chunk 2 arrives AFTER the kill point: only the
+  // restored dedup state (the (pair, second) keys seen before the kill,
+  // still inside the 60 s watermark horizon) can reject it. Chunk 3
+  // advances the watermark far past every earlier key so both runs also
+  // agree on state eviction.
+  private val dedupChunks = Seq(
+    seqTicks(Seq(("X", "2024-01-01 00:00:00", 1L, 10.0),
+      ("Y", "2024-01-01 00:00:05", 2L, 5.0))),
+    seqTicks(Seq(("X", "2024-01-01 00:00:00", 3L, 99.0), // dup, same run
+      ("X", "2024-01-01 00:00:30", 4L, 11.0))),
+    // --- kill point ---
+    seqTicks(Seq(("X", "2024-01-01 00:00:00", 5L, 88.0), // dup, post-restart
+      ("Y", "2024-01-01 00:00:05", 6L, 77.0), // dup, post-restart
+      ("Y", "2024-01-01 00:00:45", 7L, 6.0))),
+    seqTicks(Seq(("X", "2024-01-01 00:02:00", 8L, 12.0))))
+
+  private def runDedup(src: String, sink: String, ckpt: String): Unit = {
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    Streams.dedupTicksBounded(stream, watermark = "60 seconds")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+  }
+
+  private def dedupRows(sink: String) =
+    spark.read.parquet(sink).select("pair", "time", "seq", "bid")
+      .orderBy("pair", "time").collect().toSeq
+
+  test("t11: dedup key state survives the kill — post-restart dups still drop") {
+    val root = Files.createTempDirectory("graft-t11-restart-").toString
+    val (srcA, srcB) = (s"$root/srcA", s"$root/srcB")
+    new java.io.File(srcA).mkdirs(); new java.io.File(srcB).mkdirs()
+
+    dedupChunks.zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcA, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runDedup(srcA, s"$root/sinkA", s"$root/ckptA")
+
+    dedupChunks.take(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runDedup(srcB, s"$root/sinkB", s"$root/ckptB")
+    dedupChunks.drop(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c${i + 2}", 1600000120000L + i * 60000L)
+    }
+    runDedup(srcB, s"$root/sinkB", s"$root/ckptB")
+
+    val (a, b) = (dedupRows(s"$root/sinkA"), dedupRows(s"$root/sinkB"))
+    assert(a.nonEmpty, "reference run emitted nothing")
+    // first-arrival rows only: the seq==5/6 duplicates must be absent in
+    // BOTH runs — in the restarted run that is only possible if the
+    // checkpoint restored the pre-kill key set
+    assert(!a.exists(r => r.getLong(2) == 5L || r.getLong(2) == 6L))
+    assert(b === a) // bit-equality: same winners, same values
+  }
 }
