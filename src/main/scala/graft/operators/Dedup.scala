@@ -188,7 +188,36 @@ object Dedup {
     * for θ-similar docs, which share many low-df shingles; None = exact
     * unconditionally). */
   def nearDupNgram(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
-                   maxDf: Option[Int] = None): DataFrame = {
+                   maxDf: Option[Int] = None): DataFrame =
+    sharedShingleCounts(docs, n, maxDf)
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("ni") + col("nj") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select("i", "j", "jaccard")
+
+  /** Asymmetric CONTAINMENT near-dup join: `C = |A∩B| / min(|A|,|B|)` over
+    * distinct word n-gram sets — the doc-in-doc detector. Jaccard misses a
+    * short document quoted whole inside a much longer one (the union is
+    * dominated by the long side, J ≈ |A|/|B| → 0); containment normalizes
+    * by the SMALLER set, so a full quote scores 1.0 regardless of the host
+    * document's length. Same inverted-index candidate generation and cost
+    * bound as [[nearDupNgram]] — exact recall for θ > 0 among uncapped
+    * shingles, no all-pairs join. */
+  def containmentNgram(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                       maxDf: Option[Int] = None): DataFrame =
+    sharedShingleCounts(docs, n, maxDf)
+      .withColumn("containment",
+        col("c").cast("double") / least(col("ni"), col("nj")))
+      .filter(col("containment") >= threshold)
+      .select("i", "j", "containment")
+
+  /** Shared pair-count core of the exact n-gram similarity joins: inverted
+    * shingle index → in-list ordered-pair expansion → per-pair shared count
+    * `c = |A∩B|` with both set sizes carried — the one shuffle-bounded
+    * artifact every set-overlap measure (Jaccard, containment, overlap
+    * coefficient) is a one-line projection over. */
+  private def sharedShingleCounts(docs: DataFrame, n: Int,
+                                  maxDf: Option[Int]): DataFrame = {
     val shs = shingleSets(docs, n)
     // each posting row carries its doc's set size — joining sizes back
     // later would re-traverse the corpus AND constraint propagation would
@@ -220,10 +249,6 @@ object Dedup {
       .groupBy(col("p.a.doc_id").as("i"), col("p.a.sz").as("ni"),
         col("p.b.doc_id").as("j"), col("p.b.sz").as("nj"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("jaccard",
-        col("c").cast("double") / (col("ni") + col("nj") - col("c")))
-      .filter(col("jaccard") >= threshold)
-      .select("i", "j", "jaccard")
   }
 
   /** Connected components over match pairs — the transitive-closure step

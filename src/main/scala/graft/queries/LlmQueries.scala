@@ -87,6 +87,14 @@ object LlmQueries {
       Dedup.nearDupNgram(docsPar(s, d), threshold = 0.6)
         .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // asymmetric containment (|A∩B| / min set size): catches a short doc
+    // quoted whole inside a long one, which Jaccard's union denominator
+    // scores near zero — same inverted-index join, one-line remeasure
+    "llm_dedup_contain" -> ((s, d) =>
+      Dedup.containmentNgram(docsPar(s, d), threshold = 0.8)
+        .select(col("i"), col("j"),
+          round(col("containment"), 6).as("containment"))),
+
     // the 100 TB valve under the gate: same Jaccard join with the df cap
     // active, so high-df shingles are semi-joined away BEFORE the postings
     // arrays materialize (intersection counts then see eligible shingles
@@ -603,6 +611,17 @@ object LlmQueries {
 
     "llm_dedup_minhash" -> jaccardOracle(0.8),
     "llm_dedup_ngram" -> jaccardOracle(0.6),
+
+    // brute-force containment oracle: same shingle sets, normalized by the
+    // SMALLER set — the doc-in-doc measure Jaccard's union denominator hides
+    "llm_dedup_contain" ->
+      s"""WITH $shingleCte,
+         |p AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j,
+         |         len(list_intersect(a.s, b.s))::DOUBLE
+         |           / least(len(a.s), len(b.s)) AS c
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT i, j, round(c, 6) AS containment FROM p WHERE c >= 0.8""".stripMargin,
 
     // inverted-index restatement (vs jaccardOracle's brute-force
     // list_intersect) so the df cap applies per shingle exactly as the

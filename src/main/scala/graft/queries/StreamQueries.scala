@@ -202,6 +202,31 @@ object StreamQueries {
           col("n_pairs"), col("max_l_bid"), col("max_r_bid"))
     }),
 
+    // T16 (streaming VWAP): the size-weighted w11 aggregation as a
+    // streaming windowed agg — the EXACT decimal numerator makes emission
+    // independent of the 4-batch split; hour buckets emit when the
+    // watermark passes their end and the oracle applies the same cutoff.
+    // Sizes ride the JSON payload exactly as in the batch twin; event
+    // times truncate to the second so the cutoff arithmetic is exact.
+    "t16_vwap_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t16-").toString
+      withStreamShuffle(s, 8) {
+        val t = Ticks.withMid(Ticks.valid(
+          Ticks.fromEventsWithSize(eventsStream(s, d))))
+          .withColumn("time", date_trunc("second", col("time")))
+        awaitAndRecord("t16_vwap_stream", Streams.vwapStream(t)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/sink")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      }
+      s.read.parquet(s"$tmp/sink")
+        .select(col("pair"), unix_timestamp(col("time")).as("time_s"),
+          round(col("vwap"), 6).as("vwap"), col("qty"))
+    }),
+
     // T11 (bounded-state streaming dedup): t4's first-per-second dedup
     // through `dropDuplicatesWithinWatermark` — state expires with the
     // watermark instead of accumulating every key forever (the only form
@@ -561,6 +586,29 @@ object StreamQueries {
          |  WHERE h.pair = t.pair AND h.time = date_trunc('second', t.time))""".stripMargin,
 
     // the key set of the batch dedup — one row per (pair, second)
+    // the w11 aggregation with the streaming append cutoff: buckets whose
+    // end the final watermark (max second-truncated event time − 1 h) has
+    // not passed stay in state at shutdown and must not appear
+    "t16_vwap_stream" ->
+      """WITH tks AS (
+        |  SELECT event_type AS pair, date_trunc('second', ts) AS time,
+        |         value AS bid, value + 0.01 AS ask,
+        |         CAST(props::JSON->>'k' AS INTEGER) AS sz
+        |  FROM events
+        |  WHERE value > 0 AND value + 0.01 > 0 AND value <= value + 0.01),
+        |mx AS (SELECT max(time) AS m FROM tks),
+        |b AS (
+        |  SELECT pair, time_bucket(INTERVAL '1 hour', time) AS bkt,
+        |         sum((round((bid + ask) / 2, 6)::DECIMAL(12,6))
+        |             * (sz::DECIMAL(9,0))) AS pv,
+        |         sum(sz)::BIGINT AS qty
+        |  FROM tks GROUP BY 1, 2)
+        |SELECT pair, epoch(bkt)::BIGINT AS time_s,
+        |       CASE WHEN qty > 0 THEN round(pv::DOUBLE / qty, 6) END AS vwap,
+        |       qty
+        |FROM b
+        |WHERE bkt + INTERVAL '1 hour' <= (SELECT m FROM mx) - INTERVAL '1 hour'""".stripMargin,
+
     "t11_dedup_bounded" ->
       s"""WITH ${TradingQueries.ticksCte}
          |SELECT DISTINCT pair,

@@ -223,6 +223,26 @@ object Streams {
         .withWatermark("time", watermark),
       struct(col("time"), col("seq")))
 
+  /** T16: streaming size-weighted VWAP per (pair, tumbling bucket) — the
+    * streaming twin of [[graft.operators.Ohlc.vwap]] (w11). The numerator
+    * is the batch op's EXACT decimal sum (6-dp-grid mids × integer sizes),
+    * so partial aggregation, micro-batch split and state-merge order
+    * cannot move the result; the one float division happens at emission.
+    * Buckets emit when the watermark passes their end (append mode); NULL
+    * sizes are ignored by both sums, and all-NULL buckets emit NULL vwap.
+    * Input needs (pair, time, mid, size) — [[graft.operators.Ticks.withMid]]
+    * over [[graft.operators.Ticks.fromEventsWithSize]]. */
+  def vwapStream(ticksWithSize: DataFrame, duration: String = "1 hour",
+                 watermark: String = "1 hour"): DataFrame =
+    ticksWithSize
+      .withColumn("pv", round(col("mid"), 6).cast("decimal(18,6)") * col("size"))
+      .withWatermark("time", watermark)
+      .groupBy(col("pair"), window(col("time"), duration))
+      .agg(sum(col("pv")).as("pv"), sum(col("size")).cast("bigint").as("qty"))
+      .select(col("pair"), col("window.start").as("time"),
+        when(col("qty") > 0, col("pv").cast("double") / col("qty")).as("vwap"),
+        col("qty"))
+
   /** Streaming sessionization: `session_window` gap sessions per user —
     * the streaming twin of [[graft.operators.Sessions.sessionize]];
     * sessions emit when the watermark passes their close. `total_value`

@@ -411,7 +411,9 @@ class PlanGuardSpec extends SparkSpec {
       "t8_ema" -> Streams.emaStream(seqTicks, 14).toDF(),
       "t15_sar" -> Streams.sarStream(seqTicks).toDF(),
       "t14_corr" -> Streams.corrStream(seqTicks, "X", "Y").toDF(),
-      "t14b_corr_all" -> Streams.corrStreamAll(seqTicks, Seq("X", "Y", "Z")).toDF())
+      "t14b_corr_all" -> Streams.corrStreamAll(seqTicks, Seq("X", "Y", "Z")).toDF(),
+      "t16_vwap" -> Streams.vwapStream(graft.operators.Ticks.withMid(ticks)
+        .withColumn("size", org.apache.spark.sql.functions.lit(1))))
     val offenders = plans.flatMap { case (name, df) =>
       val plan = df.queryExecution.analyzed
       val badWindows = plan.collect {

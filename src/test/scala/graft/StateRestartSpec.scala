@@ -447,6 +447,68 @@ class StateRestartSpec extends SparkSpec {
     assert(stateB === 1L, s"restarted run final state rows: $stateB")
   }
 
+  // ------------------------------------------------- t16: VWAP window state
+
+  // The X@00:01 minute bucket is split by the kill: its exact-decimal
+  // numerator (pv) and qty accumulated pre-kill must merge with the
+  // post-restart half, finalizing as ONE bucket with the full-window VWAP.
+  private def sizedTicks(rows: Seq[(String, String, Double, Int)]) =
+    rows.map { case (p, t, m, sz) => (p, ts(t), m, sz) }
+      .toDF("pair", "time", "mid", "size")
+
+  private val vwapChunks = Seq(
+    sizedTicks(Seq(("X", "2024-01-01 00:00:10", 10.0, 2),
+      ("X", "2024-01-01 00:01:05", 20.0, 1))),
+    sizedTicks(Seq(("X", "2024-01-01 00:01:20", 30.0, 3))),
+    // --- kill point: X@00:01 holds pv=20+90=110, qty=4 in state ---
+    sizedTicks(Seq(("X", "2024-01-01 00:01:40", 40.0, 1))),
+    sizedTicks(Seq(("X", "2024-01-01 00:05:00", 50.0, 1))))
+
+  private def runVwap(src: String, sink: String, ckpt: String): Unit = {
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    Streams.vwapStream(stream, duration = "1 minute", watermark = "1 minute")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+  }
+
+  test("t16: a VWAP bucket split by the kill finalizes as ONE exact bucket") {
+    val root = Files.createTempDirectory("graft-t16-restart-").toString
+    val (srcA, srcB) = (s"$root/srcA", s"$root/srcB")
+    new java.io.File(srcA).mkdirs(); new java.io.File(srcB).mkdirs()
+
+    vwapChunks.zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcA, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runVwap(srcA, s"$root/sinkA", s"$root/ckptA")
+
+    vwapChunks.take(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runVwap(srcB, s"$root/sinkB", s"$root/ckptB")
+    vwapChunks.drop(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c${i + 2}", 1600000120000L + i * 60000L)
+    }
+    runVwap(srcB, s"$root/sinkB", s"$root/ckptB")
+
+    def rows(sink: String) = spark.read.parquet(sink)
+      .select("pair", "time", "vwap", "qty")
+      .orderBy("pair", "time").collect().map(_.toString).toSeq
+    val (a, b) = (rows(s"$root/sinkA"), rows(s"$root/sinkB"))
+    assert(a.nonEmpty, "reference run emitted nothing")
+    assert(b === a, s"restart diverged:\nref=${a.mkString("\n")}\ncut=${b.mkString("\n")}")
+    // the split bucket merged: (20·1 + 30·3 + 40·1) / 5 = 30.0 exactly
+    val m1 = spark.read.parquet(s"$root/sinkB")
+      .filter(col("pair") === "X" && col("time") === ts("2024-01-01 00:01:00"))
+      .collect()
+    assert(m1.length === 1, s"X@00:01 did not finalize as one bucket: ${m1.toSeq}")
+    assert(m1.head.getDouble(2) === 30.0 && m1.head.getLong(3) === 5L,
+      s"pre/post-kill halves not merged exactly: ${m1.head}")
+  }
+
   // -------------------------------------------- t11: bounded dedup state
 
   // The duplicate in chunk 2 arrives AFTER the kill point: only the
