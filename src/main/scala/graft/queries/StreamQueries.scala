@@ -210,7 +210,10 @@ object StreamQueries {
     // times truncate to the second so the cutoff arithmetic is exact.
     "t16_vwap_stream" -> ((s, d) => {
       val tmp = Files.createTempDirectory("graft-t16-").toString
-      withStreamShuffle(s, 8) {
+      // 2 state partitions (swept isolated min-of-3: 8 -> 3.92 s,
+      // 2 -> 3.34 s): one windowed-agg state op over (pair, hour) keys —
+      // state-file commits, not data volume, dominate at this fixture size
+      withStreamShuffle(s, 2) {
         val t = Ticks.withMid(Ticks.valid(
           Ticks.fromEventsWithSize(eventsStream(s, d))))
           .withColumn("time", date_trunc("second", col("time")))

@@ -53,6 +53,48 @@ class DedupSpec extends SparkSpec {
     assert(pp.toSeq === brute.toSeq)
   }
 
+  test("containment: a full quote inside a long host scores 1.0 where Jaccard ≈ 0") {
+    val host = base + " " + "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen " +
+      "nineteen twenty " + "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"
+    val quote = "one two three four five six seven eight nine ten"
+    val d = docs(1L -> host, 2L -> quote)
+    // the quote's 8 shingles all appear in the host → containment exactly 1.0
+    val c = Dedup.containmentNgram(d, threshold = 0.9).collect()
+    assert(c.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((1L, 2L, 1.0)))
+    // the same pair is invisible to Jaccard at any usable threshold
+    assert(Dedup.nearDupNgram(d, threshold = 0.3).isEmpty)
+  }
+
+  test("containment == brute force, and containment >= jaccard pairwise") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("xx", "yy", "zz", "ww")
+    val d = docs((1L to 30L).map { i =>
+      i -> Seq.fill(10 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }: _*)
+    // brute force over materialized shingle sets
+    val shs = Dedup.shingleSets(d, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val brute = (for {
+      i <- shs.keys; j <- shs.keys if i < j
+      inter = (shs(i) intersect shs(j)).size
+      c = inter.toDouble / math.min(shs(i).size, shs(j).size) if c >= 0.3
+    } yield (i, j, c)).toSeq.sorted
+    val got = Dedup.containmentNgram(d, threshold = 0.3).orderBy("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(brute.nonEmpty)
+    assert(got === brute)
+    // dominance: every Jaccard-qualifying pair also qualifies on containment
+    val jac = Dedup.nearDupNgram(d, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val con = got.map { case (i, j, c) => ((i, j), c) }.toMap
+    jac.foreach { case (k, jv) =>
+      assert(con.contains(k) && con(k) >= jv - 1e-12,
+        s"pair $k: containment ${con.get(k)} < jaccard $jv")
+    }
+  }
+
   test("simhash banding == brute-force hamming (pigeonhole exact recall)") {
     val rnd = new scala.util.Random(11)
     val vocab = Vector("red", "green", "blue", "cyan", "teal", "pink", "gold")
