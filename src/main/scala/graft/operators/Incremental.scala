@@ -60,7 +60,10 @@ object Incremental {
     * the truncated window, matching the reference's accepted approximation
     * (transform_services.py:158-159 comment). */
   def incrementalIndicator(candles: DataFrame, existing: DataFrame, period: Int,
-                           compute: DataFrame => DataFrame): DataFrame = {
+                           compute: DataFrame => DataFrame,
+                           dedupKeys: Seq[String] =
+                             Seq("pair", "timeframe", "time", "period", "calc_version"))
+      : DataFrame = {
     val keys = Seq("pair", "timeframe")
     val wms = watermarks(existing, keys)
     val bounds = warmupBoundaries(candles, wms, lookbackRows = period * 2, keys)
@@ -68,7 +71,6 @@ object Incremental {
       .join(bounds, keys, "left")
       .filter(col("boundary").isNull || col("time") >= col("boundary"))
       .drop("boundary")
-    val dedupKeys = Seq("pair", "timeframe", "time", "period", "calc_version")
     appendNew(existing, compute(input), dedupKeys)
   }
 }

@@ -81,6 +81,26 @@ object PipelineQueries {
         col("period"), round(col("value"), 6).as("value"))
     }),
 
+    // incremental SuperTrend — the FIFTH family through the S8/A3/W2 path,
+    // and the first whose carried state is non-numeric (two band ratchets +
+    // a boolean direction): the truncated recompute reseeds ATR from the
+    // 2·period warm-up window and re-initializes the ratchets at its first
+    // warm bar — the same accepted approximation as EMA/RSI/ATR, replayed
+    // identically by the oracle's dual recursion. Dedup key is
+    // (pair, timeframe, time) — supertrend rows carry no period column.
+    "s8e_idempotent_supertrend" -> ((s, d) => {
+      val c = candles1m(s, d)
+      def st(cc: DataFrame) =
+        Indicators.supertrend(cc, period = 10, mult = 3.0)
+          .filter(col("value").isNotNull)
+      val existing = st(c.filter(col("time") < lit(Cutoff)))
+      val merged = Incremental.incrementalIndicator(c, existing, 10, st,
+        dedupKeys = Seq("pair", "timeframe", "time"))
+      merged.select(col("pair"), col("timeframe"),
+        unix_timestamp(col("time")).as("time_s"),
+        round(col("value"), 6).as("value"), col("dir_up"))
+    }),
+
     "s6_latest_tick" -> ((s, d) =>
       Relay.latestPerPair(ticks(s, d))
         .select(col("pair"), unix_timestamp(col("time")).as("time_s"),
@@ -417,6 +437,87 @@ object PipelineQueries {
          |SELECT r.pair, '1m', epoch(r.time)::BIGINT, $p, round(r.a, 6)
          |FROM rt r LEFT JOIN wm USING (pair)
          |WHERE wm.watermark IS NULL OR r.time > wm.watermark""".stripMargin
+    },
+
+    // The u18 SuperTrend recursion run TWICE — once over the pre-cutoff
+    // prefix, once over the truncated tail window — with the s8d
+    // watermark/boundary CTEs between them; band ratchets and direction
+    // re-initialize at the tail's first warm bar exactly as the engine's
+    // truncated fold does (the accepted warm-up approximation).
+    "s8e_idempotent_supertrend" -> {
+      val p = 10
+      val mult = "3.0"
+      def stRec(src: String, rec: String) =
+        s"""$rec AS (
+           |  SELECT pair, rn, time, close AS prev_close,
+           |         CAST(0.0 AS DOUBLE) AS tr_sum, CAST(NULL AS DOUBLE) AS atr,
+           |         CAST(NULL AS DOUBLE) AS fub, CAST(NULL AS DOUBLE) AS flb,
+           |         CAST(NULL AS BOOLEAN) AS dir_up
+           |  FROM $src WHERE rn = 1
+           |  UNION ALL
+           |  SELECT pair, rn, time, close,
+           |         CASE WHEN rn <= $p THEN tr_sum + tr ELSE CAST(0.0 AS DOUBLE) END,
+           |         atr2,
+           |         fub2, flb2,
+           |         CASE WHEN rn <= $p THEN NULL
+           |              WHEN rn = ${p + 1} THEN close > fub2
+           |              WHEN dir_up AND close < flb2 THEN FALSE
+           |              WHEN NOT dir_up AND close > fub2 THEN TRUE
+           |              ELSE dir_up END
+           |  FROM (
+           |    SELECT pair, rn, time, close, tr_sum, tr, dir_up, prev_close,
+           |           atr2,
+           |           CASE WHEN rn <= $p THEN NULL
+           |                WHEN rn = ${p + 1} THEN (high + low) / 2.0 + $mult * atr2
+           |                WHEN ((high + low) / 2.0 + $mult * atr2) < fub
+           |                     OR prev_close > fub
+           |                THEN (high + low) / 2.0 + $mult * atr2
+           |                ELSE fub END AS fub2,
+           |           CASE WHEN rn <= $p THEN NULL
+           |                WHEN rn = ${p + 1} THEN (high + low) / 2.0 - $mult * atr2
+           |                WHEN ((high + low) / 2.0 - $mult * atr2) > flb
+           |                     OR prev_close < flb
+           |                THEN (high + low) / 2.0 - $mult * atr2
+           |                ELSE flb END AS flb2
+           |    FROM (
+           |      SELECT c.pair, c.rn, c.time, c.close, c.high, c.low,
+           |             r.tr_sum, r.fub, r.flb, r.dir_up, r.prev_close,
+           |             greatest(c.high - c.low, abs(c.high - r.prev_close),
+           |                      abs(c.low - r.prev_close)) AS tr,
+           |             CASE WHEN c.rn <= $p THEN NULL
+           |                  WHEN c.rn = ${p + 1}
+           |                  THEN (r.tr_sum + greatest(c.high - c.low,
+           |                         abs(c.high - r.prev_close),
+           |                         abs(c.low - r.prev_close))) / $p
+           |                  ELSE (r.atr * ${p - 1} + greatest(c.high - c.low,
+           |                         abs(c.high - r.prev_close),
+           |                         abs(c.low - r.prev_close))) / $p END AS atr2
+           |      FROM $rec r JOIN $src c ON c.pair = r.pair AND c.rn = r.rn + 1) t1) t2)""".stripMargin
+      s"""WITH RECURSIVE ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte}, ${TradingQueries.c1mCte},
+         |cpre AS (SELECT pair, time, high, low, close,
+         |                row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+         |         FROM c1m WHERE time < TIMESTAMP '$Cutoff'),
+         |${stRec("cpre", "rpre")},
+         |wm AS (SELECT pair, max(time) AS watermark FROM cpre GROUP BY pair),
+         |b AS (SELECT pair, time AS boundary FROM (
+         |        SELECT c.pair, c.time,
+         |               row_number() OVER (PARTITION BY c.pair ORDER BY c.time DESC) AS drn
+         |        FROM c1m c JOIN wm USING (pair) WHERE c.time <= wm.watermark)
+         |      WHERE drn = ${2 * p + 1}),
+         |ct AS (SELECT c.pair, c.time, c.high, c.low, c.close,
+         |              row_number() OVER (PARTITION BY c.pair ORDER BY c.time) AS rn
+         |       FROM c1m c LEFT JOIN b USING (pair)
+         |       WHERE b.boundary IS NULL OR c.time >= b.boundary),
+         |${stRec("ct", "rt")}
+         |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+         |       round(CASE WHEN dir_up THEN flb ELSE fub END, 6) AS value,
+         |       dir_up
+         |FROM rpre WHERE rn > $p
+         |UNION ALL
+         |SELECT r.pair, '1m', epoch(r.time)::BIGINT,
+         |       round(CASE WHEN r.dir_up THEN r.flb ELSE r.fub END, 6), r.dir_up
+         |FROM rt r LEFT JOIN wm USING (pair)
+         |WHERE (wm.watermark IS NULL OR r.time > wm.watermark) AND r.rn > $p""".stripMargin
     },
 
     "s6_latest_tick" ->
