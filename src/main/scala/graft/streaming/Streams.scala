@@ -500,11 +500,17 @@ object Streams {
     * micro-batches (per-key ordered delivery — a Kafka topic partitioned
     * by pair, or the gate's staged replay). The fold keeps exactly one
     * open minute; a tick for an already-finalized earlier minute is
-    * DROPPED silently (its candle has been emitted — there is no
-    * retraction in append mode). A genuinely unordered source needs a
-    * watermark-style buffer upstream, not this operator. */
+    * DROPPED (its candle has been emitted — there is no retraction in
+    * append mode) and counted in `dropped` when one is supplied, so a
+    * production deployment can alarm on ordering violations instead of
+    * losing data invisibly. (Accumulator caveat: task retries can
+    * overcount — treat it as an alarm signal, not an exact ledger.) A
+    * genuinely unordered source needs a watermark-style buffer upstream,
+    * not this operator. */
   def corrStream(ticks: Dataset[SeqTick], pairA: String, pairB: String,
-                 n: Int = 30): Dataset[CorrPoint] = {
+                 n: Int = 30,
+                 dropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[CorrPoint] = {
     require(n >= 2, s"window must be >= 2, got $n")
     require(pairA != pairB, "pairs must differ")
     val spark = ticks.sparkSession
@@ -514,7 +520,7 @@ object Streams {
       .flatMapGroupsWithState[CorrComboState, CorrPoint](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) { (_, rows, state: GroupState[CorrComboState]) =>
-        foldCombo(pairA, n, rows, state)
+        foldCombo(pairA, n, rows, state, dropped)
       }
   }
 
@@ -525,7 +531,9 @@ object Streams {
     * combo-partitioned window. `pairs` is the bounded pair universe (a
     * dimension, known up front — reference `dim_currency` seeds 6). */
   def corrStreamAll(ticks: Dataset[SeqTick], pairs: Seq[String],
-                    n: Int = 30): Dataset[CorrPointCombo] = {
+                    n: Int = 30,
+                    dropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[CorrPointCombo] = {
     require(n >= 2, s"window must be >= 2, got $n")
     require(pairs.distinct.size == pairs.size && pairs.size >= 2,
       "pairs must be >= 2 distinct names")
@@ -546,7 +554,7 @@ object Streams {
         val sep = key.indexOf('|')
         val (a, b) = (key.substring(0, sep), key.substring(sep + 1))
         foldCombo(a, n,
-          rows.map(ct => SeqTick(ct.pair, ct.time, ct.seq, ct.bid)), state)
+          rows.map(ct => SeqTick(ct.pair, ct.time, ct.seq, ct.bid)), state, dropped)
           .map(p => CorrPointCombo(a, b, p.time, p.n, p.corr, p.beta))
       }
   }
@@ -555,7 +563,9 @@ object Streams {
     * [[corrStreamAll]]: `pairA` is x (beta = cov/var(x)); every other
     * pair in the group is the y side. */
   private def foldCombo(pairA: String, n: Int, rows: Iterator[SeqTick],
-                        state: GroupState[CorrComboState]): Iterator[CorrPoint] = {
+                        state: GroupState[CorrComboState],
+                        dropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Iterator[CorrPoint] = {
     val nd = n.toDouble
     var st = state.getOption.getOrElse(
           CorrComboState(-1L, Nil, Nil, 0L, "", "", Nil))
@@ -612,7 +622,9 @@ object Streams {
           if (st.openMinute < 0) st = st.copy(openMinute = m)
           else if (m > st.openMinute) { finalizeMinute(); st = st.copy(openMinute = m) }
           // m < openMinute cannot happen under ordered chunk replay; such
-          // a straggler is simply ignored (its minute already finalized)
+          // a straggler is dropped (its minute already finalized) and
+          // COUNTED so an unordered production source is visible, not silent
+          else if (m < st.openMinute) dropped.foreach(_.add(1))
           if (m == st.openMinute) {
             val sec = us - us % 1000000L
             val pick = CorrSecPick(sec, us, r.seq, r.bid)

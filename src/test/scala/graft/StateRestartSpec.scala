@@ -249,6 +249,44 @@ class StateRestartSpec extends SparkSpec {
     assert(b === a, s"restart diverged:\nref=${a.mkString("\n")}\ncut=${b.mkString("\n")}")
   }
 
+  // --------------------------- t14: straggler drop is counted, not silent
+
+  test("t14: a cross-batch straggler is dropped AND counted via the accumulator") {
+    val root = Files.createTempDirectory("graft-t14-straggler-").toString
+    val mk = (withStraggler: Boolean) => Seq(
+      seqTicks(Seq(("X", "2024-01-01 00:00:10", 1L, 10.0),
+        ("Y", "2024-01-01 00:00:20", 2L, 5.0),
+        ("X", "2024-01-01 00:01:05", 3L, 11.0))), // finalizes minute 00:00
+      seqTicks(
+        (if (withStraggler) Seq(("X", "2024-01-01 00:00:30", 4L, 99.0)) else Nil) ++
+          Seq(("Y", "2024-01-01 00:01:40", 5L, 6.0),
+            ("X", "2024-01-01 00:02:10", 6L, 12.0)))) // finalizes minute 00:01
+    def run(tag: String, chunks: Seq[org.apache.spark.sql.DataFrame],
+            acc: Option[org.apache.spark.util.LongAccumulator]) = {
+      val src = s"$root/src$tag"; new java.io.File(src).mkdirs()
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        stage(c, root, src, s"c$i", 1600000000000L + i * 60000L)
+      }
+      val schema = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      Streams.corrStream(stream.as[SeqTick], "X", "Y", n = 2, dropped = acc)
+        .writeStream.format("parquet")
+        .option("path", s"$root/sink$tag")
+        .option("checkpointLocation", s"$root/ckpt$tag")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      spark.read.parquet(s"$root/sink$tag").select("time", "n", "corr", "beta")
+        .orderBy("time").collect().map(_.toString).toSeq
+    }
+    val acc = spark.sparkContext.longAccumulator("corr-stragglers")
+    val withS = run("A", mk(true), Some(acc))
+    val without = run("B", mk(false), None)
+    assert(withS.nonEmpty && withS === without,
+      "a dropped straggler must not change the emitted grid")
+    assert(acc.value === 1L, s"straggler count: ${acc.value}")
+  }
+
   // ------------------------------------------- t2: windowed OHLC aggregate
 
   // X's minute 00:03 is SPLIT by the kill (13.0 before, 9.0 after): the
