@@ -287,6 +287,59 @@ object Indicators {
         ((col("up") + col("lo")) / lit(2.0)).as("mid"), col("lo").as("lower"))
   }
 
+  /** U19: Aroon up/down — bars since the trailing-(period+1)-bar extreme,
+    * rescaled to [0, 100]: `up = 100·(p − bars_since_highest_high)/p`,
+    * `down = 100·(p − bars_since_lowest_low)/p`, most-RECENT extreme on
+    * ties (TA-Lib's convention). The extreme's position rides a struct
+    * frame aggregate — `max(struct(high, rn))` breaks high-ties toward
+    * the larger rn, `min(struct(low, −rn))` breaks low-ties the same
+    * way — so the whole indicator is two frame aggregates + integer
+    * arithmetic in ONE combo-partitioned Window pass after the rn pass:
+    * no per-partition rescan, no recursion. NULL until the frame holds
+    * period+1 bars. */
+  def aroon(candles: DataFrame, period: Int = 14): DataFrame = {
+    require(period >= 1, s"period must be >= 1, got $period")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val frame = w.rowsBetween(-period, Window.currentRow)
+    val pd = lit(period.toDouble)
+    candles
+      .select(col("pair"), col("timeframe"), col("time"), col("high"), col("low"))
+      .select(col("pair"), col("timeframe"), col("time"), col("high"), col("low"),
+        row_number().over(w).as("rn"))
+      .withColumn("nrn", -col("rn"))
+      .select(col("pair"), col("timeframe"), col("time"), col("rn"),
+        max(struct(col("high"), col("rn"))).over(frame).getField("rn").as("hi_rn"),
+        min(struct(col("low"), col("nrn"))).over(frame).getField("nrn").as("lo_nrn"))
+      .select(col("pair"), col("timeframe"), col("time"), lit(period).as("period"),
+        when(col("rn") > period,
+          lit(100.0) * (pd - (col("rn") - col("hi_rn"))) / pd).as("aroon_up"),
+        when(col("rn") > period,
+          lit(100.0) * (pd - (col("rn") + col("lo_nrn"))) / pd).as("aroon_down"))
+  }
+
+  /** U20: Chandelier exit — the ATR-scaled trailing stop pair:
+    * `long = highest_high(period) − mult·ATR(period)`,
+    * `short = lowest_low(period) + mult·ATR(period)`. Composes the
+    * Wilder-ATR recurrence fold with a Donchian-style frame extreme via
+    * one series-key join (the keltner shape). NULL until ATR is warm
+    * (rn > period, which also guarantees the extreme frame is full). */
+  def chandelier(candles: DataFrame, period: Int = 22,
+                 mult: Double = 3.0): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val frame = w.rowsBetween(-(period - 1), Window.currentRow)
+    val a = atr(candles, period).toDF()
+      .select(col("pair"), col("timeframe"), col("time"), col("value").as("atr"))
+    candles
+      .select(col("pair"), col("timeframe"), col("time"),
+        max(col("high")).over(frame).as("hh"),
+        min(col("low")).over(frame).as("ll"))
+      .join(a, Seq("pair", "timeframe", "time"))
+      .select(col("pair"), col("timeframe"), col("time"), lit(period).as("period"),
+        when(col("atr").isNotNull, col("hh") - lit(mult) * col("atr")).as("long_stop"),
+        when(col("atr").isNotNull, col("ll") + lit(mult) * col("atr")).as("short_stop"))
+  }
+
   /** U11: rate of change — `100 · (close/close[−period] − 1)`, the momentum
     * ratio. One lag, one float expression; NULL until the lag exists (and
     * guarded against a zero reference price). */

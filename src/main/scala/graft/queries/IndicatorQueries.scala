@@ -78,6 +78,18 @@ object IndicatorQueries {
           lit(14).as("period"), round(col("pdi"), 6).as("pdi"),
           round(col("ndi"), 6).as("ndi"), round(col("adx"), 6).as("adx"))),
     "u15_cci_20_1m" -> ((s, d) => indOut(Indicators.cci(candles1m(s, d), 20))),
+    "u20_chandelier_1m" -> ((s, d) =>
+      Indicators.chandelier(candles1m(s, d), period = 22, mult = 3.0)
+        .filter(col("long_stop").isNotNull) // oracle emits ATR-warm rows only
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          col("period"), round(col("long_stop"), 6).as("long_stop"),
+          round(col("short_stop"), 6).as("short_stop"))),
+    "u19_aroon_14_1m" -> ((s, d) =>
+      Indicators.aroon(candles1m(s, d), 14)
+        .filter(col("aroon_up").isNotNull) // oracle emits full-frame rows only
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          col("period"), round(col("aroon_up"), 6).as("aroon_up"),
+          round(col("aroon_down"), 6).as("aroon_down"))),
     "u18_supertrend_1m" -> ((s, d) =>
       Indicators.supertrend(candles1m(s, d), period = 10, mult = 3.0)
         .filter(col("value").isNotNull) // oracle emits warm rows only
@@ -262,6 +274,41 @@ object IndicatorQueries {
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
        |       $p AS period, round(atr, 6) AS value
        |FROM r""".stripMargin
+
+  /** Chandelier-exit oracle: the atrSql recursion joined to frame
+    * extremes; `hh − 3.0·atr` / `ll + 3.0·atr` spelled identically. */
+  private def chandelierSql(p: Int, mult: String): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS (SELECT pair, time, high, low, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |r AS (
+       |  SELECT pair, rn, time, close AS prev_close,
+       |         CAST(0.0 AS DOUBLE) AS tr_sum, CAST(NULL AS DOUBLE) AS atr
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT pair, rn, time, close,
+       |         CASE WHEN rn <= $p THEN tr_sum + tr
+       |              ELSE CAST(0.0 AS DOUBLE) END,
+       |         CASE WHEN rn <= $p THEN NULL
+       |              WHEN rn = ${p + 1} THEN (tr_sum + tr) / $p
+       |              ELSE (atr * ${p - 1} + tr) / $p END
+       |  FROM (
+       |    SELECT c.pair, c.rn, c.time, c.close, r.tr_sum, r.atr,
+       |           greatest(c.high - c.low, abs(c.high - r.prev_close),
+       |                    abs(c.low - r.prev_close)) AS tr
+       |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t),
+       |d AS (SELECT pair, time,
+       |             max(high) OVER wf AS hh, min(low) OVER wf AS ll
+       |      FROM c1m
+       |      WINDOW wf AS (PARTITION BY pair ORDER BY time
+       |                    ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW))
+       |SELECT r.pair, '1m' AS timeframe, epoch(r.time)::BIGINT AS time_s,
+       |       $p AS period,
+       |       round(d.hh - $mult * r.atr, 6) AS long_stop,
+       |       round(d.ll + $mult * r.atr, 6) AS short_stop
+       |FROM r JOIN d ON d.pair = r.pair AND d.time = r.time
+       |WHERE r.atr IS NOT NULL""".stripMargin
 
   /** Stochastic-oscillator oracle: window min/max mirror of
     * [[graft.operators.Indicators.stochastic]] — identical expression text
@@ -707,6 +754,32 @@ object IndicatorQueries {
     "u9_williams_r_14_1m" -> williamsSql(14),
     "u10_donchian_20_1m" -> donchianSql(20),
     "u11_roc_10_1m" -> rocSql(10),
+    "u20_chandelier_1m" -> chandelierSql(22, "3.0"),
+
+    // frame lists + index arithmetic restate the engine's struct-argmax:
+    // the CASE keeps the LAST index of the frame extreme (most-recent tie
+    // convention), and 100·(p − bars_since)/p is the identical float chain
+    "u19_aroon_14_1m" ->
+      s"""$prelude,
+         |b AS (
+         |  SELECT pair, time,
+         |         row_number() OVER (PARTITION BY pair ORDER BY time) AS rn,
+         |         list(high) OVER w AS lh, list(low) OVER w AS ll
+         |  FROM c1m
+         |  WINDOW w AS (PARTITION BY pair ORDER BY time
+         |               ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)),
+         |x AS (
+         |  SELECT pair, time, rn, len(lh) AS m,
+         |         list_max(list_transform(range(1, len(lh) + 1),
+         |           i -> CASE WHEN lh[i] = list_max(lh) THEN i ELSE 0 END)) AS hi_i,
+         |         list_max(list_transform(range(1, len(ll) + 1),
+         |           i -> CASE WHEN ll[i] = list_min(ll) THEN i ELSE 0 END)) AS lo_i
+         |  FROM b)
+         |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+         |       14 AS period,
+         |       round(100.0 * (14.0 - (m - hi_i)) / 14.0, 6) AS aroon_up,
+         |       round(100.0 * (14.0 - (m - lo_i)) / 14.0, 6) AS aroon_down
+         |FROM x WHERE rn > 14""".stripMargin,
     "u12_mfi_14_1m" -> mfiSql(14),
     "u1_sma_14_1m" -> s"$prelude\n${smaSelect(14)}",
     "u5_macd_1m" -> macdSql(12, 26, 9),
