@@ -366,4 +366,28 @@ object TextAnalysis {
       // representable half-way tie where the engines' round() disagree
       .select(col("doc_id"), col("n_pairs"), col("score"))
   }
+
+  /** L46: n-gram novelty scoring — the memorization-risk metric: the
+    * fraction of a document's distinct word n-grams that appear NOWHERE
+    * else in the corpus (`df == 1`). A low-novelty document is mostly
+    * re-assembled from phrases the model will see many times anyway
+    * (boilerplate, templates, near-dups that slipped every pairwise
+    * net); corpus-prep pipelines drop or down-weight them.
+    *
+    * Shape: one exploded-postings pass → per-shingle df (map-side
+    * combined), one join back, one per-doc aggregation — the standard
+    * inverted-index scan, no pair expansion at all, so cost is linear in
+    * total shingle volume at any corpus size. Docs too short to shingle
+    * are absent (they carry no n-gram evidence either way). */
+  def novelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val posts = Dedup.shingleSets(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val df = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    posts.join(df, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_shingles")).as("novelty"))
+  }
 }

@@ -87,6 +87,11 @@ object LlmQueries {
       Dedup.nearDupNgram(docsPar(s, d), threshold = 0.6)
         .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // L46: memorization-risk novelty — fraction of a doc's distinct
+    // n-grams appearing nowhere else in the corpus; inverted-index df
+    // scan, no pair expansion
+    "llm_novelty" -> ((s, d) => TextAnalysis.novelty(docsPar(s, d))),
+
     // asymmetric containment (|A∩B| / min set size): catches a short doc
     // quoted whole inside a long one, which Jaccard's union denominator
     // scores near zero — same inverted-index join, one-line remeasure
@@ -611,6 +616,18 @@ object LlmQueries {
 
     "llm_dedup_minhash" -> jaccardOracle(0.8),
     "llm_dedup_ngram" -> jaccardOracle(0.6),
+
+    // same shingle sets exploded; a single int/int division is
+    // bit-identical on both engines, so novelty ships unrounded
+    "llm_novelty" ->
+      s"""WITH $shingleCte,
+         |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |df AS (SELECT g, count(*) AS df FROM e GROUP BY g)
+         |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+         |       sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+         |       sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS novelty
+         |FROM e JOIN df USING (g)
+         |GROUP BY doc_id""".stripMargin,
 
     // brute-force containment oracle: same shingle sets, normalized by the
     // SMALLER set — the doc-in-doc measure Jaccard's union denominator hides
