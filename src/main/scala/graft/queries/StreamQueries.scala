@@ -270,10 +270,15 @@ object StreamQueries {
       val keys = TradingQueries.ticks(s, d).select(col("pair"), col("time"))
       val mm = keys.agg(min(unix_timestamp(col("time"))).as("mn"),
         max(unix_timestamp(col("time"))).as("mx"))
+      // cache the warehouse key set: a stream-static join re-executes the
+      // static subtree EVERY micro-batch (4× the events scan + derivation
+      // here) — at a real deployment the warehouse side is a table, read
+      // once; the cache restores that cost model
       val existing = keys.crossJoin(broadcast(mm))
         .filter(unix_timestamp(col("time")) <= expr("mn + (mx - mn) div 2"))
         .select(col("pair"), col("time").as("sec"))
-      withStreamShuffle(s, 8) {
+        .cache()
+      try withStreamShuffle(s, 8) {
         awaitAndRecord("t12_stream_antijoin",
           Streams.antiJoinStatic(tickStream(s, d), existing)
             .writeStream.format("parquet")
@@ -282,7 +287,7 @@ object StreamQueries {
             .outputMode("append")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start())
-      }
+      } finally existing.unpersist()
       s.read.parquet(s"$tmp/sink")
         .select(col("pair"), unix_micros(col("time")).as("time_us"),
           col("bid"), col("ask"), col("seq"))
