@@ -82,6 +82,47 @@ object StreamQueries {
   private def tickStream(s: SparkSession, d: String): DataFrame =
     Ticks.valid(Ticks.fromEvents(eventsStream(s, d)))
 
+  /** The documents fixture as a bounded 5-chunk file stream (same staging
+    * discipline as [[eventsStream]]): four ascending doc_id ranges plus a
+    * FIFTH chunk that RE-DELIVERS the 100 lowest-id docs (the re-crawl a
+    * real ingest must absorb — the fixture itself has no exact dups, so
+    * without it the dedup would be trivially green). Event time is the
+    * deterministic `2024-01-01 + doc_id seconds` crawl clock (re-crawls
+    * +10 min, inside any sane horizon), so replay order and the watermark
+    * arithmetic are reproducible. */
+  private val docStageCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
+  private def docStream(s: SparkSession, d: String,
+                        chunks: Int = 4): DataFrame = {
+    val batch = graft.sources.Tables.documents(s, d)
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+    val stagePath = docStageCache.getOrElseUpdate((d, chunks), {
+      val stage = Files.createTempDirectory("graft-docstream-src-")
+      batch.repartitionByRange(chunks, col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .write.mode("overwrite").parquet(stage.toString)
+      val redeliver = batch.orderBy(col("doc_id")).limit(100)
+        .withColumn("ts", col("ts") + expr("INTERVAL 600 SECONDS"))
+      val redir = s"$stage-redeliver"
+      redeliver.coalesce(1).write.mode("overwrite").parquet(redir)
+      val parts = new java.io.File(stage.toString).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1600000000000L + i * 60000L)
+      }
+      val rpart = new java.io.File(redir).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(stage.toString, "redelivered.parquet")
+      Files.copy(rpart.toPath, dst.toPath)
+      dst.setLastModified(1600000000000L + parts.length * 60000L)
+      stage.toString
+    })
+    s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagePath)
+  }
+
   /** Telemetry from the most recent run of each streaming gate query (per
     * JVM): micro-batch count, final-batch state-store rows, state memory —
     * the quantities the stream-family scale probe reports next to wall
@@ -200,6 +241,29 @@ object StreamQueries {
           max(col("l_bid")).as("max_l_bid"), max(col("r_bid")).as("max_r_bid"))
         .select(unix_timestamp(col("time")).as("minute_s"),
           col("n_pairs"), col("max_l_bid"), col("max_r_bid"))
+    }),
+
+    // T17 (streaming corpus-ingest dedup): the LLM layer's L1 exact dedup
+    // as a bounded-state streaming guard — re-crawled/re-delivered docs
+    // drop at ingest. The hash covers the emitted KEY SET (exactly one
+    // row per distinct normalized content, none lost, none resurrected);
+    // which copy's payload survives inside a batch is arrival-order-
+    // dependent, exactly the t11 contract (payload determinism is the t4
+    // relay's job downstream).
+    "t17_doc_ingest_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t17-").toString
+      withStreamShuffle(s, 8) {
+        awaitAndRecord("t17_doc_ingest_stream",
+          Streams.docIngestDedup(docStream(s, d))
+            .select(col("content_hash"))
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/sink")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      }
+      s.read.parquet(s"$tmp/sink").select(col("content_hash"))
     }),
 
     // T16 (streaming VWAP): the size-weighted w11 aggregation as a
@@ -594,6 +658,15 @@ object StreamQueries {
          |  WHERE h.pair = t.pair AND h.time = date_trunc('second', t.time))""".stripMargin,
 
     // the key set of the batch dedup — one row per (pair, second)
+    // dedup emits rows immediately (no shutdown cutoff); the crawl clock
+    // spans seconds while the horizon is an hour, so every duplicate is
+    // inside the horizon and the emitted key set is exactly the distinct
+    // normalized-content hashes
+    "t17_doc_ingest_stream" ->
+      """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |  AS content_hash
+        |FROM documents""".stripMargin,
+
     // the w11 aggregation with the streaming append cutoff: buckets whose
     // end the final watermark (max second-truncated event time − 1 h) has
     // not passed stay in state at shutdown and must not appear

@@ -165,6 +165,26 @@ object Streams {
       .withWatermark("time", watermark)
       .dropDuplicatesWithinWatermark("pair", "time")
 
+  /** T17: streaming corpus-ingest dedup — the streaming half of L1's exact
+    * dedup ([[graft.operators.Dedup.exact]]): normalize → MD5 content hash
+    * → first-arrival-wins within the watermark horizon via
+    * `dropDuplicatesWithinWatermark`, so a re-delivered or re-crawled
+    * document is dropped AT INGEST, before any downstream shuffle sees it.
+    * State is one row per content hash inside the ACTIVE horizon only —
+    * the bounded-state form that survives an unbounded crawl stream; a
+    * duplicate arriving after its original's state expired is the
+    * warehouse sink's job (S8 idempotent first-write-wins), not the
+    * ingest guard's. WHICH copy's payload survives among same-batch
+    * duplicates is arrival-order-dependent (the t11 caveat) — the
+    * deduped KEY SET is the operator's deterministic contract. Input
+    * needs (text, ts [event time]); all columns pass through. */
+  def docIngestDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash",
+        md5(graft.operators.TextOps.normalize(col("text"))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** T12: stream-static ANTI-join — incremental ingest against an existing
     * warehouse: a tick passes only if its (pair, second) key is NOT already
     * present in the static `existing` key set. This is the streaming half

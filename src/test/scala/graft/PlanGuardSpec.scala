@@ -413,7 +413,10 @@ class PlanGuardSpec extends SparkSpec {
       "t14_corr" -> Streams.corrStream(seqTicks, "X", "Y").toDF(),
       "t14b_corr_all" -> Streams.corrStreamAll(seqTicks, Seq("X", "Y", "Z")).toDF(),
       "t16_vwap" -> Streams.vwapStream(graft.operators.Ticks.withMid(ticks)
-        .withColumn("size", org.apache.spark.sql.functions.lit(1))))
+        .withColumn("size", org.apache.spark.sql.functions.lit(1))),
+      "t17_doc_ingest" -> Streams.docIngestDedup(
+        MemoryStream[(Long, String, java.sql.Timestamp)].toDF()
+          .toDF("doc_id", "text", "ts")))
     val offenders = plans.flatMap { case (name, df) =>
       val plan = df.queryExecution.analyzed
       val badWindows = plan.collect {

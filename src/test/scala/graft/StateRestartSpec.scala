@@ -547,6 +547,65 @@ class StateRestartSpec extends SparkSpec {
       s"pre/post-kill halves not merged exactly: ${m1.head}")
   }
 
+  // --------------------------------------- t17: ingest-dedup hash state
+
+  // The chunk-2 re-crawl of doc 1's TEXT (different doc_id, same
+  // normalized content) arrives only after the kill: the restarted run
+  // can reject it solely from the checkpoint-restored content-hash set.
+  private def docRows(rows: Seq[(Long, String, String)]) =
+    rows.map { case (id, txt, t) => (id, txt, ts(t)) }
+      .toDF("doc_id", "text", "ts")
+
+  private val ingestChunks = Seq(
+    docRows(Seq((1L, "alpha beta gamma", "2024-01-01 00:00:01"),
+      (2L, "delta epsilon zeta", "2024-01-01 00:00:02"))),
+    docRows(Seq((3L, "eta theta iota", "2024-01-01 00:00:03"))),
+    // --- kill point ---
+    docRows(Seq((4L, "  Alpha   BETA gamma ", "2024-01-01 00:00:04"), // re-crawl of 1
+      (5L, "kappa lambda mu", "2024-01-01 00:00:05"))),
+    docRows(Seq((6L, "nu xi omicron", "2024-01-01 00:30:00"))))
+
+  private def runIngest(src: String, sink: String, ckpt: String): Unit = {
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    Streams.docIngestDedup(stream, watermark = "1 hour")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+  }
+
+  test("t17: the content-hash set survives the kill — a post-restart re-crawl drops") {
+    val root = Files.createTempDirectory("graft-t17-restart-").toString
+    val (srcA, srcB) = (s"$root/srcA", s"$root/srcB")
+    new java.io.File(srcA).mkdirs(); new java.io.File(srcB).mkdirs()
+
+    ingestChunks.zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcA, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runIngest(srcA, s"$root/sinkA", s"$root/ckptA")
+
+    ingestChunks.take(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runIngest(srcB, s"$root/sinkB", s"$root/ckptB")
+    ingestChunks.drop(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c${i + 2}", 1600000120000L + i * 60000L)
+    }
+    runIngest(srcB, s"$root/sinkB", s"$root/ckptB")
+
+    def rows(sink: String) = spark.read.parquet(sink)
+      .select("doc_id", "content_hash")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val (a, b) = (rows(s"$root/sinkA"), rows(s"$root/sinkB"))
+    assert(a.nonEmpty, "reference run emitted nothing")
+    // doc 4 (the normalized re-crawl of doc 1) must be absent in BOTH —
+    // in the restarted run only restored state can reject it
+    assert(!a.exists(_.contains("[4,")), s"re-crawl leaked: $a")
+    assert(b === a)
+  }
+
   // -------------------------------------------- t11: bounded dedup state
 
   // The duplicate in chunk 2 arrives AFTER the kill point: only the
