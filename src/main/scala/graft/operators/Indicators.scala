@@ -749,6 +749,140 @@ object Indicators {
       .select(col("pair"), col("time"), col("close"), col("vol"), col("obv"))
   }
 
+  /** U21: TRIX — the 1-row rate-of-change of a TRIPLE SMA-seeded EMA of the
+    * close (`100·(e3 − prev_e3)/prev_e3`). Three chained [[ema]]-style
+    * recurrences carried through one sorted-group fold; each stage steps
+    * only on its predecessor's DEFINED outputs, so with all stages sharing
+    * `period` the warm-ups land deterministically at rows `p`, `2p−1`,
+    * `3p−2` and TRIX itself at `3p−1`. State per series: nine doubles and
+    * three counters — O(1), tick-grain safe under the fold memory
+    * contract. */
+  def trix(candles: DataFrame, period: Int = 15, calcVersion: String = CalcVersion): Dataset[IndicatorValue] =
+    foldSeries(candles, "TRIX", period, calcVersion) { () =>
+      val k = 2.0 / (period + 1)
+      // one SMA-seeded EMA stage; `step` is fed only DEFINED inputs
+      final class Stage {
+        private var i = -1; private var sum = 0.0; private var prev = 0.0
+        def step(x: Double): Option[Double] = {
+          i += 1
+          if (i < period - 1) { sum += x; None }
+          else if (i == period - 1) { prev = (sum + x) / period; Some(prev) }
+          else { prev = (x - prev) * k + prev; Some(prev) }
+        }
+      }
+      val s1 = new Stage; val s2 = new Stage; val s3 = new Stage
+      var prev3 = Option.empty[Double]
+      c => {
+        val e3 = s1.step(c).flatMap(s2.step).flatMap(s3.step)
+        val out = for (p3 <- prev3; v <- e3) yield 100.0 * (v - p3) / p3
+        if (e3.isDefined) prev3 = e3
+        out
+      }
+    }
+
+  /** U22: Kaufman adaptive moving average. Efficiency ratio
+    * `ER = |close − close[p]| / Σ|Δclose|` over the trailing `p` steps
+    * scales the smoothing constant between the fast (2-period) and slow
+    * (30-period) EMA constants: `sc = (ER·(2/3 − 2/31) + 2/31)²`,
+    * `kama += sc·(close − kama)`, seeded with the prior close at the first
+    * full window. ENGINE-PORTABLE NUMERICS: closes are quantized to
+    * DECIMAL(12,6) (the same double→decimal boundary the corr fold uses),
+    * so ER's numerator and denominator are EXACT decimal sums — fold-order
+    * free — and the only float work is the identical er/sc/kama expression
+    * on both engines. ER := 0 when the window is flat (denominator 0).
+    * State per series: a `p+1`-close ring + one double — O(period). */
+  def kama(candles: DataFrame, period: Int = 10, calcVersion: String = CalcVersion): Dataset[IndicatorValue] =
+    foldSeries(candles, "KAMA", period, calcVersion) { () =>
+      val scDiff = 2.0 / 3.0 - 2.0 / 31.0
+      val slowSC = 2.0 / 31.0
+      var closes = Vector.empty[BigDecimal] // last p+1 quantized closes
+      var prev = 0.0; var have = false
+      c => {
+        val cd = BigDecimal.decimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        closes = (closes :+ cd).takeRight(period + 1)
+        if (closes.size < period + 1) None
+        else {
+          val num = (closes.last - closes.head).abs
+          val den = closes.iterator.sliding(2).withPartial(false)
+            .foldLeft(BigDecimal(0)) { (s, w) => s + (w(1) - w(0)).abs }
+          val er = if (den.signum == 0) 0.0 else num.toDouble / den.toDouble
+          val sc0 = er * scDiff + slowSC
+          val x = closes.last.toDouble
+          if (!have) { prev = closes(period - 1).toDouble; have = true }
+          prev = prev + sc0 * sc0 * (x - prev)
+          Some(prev)
+        }
+      }
+    }
+
+  /** U23: vortex indicator — uptrend/downtrend movement ratios
+    * `VI+ = Σ|high − prevLow| / ΣTR` and `VI− = Σ|low − prevHigh| / ΣTR`
+    * over the trailing `period` bars. Each per-bar term is one exact double
+    * expression quantized to DECIMAL(18,6); the window sums are exact
+    * decimal (order-free) and the final ratio is a single double division —
+    * bit-identical on any engine, same discipline as [[bollinger]]. NULL
+    * while the window is short or the TR sum is zero. Pure window
+    * aggregate: codegen'd, one shuffle on the series key. */
+  def vortex(candles: DataFrame, period: Int = 14): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val frame = w.rowsBetween(-(period - 1), Window.currentRow)
+    candles
+      .withColumn("ph", lag(col("high"), 1).over(w))
+      .withColumn("pl", lag(col("low"), 1).over(w))
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("vmp6", abs(col("high") - col("pl")).cast("decimal(18,6)"))
+      .withColumn("vmm6", abs(col("low") - col("ph")).cast("decimal(18,6)"))
+      .withColumn("tr6",
+        greatest(col("high") - col("low"), abs(col("high") - col("pc")),
+          abs(col("low") - col("pc"))).cast("decimal(18,6)"))
+      .withColumn("sum_vmp", sum(col("vmp6")).over(frame))
+      .withColumn("sum_vmm", sum(col("vmm6")).over(frame))
+      .withColumn("sum_tr", sum(col("tr6")).over(frame))
+      .select(col("pair"), col("timeframe"), col("time"),
+        lit(period).as("period"),
+        when(col("rn") >= period + 1 && col("sum_tr") =!= 0,
+          col("sum_vmp").cast("double") / col("sum_tr").cast("double")).as("vi_plus"),
+        when(col("rn") >= period + 1 && col("sum_tr") =!= 0,
+          col("sum_vmm").cast("double") / col("sum_tr").cast("double")).as("vi_minus"))
+  }
+
+  /** U24: Ultimate Oscillator — Williams' three-horizon weighted pressure
+    * ratio `100·(4·a7 + 2·a14 + a28)/7` with `a_p = Σbp/Σtr` over the
+    * trailing `p` bars, `bp = close − min(low, prevClose)`,
+    * `tr = max(high, prevClose) − min(low, prevClose)`. Same exact-decimal
+    * window-sum discipline as [[vortex]]; defined once the longest horizon
+    * has `p3` complete bars (row `p3+1`) and every TR sum is nonzero. */
+  def ultimateOscillator(candles: DataFrame, p1: Int = 7, p2: Int = 14,
+                         p3: Int = 28): DataFrame = {
+    require(2 <= p1 && p1 < p2 && p2 < p3, s"need 2 <= p1 < p2 < p3, got $p1/$p2/$p3")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    def f(p: Int) = w.rowsBetween(-(p - 1), Window.currentRow)
+    val lo = least(col("low"), col("pc"))
+    val hi = greatest(col("high"), col("pc"))
+    def ratio(p: Int): Column =
+      col(s"sbp$p").cast("double") / col(s"str$p").cast("double")
+    val defined = col("rn") >= p3 + 1 &&
+      col(s"str$p1") =!= 0 && col(s"str$p2") =!= 0 && col(s"str$p3") =!= 0
+    candles
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("bp6", (col("close") - lo).cast("decimal(18,6)"))
+      .withColumn("tr6", (hi - lo).cast("decimal(18,6)"))
+      .withColumn(s"sbp$p1", sum(col("bp6")).over(f(p1)))
+      .withColumn(s"str$p1", sum(col("tr6")).over(f(p1)))
+      .withColumn(s"sbp$p2", sum(col("bp6")).over(f(p2)))
+      .withColumn(s"str$p2", sum(col("tr6")).over(f(p2)))
+      .withColumn(s"sbp$p3", sum(col("bp6")).over(f(p3)))
+      .withColumn(s"str$p3", sum(col("tr6")).over(f(p3)))
+      .select(col("pair"), col("timeframe"), col("time"),
+        lit(p3).as("period"),
+        when(defined,
+          lit(100.0) * (lit(4.0) * ratio(p1) + lit(2.0) * ratio(p2) + ratio(p3))
+            / lit(7.0)).as("value"))
+  }
+
   /** Shared recursive-fold plumbing: shuffle once on (pair, timeframe),
     * secondary-sort by time, fold the in-order close sequence. `mkStep`
     * builds a FRESH stateful per-close step function per series (None =

@@ -40,6 +40,15 @@ object IndicatorQueries {
       col("trigger_indicator_period").as("period"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u21_trix_15_1m" -> ((s, d) => indOut(Indicators.trix(candles1m(s, d), 15).toDF())),
+    "u22_kama_10_1m" -> ((s, d) => indOut(Indicators.kama(candles1m(s, d), 10).toDF())),
+    "u23_vortex_14_1m" -> ((s, d) =>
+      Indicators.vortex(candles1m(s, d), 14)
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          col("period"), round(col("vi_plus"), 6).as("vi_plus"),
+          round(col("vi_minus"), 6).as("vi_minus"))),
+    "u24_ultosc_1m" -> ((s, d) =>
+      indOut(Indicators.ultimateOscillator(candles1m(s, d)))),
     "u1_sma_14_1m" -> ((s, d) => indOut(Indicators.sma(candles1m(s, d), 14))),
     "u1_sma_multi" -> ((s, d) => {
       val c = candles1m(s, d)
@@ -744,7 +753,168 @@ object IndicatorQueries {
        |       round(chikou, 6) AS chikou
        |FROM f""".stripMargin
 
+  /** Recursive-CTE TRIX oracle replicating
+    * [[graft.operators.Indicators.trix]]: three chained SMA-seeded EMA
+    * recurrences in nested subqueries (each stage referencing the freshly
+    * updated predecessor), then the 1-row ROC of the third. Stage
+    * boundaries are deterministic in `rn` because each stage's input
+    * becomes defined at a fixed row: e1 at `p`, e2 at `2p−1`, e3 at
+    * `3p−2`, TRIX at `3p−1`. */
+  private def trixSql(p: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS (SELECT pair, time, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |r AS (
+       |  SELECT pair, rn, time,
+       |         close AS sum1, CAST(NULL AS DOUBLE) AS e1,
+       |         CAST(0.0 AS DOUBLE) AS sum2, CAST(NULL AS DOUBLE) AS e2,
+       |         CAST(0.0 AS DOUBLE) AS sum3, CAST(NULL AS DOUBLE) AS e3,
+       |         CAST(NULL AS DOUBLE) AS trix
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT pair, rn, time, sum1, e1, sum2, e2, sum3, e3,
+       |         CASE WHEN rn >= ${3 * p - 1}
+       |              THEN 100.0 * (e3 - e3_0) / e3_0 END AS trix
+       |  FROM (
+       |    SELECT *,
+       |           CASE WHEN rn < ${2 * p - 1} THEN sum3_0
+       |                WHEN rn < ${3 * p - 2} THEN sum3_0 + e2
+       |                ELSE CAST(0.0 AS DOUBLE) END AS sum3,
+       |           CASE WHEN rn < ${3 * p - 2} THEN NULL
+       |                WHEN rn = ${3 * p - 2} THEN (sum3_0 + e2) / $p
+       |                ELSE (e2 - e3_0) * (2.0 / ${p + 1}) + e3_0 END AS e3
+       |    FROM (
+       |      SELECT *,
+       |             CASE WHEN rn < $p THEN sum2_0
+       |                  WHEN rn < ${2 * p - 1} THEN sum2_0 + e1
+       |                  ELSE CAST(0.0 AS DOUBLE) END AS sum2,
+       |             CASE WHEN rn < ${2 * p - 1} THEN NULL
+       |                  WHEN rn = ${2 * p - 1} THEN (sum2_0 + e1) / $p
+       |                  ELSE (e1 - e2_0) * (2.0 / ${p + 1}) + e2_0 END AS e2
+       |      FROM (
+       |        SELECT c.pair, c.rn, c.time,
+       |               r.sum2 AS sum2_0, r.e2 AS e2_0,
+       |               r.sum3 AS sum3_0, r.e3 AS e3_0,
+       |               CASE WHEN c.rn < $p THEN r.sum1 + c.close
+       |                    ELSE CAST(0.0 AS DOUBLE) END AS sum1,
+       |               CASE WHEN c.rn < $p THEN NULL
+       |                    WHEN c.rn = $p THEN (r.sum1 + c.close) / $p
+       |                    ELSE (c.close - r.e1) * (2.0 / ${p + 1}) + r.e1 END AS e1
+       |        FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t1) t2) t3)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period, round(trix, 6) AS value
+       |FROM r""".stripMargin
+
+  /** KAMA oracle replicating [[graft.operators.Indicators.kama]]: the
+    * efficiency ratio comes from EXACT DECIMAL(12,6) window sums (plain
+    * window functions, no recursion needed — order-free on both engines);
+    * only the `kama += sc²·(close − kama)` recurrence itself is recursive,
+    * with the identical er/sc float expression. */
+  private def kamaSql(p: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS (SELECT pair, time, close::DECIMAL(12,6) AS cd,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |e1 AS (SELECT pair, time, rn, cd,
+       |              abs(cd - lag(cd) OVER w) AS adiff,
+       |              abs(cd - lag(cd, $p) OVER w) AS num
+       |       FROM c WINDOW w AS (PARTITION BY pair ORDER BY rn)),
+       |e2 AS (SELECT pair, time, rn, cd, num,
+       |              sum(adiff) OVER (PARTITION BY pair ORDER BY rn
+       |                ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW) AS den
+       |       FROM e1),
+       |r AS (
+       |  SELECT pair, rn, time, cd, CAST(NULL AS DOUBLE) AS kama
+       |  FROM e2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT pair, rn, time, cd,
+       |         CASE WHEN rn < ${p + 1} THEN NULL
+       |              WHEN rn = ${p + 1} THEN pcd + sc0 * sc0 * (x - pcd)
+       |              ELSE pk + sc0 * sc0 * (x - pk) END AS kama
+       |  FROM (
+       |    SELECT e.pair, e.rn, e.time, e.cd,
+       |           CAST(e.cd AS DOUBLE) AS x, CAST(r.cd AS DOUBLE) AS pcd,
+       |           r.kama AS pk,
+       |           CASE WHEN e.rn <= $p THEN CAST(0.0 AS DOUBLE)
+       |                WHEN e.den = 0 THEN 2.0 / 31.0
+       |                ELSE (CAST(e.num AS DOUBLE) / CAST(e.den AS DOUBLE))
+       |                     * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0 END AS sc0
+       |    FROM r JOIN e2 e ON e.pair = r.pair AND e.rn = r.rn + 1) t)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period, round(kama, 6) AS value
+       |FROM r""".stripMargin
+
+  /** Vortex oracle: per-bar movement/TR terms quantized to DECIMAL(18,6),
+    * exact decimal window sums, one double division — the identical
+    * pipeline [[graft.operators.Indicators.vortex]] runs. */
+  private def vortexSql(p: Int): String =
+    s"""$prelude,
+       |d AS (SELECT pair, time, high, low,
+       |             lag(high) OVER w AS ph, lag(low) OVER w AS pl,
+       |             lag(close) OVER w AS pc,
+       |             row_number() OVER w AS rn
+       |      FROM c1m WINDOW w AS (PARTITION BY pair ORDER BY time)),
+       |e AS (SELECT pair, time, rn,
+       |             CAST(abs(high - pl) AS DECIMAL(18,6)) AS vmp6,
+       |             CAST(abs(low - ph) AS DECIMAL(18,6)) AS vmm6,
+       |             CAST(greatest(high - low, abs(high - pc), abs(low - pc))
+       |                  AS DECIMAL(18,6)) AS tr6
+       |      FROM d),
+       |s AS (SELECT pair, time, rn,
+       |             sum(vmp6) OVER f AS svmp, sum(vmm6) OVER f AS svmm,
+       |             sum(tr6) OVER f AS str
+       |      FROM e WINDOW f AS (PARTITION BY pair ORDER BY rn
+       |               ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW))
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period,
+       |       CASE WHEN rn >= ${p + 1} AND str <> 0
+       |            THEN round(CAST(svmp AS DOUBLE) / CAST(str AS DOUBLE), 6)
+       |       END AS vi_plus,
+       |       CASE WHEN rn >= ${p + 1} AND str <> 0
+       |            THEN round(CAST(svmm AS DOUBLE) / CAST(str AS DOUBLE), 6)
+       |       END AS vi_minus
+       |FROM s""".stripMargin
+
+  /** Ultimate Oscillator oracle — same exact-decimal window-sum discipline
+    * as [[vortexSql]] across the three horizons, and the identical final
+    * weighted-ratio float chain. */
+  private def ultoscSql(p1: Int, p2: Int, p3: Int): String =
+    s"""$prelude,
+       |d AS (SELECT pair, time, high, low, close,
+       |             lag(close) OVER w AS pc,
+       |             row_number() OVER w AS rn
+       |      FROM c1m WINDOW w AS (PARTITION BY pair ORDER BY time)),
+       |e AS (SELECT pair, time, rn,
+       |             CAST(close - least(low, pc) AS DECIMAL(18,6)) AS bp6,
+       |             CAST(greatest(high, pc) - least(low, pc)
+       |                  AS DECIMAL(18,6)) AS tr6
+       |      FROM d),
+       |s AS (SELECT pair, time, rn,
+       |             sum(bp6) OVER f1 AS sbp1, sum(tr6) OVER f1 AS str1,
+       |             sum(bp6) OVER f2 AS sbp2, sum(tr6) OVER f2 AS str2,
+       |             sum(bp6) OVER f3 AS sbp3, sum(tr6) OVER f3 AS str3
+       |      FROM e
+       |      WINDOW f1 AS (PARTITION BY pair ORDER BY rn
+       |               ROWS BETWEEN ${p1 - 1} PRECEDING AND CURRENT ROW),
+       |             f2 AS (PARTITION BY pair ORDER BY rn
+       |               ROWS BETWEEN ${p2 - 1} PRECEDING AND CURRENT ROW),
+       |             f3 AS (PARTITION BY pair ORDER BY rn
+       |               ROWS BETWEEN ${p3 - 1} PRECEDING AND CURRENT ROW))
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p3 AS period,
+       |       CASE WHEN rn >= ${p3 + 1} AND str1 <> 0 AND str2 <> 0 AND str3 <> 0
+       |            THEN round(100.0 * (4.0 * (CAST(sbp1 AS DOUBLE) / CAST(str1 AS DOUBLE))
+       |                 + 2.0 * (CAST(sbp2 AS DOUBLE) / CAST(str2 AS DOUBLE))
+       |                 + (CAST(sbp3 AS DOUBLE) / CAST(str3 AS DOUBLE))) / 7.0, 6)
+       |       END AS value
+       |FROM s""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "u21_trix_15_1m" -> trixSql(15),
+    "u22_kama_10_1m" -> kamaSql(10),
+    "u23_vortex_14_1m" -> vortexSql(14),
+    "u24_ultosc_1m" -> ultoscSql(7, 14, 28),
     "u13_adx_14_1m" -> adxSql(14),
     "u14_ichimoku_1m" -> ichimokuSql(9, 26, 52),
     "u15_cci_20_1m" -> cciSql(20),

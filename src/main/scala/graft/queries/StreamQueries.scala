@@ -418,6 +418,32 @@ object StreamQueries {
           round(col("ema"), 6).as("ema"))
     }),
 
+    // T18 (streaming strategy): golden/dead-cross detection as LIVE keyed
+    // state — the reference's strategy flow with the batch self-join
+    // replaced by a per-pair candling + SMA-ring fold (see
+    // Streams.crossSignalStream). Append-mode cutoff: the open minute at
+    // shutdown never finalizes, so the oracle stops strictly before each
+    // pair's max tick minute.
+    "t18_signal_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t18-").toString
+      import s.implicits._
+      withStreamShuffle(s, 8) {
+        val ticks = tickStream(s, d)
+          .select(col("pair"), col("time"), col("seq"), col("bid")).as[SeqTick]
+        awaitAndRecord("t18_signal_stream",
+          Streams.crossSignalStream(ticks, 14, 28)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/sink")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      }
+      s.read.parquet(s"$tmp/sink")
+        .select(col("pair"), unix_timestamp(col("time")).as("time_s"),
+          col("event_type"), round(col("price"), 6).as("price"), col("period"))
+    }),
+
     // T13 (transformWithState): running peak + drawdown per pair on
     // Spark 4's arbitrary-state API — the ELEVENTH distinct streaming
     // primitive under the gate (typed named-state handle, RocksDB-backed
@@ -785,6 +811,33 @@ object StreamQueries {
          |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t)
          |SELECT pair, epoch_us(time) AS time_us, round(sar, 6) AS value
          |FROM r""".stripMargin,
+
+    // batch restatement: the w1 cross predicates over c1m SMAs with each
+    // pair's append cutoff (its open minute at shutdown never finalizes)
+    "t18_signal_stream" ->
+      s"""WITH ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte}, ${TradingQueries.c1mCte},
+         |sma AS (
+         |  SELECT pair, time,
+         |         CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 14
+         |              THEN avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) END AS s14,
+         |         CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 28
+         |              THEN avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                   ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) END AS s28
+         |  FROM c1m),
+         |x AS (
+         |  SELECT pair, time, s14, s28,
+         |         lag(s14) OVER (PARTITION BY pair ORDER BY time) AS ps,
+         |         lag(s28) OVER (PARTITION BY pair ORDER BY time) AS pl
+         |  FROM sma),
+         |mx AS (SELECT pair, date_trunc('minute', max(time)) AS cut
+         |       FROM dedup GROUP BY 1)
+         |SELECT x.pair, epoch(x.time)::BIGINT AS time_s,
+         |       CASE WHEN ps <= pl AND s14 > s28 THEN 'BUY' ELSE 'SELL' END AS event_type,
+         |       round(s14, 6) AS price, 14 AS period
+         |FROM x JOIN mx ON mx.pair = x.pair
+         |WHERE x.time < mx.cut
+         |  AND ((ps <= pl AND s14 > s28) OR (ps >= pl AND s14 < s28))""".stripMargin,
 
     // batch restatement: w12's aligned-grid rolling moments with the
     // append-mode cutoff — the fold's open minute at shutdown (the max

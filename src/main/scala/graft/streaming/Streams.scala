@@ -57,6 +57,20 @@ final case class SarState(n: Long, firstBid: Double, b1: Double, b2: Double,
 /** One emitted trailing-stop point (from the second tick onward). */
 final case class SarPoint(pair: String, time: Timestamp, value: Double)
 
+/** Carried state of the streaming SMA-cross signal fold (T18): the one
+  * open candle minute with its per-second first-tick picks, the ring of
+  * the last `longP` finalized closes (oldest first), and the previous
+  * row's two SMA values (NaN-free via the `have*` flags). */
+final case class XSigState(openMinute: Long, picks: List[CorrSecPick],
+                           ring: List[Double],
+                           prevS: Double, haveS: Boolean,
+                           prevL: Double, haveL: Boolean)
+
+/** One emitted cross signal (BUY = golden cross, SELL = dead cross), the
+  * streaming twin of the batch W1 event shape. */
+final case class SignalPoint(pair: String, time: Timestamp,
+                             event_type: String, price: Double, period: Int)
+
 /** A [[CorrPoint]] labeled with its pair combo (the all-combos stream). */
 final case class CorrPointCombo(pair_a: String, pair_b: String,
                                 time: Timestamp, n: Int,
@@ -432,6 +446,76 @@ object Streams {
             else { prev = (r.bid - prev) * k + prev; out += EmaPoint(pair, r.time, prev) }
           }
         state.update(EmaState(n, seed, prev))
+        out.result().iterator
+      }
+  }
+
+  /** T18: streaming SMA-cross signal detection — the reference's strategy
+    * flow (golden/dead cross, `transform_services.py:442-443,504-505`) as
+    * LIVE keyed state instead of a batch self-join: one
+    * `flatMapGroupsWithState` fold per pair does per-second first-wins
+    * dedup, per-minute candling, and maintains a `longP`-close ring from
+    * which both SMAs are computed at every finalized minute; a signal
+    * emits when the short SMA crosses the long one between consecutive
+    * candle rows (BUY: `prev_s ≤ prev_l ∧ s > l`; SELL: the mirror).
+    * State per pair: the open minute's picks + `longP` doubles + two
+    * previous SMAs — O(period), no timeline buffering, at any scale.
+    *
+    * Determinism contract: candle closes and the SMA sum (oldest→newest
+    * /period — the same order Spark's batch sliding-frame avg uses) are
+    * micro-batch-split-independent under the ordered-chunk replay
+    * invariant every minute-grain fold in this file shares; a straggler
+    * for an already-final minute is dropped and counted via `dropped`. */
+  def crossSignalStream(ticks: Dataset[SeqTick], shortP: Int = 14, longP: Int = 28,
+                        dropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[SignalPoint] = {
+    require(2 <= shortP && shortP < longP,
+      s"need 2 <= shortP < longP, got $shortP/$longP")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.groupByKey(_.pair)
+      .flatMapGroupsWithState[XSigState, SignalPoint](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (pair, rows, state: GroupState[XSigState]) =>
+        var st = state.getOption.getOrElse(
+          XSigState(-1L, Nil, Nil, 0.0, haveS = false, 0.0, haveL = false))
+        val out = Vector.newBuilder[SignalPoint]
+        def usOf(t: Timestamp): Long =
+          t.getTime / 1000 * 1000000L + t.getNanos / 1000
+        def smaOf(ring: List[Double], p: Int): Option[Double] =
+          if (ring.size >= p) Some(ring.takeRight(p).sum / p) else None
+        def finalizeMinute(): Unit = if (st.openMinute >= 0) {
+          st.picks.sortBy(_.sec).lastOption.foreach { last =>
+            val ring = (st.ring :+ last.bid).takeRight(longP)
+            val s = smaOf(ring, shortP); val l = smaOf(ring, longP)
+            (s, l) match {
+              case (Some(sv), Some(lv)) if st.haveS && st.haveL =>
+                val t = new Timestamp(st.openMinute / 1000)
+                if (st.prevS <= st.prevL && sv > lv)
+                  out += SignalPoint(pair, t, "BUY", sv, shortP)
+                else if (st.prevS >= st.prevL && sv < lv)
+                  out += SignalPoint(pair, t, "SELL", sv, shortP)
+              case _ => ()
+            }
+            st = st.copy(ring = ring,
+              prevS = s.getOrElse(0.0), haveS = s.isDefined,
+              prevL = l.getOrElse(0.0), haveL = l.isDefined)
+          }
+          st = st.copy(picks = Nil)
+        }
+        rows.toVector.sortBy(r => (usOf(r.time), r.seq)).foreach { r =>
+          val us = usOf(r.time)
+          val m = us - us % 60000000L
+          if (st.openMinute < 0) st = st.copy(openMinute = m)
+          else if (m > st.openMinute) { finalizeMinute(); st = st.copy(openMinute = m) }
+          else if (m < st.openMinute) dropped.foreach(_.add(1))
+          if (m == st.openMinute) {
+            val sec = us - us % 1000000L
+            if (!st.picks.exists(_.sec == sec)) // sorted ⇒ first wins
+              st = st.copy(picks = CorrSecPick(sec, us, r.seq, r.bid) :: st.picks)
+          }
+        }
+        state.update(st)
         out.result().iterator
       }
   }
