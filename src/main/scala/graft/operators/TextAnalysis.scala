@@ -390,4 +390,70 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_shingles"), col("n_unique"),
         (col("n_unique").cast("double") / col("n_shingles")).as("novelty"))
   }
+
+  /** Gopher's 8 high-frequency English words: a document with fewer than 2
+    * DISTINCT hits is flagged as non-natural-language (Rae et al. 2021,
+    * MassiveText filtering, table A1). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** L47: Gopher-style quality-RULE bundle — the boolean per-rule verdicts
+    * a filtering pipeline audits (vs [[stats]]/[[qualityModel]], which
+    * emit scores): word count in [10, 100000], mean word length in
+    * [3, 10], ≥ 2 distinct Gopher stopwords, duplicate-word ratio ≤ 0.5
+    * (bounds adapted to the synthetic corpus' scale from MassiveText's
+    * 50-word / symbol-ratio originals). `keep` = every rule passes.
+    * Shuffle-free scan: each rule is exact arithmetic on one token array
+    * materialized once (the lambda-CSE rule), so 100 TB filters at full
+    * scan speed with per-rule rejection counts one aggregation away. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val mat = docs.select(col("doc_id"),
+      TextOps.normalize(col("text")).as("norm"),
+      TextOps.tokens(col("text")).as("wtok"))
+    val n = size(col("wtok")).cast("bigint")
+    val meanLen = length(regexp_replace(col("norm"), " ", "")).cast("double") / n
+    val dupRatio = (n - size(array_distinct(col("wtok"))).cast("bigint"))
+      .cast("double") / n
+    val rWc = n.between(10L, 100000L)
+    val rMean = meanLen.between(3.0, 10.0)
+    val rStop = size(array_intersect(col("wtok"),
+      array(GopherStops.map(lit): _*))) >= 2
+    val rDup = dupRatio <= 0.5
+    mat.select(col("doc_id"),
+      rWc.as("r_wordcount"), rMean.as("r_meanlen"),
+      rStop.as("r_stop"), rDup.as("r_dup"),
+      (rWc && rMean && rStop && rDup).as("keep"))
+  }
+
+  /** L48: winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003) — the guarantee-bearing robust fingerprint selection: hash
+    * every POSITIONAL `k`-word shingle and keep a position iff its hash
+    * is the minimum of the window of `w` consecutive hashes ending there.
+    * Any shared substring of ≥ `w+k−1` words between two documents is
+    * then guaranteed to share at least one selected fingerprint — the
+    * local-min property plain modulo-sampling (L10) lacks. Selection
+    * density is ≈ 2/(w+1).
+    *
+    * Shape: positional shingling explodes to |tokens| rows, then ONE
+    * doc-partitioned window pass (bounded by document length — the
+    * allowlisted bounded-window class) and a filter; output is the sparse
+    * fingerprint posting list a MOSS-style overlap join consumes. Linear
+    * in corpus size, no pair expansion. */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 2, s"need k >= 1, w >= 2, got $k/$w")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val mat = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("wtok"))
+      .select(col("doc_id"),
+        when(size(col("wtok")) >= k,
+          transform(sequence(lit(1), size(col("wtok")) - (k - 1)),
+            i => concat_ws(" ", slice(col("wtok"), i, lit(k)))))
+          .otherwise(array().cast("array<string>")).as("sh"))
+    mat.select(col("doc_id"), posexplode(col("sh")).as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("bigint").as("pos"),
+        TextOps.hash60(col("g")).as("h"))
+      .withColumn("mn", min(col("h")).over(win.rowsBetween(-(w - 1), 0)))
+      .filter(col("pos") >= w && col("h") === col("mn"))
+      .select(col("doc_id"), col("pos"), col("h").as("fp"))
+  }
 }

@@ -524,7 +524,7 @@ object IndicatorQueries {
        |       $p AS period, round(k, 6) AS k, round(d, 6) AS d
        |FROM d""".stripMargin
 
-  private def bollingerSql(p: Int, width: String): String =
+  private[queries] def bollingerSql(p: Int, width: String): String =
     s"""$prelude,
        |b AS (
        |  SELECT pair, time,

@@ -92,6 +92,10 @@ object LlmQueries {
     // scan, no pair expansion
     "llm_novelty" -> ((s, d) => TextAnalysis.novelty(docsPar(s, d))),
 
+    "llm_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(docsPar(s, d))),
+
+    "llm_winnow_fp" -> ((s, d) => TextAnalysis.winnow(docsPar(s, d))),
+
     // asymmetric containment (|A∩B| / min set size): catches a short doc
     // quoted whole inside a long one, which Jaccard's union denominator
     // scores near zero — same inverted-index join, one-line remeasure
@@ -628,6 +632,45 @@ object LlmQueries {
          |       sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS novelty
          |FROM e JOIN df USING (g)
          |GROUP BY doc_id""".stripMargin,
+
+    // each rule is exact arithmetic on the shared token array; BETWEEN is
+    // inclusive on both engines and every comparison is on identical
+    // doubles, so the boolean bundle is bit-portable
+    "llm_gopher_rules" ->
+      s"""WITH $toksCte,
+         |r AS (
+         |  SELECT doc_id,
+         |         len(w) BETWEEN 10 AND 100000 AS r_wordcount,
+         |         (length(replace(norm, ' ', ''))::DOUBLE / len(w))
+         |           BETWEEN 3.0 AND 10.0 AS r_meanlen,
+         |         len(list_intersect(w, ['the','be','to','of','and','that',
+         |           'have','with'])) >= 2 AS r_stop,
+         |         ((len(w) - len(list_distinct(w)))::DOUBLE / len(w)) <= 0.5
+         |           AS r_dup
+         |  FROM toks)
+         |SELECT doc_id, r_wordcount, r_meanlen, r_stop, r_dup,
+         |       (r_wordcount AND r_meanlen AND r_stop AND r_dup) AS keep
+         |FROM r""".stripMargin,
+
+    // positional 3-gram MD5-60 hashes, 4-hash window minima (winnowing):
+    // the window min and the equality filter are integer-exact, so the
+    // selected posting list matches row-for-row
+    "llm_winnow_fp" ->
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id,
+         |             unnest(list_transform(range(1, len(w) - 1),
+         |               i -> {'pos': i,
+         |                     'h': ('0x' || substr(md5(
+         |                       array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT}))
+         |               AS u
+         |      FROM toks WHERE len(w) >= 3),
+         |p AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g),
+         |m AS (SELECT doc_id, pos, h,
+         |             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
+         |      FROM p)
+         |SELECT doc_id, pos::BIGINT AS pos, h AS fp
+         |FROM m WHERE pos >= 4 AND h = mn""".stripMargin,
 
     // brute-force containment oracle: same shingle sets, normalized by the
     // SMALLER set — the doc-in-doc measure Jaccard's union denominator hides

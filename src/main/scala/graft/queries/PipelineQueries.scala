@@ -101,6 +101,23 @@ object PipelineQueries {
         round(col("value"), 6).as("value"), col("dir_up"))
     }),
 
+    // incremental Bollinger — the SIXTH family through the S8/A3/W2 path
+    // and the first pure-WINDOW one: with the 2·period lookback covering
+    // the full 19-row frame, the truncated recompute is EXACT (no seed
+    // approximation), so the merge must equal a full run bit-for-bit —
+    // which is precisely what gating it against the plain u6 oracle proves.
+    "s8f_idempotent_bollinger" -> ((s, d) => {
+      val c = candles1m(s, d)
+      def bb(cc: DataFrame) = Indicators.bollinger(cc, 20)
+      val existing = bb(c.filter(col("time") < lit(Cutoff)))
+      val merged = Incremental.incrementalIndicator(c, existing, 20, bb,
+        dedupKeys = Seq("pair", "timeframe", "time", "period", "calc_version"))
+      merged.select(col("pair"), col("timeframe"),
+        unix_timestamp(col("time")).as("time_s"), col("period"),
+        round(col("mid"), 6).as("mid"), round(col("upper"), 6).as("upper"),
+        round(col("lower"), 6).as("lower"))
+    }),
+
     "s6_latest_tick" -> ((s, d) =>
       Relay.latestPerPair(ticks(s, d))
         .select(col("pair"), unix_timestamp(col("time")).as("time_s"),
@@ -384,6 +401,12 @@ object PipelineQueries {
          |FROM rt r LEFT JOIN wm USING (pair)
          |WHERE wm.watermark IS NULL OR r.time > wm.watermark""".stripMargin
     },
+
+    // A window indicator's incremental recompute is EXACT (the 2·period
+    // lookback covers the whole frame), so the oracle is simply the full
+    // u6 bollinger — the merge equaling it IS the idempotence proof.
+    "s8f_idempotent_bollinger" ->
+      IndicatorQueries.bollingerSql(20, "CAST(2.0 AS DOUBLE)"),
 
     // Same dual-recurrence shape as s8b/s8c with Wilder's ATR as the
     // carried state: TR needs the PREVIOUS close (carried through the

@@ -666,4 +666,62 @@ class StateRestartSpec extends SparkSpec {
     assert(!a.exists(r => r.getLong(2) == 5L || r.getLong(2) == 6L))
     assert(b === a) // bit-equality: same winners, same values
   }
+
+  // ------------------------------------------ t18: SMA-cross signal state
+
+  // shortP=2/longP=3. Closes per minute for X: 10,10,10,10,16,… — the
+  // BUY cross fires at minute 00:04 (s2 = 13 > s3 = 12 with both previous
+  // SMAs equal), but that minute FINALIZES only after the kill: the
+  // emission depends entirely on the checkpoint-restored close ring
+  // ([10,10,10]) and previous SMA pair (10,10).
+  private val xsigChunks = Seq(
+    seqTicks(Seq(("X", "2024-01-01 00:00:00", 1L, 10.0),
+      ("X", "2024-01-01 00:01:00", 2L, 10.0),
+      ("X", "2024-01-01 00:02:00", 3L, 10.0))),
+    seqTicks(Seq(("X", "2024-01-01 00:03:00", 4L, 10.0))),
+    // --- kill point: ring [10,10,10], prev SMAs (10,10), minute 3 open ---
+    seqTicks(Seq(("X", "2024-01-01 00:04:00", 5L, 16.0))),
+    seqTicks(Seq(("X", "2024-01-01 00:05:00", 6L, 10.0))))
+
+  private def runXSig(src: String, sink: String, ckpt: String): Unit = {
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    Streams.crossSignalStream(stream.as[SeqTick], shortP = 2, longP = 3)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+  }
+
+  test("t18: the close ring + prev SMAs survive the kill — the cross fires post-restart") {
+    val root = Files.createTempDirectory("graft-t18-restart-").toString
+    val (srcA, srcB) = (s"$root/srcA", s"$root/srcB")
+    new java.io.File(srcA).mkdirs(); new java.io.File(srcB).mkdirs()
+
+    xsigChunks.zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcA, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runXSig(srcA, s"$root/sinkA", s"$root/ckptA")
+
+    xsigChunks.take(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runXSig(srcB, s"$root/sinkB", s"$root/ckptB")
+    xsigChunks.drop(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c${i + 2}", 1600000120000L + i * 60000L)
+    }
+    runXSig(srcB, s"$root/sinkB", s"$root/ckptB")
+
+    def rows(sink: String) = spark.read.parquet(sink)
+      .select("pair", "time", "event_type", "price", "period")
+      .orderBy("pair", "time").collect().toSeq
+    val (a, b) = (rows(s"$root/sinkA"), rows(s"$root/sinkB"))
+    assert(a.nonEmpty, "reference run emitted nothing")
+    assert(b === a, s"restart diverged:\nref=${a.mkString("\n")}\ncut=${b.mkString("\n")}")
+    // exactly one BUY, at the post-kill minute, priced at s2 = (10+16)/2
+    assert(a.length === 1 && a.head.getString(2) === "BUY", s"signals: $a")
+    assert(a.head.getTimestamp(1) === ts("2024-01-01 00:04:00"))
+    assert(a.head.getDouble(3) === 13.0)
+  }
 }
