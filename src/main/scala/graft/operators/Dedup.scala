@@ -435,4 +435,39 @@ object Dedup {
             struct(col("i"), col("seg"))))),
           x => x.getField("seg"))).as("clean_text"))
   }
+
+  /** L49: MOSS-style overlap detection over winnowing fingerprints
+    * ([[TextAnalysis.winnow]]): candidate pairs are documents sharing at
+    * least `minShared` selected fingerprints. Winnowing's guarantee makes
+    * the candidate set RECALL-COMPLETE for any copied run of
+    * ≥ `w+k−1` words per shared fingerprint — at ~2/(w+1) of the posting
+    * volume a full-shingle index (L3) carries.
+    *
+    * Same inverted-list discipline as the n-gram joins: distinct
+    * (doc, fp) postings, group per fingerprint, in-list pair expansion
+    * (never a self-join that re-evaluates the fingerprint pipeline per
+    * side), pair-count aggregation. `maxDf` is the scale valve: a
+    * boilerplate fingerprint shared by millions of docs is excluded
+    * BEFORE its posting list materializes (df pre-count + semi-join, the
+    * [[sharedShingleCounts]] valve ordering). */
+  def winnowDedup(docs: DataFrame, k: Int = 3, w: Int = 4,
+                  minShared: Int = 2, maxDf: Option[Int] = None): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps = TextAnalysis.winnow(docs, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val eligible = maxDf.fold(fps) { cap =>
+      val ok = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select(col("fp"))
+      fps.join(ok, Seq("fp"), "left_semi")
+    }
+    eligible.groupBy(col("fp"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("i"), col("p.b").as("j"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -96,6 +96,9 @@ object LlmQueries {
 
     "llm_winnow_fp" -> ((s, d) => TextAnalysis.winnow(docsPar(s, d))),
 
+    "llm_winnow_dedup" -> ((s, d) =>
+      Dedup.winnowDedup(docsPar(s, d), minShared = 2)),
+
     // asymmetric containment (|A∩B| / min set size): catches a short doc
     // quoted whole inside a long one, which Jaccard's union denominator
     // scores near zero — same inverted-index join, one-line remeasure
@@ -671,6 +674,28 @@ object LlmQueries {
          |      FROM p)
          |SELECT doc_id, pos::BIGINT AS pos, h AS fp
          |FROM m WHERE pos >= 4 AND h = mn""".stripMargin,
+
+    // brute-force restatement of the winnow overlap join (the engine uses
+    // in-list pair expansion; both count identical (i, j, fp) triples)
+    "llm_winnow_dedup" ->
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id,
+         |             unnest(list_transform(range(1, len(w) - 1),
+         |               i -> {'pos': i,
+         |                     'h': ('0x' || substr(md5(
+         |                       array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT}))
+         |               AS u
+         |      FROM toks WHERE len(w) >= 3),
+         |p AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g),
+         |m AS (SELECT doc_id, pos, h,
+         |             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
+         |      FROM p),
+         |fp AS (SELECT DISTINCT doc_id, h AS f
+         |       FROM m WHERE pos >= 4 AND h = mn)
+         |SELECT a.doc_id AS i, b.doc_id AS j, count(*)::BIGINT AS shared
+         |FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // brute-force containment oracle: same shingle sets, normalized by the
     // SMALLER set — the doc-in-doc measure Jaccard's union denominator hides

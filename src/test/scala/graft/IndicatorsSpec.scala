@@ -337,4 +337,68 @@ class IndicatorsSpec extends SparkSpec {
       assert(math.abs(out(i).getDouble(2) - (mean - 2 * sd)) < 1e-9)
     }
   }
+
+  // degenerate candles (high = low = close) with the given close series
+  private def flatCandles(cs: Seq[Double]): org.apache.spark.sql.DataFrame =
+    cs.zipWithIndex.map { case (c, i) =>
+      ("A", "1m", ts(f"2024-01-01 00:$i%02d:00"), c, c, c, c)
+    }.toDF("pair", "timeframe", "time", "open", "high", "low", "close")
+
+  test("TRIX: warm-up ends at 3p-2 for e3, 3p-1 for TRIX; constant series is 0") {
+    val out = values(Indicators.trix(flatCandles(Seq.fill(10)(5.0)), 3).toDF(), "A")
+    // p=3: e1@3, e2@5, e3@7, trix@8 (1-indexed) — so indices 0..6 are null
+    assert(out.take(7).forall(_.isEmpty), s"warm-up violated: $out")
+    assert(out.drop(7).forall(v => v.isDefined && math.abs(v.get) < 1e-12),
+      s"flat series TRIX nonzero: $out")
+  }
+
+  test("TRIX sign tracks the triple-EMA trend direction") {
+    val up = values(Indicators.trix(flatCandles((1 to 12).map(_.toDouble)), 3).toDF(), "A")
+    assert(up.flatten.nonEmpty && up.flatten.forall(_ > 0), s"ramp TRIX not positive: $up")
+  }
+
+  test("KAMA: flat series pins to the close; ramp stays between prev KAMA and close") {
+    val flat = values(Indicators.kama(flatCandles(Seq.fill(8)(5.0)), 3).toDF(), "A")
+    assert(flat.take(3).forall(_.isEmpty))
+    assert(flat.drop(3).forall(v => v.contains(5.0)), s"flat KAMA drifted: $flat")
+
+    val cs = (10 to 18).map(_.toDouble)
+    val ramp = values(Indicators.kama(flatCandles(cs), 3).toDF(), "A")
+    assert(ramp.take(3).forall(_.isEmpty))
+    // er = 1 on a monotone ramp → sc ≈ (2/3)²; seeded at the prior close
+    var prev = cs(2) // close[p-1]
+    ramp.zipWithIndex.drop(3).foreach { case (v, i) =>
+      assert(v.isDefined && v.get > prev && v.get < cs(i),
+        s"idx $i: ${v} not in (prev=$prev, close=${cs(i)})")
+      prev = v.get
+    }
+  }
+
+  test("Vortex: constructed ±1 ranges give exactly VI+ = 1.5, VI− = 0.5") {
+    val rows = (0 until 8).map { i =>
+      val c = 10.0 + i
+      ("A", "1m", ts(f"2024-01-01 00:$i%02d:00"), c, c + 1, c - 1, c)
+    }.toDF("pair", "timeframe", "time", "open", "high", "low", "close")
+    val out = Indicators.vortex(rows, period = 3).filter($"pair" === "A")
+      .orderBy("time").select("vi_plus", "vi_minus").collect()
+    // defined from rn = p+1 = 4
+    assert((0 until 3).forall(i => out(i).isNullAt(0)))
+    (3 until 8).foreach { i =>
+      assert(out(i).getDouble(0) === 1.5, s"row $i vi+: ${out(i)}")
+      assert(out(i).getDouble(1) === 0.5, s"row $i vi-: ${out(i)}")
+    }
+  }
+
+  test("Ultimate Oscillator: degenerate +1 ramp gives exactly 100; flat is null") {
+    val up = values(
+      Indicators.ultimateOscillator(flatCandles((1 to 32).map(_.toDouble)),
+        p1 = 3, p2 = 5, p3 = 7).withColumnRenamed("value", "value"), "A")
+    // defined from rn = p3+1 = 8; bp = tr = 1 every bar → all ratios 1
+    assert(up.take(7).forall(_.isEmpty))
+    assert(up.drop(7).forall(_.contains(100.0)), s"ramp UO != 100: $up")
+
+    val flat = values(
+      Indicators.ultimateOscillator(flatCandles(Seq.fill(10)(5.0)), 3, 5, 7), "A")
+    assert(flat.forall(_.isEmpty), s"flat UO should be null (0/0 guard): $flat")
+  }
 }
