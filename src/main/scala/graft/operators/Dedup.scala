@@ -436,6 +436,51 @@ object Dedup {
           x => x.getField("seg"))).as("clean_text"))
   }
 
+  /** L50: PageRank centrality over the near-dup similarity graph — the
+    * canonical-document selector: inside a cluster of near-duplicates the
+    * highest-rank node is the best-connected representative to KEEP
+    * (degree-weighted, transitively) when collapsing the cluster.
+    *
+    * Graph: symmetric edges from [[nearDupNgram]] pairs. `iters` fixed
+    * power-iteration rounds of
+    * `r' = (1−d)/N + d·Σ_in round(r/deg, 6)`; contributions are rounded
+    * to 6 dp and summed as EXACT DECIMAL (the lmScore discipline), so the
+    * per-node total cannot depend on edge arrival order and any engine
+    * replaying the same formula agrees bit-for-bit.
+    *
+    * Scale shape: each round is one O(E) join + one aggregation shuffled
+    * on the destination key; N rides a one-row broadcast; the edge set is
+    * localCheckpoint'ed once so the shingle join is not re-derived per
+    * round. Isolated docs (no near-dup edge) are absent — PageRank of a
+    * singleton is just the teleport term. */
+  def pageRank(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
+               iters: Int = 4, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val pairs = nearDupNgram(docs, n, threshold).select(col("i"), col("j"))
+    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .localCheckpoint()
+    val nodes = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("v"), col("deg"))
+    val cnt = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val zero = lit(0).cast("decimal(27,6)")
+    var ranks = nodes.crossJoin(cnt)
+      .select(col("v"), (lit(1.0) / col("n").cast("double")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(nodes, "v")
+        .join(edges, col("v") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(round(col("rank") / col("deg").cast("double"), 6)
+          .cast("decimal(27,6)")).as("c"))
+      ranks = nodes.crossJoin(cnt)
+        .join(contrib, col("v") === col("dst"), "left")
+        .select(col("v"),
+          ((lit(1.0) - lit(damping)) / col("n").cast("double")
+            + lit(damping) * coalesce(col("c"), zero).cast("double")).as("rank"))
+    }
+    ranks.select(col("v").as("doc_id"), round(col("rank"), 6).as("rank"))
+  }
+
   /** L49: MOSS-style overlap detection over winnowing fingerprints
     * ([[TextAnalysis.winnow]]): candidate pairs are documents sharing at
     * least `minShared` selected fingerprints. Winnowing's guarantee makes

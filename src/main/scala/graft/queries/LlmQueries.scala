@@ -55,6 +55,42 @@ object LlmQueries {
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
        |SELECT i, j, round(jac, 6) AS jaccard FROM p WHERE jac >= $threshold""".stripMargin
 
+  /** Unrolled power iteration replicating [[graft.operators.Dedup.pageRank]]
+    * round-for-round: recursive CTEs cannot aggregate in the recursive
+    * term, so each of the `iters` rounds is its own chained CTE. The
+    * per-round formula text matches the engine's column expression
+    * exactly (double teleport term, 6-dp-rounded DECIMAL(27,6) exact
+    * contribution sums, one double multiply-add). */
+  private def pagerankOracle(threshold: Double, iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (
+         |  SELECT d.v,
+         |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / cnt.n
+         |           + CAST(0.85 AS DOUBLE)
+         |             * CAST(coalesce(s.c, CAST(0 AS DECIMAL(27,6))) AS DOUBLE)
+         |           AS rank
+         |  FROM deg d CROSS JOIN cnt
+         |  LEFT JOIN (
+         |    SELECT e.dst AS v,
+         |           sum(CAST(round(r.rank / d2.deg, 6) AS DECIMAL(27,6))) AS c
+         |    FROM r${k - 1} r JOIN deg d2 ON d2.v = r.v JOIN e ON e.src = r.v
+         |    GROUP BY e.dst) s ON s.v = d.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $shingleCte,
+       |pr AS (SELECT a.doc_id AS i, b.doc_id AS j
+       |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |       WHERE len(list_intersect(a.s, b.s))::DOUBLE
+       |             / len(list_distinct(a.s || b.s)) >= $threshold),
+       |e AS (SELECT i AS src, j AS dst FROM pr
+       |      UNION ALL SELECT j AS src, i AS dst FROM pr),
+       |deg AS (SELECT src AS v, count(*) AS deg FROM e GROUP BY 1),
+       |cnt AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / cnt.n AS rank
+       |       FROM deg CROSS JOIN cnt),
+       |$rounds
+       |SELECT v AS doc_id, round(rank, 6) AS rank FROM r$iters""".stripMargin
+  }
+
   private val stopEn = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString("[", ",", "]")
   private val stopDe = TextAnalysis.StopwordsDe.map(w => s"'$w'").mkString("[", ",", "]")
   private val stopEs = TextAnalysis.StopwordsEs.map(w => s"'$w'").mkString("[", ",", "]")
@@ -98,6 +134,9 @@ object LlmQueries {
 
     "llm_winnow_dedup" -> ((s, d) =>
       Dedup.winnowDedup(docsPar(s, d), minShared = 2)),
+
+    "llm_pagerank" -> ((s, d) =>
+      Dedup.pageRank(docsPar(s, d), threshold = 0.6, iters = 4)),
 
     // asymmetric containment (|A∩B| / min set size): catches a short doc
     // quoted whole inside a long one, which Jaccard's union denominator
@@ -620,6 +659,8 @@ object LlmQueries {
         |SELECT doc_id, length(text)::BIGINT AS n_chars_scrubbed,
         |       ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
         |FROM s""".stripMargin,
+
+    "llm_pagerank" -> pagerankOracle(0.6, 4),
 
     "llm_dedup_minhash" -> jaccardOracle(0.8),
     "llm_dedup_ngram" -> jaccardOracle(0.6),
