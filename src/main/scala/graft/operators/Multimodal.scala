@@ -16,6 +16,10 @@ final case class MediaRow(asset_id: Long, content: Array[Byte], mime: String,
 final case class MediaFeatures(asset_id: Long, width: Int, height: Int,
                                n_frames: Int, features: Array[Float])
 
+/** One perceptual fingerprint ([[Multimodal.perceptualHash]]): `decoded`
+  * distinguishes a real pixel-derived aHash from the checksum fallback. */
+final case class MediaHash(asset_id: Long, phash: Long, decoded: Boolean)
+
 /** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
   * columns with typed metadata, and run decode / feature-extract / resize /
   * frame-sample as per-partition batch functions over the binary payload.
@@ -243,6 +247,109 @@ object Multimodal {
   }
 
   /** Real ImageIO decode; None when no installed reader accepts the bytes. */
+  /** L12b: average-hash (aHash) perceptual fingerprints — the image-dedup
+    * primitive: decode, box-average the luminance into an 8×8 grid, set
+    * bit `i` iff cell `i`'s mean exceeds the global mean. The threshold
+    * comparison is EXACT integer cross-multiplication
+    * (`cellSum·nTotal > totalSum·cellCnt` — no float division), so the
+    * hash is bit-deterministic for a fixed decoded raster, and the box
+    * means make it invariant under resampling and lossless re-encoding
+    * (PNG ↔ BMP of the same content hash identically — spec-proved).
+    * Non-image mimes and undecodable bytes take the checksum-derived
+    * fallback (`decoded = false`) so the pipeline stays total — the same
+    * degradation contract as [[featureExtract]]. Shuffle-free narrow
+    * transformation; at 100 TB the hash pass is the scan itself. */
+  def perceptualHash(assets: Dataset[MediaRow]): Dataset[MediaHash] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { rows =>
+      rows.map { r =>
+        val h = if (r.mime.startsWith("image/")) aHashImage(r) else None
+        h.map(MediaHash(r.asset_id, _, decoded = true))
+          .getOrElse(MediaHash(r.asset_id,
+            java.lang.Long.parseLong(r.checksum.take(15), 16),
+            decoded = false))
+      }
+    }
+  }
+
+  private def aHashImage(r: MediaRow): Option[Long] = {
+    import javax.imageio.ImageIO
+    val in = ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(r.content))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(in, false, true)
+        val img = reader.read(0)
+        val (w, h) = (img.getWidth, img.getHeight)
+        // < 8 px has no 8×8 grid; > 16 MP would overflow the exact
+        // integer threshold products below (765·16e6·16e6 < 2^63)
+        if (w < 8 || h < 8 || w.toLong * h > 16000000L) return None
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            val c = cy * 8 + x * 8 / w
+            sums(c) += lum
+            cnts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val total = sums.sum
+        val n = cnts.sum
+        var bits = 0L
+        var i = 0
+        while (i < 64) {
+          if (sums(i) * n > total * cnts(i)) bits |= (1L << i)
+          i += 1
+        }
+        Some(bits)
+      } catch {
+        case _: java.io.IOException => None // truncated/corrupt stream
+      } finally reader.dispose()
+    } finally in.close()
+  }
+
+  /** Near-duplicate image pairs with hamming distance ≤ `maxHamming` over
+    * the aHash, via the same pigeonhole banding as
+    * [[Dedup.nearDupSimhash]] (64 bits → `maxHamming+1` disjoint bands;
+    * any pair inside the budget matches exactly on ≥ 1 band — exact
+    * recall) and the same bucket-group + in-list pair expansion (never a
+    * self-join that re-runs the decode per side). */
+  def phashPairs(hashes: Dataset[MediaHash], maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    require(64 % nBands == 0, s"band count $nBands must divide 64")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val bandStructs = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("phash"), b * width).bitwiseAND(lit(mask)).as("bv"))
+    }: _*)
+    hashes.toDF()
+      .select(col("asset_id"), col("phash"), explode(bandStructs).as("b"))
+      .select(col("asset_id"), col("phash"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+      .groupBy(col("band"), col("bv"))
+      .agg(array_sort(collect_list(struct(col("asset_id"), col("phash")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a.asset_id").as("i"), col("p.b.asset_id").as("j"),
+        bit_count(col("p.a.phash").bitwiseXOR(col("p.b.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   private def decodeImage(r: MediaRow, dim: Int): Option[MediaFeatures] = {
     import javax.imageio.ImageIO
     val in = ImageIO.createImageInputStream(

@@ -491,7 +491,18 @@ object LlmQueries {
           Multimodal.assets(Tables.documents(s, d))), step = 4)
         .select(col("asset_id"), col("mime"), col("n_bytes"), col("checksum"),
           col("width"), col("height"), col("n_frames"), col("n_sampled"),
-          col("last_frame").cast("int").as("last_frame"))))
+          col("last_frame").cast("int").as("last_frame"))),
+
+    // the perceptual-hash operator's gate rides the deterministic fallback
+    // path (text/plain assets — the real pixel path and the banding join's
+    // exact-recall property are spec-proved on real PNG/BMP rasters in
+    // MultimodalSpec, where DuckDB cannot follow)
+    "mm_phash" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.perceptualHash(
+        Multimodal.assets(Tables.documents(s, d)).as[graft.operators.MediaRow])
+        .toDF().select(col("asset_id"), col("phash"), col("decoded"))
+    }))
 
   /** Both ANN variants share the exact brute-force oracle: the LSH variant's
     * banding (96 × 3 bits, seeded) is provably-deterministic and verified to
@@ -1294,5 +1305,11 @@ object LlmQueries {
         |       (h % 16 + 1)::INT AS n_frames,
         |       ((h % 16) // 4 + 1)::INT AS n_sampled,
         |       (((h % 16) // 4) * 4)::INT AS last_frame
-        |FROM d""".stripMargin)
+        |FROM d""".stripMargin,
+
+    "mm_phash" ->
+      """SELECT doc_id AS asset_id,
+        |       ('0x' || substr(md5(text), 1, 15))::BIGINT AS phash,
+        |       false AS decoded
+        |FROM documents""".stripMargin)
 }

@@ -330,4 +330,59 @@ class MultimodalSpec extends SparkSpec {
       assert(f.width === (h60 % 624 + 16).toInt, s"asset ${f.asset_id} not stubbed")
     }
   }
+
+  // left `darkCells` of the 8 cell columns black, the rest white; optional
+  // extra black cell at (row 0, col 7) for the 1-bit perturbation
+  private def bwBytes(w: Int, h: Int, format: String, darkCells: Int = 4,
+                      perturb: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (cx, cy) = (x * 8 / w, y * 8 / h)
+      val dark = cx < darkCells || (perturb && cy == 0 && cx == 7)
+      img.setRGB(x, y, if (dark) 0 else 0xffffff)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  test("L12b phash: aHash is format- and scale-invariant on a bimodal raster") {
+    val rows = Seq(
+      mediaRow(1L, bwBytes(64, 64, "png"), "image/png"),
+      mediaRow(2L, bwBytes(128, 128, "bmp"), "image/bmp"),
+      mediaRow(3L, bwBytes(48, 80, "png"), "image/png")) // non-square, non-multiple-of-8
+      .toDS()
+    val got = Multimodal.perceptualHash(rows).collect().sortBy(_.asset_id)
+    assert(got.forall(_.decoded), s"pixel path not taken: ${got.toSeq}")
+    // white cells are exactly the columns cx >= 4 → per-row bit mask 0xF0
+    val expected = 0xF0F0F0F0F0F0F0F0L
+    got.foreach(g => assert(g.phash === expected,
+      s"asset ${g.asset_id}: ${g.phash.toHexString} != f0f0..."))
+  }
+
+  test("L12b phash: undecodable bytes and non-image mimes take the checksum fallback") {
+    val sum = "b" * 32
+    val rows = Seq(
+      MediaRow(1L, Array.fill[Byte](32)(9), "image/png", 32L, sum),
+      MediaRow(2L, bwBytes(64, 64, "png"), "text/plain", 100L, sum)).toDS()
+    val got = Multimodal.perceptualHash(rows).collect()
+    val h = java.lang.Long.parseLong(sum.take(15), 16)
+    got.foreach { g =>
+      assert(!g.decoded && g.phash === h, s"asset ${g.asset_id} not stubbed: $g")
+    }
+  }
+
+  test("L12b phash pairs: banding finds the 1-bit neighbor, not the far image") {
+    val rows = Seq(
+      mediaRow(1L, bwBytes(64, 64, "png"), "image/png"),
+      mediaRow(2L, bwBytes(64, 64, "png", perturb = true), "image/png"),
+      mediaRow(3L, bwBytes(64, 64, "png", darkCells = 8), "image/png")) // all black
+      .toDS()
+    val pairs = Multimodal.phashPairs(Multimodal.perceptualHash(rows), maxHamming = 3)
+      .collect()
+    assert(pairs.length === 1, s"pairs: ${pairs.toSeq}")
+    assert(pairs.head.getLong(0) === 1L && pairs.head.getLong(1) === 2L &&
+      pairs.head.getInt(2) === 1, s"pair: ${pairs.head}")
+  }
 }
