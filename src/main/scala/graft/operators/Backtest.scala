@@ -3,6 +3,7 @@ package graft.operators
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 
 /** Event row for the backtest fold (top-level for Catalyst codegen access). */
 final case class SignalRow(pair: String, time: Timestamp, event_type: String, price: Double)
@@ -143,5 +144,42 @@ object Backtest {
             None, None, None, None, None)
         out.result().iterator
       }
+  }
+
+  /** F6 risk layer: per-pair per-trade risk metrics off the [[trades]]
+    * ledger — mean PnL, population volatility, downside deviation (vs a
+    * zero target, the Sortino convention), and the per-trade Sharpe- and
+    * Sortino-style ratios (no annualization — the trade grain is
+    * irregular; scale outside if a calendar basis is wanted).
+    *
+    * ENGINE-PORTABLE NUMERICS: per-trade PnL is rounded to the 6-dp grid
+    * and every Σp, Σp², Σmin(p,0)² accumulates as EXACT DECIMAL —
+    * order-free — so the only float work is one identical
+    * mean/variance/sqrt/ratio chain at the end (the [[Indicators.bollinger]]
+    * discipline). Ratios are NULL when their denominator is zero (a
+    * constant or all-winning PnL series). One aggregation shuffle on the
+    * pair key; open (NULL-pnl) trades are excluded identically on any
+    * engine. */
+  def riskMetrics(trades: Dataset[TradeRow]): DataFrame = {
+    val closed = trades.toDF().filter(col("pnl").isNotNull)
+      .select(col("pair"), round(col("pnl"), 6).cast("decimal(18,6)").as("p"))
+    val zero = lit(0).cast("decimal(38,12)")
+    closed.groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_trades"),
+        sum(col("p")).as("s"),
+        sum((col("p") * col("p")).cast("decimal(38,12)")).as("sq"),
+        sum(when(col("p") < 0, (col("p") * col("p")).cast("decimal(38,12)"))
+          .otherwise(zero)).as("dsq"))
+      .withColumn("mean", col("s").cast("double") / col("n_trades"))
+      .withColumn("vol", sqrt(greatest(
+        col("sq").cast("double") / col("n_trades") - col("mean") * col("mean"),
+        lit(0.0))))
+      .withColumn("ddev", sqrt(col("dsq").cast("double") / col("n_trades")))
+      .select(col("pair"), col("n_trades"),
+        round(col("mean"), 6).as("mean_pnl"),
+        round(col("vol"), 6).as("vol"),
+        when(col("vol") > 0, round(col("mean") / col("vol"), 6)).as("sharpe"),
+        round(col("ddev"), 6).as("downside_dev"),
+        when(col("ddev") > 0, round(col("mean") / col("ddev"), 6)).as("sortino"))
   }
 }

@@ -249,6 +249,14 @@ object PipelineQueries {
           round(min(col("pnl6")), 6).as("worst"))
     }),
 
+    // F6 risk layer: per-pair mean/volatility/downside/Sharpe/Sortino off
+    // the closed-trade PnL series — exact decimal moment sums over the
+    // 6-dp PnL grid, one identical float chain at the end
+    "f6e_risk_metrics" -> ((s, d) => {
+      val sma = Indicators.indicatorFacts(candles1m(s, d), Seq("SMA"), Seq(14, 28))
+      Backtest.riskMetrics(Backtest.trades(Signals.strategy(sma, 14, 28)))
+    }),
+
     // F6 depth: the sized ledger at a SECOND parameter set — SMA(10,40)
     // crosses, constant-notional sizing (1M per position) and 2bp
     // per-side fees; gross/fee/net are plain double algebra in a fixed
@@ -706,6 +714,61 @@ object PipelineQueries {
          |       epoch(x_time)::BIGINT AS exit_s, round(x_price, 6) AS exit_price,
          |       round(x_price - price, 6) AS pnl
          |FROM kept WHERE rn % 2 = 1""".stripMargin,
+
+    // the f6b pairing reduced to closed-trade PnLs, then the identical
+    // exact-decimal moment sums and float mean/variance/sqrt/ratio chain
+    // as Backtest.riskMetrics
+    "f6e_risk_metrics" ->
+      s"""$prelude,
+         |sma AS (
+         |  SELECT pair, time,
+         |         CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 14
+         |              THEN avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) END AS s14,
+         |         CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 28
+         |              THEN avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                   ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) END AS s28
+         |  FROM c1m),
+         |x AS (
+         |  SELECT pair, time, s14, s28,
+         |         lag(s14) OVER (PARTITION BY pair ORDER BY time) AS ps,
+         |         lag(s28) OVER (PARTITION BY pair ORDER BY time) AS pl
+         |  FROM sma),
+         |ev AS (
+         |  SELECT pair, time, 'BUY' AS et, s14 AS price FROM x
+         |  WHERE ps <= pl AND s14 > s28
+         |  UNION ALL
+         |  SELECT pair, time, 'SELL', s14 FROM x
+         |  WHERE ps >= pl AND s14 < s28),
+         |fb AS (SELECT pair, min(time) FILTER (et = 'BUY') AS fbt FROM ev GROUP BY pair),
+         |kept AS (
+         |  SELECT ev.pair, ev.time, ev.price,
+         |         row_number() OVER (PARTITION BY ev.pair ORDER BY ev.time) AS rn,
+         |         lead(ev.time) OVER (PARTITION BY ev.pair ORDER BY ev.time) AS x_time,
+         |         lead(ev.price) OVER (PARTITION BY ev.pair ORDER BY ev.time) AS x_price
+         |  FROM ev JOIN fb USING (pair) WHERE ev.time >= fb.fbt),
+         |t AS (SELECT pair, round(x_price - price, 6)::DECIMAL(18,6) AS p
+         |      FROM kept WHERE rn % 2 = 1 AND x_time IS NOT NULL),
+         |a AS (SELECT pair, count(*) AS n_trades,
+         |             sum(p) AS s,
+         |             sum(CAST(p * p AS DECIMAL(38,12))) AS sq,
+         |             sum(CASE WHEN p < 0 THEN CAST(p * p AS DECIMAL(38,12))
+         |                      ELSE CAST(0 AS DECIMAL(38,12)) END) AS dsq
+         |      FROM t GROUP BY 1),
+         |m AS (SELECT pair, n_trades,
+         |             CAST(s AS DOUBLE) / n_trades AS mean,
+         |             sqrt(greatest(CAST(sq AS DOUBLE) / n_trades
+         |                 - (CAST(s AS DOUBLE) / n_trades)
+         |                   * (CAST(s AS DOUBLE) / n_trades),
+         |               CAST(0.0 AS DOUBLE))) AS vol,
+         |             sqrt(CAST(dsq AS DOUBLE) / n_trades) AS ddev
+         |      FROM a)
+         |SELECT pair, n_trades::BIGINT AS n_trades,
+         |       round(mean, 6) AS mean_pnl, round(vol, 6) AS vol,
+         |       CASE WHEN vol > 0 THEN round(mean / vol, 6) END AS sharpe,
+         |       round(ddev, 6) AS downside_dev,
+         |       CASE WHEN ddev > 0 THEN round(mean / ddev, 6) END AS sortino
+         |FROM m""".stripMargin,
 
     // the f6b ledger aggregated: NULL pnl (open final trade) counts as a
     // trade but is skipped by the win/total/extreme aggregates.
