@@ -444,6 +444,36 @@ object StreamQueries {
           col("event_type"), round(col("price"), 6).as("price"), col("period"))
     }),
 
+    // T19 (the whole pipeline live): ticks → dedup → candles → SMA ring →
+    // cross → position state → CLOSED-trade ledger, one keyed fold (see
+    // Streams.tradeStream — the batch twin is f6b). Append cutoff: only
+    // candle minutes strictly before each pair's max tick minute finalize,
+    // so the oracle pairs crosses within that prefix; the open position at
+    // shutdown is state, not output.
+    "t19_trade_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t19-").toString
+      import s.implicits._
+      withStreamShuffle(s, 8) {
+        val ticks = tickStream(s, d)
+          .select(col("pair"), col("time"), col("seq"), col("bid")).as[SeqTick]
+        awaitAndRecord("t19_trade_stream",
+          Streams.tradeStream(ticks, 14, 28)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/sink")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      }
+      s.read.parquet(s"$tmp/sink")
+        .select(col("pair"), col("trade_no"),
+          unix_timestamp(col("entry_time")).as("entry_s"),
+          round(col("entry_price"), 6).as("entry_price"),
+          unix_timestamp(col("exit_time")).as("exit_s"),
+          round(col("exit_price"), 6).as("exit_price"),
+          round(col("pnl"), 6).as("pnl"))
+    }),
+
     // T13 (transformWithState): running peak + drawdown per pair on
     // Spark 4's arbitrary-state API — the ELEVENTH distinct streaming
     // primitive under the gate (typed named-state handle, RocksDB-backed
@@ -811,6 +841,48 @@ object StreamQueries {
          |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t)
          |SELECT pair, epoch_us(time) AS time_us, round(sar, 6) AS value
          |FROM r""".stripMargin,
+
+    // batch restatement: the f6b BUY/SELL pairing over the per-pair
+    // cutoff prefix of the candle series, closed trades only (the open
+    // position at shutdown is state, not output)
+    "t19_trade_stream" ->
+      s"""WITH ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte}, ${TradingQueries.c1mCte},
+         |mx AS (SELECT pair, date_trunc('minute', max(time)) AS cut
+         |       FROM dedup GROUP BY 1),
+         |cc AS (SELECT c.* FROM c1m c JOIN mx USING (pair)
+         |       WHERE c.time < mx.cut),
+         |sma AS (
+         |  SELECT pair, time,
+         |         CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 14
+         |              THEN avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) END AS s14,
+         |         CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 28
+         |              THEN avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                   ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) END AS s28
+         |  FROM cc),
+         |x AS (
+         |  SELECT pair, time, s14, s28,
+         |         lag(s14) OVER (PARTITION BY pair ORDER BY time) AS ps,
+         |         lag(s28) OVER (PARTITION BY pair ORDER BY time) AS pl
+         |  FROM sma),
+         |ev AS (
+         |  SELECT pair, time, 'BUY' AS et, s14 AS price FROM x
+         |  WHERE ps <= pl AND s14 > s28
+         |  UNION ALL
+         |  SELECT pair, time, 'SELL', s14 FROM x
+         |  WHERE ps >= pl AND s14 < s28),
+         |fb AS (SELECT pair, min(time) FILTER (et = 'BUY') AS fbt FROM ev GROUP BY pair),
+         |kept AS (
+         |  SELECT ev.pair, ev.time, ev.price,
+         |         row_number() OVER (PARTITION BY ev.pair ORDER BY ev.time) AS rn,
+         |         lead(ev.time) OVER (PARTITION BY ev.pair ORDER BY ev.time) AS x_time,
+         |         lead(ev.price) OVER (PARTITION BY ev.pair ORDER BY ev.time) AS x_price
+         |  FROM ev JOIN fb USING (pair) WHERE ev.time >= fb.fbt)
+         |SELECT pair, ((rn + 1) // 2)::INT AS trade_no,
+         |       epoch(time)::BIGINT AS entry_s, round(price, 6) AS entry_price,
+         |       epoch(x_time)::BIGINT AS exit_s, round(x_price, 6) AS exit_price,
+         |       round(x_price - price, 6) AS pnl
+         |FROM kept WHERE rn % 2 = 1 AND x_time IS NOT NULL""".stripMargin,
 
     // batch restatement: the w1 cross predicates over c1m SMAs with each
     // pair's append cutoff (its open minute at shutdown never finalizes)

@@ -71,6 +71,23 @@ final case class XSigState(openMinute: Long, picks: List[CorrSecPick],
 final case class SignalPoint(pair: String, time: Timestamp,
                              event_type: String, price: Double, period: Int)
 
+/** Carried state of the streaming trade-ledger fold (T19): the T18 cross
+  * state plus the open position (`inPos`/entry µs/entry price) and the
+  * closed-trade counter. */
+final case class TradeState(openMinute: Long, picks: List[CorrSecPick],
+                            ring: List[Double],
+                            prevS: Double, haveS: Boolean,
+                            prevL: Double, haveL: Boolean,
+                            inPos: Boolean, entryUs: Long, entry: Double,
+                            n: Int)
+
+/** One CLOSED trade emitted by the streaming ledger (the open position is
+  * state, not output — a stream has no final row). */
+final case class TradePoint(pair: String, trade_no: Int,
+                            entry_time: Timestamp, entry_price: Double,
+                            exit_time: Timestamp, exit_price: Double,
+                            pnl: Double)
+
 /** A [[CorrPoint]] labeled with its pair combo (the all-combos stream). */
 final case class CorrPointCombo(pair_a: String, pair_b: String,
                                 time: Timestamp, n: Int,
@@ -495,6 +512,85 @@ object Streams {
                   out += SignalPoint(pair, t, "BUY", sv, shortP)
                 else if (st.prevS >= st.prevL && sv < lv)
                   out += SignalPoint(pair, t, "SELL", sv, shortP)
+              case _ => ()
+            }
+            st = st.copy(ring = ring,
+              prevS = s.getOrElse(0.0), haveS = s.isDefined,
+              prevL = l.getOrElse(0.0), haveL = l.isDefined)
+          }
+          st = st.copy(picks = Nil)
+        }
+        rows.toVector.sortBy(r => (usOf(r.time), r.seq)).foreach { r =>
+          val us = usOf(r.time)
+          val m = us - us % 60000000L
+          if (st.openMinute < 0) st = st.copy(openMinute = m)
+          else if (m > st.openMinute) { finalizeMinute(); st = st.copy(openMinute = m) }
+          else if (m < st.openMinute) dropped.foreach(_.add(1))
+          if (m == st.openMinute) {
+            val sec = us - us % 1000000L
+            if (!st.picks.exists(_.sec == sec)) // sorted ⇒ first wins
+              st = st.copy(picks = CorrSecPick(sec, us, r.seq, r.bid) :: st.picks)
+          }
+        }
+        state.update(st)
+        out.result().iterator
+      }
+  }
+
+  /** T19: the ENTIRE reference pipeline as one live keyed fold — ticks →
+    * per-second dedup → per-minute candles → SMA ring → cross signals →
+    * long-only position state → CLOSED-trade ledger rows. The batch twin
+    * is `Backtest.trades(Signals.strategy(...))`; here a BUY cross opens
+    * the position (if flat) and a SELL cross closes it, emitting one
+    * [[TradePoint]] with `pnl = exit − entry` — the same alternating
+    * pairing the batch fold applies (cross semantics guarantee strict
+    * BUY/SELL alternation, so "if flat"/"if long" guards match the batch
+    * ledger row-for-row). The open position at shutdown stays in state
+    * (the batch ledger's final open row has no streaming counterpart — a
+    * stream has no final row; the serving layer reads it from the state
+    * store or the t5-style latest sink).
+    *
+    * State per pair: T18's O(period) candle/ring state + three scalars.
+    * Same ordered-chunk replay contract as every minute-grain fold here. */
+  def tradeStream(ticks: Dataset[SeqTick], shortP: Int = 14, longP: Int = 28,
+                  dropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[TradePoint] = {
+    require(2 <= shortP && shortP < longP,
+      s"need 2 <= shortP < longP, got $shortP/$longP")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.groupByKey(_.pair)
+      .flatMapGroupsWithState[TradeState, TradePoint](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (pair, rows, state: GroupState[TradeState]) =>
+        var st = state.getOption.getOrElse(
+          TradeState(-1L, Nil, Nil, 0.0, haveS = false, 0.0, haveL = false,
+            inPos = false, 0L, 0.0, 0))
+        val out = Vector.newBuilder[TradePoint]
+        def usOf(t: Timestamp): Long =
+          t.getTime / 1000 * 1000000L + t.getNanos / 1000
+        def smaOf(ring: List[Double], p: Int): Option[Double] =
+          if (ring.size >= p) Some(ring.takeRight(p).sum / p) else None
+        def finalizeMinute(): Unit = if (st.openMinute >= 0) {
+          st.picks.sortBy(_.sec).lastOption.foreach { last =>
+            val ring = (st.ring :+ last.bid).takeRight(longP)
+            val s = smaOf(ring, shortP); val l = smaOf(ring, longP)
+            (s, l) match {
+              case (Some(sv), Some(lv)) if st.haveS && st.haveL =>
+                if (st.prevS <= st.prevL && sv > lv) {
+                  // golden cross → BUY: open if flat
+                  if (!st.inPos)
+                    st = st.copy(inPos = true, entryUs = st.openMinute, entry = sv)
+                } else if (st.prevS >= st.prevL && sv < lv) {
+                  // dead cross → SELL: close if long
+                  if (st.inPos) {
+                    val n = st.n + 1
+                    out += TradePoint(pair, n,
+                      new Timestamp(st.entryUs / 1000), st.entry,
+                      new Timestamp(st.openMinute / 1000), sv, sv - st.entry)
+                    st = st.copy(inPos = false, n = n)
+                  }
+                }
               case _ => ()
             }
             st = st.copy(ring = ring,

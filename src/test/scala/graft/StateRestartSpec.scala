@@ -724,4 +724,68 @@ class StateRestartSpec extends SparkSpec {
     assert(a.head.getTimestamp(1) === ts("2024-01-01 00:04:00"))
     assert(a.head.getDouble(3) === 13.0)
   }
+
+  // ------------------------------------------- t19: open-position state
+
+  // The BUY cross (minute 00:04, entry 13.0) fires BEFORE the kill; the
+  // SELL cross that closes the trade fires only after the restart — the
+  // emitted trade's entry time/price exist nowhere but the checkpointed
+  // position state.
+  private val tradeChunks = Seq(
+    seqTicks(Seq(("X", "2024-01-01 00:00:00", 1L, 10.0),
+      ("X", "2024-01-01 00:01:00", 2L, 10.0),
+      ("X", "2024-01-01 00:02:00", 3L, 10.0))),
+    seqTicks(Seq(("X", "2024-01-01 00:03:00", 4L, 10.0),
+      ("X", "2024-01-01 00:04:00", 5L, 16.0),
+      ("X", "2024-01-01 00:05:00", 6L, 10.0))),
+    // --- kill point: position OPEN (entry 13.0 @ 00:04) in state ---
+    seqTicks(Seq(("X", "2024-01-01 00:06:00", 7L, 10.0))),
+    seqTicks(Seq(("X", "2024-01-01 00:07:00", 8L, 10.0))))
+
+  private def runTrades(src: String, sink: String, ckpt: String): Unit = {
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    Streams.tradeStream(stream.as[SeqTick], shortP = 2, longP = 3)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+  }
+
+  test("t19: the open position survives the kill — the trade closes post-restart") {
+    val root = Files.createTempDirectory("graft-t19-restart-").toString
+    val (srcA, srcB) = (s"$root/srcA", s"$root/srcB")
+    new java.io.File(srcA).mkdirs(); new java.io.File(srcB).mkdirs()
+
+    tradeChunks.zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcA, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runTrades(srcA, s"$root/sinkA", s"$root/ckptA")
+
+    tradeChunks.take(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runTrades(srcB, s"$root/sinkB", s"$root/ckptB")
+    tradeChunks.drop(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c${i + 2}", 1600000120000L + i * 60000L)
+    }
+    runTrades(srcB, s"$root/sinkB", s"$root/ckptB")
+
+    def rows(sink: String) = spark.read.parquet(sink)
+      .select("pair", "trade_no", "entry_time", "entry_price",
+        "exit_time", "exit_price", "pnl")
+      .orderBy("pair", "trade_no").collect().toSeq
+    val (a, b) = (rows(s"$root/sinkA"), rows(s"$root/sinkB"))
+    assert(a.nonEmpty, "reference run emitted nothing")
+    assert(b === a, s"restart diverged:\nref=${a.mkString("\n")}\ncut=${b.mkString("\n")}")
+    // one closed trade: entry 13.0 @ 00:04 (pre-kill state), exit 10.0 @
+    // 00:06 (post-restart cross), pnl -3
+    assert(a.length === 1, s"trades: $a")
+    val t = a.head
+    assert(t.getTimestamp(2) === ts("2024-01-01 00:04:00") &&
+      t.getDouble(3) === 13.0 &&
+      t.getTimestamp(4) === ts("2024-01-01 00:06:00") &&
+      t.getDouble(5) === 10.0 && t.getDouble(6) === -3.0, s"trade: $t")
+  }
 }
