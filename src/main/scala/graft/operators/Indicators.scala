@@ -883,6 +883,43 @@ object Indicators {
             / lit(7.0)).as("value"))
   }
 
+  /** U25: rolling least-squares regression — the linreg slope and the
+    * one-step-ahead forecast (`ŷ = ȳ + slope·(x₀ − x̄)`) chartists draw as
+    * the "linear regression channel" midline. The x axis is the absolute
+    * row number (slope is invariant under x shifts, so relative window
+    * positions are unnecessary); Σy and Σ(x·y) are EXACT DECIMAL window
+    * sums and Σx/Σx² exact integer sums, so the only float work is the
+    * final cast-multiply-divide chain — identically spelled on any
+    * engine ([[bollinger]] discipline). NULL while the window is short.
+    * Pure window aggregate: codegen'd, one shuffle on the series key. */
+  def linreg(candles: DataFrame, period: Int = 20): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val frame = w.rowsBetween(-(period - 1), Window.currentRow)
+    val p = lit(period.toDouble)
+    val num = p * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val den = p * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val slope = num / den
+    val forecast = col("sy").cast("double") / p +
+      slope * ((col("rn") + 1) - col("sx").cast("double") / p)
+    candles
+      .withColumn("rn", row_number().over(w))
+      .withColumn("y6", col("close").cast("decimal(18,6)"))
+      .withColumn("xy", (col("rn").cast("decimal(12,0)") * col("y6"))
+        .cast("decimal(38,6)"))
+      .withColumn("rnl", col("rn").cast("bigint"))
+      .withColumn("sy", sum(col("y6")).over(frame))
+      .withColumn("sxy", sum(col("xy")).over(frame))
+      .withColumn("sx", sum(col("rnl")).over(frame))
+      .withColumn("sxx", sum(col("rnl") * col("rnl")).over(frame))
+      .select(col("pair"), col("timeframe"), col("time"),
+        lit(period).as("period"),
+        when(col("rn") >= period, slope).as("slope"),
+        when(col("rn") >= period, forecast).as("forecast"))
+  }
+
   /** Shared recursive-fold plumbing: shuffle once on (pair, timeframe),
     * secondary-sort by time, fold the in-order close sequence. `mkStep`
     * builds a FRESH stateful per-close step function per series (None =

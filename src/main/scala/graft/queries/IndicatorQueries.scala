@@ -40,6 +40,11 @@ object IndicatorQueries {
       col("trigger_indicator_period").as("period"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u25_linreg_20_1m" -> ((s, d) =>
+      Indicators.linreg(candles1m(s, d), 20)
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          col("period"), round(col("slope"), 6).as("slope"),
+          round(col("forecast"), 6).as("forecast"))),
     "u21_trix_15_1m" -> ((s, d) => indOut(Indicators.trix(candles1m(s, d), 15).toDF())),
     "u22_kama_10_1m" -> ((s, d) => indOut(Indicators.kama(candles1m(s, d), 10).toDF())),
     "u23_vortex_14_1m" -> ((s, d) =>
@@ -910,7 +915,40 @@ object IndicatorQueries {
        |       END AS value
        |FROM s""".stripMargin
 
+  /** Linreg oracle — exact decimal/integer window sums, the identical
+    * cast-multiply-divide float chain as
+    * [[graft.operators.Indicators.linreg]]. */
+  private def linregSql(p: Int): String =
+    s"""$prelude,
+       |b AS (SELECT pair, time,
+       |             row_number() OVER w AS rn,
+       |             close::DECIMAL(18,6) AS y6
+       |      FROM c1m WINDOW w AS (PARTITION BY pair ORDER BY time)),
+       |s AS (SELECT pair, time, rn,
+       |             sum(y6) OVER f AS sy,
+       |             sum(CAST(CAST(rn AS DECIMAL(12,0)) * y6 AS DECIMAL(38,6)))
+       |               OVER f AS sxy,
+       |             sum(rn::BIGINT) OVER f AS sx,
+       |             sum(rn::BIGINT * rn::BIGINT) OVER f AS sxx
+       |      FROM b WINDOW f AS (PARTITION BY pair ORDER BY rn
+       |               ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW)),
+       |m AS (SELECT pair, time, rn,
+       |             ($p.0 * CAST(sxy AS DOUBLE)
+       |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |             / ($p.0 * CAST(sxx AS DOUBLE)
+       |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       |             CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+       |      FROM s)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period,
+       |       CASE WHEN rn >= $p THEN round(slope, 6) END AS slope,
+       |       CASE WHEN rn >= $p
+       |            THEN round(syd / $p.0 + slope * ((rn + 1) - sxd / $p.0), 6)
+       |       END AS forecast
+       |FROM m""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "u25_linreg_20_1m" -> linregSql(20),
     "u21_trix_15_1m" -> trixSql(15),
     "u22_kama_10_1m" -> kamaSql(10),
     "u23_vortex_14_1m" -> vortexSql(14),

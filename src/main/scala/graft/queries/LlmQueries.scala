@@ -1,5 +1,7 @@
 package graft.queries
 
+import java.nio.file.Files
+
 import graft.functions.MisraGries
 import graft.operators.{CorpusPrep, Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
 import graft.sources.Tables
@@ -91,6 +93,11 @@ object LlmQueries {
        |SELECT v AS doc_id, round(rank, 6) AS rank FROM r$iters""".stripMargin
   }
 
+  // staged JSONL copy of the documents fixture (pure infrastructure,
+  // built once per fixture dir and shared across invocations in the JVM)
+  private val jsonlStage =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private val stopEn = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString("[", ",", "]")
   private val stopDe = TextAnalysis.StopwordsDe.map(w => s"'$w'").mkString("[", ",", "]")
   private val stopEs = TextAnalysis.StopwordsEs.map(w => s"'$w'").mkString("[", ",", "]")
@@ -129,6 +136,30 @@ object LlmQueries {
     "llm_novelty" -> ((s, d) => TextAnalysis.novelty(docsPar(s, d))),
 
     "llm_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(docsPar(s, d))),
+
+    // S11 raw-corpus ingest under the gate: the documents fixture staged as
+    // JSONL with two POISON lines (unparseable JSON, type-mismatched id),
+    // read back through the production skip-bad-rows reader — recovering
+    // exactly the original table proves both the round-trip and the drop
+    // contract (a nulled-through poison row would change the row count; a
+    // fatal one would fail the query)
+    "s11_jsonl_ingest" -> ((s, d) => {
+      val path = jsonlStage.getOrElseUpdate(d, {
+        val stage = Files.createTempDirectory("graft-jsonl-").toString + "/data"
+        Tables.documents(s, d)
+          .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))).as("value"))
+          .coalesce(2).write.mode("overwrite").text(stage)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(stage, "poison.txt"),
+          "{this is not json\n{\"doc_id\": \"not-a-number\", \"text\": \"x\"}\n"
+            .getBytes("UTF-8"))
+        stage
+      })
+      graft.sources.TextIngest.documentsFromJsonl(s, path)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lang"), col("source"), col("n_chars"))
+    }),
 
     "llm_winnow_fp" -> ((s, d) => TextAnalysis.winnow(docsPar(s, d))),
 
@@ -672,6 +703,12 @@ object LlmQueries {
         |FROM s""".stripMargin,
 
     "llm_pagerank" -> pagerankOracle(0.6, 4),
+
+    // the JSONL round-trip must recover exactly the original table — the
+    // two poison lines leave no trace
+    "s11_jsonl_ingest" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+        |FROM documents""".stripMargin,
 
     "llm_dedup_minhash" -> jaccardOracle(0.8),
     "llm_dedup_ngram" -> jaccardOracle(0.6),
