@@ -759,24 +759,55 @@ object Indicators {
     * contract. */
   def trix(candles: DataFrame, period: Int = 15, calcVersion: String = CalcVersion): Dataset[IndicatorValue] =
     foldSeries(candles, "TRIX", period, calcVersion) { () =>
-      val k = 2.0 / (period + 1)
-      // one SMA-seeded EMA stage; `step` is fed only DEFINED inputs
-      final class Stage {
-        private var i = -1; private var sum = 0.0; private var prev = 0.0
-        def step(x: Double): Option[Double] = {
-          i += 1
-          if (i < period - 1) { sum += x; None }
-          else if (i == period - 1) { prev = (sum + x) / period; Some(prev) }
-          else { prev = (x - prev) * k + prev; Some(prev) }
-        }
-      }
-      val s1 = new Stage; val s2 = new Stage; val s3 = new Stage
+      val s1 = new EmaStage(period); val s2 = new EmaStage(period)
+      val s3 = new EmaStage(period)
       var prev3 = Option.empty[Double]
       c => {
         val e3 = s1.step(c).flatMap(s2.step).flatMap(s3.step)
         val out = for (p3 <- prev3; v <- e3) yield 100.0 * (v - p3) / p3
         if (e3.isDefined) prev3 = e3
         out
+      }
+    }
+
+  /** One SMA-seeded EMA stage of a chained recurrence ([[trix]]/[[dema]]/
+    * [[tema]]); `step` is fed only DEFINED inputs, so chaining via
+    * `flatMap` gives each stage its own warm-up over the predecessor's
+    * defined outputs. */
+  private final class EmaStage(period: Int) {
+    private val k = 2.0 / (period + 1)
+    private var i = -1; private var sum = 0.0; private var prev = 0.0
+    def step(x: Double): Option[Double] = {
+      i += 1
+      if (i < period - 1) { sum += x; None }
+      else if (i == period - 1) { prev = (sum + x) / period; Some(prev) }
+      else { prev = (x - prev) * k + prev; Some(prev) }
+    }
+  }
+
+  /** U26: DEMA — `2·EMA − EMA(EMA)`, the lag-reduced double EMA (Mulloy).
+    * Two chained [[EmaStage]]s; defined from row `2p−1`. O(1) state. */
+  def dema(candles: DataFrame, period: Int = 10, calcVersion: String = CalcVersion): Dataset[IndicatorValue] =
+    foldSeries(candles, "DEMA", period, calcVersion) { () =>
+      val s1 = new EmaStage(period); val s2 = new EmaStage(period)
+      c => {
+        val e1 = s1.step(c)
+        val e2 = e1.flatMap(s2.step)
+        for (a <- e1; b <- e2) yield 2.0 * a - b
+      }
+    }
+
+  /** U27: TEMA — `3·EMA − 3·EMA² + EMA³` (Mulloy's triple form). Three
+    * chained [[EmaStage]]s; defined from row `3p−2`. O(1) state. */
+  def tema(candles: DataFrame, period: Int = 10, calcVersion: String = CalcVersion): Dataset[IndicatorValue] =
+    foldSeries(candles, "TEMA", period, calcVersion) { () =>
+      val s1 = new EmaStage(period); val s2 = new EmaStage(period)
+      val s3 = new EmaStage(period)
+      c => {
+        val e1 = s1.step(c)
+        val e2 = e1.flatMap(s2.step)
+        val e3 = e2.flatMap(s3.step)
+        for (a <- e1; b <- e2; cc <- e3) yield 3.0 * a - 3.0 * b + cc
       }
     }
 

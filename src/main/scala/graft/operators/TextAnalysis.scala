@@ -426,19 +426,26 @@ object TextAnalysis {
   }
 
   /** L48: winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
-    * 2003) — the guarantee-bearing robust fingerprint selection: hash
-    * every POSITIONAL `k`-word shingle and keep a position iff its hash
-    * is the minimum of the window of `w` consecutive hashes ending there.
-    * Any shared substring of ≥ `w+k−1` words between two documents is
-    * then guaranteed to share at least one selected fingerprint — the
-    * local-min property plain modulo-sampling (L10) lacks. Selection
-    * density is ≈ 2/(w+1).
+    * 2003) — TRUE winnowing: hash every POSITIONAL `k`-word shingle, and
+    * from each window of `w` consecutive hashes select its MINIMUM
+    * (rightmost position on hash ties — identical grams hash equal, so
+    * ties are real), deduplicating selections across overlapping windows.
     *
-    * Shape: positional shingling explodes to |tokens| rows, then ONE
-    * doc-partitioned window pass (bounded by document length — the
-    * allowlisted bounded-window class) and a filter; output is the sparse
-    * fingerprint posting list a MOSS-style overlap join consumes. Linear
-    * in corpus size, no pair expansion. */
+    * THE GUARANTEE (and why the rule must be argmin-per-window, not
+    * "position is its own trailing-window min": the latter can select
+    * NOTHING inside a run of increasing hashes, where every trailing
+    * window's min lies before the run): any shared substring of
+    * ≥ `w+k−1` words contains at least one FULL gram window; that
+    * window's content — hashes and relative tie order — is identical in
+    * both documents, so both select the same gram. Proved as a
+    * ScalaCheck property (PropertiesSpec). Selection density ≈ 2/(w+1).
+    *
+    * Shape: positional shingling explodes to |tokens| rows; ONE
+    * doc-partitioned window pass computes each window's min; the argmin
+    * position is recovered with an equi-join on (doc, hash = window-min)
+    * plus the in-window range predicate — selective (only positions
+    * carrying that exact hash join) and doc-local, so cost stays linear
+    * in corpus size with no pair expansion. */
   def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 2, s"need k >= 1, w >= 2, got $k/$w")
     val win = org.apache.spark.sql.expressions.Window
@@ -449,11 +456,20 @@ object TextAnalysis {
           transform(sequence(lit(1), size(col("wtok")) - (k - 1)),
             i => concat_ws(" ", slice(col("wtok"), i, lit(k)))))
           .otherwise(array().cast("array<string>")).as("sh"))
-    mat.select(col("doc_id"), posexplode(col("sh")).as(Seq("pos0", "g")))
+    val posed = mat
+      .select(col("doc_id"), posexplode(col("sh")).as(Seq("pos0", "g")))
       .select(col("doc_id"), (col("pos0") + 1).cast("bigint").as("pos"),
         TextOps.hash60(col("g")).as("h"))
-      .withColumn("mn", min(col("h")).over(win.rowsBetween(-(w - 1), 0)))
-      .filter(col("pos") >= w && col("h") === col("mn"))
-      .select(col("doc_id"), col("pos"), col("h").as("fp"))
+    val mwin = posed
+      .select(col("doc_id").as("m_doc"), col("pos").as("i"),
+        min(col("h")).over(win.rowsBetween(-(w - 1), 0)).as("mn"))
+      .filter(col("i") >= w)
+    mwin.join(posed,
+        col("m_doc") === col("doc_id") && col("h") === col("mn") &&
+          col("pos").between(col("i") - (w - 1), col("i")))
+      .groupBy(col("doc_id"), col("i"), col("mn"))
+      .agg(max(col("pos")).as("pos")) // rightmost tie, the SIGMOD'03 rule
+      .select(col("doc_id"), col("pos"), col("mn").as("fp"))
+      .distinct()
   }
 }

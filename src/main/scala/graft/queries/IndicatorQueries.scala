@@ -47,6 +47,8 @@ object IndicatorQueries {
           round(col("forecast"), 6).as("forecast"))),
     "u21_trix_15_1m" -> ((s, d) => indOut(Indicators.trix(candles1m(s, d), 15).toDF())),
     "u22_kama_10_1m" -> ((s, d) => indOut(Indicators.kama(candles1m(s, d), 10).toDF())),
+    "u26_dema_10_1m" -> ((s, d) => indOut(Indicators.dema(candles1m(s, d), 10).toDF())),
+    "u27_tema_10_1m" -> ((s, d) => indOut(Indicators.tema(candles1m(s, d), 10).toDF())),
     "u23_vortex_14_1m" -> ((s, d) =>
       Indicators.vortex(candles1m(s, d), 14)
         .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
@@ -811,6 +813,87 @@ object IndicatorQueries {
        |       $p AS period, round(trix, 6) AS value
        |FROM r""".stripMargin
 
+  /** DEMA oracle — the trixSql two-stage chain with `2·e1 − e2` as the
+    * final expression (identical stage boundaries: e1 at `p`, e2 at
+    * `2p−1`). */
+  private def demaSql(p: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS (SELECT pair, time, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |r AS (
+       |  SELECT pair, rn, time,
+       |         close AS sum1, CAST(NULL AS DOUBLE) AS e1,
+       |         CAST(0.0 AS DOUBLE) AS sum2, CAST(NULL AS DOUBLE) AS e2
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT pair, rn, time, sum1, e1,
+       |         CASE WHEN rn < $p THEN sum2_0
+       |              WHEN rn < ${2 * p - 1} THEN sum2_0 + e1
+       |              ELSE CAST(0.0 AS DOUBLE) END AS sum2,
+       |         CASE WHEN rn < ${2 * p - 1} THEN NULL
+       |              WHEN rn = ${2 * p - 1} THEN (sum2_0 + e1) / $p
+       |              ELSE (e1 - e2_0) * (2.0 / ${p + 1}) + e2_0 END AS e2
+       |  FROM (
+       |    SELECT c.pair, c.rn, c.time,
+       |           r.sum2 AS sum2_0, r.e2 AS e2_0,
+       |           CASE WHEN c.rn < $p THEN r.sum1 + c.close
+       |                ELSE CAST(0.0 AS DOUBLE) END AS sum1,
+       |           CASE WHEN c.rn < $p THEN NULL
+       |                WHEN c.rn = $p THEN (r.sum1 + c.close) / $p
+       |                ELSE (c.close - r.e1) * (2.0 / ${p + 1}) + r.e1 END AS e1
+       |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t1)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period,
+       |       CASE WHEN rn >= ${2 * p - 1}
+       |            THEN round(2.0 * e1 - e2, 6) END AS value
+       |FROM r""".stripMargin
+
+  /** TEMA oracle — the trixSql three-stage chain with
+    * `3·e1 − 3·e2 + e3` as the final expression. */
+  private def temaSql(p: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS (SELECT pair, time, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |r AS (
+       |  SELECT pair, rn, time,
+       |         close AS sum1, CAST(NULL AS DOUBLE) AS e1,
+       |         CAST(0.0 AS DOUBLE) AS sum2, CAST(NULL AS DOUBLE) AS e2,
+       |         CAST(0.0 AS DOUBLE) AS sum3, CAST(NULL AS DOUBLE) AS e3
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT pair, rn, time, sum1, e1, sum2, e2,
+       |         CASE WHEN rn < ${2 * p - 1} THEN sum3_0
+       |              WHEN rn < ${3 * p - 2} THEN sum3_0 + e2
+       |              ELSE CAST(0.0 AS DOUBLE) END AS sum3,
+       |         CASE WHEN rn < ${3 * p - 2} THEN NULL
+       |              WHEN rn = ${3 * p - 2} THEN (sum3_0 + e2) / $p
+       |              ELSE (e2 - e3_0) * (2.0 / ${p + 1}) + e3_0 END AS e3
+       |  FROM (
+       |    SELECT *,
+       |           CASE WHEN rn < $p THEN sum2_0
+       |                WHEN rn < ${2 * p - 1} THEN sum2_0 + e1
+       |                ELSE CAST(0.0 AS DOUBLE) END AS sum2,
+       |           CASE WHEN rn < ${2 * p - 1} THEN NULL
+       |                WHEN rn = ${2 * p - 1} THEN (sum2_0 + e1) / $p
+       |                ELSE (e1 - e2_0) * (2.0 / ${p + 1}) + e2_0 END AS e2
+       |    FROM (
+       |      SELECT c.pair, c.rn, c.time,
+       |             r.sum2 AS sum2_0, r.e2 AS e2_0,
+       |             r.sum3 AS sum3_0, r.e3 AS e3_0,
+       |             CASE WHEN c.rn < $p THEN r.sum1 + c.close
+       |                  ELSE CAST(0.0 AS DOUBLE) END AS sum1,
+       |             CASE WHEN c.rn < $p THEN NULL
+       |                  WHEN c.rn = $p THEN (r.sum1 + c.close) / $p
+       |                  ELSE (c.close - r.e1) * (2.0 / ${p + 1}) + r.e1 END AS e1
+       |      FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t1) t2)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period,
+       |       CASE WHEN rn >= ${3 * p - 2}
+       |            THEN round(3.0 * e1 - 3.0 * e2 + e3, 6) END AS value
+       |FROM r""".stripMargin
+
   /** KAMA oracle replicating [[graft.operators.Indicators.kama]]: the
     * efficiency ratio comes from EXACT DECIMAL(12,6) window sums (plain
     * window functions, no recursion needed — order-free on both engines);
@@ -949,6 +1032,8 @@ object IndicatorQueries {
 
   val oracleSql: Map[String, String] = Map(
     "u25_linreg_20_1m" -> linregSql(20),
+    "u26_dema_10_1m" -> demaSql(10),
+    "u27_tema_10_1m" -> temaSql(10),
     "u21_trix_15_1m" -> trixSql(15),
     "u22_kama_10_1m" -> kamaSql(10),
     "u23_vortex_14_1m" -> vortexSql(14),

@@ -744,9 +744,9 @@ object LlmQueries {
          |       (r_wordcount AND r_meanlen AND r_stop AND r_dup) AS keep
          |FROM r""".stripMargin,
 
-    // positional 3-gram MD5-60 hashes, 4-hash window minima (winnowing):
-    // the window min and the equality filter are integer-exact, so the
-    // selected posting list matches row-for-row
+    // true winnowing: per-window minima (integer-exact), argmin position
+    // recovered by the same (doc, hash, in-window) join, rightmost tie —
+    // the selected posting list matches row-for-row
     "llm_winnow_fp" ->
       s"""WITH $toksCte,
          |g AS (SELECT doc_id,
@@ -757,12 +757,17 @@ object LlmQueries {
          |               AS u
          |      FROM toks WHERE len(w) >= 3),
          |p AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g),
-         |m AS (SELECT doc_id, pos, h,
+         |m AS (SELECT doc_id, pos AS i,
          |             min(h) OVER (PARTITION BY doc_id ORDER BY pos
          |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
-         |      FROM p)
-         |SELECT doc_id, pos::BIGINT AS pos, h AS fp
-         |FROM m WHERE pos >= 4 AND h = mn""".stripMargin,
+         |      FROM p),
+         |sel AS (SELECT m.doc_id, m.i, m.mn, max(p.pos) AS pos
+         |        FROM m JOIN p ON p.doc_id = m.doc_id AND p.h = m.mn
+         |             AND p.pos BETWEEN m.i - 3 AND m.i
+         |        WHERE m.i >= 4
+         |        GROUP BY 1, 2, 3)
+         |SELECT DISTINCT doc_id, pos::BIGINT AS pos, mn AS fp
+         |FROM sel""".stripMargin,
 
     // brute-force restatement of the winnow overlap join (the engine uses
     // in-list pair expansion; both count identical (i, j, fp) triples)
@@ -776,12 +781,14 @@ object LlmQueries {
          |               AS u
          |      FROM toks WHERE len(w) >= 3),
          |p AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g),
-         |m AS (SELECT doc_id, pos, h,
+         |m AS (SELECT doc_id, pos AS i,
          |             min(h) OVER (PARTITION BY doc_id ORDER BY pos
          |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
          |      FROM p),
-         |fp AS (SELECT DISTINCT doc_id, h AS f
-         |       FROM m WHERE pos >= 4 AND h = mn)
+         |fp AS (SELECT DISTINCT m.doc_id, m.mn AS f
+         |       FROM m JOIN p ON p.doc_id = m.doc_id AND p.h = m.mn
+         |            AND p.pos BETWEEN m.i - 3 AND m.i
+         |       WHERE m.i >= 4)
          |SELECT a.doc_id AS i, b.doc_id AS j, count(*)::BIGINT AS shared
          |FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,

@@ -416,7 +416,9 @@ class PlanGuardSpec extends SparkSpec {
         .withColumn("size", org.apache.spark.sql.functions.lit(1))),
       "t17_doc_ingest" -> Streams.docIngestDedup(
         MemoryStream[(Long, String, java.sql.Timestamp)].toDF()
-          .toDF("doc_id", "text", "ts")))
+          .toDF("doc_id", "text", "ts")),
+      "t18_signals" -> Streams.crossSignalStream(seqTicks).toDF(),
+      "t19_trades" -> Streams.tradeStream(seqTicks).toDF())
     val offenders = plans.flatMap { case (name, df) =>
       val plan = df.queryExecution.analyzed
       val badWindows = plan.collect {

@@ -178,4 +178,29 @@ class PropertiesSpec extends SparkSpec {
         }
     }, n = 8)
   }
+
+  test("winnowing guarantee: a shared >= w+k-1-word run always shares a fingerprint") {
+    // k=3, w=4: ANY two documents sharing a contiguous run of >= 6 words
+    // must share at least one selected fingerprint — the SIGMOD'03
+    // guarantee the MOSS overlap join's recall rests on. Random host
+    // texts, random shared-run content and insert positions; the run is
+    // padded to w+k-1 exactly (the minimum the guarantee covers).
+    val word = Gen.oneOf((1 to 40).map(i => s"w$i"))
+    val gen = for {
+      run <- Gen.listOfN(6, word) // w + k - 1 = 6 shared words
+      hostA <- Gen.listOfN(12, word)
+      hostB <- Gen.listOfN(12, word)
+      ia <- Gen.chooseNum(0, 12)
+      ib <- Gen.chooseNum(0, 12)
+    } yield (
+      (hostA.take(ia) ++ run ++ hostA.drop(ia)).mkString(" "),
+      (hostB.take(ib) ++ run ++ hostB.drop(ib)).mkString(" "))
+    checkProp(forAll(gen) { case (ta, tb) =>
+      val docs = Seq((1L, ta), (2L, tb)).toDF("doc_id", "text")
+      val fps = graft.operators.TextAnalysis.winnow(docs, k = 3, w = 4)
+        .select("doc_id", "fp").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      fps.getOrElse(1L, Set.empty).intersect(fps.getOrElse(2L, Set.empty)).nonEmpty
+    }, n = 12)
+  }
 }
