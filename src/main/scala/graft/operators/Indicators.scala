@@ -24,6 +24,12 @@ final case class OhlcRow(pair: String, timeframe: String, time: Timestamp,
 final case class HlcRow(pair: String, timeframe: String, time: Timestamp,
                         high: Double, low: Double, close: Double)
 
+/** One Renko brick ([[Indicators.renko]]): `time` is the triggering
+  * close's timestamp, `brick_no` the per-series sequence. */
+final case class RenkoBrick(pair: String, timeframe: String, time: Timestamp,
+                            brick_no: Long, dir: String,
+                            open: Double, close: Double)
+
 /** One ADX output row: ±DI and the ADX, all None during their respective
   * warm-ups (DI from row `period+1`, ADX from row `2·period`). */
 final case class AdxRow(pair: String, timeframe: String, time: Timestamp,
@@ -949,6 +955,47 @@ object Indicators {
         lit(period).as("period"),
         when(col("rn") >= period, slope).as("slope"),
         when(col("rn") >= period, forecast).as("forecast"))
+  }
+
+  /** W18: Renko bricks — the price-move chart transform: from a reference
+    * price `A` (the first close), each close emits one brick per full
+    * `brick`-sized move (`k = ⌊(close − A)/brick⌋` up-bricks or the
+    * mirror down), advancing `A` by `k·brick`; closes inside the band
+    * emit nothing (time is removed from the chart — only movement
+    * remains). Plain mono bricks (no 2× reversal filter), documented
+    * spec. The reference level is carried as `(a0, m)` with INTEGER `m`
+    * (never `A += brick` float accumulation — no drift at any series
+    * length), so every brick edge is the single expression
+    * `a0 + k·brick`, portable to any engine. One sorted-group fold,
+    * O(1) state; emission is an iterator (no per-key buffering). */
+  def renko(candles: DataFrame, brick: Double): Dataset[RenkoBrick] = {
+    require(brick > 0, s"brick must be positive, got $brick")
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select($"pair", $"timeframe", $"time", $"close").as[CloseRow]
+      .groupByKey(r => (r.pair, r.timeframe))
+      .flatMapSortedGroups($"time") { case ((pair, tf), rows) =>
+        var a0 = 0.0; var m = 0L; var n = 0L; var first = true
+        rows.flatMap { r =>
+          if (first) { first = false; a0 = r.close; Iterator.empty }
+          else {
+            val ku = math.max(math.floor((r.close - (a0 + m * brick)) / brick).toLong, 0L)
+            val kd = math.max(math.floor(((a0 + m * brick) - r.close) / brick).toLong, 0L)
+            val (m0, n0) = (m, n)
+            m = m + ku - kd
+            n = n + ku + kd
+            val ups = (1L to ku).iterator.map { i =>
+              RenkoBrick(pair, tf, r.time, n0 + i, "up",
+                a0 + (m0 + i - 1) * brick, a0 + (m0 + i) * brick)
+            }
+            val downs = (1L to kd).iterator.map { i =>
+              RenkoBrick(pair, tf, r.time, n0 + i, "down",
+                a0 + (m0 - i + 1) * brick, a0 + (m0 - i) * brick)
+            }
+            ups ++ downs
+          }
+        }
+      }
   }
 
   /** Shared recursive-fold plumbing: shuffle once on (pair, timeframe),

@@ -98,4 +98,36 @@ object Ticks {
 
   /** Full ingest normalization: events → valid deduped 1-second ticks. */
   def normalize(events: DataFrame): DataFrame = dedupSecond(valid(fromEvents(events)))
+
+  /** W17: tick-rule trade classification + per-minute order-flow
+    * imbalance — the Lee-Ready tick test on a quote stream: a tick is a
+    * buy on an uptick, a sell on a downtick, and on a ZERO tick inherits
+    * the last nonzero direction (the standard zero-tick rule, via
+    * `last(..., ignoreNulls)`); the first tick (and any zero-tick run at
+    * the head) is unclassified. Aggregated per (pair, minute):
+    * up/down/unclassified counts and `imbalance = (up − down)/(up + down)`
+    * — exact integer counts, one double division. Two pair-keyed window
+    * passes + one aggregation shuffle; nothing global. */
+  def tickRule(deduped: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("pair")).orderBy(col("time"))
+    val classified = deduped
+      .withColumn("pb", lag(col("bid"), 1).over(w))
+      .withColumn("d0",
+        when(col("pb").isNull, lit(null).cast("int"))
+          .when(col("bid") > col("pb"), lit(1))
+          .when(col("bid") < col("pb"), lit(-1))
+          .otherwise(lit(null).cast("int"))) // zero tick: inherit below
+      .withColumn("dir", last(col("d0"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    classified
+      .groupBy(col("pair"), date_trunc("minute", col("time")).as("minute"))
+      .agg(
+        sum(when(col("dir") === 1, 1L).otherwise(0L)).as("n_buy"),
+        sum(when(col("dir") === -1, 1L).otherwise(0L)).as("n_sell"),
+        sum(when(col("dir").isNull, 1L).otherwise(0L)).as("n_unclassified"))
+      .withColumn("imbalance",
+        when(col("n_buy") + col("n_sell") > 0,
+          (col("n_buy") - col("n_sell")).cast("double")
+            / (col("n_buy") + col("n_sell"))))
+  }
 }

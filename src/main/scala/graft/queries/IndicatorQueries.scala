@@ -40,6 +40,11 @@ object IndicatorQueries {
       col("trigger_indicator_period").as("period"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w18_renko_50_1m" -> ((s, d) =>
+      Indicators.renko(candles1m(s, d), brick = 50.0).toDF()
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          col("brick_no"), col("dir"), round(col("open"), 6).as("open"),
+          round(col("close"), 6).as("close"))),
     "u25_linreg_20_1m" -> ((s, d) =>
       Indicators.linreg(candles1m(s, d), 20)
         .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
@@ -1030,7 +1035,42 @@ object IndicatorQueries {
        |       END AS forecast
        |FROM m""".stripMargin
 
+  /** Renko oracle — the (a0, m) integer reference recursion with
+    * identical floor expressions, bricks emitted via `unnest(range)`. */
+  private def renkoSql(b: String): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS (SELECT pair, time, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |r AS (
+       |  SELECT pair, rn, time, close AS a0,
+       |         0::BIGINT AS m, 0::BIGINT AS n,
+       |         0::BIGINT AS m0, 0::BIGINT AS ku, 0::BIGINT AS kd
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT pair, rn, time, a0,
+       |         m + ku - kd AS m, n + ku + kd AS n, m AS m0, ku, kd
+       |  FROM (
+       |    SELECT c.pair, c.rn, c.time, r.a0, r.m, r.n,
+       |           greatest(floor((c.close - (r.a0 + r.m * $b)) / $b)::BIGINT,
+       |             0) AS ku,
+       |           greatest(floor(((r.a0 + r.m * $b) - c.close) / $b)::BIGINT,
+       |             0) AS kd
+       |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       (n - ku - kd + i)::BIGINT AS brick_no, 'up' AS dir,
+       |       round(a0 + (m0 + i - 1) * $b, 6) AS open,
+       |       round(a0 + (m0 + i) * $b, 6) AS close
+       |FROM (SELECT *, unnest(range(1, ku + 1)) AS i FROM r WHERE ku > 0)
+       |UNION ALL
+       |SELECT pair, '1m', epoch(time)::BIGINT,
+       |       (n - ku - kd + i)::BIGINT, 'down',
+       |       round(a0 + (m0 - i + 1) * $b, 6),
+       |       round(a0 + (m0 - i) * $b, 6)
+       |FROM (SELECT *, unnest(range(1, kd + 1)) AS i FROM r WHERE kd > 0)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "w18_renko_50_1m" -> renkoSql("50.0"),
     "u25_linreg_20_1m" -> linregSql(20),
     "u26_dema_10_1m" -> demaSql(10),
     "u27_tema_10_1m" -> temaSql(10),

@@ -168,6 +168,14 @@ object TradingQueries {
     // is correctly rounded per IEEE-754 — bit-identical, no decimal
     // detour needed. var > 0 guards the constant-window NaN case (the
     // engines' NaN-comparison conventions differ — never emit one).
+    // W17: Lee-Ready tick-rule classification + per-minute order-flow
+    // imbalance — exact integer counts, one double division
+    "w17_tick_rule" -> ((s, d) =>
+      Ticks.tickRule(ticks(s, d))
+        .select(col("pair"), unix_timestamp(col("minute")).as("minute_s"),
+          col("n_buy"), col("n_sell"), col("n_unclassified"),
+          round(col("imbalance"), 6).as("imbalance"))),
+
     "w8_zscore_outliers" -> ((s, d) => {
       // Spark's WindowExec re-evaluates a SLIDING frame's aggregate from
       // scratch for every row (no inverse-add), so a rows(-100,-1) decimal
@@ -369,6 +377,36 @@ object TradingQueries {
          |         ROWS UNBOUNDED PRECEDING) AS close_f,
          |       close IS NULL AS is_gap
          |FROM j""".stripMargin,
+
+    // zero ticks inherit the last nonzero direction (IGNORE NULLS running
+    // last_value — the a2b gapfill device); counts are exact integers
+    "w17_tick_rule" ->
+      s"""WITH $ticksCte, $dedupCte,
+         |c AS (SELECT pair, time, bid,
+         |             lag(bid) OVER (PARTITION BY pair ORDER BY time) AS pb
+         |      FROM dedup),
+         |d2 AS (SELECT pair, time,
+         |              CASE WHEN pb IS NULL THEN NULL
+         |                   WHEN bid > pb THEN 1
+         |                   WHEN bid < pb THEN -1 END AS d0
+         |       FROM c),
+         |e AS (SELECT pair, time,
+         |             last_value(d0 IGNORE NULLS) OVER (
+         |               PARTITION BY pair ORDER BY time
+         |               ROWS UNBOUNDED PRECEDING) AS dir
+         |      FROM d2),
+         |a AS (SELECT pair, date_trunc('minute', time) AS minute,
+         |             sum(CASE WHEN dir = 1 THEN 1 ELSE 0 END)::BIGINT AS n_buy,
+         |             sum(CASE WHEN dir = -1 THEN 1 ELSE 0 END)::BIGINT AS n_sell,
+         |             sum(CASE WHEN dir IS NULL THEN 1 ELSE 0 END)::BIGINT
+         |               AS n_unclassified
+         |      FROM e GROUP BY 1, 2)
+         |SELECT pair, epoch(minute)::BIGINT AS minute_s,
+         |       n_buy, n_sell, n_unclassified,
+         |       CASE WHEN n_buy + n_sell > 0
+         |            THEN round((n_buy - n_sell)::DOUBLE / (n_buy + n_sell), 6)
+         |       END AS imbalance
+         |FROM a""".stripMargin,
 
     "w8_zscore_outliers" ->
       s"""WITH $ticksCte, $dedupCte,
