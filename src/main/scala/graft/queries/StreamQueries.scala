@@ -474,6 +474,30 @@ object StreamQueries {
           round(col("pnl"), 6).as("pnl"))
     }),
 
+    // T20 (tick-grain Renko): the live movement chart as keyed state —
+    // per-row emission like t8/t15 (no cutoff), integer reference carry,
+    // bit-exact vs the tick-series recursive CTE.
+    "t20_renko_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t20-").toString
+      import s.implicits._
+      withStreamShuffle(s, 8) {
+        val ticks = tickStream(s, d)
+          .select(col("pair"), col("time"), col("seq"), col("bid")).as[SeqTick]
+        awaitAndRecord("t20_renko_stream",
+          Streams.renkoStream(ticks, brick = 50.0)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/sink")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      }
+      s.read.parquet(s"$tmp/sink")
+        .select(col("pair"), unix_micros(col("time")).as("time_us"),
+          col("brick_no"), col("dir"), round(col("open"), 6).as("open"),
+          round(col("close"), 6).as("close"))
+    }),
+
     // T13 (transformWithState): running peak + drawdown per pair on
     // Spark 4's arbitrary-state API — the ELEVENTH distinct streaming
     // primitive under the gate (typed named-state handle, RocksDB-backed
@@ -841,6 +865,41 @@ object StreamQueries {
          |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t)
          |SELECT pair, epoch_us(time) AS time_us, round(sar, 6) AS value
          |FROM r""".stripMargin,
+
+    // batch restatement: the w18 renko recursion over raw valid ticks in
+    // the (epoch_us, seq) total order, bricks via unnest(range)
+    "t20_renko_stream" ->
+      s"""WITH RECURSIVE ${TradingQueries.ticksCte},
+         |c AS (SELECT pair, time, bid,
+         |             row_number() OVER (PARTITION BY pair
+         |               ORDER BY epoch_us(time), seq) AS rn
+         |      FROM ticks),
+         |r AS (
+         |  SELECT pair, rn, time, bid AS a0,
+         |         0::BIGINT AS m, 0::BIGINT AS n,
+         |         0::BIGINT AS m0, 0::BIGINT AS ku, 0::BIGINT AS kd
+         |  FROM c WHERE rn = 1
+         |  UNION ALL
+         |  SELECT pair, rn, time, a0,
+         |         m + ku - kd AS m, n + ku + kd AS n, m AS m0, ku, kd
+         |  FROM (
+         |    SELECT c.pair, c.rn, c.time, r.a0, r.m, r.n,
+         |           greatest(floor((c.bid - (r.a0 + r.m * 50.0)) / 50.0)::BIGINT,
+         |             0) AS ku,
+         |           greatest(floor(((r.a0 + r.m * 50.0) - c.bid) / 50.0)::BIGINT,
+         |             0) AS kd
+         |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t)
+         |SELECT pair, epoch_us(time) AS time_us,
+         |       (n - ku - kd + i)::BIGINT AS brick_no, 'up' AS dir,
+         |       round(a0 + (m0 + i - 1) * 50.0, 6) AS open,
+         |       round(a0 + (m0 + i) * 50.0, 6) AS close
+         |FROM (SELECT *, unnest(range(1, ku + 1)) AS i FROM r WHERE ku > 0)
+         |UNION ALL
+         |SELECT pair, epoch_us(time),
+         |       (n - ku - kd + i)::BIGINT, 'down',
+         |       round(a0 + (m0 - i + 1) * 50.0, 6),
+         |       round(a0 + (m0 - i) * 50.0, 6)
+         |FROM (SELECT *, unnest(range(1, kd + 1)) AS i FROM r WHERE kd > 0)""".stripMargin,
 
     // batch restatement: the f6b BUY/SELL pairing over the per-pair
     // cutoff prefix of the candle series, closed trades only (the open

@@ -88,6 +88,14 @@ final case class TradePoint(pair: String, trade_no: Int,
                             exit_time: Timestamp, exit_price: Double,
                             pnl: Double)
 
+/** Carried state of the streaming Renko fold (T20): the integer
+  * reference carry `(a0, m)` plus the brick counter. */
+final case class RenkoState(n: Long, a0: Double, m: Long, bricks: Long)
+
+/** One emitted Renko brick (T20). */
+final case class RenkoPoint(pair: String, time: Timestamp, brick_no: Long,
+                            dir: String, open: Double, close: Double)
+
 /** A [[CorrPoint]] labeled with its pair combo (the all-combos stream). */
 final case class CorrPointCombo(pair_a: String, pair_b: String,
                                 time: Timestamp, n: Int,
@@ -611,6 +619,51 @@ object Streams {
               st = st.copy(picks = CorrSecPick(sec, us, r.seq, r.bid) :: st.picks)
           }
         }
+        state.update(st)
+        out.result().iterator
+      }
+  }
+
+  /** T20: tick-grain Renko bricks as keyed streaming state — the live
+    * movement chart a charting front-end subscribes to. Same integer
+    * `(a0, m)` reference carry as the batch
+    * [[graft.operators.Indicators.renko]] (no float accumulation, no
+    * drift), folded in the (µs, seq) total order every per-row streaming
+    * fold here uses; emission is per tick (no watermark cutoff, like
+    * t8/t15), so the output is batch-split-independent and bit-exact
+    * against the tick-series recursive-CTE oracle. State: four scalars
+    * per pair. */
+  def renkoStream(ticks: Dataset[SeqTick], brick: Double): Dataset[RenkoPoint] = {
+    require(brick > 0, s"brick must be positive, got $brick")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.groupByKey(_.pair)
+      .flatMapGroupsWithState[RenkoState, RenkoPoint](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (pair, rows, state: GroupState[RenkoState]) =>
+        var st = state.getOption.getOrElse(RenkoState(0L, 0.0, 0L, 0L))
+        val out = Vector.newBuilder[RenkoPoint]
+        rows.toVector
+          .sortBy(r => (r.time.getTime / 1000, r.time.getNanos, r.seq))
+          .foreach { r =>
+            if (st.n == 0L) st = RenkoState(1L, r.bid, 0L, 0L)
+            else {
+              val ku = math.max(
+                math.floor((r.bid - (st.a0 + st.m * brick)) / brick).toLong, 0L)
+              val kd = math.max(
+                math.floor(((st.a0 + st.m * brick) - r.bid) / brick).toLong, 0L)
+              (1L to ku).foreach { i =>
+                out += RenkoPoint(pair, r.time, st.bricks + i, "up",
+                  st.a0 + (st.m + i - 1) * brick, st.a0 + (st.m + i) * brick)
+              }
+              (1L to kd).foreach { i =>
+                out += RenkoPoint(pair, r.time, st.bricks + i, "down",
+                  st.a0 + (st.m - i + 1) * brick, st.a0 + (st.m - i) * brick)
+              }
+              st = st.copy(n = st.n + 1, m = st.m + ku - kd,
+                bricks = st.bricks + ku + kd)
+            }
+          }
         state.update(st)
         out.result().iterator
       }

@@ -389,6 +389,44 @@ class IndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("DEMA/TEMA: flat series pins to the close from rows 2p-1 / 3p-2") {
+    val flat = flatCandles(Seq.fill(10)(5.0))
+    val dema = values(Indicators.dema(flat, 3).toDF(), "A")
+    assert(dema.take(4).forall(_.isEmpty) && dema.drop(4).forall(_.contains(5.0)),
+      s"DEMA: $dema") // defined from row 2p-1 = 5 (index 4)
+    val tema = values(Indicators.tema(flat, 3).toDF(), "A")
+    assert(tema.take(6).forall(_.isEmpty) && tema.drop(6).forall(_.contains(5.0)),
+      s"TEMA: $tema") // defined from row 3p-2 = 7 (index 6)
+  }
+
+  test("linreg: an exact line recovers slope and next-point forecast exactly") {
+    // close_i = 2 + 3i — integer-valued sums, so slope/forecast are exact
+    val cs = (1 to 8).map(i => 2.0 + 3.0 * i)
+    val out = Indicators.linreg(flatCandles(cs), period = 4)
+      .filter($"pair" === "A").orderBy("time")
+      .select("slope", "forecast").collect()
+    assert((0 until 3).forall(i => out(i).isNullAt(0)))
+    (3 until 8).foreach { i =>
+      assert(out(i).getDouble(0) === 3.0, s"row $i slope: ${out(i)}")
+      // forecast = the line's value at the NEXT row (x = i+2 in 1-based i+1)
+      assert(out(i).getDouble(1) === 2.0 + 3.0 * (i + 2), s"row $i forecast: ${out(i)}")
+    }
+  }
+
+  test("Renko: hand-traced bricks — burst up, dead zone, reversal, burst up") {
+    val closes = Seq(10.0, 26.0, 24.0, 9.9, 41.0)
+    val out = Indicators.renko(flatCandles(closes), brick = 5.0)
+      .filter($"pair" === "A").orderBy("brick_no")
+      .collect().map(b => (b.brick_no, b.dir, b.open, b.close)).toSeq
+    val expected = Seq(
+      (1L, "up", 10.0, 15.0), (2L, "up", 15.0, 20.0), (3L, "up", 20.0, 25.0),
+      // 24.0 is inside the band: nothing
+      (4L, "down", 25.0, 20.0), (5L, "down", 20.0, 15.0), (6L, "down", 15.0, 10.0),
+      (7L, "up", 10.0, 15.0), (8L, "up", 15.0, 20.0), (9L, "up", 20.0, 25.0),
+      (10L, "up", 25.0, 30.0), (11L, "up", 30.0, 35.0), (12L, "up", 35.0, 40.0))
+    assert(out === expected, s"got: $out")
+  }
+
   test("Ultimate Oscillator: degenerate +1 ramp gives exactly 100; flat is null") {
     val up = values(
       Indicators.ultimateOscillator(flatCandles((1 to 32).map(_.toDouble)),

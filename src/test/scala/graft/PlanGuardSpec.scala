@@ -418,7 +418,8 @@ class PlanGuardSpec extends SparkSpec {
         MemoryStream[(Long, String, java.sql.Timestamp)].toDF()
           .toDF("doc_id", "text", "ts")),
       "t18_signals" -> Streams.crossSignalStream(seqTicks).toDF(),
-      "t19_trades" -> Streams.tradeStream(seqTicks).toDF())
+      "t19_trades" -> Streams.tradeStream(seqTicks).toDF(),
+      "t20_renko" -> Streams.renkoStream(seqTicks, 50.0).toDF())
     val offenders = plans.flatMap { case (name, df) =>
       val plan = df.queryExecution.analyzed
       val badWindows = plan.collect {

@@ -788,4 +788,57 @@ class StateRestartSpec extends SparkSpec {
       t.getTimestamp(4) === ts("2024-01-01 00:06:00") &&
       t.getDouble(5) === 10.0 && t.getDouble(6) === -3.0, s"trade: $t")
   }
+
+  // ------------------------------------------------ t20: renko reference
+
+  // Bricks 1-3 (up) fire pre-kill; the post-restart reversal must emit
+  // bricks 4-6 (down) from the RESTORED (a0=10, m=3, bricks=3) state —
+  // a reset reference would renumber from 1 and re-anchor at 9.9.
+  private val renkoChunks = Seq(
+    seqTicks(Seq(("X", "2024-01-01 00:00:00", 1L, 10.0),
+      ("X", "2024-01-01 00:00:01", 2L, 26.0))),
+    // --- kill point ---
+    seqTicks(Seq(("X", "2024-01-01 00:00:02", 3L, 9.9))))
+
+  private def runRenko(src: String, sink: String, ckpt: String): Unit = {
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    Streams.renkoStream(stream.as[SeqTick], brick = 5.0)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+  }
+
+  test("t20: the renko reference level survives the kill — the reversal numbers on") {
+    val root = Files.createTempDirectory("graft-t20-restart-").toString
+    val (srcA, srcB) = (s"$root/srcA", s"$root/srcB")
+    new java.io.File(srcA).mkdirs(); new java.io.File(srcB).mkdirs()
+
+    renkoChunks.zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcA, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runRenko(srcA, s"$root/sinkA", s"$root/ckptA")
+
+    renkoChunks.take(1).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runRenko(srcB, s"$root/sinkB", s"$root/ckptB")
+    renkoChunks.drop(1).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c${i + 1}", 1600000120000L + i * 60000L)
+    }
+    runRenko(srcB, s"$root/sinkB", s"$root/ckptB")
+
+    def rows(sink: String) = spark.read.parquet(sink)
+      .select("pair", "brick_no", "dir", "open", "close")
+      .orderBy("brick_no").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getDouble(3), r.getDouble(4))).toSeq
+    val (a, b) = (rows(s"$root/sinkA"), rows(s"$root/sinkB"))
+    assert(b === a, s"restart diverged:\nref=${a.mkString("\n")}\ncut=${b.mkString("\n")}")
+    assert(a === Seq(
+      (1L, "up", 10.0, 15.0), (2L, "up", 15.0, 20.0), (3L, "up", 20.0, 25.0),
+      (4L, "down", 25.0, 20.0), (5L, "down", 20.0, 15.0), (6L, "down", 15.0, 10.0)),
+      s"bricks: $a")
+  }
 }
