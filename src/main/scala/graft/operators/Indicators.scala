@@ -998,6 +998,30 @@ object Indicators {
       }
   }
 
+  /** W19: realized volatility — the model-free variance estimate
+    * `RV = Σ r²` over each (pair, day)'s 1-minute simple returns
+    * (returns never cross the day boundary), with `vol = √RV`. Simple
+    * returns, not log returns, keep the estimator inside this module's
+    * no-transcendentals rule: each return is one double expression
+    * rounded to the 6-dp grid, squares are EXACT DECIMAL (order-free
+    * sums), and sqrt is correctly rounded per IEEE-754 — bit-portable.
+    * One day-keyed window pass + one aggregation shuffle. */
+  def realizedVol(candles: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("pair"), to_date(col("time")))
+      .orderBy(col("time"))
+    candles
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r6", round((col("close") - col("pc")) / col("pc"), 6))
+      .filter(col("r6").isNotNull)
+      .groupBy(col("pair"), to_date(col("time")).as("day"))
+      .agg(count(lit(1)).as("n_returns"),
+        sum((col("r6").cast("decimal(18,6)") * col("r6").cast("decimal(18,6)"))
+          .cast("decimal(38,12)")).as("rv_dec"))
+      .select(col("pair"), col("day"), col("n_returns"),
+        round(col("rv_dec").cast("double"), 6).as("rv"),
+        round(sqrt(col("rv_dec").cast("double")), 6).as("vol"))
+  }
+
   /** Shared recursive-fold plumbing: shuffle once on (pair, timeframe),
     * secondary-sort by time, fold the in-order close sequence. `mkStep`
     * builds a FRESH stateful per-close step function per series (None =

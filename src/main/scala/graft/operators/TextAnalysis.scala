@@ -391,6 +391,45 @@ object TextAnalysis {
         (col("n_unique").cast("double") / col("n_shingles")).as("novelty"))
   }
 
+  /** L40b: Jelinek-Mercer interpolated bigram LM score —
+    * `P̂(b|a) = λ·P(b|a) + (1−λ)·P(b)`, the standard smoothing that keeps
+    * unseen-in-context bigrams from zeroing a document's score (every
+    * bigram in scope HAS a bigram count here, but the unigram mix still
+    * re-ranks repetitive vs diverse continuations). Same shape and
+    * numeric discipline as [[lmScore]]: three linear passes (bigram
+    * counts, context totals, unigram totals), the corpus token count on a
+    * one-row broadcast, per-pair probability rounded to 6 dp and summed
+    * as exact decimal so the per-doc mean is arrival-order-free. */
+  def lmScoreInterp(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val pairs = toks.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("pr"))
+      .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+    val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val uni = docs.select(explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val nt = broadcast(uni.agg(sum(col("cu")).as("nt")))
+    val bi = cab.join(ca, "a")
+      .select(col("a"), col("b"), (col("cab").cast("double") / col("ca")).as("pb"))
+    pairs.join(bi, Seq("a", "b"))
+      .join(uni.withColumnRenamed("t", "b"), Seq("b"))
+      .crossJoin(nt)
+      .withColumn("p",
+        lit(lambda) * col("pb")
+          + lit(1.0 - lambda) * (col("cu").cast("double") / col("nt")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(round(col("p"), 6).cast("decimal(27,6)")).cast("double") /
+          count(lit(1))).as("score"))
+      .select(col("doc_id"), col("n_pairs"), col("score"))
+  }
+
   /** Gopher's 8 high-frequency English words: a document with fewer than 2
     * DISTINCT hits is flagged as non-natural-language (Rae et al. 2021,
     * MassiveText filtering, table A1). */

@@ -40,6 +40,7 @@ object IndicatorQueries {
       col("trigger_indicator_period").as("period"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w19_realized_vol" -> ((s, d) => Indicators.realizedVol(candles1m(s, d))),
     "w18_renko_50_1m" -> ((s, d) =>
       Indicators.renko(candles1m(s, d), brick = 50.0).toDF()
         .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
@@ -1070,6 +1071,28 @@ object IndicatorQueries {
        |FROM (SELECT *, unnest(range(1, kd + 1)) AS i FROM r WHERE kd > 0)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // 6-dp simple returns, exact decimal square sums, IEEE sqrt — the
+    // identical chain as Indicators.realizedVol
+    "w19_realized_vol" ->
+      s"""$prelude,
+         |d AS (SELECT pair, time, close, CAST(time AS DATE) AS day,
+         |             lag(close) OVER (PARTITION BY pair, CAST(time AS DATE)
+         |               ORDER BY time) AS pc
+         |      FROM c1m),
+         |e AS (SELECT pair, day,
+         |             round((close - pc) / pc, 6)::DECIMAL(18,6) AS r6
+         |      FROM d WHERE pc IS NOT NULL),
+         |a AS (SELECT pair, day, count(*) AS n_returns,
+         |             -- 19+19 = 38 digits forces DuckDB's int128 multiply
+         |             -- (the 18-digit int64 fast path overflows on large
+         |             -- unscaled squares); the product is exact either way
+         |             sum(CAST(r6 AS DECIMAL(19,6))
+         |                 * CAST(r6 AS DECIMAL(19,6))) AS rv_dec
+         |      FROM e GROUP BY 1, 2)
+         |SELECT pair, day, n_returns::BIGINT AS n_returns,
+         |       round(CAST(rv_dec AS DOUBLE), 6) AS rv,
+         |       round(sqrt(CAST(rv_dec AS DOUBLE)), 6) AS vol
+         |FROM a""".stripMargin,
     "w18_renko_50_1m" -> renkoSql("50.0"),
     "u25_linreg_20_1m" -> linregSql(20),
     "u26_dema_10_1m" -> demaSql(10),

@@ -137,6 +137,8 @@ object LlmQueries {
 
     "llm_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(docsPar(s, d))),
 
+    "llm_lm_interp" -> ((s, d) => TextAnalysis.lmScoreInterp(docsPar(s, d))),
+
     // S11 raw-corpus ingest under the gate: the documents fixture staged as
     // JSONL with two POISON lines (unparseable JSON, type-mismatched id),
     // read back through the production skip-bad-rows reader — recovering
@@ -642,6 +644,30 @@ object LlmQueries {
          |       sum(round(p, 6)::DECIMAL(27,6))::DOUBLE / count(*) AS score
          |FROM pairs JOIN bi USING (a, b)
          |GROUP BY doc_id""".stripMargin,
+    // CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE): the engine computes
+    // 1.0 - lambda in doubles at plan time (0.30000000000000004); a plain
+    // SQL 0.3 literal is a DIFFERENT double — the subtraction must be
+    // spelled, not folded
+    "llm_lm_interp" ->
+      s"""WITH $toksCte,
+         |pairs AS (
+         |  SELECT doc_id, unnest(w[1:len(w) - 1]) AS a, unnest(w[2:len(w)]) AS b
+         |  FROM toks WHERE len(w) >= 2),
+         |cab AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY a, b),
+         |ca AS (SELECT a, sum(cab) AS ca FROM cab GROUP BY a),
+         |uni AS (SELECT t, count(*) AS cu
+         |        FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+         |nt AS (SELECT sum(cu) AS nt FROM uni),
+         |bi AS (SELECT a, b, cab::DOUBLE / ca AS pb FROM cab JOIN ca USING (a)),
+         |p AS (SELECT doc_id,
+         |             0.7 * pb + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+         |               * (cu::DOUBLE / nt) AS p
+         |      FROM pairs JOIN bi USING (a, b)
+         |      JOIN uni ON uni.t = pairs.b CROSS JOIN nt)
+         |SELECT doc_id, count(*) AS n_pairs,
+         |       sum(round(p, 6)::DECIMAL(27,6))::DOUBLE / count(*) AS score
+         |FROM p GROUP BY doc_id""".stripMargin,
+
     "llm_dedup_exact" ->
       """WITH h AS (
         |  SELECT doc_id,
