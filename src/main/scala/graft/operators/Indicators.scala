@@ -24,6 +24,13 @@ final case class OhlcRow(pair: String, timeframe: String, time: Timestamp,
 final case class HlcRow(pair: String, timeframe: String, time: Timestamp,
                         high: Double, low: Double, close: Double)
 
+/** One confirmed ZigZag pivot ([[Indicators.zigzag]]): the extreme's own
+  * time/price, the kind ('high'/'low'), and the close that CONFIRMED the
+  * reversal. */
+final case class ZigzagPivot(pair: String, timeframe: String,
+                             pivot_no: Long, time: Timestamp, kind: String,
+                             price: Double, confirm_time: Timestamp)
+
 /** One Renko brick ([[Indicators.renko]]): `time` is the triggering
   * close's timestamp, `brick_no` the per-series sequence. */
 final case class RenkoBrick(pair: String, timeframe: String, time: Timestamp,
@@ -993,6 +1000,70 @@ object Indicators {
                 a0 + (m0 - i + 1) * brick, a0 + (m0 - i) * brick)
             }
             ups ++ downs
+          }
+        }
+      }
+  }
+
+  /** W20: ZigZag swing pivots — the filtered pivot sequence pattern
+    * scanners and Elliott/harmonic tooling consume: while a leg runs, the
+    * running extreme ratchets; when the close retraces ≥ `rev`
+    * (fractionally, `(E − c)/E` from a high / `(c − E)/E` from a low),
+    * the EXTREME is emitted as a confirmed pivot and the leg flips.
+    * Before the first confirmation both running extremes are tracked and
+    * the opposite extreme becomes pivot #1. Only CONFIRMED pivots are
+    * output (a confirmed pivot can never be revised), which is exactly
+    * what makes the identical fold append-safe as a stream
+    * ([[graft.streaming.Streams.zigzagStream]]). One sorted-group fold,
+    * O(1) state: direction + two (price, time) extremes. */
+  def zigzag(candles: DataFrame, rev: Double = 0.1): Dataset[ZigzagPivot] = {
+    require(rev > 0 && rev < 1, s"rev must be in (0,1), got $rev")
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select($"pair", $"timeframe", $"time", $"close").as[CloseRow]
+      .groupByKey(r => (r.pair, r.timeframe))
+      .flatMapSortedGroups($"time") { case ((pair, tf), rows) =>
+        var dir = 0 // 0 = first leg unknown, +1 up leg, -1 down leg
+        var hiP = 0.0; var hiT: Timestamp = null
+        var loP = 0.0; var loT: Timestamp = null
+        var first = true
+        var n = 0L
+        rows.flatMap { r =>
+          val c = r.close
+          if (first) {
+            first = false
+            hiP = c; hiT = r.time; loP = c; loT = r.time
+            Iterator.empty
+          } else if (dir == 0) {
+            if (c > hiP) { hiP = c; hiT = r.time }
+            if (c < loP) { loP = c; loT = r.time }
+            if ((hiP - c) / hiP >= rev) {
+              n += 1; dir = -1
+              val p = ZigzagPivot(pair, tf, n, hiT, "high", hiP, r.time)
+              loP = c; loT = r.time
+              Iterator.single(p)
+            } else if ((c - loP) / loP >= rev) {
+              n += 1; dir = 1
+              val p = ZigzagPivot(pair, tf, n, loT, "low", loP, r.time)
+              hiP = c; hiT = r.time
+              Iterator.single(p)
+            } else Iterator.empty
+          } else if (dir == 1) {
+            if (c > hiP) { hiP = c; hiT = r.time; Iterator.empty }
+            else if ((hiP - c) / hiP >= rev) {
+              n += 1; dir = -1
+              val p = ZigzagPivot(pair, tf, n, hiT, "high", hiP, r.time)
+              loP = c; loT = r.time
+              Iterator.single(p)
+            } else Iterator.empty
+          } else {
+            if (c < loP) { loP = c; loT = r.time; Iterator.empty }
+            else if ((c - loP) / loP >= rev) {
+              n += 1; dir = 1
+              val p = ZigzagPivot(pair, tf, n, loT, "low", loP, r.time)
+              hiP = c; hiT = r.time
+              Iterator.single(p)
+            } else Iterator.empty
           }
         }
       }

@@ -41,6 +41,12 @@ object IndicatorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w19_realized_vol" -> ((s, d) => Indicators.realizedVol(candles1m(s, d))),
+    "w20_zigzag_10_1m" -> ((s, d) =>
+      Indicators.zigzag(candles1m(s, d), rev = 0.1).toDF()
+        .select(col("pair"), col("timeframe"), col("pivot_no"),
+          unix_timestamp(col("time")).as("time_s"), col("kind"),
+          round(col("price"), 6).as("price"),
+          unix_timestamp(col("confirm_time")).as("confirm_s"))),
     "w18_renko_50_1m" -> ((s, d) =>
       Indicators.renko(candles1m(s, d), brick = 50.0).toDF()
         .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
@@ -1070,7 +1076,58 @@ object IndicatorQueries {
        |       round(a0 + (m0 - i) * $b, 6)
        |FROM (SELECT *, unnest(range(1, kd + 1)) AS i FROM r WHERE kd > 0)""".stripMargin
 
+  /** ZigZag oracle — the identical extremes-then-test state machine
+    * (extremes ratchet FIRST, the high test precedes the low test — the
+    * dir=0 tie order), replayed recursively with nullable pivot columns. */
+  private def zigzagSql(rev: String): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS (SELECT pair, time, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |r AS (
+       |  SELECT pair, rn, time, 0 AS dir,
+       |         close AS hip, time AS hit, close AS lop, time AS lot,
+       |         0::BIGINT AS n,
+       |         CAST(NULL AS BIGINT) AS pno, CAST(NULL AS TIMESTAMP) AS ptime,
+       |         CAST(NULL AS VARCHAR) AS pkind, CAST(NULL AS DOUBLE) AS pprice,
+       |         CAST(NULL AS TIMESTAMP) AS pconfirm
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT pair, rn, t,
+       |         CASE WHEN ph THEN -1 WHEN pl THEN 1 ELSE dir END,
+       |         CASE WHEN pl THEN cl ELSE hip1 END,
+       |         CASE WHEN pl THEN t ELSE hit1 END,
+       |         CASE WHEN ph THEN cl ELSE lop1 END,
+       |         CASE WHEN ph THEN t ELSE lot1 END,
+       |         n + CASE WHEN ph OR pl THEN 1 ELSE 0 END,
+       |         CASE WHEN ph OR pl THEN n + 1 END,
+       |         CASE WHEN ph THEN hit1 WHEN pl THEN lot1 END,
+       |         CASE WHEN ph THEN 'high' WHEN pl THEN 'low' END,
+       |         CASE WHEN ph THEN hip1 WHEN pl THEN lop1 END,
+       |         CASE WHEN ph OR pl THEN t END
+       |  FROM (
+       |    SELECT *,
+       |           (dir >= 0 AND (hip1 - cl) / hip1 >= $rev) AS ph,
+       |           (dir <= 0 AND NOT (dir >= 0 AND (hip1 - cl) / hip1 >= $rev)
+       |            AND (cl - lop1) / lop1 >= $rev) AS pl
+       |    FROM (
+       |      SELECT c.pair, c.rn, c.time AS t, c.close AS cl, r.dir, r.n,
+       |             CASE WHEN r.dir >= 0 AND c.close > r.hip
+       |                  THEN c.close ELSE r.hip END AS hip1,
+       |             CASE WHEN r.dir >= 0 AND c.close > r.hip
+       |                  THEN c.time ELSE r.hit END AS hit1,
+       |             CASE WHEN r.dir <= 0 AND c.close < r.lop
+       |                  THEN c.close ELSE r.lop END AS lop1,
+       |             CASE WHEN r.dir <= 0 AND c.close < r.lop
+       |                  THEN c.time ELSE r.lot END AS lot1
+       |      FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t0) t1)
+       |SELECT pair, '1m' AS timeframe, pno AS pivot_no,
+       |       epoch(ptime)::BIGINT AS time_s, pkind AS kind,
+       |       round(pprice, 6) AS price, epoch(pconfirm)::BIGINT AS confirm_s
+       |FROM r WHERE pkind IS NOT NULL""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "w20_zigzag_10_1m" -> zigzagSql("0.1"),
     // 6-dp simple returns, exact decimal square sums, IEEE sqrt — the
     // identical chain as Indicators.realizedVol
     "w19_realized_vol" ->

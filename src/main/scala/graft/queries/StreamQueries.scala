@@ -498,6 +498,30 @@ object StreamQueries {
           round(col("close"), 6).as("close"))
     }),
 
+    // T21 (tick-grain ZigZag): live swing pivots as keyed state — a
+    // confirmed pivot never revises, so append mode needs NO cutoff and
+    // the output is bit-exact vs the batch recursion over the same ticks.
+    "t21_zigzag_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t21-").toString
+      import s.implicits._
+      withStreamShuffle(s, 8) {
+        val ticks = tickStream(s, d)
+          .select(col("pair"), col("time"), col("seq"), col("bid")).as[SeqTick]
+        awaitAndRecord("t21_zigzag_stream",
+          Streams.zigzagStream(ticks, rev = 0.1)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/sink")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      }
+      s.read.parquet(s"$tmp/sink")
+        .select(col("pair"), col("pivot_no"), unix_micros(col("time")).as("time_us"),
+          col("kind"), round(col("price"), 6).as("price"),
+          unix_micros(col("confirm_time")).as("confirm_us"))
+    }),
+
     // T13 (transformWithState): running peak + drawdown per pair on
     // Spark 4's arbitrary-state API — the ELEVENTH distinct streaming
     // primitive under the gate (typed named-state handle, RocksDB-backed
@@ -865,6 +889,57 @@ object StreamQueries {
          |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t)
          |SELECT pair, epoch_us(time) AS time_us, round(sar, 6) AS value
          |FROM r""".stripMargin,
+
+    // batch restatement: the w20 zigzag state machine over raw valid
+    // ticks in the (epoch_us, seq) total order — no cutoff (pivots only
+    // confirm)
+    "t21_zigzag_stream" ->
+      s"""WITH RECURSIVE ${TradingQueries.ticksCte},
+         |c AS (SELECT pair, time, bid AS close,
+         |             row_number() OVER (PARTITION BY pair
+         |               ORDER BY epoch_us(time), seq) AS rn
+         |      FROM ticks),
+         |r AS (
+         |  SELECT pair, rn, time, 0 AS dir,
+         |         close AS hip, time AS hit, close AS lop, time AS lot,
+         |         0::BIGINT AS n,
+         |         CAST(NULL AS BIGINT) AS pno, CAST(NULL AS TIMESTAMP) AS ptime,
+         |         CAST(NULL AS VARCHAR) AS pkind, CAST(NULL AS DOUBLE) AS pprice,
+         |         CAST(NULL AS TIMESTAMP) AS pconfirm
+         |  FROM c WHERE rn = 1
+         |  UNION ALL
+         |  SELECT pair, rn, t,
+         |         CASE WHEN ph THEN -1 WHEN pl THEN 1 ELSE dir END,
+         |         CASE WHEN pl THEN cl ELSE hip1 END,
+         |         CASE WHEN pl THEN t ELSE hit1 END,
+         |         CASE WHEN ph THEN cl ELSE lop1 END,
+         |         CASE WHEN ph THEN t ELSE lot1 END,
+         |         n + CASE WHEN ph OR pl THEN 1 ELSE 0 END,
+         |         CASE WHEN ph OR pl THEN n + 1 END,
+         |         CASE WHEN ph THEN hit1 WHEN pl THEN lot1 END,
+         |         CASE WHEN ph THEN 'high' WHEN pl THEN 'low' END,
+         |         CASE WHEN ph THEN hip1 WHEN pl THEN lop1 END,
+         |         CASE WHEN ph OR pl THEN t END
+         |  FROM (
+         |    SELECT *,
+         |           (dir >= 0 AND (hip1 - cl) / hip1 >= 0.1) AS ph,
+         |           (dir <= 0 AND NOT (dir >= 0 AND (hip1 - cl) / hip1 >= 0.1)
+         |            AND (cl - lop1) / lop1 >= 0.1) AS pl
+         |    FROM (
+         |      SELECT c.pair, c.rn, c.time AS t, c.close AS cl, r.dir, r.n,
+         |             CASE WHEN r.dir >= 0 AND c.close > r.hip
+         |                  THEN c.close ELSE r.hip END AS hip1,
+         |             CASE WHEN r.dir >= 0 AND c.close > r.hip
+         |                  THEN c.time ELSE r.hit END AS hit1,
+         |             CASE WHEN r.dir <= 0 AND c.close < r.lop
+         |                  THEN c.close ELSE r.lop END AS lop1,
+         |             CASE WHEN r.dir <= 0 AND c.close < r.lop
+         |                  THEN c.time ELSE r.lot END AS lot1
+         |      FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t0) t1)
+         |SELECT pair, pno AS pivot_no, epoch_us(ptime) AS time_us,
+         |       pkind AS kind, round(pprice, 6) AS price,
+         |       epoch_us(pconfirm) AS confirm_us
+         |FROM r WHERE pkind IS NOT NULL""".stripMargin,
 
     // batch restatement: the w18 renko recursion over raw valid ticks in
     // the (epoch_us, seq) total order, bricks via unnest(range)

@@ -88,6 +88,18 @@ final case class TradePoint(pair: String, trade_no: Int,
                             exit_time: Timestamp, exit_price: Double,
                             pnl: Double)
 
+/** Carried state of the streaming ZigZag fold (T21): leg direction, the
+  * two running extremes (price + epoch µs), and the pivot counter. */
+final case class ZigState(started: Boolean, dir: Int,
+                          hiP: Double, hiUs: Long,
+                          loP: Double, loUs: Long, n: Long)
+
+/** One confirmed ZigZag pivot (T21) — a confirmed pivot never revises,
+  * which is what makes the fold append-safe with NO watermark cutoff. */
+final case class ZigPoint(pair: String, pivot_no: Long, time: Timestamp,
+                          kind: String, price: Double,
+                          confirm_time: Timestamp)
+
 /** Carried state of the streaming Renko fold (T20): the integer
   * reference carry `(a0, m)` plus the brick counter. */
 final case class RenkoState(n: Long, a0: Double, m: Long, bricks: Long)
@@ -619,6 +631,61 @@ object Streams {
               st = st.copy(picks = CorrSecPick(sec, us, r.seq, r.bid) :: st.picks)
           }
         }
+        state.update(st)
+        out.result().iterator
+      }
+  }
+
+  /** T21: tick-grain ZigZag swing pivots as keyed streaming state — the
+    * live swing structure a pattern scanner polls. Identical state
+    * machine to the batch [[graft.operators.Indicators.zigzag]]
+    * (extremes ratchet first, high test precedes low test), folded in
+    * the (µs, seq) total order; a CONFIRMED pivot never revises, so
+    * emission is append-safe with no watermark cutoff and the output is
+    * bit-exact against the batch recursion over the same ticks. State:
+    * six scalars per pair. */
+  def zigzagStream(ticks: Dataset[SeqTick], rev: Double = 0.1): Dataset[ZigPoint] = {
+    require(rev > 0 && rev < 1, s"rev must be in (0,1), got $rev")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.groupByKey(_.pair)
+      .flatMapGroupsWithState[ZigState, ZigPoint](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (pair, rows, state: GroupState[ZigState]) =>
+        var st = state.getOption.getOrElse(
+          ZigState(started = false, 0, 0.0, 0L, 0.0, 0L, 0L))
+        val out = Vector.newBuilder[ZigPoint]
+        def usOf(t: Timestamp): Long =
+          t.getTime / 1000 * 1000000L + t.getNanos / 1000
+        def tsOf(us: Long): Timestamp = {
+          val t = new Timestamp(us / 1000)
+          t.setNanos((us % 1000000L).toInt * 1000)
+          t
+        }
+        rows.toVector
+          .sortBy(r => (usOf(r.time), r.seq))
+          .foreach { r =>
+            val c = r.bid; val us = usOf(r.time)
+            if (!st.started)
+              st = ZigState(started = true, 0, c, us, c, us, 0L)
+            else {
+              var hiP = st.hiP; var hiUs = st.hiUs
+              var loP = st.loP; var loUs = st.loUs
+              if (st.dir >= 0 && c > hiP) { hiP = c; hiUs = us }
+              if (st.dir <= 0 && c < loP) { loP = c; loUs = us }
+              val ph = st.dir >= 0 && (hiP - c) / hiP >= rev
+              val pl = st.dir <= 0 && !ph && (c - loP) / loP >= rev
+              if (ph) {
+                out += ZigPoint(pair, st.n + 1, tsOf(hiUs),
+                  "high", hiP, tsOf(us))
+                st = ZigState(started = true, -1, hiP, hiUs, c, us, st.n + 1)
+              } else if (pl) {
+                out += ZigPoint(pair, st.n + 1, tsOf(loUs),
+                  "low", loP, tsOf(us))
+                st = ZigState(started = true, 1, c, us, loP, loUs, st.n + 1)
+              } else st = st.copy(hiP = hiP, hiUs = hiUs, loP = loP, loUs = loUs)
+            }
+          }
         state.update(st)
         out.result().iterator
       }

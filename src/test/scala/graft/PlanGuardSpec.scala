@@ -419,7 +419,8 @@ class PlanGuardSpec extends SparkSpec {
           .toDF("doc_id", "text", "ts")),
       "t18_signals" -> Streams.crossSignalStream(seqTicks).toDF(),
       "t19_trades" -> Streams.tradeStream(seqTicks).toDF(),
-      "t20_renko" -> Streams.renkoStream(seqTicks, 50.0).toDF())
+      "t20_renko" -> Streams.renkoStream(seqTicks, 50.0).toDF(),
+      "t21_zigzag" -> Streams.zigzagStream(seqTicks).toDF())
     val offenders = plans.flatMap { case (name, df) =>
       val plan = df.queryExecution.analyzed
       val badWindows = plan.collect {

@@ -841,4 +841,59 @@ class StateRestartSpec extends SparkSpec {
       (4L, "down", 25.0, 20.0), (5L, "down", 20.0, 15.0), (6L, "down", 15.0, 10.0)),
       s"bricks: $a")
   }
+
+  // ------------------------------------------------ t21: zigzag extremes
+
+  // Tick 2 (120) confirms the initial LOW pivot (100 @ t0) pre-kill and
+  // leaves the running high (120 @ 00:00:01) only in state; the
+  // post-restart tick at 107 retraces >= 10% and must emit that high as
+  // pivot #2 — price AND time both come from the restored extreme.
+  private val zigChunks = Seq(
+    seqTicks(Seq(("X", "2024-01-01 00:00:00", 1L, 100.0),
+      ("X", "2024-01-01 00:00:01", 2L, 120.0))),
+    // --- kill point ---
+    seqTicks(Seq(("X", "2024-01-01 00:00:02", 3L, 107.0))))
+
+  private def runZig(src: String, sink: String, ckpt: String): Unit = {
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    Streams.zigzagStream(stream.as[SeqTick], rev = 0.1)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+  }
+
+  test("t21: the running extreme survives the kill — the pivot it anchors confirms") {
+    val root = Files.createTempDirectory("graft-t21-restart-").toString
+    val (srcA, srcB) = (s"$root/srcA", s"$root/srcB")
+    new java.io.File(srcA).mkdirs(); new java.io.File(srcB).mkdirs()
+
+    zigChunks.zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcA, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runZig(srcA, s"$root/sinkA", s"$root/ckptA")
+
+    zigChunks.take(1).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runZig(srcB, s"$root/sinkB", s"$root/ckptB")
+    zigChunks.drop(1).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c${i + 1}", 1600000120000L + i * 60000L)
+    }
+    runZig(srcB, s"$root/sinkB", s"$root/ckptB")
+
+    def rows(sink: String) = spark.read.parquet(sink)
+      .select("pair", "pivot_no", "time", "kind", "price", "confirm_time")
+      .orderBy("pivot_no").collect()
+      .map(r => (r.getLong(1), r.getTimestamp(2), r.getString(3),
+        r.getDouble(4), r.getTimestamp(5))).toSeq
+    val (a, b) = (rows(s"$root/sinkA"), rows(s"$root/sinkB"))
+    assert(b === a, s"restart diverged:\nref=${a.mkString("\n")}\ncut=${b.mkString("\n")}")
+    assert(a === Seq(
+      (1L, ts("2024-01-01 00:00:00"), "low", 100.0, ts("2024-01-01 00:00:01")),
+      (2L, ts("2024-01-01 00:00:01"), "high", 120.0, ts("2024-01-01 00:00:02"))),
+      s"pivots: $a")
+  }
 }
