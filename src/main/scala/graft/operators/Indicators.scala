@@ -1005,6 +1005,30 @@ object Indicators {
       }
   }
 
+  /** U28: Elder Ray — bull power `high − EMA(close)` and bear power
+    * `low − EMA(close)`: the strength-above/below-consensus pair Elder's
+    * triple-screen uses. The EMA rides the same SMA-seeded [[EmaStage]]
+    * recurrence INSIDE the one sorted-group fold (no join back to the
+    * candle set — one shuffle, O(1) state), NULL until the seed fills. */
+  def elderRay(candles: DataFrame, period: Int = 13,
+               calcVersion: String = CalcVersion): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select($"pair", $"timeframe", $"time", $"open", $"high", $"low", $"close")
+      .as[OhlcRow]
+      .groupByKey(r => (r.pair, r.timeframe))
+      .flatMapSortedGroups($"time") { case ((pair, tf), rows) =>
+        val e = new EmaStage(period)
+        rows.map { r =>
+          val ema = e.step(r.close)
+          (pair, tf, r.time, period,
+            ema.map(v => r.high - v), ema.map(v => r.low - v))
+        }
+      }
+      .toDF("pair", "timeframe", "time", "period", "bull", "bear")
+  }
+
   /** W20: ZigZag swing pivots — the filtered pivot sequence pattern
     * scanners and Elliott/harmonic tooling consume: while a leg runs, the
     * running extreme ratchets; when the close retraces ≥ `rev`

@@ -430,6 +430,35 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_pairs"), col("score"))
   }
 
+  /** L51: curriculum phase assignment — the CCNet move (head/middle/tail
+    * by model score) over the L8 quality score: exact TERCILE thresholds
+    * from an aggregated histogram, then a broadcast threshold join.
+    *
+    * SCALE SHAPE (why no global sort/rank): the histogram's domain is the
+    * FIXED 6-dp grid of [0, 1] — ≤ 10⁶+1 rows at ANY corpus size — so
+    * the one unpartitioned cumulative window runs over a bounded
+    * aggregate, never corpus rows (the a9 equidepth argument, on the
+    * PlanGuard allowlist). Thresholds are integer-exact
+    * (`cum·3 ≥ N` ⟺ `cum ≥ N/3` without division), the phase CASE is a
+    * grid comparison — fully deterministic, ties resolved by the grid
+    * itself. */
+  def curriculumBuckets(docs: DataFrame): DataFrame = {
+    val scored = stats(docs).select(col("doc_id"), col("quality"))
+    val hist = scored.groupBy(col("quality")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("quality"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val n = broadcast(scored.agg(count(lit(1)).as("n")))
+    val th = broadcast(cum.crossJoin(n).agg(
+      min(when(col("cum") * 3 >= col("n"), col("quality"))).as("t1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("quality"))).as("t2")))
+    scored.crossJoin(th)
+      .select(col("doc_id"), col("quality"),
+        when(col("quality") <= col("t1"), "tail")
+          .when(col("quality") <= col("t2"), "middle")
+          .otherwise("head").as("phase"))
+  }
+
   /** Gopher's 8 high-frequency English words: a document with fewer than 2
     * DISTINCT hits is flagged as non-natural-language (Rae et al. 2021,
     * MassiveText filtering, table A1). */

@@ -41,6 +41,11 @@ object IndicatorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w19_realized_vol" -> ((s, d) => Indicators.realizedVol(candles1m(s, d))),
+    "u28_elder_ray_13_1m" -> ((s, d) =>
+      Indicators.elderRay(candles1m(s, d), 13)
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          col("period"), round(col("bull"), 6).as("bull"),
+          round(col("bear"), 6).as("bear"))),
     "w20_zigzag_10_1m" -> ((s, d) =>
       Indicators.zigzag(candles1m(s, d), rev = 0.1).toDF()
         .select(col("pair"), col("timeframe"), col("pivot_no"),
@@ -1126,7 +1131,32 @@ object IndicatorQueries {
        |       round(pprice, 6) AS price, epoch(pconfirm)::BIGINT AS confirm_s
        |FROM r WHERE pkind IS NOT NULL""".stripMargin
 
+  /** Elder Ray oracle — the emaSql recursion carrying the bar's high/low
+    * so `high − ema` / `low − ema` are the identical float ops. */
+  private def elderSql(p: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS (SELECT pair, time, high, low, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |r AS (
+       |  SELECT pair, rn, time, high, low,
+       |         close AS seed_sum, CAST(NULL AS DOUBLE) AS prev
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT c.pair, c.rn, c.time, c.high, c.low,
+       |         CASE WHEN c.rn < $p THEN r.seed_sum + c.close
+       |              ELSE CAST(0.0 AS DOUBLE) END,
+       |         CASE WHEN c.rn < $p THEN NULL
+       |              WHEN c.rn = $p THEN (r.seed_sum + c.close) / $p
+       |              ELSE (c.close - r.prev) * (2.0 / ${p + 1}) + r.prev END
+       |  FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period,
+       |       round(high - prev, 6) AS bull, round(low - prev, 6) AS bear
+       |FROM r""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "u28_elder_ray_13_1m" -> elderSql(13),
     "w20_zigzag_10_1m" -> zigzagSql("0.1"),
     // 6-dp simple returns, exact decimal square sums, IEEE sqrt — the
     // identical chain as Indicators.realizedVol

@@ -139,6 +139,8 @@ object LlmQueries {
 
     "llm_lm_interp" -> ((s, d) => TextAnalysis.lmScoreInterp(docsPar(s, d))),
 
+    "llm_curriculum" -> ((s, d) => TextAnalysis.curriculumBuckets(docsPar(s, d))),
+
     // S11 raw-corpus ingest under the gate: the documents fixture staged as
     // JSONL with two POISON lines (unparseable JSON, type-mismatched id),
     // read back through the production skip-bad-rows reader — recovering
@@ -644,6 +646,30 @@ object LlmQueries {
          |       sum(round(p, 6)::DECIMAL(27,6))::DOUBLE / count(*) AS score
          |FROM pairs JOIN bi USING (a, b)
          |GROUP BY doc_id""".stripMargin,
+    // exact tercile thresholds off the 6-dp quality-grid histogram;
+    // cum*3 >= n avoids any division — integer-exact on both engines
+    "llm_curriculum" ->
+      s"""WITH $toksCte,
+         |q AS (SELECT doc_id,
+         |             round(least(len(w)::DOUBLE / 50.0, 1.0)
+         |               * (1.0 - len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
+         |                        / len(w)), 6) AS quality
+         |      FROM toks),
+         |h AS (SELECT quality, count(*) AS cnt FROM q GROUP BY 1),
+         |cm AS (SELECT quality,
+         |              sum(cnt) OVER (ORDER BY quality
+         |                ROWS UNBOUNDED PRECEDING) AS cum
+         |       FROM h),
+         |nn AS (SELECT count(*) AS n FROM q),
+         |th AS (SELECT min(CASE WHEN cum * 3 >= n THEN quality END) AS t1,
+         |              min(CASE WHEN cum * 3 >= n * 2 THEN quality END) AS t2
+         |       FROM cm CROSS JOIN nn)
+         |SELECT doc_id, quality,
+         |       CASE WHEN quality <= t1 THEN 'tail'
+         |            WHEN quality <= t2 THEN 'middle'
+         |            ELSE 'head' END AS phase
+         |FROM q CROSS JOIN th""".stripMargin,
+
     // CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE): the engine computes
     // 1.0 - lambda in doubles at plan time (0.30000000000000004); a plain
     // SQL 0.3 literal is a DIFFERENT double — the subtraction must be

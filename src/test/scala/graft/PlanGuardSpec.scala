@@ -296,7 +296,10 @@ class PlanGuardSpec extends SparkSpec {
       "j5_range_signal_candle" -> "cross-event signals, ~1e2 rows",
       // rank window sits ABOVE the TakeOrdered limit: <= topV rows (its
       // own plan test asserts the limit comes first)
-      "llm_vocab_topk" -> "post-TakeOrdered rank, <= topV rows")
+      "llm_vocab_topk" -> "post-TakeOrdered rank, <= topV rows",
+      // cumulative window over the quality histogram: its domain is the
+      // fixed 6-dp grid of [0,1] — <= 1e6+1 rows at ANY corpus size
+      "llm_curriculum" -> "6-dp quality-grid histogram, <= 1e6+1 rows")
     val streaming = graft.queries.StreamQueries.queries.keySet
     val offenders = SparkEntry.queries.filterNot(q => streaming(q._1))
       .flatMap { case (name, fn) =>
