@@ -37,6 +37,11 @@ final case class RenkoBrick(pair: String, timeframe: String, time: Timestamp,
                             brick_no: Long, dir: String,
                             open: Double, close: Double)
 
+/** Close + volume row for folds that need both (force index). Public for
+  * the same Catalyst-deserializer reason as [[CloseRow]]. */
+final case class CloseVolRow(pair: String, timeframe: String, time: Timestamp,
+                             close: Double, vol: Long)
+
 /** One ADX output row: ±DI and the ADX, all None during their respective
   * warm-ups (DI from row `period+1`, ADX from row `2·period`). */
 final case class AdxRow(pair: String, timeframe: String, time: Timestamp,
@@ -1115,6 +1120,193 @@ object Indicators {
       .select(col("pair"), col("day"), col("n_returns"),
         round(col("rv_dec").cast("double"), 6).as("rv"),
         round(sqrt(col("rv_dec").cast("double")), 6).as("vol"))
+  }
+
+  /** U29: Awesome Oscillator (Bill Williams) — the 5/34 SMA difference of
+    * the bar midpoint `(high+low)/2`. The midpoint snaps to the 6-dp grid
+    * and both window sums are EXACT decimal (fold-order free, engine
+    * portable); the only float work is the two divisions and one subtract.
+    * Two running frames over ONE Window node — codegen'd, one shuffle on
+    * the series key. */
+  def awesome(candles: DataFrame, fast: Int = 5, slow: Int = 34): DataFrame = {
+    require(fast >= 1 && slow > fast, s"need slow > fast >= 1, got $fast/$slow")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    candles
+      .withColumn("mp6", round((col("high") + col("low")) / 2, 6).cast("decimal(18,6)"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sf", sum(col("mp6")).over(w.rowsBetween(-(fast - 1), Window.currentRow)))
+      .withColumn("ss", sum(col("mp6")).over(w.rowsBetween(-(slow - 1), Window.currentRow)))
+      .select(col("pair"), col("timeframe"), col("time"),
+        when(col("rn") >= slow,
+          col("sf").cast("double") / fast - col("ss").cast("double") / slow).as("value"))
+  }
+
+  /** U30: Chaikin Money Flow — `Σ(mfm·vol) / Σ(vol)` over the trailing
+    * `period` bars, where the money-flow multiplier
+    * `mfm = ((close−low)−(high−close))/(high−low)` (0 on a flat bar). mfm
+    * is the one float division; it snaps to the 6-dp grid so the numerator
+    * `mfm6·vol` is an exact decimal sum and the denominator an integer sum
+    * — partial-aggregation-order-proof like [[Ohlc.vwap]]. */
+  def cmf(candlesWithVol: DataFrame, period: Int = 20): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val frame = w.rowsBetween(-(period - 1), Window.currentRow)
+    val mfm = when(col("high") === col("low"), lit(0.0))
+      .otherwise((lit(2.0) * col("close") - col("low") - col("high")) /
+        (col("high") - col("low")))
+    candlesWithVol
+      .withColumn("mfv", round(mfm, 6).cast("decimal(18,6)") * col("vol").cast("decimal(9,0)"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("num", sum(col("mfv")).over(frame))
+      .withColumn("den", sum(col("vol")).over(frame))
+      .select(col("pair"), col("timeframe"), col("time"), lit(period).as("period"),
+        when(col("rn") >= period,
+          col("num").cast("double") / col("den").cast("double")).as("value"))
+  }
+
+  /** U31: Accumulation/Distribution line — the RUNNING sum of the money-flow
+    * volume `mfm·vol` ([[cmf]]'s per-bar term) from the series start. The
+    * running sum is exact decimal, so micro-batch splits, partial-agg order
+    * and engine cannot move it; emitted as a double on the way out. */
+  def adLine(candlesWithVol: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val mfm = when(col("high") === col("low"), lit(0.0))
+      .otherwise((lit(2.0) * col("close") - col("low") - col("high")) /
+        (col("high") - col("low")))
+    candlesWithVol
+      .withColumn("mfv", round(mfm, 6).cast("decimal(18,6)") * col("vol").cast("decimal(9,0)"))
+      .withColumn("ad_dec",
+        sum(col("mfv")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("pair"), col("timeframe"), col("time"),
+        col("close"), col("vol"), col("ad_dec").cast("double").as("ad"))
+  }
+
+  /** W21: Williams fractal pivots — a bar whose high is STRICTLY above the
+    * `wing` highs on each side (up fractal), or whose low is strictly below
+    * the `wing` lows on each side (down fractal). Strict comparisons make
+    * the verdict tie-free and deterministic; lag/lead over one Window node,
+    * edge bars (missing a full wing) never qualify. A bar can be both (an
+    * outside bar) — both flags are emitted. */
+  def fractals(candles: DataFrame, wing: Int = 2): DataFrame = {
+    require(wing >= 1, s"wing must be >= 1, got $wing")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val neighborsH = (1 to wing).flatMap(k => Seq(lag(col("high"), k).over(w),
+      lead(col("high"), k).over(w)))
+    val neighborsL = (1 to wing).flatMap(k => Seq(lag(col("low"), k).over(w),
+      lead(col("low"), k).over(w)))
+    val up = neighborsH.map(n => n.isNotNull && col("high") > n).reduce(_ && _)
+    val down = neighborsL.map(n => n.isNotNull && col("low") < n).reduce(_ && _)
+    candles
+      .withColumn("up_fractal", up)
+      .withColumn("down_fractal", down)
+      .filter(col("up_fractal") || col("down_fractal"))
+      .select(col("pair"), col("timeframe"), col("time"),
+        col("up_fractal"), col("down_fractal"), col("high"), col("low"))
+  }
+
+  /** Linearly-weighted moving average terms over a trailing `p`-row frame,
+    * via the rn-shift identity: with weights `p..1` (newest..oldest),
+    * `Σ wⱼ·xⱼ = (p − rnₜ)·Σ xⱼ + Σ rnⱼ·xⱼ` — two running decimal sums
+    * instead of a per-row re-walk, both EXACT, sharing one Window node.
+    * Returns (numerator decimal column names are left in place by the
+    * caller). */
+  private def wmaNum(p: Int, rnCol: Column, sCol: Column, rCol: Column): Column =
+    ((lit(p) - rnCol) * sCol + rCol).cast("double") / (p * (p + 1) / 2)
+
+  /** U33: Hull moving average — `WMA(2·WMA(p/2) − WMA(p), ⌊√p⌋)`, the
+    * lag-reduced smoother. Every WMA numerator is an exact decimal running
+    * sum (the rn-shift identity above — no O(p) re-walk per row, which is
+    * exactly what Spark's WindowExec would do for a sliding frame). The
+    * intermediate `2·WMA(p/2) − WMA(p)` is carried as an EXACT decimal over
+    * the common denominator `denH·denN` — NOT divided and re-rounded: a
+    * 6-dp-exact numerator over 10 lands exactly on the half-way grid point,
+    * where the engines' tie rules diverge (measured: 37/9788 rows at
+    * sf0.01). The single float op is the final division by
+    * `denH·denN·denS`. Defined from row `p + ⌊√p⌋ − 1`. One Window pass,
+    * one shuffle. */
+  def hullMa(candles: DataFrame, period: Int = 9): DataFrame = {
+    require(period >= 4, s"period must be >= 4, got $period")
+    val half = period / 2
+    val sq = math.floor(math.sqrt(period.toDouble)).toInt
+    val denH = half * (half + 1) / 2
+    val denN = period * (period + 1) / 2
+    val denS = sq * (sq + 1) / 2
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    def fr(p: Int) = w.rowsBetween(-(p - 1), Window.currentRow)
+    def num(p: Int, sCol: Column, rCol: Column): Column =
+      (lit(p) - col("rn")) * sCol + rCol
+    candles
+      .withColumn("x6", col("close").cast("decimal(18,6)"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rx", col("rn") * col("x6"))
+      .withColumn("sh", sum(col("x6")).over(fr(half)))
+      .withColumn("rh", sum(col("rx")).over(fr(half)))
+      .withColumn("sn", sum(col("x6")).over(fr(period)))
+      .withColumn("rn2", sum(col("rx")).over(fr(period)))
+      // ny/(denH·denN) == 2·WMA(half) − WMA(period), exactly
+      .withColumn("ny", when(col("rn") >= period,
+        lit(2 * denN) * num(half, col("sh"), col("rh")) -
+          lit(denH) * num(period, col("sn"), col("rn2"))))
+      .withColumn("rny", col("rn") * col("ny"))
+      .withColumn("sy", sum(col("ny")).over(fr(sq)))
+      .withColumn("rys", sum(col("rny")).over(fr(sq)))
+      .select(col("pair"), col("timeframe"), col("time"), lit(period).as("period"),
+        when(col("rn") >= period + sq - 1,
+          num(sq, col("sy"), col("rys")).cast("double") / (denH * denN * denS))
+          .as("value"))
+  }
+
+  /** U34: Coppock curve — `WMA(ROC(long) + ROC(short), wma)`, the
+    * long-horizon momentum turn detector. The ROC sum is one float chain
+    * snapped to the 6-dp grid; the WMA reuses [[hullMa]]'s exact-decimal
+    * rn-shift identity. Defined once the WMA frame holds `wma` fully-warm
+    * ROC rows: row `long + wma`. */
+  def coppock(candles: DataFrame, longP: Int = 14, shortP: Int = 11,
+              wmaP: Int = 10): DataFrame = {
+    require(longP > shortP && shortP >= 1 && wmaP >= 2,
+      s"need long > short >= 1, wma >= 2; got $longP/$shortP/$wmaP")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    def fr(p: Int) = w.rowsBetween(-(p - 1), Window.currentRow)
+    def roc(p: Int): Column = {
+      val prev = lag(col("close"), p).over(w)
+      lit(100.0) * (col("close") - prev) / prev
+    }
+    candles
+      .withColumn("rn", row_number().over(w))
+      .withColumn("x6", when(col("rn") > longP,
+        round(roc(longP) + roc(shortP), 6)).cast("decimal(18,6)"))
+      .withColumn("rx", col("rn") * col("x6"))
+      .withColumn("sx", sum(col("x6")).over(fr(wmaP)))
+      .withColumn("rxs", sum(col("rx")).over(fr(wmaP)))
+      .select(col("pair"), col("timeframe"), col("time"),
+        when(col("rn") >= longP + wmaP,
+          wmaNum(wmaP, col("rn"), col("sx"), col("rxs"))).as("value"))
+  }
+
+  /** U32: Elder's Force Index — the SMA-seeded EMA (the [[EmaStage]]
+    * recurrence) of `(close − prevClose)·vol`. The per-bar force exists
+    * from row 2, so the EMA warm-up lands at row `period + 1`. Same
+    * single-shuffle sorted-group fold as [[ema]]; state per series: the
+    * stage's three scalars + one previous close. */
+  def forceIndex(candlesWithVol: DataFrame, period: Int = 13,
+                 calcVersion: String = CalcVersion): Dataset[IndicatorValue] = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val spark = candlesWithVol.sparkSession
+    import spark.implicits._
+    candlesWithVol.select($"pair", $"timeframe", $"time", $"close", $"vol".cast("long").as("vol"))
+      .as[CloseVolRow]
+      .groupByKey(r => (r.pair, r.timeframe))
+      .flatMapSortedGroups($"time") { case ((pair, tf), rows) =>
+        val stage = new EmaStage(period)
+        var pc = Double.NaN
+        rows.map { r =>
+          val out =
+            if (pc.isNaN) None
+            else stage.step((r.close - pc) * r.vol)
+          pc = r.close
+          IndicatorValue("FORCE", pair, tf, r.time, period, calcVersion, out)
+        }
+      }
   }
 
   /** Shared recursive-fold plumbing: shuffle once on (pair, timeframe),

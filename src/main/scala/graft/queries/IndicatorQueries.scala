@@ -40,6 +40,32 @@ object IndicatorQueries {
       col("trigger_indicator_period").as("period"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u29_awesome_1m" -> ((s, d) =>
+      Indicators.awesome(candles1m(s, d))
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          round(col("value"), 6).as("value"))),
+    "u30_cmf_20_1m" -> ((s, d) =>
+      indOut(Indicators.cmf(
+        graft.operators.Ohlc.ohlcBaseWithVol(TradingQueries.ticks(s, d)), 20))),
+    "u31_adline_1m" -> ((s, d) =>
+      Indicators.adLine(
+        graft.operators.Ohlc.ohlcBaseWithVol(TradingQueries.ticks(s, d)))
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          round(col("close"), 6).as("close"), col("vol"),
+          round(col("ad"), 6).as("ad"))),
+    "u32_force_13_1m" -> ((s, d) =>
+      indOut(Indicators.forceIndex(
+        graft.operators.Ohlc.ohlcBaseWithVol(TradingQueries.ticks(s, d)), 13).toDF())),
+    "u33_hma_9_1m" -> ((s, d) => indOut(Indicators.hullMa(candles1m(s, d), 9))),
+    "u34_coppock_1m" -> ((s, d) =>
+      Indicators.coppock(candles1m(s, d))
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          round(col("value"), 6).as("value"))),
+    "w21_fractals_1m" -> ((s, d) =>
+      Indicators.fractals(candles1m(s, d), 2)
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          col("up_fractal"), col("down_fractal"),
+          round(col("high"), 6).as("high"), round(col("low"), 6).as("low"))),
     "w19_realized_vol" -> ((s, d) => Indicators.realizedVol(candles1m(s, d))),
     "u28_elder_ray_13_1m" -> ((s, d) =>
       Indicators.elderRay(candles1m(s, d), 13)
@@ -1155,7 +1181,199 @@ object IndicatorQueries {
        |       round(high - prev, 6) AS bull, round(low - prev, 6) AS bear
        |FROM r""".stripMargin
 
+  /** Awesome Oscillator: exact-decimal midpoint sums, two float divisions. */
+  private def awesomeSql(fast: Int, slow: Int): String =
+    s"""$prelude,
+       |b AS (SELECT pair, time, round((high + low) / 2, 6)::DECIMAL(18,6) AS mp6,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |s AS (SELECT pair, time, rn,
+       |             sum(mp6) OVER (PARTITION BY pair ORDER BY time
+       |               ROWS BETWEEN ${fast - 1} PRECEDING AND CURRENT ROW) AS sf,
+       |             sum(mp6) OVER (PARTITION BY pair ORDER BY time
+       |               ROWS BETWEEN ${slow - 1} PRECEDING AND CURRENT ROW) AS ss
+       |      FROM b)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       CASE WHEN rn >= $slow
+       |            THEN round(CAST(sf AS DOUBLE) / $fast - CAST(ss AS DOUBLE) / $slow, 6)
+       |       END AS value
+       |FROM s""".stripMargin
+
+  /** Volume-candle CTE shared by the money-flow oracles (mfiSql's c1v). */
+  private val c1vCte: String =
+    """c1v AS (
+      |  SELECT pair, date_trunc('minute', time) AS time,
+      |         max(bid) AS high, min(bid) AS low,
+      |         max_by(bid, time) AS close, count(*) AS vol
+      |  FROM dedup GROUP BY 1, 2)""".stripMargin
+
+  /** Money-flow volume term: the one float division snaps to the 6-dp grid
+    * before the exact decimal·int multiply — the vwap convention. */
+  private val mfvExpr: String =
+    """round(CASE WHEN high = low THEN 0.0
+      |           ELSE (2.0 * close - low - high) / (high - low) END,
+      |      6)::DECIMAL(18,6) * vol::DECIMAL(9,0)""".stripMargin
+
+  private def cmfSql(p: Int): String =
+    s"""WITH $ticksCte, $dedupCte, $c1vCte,
+       |m AS (SELECT pair, time, vol, $mfvExpr AS mfv,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1v),
+       |s AS (SELECT pair, time, rn,
+       |             sum(mfv) OVER w AS num, sum(vol) OVER w AS den
+       |      FROM m
+       |      WINDOW w AS (PARTITION BY pair ORDER BY time
+       |                   ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW))
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
+       |       CASE WHEN rn >= $p
+       |            THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS value
+       |FROM s""".stripMargin
+
+  private val adlineSql: String =
+    s"""WITH $ticksCte, $dedupCte, $c1vCte,
+       |m AS (SELECT pair, time, close, vol, $mfvExpr AS mfv FROM c1v),
+       |s AS (SELECT pair, time, close, vol,
+       |             sum(mfv) OVER (PARTITION BY pair ORDER BY time
+       |               ROWS UNBOUNDED PRECEDING) AS ad_dec
+       |      FROM m)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       round(close, 6) AS close, vol, round(CAST(ad_dec AS DOUBLE), 6) AS ad
+       |FROM s""".stripMargin
+
+  /** Force index: the identical SMA-seeded EMA recurrence as emaSql, over
+    * the per-bar force `(close − prevClose)·vol` (defined from row 2 — the
+    * CTE carries the previous close alongside the EMA state). */
+  private def forceSql(p: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte,
+       |c1v AS (SELECT pair, date_trunc('minute', time) AS time,
+       |               max_by(bid, time) AS close, count(*) AS vol
+       |        FROM dedup GROUP BY 1, 2),
+       |c AS (SELECT pair, time, close, vol,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1v),
+       |r AS (
+       |  SELECT pair, rn, time, close AS pclose, CAST(0.0 AS DOUBLE) AS seed_sum,
+       |         CAST(NULL AS DOUBLE) AS prev
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT c.pair, c.rn, c.time, c.close,
+       |         CASE WHEN c.rn <= $p
+       |              THEN r.seed_sum + (c.close - r.pclose) * c.vol
+       |              ELSE CAST(0.0 AS DOUBLE) END,
+       |         CASE WHEN c.rn < ${p + 1} THEN NULL
+       |              WHEN c.rn = ${p + 1}
+       |              THEN (r.seed_sum + (c.close - r.pclose) * c.vol) / $p
+       |              ELSE ((c.close - r.pclose) * c.vol - r.prev) * (2.0 / ${p + 1}) + r.prev
+       |         END
+       |  FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period, round(prev, 6) AS value
+       |FROM r""".stripMargin
+
+  /** Hull MA: every WMA numerator restated via the rn-shift identity
+    * `Σ wⱼxⱼ = (p − rnₜ)·Σ xⱼ + Σ rnⱼxⱼ` with exact decimal sums (down-cast
+    * to DECIMAL(24,6) so the DuckDB multiply stays inside width 38). */
+  private def hmaSql(p: Int): String = {
+    val half = p / 2
+    val sq = math.floor(math.sqrt(p.toDouble)).toInt
+    def den(n: Int) = n * (n + 1) / 2
+    s"""$prelude,
+       |b AS (SELECT pair, time, close::DECIMAL(18,6) AS x6,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |c AS (SELECT pair, time, rn, x6, rn::DECIMAL(10,0) * x6 AS rx FROM b),
+       |s AS (SELECT pair, time, rn,
+       |        CAST(sum(x6) OVER wh AS DECIMAL(24,6)) AS sh,
+       |        CAST(sum(rx) OVER wh AS DECIMAL(24,6)) AS rh,
+       |        CAST(sum(x6) OVER wn AS DECIMAL(24,6)) AS sn,
+       |        CAST(sum(rx) OVER wn AS DECIMAL(24,6)) AS rn2
+       |      FROM c
+       |      WINDOW wh AS (PARTITION BY pair ORDER BY time
+       |                    ROWS BETWEEN ${half - 1} PRECEDING AND CURRENT ROW),
+       |             wn AS (PARTITION BY pair ORDER BY time
+       |                    ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW)),
+       |y AS (SELECT pair, time, rn,
+       |        CASE WHEN rn >= $p THEN CAST(
+       |          ${2 * den(p)}::DECIMAL(4,0)
+       |            * CAST(($half - rn)::DECIMAL(10,0) * sh + rh AS DECIMAL(26,6))
+       |          - ${den(half)}::DECIMAL(4,0)
+       |            * CAST(($p - rn)::DECIMAL(10,0) * sn + rn2 AS DECIMAL(26,6))
+       |          AS DECIMAL(26,6))
+       |        END AS ny
+       |      FROM s),
+       |y3 AS (SELECT pair, time, rn, ny, rn::DECIMAL(10,0) * ny AS rny FROM y),
+       |t AS (SELECT pair, time, rn,
+       |        CAST(sum(ny) OVER ws AS DECIMAL(26,6)) AS sy,
+       |        CAST(sum(rny) OVER ws AS DECIMAL(26,6)) AS rys
+       |      FROM y3
+       |      WINDOW ws AS (PARTITION BY pair ORDER BY time
+       |                    ROWS BETWEEN ${sq - 1} PRECEDING AND CURRENT ROW))
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
+       |       CASE WHEN rn >= ${p + sq - 1}
+       |            THEN round(CAST(($sq - rn)::DECIMAL(10,0) * sy + rys AS DOUBLE)
+       |                       / ${den(half) * den(p) * den(sq)}, 6)
+       |       END AS value
+       |FROM t""".stripMargin
+  }
+
+  private def coppockSql(longP: Int, shortP: Int, wmaP: Int): String =
+    s"""$prelude,
+       |b AS (SELECT pair, time, close,
+       |        lag(close, $longP) OVER w AS cl, lag(close, $shortP) OVER w AS cs,
+       |        row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m WINDOW w AS (PARTITION BY pair ORDER BY time)),
+       |x AS (SELECT pair, time, rn,
+       |        CASE WHEN rn > $longP THEN
+       |          round(100.0 * (close - cl) / cl + 100.0 * (close - cs) / cs, 6)
+       |        END::DECIMAL(18,6) AS x6
+       |      FROM b),
+       |c AS (SELECT pair, time, rn, x6, rn::DECIMAL(10,0) * x6 AS rx FROM x),
+       |s AS (SELECT pair, time, rn,
+       |        CAST(sum(x6) OVER ws AS DECIMAL(24,6)) AS sx,
+       |        CAST(sum(rx) OVER ws AS DECIMAL(24,6)) AS rxs
+       |      FROM c
+       |      WINDOW ws AS (PARTITION BY pair ORDER BY time
+       |                    ROWS BETWEEN ${wmaP - 1} PRECEDING AND CURRENT ROW))
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       CASE WHEN rn >= ${longP + wmaP}
+       |            THEN round(CAST(($wmaP - rn)::DECIMAL(10,0) * sx + rxs AS DOUBLE)
+       |                       / ${wmaP * (wmaP + 1) / 2}, 6)
+       |       END AS value
+       |FROM s""".stripMargin
+
+  private def fractalsSql(wing: Int): String = {
+    val hCols = (1 to wing).flatMap(k => Seq(
+      s"lag(high, $k) OVER w AS h_m$k", s"lead(high, $k) OVER w AS h_p$k")).mkString(",\n|        ")
+    val lCols = (1 to wing).flatMap(k => Seq(
+      s"lag(low, $k) OVER w AS l_m$k", s"lead(low, $k) OVER w AS l_p$k")).mkString(",\n|        ")
+    val up = (1 to wing).flatMap(k => Seq(
+      s"h_m$k IS NOT NULL AND high > h_m$k", s"h_p$k IS NOT NULL AND high > h_p$k"))
+      .mkString(" AND ")
+    val down = (1 to wing).flatMap(k => Seq(
+      s"l_m$k IS NOT NULL AND low < l_m$k", s"l_p$k IS NOT NULL AND low < l_p$k"))
+      .mkString(" AND ")
+    s"""$prelude,
+       |b AS (SELECT pair, time, high, low,
+       |        $hCols,
+       |        $lCols
+       |      FROM c1m WINDOW w AS (PARTITION BY pair ORDER BY time)),
+       |x AS (SELECT pair, time, high, low,
+       |        ($up) AS up_fractal, ($down) AS down_fractal
+       |      FROM b)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       up_fractal, down_fractal,
+       |       round(high, 6) AS high, round(low, 6) AS low
+       |FROM x WHERE up_fractal OR down_fractal""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "u29_awesome_1m" -> awesomeSql(5, 34),
+    "u30_cmf_20_1m" -> cmfSql(20),
+    "u31_adline_1m" -> adlineSql,
+    "u32_force_13_1m" -> forceSql(13),
+    "u33_hma_9_1m" -> hmaSql(9),
+    "u34_coppock_1m" -> coppockSql(14, 11, 10),
+    "w21_fractals_1m" -> fractalsSql(2),
     "u28_elder_ray_13_1m" -> elderSql(13),
     "w20_zigzag_10_1m" -> zigzagSql("0.1"),
     // 6-dp simple returns, exact decimal square sums, IEEE sqrt — the

@@ -439,4 +439,106 @@ class IndicatorsSpec extends SparkSpec {
       Indicators.ultimateOscillator(flatCandles(Seq.fill(10)(5.0)), 3, 5, 7), "A")
     assert(flat.forall(_.isEmpty), s"flat UO should be null (0/0 guard): $flat")
   }
+
+  private def hlcCandles(rows: Seq[(Double, Double, Double)]): org.apache.spark.sql.DataFrame =
+    rows.zipWithIndex.map { case ((h, l, c), i) =>
+      ("A", "1m", ts(f"2024-01-01 00:$i%02d:00"), c, h, l, c)
+    }.toDF("pair", "timeframe", "time", "open", "high", "low", "close")
+
+  private def volCandles(rows: Seq[(Double, Double, Double, Long)]): org.apache.spark.sql.DataFrame =
+    rows.zipWithIndex.map { case ((h, l, c, v), i) =>
+      ("A", "1m", ts(f"2024-01-01 00:$i%02d:00"), c, h, l, c, v)
+    }.toDF("pair", "timeframe", "time", "open", "high", "low", "close", "vol")
+
+  test("Awesome Oscillator: warm-up ends at slow; values match naive means") {
+    val cs = (1 to 12).map(_.toDouble)
+    val out = values(Indicators.awesome(flatCandles(cs), fast = 2, slow = 5), "A")
+    assert(out.take(4).forall(_.isEmpty))
+    (4 until 12).foreach { i =>
+      val mp = cs // high=low=close → midpoint = close
+      val exp = mp.slice(i - 1, i + 1).sum / 2 - mp.slice(i - 4, i + 1).sum / 5
+      assert(math.abs(out(i).get - exp) < 1e-9, s"idx $i: ${out(i)} vs $exp")
+    }
+  }
+
+  test("CMF: all-range-top closes with equal volume give 1.0; flat bar contributes 0") {
+    // close at the high → mfm = +1 per bar, so CMF = Σvol/Σvol = 1
+    val top = Seq.fill(6)((10.0, 8.0, 10.0, 3L))
+    val out = values(Indicators.cmf(volCandles(top), period = 4), "A")
+    assert(out.take(3).forall(_.isEmpty))
+    assert(out.drop(3).forall(_.contains(1.0)), s"CMF at range top: $out")
+
+    // a flat bar (high == low) adds 0 to the numerator but its vol counts
+    val mixed = Seq((10.0, 8.0, 10.0, 3L), (5.0, 5.0, 5.0, 3L),
+      (10.0, 8.0, 10.0, 3L), (10.0, 8.0, 10.0, 3L))
+    val m = values(Indicators.cmf(volCandles(mixed), period = 4), "A")
+    assert(math.abs(m(3).get - 0.75) < 1e-9, s"flat-bar dilution: $m")
+  }
+
+  test("A/D line: running sum of mfm·vol, exact") {
+    // mfm = ((c−l)−(h−c))/(h−l): bar1 +1·2=2, bar2 −1·3=−3, bar3 0 (flat), bar4 +1·5=5
+    val rows = Seq((10.0, 8.0, 10.0, 2L), (10.0, 8.0, 8.0, 3L),
+      (5.0, 5.0, 5.0, 7L), (10.0, 8.0, 10.0, 5L))
+    val out = Indicators.adLine(volCandles(rows))
+      .filter($"pair" === "A").orderBy("time").select("ad").collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(2.0, -1.0, -1.0, 4.0), s"got ${out.toSeq}")
+  }
+
+  test("Force index: EMA(p) of (Δclose·vol), defined from row p+1") {
+    val rows = Seq((0.0, 0.0, 10.0, 1L), (0.0, 0.0, 12.0, 2L), // fi=4
+      (0.0, 0.0, 11.0, 3L), // fi=-3
+      (0.0, 0.0, 14.0, 1L), // fi=3; seed at p=3 → (4-3+3)/3
+      (0.0, 0.0, 15.0, 2L)) // fi=2 → rec
+    val out = values(Indicators.forceIndex(volCandles(rows), period = 3).toDF(), "A")
+    assert(out.take(3).forall(_.isEmpty))
+    val seed = (4.0 - 3.0 + 3.0) / 3
+    assert(math.abs(out(3).get - seed) < 1e-12)
+    assert(math.abs(out(4).get - ((2.0 - seed) * 0.5 + seed)) < 1e-12, s"got $out")
+  }
+
+  test("Hull MA: matches the brute-force nested WMA on a random walk") {
+    def wma(xs: Seq[Double], p: Int): Seq[Option[Double]] =
+      xs.indices.map { i =>
+        if (i < p - 1) None
+        else Some(xs.slice(i - p + 1, i + 1).zipWithIndex
+          .map { case (x, j) => (j + 1) * x }.sum / (p * (p + 1) / 2))
+      }
+    val rnd = new scala.util.Random(7)
+    val cs = Seq.iterate(100.0, 20)(c => c + (rnd.nextInt(200) - 100) / 100.0)
+    val p = 9; val half = 4; val sq = 3
+    val y = wma(cs, half).zip(wma(cs, p)).map {
+      case (Some(a), Some(b)) => Some(2 * a - b); case _ => None
+    }
+    // brute-force outer WMA over the defined ys
+    val defined = y.flatten
+    val hma = wma(defined, sq)
+    val out = values(Indicators.hullMa(flatCandles(cs), p), "A")
+    assert(out.take(p + sq - 2).forall(_.isEmpty))
+    out.drop(p + sq - 2).zip(hma.drop(sq - 1)).zipWithIndex.foreach {
+      case ((Some(g), Some(e)), i) => assert(math.abs(g - e) < 1e-6, s"idx $i: $g vs $e")
+      case (pair, i) => fail(s"idx $i: $pair")
+    }
+  }
+
+  test("Coppock: constant series → ROC 0 → value 0 after warm-up") {
+    val out = values(Indicators.coppock(flatCandles(Seq.fill(30)(7.0)),
+      longP = 5, shortP = 3, wmaP = 4), "A")
+    assert(out.take(8).forall(_.isEmpty), s"warm-up: $out") // long+wma−1 = 8
+    assert(out.drop(8).forall(_.contains(0.0)), s"flat coppock: $out")
+  }
+
+  test("Fractals: strict local extremes with full wings only; ties never qualify") {
+    val rows = Seq(
+      (5.0, 1.0), (6.0, 2.0), (9.0, 0.5), (6.0, 2.0), (5.0, 1.0), // up@2, down@2
+      (7.0, 3.0), (7.0, 3.0), (8.0, 1.5), (7.0, 2.0))
+    val df = hlcCandles(rows.map { case (h, l) => (h, l, (h + l) / 2) })
+    val out = Indicators.fractals(df, wing = 2)
+      .filter($"pair" === "A").orderBy("time")
+      .select("time", "up_fractal", "down_fractal").collect()
+    // bar 2 (9.0 high, 0.5 low) is both an up and a down fractal;
+    // bar 7's 8.0 high has a 9.0? no — neighbors 7,7 left and 7 right, but
+    // only one right wing bar exists at index 7? it has leads 8th only → edge
+    assert(out.length === 1, s"got ${out.toSeq}")
+    assert(out(0).getBoolean(1) && out(0).getBoolean(2))
+  }
 }
