@@ -527,4 +527,68 @@ object Similarity {
       .select(col("cluster"), posexplode(col("top")))
       .select(col("cluster"), (col("pos") + 1).cast("int").as("rk"),
         col("col.id").as("id"))
+
+  /** L52: per-dimension corpus standardization of the embedding column —
+    * the feature-normalization pass ahead of k-means/ANN (a distance metric
+    * dominated by one high-variance dimension ruins both). Values snap to
+    * the 6-dp grid so the per-dimension mean/variance moments are EXACT
+    * decimal sums (population variance; partial-aggregation-order-proof);
+    * the z-score itself is one fixed IEEE chain. A constant dimension
+    * (sd = 0) standardizes to 0. Shape at 100 TB: one skinny
+    * (dim, n, Σv, Σv²) aggregate of n·64 rows, a 64-row broadcast back —
+    * no corpus-sized shuffle, no driver materialization. */
+  def standardize(embs: DataFrame): DataFrame = {
+    val ex = embs
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .withColumn("v6", round(col("v"), 6).cast("decimal(18,6)"))
+    val stats = ex.groupBy(col("dim")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v6")).as("s"),
+      // (18,6)×(19,6) → precision EXACTLY 38, scale 12 — no precision
+      // adjustment; a (19,6)×(19,6) product needs 39 and Spark rounds the
+      // scale down to 11, corrupting the 12th decimal (measured: 1/32000
+      // z-scores off by 1e-6 against the exact oracle)
+      sum(col("v6") * col("v6").cast("decimal(19,6)")).as("ss"))
+    val mean = col("s").cast("double") / col("n")
+    val variance = col("ss").cast("double") / col("n") - mean * mean
+    val withM = stats.select(col("dim"), col("n"), mean.as("mean"),
+      sqrt(greatest(variance, lit(0.0))).as("sd"))
+    ex.join(broadcast(withM), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("sd") > 0, (col("v6").cast("double") - col("mean")) / col("sd"))
+          .otherwise(lit(0.0)).as("z"))
+  }
+
+  /** L53: mutual-kNN graph over the embedding corpus — the neighborhood
+    * structure semantic curation walks (graph-based dedup clusters, label
+    * propagation, diversity scoring). Corpus-to-corpus, so NOTHING is
+    * broadcast-sized by the query side: candidates come from the
+    * [[lshBands]] self-join (banded, never all-pairs at real bit widths —
+    * size `bitsPerBand` with [[adaptiveBits]] as the corpus grows, the
+    * [[embedNearDup]] convention), scoring joins candidates back to the
+    * corpus on each side (two equi-join shuffles), and the per-query top-k
+    * is the bounded-state [[graft.functions.TopKByScore]] partial
+    * aggregate. An edge survives only if it is MUTUAL (each endpoint in the
+    * other's top-k) — the standard symmetrization that prunes hub vertices.
+    * Emitted once with `a < b`. */
+  def knnGraph(embs: DataFrame, k: Int, bands: Int = 96, bitsPerBand: Int = 3,
+               seed: Long = 42): DataFrame = {
+    val cb = lshBands(embs, bands, bitsPerBand, seed)
+    val cands = cb
+      .join(cb.select(col("id").as("qid"), col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("cid"))
+      .distinct()
+    val corpus = prep(embs)
+    val scored = cands
+      .join(corpus.select(col("id").as("cid"), col("emb")), "cid")
+      .join(corpus.select(col("id").as("qid"), col("emb").as("qemb")), "qid")
+      .select(col("qid"), col("cid"), cosine(col("qemb"), col("emb")).as("score"))
+    val knn = topKPerQuery(scored, k)
+      .select(col("qid").as("a"), col("cid").as("b"), col("score"))
+    knn.join(knn.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("score"))
+  }
 }

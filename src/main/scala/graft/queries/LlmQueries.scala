@@ -255,6 +255,23 @@ object LlmQueries {
 
     // scalar summary projection (array columns stringify differently across
     // the compare harness, so the check hashes sums/extrema instead)
+    // L52: per-dimension standardization — exact decimal moments, 64-row
+    // broadcast back; z is one fixed IEEE chain on both engines
+    "llm_embed_center" -> ((s, d) =>
+      Similarity.standardize(embsPar(s, d))
+        // %.6f, not round(): the engines' round() diverges within an ulp
+        // of a 6-dp tie (measured: 1/32000 rows); the format conversions
+        // are both correctly rounded and have no representable ties
+        .select(col("vec_id"), col("dim"),
+          format_string("%.6f", col("z")).as("z"))),
+
+    // L53: mutual-kNN graph — banded LSH self-join candidates, bounded
+    // top-k state, mutual-edge symmetrization; oracle = exact brute kNN
+    // (full LSH recall at oracle SF, same bands as llm_ann_lsh)
+    "llm_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(embsPar(s, d), k = 5)
+        .select(col("a"), col("b"), round(col("score"), 6).as("score"))),
+
     "llm_embed_quant" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d))
         .select(col("vec_id"), round(col("scale"), 6).as("scale"),
@@ -902,6 +919,41 @@ object LlmQueries {
     "llm_ann_lsh" -> annOracle,
     "llm_ann_ivf" -> annOracle,
     "llm_ann_quant" -> annOracle,
+
+    "llm_embed_center" ->
+      """WITH ex AS (
+        |  SELECT vec_id, (t.i - 1)::INT AS dim,
+        |         round(CAST(embedding[t.i] AS DOUBLE), 6)::DECIMAL(18,6) AS v6
+        |  FROM embeddings, range(1, 65) t(i)),
+        |st AS (
+        |  SELECT dim, count(*) AS n, sum(v6) AS s,
+        |         sum(CAST(v6 AS DECIMAL(19,6)) * CAST(v6 AS DECIMAL(19,6))) AS ss
+        |  FROM ex GROUP BY 1),
+        |m AS (
+        |  SELECT dim, n, CAST(s AS DOUBLE) / n AS mean,
+        |         sqrt(greatest(CAST(ss AS DOUBLE) / n
+        |           - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS sd
+        |  FROM st)
+        |SELECT ex.vec_id, ex.dim,
+        |       printf('%.6f', CASE WHEN m.sd > 0
+        |                  THEN (CAST(ex.v6 AS DOUBLE) - m.mean) / m.sd
+        |                  ELSE 0.0 END) AS z
+        |FROM ex JOIN m USING (dim)""".stripMargin,
+
+    "llm_knn_graph" ->
+      """WITH s AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |         list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                b.embedding::DOUBLE[]) AS score
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT qid, cid, score,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY score DESC, cid ASC) AS rk
+        |      FROM s),
+        |k AS (SELECT qid, cid, score FROM r WHERE rk <= 5)
+        |SELECT x.qid AS a, x.cid AS b, round(x.score, 6) AS score
+        |FROM k x JOIN k y ON y.qid = x.cid AND y.cid = x.qid
+        |WHERE x.qid < x.cid""".stripMargin,
 
     "llm_embed_quant" ->
       """WITH m AS (

@@ -125,4 +125,39 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("qid", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(lsh.toSeq === exact.toSeq)
   }
+
+  test("standardize: hand-checked dims — zero-mean unit-variance, sd=0 dim → 0") {
+    // dim 0: values 1,3 → mean 2, sd 1 → z = ∓1; dim 1: constant → z = 0
+    val d = embs((1L, Seq(1f, 7f), 0), (2L, Seq(3f, 7f), 0))
+    val out = Similarity.standardize(d)
+      .orderBy("vec_id", "dim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, 0, -1.0), (1L, 1, 0.0), (2L, 0, 1.0), (2L, 1, 0.0)))
+  }
+
+  test("knnGraph: mutual edges only, a<b once, scores symmetric") {
+    val rnd = new scala.util.Random(11)
+    val d = embs((0L until 40L).map { i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat), 0)
+    }: _*).select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val got = Similarity.knnGraph(d, k = 3, bands = 96, bitsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force mutual 3-NN
+    val vecs = d.select($"vec_id", $"embedding".cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val knn = vecs.keys.map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(c => (-cos(vecs(q), vecs(c)), c)).take(3).toSet
+    }.toMap
+    val exp = (for {
+      a <- vecs.keys; b <- knn(a) if a < b && knn(b).contains(a)
+    } yield (a, b)).toSet
+    assert(got === exp)
+    // every emitted edge is ordered and unique
+    assert(got.forall { case (a, b) => a < b })
+  }
 }
