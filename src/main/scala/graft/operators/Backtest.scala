@@ -29,6 +29,21 @@ final case class SizedTradeRow(pair: String, trade_no: Int,
                                gross: Option[Double], fee: Option[Double],
                                net: Option[Double])
 
+/** One merged backtest input row: `kind` 0 = candle close, 1 = BUY signal,
+  * 2 = SELL signal — the kind is the deterministic same-timestamp
+  * tie-break (the candle at `t` is processed BEFORE the signals derived
+  * from it, so an entry bar can never stop itself out). */
+final case class MergedRow(pair: String, time: Timestamp, kind: Int, px: Double)
+
+/** One round-trip trade under stop-loss/take-profit exits: `reason` is
+  * 'SL' (close breached `entry·(1−sl)`), 'TP' (close reached
+  * `entry·(1+tp)`) or 'SIG' (the strategy's own SELL cross). Exit fields
+  * None while the position is open. */
+final case class StopTradeRow(pair: String, trade_no: Int,
+                              entry_time: Timestamp, entry_price: Double,
+                              exit_time: Option[Timestamp], exit_price: Option[Double],
+                              reason: Option[String], pnl: Option[Double])
+
 /** F6: event-driven backtest over buy/sell signal events.
   *
   * The reference ships this as a stub that reads `fact_buysell_events` in
@@ -160,6 +175,66 @@ object Backtest {
     * constant or all-winning PnL series). One aggregation shuffle on the
     * pair key; open (NULL-pnl) trades are excluded identically on any
     * engine. */
+  /** F6 risk-managed ledger: the long-only state machine of [[trades]] with
+    * intra-trade STOP-LOSS and TAKE-PROFIT exits driven by the candle
+    * stream — the risk layer every real backtest engine carries (the
+    * reference's engine declares PnL simulation as intent,
+    * src/core/backtest_engine.py:5-44; exits-by-price-path is its natural
+    * depth). The signal stream and the candle stream merge into ONE
+    * per-pair time-ordered fold (kind tie-break: candle before signals at
+    * the same bar, so the entry bar cannot stop itself out); while long,
+    * each candle close is tested `close ≤ entry·(1−sl)` (exit 'SL') else
+    * `close ≥ entry·(1+tp)` (exit 'TP'); a strategy SELL still closes at
+    * its own price ('SIG'); after any exit the next BUY re-enters.
+    * Multipliers are computed ONCE as `1.0 − sl` / `1.0 + tp` in double —
+    * the oracle spells `CAST(1.0 AS DOUBLE) − CAST(sl AS DOUBLE)` so both
+    * engines compare against the identical double (the llm_lm_interp
+    * pattern). Same single-shuffle sorted-group fold as every recurrence
+    * here; state per pair: one bool + three scalars. */
+  def tradesStopped(signals: DataFrame, candles: DataFrame,
+                    slPct: Double, tpPct: Double): Dataset[StopTradeRow] = {
+    require(slPct > 0 && tpPct > 0, s"sl/tp must be positive, got $slPct/$tpPct")
+    val spark = signals.sparkSession
+    import spark.implicits._
+    val slMult = 1.0 - slPct
+    val tpMult = 1.0 + tpPct
+    val ev = signals.select($"pair", $"event_datetime".as("time"),
+      when($"event_type" === "BUY", 1).otherwise(2).as("kind"),
+      $"price".as("px"))
+    val cd = candles.select($"pair", $"time", lit(0).as("kind"), $"close".as("px"))
+    cd.unionByName(ev).as[MergedRow]
+      .groupByKey(_.pair)
+      .flatMapSortedGroups($"time", $"kind") { (pair, rows) =>
+        val out = Vector.newBuilder[StopTradeRow]
+        var entryTime: Timestamp = null
+        var entry = 0.0
+        var long = false
+        var n = 0
+        rows.foreach { r =>
+          if (!long) {
+            if (r.kind == 1) { entryTime = r.time; entry = r.px; long = true }
+          } else {
+            val reason =
+              if (r.kind == 0) {
+                if (r.px <= entry * slMult) "SL"
+                else if (r.px >= entry * tpMult) "TP"
+                else null
+              } else if (r.kind == 2) "SIG"
+              else null
+            if (reason != null) {
+              n += 1
+              out += StopTradeRow(pair, n, entryTime, entry,
+                Some(r.time), Some(r.px), Some(reason), Some(r.px - entry))
+              long = false
+            }
+          }
+        }
+        if (long)
+          out += StopTradeRow(pair, n + 1, entryTime, entry, None, None, None, None)
+        out.result().iterator
+      }
+  }
+
   def riskMetrics(trades: Dataset[TradeRow]): DataFrame = {
     val closed = trades.toDF().filter(col("pnl").isNotNull)
       .select(col("pair"), round(col("pnl"), 6).cast("decimal(18,6)").as("p"))

@@ -274,6 +274,24 @@ object PipelineQueries {
           round(col("gross"), 6).as("gross"),
           round(col("fee"), 6).as("fee"),
           round(col("net"), 6).as("net"))
+    }),
+
+    // F6 risk layer: stop-loss/take-profit exits driven by the candle
+    // path — the merged candle∪signal fold; recursive-CTE oracle stepping
+    // the identical state machine (alternation dies with stops, so f6b's
+    // lead()-pairing can't oracle this one)
+    "f6f_trades_stopped" -> ((s, d) => {
+      val c = candles1m(s, d)
+      val sma = Indicators.indicatorFacts(c, Seq("SMA"), Seq(14, 28))
+      Backtest.tradesStopped(Signals.strategy(sma, 14, 28), c,
+          slPct = 0.005, tpPct = 0.01).toDF()
+        .select(col("pair"), col("trade_no"),
+          unix_timestamp(col("entry_time")).as("entry_s"),
+          round(col("entry_price"), 6).as("entry_price"),
+          unix_timestamp(col("exit_time")).as("exit_s"),
+          round(col("exit_price"), 6).as("exit_price"),
+          col("reason"),
+          round(col("pnl"), 6).as("pnl"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -714,6 +732,91 @@ object PipelineQueries {
          |       epoch(x_time)::BIGINT AS exit_s, round(x_price, 6) AS exit_price,
          |       round(x_price - price, 6) AS pnl
          |FROM kept WHERE rn % 2 = 1""".stripMargin,
+
+    // the tradesStopped state machine replayed one merged row per pair per
+    // recursion step; multipliers spelled CAST(1.0)−CAST(0.005) so both
+    // engines compute the identical double (the llm_lm_interp pattern)
+    "f6f_trades_stopped" -> {
+      val msl = "(CAST(1.0 AS DOUBLE) - CAST(0.005 AS DOUBLE))"
+      val mtp = "(CAST(1.0 AS DOUBLE) + CAST(0.01 AS DOUBLE))"
+      val exit = s"(n.kind = 2 OR (n.kind = 0 AND " +
+        s"(n.px <= r.entry * $msl OR n.px >= r.entry * $mtp)))"
+      s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+         |sma AS (
+         |  SELECT pair, time,
+         |         CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 14
+         |              THEN avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) END AS s14,
+         |         CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 28
+         |              THEN avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                   ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) END AS s28
+         |  FROM c1m),
+         |x AS (
+         |  SELECT pair, time, s14, s28,
+         |         lag(s14) OVER (PARTITION BY pair ORDER BY time) AS ps,
+         |         lag(s28) OVER (PARTITION BY pair ORDER BY time) AS pl
+         |  FROM sma),
+         |ev AS (
+         |  SELECT pair, time, 'BUY' AS et, s14 AS price FROM x
+         |  WHERE ps <= pl AND s14 > s28
+         |  UNION ALL
+         |  SELECT pair, time, 'SELL', s14 FROM x
+         |  WHERE ps >= pl AND s14 < s28),
+         |m AS (
+         |  SELECT pair, time, 0 AS kind, close AS px FROM c1m
+         |  UNION ALL
+         |  SELECT pair, time, CASE WHEN et = 'BUY' THEN 1 ELSE 2 END, price FROM ev),
+         |n AS MATERIALIZED (SELECT pair, time, kind, px,
+         |             row_number() OVER (PARTITION BY pair ORDER BY time, kind) AS rn
+         |      FROM m),
+         |r AS (
+         |  SELECT pair, CAST(0 AS BIGINT) AS rn, CAST(NULL AS TIMESTAMP) AS etime,
+         |         CAST(0.0 AS DOUBLE) AS entry, FALSE AS lng, 0 AS n_closed,
+         |         CAST(NULL AS TIMESTAMP) AS o_entry_time,
+         |         CAST(NULL AS DOUBLE) AS o_entry_px,
+         |         CAST(NULL AS TIMESTAMP) AS o_exit_time,
+         |         CAST(NULL AS DOUBLE) AS o_exit_px,
+         |         CAST(NULL AS VARCHAR) AS o_reason
+         |  FROM (SELECT DISTINCT pair FROM n)
+         |  UNION ALL
+         |  SELECT n.pair, n.rn,
+         |         CASE WHEN NOT r.lng AND n.kind = 1 THEN n.time
+         |              WHEN r.lng AND $exit THEN NULL
+         |              ELSE r.etime END,
+         |         CASE WHEN NOT r.lng AND n.kind = 1 THEN n.px
+         |              WHEN r.lng AND $exit THEN CAST(0.0 AS DOUBLE)
+         |              ELSE r.entry END,
+         |         CASE WHEN NOT r.lng THEN n.kind = 1 ELSE NOT $exit END,
+         |         r.n_closed + CASE WHEN r.lng AND $exit THEN 1 ELSE 0 END,
+         |         CASE WHEN r.lng AND $exit THEN r.etime END,
+         |         CASE WHEN r.lng AND $exit THEN r.entry END,
+         |         CASE WHEN r.lng AND $exit THEN n.time END,
+         |         CASE WHEN r.lng AND $exit THEN n.px END,
+         |         CASE WHEN r.lng AND $exit THEN
+         |           CASE WHEN n.kind = 2 THEN 'SIG'
+         |                WHEN n.px <= r.entry * $msl THEN 'SL'
+         |                ELSE 'TP' END END
+         |  FROM r JOIN n ON n.pair = r.pair AND n.rn = r.rn + 1),
+         |last AS (SELECT pair, max(rn) AS mx FROM n GROUP BY 1),
+         |closed AS (
+         |  SELECT pair, n_closed AS trade_no, o_entry_time, o_entry_px,
+         |         o_exit_time, o_exit_px, o_reason
+         |  FROM r WHERE o_exit_time IS NOT NULL),
+         |open_pos AS (
+         |  SELECT r.pair, r.n_closed + 1 AS trade_no, r.etime, r.entry,
+         |         CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE),
+         |         CAST(NULL AS VARCHAR)
+         |  FROM r JOIN last ON r.pair = last.pair AND r.rn = last.mx
+         |  WHERE r.lng)
+         |SELECT pair, trade_no::INT AS trade_no,
+         |       epoch(o_entry_time)::BIGINT AS entry_s,
+         |       round(o_entry_px, 6) AS entry_price,
+         |       epoch(o_exit_time)::BIGINT AS exit_s,
+         |       round(o_exit_px, 6) AS exit_price,
+         |       o_reason AS reason,
+         |       round(o_exit_px - o_entry_px, 6) AS pnl
+         |FROM (SELECT * FROM closed UNION ALL SELECT * FROM open_pos)""".stripMargin
+    },
 
     // the f6b pairing reduced to closed-trade PnLs, then the identical
     // exact-decimal moment sums and float mean/variance/sqrt/ratio chain
