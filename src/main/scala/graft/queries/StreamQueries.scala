@@ -474,6 +474,30 @@ object StreamQueries {
           round(col("pnl"), 6).as("pnl"))
     }),
 
+    // T22 (streaming A/D line): per-minute candling + an exact decimal
+    // running money-flow sum — emitted per finalized minute, so the batch
+    // u31 twin over the per-pair minute-cutoff prefix is bit-equal
+    "t22_adline_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t22-").toString
+      import s.implicits._
+      withStreamShuffle(s, 8) {
+        val ticks = tickStream(s, d)
+          .select(col("pair"), col("time"), col("seq"), col("bid")).as[SeqTick]
+        awaitAndRecord("t22_adline_stream",
+          Streams.adLineStream(ticks)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/sink")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      }
+      s.read.parquet(s"$tmp/sink")
+        .select(col("pair"), unix_timestamp(col("time")).as("time_s"),
+          round(col("close"), 6).as("close"), col("vol"),
+          round(col("ad"), 6).as("ad"))
+    }),
+
     // T20 (tick-grain Renko): the live movement chart as keyed state —
     // per-row emission like t8/t15 (no cutoff), integer reference carry,
     // bit-exact vs the tick-series recursive CTE.
@@ -979,6 +1003,32 @@ object StreamQueries {
     // batch restatement: the f6b BUY/SELL pairing over the per-pair
     // cutoff prefix of the candle series, closed trades only (the open
     // position at shutdown is state, not output)
+    // the u31 A/D line over the per-pair minute-cutoff prefix (the last
+    // open minute is state, not output)
+    "t22_adline_stream" ->
+      s"""WITH ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte},
+         |mx AS (SELECT pair, date_trunc('minute', max(time)) AS cut
+         |       FROM dedup GROUP BY 1),
+         |c1v AS (
+         |  SELECT pair, date_trunc('minute', time) AS time,
+         |         max(bid) AS high, min(bid) AS low,
+         |         max_by(bid, time) AS close, count(*) AS vol
+         |  FROM dedup GROUP BY 1, 2),
+         |cc AS (SELECT c.* FROM c1v c JOIN mx USING (pair)
+         |       WHERE c.time < mx.cut),
+         |m AS (SELECT pair, time, close, vol,
+         |             round(CASE WHEN high = low THEN 0.0
+         |                        ELSE (2.0 * close - low - high) / (high - low) END,
+         |                   6)::DECIMAL(18,6) * vol::DECIMAL(9,0) AS mfv
+         |      FROM cc),
+         |s AS (SELECT pair, time, close, vol,
+         |             sum(mfv) OVER (PARTITION BY pair ORDER BY time
+         |               ROWS UNBOUNDED PRECEDING) AS ad_dec
+         |      FROM m)
+         |SELECT pair, epoch(time)::BIGINT AS time_s,
+         |       round(close, 6) AS close, vol, round(CAST(ad_dec AS DOUBLE), 6) AS ad
+         |FROM s""".stripMargin,
+
     "t19_trade_stream" ->
       s"""WITH ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte}, ${TradingQueries.c1mCte},
          |mx AS (SELECT pair, date_trunc('minute', max(time)) AS cut

@@ -100,6 +100,17 @@ final case class ZigPoint(pair: String, pivot_no: Long, time: Timestamp,
                           kind: String, price: Double,
                           confirm_time: Timestamp)
 
+/** Carried state of the streaming A/D-line fold (T22): the open candle
+  * minute with its per-second first-tick picks, and the EXACT decimal
+  * running accumulation/distribution sum (string-serialized BigDecimal —
+  * the prevCa convention of the correlation fold). */
+final case class AdLineState(openMinute: Long, picks: List[CorrSecPick],
+                             ad: String)
+
+/** One emitted A/D-line point (T22), per FINALIZED minute candle. */
+final case class AdPoint(pair: String, time: Timestamp, close: Double,
+                         vol: Long, ad: Double)
+
 /** Carried state of the streaming Renko fold (T20): the integer
   * reference carry `(a0, m)` plus the brick counter. */
 final case class RenkoState(n: Long, a0: Double, m: Long, bricks: Long)
@@ -686,6 +697,64 @@ object Streams {
               } else st = st.copy(hiP = hiP, hiUs = hiUs, loP = loP, loUs = loUs)
             }
           }
+        state.update(st)
+        out.result().iterator
+      }
+  }
+
+  /** T22: the accumulation/distribution line as keyed streaming state —
+    * the live money-flow gauge behind [[graft.operators.Indicators.adLine]]
+    * (u31). One fold per pair does per-second first-wins dedup and
+    * per-minute candling (the T18/T19 mechanics), and on each FINALIZED
+    * minute adds the candle's money-flow volume `round(mfm,6)·vol` to an
+    * EXACT decimal running sum — so micro-batch splits and state-merge
+    * order cannot move the emitted value, and the batch twin is bit-equal
+    * over the per-pair minute-cutoff prefix. The open minute at shutdown
+    * is state, not output. State per pair: ≤60 second-picks + one decimal
+    * string — O(1) at any history length. */
+  def adLineStream(ticks: Dataset[SeqTick],
+                   dropped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[AdPoint] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.groupByKey(_.pair)
+      .flatMapGroupsWithState[AdLineState, AdPoint](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (pair, rows, state: GroupState[AdLineState]) =>
+        var st = state.getOption.getOrElse(AdLineState(-1L, Nil, "0"))
+        val out = Vector.newBuilder[AdPoint]
+        def usOf(t: Timestamp): Long =
+          t.getTime / 1000 * 1000000L + t.getNanos / 1000
+        // the batch side's round(mfm,6)::DECIMAL(18,6) snap
+        def dec(d: Double): BigDecimal =
+          BigDecimal.decimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        def finalizeMinute(): Unit = if (st.openMinute >= 0) {
+          val ps = st.picks.sortBy(_.sec)
+          ps.lastOption.foreach { last =>
+            val h = ps.map(_.bid).max
+            val l = ps.map(_.bid).min
+            val c = last.bid
+            val vol = ps.size.toLong
+            val mfm = if (h == l) 0.0 else (2.0 * c - l - h) / (h - l)
+            val ad = BigDecimal(st.ad) + dec(mfm) * BigDecimal(vol)
+            out += AdPoint(pair, new Timestamp(st.openMinute / 1000), c, vol,
+              ad.toDouble)
+            st = st.copy(ad = ad.toString)
+          }
+          st = st.copy(picks = Nil)
+        }
+        rows.toVector.sortBy(r => (usOf(r.time), r.seq)).foreach { r =>
+          val us = usOf(r.time)
+          val m = us - us % 60000000L
+          if (st.openMinute < 0) st = st.copy(openMinute = m)
+          else if (m > st.openMinute) { finalizeMinute(); st = st.copy(openMinute = m) }
+          else if (m < st.openMinute) dropped.foreach(_.add(1))
+          if (m == st.openMinute) {
+            val sec = us - us % 1000000L
+            if (!st.picks.exists(_.sec == sec)) // sorted ⇒ first wins
+              st = st.copy(picks = CorrSecPick(sec, us, r.seq, r.bid) :: st.picks)
+          }
+        }
         state.update(st)
         out.result().iterator
       }

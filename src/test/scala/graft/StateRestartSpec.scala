@@ -842,6 +842,64 @@ class StateRestartSpec extends SparkSpec {
       s"bricks: $a")
   }
 
+  // ---------------------------------------------- t22: A/D running sum
+
+  // The kill splits minute 0: its first two second-picks are checkpointed
+  // state; chunk 2 adds a DUPLICATE second (must lose to the restored
+  // first-wins pick), a third second, then later minutes. The finalized
+  // candle must combine picks from both sides of the kill (h=14, l=8,
+  // close=8, vol=3 → mfm=−1, ad=−3) and the running decimal sum must
+  // carry into minute 1 (flat bar: mfm=0, ad stays −3).
+  private val adChunks = Seq(
+    seqTicks(Seq(("X", "2024-01-01 00:00:05", 1L, 10.0),
+      ("X", "2024-01-01 00:00:20", 2L, 14.0))),
+    // --- kill point ---
+    seqTicks(Seq(("X", "2024-01-01 00:00:20", 3L, 99.0), // dup second: drops
+      ("X", "2024-01-01 00:00:40", 4L, 8.0),
+      ("X", "2024-01-01 00:01:10", 5L, 20.0),
+      ("X", "2024-01-01 00:02:05", 6L, 30.0))))
+
+  private def runAd(src: String, sink: String, ckpt: String): Unit = {
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    Streams.adLineStream(stream.as[SeqTick])
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+  }
+
+  test("t22: split-minute picks and the decimal A/D sum survive the kill") {
+    val root = Files.createTempDirectory("graft-t22-restart-").toString
+    val (srcA, srcB) = (s"$root/srcA", s"$root/srcB")
+    new java.io.File(srcA).mkdirs(); new java.io.File(srcB).mkdirs()
+
+    adChunks.zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcA, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runAd(srcA, s"$root/sinkA", s"$root/ckptA")
+
+    adChunks.take(1).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runAd(srcB, s"$root/sinkB", s"$root/ckptB")
+    adChunks.drop(1).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c${i + 1}", 1600000120000L + i * 60000L)
+    }
+    runAd(srcB, s"$root/sinkB", s"$root/ckptB")
+
+    def rows(sink: String) = spark.read.parquet(sink)
+      .select("pair", "time", "close", "vol", "ad")
+      .orderBy("time").collect()
+      .map(r => (r.getTimestamp(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toSeq
+    val (a, b) = (rows(s"$root/sinkA"), rows(s"$root/sinkB"))
+    assert(b === a, s"restart diverged:\nref=${a.mkString("\n")}\ncut=${b.mkString("\n")}")
+    assert(a === Seq(
+      (ts("2024-01-01 00:00:00"), 8.0, 3L, -3.0),
+      (ts("2024-01-01 00:01:00"), 20.0, 1L, -3.0)), s"points: $a")
+  }
+
   // ------------------------------------------------ t21: zigzag extremes
 
   // Tick 2 (120) confirms the initial LOW pivot (100 @ t0) pre-kill and
