@@ -515,4 +515,29 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** L54: prefix dedup — documents opening with the IDENTICAL first `k`
+    * normalized tokens (the truncation/boilerplate duplicate class: the
+    * same article cut at different lengths scores low full-text Jaccard
+    * but shares its head verbatim). Key = MD5 of the k-token prefix; docs
+    * shorter than `k` tokens cannot assert a prefix and are passed over.
+    * First-write-wins canonicalization per group ([[exact]]'s convention).
+    * One wide-key shuffle, no joins, no postings — the exact-dedup shape
+    * at any corpus size. */
+  def prefixDedup(docs: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val pref = toks
+      .select(col("doc_id"),
+        when(size(col("toks")) >= k,
+          md5(concat_ws(" ", slice(col("toks"), 1, k)))).as("prefix_hash"))
+      .filter(col("prefix_hash").isNotNull)
+    val w = Window.partitionBy(col("prefix_hash"))
+    pref
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("prefix_hash"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"),
+        col("group_size"))
+  }
 }

@@ -1181,6 +1181,26 @@ object Indicators {
         col("close"), col("vol"), col("ad_dec").cast("double").as("ad"))
   }
 
+  /** U35: Chaikin Oscillator — `EMA(fast) − EMA(slow)` of the [[adLine]]
+    * accumulation/distribution series (the money-flow momentum gauge).
+    * Composes the window-exact A/D (decimal running sum → one double per
+    * bar) with two SMA-seeded [[EmaStage]] recurrences stepped TOGETHER on
+    * every bar inside one sorted-group fold; defined from row `slow`.
+    * O(1) state per series. */
+  def chaikin(candlesWithVol: DataFrame, fast: Int = 3, slow: Int = 10,
+              calcVersion: String = CalcVersion): Dataset[IndicatorValue] = {
+    require(fast >= 2 && slow > fast, s"need slow > fast >= 2, got $fast/$slow")
+    val ad = adLine(candlesWithVol)
+      .select(col("pair"), col("timeframe"), col("time"), col("ad").as("close"))
+    foldSeries(ad, "CHAIKIN", slow, calcVersion) { () =>
+      val f = new EmaStage(fast); val s = new EmaStage(slow)
+      c => {
+        val a = f.step(c); val b = s.step(c) // both stages step on EVERY bar
+        for (x <- a; y <- b) yield x - y
+      }
+    }
+  }
+
   /** W21: Williams fractal pivots — a bar whose high is STRICTLY above the
     * `wing` highs on each side (up fractal), or whose low is strictly below
     * the `wing` lows on each side (down fractal). Strict comparisons make

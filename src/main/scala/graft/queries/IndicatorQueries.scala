@@ -40,6 +40,9 @@ object IndicatorQueries {
       col("trigger_indicator_period").as("period"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u35_chaikin_1m" -> ((s, d) =>
+      indOut(Indicators.chaikin(
+        graft.operators.Ohlc.ohlcBaseWithVol(TradingQueries.ticks(s, d))).toDF())),
     "u29_awesome_1m" -> ((s, d) =>
       Indicators.awesome(candles1m(s, d))
         .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
@@ -1366,7 +1369,42 @@ object IndicatorQueries {
        |FROM x WHERE up_fractal OR down_fractal""".stripMargin
   }
 
+  /** Chaikin Oscillator: the adline decimal running sum cast to double per
+    * bar, then both SMA-seeded EMA recurrences stepped in ONE recursion
+    * (the emaSql state carry, doubled up); input MATERIALIZED so the
+    * recursion doesn't re-run the candling chain per step. */
+  private def chaikinSql(fast: Int, slow: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1vCte,
+       |m AS (SELECT pair, time, $mfvExpr AS mfv FROM c1v),
+       |s AS MATERIALIZED (
+       |  SELECT pair, time,
+       |         CAST(sum(mfv) OVER (PARTITION BY pair ORDER BY time
+       |           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS ad,
+       |         row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |  FROM m),
+       |r AS (
+       |  SELECT pair, rn, time, ad AS fseed, CAST(NULL AS DOUBLE) AS fprev,
+       |         ad AS sseed, CAST(NULL AS DOUBLE) AS sprev
+       |  FROM s WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.pair, s.rn, s.time,
+       |         CASE WHEN s.rn < $fast THEN r.fseed + s.ad
+       |              ELSE CAST(0.0 AS DOUBLE) END,
+       |         CASE WHEN s.rn < $fast THEN NULL
+       |              WHEN s.rn = $fast THEN (r.fseed + s.ad) / $fast
+       |              ELSE (s.ad - r.fprev) * (2.0 / ${fast + 1}) + r.fprev END,
+       |         CASE WHEN s.rn < $slow THEN r.sseed + s.ad
+       |              ELSE CAST(0.0 AS DOUBLE) END,
+       |         CASE WHEN s.rn < $slow THEN NULL
+       |              WHEN s.rn = $slow THEN (r.sseed + s.ad) / $slow
+       |              ELSE (s.ad - r.sprev) * (2.0 / ${slow + 1}) + r.sprev END
+       |  FROM r JOIN s ON s.pair = r.pair AND s.rn = r.rn + 1)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $slow AS period, round(fprev - sprev, 6) AS value
+       |FROM r""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "u35_chaikin_1m" -> chaikinSql(3, 10),
     "u29_awesome_1m" -> awesomeSql(5, 34),
     "u30_cmf_20_1m" -> cmfSql(20),
     "u31_adline_1m" -> adlineSql,

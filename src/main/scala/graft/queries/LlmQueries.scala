@@ -118,6 +118,10 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
 
+    // L54: prefix dedup — the truncation-duplicate detector (identical
+    // 20-token head, any tail); first-write-wins per prefix hash
+    "llm_dedup_prefix" -> ((s, d) => Dedup.prefixDedup(docsPar(s, d), k = 20)),
+
     // L30: duplicate-span removal — exact substring scrub at a 10-token
     // grid; first occurrence (lowest (doc_id, position)) survives
     "llm_dedup_spans" -> ((s, d) => Dedup.dedupSpans(docsPar(s, d), span = 10)),
@@ -720,6 +724,21 @@ object LlmQueries {
         |       min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
         |       doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
         |FROM h""".stripMargin,
+
+    "llm_dedup_prefix" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |                      ' ') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, md5(array_to_string(toks[1:20], ' ')) AS prefix_hash
+        |  FROM t WHERE len(toks) >= 20)
+        |SELECT doc_id, prefix_hash,
+        |       min(doc_id) OVER w AS canonical_id,
+        |       doc_id = min(doc_id) OVER w AS is_canonical,
+        |       count(*) OVER w AS group_size
+        |FROM p WINDOW w AS (PARTITION BY prefix_hash)""".stripMargin,
 
     // independent restatement: raw-text token grid, span strings grouped
     // directly (the engine groups by md5(seg) — same partition), list

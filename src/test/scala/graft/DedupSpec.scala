@@ -197,4 +197,17 @@ class DedupSpec extends SparkSpec {
     assert(d.getAs[Long]("n_kept") === 2L)
     assert(d.getAs[String]("clean_text") === "p q r")
   }
+
+  test("prefix dedup: same k-token head groups regardless of tail; short docs skip") {
+    val d = Dedup.prefixDedup(docs(
+      1L -> "a b c tail one",
+      2L -> "a b c completely different continuation",
+      3L -> "a b x tail one",
+      4L -> "a b"), // < 3 tokens: cannot assert a prefix
+      k = 3).orderBy("doc_id").collect()
+    assert(d.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(d.map(_.getAs[Long]("canonical_id")).toSeq === Seq(1L, 1L, 3L))
+    assert(d.map(_.getAs[Boolean]("is_canonical")).toSeq === Seq(true, false, true))
+    assert(d.map(_.getAs[Long]("group_size")).toSeq === Seq(2L, 2L, 1L))
+  }
 }

@@ -496,6 +496,15 @@ class IndicatorsSpec extends SparkSpec {
     assert(math.abs(out(4).get - ((2.0 - seed) * 0.5 + seed)) < 1e-12, s"got $out")
   }
 
+  test("Chaikin oscillator: warm-up ends at slow; flat-volume range-top series is 0") {
+    // flat bars → mfm 0 → ad constant 0 → both EMAs 0 → chaikin 0 after
+    // the slow warm-up
+    val flat = (0 until 12).map(i => (5.0, 5.0, 5.0, 2L))
+    val out = values(Indicators.chaikin(volCandles(flat), fast = 3, slow = 5).toDF(), "A")
+    assert(out.take(4).forall(_.isEmpty), s"warm-up: $out")
+    assert(out.drop(4).forall(_.contains(0.0)), s"flat chaikin: $out")
+  }
+
   test("Hull MA: matches the brute-force nested WMA on a random walk") {
     def wma(xs: Seq[Double], p: Int): Seq[Option[Double]] =
       xs.indices.map { i =>
