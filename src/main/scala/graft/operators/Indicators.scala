@@ -1201,6 +1201,67 @@ object Indicators {
     }
   }
 
+  /** U36: Percentage Volume Oscillator — MACD's shape applied to VOLUME:
+    * `100·(EMA(fast) − EMA(slow))/EMA(slow)` over the per-bar volume
+    * series. Detects volume expansion/contraction regimes scale-free.
+    * Two SMA-seeded [[EmaStage]]s stepped together (the [[chaikin]]
+    * pattern); NULL while warm or when the slow EMA is 0 (impossible with
+    * tick-count volume ≥ 1, but the guard keeps the operator total).
+    * O(1) state per series. */
+  def pvo(candlesWithVol: DataFrame, fast: Int = 12, slow: Int = 26,
+          calcVersion: String = CalcVersion): Dataset[IndicatorValue] = {
+    require(fast >= 2 && slow > fast, s"need slow > fast >= 2, got $fast/$slow")
+    val v = candlesWithVol.select(col("pair"), col("timeframe"), col("time"),
+      col("vol").cast("double").as("close"))
+    foldSeries(v, "PVO", slow, calcVersion) { () =>
+      val f = new EmaStage(fast); val s = new EmaStage(slow)
+      c => {
+        val a = f.step(c); val b = s.step(c)
+        for (x <- a; y <- b if y != 0.0) yield 100.0 * (x - y) / y
+      }
+    }
+  }
+
+  /** U37: Ease of Movement (Arms) — how far price travels per unit of
+    * volume: per bar `emv = midmove · (high − low) / vol` with
+    * `midmove = (h+l)/2 − (ph+pl)/2`, then an SMA(period) smoothing. The
+    * per-bar emv snaps to the 6-dp grid so the smoothing sum is EXACT
+    * decimal; a flat bar contributes exactly 0 (the `h−l` factor).
+    * Defined from row `period + 1` (the first bar has no midmove). */
+  def eom(candlesWithVol: DataFrame, period: Int = 14): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val mid = (col("high") + col("low")) / 2
+    val pmid = (lag(col("high"), 1).over(w) + lag(col("low"), 1).over(w)) / 2
+    candlesWithVol
+      // %.6f → decimal, not round(): midmove sits on the half-grid (a mid
+      // is (h+l)/2 of 6-dp bids), so emv lands within an ulp of 6-dp ties
+      // where the engines' round() diverges (measured 26/9788 rows); the
+      // format conversions are correctly rounded on both engines
+      // the first bar has no midmove: format_string would stringify the
+      // NULL to "null" and fail the ANSI decimal cast — guard first
+      .withColumn("emv6",
+        when(lag(col("high"), 1).over(w).isNotNull,
+          format_string("%.6f",
+            (mid - pmid) * (col("high") - col("low")) / col("vol")))
+          .cast("decimal(18,6)"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("s", sum(col("emv6")).over(w.rowsBetween(-(period - 1), Window.currentRow)))
+      // the mean s/period computed in PURE INTEGER micro-units with explicit
+      // HALF_UP: a 6-dp sum over a constant divisor lands EXACTLY on 7-dp
+      // ties, where Spark's shortest-repr HALF_UP and DuckDB's float-path
+      // round() disagree (measured 26/9788 rows) — integer arithmetic is
+      // bit-identical on any engine, and the quotient is already on the
+      // 6-dp grid so no final round exists to diverge
+      .withColumn("micro", (col("s") * 1000000).cast("long"))
+      .withColumn("q",
+        when(col("micro") >= 0,
+          expr(s"(micro * 2 + $period) div (2 * $period)"))
+          .otherwise(-expr(s"((-micro) * 2 + $period) div (2 * $period)")))
+      .select(col("pair"), col("timeframe"), col("time"), lit(period).as("period"),
+        when(col("rn") >= period + 1, col("q").cast("double") / 1000000.0).as("value"))
+  }
+
   /** W21: Williams fractal pivots — a bar whose high is STRICTLY above the
     * `wing` highs on each side (up fractal), or whose low is strictly below
     * the `wing` lows on each side (down fractal). Strict comparisons make

@@ -40,6 +40,12 @@ object IndicatorQueries {
       col("trigger_indicator_period").as("period"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u36_pvo_1m" -> ((s, d) =>
+      indOut(Indicators.pvo(
+        graft.operators.Ohlc.ohlcBaseWithVol(TradingQueries.ticks(s, d))).toDF())),
+    "u37_eom_14_1m" -> ((s, d) =>
+      indOut(Indicators.eom(
+        graft.operators.Ohlc.ohlcBaseWithVol(TradingQueries.ticks(s, d)), 14))),
     "u35_chaikin_1m" -> ((s, d) =>
       indOut(Indicators.chaikin(
         graft.operators.Ohlc.ohlcBaseWithVol(TradingQueries.ticks(s, d))).toDF())),
@@ -1403,7 +1409,64 @@ object IndicatorQueries {
        |       $slow AS period, round(fprev - sprev, 6) AS value
        |FROM r""".stripMargin
 
+  /** PVO: the chaikinSql dual-EMA recursion over the VOLUME series. */
+  private def pvoSql(fast: Int, slow: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte,
+       |cv AS (SELECT pair, date_trunc('minute', time) AS time, count(*) AS vol
+       |       FROM dedup GROUP BY 1, 2),
+       |s AS MATERIALIZED (
+       |  SELECT pair, time, CAST(vol AS DOUBLE) AS v,
+       |         row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |  FROM cv),
+       |r AS (
+       |  SELECT pair, rn, time, v AS fseed, CAST(NULL AS DOUBLE) AS fprev,
+       |         v AS sseed, CAST(NULL AS DOUBLE) AS sprev
+       |  FROM s WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.pair, s.rn, s.time,
+       |         CASE WHEN s.rn < $fast THEN r.fseed + s.v
+       |              ELSE CAST(0.0 AS DOUBLE) END,
+       |         CASE WHEN s.rn < $fast THEN NULL
+       |              WHEN s.rn = $fast THEN (r.fseed + s.v) / $fast
+       |              ELSE (s.v - r.fprev) * (2.0 / ${fast + 1}) + r.fprev END,
+       |         CASE WHEN s.rn < $slow THEN r.sseed + s.v
+       |              ELSE CAST(0.0 AS DOUBLE) END,
+       |         CASE WHEN s.rn < $slow THEN NULL
+       |              WHEN s.rn = $slow THEN (r.sseed + s.v) / $slow
+       |              ELSE (s.v - r.sprev) * (2.0 / ${slow + 1}) + r.sprev END
+       |  FROM r JOIN s ON s.pair = r.pair AND s.rn = r.rn + 1)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $slow AS period,
+       |       CASE WHEN sprev IS NOT NULL AND sprev <> 0
+       |            THEN round(100.0 * (fprev - sprev) / sprev, 6) END AS value
+       |FROM r""".stripMargin
+
+  private def eomSql(p: Int): String =
+    s"""WITH $ticksCte, $dedupCte, $c1vCte,
+       |b AS (SELECT pair, time,
+       |        printf('%.6f', ((high + low) / 2
+       |               - (lag(high) OVER w + lag(low) OVER w) / 2)
+       |              * (high - low) / vol)::DECIMAL(18,6) AS emv6,
+       |        row_number() OVER w AS rn
+       |      FROM c1v WINDOW w AS (PARTITION BY pair ORDER BY time)),
+       |s AS (SELECT pair, time, rn,
+       |        CAST(sum(emv6) OVER (PARTITION BY pair ORDER BY time
+       |          ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW)
+       |             * 1000000 AS BIGINT) AS micro
+       |      FROM b),
+       |q AS (SELECT pair, time, rn,
+       |        CASE WHEN micro >= 0 THEN (micro * 2 + $p) // (2 * $p)
+       |             ELSE -(((-micro) * 2 + $p) // (2 * $p)) END AS qv
+       |      FROM s)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period,
+       |       CASE WHEN rn >= ${p + 1}
+       |            THEN CAST(qv AS DOUBLE) / 1000000.0 END AS value
+       |FROM q""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "u36_pvo_1m" -> pvoSql(12, 26),
+    "u37_eom_14_1m" -> eomSql(14),
     "u35_chaikin_1m" -> chaikinSql(3, 10),
     "u29_awesome_1m" -> awesomeSql(5, 34),
     "u30_cmf_20_1m" -> cmfSql(20),
