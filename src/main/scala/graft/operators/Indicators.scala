@@ -1254,12 +1254,74 @@ object Indicators {
       // bit-identical on any engine, and the quotient is already on the
       // 6-dp grid so no final round exists to diverge
       .withColumn("micro", (col("s") * 1000000).cast("long"))
-      .withColumn("q",
-        when(col("micro") >= 0,
-          expr(s"(micro * 2 + $period) div (2 * $period)"))
-          .otherwise(-expr(s"((-micro) * 2 + $period) div (2 * $period)")))
+      .withColumn("q", microHalfUp("micro", period))
       .select(col("pair"), col("timeframe"), col("time"), lit(period).as("period"),
         when(col("rn") >= period + 1, col("q").cast("double") / 1000000.0).as("value"))
+  }
+
+  /** Sign-aware HALF_UP integer division of a micro-unit column by `d` —
+    * the tie-free mean used by [[eom]]/[[dpo]] (see eom's scaladoc for the
+    * round()-tie failure class this avoids). Operands stay non-negative in
+    * both branches, so `div`'s truncation IS floor. */
+  private def microHalfUp(micro: String, d: Int): Column =
+    when(col(micro) >= 0, expr(s"($micro * 2 + $d) div (2 * $d)"))
+      .otherwise(-expr(s"((-$micro) * 2 + $d) div (2 * $d)"))
+
+  /** U38: Detrended Price Oscillator — `close − SMA(p) displaced p/2+1 bars
+    * back`, the cycle extractor. ENTIRELY integer micro-unit arithmetic:
+    * closes sit on the 6-dp grid, the SMA mean uses [[microHalfUp]] (a
+    * 6-dp sum over a constant divisor is the round()-tie class), and the
+    * difference of two on-grid micro values is exact — the ONLY float op
+    * is the final /1e6 presentation divide, identical on any engine.
+    * Defined from row `p + p/2 + 1`. */
+  def dpo(candles: DataFrame, period: Int = 20): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val shift = period / 2 + 1
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    candles
+      .withColumn("c6", col("close").cast("decimal(18,6)"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("smicro",
+        (sum(col("c6")).over(w.rowsBetween(-(period - 1), Window.currentRow))
+          * 1000000).cast("long"))
+      .withColumn("q", when(col("rn") >= period, microHalfUp("smicro", period)))
+      .withColumn("lq", lag(col("q"), shift).over(w))
+      .select(col("pair"), col("timeframe"), col("time"), lit(period).as("period"),
+        when(col("rn") >= period + shift,
+          ((col("c6") * 1000000).cast("long") - col("lq")).cast("double") / 1000000.0)
+          .as("value"))
+  }
+
+  /** U39: Mass Index (Dorsey) — `Σ over sumP bars of EMA(h−l)/EMA(EMA(h−l))`,
+    * the range-bulge reversal screen. The EMA ratio comes from two chained
+    * [[EmaStage]]s in a sorted-group fold (defined from row `2·emaP−1`);
+    * the ratio snaps to the 6-dp grid and the trailing sum is EXACT
+    * decimal — the emitted value IS that sum (no division), so no
+    * round()-tie exists at emission. Defined from row `2·emaP−2+sumP`. */
+  def massIndex(candles: DataFrame, emaP: Int = 9, sumP: Int = 25): DataFrame = {
+    require(emaP >= 2 && sumP >= 1, s"need emaP >= 2, sumP >= 1; got $emaP/$sumP")
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val ratios = candles
+      .select($"pair", $"timeframe", $"time", ($"high" - $"low").as("close"))
+      .as[CloseRow]
+      .groupByKey(r => (r.pair, r.timeframe))
+      .flatMapSortedGroups($"time") { case ((pair, tf), rows) =>
+        val s1 = new EmaStage(emaP); val s2 = new EmaStage(emaP)
+        rows.map { r =>
+          val e1 = s1.step(r.close)
+          val e2 = e1.flatMap(s2.step)
+          (pair, tf, r.time, for (a <- e1; b <- e2 if b != 0.0) yield a / b)
+        }
+      }.toDF("pair", "timeframe", "time", "ratio")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    ratios
+      .withColumn("r6", round(col("ratio"), 6).cast("decimal(18,6)"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("s", sum(col("r6")).over(w.rowsBetween(-(sumP - 1), Window.currentRow)))
+      .select(col("pair"), col("timeframe"), col("time"),
+        lit(emaP).as("period"),
+        when(col("rn") >= 2 * emaP - 2 + sumP, col("s").cast("double")).as("value"))
   }
 
   /** W21: Williams fractal pivots — a bar whose high is STRICTLY above the

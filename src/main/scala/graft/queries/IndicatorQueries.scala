@@ -40,6 +40,8 @@ object IndicatorQueries {
       col("trigger_indicator_period").as("period"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u38_dpo_20_1m" -> ((s, d) => indOut(Indicators.dpo(candles1m(s, d), 20))),
+    "u39_mass_9_1m" -> ((s, d) => indOut(Indicators.massIndex(candles1m(s, d)))),
     "u36_pvo_1m" -> ((s, d) =>
       indOut(Indicators.pvo(
         graft.operators.Ohlc.ohlcBaseWithVol(TradingQueries.ticks(s, d))).toDF())),
@@ -211,7 +213,7 @@ object IndicatorQueries {
     * seed with `(sum+close)/p` at row `p`, then `(close-prev)*k + prev`. */
   private def emaSql(p: Int): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-       |c AS (SELECT pair, time, close,
+       |c AS MATERIALIZED (SELECT pair, time, close,
        |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
        |      FROM c1m),
        |r AS (
@@ -234,7 +236,7 @@ object IndicatorQueries {
     * gains/losses at row `p+1`, Wilder smoothing after. */
   private def rsiSql(p: Int): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-       |c AS (SELECT pair, time, close,
+       |c AS MATERIALIZED (SELECT pair, time, close,
        |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
        |      FROM c1m),
        |r AS (
@@ -271,7 +273,7 @@ object IndicatorQueries {
     * updates can reference them without re-deriving the expressions. */
   private def macdSql(fast: Int, slow: Int, sig: Int): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-       |c AS (SELECT pair, time, close,
+       |c AS MATERIALIZED (SELECT pair, time, close,
        |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
        |      FROM c1m),
        |r AS (
@@ -320,7 +322,7 @@ object IndicatorQueries {
     * nesting-order-free, so it matches the Scala `math.max` chain. */
   private def atrSql(p: Int): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-       |c AS (SELECT pair, time, high, low, close,
+       |c AS MATERIALIZED (SELECT pair, time, high, low, close,
        |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
        |      FROM c1m),
        |r AS (
@@ -347,7 +349,7 @@ object IndicatorQueries {
     * extremes; `hh − 3.0·atr` / `ll + 3.0·atr` spelled identically. */
   private def chandelierSql(p: Int, mult: String): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-       |c AS (SELECT pair, time, high, low, close,
+       |c AS MATERIALIZED (SELECT pair, time, high, low, close,
        |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
        |      FROM c1m),
        |r AS (
@@ -366,7 +368,7 @@ object IndicatorQueries {
        |           greatest(c.high - c.low, abs(c.high - r.prev_close),
        |                    abs(c.low - r.prev_close)) AS tr
        |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t),
-       |d AS (SELECT pair, time,
+       |d AS MATERIALIZED (SELECT pair, time,
        |             max(high) OVER wf AS hh, min(low) OVER wf AS ll
        |      FROM c1m
        |      WINDOW wf AS (PARTITION BY pair ORDER BY time
@@ -416,7 +418,7 @@ object IndicatorQueries {
     * identically to [[graft.operators.Indicators.keltner]]. */
   private def keltnerSql(ep: Int, ap: Int, mult: String): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-       |c AS (SELECT pair, time, high, low, close,
+       |c AS MATERIALIZED (SELECT pair, time, high, low, close,
        |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
        |      FROM c1m),
        |re AS (
@@ -459,7 +461,7 @@ object IndicatorQueries {
     * least/greatest and comparisons, so the whole path is bit-exact. */
   private def sarSql(afStep: String, afMax: String): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-       |c AS (SELECT pair, time, high, low, close,
+       |c AS MATERIALIZED (SELECT pair, time, high, low, close,
        |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
        |      FROM c1m),
        |r AS (
@@ -506,7 +508,7 @@ object IndicatorQueries {
     * an inner layer because the flip test reads the UPDATED bands. */
   private def supertrendSql(p: Int, mult: String): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-       |c AS (SELECT pair, time, high, low, close,
+       |c AS MATERIALIZED (SELECT pair, time, high, low, close,
        |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
        |      FROM c1m),
        |r AS (
@@ -700,7 +702,7 @@ object IndicatorQueries {
     * double ops in the same order as the Scala fold ⇒ bit-identical. */
   private def adxSql(p: Int): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-       |c AS (SELECT pair, time, high, low, close,
+       |c AS MATERIALIZED (SELECT pair, time, high, low, close,
        |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
        |      FROM c1m),
        |r AS (
@@ -821,7 +823,7 @@ object IndicatorQueries {
     * `3p−2`, TRIX at `3p−1`. */
   private def trixSql(p: Int): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-       |c AS (SELECT pair, time, close,
+       |c AS MATERIALIZED (SELECT pair, time, close,
        |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
        |      FROM c1m),
        |r AS (
@@ -870,7 +872,7 @@ object IndicatorQueries {
     * `2p−1`). */
   private def demaSql(p: Int): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-       |c AS (SELECT pair, time, close,
+       |c AS MATERIALIZED (SELECT pair, time, close,
        |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
        |      FROM c1m),
        |r AS (
@@ -905,7 +907,7 @@ object IndicatorQueries {
     * `3·e1 − 3·e2 + e3` as the final expression. */
   private def temaSql(p: Int): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-       |c AS (SELECT pair, time, close,
+       |c AS MATERIALIZED (SELECT pair, time, close,
        |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
        |      FROM c1m),
        |r AS (
@@ -960,7 +962,7 @@ object IndicatorQueries {
        |              abs(cd - lag(cd) OVER w) AS adiff,
        |              abs(cd - lag(cd, $p) OVER w) AS num
        |       FROM c WINDOW w AS (PARTITION BY pair ORDER BY rn)),
-       |e2 AS (SELECT pair, time, rn, cd, num,
+       |e2 AS MATERIALIZED (SELECT pair, time, rn, cd, num,
        |              sum(adiff) OVER (PARTITION BY pair ORDER BY rn
        |                ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW) AS den
        |       FROM e1),
@@ -1086,7 +1088,7 @@ object IndicatorQueries {
     * identical floor expressions, bricks emitted via `unnest(range)`. */
   private def renkoSql(b: String): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-       |c AS (SELECT pair, time, close,
+       |c AS MATERIALIZED (SELECT pair, time, close,
        |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
        |      FROM c1m),
        |r AS (
@@ -1121,7 +1123,7 @@ object IndicatorQueries {
     * dir=0 tie order), replayed recursively with nullable pivot columns. */
   private def zigzagSql(rev: String): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-       |c AS (SELECT pair, time, close,
+       |c AS MATERIALIZED (SELECT pair, time, close,
        |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
        |      FROM c1m),
        |r AS (
@@ -1170,7 +1172,7 @@ object IndicatorQueries {
     * so `high − ema` / `low − ema` are the identical float ops. */
   private def elderSql(p: Int): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-       |c AS (SELECT pair, time, high, low, close,
+       |c AS MATERIALIZED (SELECT pair, time, high, low, close,
        |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
        |      FROM c1m),
        |r AS (
@@ -1257,7 +1259,7 @@ object IndicatorQueries {
        |c1v AS (SELECT pair, date_trunc('minute', time) AS time,
        |               max_by(bid, time) AS close, count(*) AS vol
        |        FROM dedup GROUP BY 1, 2),
-       |c AS (SELECT pair, time, close, vol,
+       |c AS MATERIALIZED (SELECT pair, time, close, vol,
        |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
        |      FROM c1v),
        |r AS (
@@ -1464,7 +1466,83 @@ object IndicatorQueries {
        |            THEN CAST(qv AS DOUBLE) / 1000000.0 END AS value
        |FROM q""".stripMargin
 
+  /** DPO: pure integer micro-unit chain — grid closes, HALF_UP SMA mean
+    * (the `(2a+d) // 2d` form), exact micro difference, one final /1e6. */
+  private def dpoSql(p: Int): String = {
+    val shift = p / 2 + 1
+    s"""$prelude,
+       |b AS (SELECT pair, time, close::DECIMAL(18,6) AS c6,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |s AS (SELECT pair, time, rn, c6,
+       |        CAST(sum(c6) OVER (PARTITION BY pair ORDER BY time
+       |          ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW)
+       |             * 1000000 AS BIGINT) AS smicro
+       |      FROM b),
+       |q AS (SELECT pair, time, rn, c6,
+       |        CASE WHEN rn >= $p THEN
+       |          CASE WHEN smicro >= 0 THEN (smicro * 2 + $p) // (2 * $p)
+       |               ELSE -(((-smicro) * 2 + $p) // (2 * $p)) END
+       |        END AS qv
+       |      FROM s),
+       |l AS (SELECT pair, time, rn, c6,
+       |        lag(qv, $shift) OVER (PARTITION BY pair ORDER BY time) AS lq
+       |      FROM q)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period,
+       |       CASE WHEN rn >= ${p + shift}
+       |            THEN CAST(CAST(c6 * 1000000 AS BIGINT) - lq AS DOUBLE) / 1000000.0
+       |       END AS value
+       |FROM l""".stripMargin
+  }
+
+  /** Mass index: the chained e1/e2 EMA recursion over the bar range, then
+    * an exact decimal trailing sum of the 6-dp-snapped ratio (the emitted
+    * value IS the sum — no division, no tie). */
+  private def massSql(emaP: Int, sumP: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS MATERIALIZED (
+       |  SELECT pair, time, high - low AS x,
+       |         row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |  FROM c1m),
+       |r AS (
+       |  SELECT pair, rn, time, x AS s1, CAST(NULL AS DOUBLE) AS e1,
+       |         CAST(0.0 AS DOUBLE) AS s2, CAST(NULL AS DOUBLE) AS e2
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT pair, rn, time, ns1, ne1,
+       |         CASE WHEN rn < $emaP THEN s2
+       |              WHEN rn < ${2 * emaP - 1} THEN s2 + ne1
+       |              ELSE CAST(0.0 AS DOUBLE) END,
+       |         CASE WHEN rn < ${2 * emaP - 1} THEN NULL
+       |              WHEN rn = ${2 * emaP - 1} THEN (s2 + ne1) / $emaP
+       |              ELSE (ne1 - e2) * (2.0 / ${emaP + 1}) + e2 END
+       |  FROM (
+       |    SELECT c.pair, c.rn, c.time, r.s2, r.e2,
+       |           CASE WHEN c.rn < $emaP THEN r.s1 + c.x
+       |                ELSE CAST(0.0 AS DOUBLE) END AS ns1,
+       |           CASE WHEN c.rn < $emaP THEN NULL
+       |                WHEN c.rn = $emaP THEN (r.s1 + c.x) / $emaP
+       |                ELSE (c.x - r.e1) * (2.0 / ${emaP + 1}) + r.e1 END AS ne1
+       |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t),
+       |m AS (SELECT pair, time,
+       |        row_number() OVER (PARTITION BY pair ORDER BY time) AS rn,
+       |        CASE WHEN e2 IS NOT NULL AND e2 <> 0
+       |             THEN round(e1 / e2, 6)::DECIMAL(18,6) END AS r6
+       |      FROM r),
+       |s AS (SELECT pair, time, rn,
+       |        sum(r6) OVER (PARTITION BY pair ORDER BY time
+       |          ROWS BETWEEN ${sumP - 1} PRECEDING AND CURRENT ROW) AS sm
+       |      FROM m)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $emaP AS period,
+       |       CASE WHEN rn >= ${2 * emaP - 2 + sumP}
+       |            THEN round(CAST(sm AS DOUBLE), 6) END AS value
+       |FROM s""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "u38_dpo_20_1m" -> dpoSql(20),
+    "u39_mass_9_1m" -> massSql(9, 25),
     "u36_pvo_1m" -> pvoSql(12, 26),
     "u37_eom_14_1m" -> eomSql(14),
     "u35_chaikin_1m" -> chaikinSql(3, 10),

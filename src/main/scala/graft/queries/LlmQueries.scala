@@ -79,11 +79,11 @@ object LlmQueries {
          |    GROUP BY e.dst) s ON s.v = d.v)""".stripMargin
     }.mkString(",\n")
     s"""WITH $shingleCte,
-       |pr AS (SELECT a.doc_id AS i, b.doc_id AS j
+       |pr AS MATERIALIZED (SELECT a.doc_id AS i, b.doc_id AS j
        |       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |       WHERE len(list_intersect(a.s, b.s))::DOUBLE
        |             / len(list_distinct(a.s || b.s)) >= $threshold),
-       |e AS (SELECT i AS src, j AS dst FROM pr
+       |e AS MATERIALIZED (SELECT i AS src, j AS dst FROM pr
        |      UNION ALL SELECT j AS src, i AS dst FROM pr),
        |deg AS (SELECT src AS v, count(*) AS deg FROM e GROUP BY 1),
        |cnt AS (SELECT count(*) AS n FROM deg),
@@ -1177,7 +1177,7 @@ object LlmQueries {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
          |          / len(list_distinct(a.s || b.s)) >= 0.8),
-         |edges AS (SELECT i AS a, j AS b FROM pairs
+         |edges AS MATERIALIZED (SELECT i AS a, j AS b FROM pairs
          |          UNION ALL SELECT j, i FROM pairs),
          |reach(v, u) AS (
          |  SELECT doc_id, doc_id FROM documents
@@ -1209,7 +1209,7 @@ object LlmQueries {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
          |          / len(list_distinct(a.s || b.s)) >= 0.8),
-         |edges AS (SELECT i AS a, j AS b FROM pairs
+         |edges AS MATERIALIZED (SELECT i AS a, j AS b FROM pairs
          |          UNION ALL SELECT j, i FROM pairs),
          |reach(v, u) AS (
          |  SELECT doc_id, doc_id FROM documents

@@ -327,7 +327,7 @@ object PipelineQueries {
     "s8b_idempotent_ema" -> {
       val p = 14
       s"""WITH RECURSIVE ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte}, ${TradingQueries.c1mCte},
-         |cpre AS (SELECT pair, time, close,
+         |cpre AS MATERIALIZED (SELECT pair, time, close,
          |                row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
          |         FROM c1m WHERE time < TIMESTAMP '$Cutoff'),
          |rpre AS (
@@ -347,7 +347,7 @@ object PipelineQueries {
          |               row_number() OVER (PARTITION BY c.pair ORDER BY c.time DESC) AS drn
          |        FROM c1m c JOIN wm USING (pair) WHERE c.time <= wm.watermark)
          |      WHERE drn = ${2 * p + 1}),
-         |ct AS (SELECT c.pair, c.time, c.close,
+         |ct AS MATERIALIZED (SELECT c.pair, c.time, c.close,
          |              row_number() OVER (PARTITION BY c.pair ORDER BY c.time) AS rn
          |       FROM c1m c LEFT JOIN b USING (pair)
          |       WHERE b.boundary IS NULL OR c.time >= b.boundary),
@@ -390,7 +390,7 @@ object PipelineQueries {
            |           WHEN $a.g + $a.l = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
            |           ELSE 100.0 * $a.g / ($a.g + $a.l) END, 6)""".stripMargin
       s"""WITH RECURSIVE ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte}, ${TradingQueries.c1mCte},
-         |cpre AS (SELECT pair, time, close,
+         |cpre AS MATERIALIZED (SELECT pair, time, close,
          |                row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
          |         FROM c1m WHERE time < TIMESTAMP '$Cutoff'),
          |rpre AS (
@@ -407,7 +407,7 @@ object PipelineQueries {
          |               row_number() OVER (PARTITION BY c.pair ORDER BY c.time DESC) AS drn
          |        FROM c1m c JOIN wm USING (pair) WHERE c.time <= wm.watermark)
          |      WHERE drn = ${2 * p + 1}),
-         |ct AS (SELECT c.pair, c.time, c.close,
+         |ct AS MATERIALIZED (SELECT c.pair, c.time, c.close,
          |              row_number() OVER (PARTITION BY c.pair ORDER BY c.time) AS rn
          |       FROM c1m c LEFT JOIN b USING (pair)
          |       WHERE b.boundary IS NULL OR c.time >= b.boundary),
@@ -450,7 +450,7 @@ object PipelineQueries {
            |     WHEN $c.rn = ${p + 1} THEN ($r.trs + ${tr(r, c)}) / $p
            |     ELSE ($r.a * ${p - 1} + ${tr(r, c)}) / $p END""".stripMargin
       s"""WITH RECURSIVE ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte}, ${TradingQueries.c1mCte},
-         |cpre AS (SELECT pair, time, high, low, close,
+         |cpre AS MATERIALIZED (SELECT pair, time, high, low, close,
          |                row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
          |         FROM c1m WHERE time < TIMESTAMP '$Cutoff'),
          |rpre AS (
@@ -467,7 +467,7 @@ object PipelineQueries {
          |               row_number() OVER (PARTITION BY c.pair ORDER BY c.time DESC) AS drn
          |        FROM c1m c JOIN wm USING (pair) WHERE c.time <= wm.watermark)
          |      WHERE drn = ${2 * p + 1}),
-         |ct AS (SELECT c.pair, c.time, c.high, c.low, c.close,
+         |ct AS MATERIALIZED (SELECT c.pair, c.time, c.high, c.low, c.close,
          |              row_number() OVER (PARTITION BY c.pair ORDER BY c.time) AS rn
          |       FROM c1m c LEFT JOIN b USING (pair)
          |       WHERE b.boundary IS NULL OR c.time >= b.boundary),
@@ -543,7 +543,7 @@ object PipelineQueries {
            |                         abs(c.low - r.prev_close))) / $p END AS atr2
            |      FROM $rec r JOIN $src c ON c.pair = r.pair AND c.rn = r.rn + 1) t1) t2)""".stripMargin
       s"""WITH RECURSIVE ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte}, ${TradingQueries.c1mCte},
-         |cpre AS (SELECT pair, time, high, low, close,
+         |cpre AS MATERIALIZED (SELECT pair, time, high, low, close,
          |                row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
          |         FROM c1m WHERE time < TIMESTAMP '$Cutoff'),
          |${stRec("cpre", "rpre")},
@@ -553,7 +553,7 @@ object PipelineQueries {
          |               row_number() OVER (PARTITION BY c.pair ORDER BY c.time DESC) AS drn
          |        FROM c1m c JOIN wm USING (pair) WHERE c.time <= wm.watermark)
          |      WHERE drn = ${2 * p + 1}),
-         |ct AS (SELECT c.pair, c.time, c.high, c.low, c.close,
+         |ct AS MATERIALIZED (SELECT c.pair, c.time, c.high, c.low, c.close,
          |              row_number() OVER (PARTITION BY c.pair ORDER BY c.time) AS rn
          |       FROM c1m c LEFT JOIN b USING (pair)
          |       WHERE b.boundary IS NULL OR c.time >= b.boundary),

@@ -853,7 +853,7 @@ object StreamQueries {
     // (the u2_ema oracle pattern, over raw valid ticks instead of candles)
     "t8_ema_stream" ->
       s"""WITH RECURSIVE ${TradingQueries.ticksCte},
-         |c AS (SELECT pair, time, bid,
+         |c AS MATERIALIZED (SELECT pair, time, bid,
          |             row_number() OVER (PARTITION BY pair
          |               ORDER BY epoch_us(time), seq) AS rn
          |      FROM ticks),
@@ -876,7 +876,7 @@ object StreamQueries {
     // (epoch_us, seq) total order the fold uses
     "t15_sar_stream" ->
       s"""WITH RECURSIVE ${TradingQueries.ticksCte},
-         |c AS (SELECT pair, time, bid,
+         |c AS MATERIALIZED (SELECT pair, time, bid,
          |             row_number() OVER (PARTITION BY pair
          |               ORDER BY epoch_us(time), seq) AS rn
          |      FROM ticks),
@@ -919,7 +919,7 @@ object StreamQueries {
     // confirm)
     "t21_zigzag_stream" ->
       s"""WITH RECURSIVE ${TradingQueries.ticksCte},
-         |c AS (SELECT pair, time, bid AS close,
+         |c AS MATERIALIZED (SELECT pair, time, bid AS close,
          |             row_number() OVER (PARTITION BY pair
          |               ORDER BY epoch_us(time), seq) AS rn
          |      FROM ticks),
@@ -969,7 +969,7 @@ object StreamQueries {
     // the (epoch_us, seq) total order, bricks via unnest(range)
     "t20_renko_stream" ->
       s"""WITH RECURSIVE ${TradingQueries.ticksCte},
-         |c AS (SELECT pair, time, bid,
+         |c AS MATERIALIZED (SELECT pair, time, bid,
          |             row_number() OVER (PARTITION BY pair
          |               ORDER BY epoch_us(time), seq) AS rn
          |      FROM ticks),

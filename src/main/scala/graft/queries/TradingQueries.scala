@@ -545,7 +545,7 @@ object TradingQueries {
 
     "a11_heikin_ashi" ->
       s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-         |c AS (SELECT pair, time, open, high, low, close,
+         |c AS MATERIALIZED (SELECT pair, time, open, high, low, close,
          |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
          |      FROM c1m),
          |r AS (
