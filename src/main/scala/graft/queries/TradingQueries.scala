@@ -112,6 +112,33 @@ object TradingQueries {
           col("n_ticks"), col("twap"))
     }),
 
+    // bid/ask microstructure: per (pair, hour) spread analytics — the ask
+    // column's dedicated gate. Spreads sit on the 6-dp grid so sums and
+    // extremes are exact; BOTH means use the sign-aware integer HALF_UP
+    // division ((2a+n) div 2n) — a grid-exact sum over an integer count is
+    // the u37 round()-tie class, so no float round may exist at emission.
+    "w22_spread_1h" -> ((s, d) => {
+      val t = ticks(s, d).select(col("pair"),
+        (floor(unix_timestamp(col("time")) / 3600) * 3600).cast("bigint").as("hour_s"),
+        (col("ask") - col("bid")).cast("decimal(18,6)").as("sp6"),
+        round((col("ask") - col("bid")) / ((col("bid") + col("ask")) / 2), 9)
+          .cast("decimal(18,9)").as("rel9"))
+      t.groupBy(col("pair"), col("hour_s"))
+        .agg(count(lit(1)).as("n_ticks"),
+          (sum(col("sp6")) * 1000000).cast("long").as("micro"),
+          max(col("sp6")).cast("double").as("max_spread"),
+          min(col("sp6")).cast("double").as("min_spread"),
+          (sum(col("rel9")) * 1000000000).cast("long").as("micro9"))
+        .select(col("pair"), col("hour_s"), col("n_ticks"),
+          (expr("CASE WHEN micro >= 0 THEN (micro * 2 + n_ticks) div (2 * n_ticks)" +
+            " ELSE -(((-micro) * 2 + n_ticks) div (2 * n_ticks)) END")
+            .cast("double") / 1000000.0).as("mean_spread"),
+          col("max_spread"), col("min_spread"),
+          (expr("CASE WHEN micro9 >= 0 THEN (micro9 * 2 + n_ticks) div (2 * n_ticks)" +
+            " ELSE -(((-micro9) * 2 + n_ticks) div (2 * n_ticks)) END")
+            .cast("double") / 1000000000.0).as("mean_rel_spread"))
+    }),
+
     // duration-weighted TWAP — w5's tick-count TWAP weights every print
     // equally; the honest time-weighted average weights each print by how
     // long it was the live price (lead(time) − time). Weights are integer
@@ -346,6 +373,29 @@ object TradingQueries {
          |SELECT pair, epoch(ws)::BIGINT AS time_s, count(*) AS n_ticks,
          |       round(round(sum(mid::DECIMAL(18,6))::DOUBLE, 6) / count(*), 6) AS twap
          |FROM x GROUP BY 1, 2""".stripMargin,
+    "w22_spread_1h" ->
+      s"""WITH $ticksCte, $dedupCte,
+         |t AS (SELECT pair,
+         |        (epoch(time)::BIGINT // 3600) * 3600 AS hour_s,
+         |        (ask - bid)::DECIMAL(18,6) AS sp6,
+         |        round((ask - bid) / ((bid + ask) / 2), 9)::DECIMAL(18,9) AS rel9
+         |      FROM dedup),
+         |g AS (SELECT pair, hour_s, count(*) AS n_ticks,
+         |        CAST(sum(sp6) * 1000000 AS BIGINT) AS micro,
+         |        CAST(max(sp6) AS DOUBLE) AS max_spread,
+         |        CAST(min(sp6) AS DOUBLE) AS min_spread,
+         |        CAST(sum(rel9) * 1000000000 AS BIGINT) AS micro9
+         |      FROM t GROUP BY 1, 2)
+         |SELECT pair, hour_s, n_ticks,
+         |       CAST(CASE WHEN micro >= 0 THEN (micro * 2 + n_ticks) // (2 * n_ticks)
+         |                 ELSE -(((-micro) * 2 + n_ticks) // (2 * n_ticks)) END
+         |            AS DOUBLE) / 1000000.0 AS mean_spread,
+         |       max_spread, min_spread,
+         |       CAST(CASE WHEN micro9 >= 0 THEN (micro9 * 2 + n_ticks) // (2 * n_ticks)
+         |                 ELSE -(((-micro9) * 2 + n_ticks) // (2 * n_ticks)) END
+         |            AS DOUBLE) / 1000000000.0 AS mean_rel_spread
+         |FROM g""".stripMargin,
+
     "w9_twap_weighted" ->
       s"""WITH $ticksCte, $dedupCte,
          |m AS (SELECT pair, epoch(time)::BIGINT AS t_s,
