@@ -407,6 +407,19 @@ object Similarity {
     * centroids. Fixed `iters` unrolled — reproducible plan, CTE-unrollable
     * oracle. */
   def kmeansAssign(embs: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    val (vecs, centroids, assign) = kmeansTrain(embs, k, iters)
+    assign(centroids)
+      .select(col("id"), col("cid").as("cluster"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** The Lloyd training loop behind [[kmeansAssign]]/[[silhouette]]:
+    * returns the 6-dp-snapped vectors, the FINAL centroids, and the
+    * argmax-assignment function (see kmeansAssign's scaladoc for the
+    * scale/determinism contract). */
+  private def kmeansTrain(embs: DataFrame, k: Int, iters: Int)
+      : (DataFrame, Array[(Int, Array[Double])],
+         Array[(Int, Array[Double])] => DataFrame) = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = embs.sparkSession
@@ -456,9 +469,46 @@ object Similarity {
         (cid, means.getOrElse(cid, old))
       }
     }
-    assign(centroids)
-      .select(col("id"), col("cid").as("cluster"),
-        round(col("score"), 6).as("score"))
+    (vecs, centroids, assign)
+  }
+
+  /** L55: simplified silhouette — per-cluster clustering-quality score
+    * from CENTROID distances only (Hruschka et al.'s simplification: the
+    * classic silhouette's per-point mean pairwise distances are Ω(n²);
+    * against centroids it is one broadcast scan). With cosine distance
+    * `1 − cos`, a point's own-cluster distance uses its BEST centroid and
+    * the alternative its SECOND-best, so
+    * `s = (best − second) / (1 − second)` (0 when the denominator is 0) —
+    * s ∈ [0, 1], higher = better separated. Per-point top-2 comes from the
+    * bounded [[graft.functions.TopKByScore]] partial aggregate; per-cluster
+    * means use the sign-aware integer HALF_UP division (a 6-dp sum over an
+    * integer count is the recorded round()-tie class). */
+  def silhouette(embs: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    val (vecs, centroids, _) = kmeansTrain(embs, k, iters)
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val scored = vecs.crossJoin(broadcast(centroids.toSeq.toDF("cid", "c")))
+      .withColumn("score", cosine(col("v"), col("c")))
+    val top2 = scored.groupBy(col("id"))
+      // TopKByScore's id slot is long-typed; its (score DESC, id ASC)
+      // tie-break matches the assignment argmax's (score, −cid) max_by
+      .agg(graft.functions.TopKByScore(col("score"), col("cid").cast("long"), 2).as("t"))
+      .select(col("id"),
+        col("t").getItem(0).getField("id").as("cluster"),
+        col("t").getItem(0).getField("score").as("best"),
+        col("t").getItem(1).getField("score").as("second"))
+    top2
+      .withColumn("s6",
+        when(lit(1.0) - col("second") =!= 0.0,
+          round((col("best") - col("second")) / (lit(1.0) - col("second")), 6))
+          .otherwise(lit(0.0)).cast("decimal(18,6)"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("s6")) * 1000000).cast("long").as("micro"))
+      .select(col("cluster"), col("n"),
+        (expr("CASE WHEN micro >= 0 THEN (micro * 2 + n) div (2 * n)" +
+          " ELSE -(((-micro) * 2 + n) div (2 * n)) END")
+          .cast("double") / 1000000.0).as("mean_sil"))
   }
 
   /** L41: semantic deduplication (SemDeDup, Abbas et al. 2023) — the step

@@ -219,6 +219,12 @@ object LlmQueries {
     "llm_kmeans_assign" -> ((s, d) =>
       Similarity.kmeansAssign(embsPar(s, d), k = 8, iters = 2)),
 
+    // L55: simplified silhouette — per-cluster separation quality from
+    // centroid distances only (O(n·k), never the classic Ω(n²) pairwise
+    // form); top-2 centroid scores via the bounded TopKByScore aggregate
+    "llm_silhouette" -> ((s, d) =>
+      Similarity.silhouette(embsPar(s, d), k = 8, iters = 2)),
+
     // L41: SemDeDup — semantic near-dup removal inside the k-means
     // clusters; the cluster key bounds the candidate space (no all-pairs)
     "llm_dedup_semantic" -> ((s, d) =>
@@ -643,6 +649,36 @@ object LlmQueries {
          |                    id) AS rk
          |  FROM af)
          |WHERE rk <= 32""".stripMargin,
+
+    // simplified-silhouette restatement: per-point best/second centroid
+    // cosines from the final c2 centroids, s = (best−second)/(1−second),
+    // per-cluster mean via the integer HALF_UP division
+    "llm_silhouette" ->
+      s"""${kmeansCtes(8, 2)},
+         |sc2 AS (
+         |  SELECT x.id, c.cid, list_cosine_similarity(x.v, c.c) AS sc,
+         |         row_number() OVER (PARTITION BY x.id
+         |           ORDER BY list_cosine_similarity(x.v, c.c) DESC, c.cid) AS rn
+         |  FROM v x CROSS JOIN c2 c),
+         |tp AS (
+         |  SELECT a.id, a.cid,
+         |         max(CASE WHEN s.rn = 1 THEN s.sc END) AS best,
+         |         max(CASE WHEN s.rn = 2 THEN s.sc END) AS second
+         |  FROM af a JOIN sc2 s ON s.id = a.id GROUP BY 1, 2),
+         |si AS (
+         |  SELECT id, cid,
+         |         CASE WHEN 1.0 - second <> 0.0
+         |              THEN round((best - second) / (1.0 - second), 6)
+         |              ELSE 0.0 END::DECIMAL(18,6) AS s6
+         |  FROM tp),
+         |g AS (SELECT cid AS cluster, count(*) AS n,
+         |        CAST(sum(s6) * 1000000 AS BIGINT) AS micro
+         |      FROM si GROUP BY 1)
+         |SELECT cluster, n,
+         |       CAST(CASE WHEN micro >= 0 THEN (micro * 2 + n) // (2 * n)
+         |                 ELSE -(((-micro) * 2 + n) // (2 * n)) END
+         |            AS DOUBLE) / 1000000.0 AS mean_sil
+         |FROM g""".stripMargin,
 
     // SemDeDup restatement: within-cluster first-wins — y is dropped when
     // ANY earlier x in the same final cluster has cosine >= threshold

@@ -45,6 +45,23 @@ class LmClusterSpec extends SparkSpec {
     }
   }
 
+  test("silhouette: near-orthogonal groups score ~1; counts cover the corpus") {
+    // the kmeansAssign fixture: X near e1, Y near e2 → own-centroid cosine
+    // ~1, other-centroid cosine ~0 → s = (best−second)/(1−second) ~ 1
+    val rows =
+      Seq(4L, 0L, 2L).zipWithIndex.map { case (id, i) =>
+        (id, Array(1.0f, 0.0f, 0.02f * (i + 1), 0.0f)) } ++
+      Seq(1L, 3L, 5L).zipWithIndex.map { case (id, i) =>
+        (id, Array(0.0f, 1.0f, 0.0f, 0.02f * (i + 1))) }
+    val out = Similarity.silhouette(rows.toDF("vec_id", "embedding"), k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._2).sum === 6L) // every vector counted once
+    out.foreach { case (c, n, s) =>
+      assert(n === 3L, s"cluster $c size")
+      assert(s > 0.95 && s <= 1.0, s"cluster $c mean_sil $s")
+    }
+  }
+
   test("semanticDedup: later near-dup dropped within cluster; first-wins; total output") {
     // same two orthogonal groups as above (seeds 4 and 1) plus id 5 an exact
     // copy of id 3's vector: both land in cluster 1, id 5 is later -> dropped.
