@@ -1292,6 +1292,30 @@ object Indicators {
           .as("value"))
   }
 
+  /** U40: Ulcer Index (Martin) — `√(mean of dd²)` over the trailing
+    * `period` bars, where `dd = 100·(close − max)/max` against the SAME
+    * trailing maximum: the drawdown-depth risk gauge (penalizes depth AND
+    * duration, unlike plain volatility). The drawdown snaps to the 6-dp
+    * grid and dd² sums as an exact width-38 decimal (the [[realizedVol]]
+    * discipline); the tail is one identical float chain
+    * `sqrt(CAST(sum)/p)` on both engines. Defined from row `period`. */
+  def ulcer(candles: DataFrame, period: Int = 14): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val frame = w.rowsBetween(-(period - 1), Window.currentRow)
+    candles
+      .withColumn("mx", max(col("close")).over(frame))
+      .withColumn("dd6",
+        round(lit(100.0) * (col("close") - col("mx")) / col("mx"), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sq",
+        sum(col("dd6") * col("dd6").cast("decimal(19,6)")).over(frame))
+      .select(col("pair"), col("timeframe"), col("time"), lit(period).as("period"),
+        when(col("rn") >= period,
+          round(sqrt(col("sq").cast("double") / period), 6)).as("value"))
+  }
+
   /** U39: Mass Index (Dorsey) — `Σ over sumP bars of EMA(h−l)/EMA(EMA(h−l))`,
     * the range-bulge reversal screen. The EMA ratio comes from two chained
     * [[EmaStage]]s in a sorted-group fold (defined from row `2·emaP−1`);

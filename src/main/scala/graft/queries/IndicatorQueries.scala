@@ -40,6 +40,7 @@ object IndicatorQueries {
       col("trigger_indicator_period").as("period"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u40_ulcer_14_1m" -> ((s, d) => indOut(Indicators.ulcer(candles1m(s, d), 14))),
     "u38_dpo_20_1m" -> ((s, d) => indOut(Indicators.dpo(candles1m(s, d), 20))),
     "u39_mass_9_1m" -> ((s, d) => indOut(Indicators.massIndex(candles1m(s, d)))),
     "u36_pvo_1m" -> ((s, d) =>
@@ -1540,7 +1541,30 @@ object IndicatorQueries {
        |            THEN round(CAST(sm AS DOUBLE), 6) END AS value
        |FROM s""".stripMargin
 
+  private def ulcerSql(p: Int): String =
+    s"""$prelude,
+       |b AS (SELECT pair, time, close,
+       |        max(close) OVER w AS mx,
+       |        row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m
+       |      WINDOW w AS (PARTITION BY pair ORDER BY time
+       |                   ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW)),
+       |d AS (SELECT pair, time, rn,
+       |        round(100.0 * (close - mx) / mx, 6)::DECIMAL(18,6) AS dd6
+       |      FROM b),
+       |s AS (SELECT pair, time, rn,
+       |        sum(dd6 * CAST(dd6 AS DECIMAL(19,6))) OVER
+       |          (PARTITION BY pair ORDER BY time
+       |           ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW) AS sq
+       |      FROM d)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period,
+       |       CASE WHEN rn >= $p
+       |            THEN round(sqrt(CAST(sq AS DOUBLE) / $p), 6) END AS value
+       |FROM s""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "u40_ulcer_14_1m" -> ulcerSql(14),
     "u38_dpo_20_1m" -> dpoSql(20),
     "u39_mass_9_1m" -> massSql(9, 25),
     "u36_pvo_1m" -> pvoSql(12, 26),

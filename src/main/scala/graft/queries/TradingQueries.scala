@@ -112,6 +112,27 @@ object TradingQueries {
           col("n_ticks"), col("twap"))
     }),
 
+    // calendar seasonality: mean 1m close-to-close return by day-of-week
+    // (0 = Sunday on both engines: Spark dayofweek()−1 ↔ DuckDB
+    // dayofweek()); returns snap to the 6-dp grid, means via the integer
+    // HALF_UP division — no float round at emission
+    "a13_dow_returns" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pair")).orderBy(col("time"))
+      candles1m(s, d)
+        .withColumn("pc", lag(col("close"), 1).over(w))
+        .withColumn("r6",
+          round((col("close") - col("pc")) / col("pc"), 6).cast("decimal(18,6)"))
+        .filter(col("r6").isNotNull)
+        .groupBy(col("pair"), (dayofweek(col("time")) - 1).as("dow"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("r6")) * 1000000).cast("long").as("micro"))
+        .select(col("pair"), col("dow"), col("n"),
+          (expr("CASE WHEN micro >= 0 THEN (micro * 2 + n) div (2 * n)" +
+            " ELSE -(((-micro) * 2 + n) div (2 * n)) END")
+            .cast("double") / 1000000.0).as("mean_ret"))
+    }),
+
     // bid/ask microstructure: per (pair, hour) spread analytics — the ask
     // column's dedicated gate. Spreads sit on the 6-dp grid so sums and
     // extremes are exact; BOTH means use the sign-aware integer HALF_UP
@@ -373,6 +394,23 @@ object TradingQueries {
          |SELECT pair, epoch(ws)::BIGINT AS time_s, count(*) AS n_ticks,
          |       round(round(sum(mid::DECIMAL(18,6))::DOUBLE, 6) / count(*), 6) AS twap
          |FROM x GROUP BY 1, 2""".stripMargin,
+    "a13_dow_returns" ->
+      s"""WITH $ticksCte, $dedupCte, $c1mCte,
+         |b AS (SELECT pair, time, close,
+         |        lag(close) OVER (PARTITION BY pair ORDER BY time) AS pc
+         |      FROM c1m),
+         |r AS (SELECT pair, dayofweek(time) AS dow,
+         |        round((close - pc) / pc, 6)::DECIMAL(18,6) AS r6
+         |      FROM b WHERE pc IS NOT NULL),
+         |g AS (SELECT pair, dow, count(*) AS n,
+         |        CAST(sum(r6) * 1000000 AS BIGINT) AS micro
+         |      FROM r GROUP BY 1, 2)
+         |SELECT pair, dow::INT AS dow, n,
+         |       CAST(CASE WHEN micro >= 0 THEN (micro * 2 + n) // (2 * n)
+         |                 ELSE -(((-micro) * 2 + n) // (2 * n)) END
+         |            AS DOUBLE) / 1000000.0 AS mean_ret
+         |FROM g""".stripMargin,
+
     "w22_spread_1h" ->
       s"""WITH $ticksCte, $dedupCte,
          |t AS (SELECT pair,
