@@ -631,6 +631,40 @@ object StreamQueries {
           round(col("corr"), 6).as("corr"), round(col("beta"), 6).as("beta"))
     }),
 
+    // T23 (stale-feed detection, event-time TIMERS): gaps confirmed by a
+    // later tick emit inline; the TRAILING silence of each pair is
+    // declared by the global watermark through a registered timer — the
+    // emission a pure fold cannot produce. Threshold 600.5 s (non-round:
+    // no tie between a timer expiry and the final watermark on this
+    // fixture's clock). Oracle = ms-grain gap restatement + the trailing
+    // rule against the corpus max event time.
+    "t23_stale_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t23-").toString
+      import s.implicits._
+      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try withStreamShuffle(s, 8) {
+        val ticks = tickStream(s, d)
+          .withWatermark("time", "0 seconds")
+          .select(col("pair"), col("time"), col("seq"), col("bid")).as[SeqTick]
+        awaitAndRecord("t23_stale_stream",
+          Streams.staleStream(ticks, thresholdMs = 600500L)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/sink")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      } finally prevProvider match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      s.read.parquet(s"$tmp/sink")
+        .select(col("pair"), unix_micros(col("last_time")).as("last_us"),
+          unix_micros(col("stale_at")).as("stale_us"))
+    }),
+
     "t13_twstate_drawdown" -> ((s, d) => {
       val tmp = Files.createTempDirectory("graft-t13-").toString
       import s.implicits._
@@ -1178,6 +1212,24 @@ object StreamQueries {
 
     // batch restatement: the running-peak window in the same
     // (epoch_us, seq) total order the processor folds in
+    // ms-grain restatement: same-ms ticks collapse (the processor's clock
+    // is Timestamp.getTime), a LATER tick confirms a gap > threshold, and
+    // the trailing silence is measured against the corpus max event time
+    // (watermark delay 0) — timers fire at expiry <= watermark
+    "t23_stale_stream" ->
+      s"""WITH ${TradingQueries.ticksCte},
+         |tm AS (SELECT DISTINCT pair, epoch_us(time) // 1000 AS t_ms FROM ticks),
+         |mx AS (SELECT max(epoch_us(time)) // 1000 AS wm_ms FROM ticks),
+         |g AS (SELECT pair, t_ms,
+         |        lead(t_ms) OVER (PARTITION BY pair ORDER BY t_ms) AS nxt
+         |      FROM tm)
+         |SELECT pair, t_ms * 1000 AS last_us, (t_ms + 600500) * 1000 AS stale_us
+         |FROM g WHERE nxt IS NOT NULL AND nxt - t_ms > 600500
+         |UNION ALL
+         |SELECT g.pair, g.t_ms * 1000, (g.t_ms + 600500) * 1000
+         |FROM g CROSS JOIN mx
+         |WHERE g.nxt IS NULL AND g.t_ms + 600500 <= mx.wm_ms""".stripMargin,
+
     "t13_twstate_drawdown" ->
       s"""WITH ${TradingQueries.ticksCte}
          |SELECT pair, epoch_us(time) AS time_us, seq,

@@ -164,6 +164,81 @@ class DrawdownProcessor
   }
 }
 
+/** One stale-pair marker (T23): the last tick before a silence longer
+  * than the threshold, and the instant staleness was declared
+  * (`last + threshold` — event time, not wall clock). */
+final case class StalePoint(pair: String, last_time: Timestamp,
+                            stale_at: Timestamp)
+
+/** T23 processor: the reference UI's stale-feed detection
+  * (docs/ws_ticker_spec.md:101 — "no tick for N seconds → stale") as
+  * per-pair streaming state with EVENT-TIME TIMERS on the
+  * `transformWithState` API. Two emission paths produce the identical
+  * row and a flag makes them exclusive, so the output set is independent
+  * of the micro-batch split:
+  *
+  *  - a LATER tick of the same pair confirms the gap inline
+  *    (`cur − last > threshold`);
+  *  - a registered timer at `last + threshold` fires when the GLOBAL
+  *    event-time watermark passes it — covering the trailing gap no
+  *    later tick of that pair will ever confirm (the case a pure fold
+  *    cannot emit). The timer is re-registered on every new tick and the
+  *    stale flag suppresses the inline twin of an already-fired timer.
+  *
+  * Rows before the carried `last` (out-of-order stragglers) are ignored —
+  * the ordered-chunk replay contract of every fold here. State per pair:
+  * one long + one bool + one pending timer. */
+class StaleProcessor(thresholdMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, SeqTick, StalePoint] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode,
+    TimerValues, TTLConfig, ValueState}
+
+  @transient private var lastMs: ValueState[Long] = _
+  @transient private var flagged: ValueState[Boolean] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    lastMs = getHandle.getValueState[Long]("lastMs",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    flagged = getHandle.getValueState[Boolean]("flagged",
+      org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[SeqTick],
+      timerValues: TimerValues): Iterator[StalePoint] = {
+    val prevLast = if (lastMs.exists()) lastMs.get() else -1L
+    var last = prevLast
+    var fl = flagged.exists() && flagged.get()
+    val out = Vector.newBuilder[StalePoint]
+    rows.toVector.sortBy(r => (r.time.getTime, r.seq)).foreach { r =>
+      val cur = r.time.getTime
+      if (last < 0) { last = cur; fl = false }
+      else if (cur > last) {
+        if (cur - last > thresholdMs && !fl)
+          out += StalePoint(key, new Timestamp(last),
+            new Timestamp(last + thresholdMs))
+        last = cur; fl = false
+      } // cur <= last: duplicate second / straggler — ignore
+    }
+    if (last != prevLast) {
+      if (prevLast >= 0) getHandle.deleteTimer(prevLast + thresholdMs)
+      getHandle.registerTimer(last + thresholdMs)
+    }
+    lastMs.update(last); flagged.update(fl)
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(key: String, timerValues: TimerValues,
+      info: ExpiredTimerInfo): Iterator[StalePoint] = {
+    val last = if (lastMs.exists()) lastMs.get() else -1L
+    val fl = flagged.exists() && flagged.get()
+    if (last >= 0 && info.getExpiryTimeInMs == last + thresholdMs && !fl) {
+      flagged.update(true)
+      Iterator.single(StalePoint(key, new Timestamp(last),
+        new Timestamp(last + thresholdMs)))
+    } else Iterator.empty
+  }
+}
+
 /** Structured Streaming layer (SURVEY.md §2.8 T1/T2/T4/T5) — the Spark-first
   * restatement of the reference's streaming paths:
   *
@@ -1036,6 +1111,21 @@ object Streams {
     ticks.groupByKey(_.pair)
       .transformWithState(new DrawdownProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  /** T23: stale-feed detection via [[StaleProcessor]] — event-time timers,
+    * so the TRAILING silence of a pair is declared by the GLOBAL watermark
+    * without any later tick of that pair. Caller supplies a watermarked
+    * tick stream (delay 0 makes the cutoff exactly the corpus max event
+    * time); requires the RocksDB state-store provider like [[drawdownStream]]. */
+  def staleStream(ticks: Dataset[SeqTick], thresholdMs: Long): Dataset[StalePoint] = {
+    require(thresholdMs > 0, s"threshold must be positive, got $thresholdMs")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks.groupByKey(_.pair)
+      .transformWithState(new StaleProcessor(thresholdMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 

@@ -146,6 +146,73 @@ class StateRestartSpec extends SparkSpec {
     assert(x9.isDefined, s"no row proves carried peak state: $a")
   }
 
+  // --------------------------------- t23: stale timers (transformWithState)
+
+  // threshold 10 min. Pre-kill: X@0 and Y@20min land in one chunk; the
+  // no-data batch fires X's timer (expiry 10min <= wm 20min) and sets the
+  // stale FLAG. Post-restart: X@30min has a 30-min gap but the RESTORED
+  // flag must suppress the duplicate; X@50min confirms a fresh 20-min gap
+  // inline (restored lastMs); Y's trailing timer (expiry 30min <= final wm
+  // 50min) fires with Y's pre-kill last tick — price and time exist only
+  // in the restored state.
+  private val staleChunks = Seq(
+    seqTicks(Seq(("X", "2024-01-01 00:00:00", 1L, 10.0),
+      ("Y", "2024-01-01 00:20:00", 2L, 5.0))),
+    // --- kill point ---
+    seqTicks(Seq(("X", "2024-01-01 00:30:00", 3L, 11.0),
+      ("X", "2024-01-01 00:50:00", 4L, 12.0))))
+
+  private def runStale(src: String, sink: String, ckpt: String): Unit = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("time", "0 seconds")
+      Streams.staleStream(stream.as[SeqTick], thresholdMs = 600000L)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("t23: stale flag, lastMs and the pending timer survive the kill") {
+    val root = Files.createTempDirectory("graft-t23-restart-").toString
+    val (srcA, srcB) = (s"$root/srcA", s"$root/srcB")
+    new java.io.File(srcA).mkdirs(); new java.io.File(srcB).mkdirs()
+
+    staleChunks.zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcA, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runStale(srcA, s"$root/sinkA", s"$root/ckptA")
+
+    staleChunks.take(1).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runStale(srcB, s"$root/sinkB", s"$root/ckptB")
+    staleChunks.drop(1).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c${i + 1}", 1600000120000L + i * 60000L)
+    }
+    runStale(srcB, s"$root/sinkB", s"$root/ckptB")
+
+    def rows(sink: String) = spark.read.parquet(sink)
+      .select("pair", "last_time", "stale_at")
+      .orderBy("pair", "last_time").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSeq
+    val (a, b) = (rows(s"$root/sinkA"), rows(s"$root/sinkB"))
+    assert(b === a, s"restart diverged:\nref=${a.mkString("\n")}\ncut=${b.mkString("\n")}")
+    assert(a === Seq(
+      ("X", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00")),
+      ("X", ts("2024-01-01 00:30:00"), ts("2024-01-01 00:40:00")),
+      ("Y", ts("2024-01-01 00:20:00"), ts("2024-01-01 00:30:00"))), s"points: $a")
+  }
+
   // ------------------------------------------------ t15: tick-grain SAR
 
   private def runSar(src: String, sink: String, ckpt: String): Unit = {
