@@ -516,6 +516,23 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
+  /** L56: cross-source duplicate matrix — the curation report behind
+    * source-mix decisions: how many near-dup pairs ([[nearDupMinhash]],
+    * banded candidates + exact verify) fall WITHIN each source and
+    * BETWEEN each source pair. An unordered (source_a ≤ source_b) key
+    * aggregates both directions once. Piggybacks entirely on the bounded
+    * near-dup machinery — two dim-sized joins and one tiny aggregate on
+    * top. */
+  def dupMatrix(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    nearDupMinhash(docs, threshold = threshold)
+      .join(src.select(col("doc_id").as("i"), col("source").as("src_i")), "i")
+      .join(src.select(col("doc_id").as("j"), col("source").as("src_j")), "j")
+      .groupBy(least(col("src_i"), col("src_j")).as("source_a"),
+        greatest(col("src_i"), col("src_j")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** L54: prefix dedup — documents opening with the IDENTICAL first `k`
     * normalized tokens (the truncation/boilerplate duplicate class: the
     * same article cut at different lengths scores low full-text Jaccard

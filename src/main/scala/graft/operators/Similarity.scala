@@ -610,6 +610,37 @@ object Similarity {
           .otherwise(lit(0.0)).as("z"))
   }
 
+  /** L57: embedding-norm outlier screen — the broken-embedding detector
+    * (truncated vectors, double-encoded text, collapsed models all betray
+    * themselves in the L2 norm before any similarity does). Per-vector
+    * norm² is an EXACT decimal sum of 6-dp-grid squares; the norm snaps
+    * back to the grid, global mean/sd use the [[standardize]] moment
+    * discipline, and `z = (norm − mean)/sd` is one identical float chain.
+    * Shape at 100 TB: one skinny per-vector scan, a ONE-ROW global-moment
+    * broadcast, shuffle-free scoring. */
+  def normOutliers(embs: DataFrame, zThresh: Double = 3.0): DataFrame = {
+    require(zThresh > 0, s"zThresh must be positive, got $zThresh")
+    val norms = embs
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .withColumn("v6", round(col("v"), 6).cast("decimal(18,6)"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("v6") * col("v6").cast("decimal(19,6)")).as("ss"))
+      .select(col("vec_id"),
+        round(sqrt(col("ss").cast("double")), 6).cast("decimal(18,6)").as("n6"))
+    val stats = norms.agg(
+      count(lit(1)).as("n"),
+      sum(col("n6")).as("s"),
+      sum(col("n6") * col("n6").cast("decimal(19,6)")).as("ss2"))
+    val mean = col("s").cast("double") / col("n")
+    val sd = sqrt(greatest(col("ss2").cast("double") / col("n") - mean * mean, lit(0.0)))
+    norms.crossJoin(broadcast(stats.select(mean.as("mean"), sd.as("sd"))))
+      .select(col("vec_id"), col("n6").cast("double").as("norm"),
+        when(col("sd") > 0, (col("n6").cast("double") - col("mean")) / col("sd"))
+          .otherwise(lit(0.0)).as("z"))
+      .withColumn("is_outlier", abs(col("z")) > zThresh)
+  }
+
   /** L53: mutual-kNN graph over the embedding corpus — the neighborhood
     * structure semantic curation walks (graph-based dedup clusters, label
     * propagation, diversity scoring). Corpus-to-corpus, so NOTHING is

@@ -126,6 +126,19 @@ object LlmQueries {
     // grid; first occurrence (lowest (doc_id, position)) survives
     "llm_dedup_spans" -> ((s, d) => Dedup.dedupSpans(docsPar(s, d), span = 10)),
 
+    // L56: cross-source duplicate matrix — near-dup pair counts within
+    // and between sources (the source-mix curation report); unordered
+    // (least, greatest) source key aggregates both directions once
+    "llm_dup_matrix" -> ((s, d) =>
+      Dedup.dupMatrix(docsPar(s, d), threshold = 0.8)),
+
+    // L57: embedding-norm outlier screen — broken-embedding detector;
+    // exact decimal norm moments, one-row global broadcast
+    "llm_norm_outliers" -> ((s, d) =>
+      Similarity.normOutliers(embsPar(s, d))
+        .select(col("vec_id"), col("norm"), round(col("z"), 6).as("z"),
+          col("is_outlier"))),
+
     "llm_dedup_minhash" -> ((s, d) =>
       Dedup.nearDupMinhash(docsPar(s, d), threshold = 0.8)
         .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))),
@@ -838,6 +851,48 @@ object LlmQueries {
     "s11_jsonl_ingest" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
         |FROM documents""".stripMargin,
+
+    "llm_dup_matrix" ->
+      s"""WITH $shingleCte,
+         |p AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+         |          / len(list_distinct(a.s || b.s)) >= 0.8)
+         |SELECT least(di.source, dj.source) AS source_a,
+         |       greatest(di.source, dj.source) AS source_b,
+         |       count(*) AS n_pairs
+         |FROM p JOIN documents di ON di.doc_id = p.i
+         |       JOIN documents dj ON dj.doc_id = p.j
+         |GROUP BY 1, 2""".stripMargin,
+
+    "llm_norm_outliers" ->
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |         round(CAST(embedding[t.i] AS DOUBLE), 6)::DECIMAL(18,6) AS v6
+        |  FROM embeddings, range(1, 65) t(i)),
+        |nm AS (
+        |  SELECT vec_id,
+        |         round(sqrt(CAST(sum(v6 * CAST(v6 AS DECIMAL(19,6))) AS DOUBLE)),
+        |               6)::DECIMAL(18,6) AS n6
+        |  FROM ex GROUP BY 1),
+        |st AS (
+        |  SELECT count(*) AS n, sum(n6) AS s,
+        |         sum(n6 * CAST(n6 AS DECIMAL(19,6))) AS ss2
+        |  FROM nm),
+        |m AS (
+        |  SELECT CAST(s AS DOUBLE) / n AS mean,
+        |         sqrt(greatest(CAST(ss2 AS DOUBLE) / n
+        |           - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS sd
+        |  FROM st)
+        |SELECT vec_id, CAST(n6 AS DOUBLE) AS norm,
+        |       round(CASE WHEN sd > 0
+        |                  THEN (CAST(n6 AS DOUBLE) - mean) / sd
+        |                  ELSE 0.0 END, 6) AS z,
+        |       abs(CASE WHEN sd > 0
+        |                THEN (CAST(n6 AS DOUBLE) - mean) / sd
+        |                ELSE 0.0 END) > 3.0 AS is_outlier
+        |FROM nm CROSS JOIN m""".stripMargin,
 
     "llm_dedup_minhash" -> jaccardOracle(0.8),
     "llm_dedup_ngram" -> jaccardOracle(0.6),
