@@ -1292,6 +1292,31 @@ object Indicators {
           .as("value"))
   }
 
+  /** W23: rolling historical Value-at-Risk — the `m`-th SMALLEST of the
+    * trailing `window` one-bar returns (a discrete order statistic, NOT an
+    * interpolated quantile: selection over exact 6-dp decimals is
+    * bit-identical on any engine, where the engines' linear-interpolation
+    * conventions are not). The frame EXCLUDES the current bar (VaR
+    * conditions on information up to t−1). Frame is bounded (`window`
+    * rows), so the per-row sort is O(window log window) on ≤ window
+    * decimals — the u15 collected-frame discipline. Defined once the
+    * frame holds `window` returns: row `window + 2`. */
+  def rollingVar(candles: DataFrame, window: Int = 100, m: Int = 5): DataFrame = {
+    require(window >= 2 && m >= 1 && m <= window,
+      s"need 1 <= m <= window, window >= 2; got m=$m window=$window")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    candles
+      .withColumn("pc", lag(col("close"), 1).over(w))
+      .withColumn("r6",
+        round((col("close") - col("pc")) / col("pc"), 6).cast("decimal(18,6)"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("vs", collect_list(col("r6")).over(w.rowsBetween(-window, -1)))
+      .select(col("pair"), col("timeframe"), col("time"),
+        lit(window).as("window"), lit(m).as("m"),
+        when(col("rn") >= window + 2,
+          element_at(array_sort(col("vs")), m).cast("double")).as("var_m"))
+  }
+
   /** U40: Ulcer Index (Martin) — `√(mean of dd²)` over the trailing
     * `period` bars, where `dd = 100·(close − max)/max` against the SAME
     * trailing maximum: the drawdown-depth risk gauge (penalizes depth AND

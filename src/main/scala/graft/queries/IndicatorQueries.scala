@@ -41,6 +41,10 @@ object IndicatorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u40_ulcer_14_1m" -> ((s, d) => indOut(Indicators.ulcer(candles1m(s, d), 14))),
+    "w23_var_100_1m" -> ((s, d) =>
+      Indicators.rollingVar(candles1m(s, d), window = 100, m = 5)
+        .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
+          col("window"), col("m"), col("var_m"))),
     "u38_dpo_20_1m" -> ((s, d) => indOut(Indicators.dpo(candles1m(s, d), 20))),
     "u39_mass_9_1m" -> ((s, d) => indOut(Indicators.massIndex(candles1m(s, d)))),
     "u36_pvo_1m" -> ((s, d) =>
@@ -1563,7 +1567,29 @@ object IndicatorQueries {
        |            THEN round(sqrt(CAST(sq AS DOUBLE) / $p), 6) END AS value
        |FROM s""".stripMargin
 
+  /** Rolling VaR: the m-th smallest of the trailing list of 6-dp returns —
+    * exact decimal selection, no quantile interpolation anywhere. */
+  private def varSql(window: Int, m: Int): String =
+    s"""$prelude,
+       |b AS (SELECT pair, time, close,
+       |        lag(close) OVER w AS pc,
+       |        row_number() OVER w AS rn
+       |      FROM c1m WINDOW w AS (PARTITION BY pair ORDER BY time)),
+       |r AS (SELECT pair, time, rn,
+       |        round((close - pc) / pc, 6)::DECIMAL(18,6) AS r6
+       |      FROM b),
+       |v AS (SELECT pair, time, rn,
+       |        list(r6) OVER (PARTITION BY pair ORDER BY time
+       |          ROWS BETWEEN $window PRECEDING AND 1 PRECEDING) AS vs
+       |      FROM r)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $window AS window, $m AS m,
+       |       CASE WHEN rn >= ${window + 2}
+       |            THEN CAST(list_sort(vs)[$m] AS DOUBLE) END AS var_m
+       |FROM v""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "w23_var_100_1m" -> varSql(100, 5),
     "u40_ulcer_14_1m" -> ulcerSql(14),
     "u38_dpo_20_1m" -> dpoSql(20),
     "u39_mass_9_1m" -> massSql(9, 25),
