@@ -1292,6 +1292,31 @@ object Indicators {
           .as("value"))
   }
 
+  /** U41: Chande Momentum Oscillator — `100·(Σup − Σdown)/(Σup + Σdown)`
+    * over the trailing `period` one-bar moves: RSI's information without
+    * Wilder smoothing, bounded ±100. Diffs of grid closes are exact
+    * decimals, both window sums exact ([[mfi]]'s coalesce convention for
+    * all-one-sided frames); one float ratio at the end. NULL while warm or
+    * on a flat frame. */
+  def cmo(candles: DataFrame, period: Int = 14): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val frame = w.rowsBetween(-(period - 1), Window.currentRow)
+    val c6 = col("close").cast("decimal(18,6)")
+    val sup = coalesce(col("su").cast("double"), lit(0.0))
+    val sdn = coalesce(col("sd").cast("double"), lit(0.0))
+    candles
+      .withColumn("d6", c6 - lag(c6, 1).over(w))
+      .withColumn("up", when(col("d6") > 0, col("d6")))
+      .withColumn("dn", when(col("d6") < 0, -col("d6")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("su", sum(col("up")).over(frame))
+      .withColumn("sd", sum(col("dn")).over(frame))
+      .select(col("pair"), col("timeframe"), col("time"), lit(period).as("period"),
+        when(col("rn") >= period + 1 && sup + sdn =!= 0.0,
+          lit(100.0) * (sup - sdn) / (sup + sdn)).as("value"))
+  }
+
   /** W23: rolling historical Value-at-Risk — the `m`-th SMALLEST of the
     * trailing `window` one-bar returns (a discrete order statistic, NOT an
     * interpolated quantile: selection over exact 6-dp decimals is

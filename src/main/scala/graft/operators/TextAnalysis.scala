@@ -540,4 +540,22 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos"), col("mn").as("fp"))
       .distinct()
   }
+
+  /** L58: tokenizer fertility by corpus slice — the per-(lang, source)
+    * BPE-to-word ratio every multilingual data-mix decision consults
+    * (a high-fertility slice costs proportionally more of the token
+    * budget). Aggregate fertility = Σbpe/Σws computed as a sign-free
+    * integer HALF_UP division of exact long sums — no float round
+    * anywhere. One skinny aggregate shuffle. */
+  def fertilityByLang(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(tokenCounts(docs), "doc_id")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("sum_ws"),
+        sum(col("n_bpe")).as("sum_bpe"))
+      .select(col("lang"), col("source"), col("n_docs"),
+        col("sum_ws"), col("sum_bpe"),
+        (expr("(sum_bpe * 2000000 + sum_ws) div (2 * sum_ws)")
+          .cast("double") / 1000000.0).as("fertility"))
 }

@@ -41,6 +41,7 @@ object IndicatorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u40_ulcer_14_1m" -> ((s, d) => indOut(Indicators.ulcer(candles1m(s, d), 14))),
+    "u41_cmo_14_1m" -> ((s, d) => indOut(Indicators.cmo(candles1m(s, d), 14))),
     "w23_var_100_1m" -> ((s, d) =>
       Indicators.rollingVar(candles1m(s, d), window = 100, m = 5)
         .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
@@ -1588,7 +1589,30 @@ object IndicatorQueries {
        |            THEN CAST(list_sort(vs)[$m] AS DOUBLE) END AS var_m
        |FROM v""".stripMargin
 
+  private def cmoSql(p: Int): String =
+    s"""$prelude,
+       |x AS (SELECT pair, time, close::DECIMAL(18,6) AS c6 FROM c1m),
+       |y AS (SELECT pair, time, c6 - lag(c6) OVER w AS d6,
+       |        row_number() OVER w AS rn
+       |      FROM x WINDOW w AS (PARTITION BY pair ORDER BY time)),
+       |f AS (SELECT pair, time, rn,
+       |        CASE WHEN d6 > 0 THEN d6 END AS up,
+       |        CASE WHEN d6 < 0 THEN -d6 END AS dn
+       |      FROM y),
+       |s AS (SELECT pair, time, rn,
+       |        coalesce(CAST(sum(up) OVER w AS DOUBLE), 0.0) AS sup,
+       |        coalesce(CAST(sum(dn) OVER w AS DOUBLE), 0.0) AS sdn
+       |      FROM f
+       |      WINDOW w AS (PARTITION BY pair ORDER BY time
+       |                   ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW))
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period,
+       |       CASE WHEN rn >= ${p + 1} AND sup + sdn <> 0.0
+       |            THEN round(100.0 * (sup - sdn) / (sup + sdn), 6) END AS value
+       |FROM s""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "u41_cmo_14_1m" -> cmoSql(14),
     "w23_var_100_1m" -> varSql(100, 5),
     "u40_ulcer_14_1m" -> ulcerSql(14),
     "u38_dpo_20_1m" -> dpoSql(20),

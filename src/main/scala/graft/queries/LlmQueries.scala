@@ -126,6 +126,11 @@ object LlmQueries {
     // grid; first occurrence (lowest (doc_id, position)) survives
     "llm_dedup_spans" -> ((s, d) => Dedup.dedupSpans(docsPar(s, d), span = 10)),
 
+    // L58: tokenizer fertility by (lang, source) — Σbpe/Σws as an
+    // integer HALF_UP division of exact long sums; the data-mix
+    // token-budget report
+    "llm_fertility" -> ((s, d) => TextAnalysis.fertilityByLang(docsPar(s, d))),
+
     // L56: cross-source duplicate matrix — near-dup pair counts within
     // and between sources (the source-mix curation report); unordered
     // (least, greatest) source key aggregates both directions once
@@ -851,6 +856,21 @@ object LlmQueries {
     "s11_jsonl_ingest" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
         |FROM documents""".stripMargin,
+
+    "llm_fertility" ->
+      s"""WITH $toksCte,
+         |tc AS (SELECT doc_id, len(w)::BIGINT AS n_ws,
+         |         len(regexp_extract_all(text,
+         |           '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))::BIGINT
+         |           AS n_bpe
+         |       FROM toks),
+         |g AS (SELECT d.lang, d.source, count(*) AS n_docs,
+         |        sum(tc.n_ws)::BIGINT AS sum_ws, sum(tc.n_bpe)::BIGINT AS sum_bpe
+         |      FROM documents d JOIN tc USING (doc_id) GROUP BY 1, 2)
+         |SELECT lang, source, n_docs, sum_ws, sum_bpe,
+         |       CAST((sum_bpe * 2000000 + sum_ws) // (2 * sum_ws) AS DOUBLE)
+         |         / 1000000.0 AS fertility
+         |FROM g""".stripMargin,
 
     "llm_dup_matrix" ->
       s"""WITH $shingleCte,
