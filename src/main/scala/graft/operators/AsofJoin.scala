@@ -40,6 +40,23 @@ object AsofJoin {
                timeCol: String, rightCols: Seq[String]): DataFrame =
     unionAsof(left, right, keys, timeCol, rightCols, bucketSeconds = None)
 
+  /** [[asofJoin]] bounded by a FRESHNESS TOLERANCE: a left row whose
+    * nearest right row is older than `toleranceSeconds` is DROPPED (a
+    * stale quote is worse than no quote — the pandas merge_asof
+    * `tolerance` semantics, inner form). The gap compares at whole-second
+    * precision on both engines (unix_timestamp ↔ epoch()::BIGINT, both
+    * floor), so tolerance edges are tie-free. Same single-shuffle core;
+    * the filter is a post-window scan. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        timeCol: String, rightCols: Seq[String],
+                        toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds > 0,
+      s"toleranceSeconds must be positive, got $toleranceSeconds")
+    asofJoin(left, right, keys, timeCol, rightCols)
+      .filter(unix_timestamp(col(timeCol)) - unix_timestamp(col("asof_time"))
+        <= toleranceSeconds)
+  }
+
   /** FORWARD as-of join: attach the EARLIEST right row with
     * `right.time >= left.time` (settlement after order, next candle after
     * signal). Same single-shuffle union-window core run MIRRORED: the

@@ -175,6 +175,20 @@ object PipelineQueries {
           col("asof_close"))
     }),
 
+    // J4 with a freshness tolerance: a tick more than 30 seconds past its
+    // latest candle open drops (stale-quote semantics, pandas merge_asof
+    // tolerance) — against minute candles this cuts the back half of every
+    // minute, so the filter provably bites; gap compared at whole seconds
+    "j4d_asof_tolerance" -> ((s, d) => {
+      val t = ticks(s, d).select(col("pair"), col("time"), col("bid"))
+      val c = candles1m(s, d).select(col("pair"), col("time"), col("close"))
+      AsofJoin.asofJoinTolerance(t, c, Seq("pair"), "time", Seq("close"),
+          toleranceSeconds = 30L)
+        .select(col("pair"), unix_timestamp(col("time")).as("time_s"), col("bid"),
+          unix_timestamp(col("asof_time")).as("asof_time_s"),
+          col("asof_close"))
+    }),
+
     // J4 mirrored: each tick paired with the NEXT candle at-or-after it —
     // the settlement/next-bar lookup; same union-window core run forward
     "j4c_asof_forward" -> ((s, d) => {
@@ -591,6 +605,14 @@ object PipelineQueries {
          |SELECT t.pair, epoch(t.time)::BIGINT AS time_s, t.bid,
          |       epoch(c.time)::BIGINT AS asof_time_s, c.close AS asof_close
          |FROM dedup t ASOF JOIN c1m c ON t.pair = c.pair AND t.time >= c.time""".stripMargin,
+
+    "j4d_asof_tolerance" ->
+      s"""$prelude
+         |SELECT * FROM (
+         |  SELECT t.pair, epoch(t.time)::BIGINT AS time_s, t.bid,
+         |         epoch(c.time)::BIGINT AS asof_time_s, c.close AS asof_close
+         |  FROM dedup t ASOF JOIN c1m c ON t.pair = c.pair AND t.time >= c.time)
+         |WHERE time_s - asof_time_s <= 30""".stripMargin,
 
     // DuckDB's native ASOF also runs forward when the inequality flips
     "j4c_asof_forward" ->
