@@ -73,4 +73,38 @@ object Incremental {
       .drop("boundary")
     appendNew(existing, compute(input), dedupKeys)
   }
+
+  /** S8 for CUMULATIVE indicators — the pattern [[incrementalIndicator]]'s
+    * truncated-window recompute CANNOT serve: a running total (OBV here)
+    * depends on the entire history, so the incremental tail RESUMES from
+    * the last PERSISTED row per key (its cumulative value + the close the
+    * next sign comparison needs) instead of re-deriving state from a
+    * warm-up window. OBV is pure integer arithmetic, so resume-and-append
+    * equals the full-history computation BIT-EXACTLY — no accepted
+    * approximation, and the gate oracle is the plain full-run w10 query.
+    * Keys absent from `existing` are computed fully. One dim-sized carry
+    * join; the suffix scan never touches persisted history. */
+  def incrementalObv(candlesWithVol: DataFrame, existing: DataFrame): DataFrame = {
+    val wDesc = Window.partitionBy(col("pair")).orderBy(col("time").desc)
+    val carry = existing
+      .withColumn("rn", row_number().over(wDesc)).filter(col("rn") === 1)
+      .select(col("pair"), col("time").as("wm"),
+        col("close").as("carry_close"), col("obv").as("carry_obv"))
+    val ws = Window.partitionBy(col("pair")).orderBy(col("time"))
+    val tail = candlesWithVol.join(carry, Seq("pair"))
+      .filter(col("time") > col("wm"))
+      .withColumn("prev_close",
+        coalesce(lag(col("close"), 1).over(ws), col("carry_close")))
+      .withColumn("signed",
+        when(col("close") > col("prev_close"), col("vol"))
+          .when(col("close") < col("prev_close"), -col("vol"))
+          .otherwise(lit(0L)))
+      .withColumn("obv", col("carry_obv") +
+        sum(col("signed")).over(ws.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .select(col("pair"), col("time"), col("close"), col("vol"), col("obv"))
+    val fresh = Indicators.obv(
+      candlesWithVol.join(carry.select(col("pair")), Seq("pair"), "left_anti"))
+    existing.unionByName(tail).unionByName(fresh)
+  }
 }

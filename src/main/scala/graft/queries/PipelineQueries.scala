@@ -118,6 +118,19 @@ object PipelineQueries {
         round(col("lower"), 6).as("lower"))
     }),
 
+    // incremental OBV — the SEVENTH family through the S8 path and the
+    // first CUMULATIVE one: a running total cannot reseed from a warm-up
+    // window, so the tail RESUMES from the last persisted (obv, close)
+    // per pair; integer arithmetic makes resume-and-append ≡ full run
+    // bit-exactly, gated against the plain w10 oracle
+    "s8g_idempotent_obv" -> ((s, d) => {
+      val c = graft.operators.Ohlc.ohlcBaseWithVol(TradingQueries.ticks(s, d))
+      val existing = Indicators.obv(c.filter(col("time") < lit(Cutoff)))
+      Incremental.incrementalObv(c, existing)
+        .select(col("pair"), unix_timestamp(col("time")).as("time_s"),
+          col("close"), col("vol"), col("obv"))
+    }),
+
     "s6_latest_tick" -> ((s, d) =>
       Relay.latestPerPair(ticks(s, d))
         .select(col("pair"), unix_timestamp(col("time")).as("time_s"),
@@ -605,6 +618,30 @@ object PipelineQueries {
          |SELECT t.pair, epoch(t.time)::BIGINT AS time_s, t.bid,
          |       epoch(c.time)::BIGINT AS asof_time_s, c.close AS asof_close
          |FROM dedup t ASOF JOIN c1m c ON t.pair = c.pair AND t.time >= c.time""".stripMargin,
+
+    // the plain full-history OBV (w10's oracle): incremental ≡ full,
+    // bit-for-bit — integer arithmetic has no accepted approximation
+    "s8g_idempotent_obv" ->
+      s"""WITH $ticksCte, $dedupCte,
+         |c1v AS (
+         |  SELECT pair, date_trunc('minute', time) AS time,
+         |         max_by(bid, time) AS close, count(*) AS vol
+         |  FROM dedup GROUP BY 1, 2),
+         |x AS (
+         |  SELECT pair, time, close, vol,
+         |         lag(close) OVER (PARTITION BY pair ORDER BY time) AS pc
+         |  FROM c1v),
+         |sv AS (
+         |  SELECT pair, time, close, vol,
+         |         CASE WHEN pc IS NULL THEN 0
+         |              WHEN close > pc THEN vol
+         |              WHEN close < pc THEN -vol
+         |              ELSE 0 END AS signed_vol
+         |  FROM x)
+         |SELECT pair, epoch(time)::BIGINT AS time_s, close, vol,
+         |       sum(signed_vol) OVER (PARTITION BY pair ORDER BY time
+         |         ROWS UNBOUNDED PRECEDING)::BIGINT AS obv
+         |FROM sv""".stripMargin,
 
     "j4d_asof_tolerance" ->
       s"""$prelude
