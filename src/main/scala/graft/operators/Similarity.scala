@@ -641,6 +641,60 @@ object Similarity {
       .withColumn("is_outlier", abs(col("z")) > zThresh)
   }
 
+  /** L59: top principal direction of the embedding corpus by POWER
+    * ITERATION — the dominant axis of the (uncentered) second-moment
+    * matrix `ΣxxT`, the spectral summary behind whitening, ABTT
+    * ("all-but-the-top") post-processing and anisotropy diagnostics.
+    * Fully distributed: each iteration is `v ← normalize(X^T (X v))` as
+    * TWO skinny aggregates — per-doc dots (groupBy vec_id), per-dim
+    * back-projection (groupBy dim) — with only the 64-value direction on
+    * the driver between iterations (the [[kmeansAssign]] centroid
+    * contract; never a gram matrix, never a collect of the corpus).
+    *
+    * ENGINE-PORTABLE NUMERICS: vectors and the carried direction live on
+    * the 6-dp grid, so every matvec product/sum is EXACT decimal
+    * ((18,6)×(19,6) — width 38, no precision adjustment); dots and
+    * back-projections snap to the grid before reuse, the norm is an exact
+    * decimal Σy² cast once to double, and the only float ops are the
+    * sqrt/divide of the normalize step — one identical chain per
+    * iteration, replayed verbatim by the unrolled-CTE oracle. Init
+    * `v₀ = 1/8` (exact on the grid) — deterministic, no RNG. Sign is
+    * pinned by the iteration itself (same arithmetic ⇒ same sign). */
+  def powerIteration(embs: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val ex = embs
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"),
+        round(col("v"), 6).cast("decimal(18,6)").as("x6"))
+      .localCheckpoint() // reused 2·iters times; truncate the re-read lineage
+    def dec(d: Double): BigDecimal =
+      BigDecimal.decimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val dims = 0 until 64
+    var v: Map[Int, BigDecimal] = dims.map(_ -> BigDecimal("0.125")).toMap
+    for (_ <- 0 until iters) {
+      val vDf = broadcast(v.toSeq.map { case (d, x) => (d, x) }
+        .toDF("dim", "vd").select(col("dim"), col("vd").cast("decimal(18,6)")))
+      val dots = ex.join(vDf, "dim")
+        .groupBy(col("vec_id"))
+        .agg(sum(col("x6") * col("vd").cast("decimal(19,6)")).as("dotd"))
+        .select(col("vec_id"),
+          round(col("dotd").cast("double"), 6).cast("decimal(18,6)").as("dot6"))
+      val ys = ex.join(dots, "vec_id")
+        .groupBy(col("dim"))
+        .agg(sum(col("x6") * col("dot6").cast("decimal(19,6)")).as("yd"))
+        .select(col("dim"), col("yd").cast("double").as("y"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val y6 = dims.map(d => d -> dec(ys.getOrElse(d, 0.0))).toMap
+      val norm = math.sqrt(dims.map(d => y6(d) * y6(d)).sum.toDouble)
+      if (norm > 0) v = dims.map(d => d -> dec(y6(d).toDouble / norm)).toMap
+    }
+    spark.createDataFrame(dims.map(d => (d, v(d).toDouble)))
+      .toDF("dim", "loading")
+  }
+
   /** L53: mutual-kNN graph over the embedding corpus — the neighborhood
     * structure semantic curation walks (graph-based dedup clusters, label
     * propagation, diversity scoring). Corpus-to-corpus, so NOTHING is

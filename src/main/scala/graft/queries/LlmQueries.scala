@@ -237,6 +237,12 @@ object LlmQueries {
     "llm_kmeans_assign" -> ((s, d) =>
       Similarity.kmeansAssign(embsPar(s, d), k = 8, iters = 2)),
 
+    // L59: top principal direction by distributed power iteration — two
+    // skinny aggregates per iteration, 64 driver values between them,
+    // exact-decimal matvecs; oracle = 3 unrolled CTE iterations
+    "llm_pca_power" -> ((s, d) =>
+      Similarity.powerIteration(embsPar(s, d), iters = 3)),
+
     // L55: simplified silhouette — per-cluster separation quality from
     // centroid distances only (O(n·k), never the classic Ω(n²) pairwise
     // form); top-2 centroid scores via the bounded TopKByScore aggregate
@@ -667,6 +673,36 @@ object LlmQueries {
          |                    id) AS rk
          |  FROM af)
          |WHERE rk <= 32""".stripMargin,
+
+    // power-iteration restatement: 3 unrolled v←normalize(Xᵀ(Xv)) steps,
+    // exact decimal matvecs, 6-dp snaps between stages, one sqrt/divide
+    // float chain per iteration — verbatim the operator's arithmetic
+    "llm_pca_power" -> {
+      val steps = (1 to 3).map { i =>
+        s"""d$i AS (
+           |  SELECT e.vec_id,
+           |         round(CAST(sum(e.x6 * CAST(v.v AS DECIMAL(19,6))) AS DOUBLE),
+           |               6)::DECIMAL(18,6) AS dot6
+           |  FROM pex e JOIN v${i - 1} v USING (dim) GROUP BY 1),
+           |y$i AS (
+           |  SELECT e.dim,
+           |         round(CAST(sum(e.x6 * CAST(d.dot6 AS DECIMAL(19,6))) AS DOUBLE),
+           |               6)::DECIMAL(18,6) AS y6
+           |  FROM pex e JOIN d$i d USING (vec_id) GROUP BY 1),
+           |n$i AS (SELECT sqrt(CAST(sum(y6 * CAST(y6 AS DECIMAL(19,6))) AS DOUBLE))
+           |          AS nrm FROM y$i),
+           |v$i AS (SELECT dim, round(CAST(y6 AS DOUBLE) / nrm, 6)::DECIMAL(18,6) AS v
+           |        FROM y$i CROSS JOIN n$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pex AS (
+         |  SELECT vec_id, (t.i - 1)::INT AS dim,
+         |         round(CAST(embedding[t.i] AS DOUBLE), 6)::DECIMAL(18,6) AS x6
+         |  FROM embeddings, range(1, 65) t(i)),
+         |v0 AS (SELECT (t.i - 1)::INT AS dim, 0.125::DECIMAL(18,6) AS v
+         |       FROM range(1, 65) t(i)),
+         |$steps
+         |SELECT dim, CAST(v AS DOUBLE) AS loading FROM v3""".stripMargin
+    },
 
     // simplified-silhouette restatement: per-point best/second centroid
     // cosines from the final c2 centroids, s = (best−second)/(1−second),

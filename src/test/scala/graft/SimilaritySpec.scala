@@ -126,6 +126,28 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.toSeq === exact.toSeq)
   }
 
+  test("powerIteration recovers a planted dominant direction") {
+    // 64-dim corpus dominated by ±e3 (power iteration is sign-blind to
+    // the DATA's sign — the planted axis dominates ΣxxT either way),
+    // plus small noise on other dims
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 50L).map { i =>
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat * 0.05f)
+      v(3) = (if (i % 2 == 0) 1f else -1f) * (2f + rnd.nextInt(10) / 10f)
+      (i, v.toSeq)
+    }
+    val out = Similarity.powerIteration(rows.toDF("vec_id", "embedding"), iters = 5)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out.size === 64)
+    assert(math.abs(math.abs(out(3)) - 1.0) < 0.05, s"dominant loading: ${out(3)}")
+    (0 until 64).filter(_ != 3).foreach { d =>
+      assert(math.abs(out(d)) < 0.3, s"dim $d loading ${out(d)}")
+    }
+    // unit norm
+    val n2 = out.values.map(x => x * x).sum
+    assert(math.abs(n2 - 1.0) < 1e-6, s"norm^2 $n2")
+  }
+
   test("standardize: hand-checked dims — zero-mean unit-variance, sd=0 dim → 0") {
     // dim 0: values 1,3 → mean 2, sd 1 → z = ∓1; dim 1: constant → z = 0
     val d = embs((1L, Seq(1f, 7f), 0), (2L, Seq(3f, 7f), 0))
