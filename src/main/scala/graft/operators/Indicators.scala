@@ -1263,7 +1263,7 @@ object Indicators {
     * the tie-free mean used by [[eom]]/[[dpo]] (see eom's scaladoc for the
     * round()-tie failure class this avoids). Operands stay non-negative in
     * both branches, so `div`'s truncation IS floor. */
-  private def microHalfUp(micro: String, d: Int): Column =
+  private[graft] def microHalfUp(micro: String, d: Int): Column =
     when(col(micro) >= 0, expr(s"($micro * 2 + $d) div (2 * $d)"))
       .otherwise(-expr(s"((-$micro) * 2 + $d) div (2 * $d)"))
 

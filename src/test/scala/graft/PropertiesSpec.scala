@@ -22,6 +22,21 @@ class PropertiesSpec extends SparkSpec {
     v <- Gen.chooseNum(-100.0, 100.0)
   } yield (key, n, v)
 
+  test("microHalfUp(micro, d)/1e6 == HALF_UP(micro/d) at the integer grain") {
+    // the tie-free mean used by eom/dpo/w22/a13/silhouette/fertility —
+    // must equal BigDecimal's HALF_UP for ANY sign and any divisor,
+    // including exact .5 ties (the case the float path cannot decide)
+    checkProp(forAll(Gen.chooseNum(-2000000L, 2000000L),
+        Gen.chooseNum(1, 200)) { (micro, d) =>
+      val got = Seq(micro).toDF("micro")
+        .select(graft.operators.Indicators.microHalfUp("micro", d).as("q"))
+        .collect().head.getLong(0)
+      val exp = (BigDecimal(micro) / d)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (got == exp) :| s"micro=$micro d=$d got=$got exp=$exp"
+    }, n = 60)
+  }
+
   test("saltedAgg ≡ direct agg for arbitrary data and salt counts") {
     checkProp(forAll(Gen.listOfN(60, rowGen), Gen.chooseNum(1, 16)) { (rows, salts) =>
       rows.nonEmpty ==> {
