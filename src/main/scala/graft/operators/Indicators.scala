@@ -519,8 +519,7 @@ object Indicators {
     val p = period
     candles
       .withColumn("tpd",
-        round((col("high") + col("low") + col("close")) / 3.0, 6)
-          .cast("decimal(18,6)"))
+        round((col("high") + col("low") + col("close")) / 3.0, 6).cast("decimal(18,6)"))
       .select(col("pair"), col("timeframe"), col("time"), col("tpd"),
         row_number().over(w).as("rn"),
         sum(col("tpd")).over(frame).as("sum_tp"),
@@ -1267,6 +1266,18 @@ object Indicators {
     when(col(micro) >= 0, expr(s"($micro * 2 + $d) div (2 * $d)"))
       .otherwise(-expr(s"((-$micro) * 2 + $d) div (2 * $d)"))
 
+  // NOTE ON ROUND PARITY (the u35/u36 hash-divergence class, fixed r11):
+  // Spark's round(x, n) on DOUBLE is BigDecimal.valueOf(x).setScale(n,
+  // HALF_UP) — HALF_UP on the SHORTEST decimal repr (Java's %.nf format is
+  // the same algorithm). DuckDB's float-path round() diverges within an
+  // ulp of the half-grid, and printf('%.nf') (fmt: exact-value, half-even)
+  // diverges at exact dyadic ties. The bit-exact DuckDB twin, used by every
+  // oracle (0/140578 adversarial diffs, valid for |x| < 9e9):
+  //   round((x)::VARCHAR::DECIMAL(38,23), n)
+  // — ::VARCHAR emits the shortest repr, DECIMAL round is half-away-from-
+  // zero = HALF_UP, and scale 23 holds every <=17-significant-digit repr
+  // of |x| >= 1e-6 exactly. Operators therefore keep native round().
+
   /** U38: Detrended Price Oscillator — `close − SMA(p) displaced p/2+1 bars
     * back`, the cycle extractor. ENTIRELY integer micro-unit arithmetic:
     * closes sit on the 6-dp grid, the SMA mean uses [[microHalfUp]] (a
@@ -1356,8 +1367,7 @@ object Indicators {
     candles
       .withColumn("mx", max(col("close")).over(frame))
       .withColumn("dd6",
-        round(lit(100.0) * (col("close") - col("mx")) / col("mx"), 6)
-          .cast("decimal(18,6)"))
+        round(lit(100.0) * (col("close") - col("mx")) / col("mx"), 6).cast("decimal(18,6)"))
       .withColumn("rn", row_number().over(w))
       .withColumn("sq",
         sum(col("dd6") * col("dd6").cast("decimal(19,6)")).over(frame))

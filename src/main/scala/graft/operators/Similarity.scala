@@ -672,7 +672,14 @@ object Similarity {
       .localCheckpoint() // reused 2·iters times; truncate the re-read lineage
     def dec(d: Double): BigDecimal =
       BigDecimal.decimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    val dims = 0 until 64
+    // dimensionality from the data, not a constant: a mismatched corpus
+    // must error rather than silently iterate a truncated/zero-padded block
+    val dimRow = embs.agg(
+      min(size(col("embedding"))), max(size(col("embedding")))).head()
+    val (minD, maxD) = (dimRow.getInt(0), dimRow.getInt(1))
+    require(minD == maxD && maxD >= 1,
+      s"embedding dimensionality must be uniform and >= 1, got min=$minD max=$maxD")
+    val dims = 0 until maxD
     var v: Map[Int, BigDecimal] = dims.map(_ -> BigDecimal("0.125")).toMap
     for (_ <- 0 until iters) {
       val vDf = broadcast(v.toSeq.map { case (d, x) => (d, x) }
@@ -706,9 +713,18 @@ object Similarity {
     * is the bounded-state [[graft.functions.TopKByScore]] partial
     * aggregate. An edge survives only if it is MUTUAL (each endpoint in the
     * other's top-k) — the standard symmetrization that prunes hub vertices.
-    * Emitted once with `a < b`. */
+    * Emitted once with `a < b`.
+    *
+    * RECALL CONTRACT: with the default adaptive band width the candidate
+    * set is PROBABILISTIC — a true neighbor that collides with its query in
+    * none of the `bands` projections is silently missing from the graph
+    * (standard ANN behavior; acceptable for curation walks, not for an
+    * exactness proof). Pass `exact = true` to force the all-pairs candidate
+    * set: guaranteed-complete but O(n²) — guarded to small corpora, for
+    * oracle parity and recall audits only. */
   def knnGraph(embs: DataFrame, k: Int, bands: Int = 96,
-               bitsPerBand: Option[Int] = None, seed: Long = 42): DataFrame = {
+               bitsPerBand: Option[Int] = None, seed: Long = 42,
+               exact: Boolean = false): DataFrame = {
     // band width GROWS with the corpus (the embedNearDup convention) or
     // banding degenerates to all-pairs: at 3 bits a 10× corpus measured
     // 71× (quadratic). Recall then rests on the metric gap — real
@@ -716,13 +732,22 @@ object Similarity {
     // an ISOTROPIC corpus (no gap) admits no sub-quadratic exact kNN
     // graph at all, which is why the gate pins (3 bits, 500 vectors) as
     // its oracle-parity configuration.
-    val bits = bitsPerBand.getOrElse(adaptiveBits(embs.count()))
-    val cb = lshBands(embs, bands, bits, seed)
-    val cands = cb
-      .join(cb.select(col("id").as("qid"), col("band"), col("bv")), Seq("band", "bv"))
-      .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id").as("cid"))
-      .distinct()
+    val cands = if (exact) {
+      val n = embs.count()
+      require(n <= 20000,
+        s"exact=true is an O(n²) all-pairs audit path; corpus has $n vectors (max 20000)")
+      val ids = embs.select(col("vec_id").as("id"))
+      ids.select(col("id").as("qid"))
+        .crossJoin(ids.select(col("id").as("cid")))
+        .filter(col("qid") =!= col("cid"))
+    } else {
+      val bits = bitsPerBand.getOrElse(adaptiveBits(embs.count()))
+      val cb = lshBands(embs, bands, bits, seed)
+      cb.join(cb.select(col("id").as("qid"), col("band"), col("bv")), Seq("band", "bv"))
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id").as("cid"))
+        .distinct()
+    }
     val corpus = prep(embs)
     val scored = cands
       .join(corpus.select(col("id").as("cid"), col("emb")), "cid")

@@ -556,6 +556,10 @@ object TextAnalysis {
         sum(col("n_bpe")).as("sum_bpe"))
       .select(col("lang"), col("source"), col("n_docs"),
         col("sum_ws"), col("sum_bpe"),
-        (expr("(sum_bpe * 2000000 + sum_ws) div (2 * sum_ws)")
+        // the ×2e6 scale-up runs in DECIMAL(38,0): a BIGINT product would
+        // overflow silently once a (lang, source) slice passes ~4.6e12 BPE
+        // tokens — plausible at the 100 TB corpus scale this targets
+        (expr("(cast(sum_bpe as decimal(38,0)) * 2000000 + sum_ws)" +
+          " div (2 * cast(sum_ws as decimal(38,0)))")
           .cast("double") / 1000000.0).as("fertility"))
 }

@@ -25,8 +25,8 @@ object IndicatorQueries {
   private def smaSelect(p: Int): String =
     s"""SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
        |       CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= $p
-       |            THEN round(avg(close) OVER (PARTITION BY pair ORDER BY time
-       |                 ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW), 6)
+       |            THEN round((avg(close) OVER (PARTITION BY pair ORDER BY time
+       |                 ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
        |       END AS value
        |FROM c1m""".stripMargin
 
@@ -123,6 +123,25 @@ object IndicatorQueries {
     }),
     "u2_ema_14_1m" -> ((s, d) => indOut(Indicators.ema(candles1m(s, d), 14).toDF())),
     "u3_rsi_14_1m" -> ((s, d) => indOut(Indicators.rsi(candles1m(s, d), 14).toDF())),
+    // derived-timeframe composition (reference transform.py:79-121 grid):
+    // the recursive fold runs on RESAMPLED bars, so every input close has
+    // come through TWO aggregations (tick→1m candling, 1m→tf resample)
+    "u2b_ema_14_4h" -> ((s, d) => indOut(Indicators.ema(
+      graft.operators.Ohlc.resample(candles1m(s, d),
+        graft.model.Timeframe.byCode("4h")), 14).toDF())),
+    "u3b_rsi_14_30m" -> ((s, d) => indOut(Indicators.rsi(
+      graft.operators.Ohlc.resample(candles1m(s, d),
+        graft.model.Timeframe.byCode("30m")), 14).toDF())),
+    // F3: the reference's 45-task indicator fan-out as ONE unioned plan —
+    // {RSI,SMA,EMA} × {14,28} × {1m,5m} through Flows.indicatorFlow (P12
+    // config-driven), candled from raw ticks inside the flow itself
+    "f3_indicator_grid" -> ((s, d) =>
+      graft.operators.Flows.indicatorFlow(TradingQueries.ticks(s, d),
+        new graft.Config(Map("DEFAULT_PERIODS" -> "14,28",
+          "DEFAULT_TIMEFRAMES" -> "1m,5m")))
+        .select(col("indicator"), col("pair"), col("timeframe"),
+          unix_timestamp(col("time")).as("time_s"), col("period"),
+          round(col("value"), 6).as("value"))),
     "u5_macd_1m" -> ((s, d) =>
       Indicators.macd(candles1m(s, d)).toDF()
         .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
@@ -211,46 +230,62 @@ object IndicatorQueries {
        |  FROM sma
        |)
        |SELECT pair, epoch(time)::BIGINT AS time_s, '$eventType' AS event_type,
-       |       round(s14, 6) AS price, 14 AS period
+       |       round((s14)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS price, 14 AS period
        |FROM x WHERE ps $op1 pl AND s14 $op2 s28""".stripMargin
+
+  /** Candle source CTE exposing `(pair, ts, close)` for a timeframe: the
+    * 1m base, or its A2 epoch-floor resample (derived-timeframe close =
+    * the bucket's LAST 1m close — [[graft.operators.Ohlc.resample]]). */
+  private def tfCloseCte(name: String, tf: String, d: Int): String =
+    if (tf == "1m")
+      s"$name AS (SELECT pair, epoch(time)::BIGINT AS ts, close FROM c1m)"
+    else
+      s"""$name AS (
+         |  SELECT pair, (epoch(time)::BIGINT // $d) * $d AS ts,
+         |         max_by(close, time) AS close
+         |  FROM c1m GROUP BY 1, 2)""".stripMargin
 
   /** Recursive-CTE EMA oracle replicating [[graft.operators.Indicators.ema]]
     * step-for-step: accumulate the seed sum over the first `p-1` closes,
-    * seed with `(sum+close)/p` at row `p`, then `(close-prev)*k + prev`. */
-  private def emaSql(p: Int): String =
+    * seed with `(sum+close)/p` at row `p`, then `(close-prev)*k + prev`.
+    * `tf`/`d` select the candle timeframe (the F3 grid's A2→U2
+    * composition: a derived bar's close arrives through two aggregations). */
+  private def emaSql(p: Int, tf: String = "1m", d: Int = 60): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-       |c AS MATERIALIZED (SELECT pair, time, close,
-       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
-       |      FROM c1m),
+       |${tfCloseCte("b", tf, d)},
+       |c AS MATERIALIZED (SELECT pair, ts, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY ts) AS rn
+       |      FROM b),
        |r AS (
-       |  SELECT pair, rn, time, close AS seed_sum, CAST(NULL AS DOUBLE) AS prev
+       |  SELECT pair, rn, ts, close AS seed_sum, CAST(NULL AS DOUBLE) AS prev
        |  FROM c WHERE rn = 1
        |  UNION ALL
-       |  SELECT c.pair, c.rn, c.time,
+       |  SELECT c.pair, c.rn, c.ts,
        |         CASE WHEN c.rn < $p THEN r.seed_sum + c.close
        |              ELSE CAST(0.0 AS DOUBLE) END,
        |         CASE WHEN c.rn < $p THEN NULL
        |              WHEN c.rn = $p THEN (r.seed_sum + c.close) / $p
        |              ELSE (c.close - r.prev) * (2.0 / ${p + 1}) + r.prev END
        |  FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1)
-       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
-       |       $p AS period, round(prev, 6) AS value
+       |SELECT pair, '$tf' AS timeframe, ts AS time_s,
+       |       $p AS period, round((prev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS value
        |FROM r""".stripMargin
 
   /** Recursive-CTE Wilder RSI oracle replicating
     * [[graft.operators.Indicators.rsi]]: simple-mean seed of the first `p`
     * gains/losses at row `p+1`, Wilder smoothing after. */
-  private def rsiSql(p: Int): String =
+  private def rsiSql(p: Int, tf: String = "1m", d: Int = 60): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-       |c AS MATERIALIZED (SELECT pair, time, close,
-       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
-       |      FROM c1m),
+       |${tfCloseCte("b", tf, d)},
+       |c AS MATERIALIZED (SELECT pair, ts, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY ts) AS rn
+       |      FROM b),
        |r AS (
-       |  SELECT pair, rn, time, close AS prev_close,
+       |  SELECT pair, rn, ts, close AS prev_close,
        |         CAST(0.0 AS DOUBLE) AS avg_gain, CAST(0.0 AS DOUBLE) AS avg_loss
        |  FROM c WHERE rn = 1
        |  UNION ALL
-       |  SELECT c.pair, c.rn, c.time, c.close,
+       |  SELECT c.pair, c.rn, c.ts, c.close,
        |         CASE WHEN c.rn <= $p
        |                THEN r.avg_gain + greatest(c.close - r.prev_close, 0.0)
        |              WHEN c.rn = ${p + 1}
@@ -264,11 +299,11 @@ object IndicatorQueries {
        |              ELSE (r.avg_loss * ${p - 1}
        |                    + greatest(r.prev_close - c.close, 0.0)) / $p END
        |  FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1)
-       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |SELECT pair, '$tf' AS timeframe, ts AS time_s,
        |       $p AS period,
        |       CASE WHEN rn > $p THEN
        |         CASE WHEN avg_gain + avg_loss = 0.0 THEN 0.0
-       |              ELSE round(100.0 * avg_gain / (avg_gain + avg_loss), 6) END
+       |              ELSE round((100.0 * avg_gain / (avg_gain + avg_loss))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END
        |       END AS value
        |FROM r""".stripMargin
 
@@ -317,8 +352,8 @@ object IndicatorQueries {
        |                  ELSE (c.close - r.ema_s) * (2.0 / ${slow + 1}) + r.ema_s END AS ema_s
        |      FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t1) t2)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
-       |       round(macd, 6) AS macd, round(sig, 6) AS signal,
-       |       round(macd - sig, 6) AS hist
+       |       round((macd)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS macd, round((sig)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS signal,
+       |       round((macd - sig)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS hist
        |FROM r""".stripMargin
 
   /** Recursive-CTE Wilder ATR oracle replicating
@@ -348,7 +383,7 @@ object IndicatorQueries {
        |                    abs(c.low - r.prev_close)) AS tr
        |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
-       |       $p AS period, round(atr, 6) AS value
+       |       $p AS period, round((atr)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS value
        |FROM r""".stripMargin
 
   /** Chandelier-exit oracle: the atrSql recursion joined to frame
@@ -381,8 +416,8 @@ object IndicatorQueries {
        |                    ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW))
        |SELECT r.pair, '1m' AS timeframe, epoch(r.time)::BIGINT AS time_s,
        |       $p AS period,
-       |       round(d.hh - $mult * r.atr, 6) AS long_stop,
-       |       round(d.ll + $mult * r.atr, 6) AS short_stop
+       |       round((d.hh - $mult * r.atr)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS long_stop,
+       |       round((d.ll + $mult * r.atr)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS short_stop
        |FROM r JOIN d ON d.pair = r.pair AND d.time = r.time
        |WHERE r.atr IS NOT NULL""".stripMargin
 
@@ -399,10 +434,10 @@ object IndicatorQueries {
        |b AS (
        |  SELECT pair, time,
        |         row_number() OVER w AS rn,
-       |         CAST(round((high + low + close) / 3.0, 6) AS DECIMAL(18,6)) AS tpd,
-       |         sum(CAST(round((high + low + close) / 3.0, 6) AS DECIMAL(18,6)))
+       |         CAST(round(((high + low + close) / 3.0)::VARCHAR::DECIMAL(38,23), 6) AS DECIMAL(18,6)) AS tpd,
+       |         sum(CAST(round(((high + low + close) / 3.0)::VARCHAR::DECIMAL(38,23), 6) AS DECIMAL(18,6)))
        |           OVER wf AS sum_tp,
-       |         list(CAST(round((high + low + close) / 3.0, 6) AS DECIMAL(18,6)))
+       |         list(CAST(round(((high + low + close) / 3.0)::VARCHAR::DECIMAL(38,23), 6) AS DECIMAL(18,6)))
        |           OVER wf AS arr
        |  FROM c1m
        |  WINDOW w AS (PARTITION BY pair ORDER BY time),
@@ -415,8 +450,8 @@ object IndicatorQueries {
        |  FROM b)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
        |       CASE WHEN rn >= $p AND md_num <> 0
-       |            THEN round(($p.0 * CAST(tpd * $p - sum_tp AS DOUBLE))
-       |                 / (0.015 * CAST(md_num AS DOUBLE)), 6) END AS value
+       |            THEN round((($p.0 * CAST(tpd * $p - sum_tp AS DOUBLE))
+       |                 / (0.015 * CAST(md_num AS DOUBLE)))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
        |FROM m""".stripMargin
 
   /** Keltner oracle — the u2 EMA and u7 ATR recursive CTEs composed in one
@@ -455,9 +490,9 @@ object IndicatorQueries {
        |                    abs(c.low - ra.prev_close)) AS tr
        |    FROM ra JOIN c ON c.pair = ra.pair AND c.rn = ra.rn + 1) t)
        |SELECT re.pair, '1m' AS timeframe, epoch(re.time)::BIGINT AS time_s,
-       |       round(re.prev, 6) AS mid,
-       |       round(re.prev + $mult * ra.atr, 6) AS upper,
-       |       round(re.prev - $mult * ra.atr, 6) AS lower
+       |       round((re.prev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS mid,
+       |       round((re.prev + $mult * ra.atr)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS upper,
+       |       round((re.prev - $mult * ra.atr)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS lower
        |FROM re JOIN ra ON re.pair = ra.pair AND re.rn = ra.rn""".stripMargin
 
   /** Parabolic SAR oracle — the full stop-and-reverse path (ratchet,
@@ -505,7 +540,7 @@ object IndicatorQueries {
        |           END AS s1
        |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
-       |       round(sar, 6) AS value
+       |       round((sar)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS value
        |FROM r""".stripMargin
 
   /** SuperTrend oracle — the atrSql recursion extended with the two band
@@ -563,7 +598,7 @@ object IndicatorQueries {
        |                         abs(c.low - r.prev_close))) / $p END AS atr2
        |      FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t1) t2)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
-       |       round(CASE WHEN dir_up THEN flb ELSE fub END, 6) AS value,
+       |       round((CASE WHEN dir_up THEN flb ELSE fub END)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS value,
        |       dir_up
        |FROM r WHERE rn > $p""".stripMargin
 
@@ -588,7 +623,7 @@ object IndicatorQueries {
        |            + lag(k, 2) OVER (PARTITION BY pair ORDER BY time)) / 3.0 AS d
        |  FROM k)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
-       |       $p AS period, round(k, 6) AS k, round(d, 6) AS d
+       |       $p AS period, round((k)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS k, round((d)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS d
        |FROM d""".stripMargin
 
   private[queries] def bollingerSql(p: Int, width: String): String =
@@ -604,15 +639,15 @@ object IndicatorQueries {
        |            ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW) AS sum_sq
        |  FROM c1m)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
-       |  CASE WHEN rn >= $p THEN round(CAST(sum_c AS DOUBLE) / $p, 6) END AS mid,
-       |  CASE WHEN rn >= $p THEN round(CAST(sum_c AS DOUBLE) / $p
+       |  CASE WHEN rn >= $p THEN round((CAST(sum_c AS DOUBLE) / $p)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS mid,
+       |  CASE WHEN rn >= $p THEN round((CAST(sum_c AS DOUBLE) / $p
        |    + $width * sqrt(greatest(CAST(sum_sq AS DOUBLE) / $p
        |        - (CAST(sum_c AS DOUBLE) / $p) * (CAST(sum_c AS DOUBLE) / $p),
-       |      CAST(0.0 AS DOUBLE))), 6) END AS upper,
-       |  CASE WHEN rn >= $p THEN round(CAST(sum_c AS DOUBLE) / $p
+       |      CAST(0.0 AS DOUBLE))))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS upper,
+       |  CASE WHEN rn >= $p THEN round((CAST(sum_c AS DOUBLE) / $p
        |    - $width * sqrt(greatest(CAST(sum_sq AS DOUBLE) / $p
        |        - (CAST(sum_c AS DOUBLE) / $p) * (CAST(sum_c AS DOUBLE) / $p),
-       |      CAST(0.0 AS DOUBLE))), 6) END AS lower
+       |      CAST(0.0 AS DOUBLE))))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS lower
        |FROM b""".stripMargin
 
   /** Williams %R oracle — identical expression text (⇒ identical IEEE
@@ -629,7 +664,7 @@ object IndicatorQueries {
        |  FROM c1m)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
        |       CASE WHEN rn >= $p AND hh <> ll
-       |            THEN round((close - hh) * 100.0 / (hh - ll), 6) END AS value
+       |            THEN round(((close - hh) * 100.0 / (hh - ll))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
        |FROM b""".stripMargin
 
   /** Donchian oracle — min/max are order-free; the midpoint is the one
@@ -645,16 +680,16 @@ object IndicatorQueries {
        |              ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW) AS ll
        |  FROM c1m)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
-       |       CASE WHEN rn >= $p THEN round(hh, 6) END AS upper,
-       |       CASE WHEN rn >= $p THEN round((hh + ll) / 2.0, 6) END AS mid,
-       |       CASE WHEN rn >= $p THEN round(ll, 6) END AS lower
+       |       CASE WHEN rn >= $p THEN round((hh)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS upper,
+       |       CASE WHEN rn >= $p THEN round(((hh + ll) / 2.0)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS mid,
+       |       CASE WHEN rn >= $p THEN round((ll)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS lower
        |FROM b""".stripMargin
 
   private def rocSql(p: Int): String =
     s"""$prelude
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
        |       CASE WHEN prevp IS NOT NULL AND prevp <> 0
-       |            THEN round((close / prevp - 1.0) * 100.0, 6) END AS value
+       |            THEN round(((close / prevp - 1.0) * 100.0)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
        |FROM (SELECT pair, time, close,
        |             lag(close, $p) OVER (PARTITION BY pair ORDER BY time) AS prevp
        |      FROM c1m) t""".stripMargin
@@ -695,7 +730,7 @@ object IndicatorQueries {
        |               ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW))
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
        |       CASE WHEN rn >= ${p + 1} AND pos + neg <> 0.0
-       |            THEN round(100.0 * pos / (pos + neg), 6) END AS value
+       |            THEN round((100.0 * pos / (pos + neg))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
        |FROM s""".stripMargin
 
   /** Recursive-CTE Wilder ADX oracle replicating
@@ -776,7 +811,7 @@ object IndicatorQueries {
        |                      ELSE CAST(0.0 AS DOUBLE) END AS ndm
        |          FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t0) t1) t2) t3)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
-       |       round(pdi, 6) AS pdi, round(ndi, 6) AS ndi, round(adx, 6) AS adx
+       |       round((pdi)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS pdi, round((ndi)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS ndi, round((adx)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS adx
        |FROM r""".stripMargin
 
   /** Ichimoku oracle — window range midpoints with lag/lead displacement;
@@ -815,9 +850,9 @@ object IndicatorQueries {
        |           (PARTITION BY pair ORDER BY time) AS chikou
        |  FROM m)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
-       |       round(tenkan, 6) AS tenkan, round(kijun, 6) AS kijun,
-       |       round(senkou_a, 6) AS senkou_a, round(senkou_b, 6) AS senkou_b,
-       |       round(chikou, 6) AS chikou
+       |       round((tenkan)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS tenkan, round((kijun)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS kijun,
+       |       round((senkou_a)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS senkou_a, round((senkou_b)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS senkou_b,
+       |       round((chikou)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS chikou
        |FROM f""".stripMargin
 
   /** Recursive-CTE TRIX oracle replicating
@@ -870,7 +905,7 @@ object IndicatorQueries {
        |                    ELSE (c.close - r.e1) * (2.0 / ${p + 1}) + r.e1 END AS e1
        |        FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t1) t2) t3)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
-       |       $p AS period, round(trix, 6) AS value
+       |       $p AS period, round((trix)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS value
        |FROM r""".stripMargin
 
   /** DEMA oracle — the trixSql two-stage chain with `2·e1 − e2` as the
@@ -906,7 +941,7 @@ object IndicatorQueries {
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
        |       $p AS period,
        |       CASE WHEN rn >= ${2 * p - 1}
-       |            THEN round(2.0 * e1 - e2, 6) END AS value
+       |            THEN round((2.0 * e1 - e2)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
        |FROM r""".stripMargin
 
   /** TEMA oracle — the trixSql three-stage chain with
@@ -951,7 +986,7 @@ object IndicatorQueries {
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
        |       $p AS period,
        |       CASE WHEN rn >= ${3 * p - 2}
-       |            THEN round(3.0 * e1 - 3.0 * e2 + e3, 6) END AS value
+       |            THEN round((3.0 * e1 - 3.0 * e2 + e3)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
        |FROM r""".stripMargin
 
   /** KAMA oracle replicating [[graft.operators.Indicators.kama]]: the
@@ -990,7 +1025,7 @@ object IndicatorQueries {
        |                     * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0 END AS sc0
        |    FROM r JOIN e2 e ON e.pair = r.pair AND e.rn = r.rn + 1) t)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
-       |       $p AS period, round(kama, 6) AS value
+       |       $p AS period, round((kama)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS value
        |FROM r""".stripMargin
 
   /** Vortex oracle: per-bar movement/TR terms quantized to DECIMAL(18,6),
@@ -1017,10 +1052,10 @@ object IndicatorQueries {
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
        |       $p AS period,
        |       CASE WHEN rn >= ${p + 1} AND str <> 0
-       |            THEN round(CAST(svmp AS DOUBLE) / CAST(str AS DOUBLE), 6)
+       |            THEN round((CAST(svmp AS DOUBLE) / CAST(str AS DOUBLE))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
        |       END AS vi_plus,
        |       CASE WHEN rn >= ${p + 1} AND str <> 0
-       |            THEN round(CAST(svmm AS DOUBLE) / CAST(str AS DOUBLE), 6)
+       |            THEN round((CAST(svmm AS DOUBLE) / CAST(str AS DOUBLE))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
        |       END AS vi_minus
        |FROM s""".stripMargin
 
@@ -1052,9 +1087,9 @@ object IndicatorQueries {
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
        |       $p3 AS period,
        |       CASE WHEN rn >= ${p3 + 1} AND str1 <> 0 AND str2 <> 0 AND str3 <> 0
-       |            THEN round(100.0 * (4.0 * (CAST(sbp1 AS DOUBLE) / CAST(str1 AS DOUBLE))
+       |            THEN round((100.0 * (4.0 * (CAST(sbp1 AS DOUBLE) / CAST(str1 AS DOUBLE))
        |                 + 2.0 * (CAST(sbp2 AS DOUBLE) / CAST(str2 AS DOUBLE))
-       |                 + (CAST(sbp3 AS DOUBLE) / CAST(str3 AS DOUBLE))) / 7.0, 6)
+       |                 + (CAST(sbp3 AS DOUBLE) / CAST(str3 AS DOUBLE))) / 7.0)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
        |       END AS value
        |FROM s""".stripMargin
 
@@ -1084,9 +1119,9 @@ object IndicatorQueries {
        |      FROM s)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
        |       $p AS period,
-       |       CASE WHEN rn >= $p THEN round(slope, 6) END AS slope,
+       |       CASE WHEN rn >= $p THEN round((slope)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS slope,
        |       CASE WHEN rn >= $p
-       |            THEN round(syd / $p.0 + slope * ((rn + 1) - sxd / $p.0), 6)
+       |            THEN round((syd / $p.0 + slope * ((rn + 1) - sxd / $p.0))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
        |       END AS forecast
        |FROM m""".stripMargin
 
@@ -1114,14 +1149,14 @@ object IndicatorQueries {
        |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
        |       (n - ku - kd + i)::BIGINT AS brick_no, 'up' AS dir,
-       |       round(a0 + (m0 + i - 1) * $b, 6) AS open,
-       |       round(a0 + (m0 + i) * $b, 6) AS close
+       |       round((a0 + (m0 + i - 1) * $b)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS open,
+       |       round((a0 + (m0 + i) * $b)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS close
        |FROM (SELECT *, unnest(range(1, ku + 1)) AS i FROM r WHERE ku > 0)
        |UNION ALL
        |SELECT pair, '1m', epoch(time)::BIGINT,
        |       (n - ku - kd + i)::BIGINT, 'down',
-       |       round(a0 + (m0 - i + 1) * $b, 6),
-       |       round(a0 + (m0 - i) * $b, 6)
+       |       round((a0 + (m0 - i + 1) * $b)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE,
+       |       round((a0 + (m0 - i) * $b)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
        |FROM (SELECT *, unnest(range(1, kd + 1)) AS i FROM r WHERE kd > 0)""".stripMargin
 
   /** ZigZag oracle — the identical extremes-then-test state machine
@@ -1171,7 +1206,7 @@ object IndicatorQueries {
        |      FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t0) t1)
        |SELECT pair, '1m' AS timeframe, pno AS pivot_no,
        |       epoch(ptime)::BIGINT AS time_s, pkind AS kind,
-       |       round(pprice, 6) AS price, epoch(pconfirm)::BIGINT AS confirm_s
+       |       round((pprice)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS price, epoch(pconfirm)::BIGINT AS confirm_s
        |FROM r WHERE pkind IS NOT NULL""".stripMargin
 
   /** Elder Ray oracle — the emaSql recursion carrying the bar's high/low
@@ -1195,13 +1230,13 @@ object IndicatorQueries {
        |  FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
        |       $p AS period,
-       |       round(high - prev, 6) AS bull, round(low - prev, 6) AS bear
+       |       round((high - prev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS bull, round((low - prev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS bear
        |FROM r""".stripMargin
 
   /** Awesome Oscillator: exact-decimal midpoint sums, two float divisions. */
   private def awesomeSql(fast: Int, slow: Int): String =
     s"""$prelude,
-       |b AS (SELECT pair, time, round((high + low) / 2, 6)::DECIMAL(18,6) AS mp6,
+       |b AS (SELECT pair, time, round(((high + low) / 2)::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) AS mp6,
        |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
        |      FROM c1m),
        |s AS (SELECT pair, time, rn,
@@ -1212,7 +1247,7 @@ object IndicatorQueries {
        |      FROM b)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
        |       CASE WHEN rn >= $slow
-       |            THEN round(CAST(sf AS DOUBLE) / $fast - CAST(ss AS DOUBLE) / $slow, 6)
+       |            THEN round((CAST(sf AS DOUBLE) / $fast - CAST(ss AS DOUBLE) / $slow)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
        |       END AS value
        |FROM s""".stripMargin
 
@@ -1227,9 +1262,8 @@ object IndicatorQueries {
   /** Money-flow volume term: the one float division snaps to the 6-dp grid
     * before the exact decimal·int multiply — the vwap convention. */
   private val mfvExpr: String =
-    """round(CASE WHEN high = low THEN 0.0
-      |           ELSE (2.0 * close - low - high) / (high - low) END,
-      |      6)::DECIMAL(18,6) * vol::DECIMAL(9,0)""".stripMargin
+    """round((CASE WHEN high = low THEN 0.0
+      |           ELSE (2.0 * close - low - high) / (high - low) END)::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) * vol::DECIMAL(9,0)""".stripMargin
 
   private def cmfSql(p: Int): String =
     s"""WITH $ticksCte, $dedupCte, $c1vCte,
@@ -1243,7 +1277,7 @@ object IndicatorQueries {
        |                   ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW))
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
        |       CASE WHEN rn >= $p
-       |            THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS value
+       |            THEN round((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
        |FROM s""".stripMargin
 
   private val adlineSql: String =
@@ -1254,7 +1288,7 @@ object IndicatorQueries {
        |               ROWS UNBOUNDED PRECEDING) AS ad_dec
        |      FROM m)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
-       |       round(close, 6) AS close, vol, round(CAST(ad_dec AS DOUBLE), 6) AS ad
+       |       round((close)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS close, vol, round((CAST(ad_dec AS DOUBLE))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS ad
        |FROM s""".stripMargin
 
   /** Force index: the identical SMA-seeded EMA recurrence as emaSql, over
@@ -1284,7 +1318,7 @@ object IndicatorQueries {
        |         END
        |  FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
-       |       $p AS period, round(prev, 6) AS value
+       |       $p AS period, round((prev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS value
        |FROM r""".stripMargin
 
   /** Hull MA: every WMA numerator restated via the rn-shift identity
@@ -1327,8 +1361,8 @@ object IndicatorQueries {
        |                    ROWS BETWEEN ${sq - 1} PRECEDING AND CURRENT ROW))
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, $p AS period,
        |       CASE WHEN rn >= ${p + sq - 1}
-       |            THEN round(CAST(($sq - rn)::DECIMAL(10,0) * sy + rys AS DOUBLE)
-       |                       / ${den(half) * den(p) * den(sq)}, 6)
+       |            THEN round((CAST(($sq - rn)::DECIMAL(10,0) * sy + rys AS DOUBLE)
+       |                       / ${den(half) * den(p) * den(sq)})::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
        |       END AS value
        |FROM t""".stripMargin
   }
@@ -1341,7 +1375,7 @@ object IndicatorQueries {
        |      FROM c1m WINDOW w AS (PARTITION BY pair ORDER BY time)),
        |x AS (SELECT pair, time, rn,
        |        CASE WHEN rn > $longP THEN
-       |          round(100.0 * (close - cl) / cl + 100.0 * (close - cs) / cs, 6)
+       |          round((100.0 * (close - cl) / cl + 100.0 * (close - cs) / cs)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
        |        END::DECIMAL(18,6) AS x6
        |      FROM b),
        |c AS (SELECT pair, time, rn, x6, rn::DECIMAL(10,0) * x6 AS rx FROM x),
@@ -1353,8 +1387,8 @@ object IndicatorQueries {
        |                    ROWS BETWEEN ${wmaP - 1} PRECEDING AND CURRENT ROW))
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
        |       CASE WHEN rn >= ${longP + wmaP}
-       |            THEN round(CAST(($wmaP - rn)::DECIMAL(10,0) * sx + rxs AS DOUBLE)
-       |                       / ${wmaP * (wmaP + 1) / 2}, 6)
+       |            THEN round((CAST(($wmaP - rn)::DECIMAL(10,0) * sx + rxs AS DOUBLE)
+       |                       / ${wmaP * (wmaP + 1) / 2})::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
        |       END AS value
        |FROM s""".stripMargin
 
@@ -1379,7 +1413,7 @@ object IndicatorQueries {
        |      FROM b)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
        |       up_fractal, down_fractal,
-       |       round(high, 6) AS high, round(low, 6) AS low
+       |       round((high)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS high, round((low)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS low
        |FROM x WHERE up_fractal OR down_fractal""".stripMargin
   }
 
@@ -1414,7 +1448,7 @@ object IndicatorQueries {
        |              ELSE (s.ad - r.sprev) * (2.0 / ${slow + 1}) + r.sprev END
        |  FROM r JOIN s ON s.pair = r.pair AND s.rn = r.rn + 1)
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
-       |       $slow AS period, round(fprev - sprev, 6) AS value
+       |       $slow AS period, round((fprev - sprev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS value
        |FROM r""".stripMargin
 
   /** PVO: the chaikinSql dual-EMA recursion over the VOLUME series. */
@@ -1446,15 +1480,15 @@ object IndicatorQueries {
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
        |       $slow AS period,
        |       CASE WHEN sprev IS NOT NULL AND sprev <> 0
-       |            THEN round(100.0 * (fprev - sprev) / sprev, 6) END AS value
+       |            THEN round((100.0 * (fprev - sprev) / sprev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
        |FROM r""".stripMargin
 
   private def eomSql(p: Int): String =
     s"""WITH $ticksCte, $dedupCte, $c1vCte,
        |b AS (SELECT pair, time,
-       |        printf('%.6f', ((high + low) / 2
+       |        round((((high + low) / 2
        |               - (lag(high) OVER w + lag(low) OVER w) / 2)
-       |              * (high - low) / vol)::DECIMAL(18,6) AS emv6,
+       |              * (high - low) / vol)::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) AS emv6,
        |        row_number() OVER w AS rn
        |      FROM c1v WINDOW w AS (PARTITION BY pair ORDER BY time)),
        |s AS (SELECT pair, time, rn,
@@ -1534,7 +1568,7 @@ object IndicatorQueries {
        |m AS (SELECT pair, time,
        |        row_number() OVER (PARTITION BY pair ORDER BY time) AS rn,
        |        CASE WHEN e2 IS NOT NULL AND e2 <> 0
-       |             THEN round(e1 / e2, 6)::DECIMAL(18,6) END AS r6
+       |             THEN round((e1 / e2)::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) END AS r6
        |      FROM r),
        |s AS (SELECT pair, time, rn,
        |        sum(r6) OVER (PARTITION BY pair ORDER BY time
@@ -1543,7 +1577,7 @@ object IndicatorQueries {
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
        |       $emaP AS period,
        |       CASE WHEN rn >= ${2 * emaP - 2 + sumP}
-       |            THEN round(CAST(sm AS DOUBLE), 6) END AS value
+       |            THEN round((CAST(sm AS DOUBLE))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
        |FROM s""".stripMargin
 
   private def ulcerSql(p: Int): String =
@@ -1555,7 +1589,7 @@ object IndicatorQueries {
        |      WINDOW w AS (PARTITION BY pair ORDER BY time
        |                   ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW)),
        |d AS (SELECT pair, time, rn,
-       |        round(100.0 * (close - mx) / mx, 6)::DECIMAL(18,6) AS dd6
+       |        round((100.0 * (close - mx) / mx)::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) AS dd6
        |      FROM b),
        |s AS (SELECT pair, time, rn,
        |        sum(dd6 * CAST(dd6 AS DECIMAL(19,6))) OVER
@@ -1565,7 +1599,7 @@ object IndicatorQueries {
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
        |       $p AS period,
        |       CASE WHEN rn >= $p
-       |            THEN round(sqrt(CAST(sq AS DOUBLE) / $p), 6) END AS value
+       |            THEN round((sqrt(CAST(sq AS DOUBLE) / $p))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
        |FROM s""".stripMargin
 
   /** Rolling VaR: the m-th smallest of the trailing list of 6-dp returns —
@@ -1577,7 +1611,7 @@ object IndicatorQueries {
        |        row_number() OVER w AS rn
        |      FROM c1m WINDOW w AS (PARTITION BY pair ORDER BY time)),
        |r AS (SELECT pair, time, rn,
-       |        round((close - pc) / pc, 6)::DECIMAL(18,6) AS r6
+       |        round(((close - pc) / pc)::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) AS r6
        |      FROM b),
        |v AS (SELECT pair, time, rn,
        |        list(r6) OVER (PARTITION BY pair ORDER BY time
@@ -1608,10 +1642,87 @@ object IndicatorQueries {
        |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
        |       $p AS period,
        |       CASE WHEN rn >= ${p + 1} AND sup + sdn <> 0.0
-       |            THEN round(100.0 * (sup - sdn) / (sup + sdn), 6) END AS value
+       |            THEN round((100.0 * (sup - sdn) / (sup + sdn))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
        |FROM s""".stripMargin
 
+  /** F3 grid oracle: every (indicator, period, timeframe) branch of the
+    * flow's one-plan union — SMA as a frame aggregate, EMA/RSI each as its
+    * own recursive CTE — over shared per-timeframe candle CTEs. Mirrors
+    * [[graft.operators.Flows.indicatorFlow]]'s fan-out (the reference's
+    * 45 Prefect tasks, transform.py:79-121). */
+  private def gridSql(periods: Seq[Int], tfs: Seq[(String, Int)]): String = {
+    val closes = tfs.map { case (tf, d) => tfCloseCte(s"b_$tf", tf, d) }
+    val rns = tfs.map { case (tf, _) =>
+      s"""n_$tf AS MATERIALIZED (SELECT pair, ts, close,
+         |       row_number() OVER (PARTITION BY pair ORDER BY ts) AS rn
+         |  FROM b_$tf)""".stripMargin
+    }
+    def emaRec(p: Int, tf: String) =
+      s"""r_ema_${p}_$tf AS (
+         |  SELECT pair, rn, ts, close AS seed_sum, CAST(NULL AS DOUBLE) AS prev
+         |  FROM n_$tf WHERE rn = 1
+         |  UNION ALL
+         |  SELECT c.pair, c.rn, c.ts,
+         |         CASE WHEN c.rn < $p THEN r.seed_sum + c.close
+         |              ELSE CAST(0.0 AS DOUBLE) END,
+         |         CASE WHEN c.rn < $p THEN NULL
+         |              WHEN c.rn = $p THEN (r.seed_sum + c.close) / $p
+         |              ELSE (c.close - r.prev) * (2.0 / ${p + 1}) + r.prev END
+         |  FROM r_ema_${p}_$tf r JOIN n_$tf c
+         |    ON c.pair = r.pair AND c.rn = r.rn + 1)""".stripMargin
+    def rsiRec(p: Int, tf: String) =
+      s"""r_rsi_${p}_$tf AS (
+         |  SELECT pair, rn, ts, close AS prev_close,
+         |         CAST(0.0 AS DOUBLE) AS avg_gain, CAST(0.0 AS DOUBLE) AS avg_loss
+         |  FROM n_$tf WHERE rn = 1
+         |  UNION ALL
+         |  SELECT c.pair, c.rn, c.ts, c.close,
+         |         CASE WHEN c.rn <= $p
+         |                THEN r.avg_gain + greatest(c.close - r.prev_close, 0.0)
+         |              WHEN c.rn = ${p + 1}
+         |                THEN (r.avg_gain + greatest(c.close - r.prev_close, 0.0)) / $p
+         |              ELSE (r.avg_gain * ${p - 1}
+         |                    + greatest(c.close - r.prev_close, 0.0)) / $p END,
+         |         CASE WHEN c.rn <= $p
+         |                THEN r.avg_loss + greatest(r.prev_close - c.close, 0.0)
+         |              WHEN c.rn = ${p + 1}
+         |                THEN (r.avg_loss + greatest(r.prev_close - c.close, 0.0)) / $p
+         |              ELSE (r.avg_loss * ${p - 1}
+         |                    + greatest(r.prev_close - c.close, 0.0)) / $p END
+         |  FROM r_rsi_${p}_$tf r JOIN n_$tf c
+         |    ON c.pair = r.pair AND c.rn = r.rn + 1)""".stripMargin
+    val recs = for { (tf, _) <- tfs; p <- periods; r <- Seq(emaRec(p, tf), rsiRec(p, tf)) } yield r
+    def smaBranch(p: Int, tf: String) =
+      s"""SELECT 'SMA' AS indicator, pair, '$tf' AS timeframe, ts AS time_s, $p AS period,
+         |       CASE WHEN rn >= $p
+         |            THEN round((avg(close) OVER (PARTITION BY pair ORDER BY ts
+         |                 ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
+         |       END AS value
+         |FROM n_$tf""".stripMargin
+    def emaBranch(p: Int, tf: String) =
+      s"""SELECT 'EMA' AS indicator, pair, '$tf' AS timeframe, ts AS time_s, $p AS period,
+         |       round((prev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS value
+         |FROM r_ema_${p}_$tf""".stripMargin
+    def rsiBranch(p: Int, tf: String) =
+      s"""SELECT 'RSI' AS indicator, pair, '$tf' AS timeframe, ts AS time_s, $p AS period,
+         |       CASE WHEN rn > $p THEN
+         |         CASE WHEN avg_gain + avg_loss = 0.0 THEN 0.0
+         |              ELSE round((100.0 * avg_gain / (avg_gain + avg_loss))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END
+         |       END AS value
+         |FROM r_rsi_${p}_$tf""".stripMargin
+    val branches = for {
+      (tf, _) <- tfs; p <- periods
+      b <- Seq(smaBranch(p, tf), emaBranch(p, tf), rsiBranch(p, tf))
+    } yield b
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |${(closes ++ rns ++ recs).mkString(",\n")}
+       |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "u2b_ema_14_4h" -> emaSql(14, "4h", 14400),
+    "u3b_rsi_14_30m" -> rsiSql(14, "30m", 1800),
+    "f3_indicator_grid" -> gridSql(Seq(14, 28), Seq(("1m", 60), ("5m", 300))),
     "u41_cmo_14_1m" -> cmoSql(14),
     "w23_var_100_1m" -> varSql(100, 5),
     "u40_ulcer_14_1m" -> ulcerSql(14),
@@ -1638,7 +1749,7 @@ object IndicatorQueries {
          |               ORDER BY time) AS pc
          |      FROM c1m),
          |e AS (SELECT pair, day,
-         |             round((close - pc) / pc, 6)::DECIMAL(18,6) AS r6
+         |             round(((close - pc) / pc)::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) AS r6
          |      FROM d WHERE pc IS NOT NULL),
          |a AS (SELECT pair, day, count(*) AS n_returns,
          |             -- 19+19 = 38 digits forces DuckDB's int128 multiply
@@ -1648,8 +1759,8 @@ object IndicatorQueries {
          |                 * CAST(r6 AS DECIMAL(19,6))) AS rv_dec
          |      FROM e GROUP BY 1, 2)
          |SELECT pair, day, n_returns::BIGINT AS n_returns,
-         |       round(CAST(rv_dec AS DOUBLE), 6) AS rv,
-         |       round(sqrt(CAST(rv_dec AS DOUBLE)), 6) AS vol
+         |       round((CAST(rv_dec AS DOUBLE))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS rv,
+         |       round((sqrt(CAST(rv_dec AS DOUBLE)))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS vol
          |FROM a""".stripMargin,
     "w18_renko_50_1m" -> renkoSql("50.0"),
     "u25_linreg_20_1m" -> linregSql(20),
@@ -1691,8 +1802,8 @@ object IndicatorQueries {
          |  FROM b)
          |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
          |       14 AS period,
-         |       round(100.0 * (14.0 - (m - hi_i)) / 14.0, 6) AS aroon_up,
-         |       round(100.0 * (14.0 - (m - lo_i)) / 14.0, 6) AS aroon_down
+         |       round((100.0 * (14.0 - (m - hi_i)) / 14.0)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS aroon_up,
+         |       round((100.0 * (14.0 - (m - lo_i)) / 14.0)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS aroon_down
          |FROM x WHERE rn > 14""".stripMargin,
     "u12_mfi_14_1m" -> mfiSql(14),
     "u1_sma_14_1m" -> s"$prelude\n${smaSelect(14)}",

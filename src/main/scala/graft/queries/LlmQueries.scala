@@ -55,7 +55,7 @@ object LlmQueries {
        |         len(list_intersect(a.s, b.s))::DOUBLE
        |           / len(list_distinct(a.s || b.s)) AS jac
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-       |SELECT i, j, round(jac, 6) AS jaccard FROM p WHERE jac >= $threshold""".stripMargin
+       |SELECT i, j, round((jac)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS jaccard FROM p WHERE jac >= $threshold""".stripMargin
 
   /** Unrolled power iteration replicating [[graft.operators.Dedup.pageRank]]
     * round-for-round: recursive CTEs cannot aggregate in the recursive
@@ -74,7 +74,7 @@ object LlmQueries {
          |  FROM deg d CROSS JOIN cnt
          |  LEFT JOIN (
          |    SELECT e.dst AS v,
-         |           sum(CAST(round(r.rank / d2.deg, 6) AS DECIMAL(27,6))) AS c
+         |           sum(CAST(round((r.rank / d2.deg)::VARCHAR::DECIMAL(38,23), 6) AS DECIMAL(27,6))) AS c
          |    FROM r${k - 1} r JOIN deg d2 ON d2.v = r.v JOIN e ON e.src = r.v
          |    GROUP BY e.dst) s ON s.v = d.v)""".stripMargin
     }.mkString(",\n")
@@ -90,7 +90,7 @@ object LlmQueries {
        |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) / cnt.n AS rank
        |       FROM deg CROSS JOIN cnt),
        |$rounds
-       |SELECT v AS doc_id, round(rank, 6) AS rank FROM r$iters""".stripMargin
+       |SELECT v AS doc_id, round((rank)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS rank FROM r$iters""".stripMargin
   }
 
   // staged JSONL copy of the documents fixture (pure infrastructure,
@@ -607,7 +607,7 @@ object LlmQueries {
       |r AS (SELECT qid, cid, sim,
       |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
       |      FROM s)
-      |SELECT qid, cid, rn::INT AS rank, round(sim, 6) AS sim FROM r WHERE rn <= 5""".stripMargin
+      |SELECT qid, cid, rn::INT AS rank, round((sim)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS sim FROM r WHERE rn <= 5""".stripMargin
 
   /** Unrolled-Lloyd k-means oracle: iteration `i` re-assigns against the
     * previous centroids (row_number argmax with the same (score DESC, cid
@@ -639,7 +639,7 @@ object LlmQueries {
     }.mkString(",\n")
     s"""WITH v AS (
        |  SELECT vec_id AS id,
-       |         list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS v
+       |         list_transform(embedding::DOUBLE[], x -> round((x)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE) AS v
        |  FROM embeddings),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY h, id) - 1 AS cid, v AS c
@@ -659,7 +659,7 @@ object LlmQueries {
   val oracleSql: Map[String, String] = Map(
     "llm_kmeans_assign" ->
       s"""${kmeansCtes(8, 2)}
-         |SELECT id, cid AS cluster, round(sc, 6) AS score FROM af""".stripMargin,
+         |SELECT id, cid AS cluster, round((sc)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS score FROM af""".stripMargin,
 
     // cluster-balanced sampling restatement: per-cluster row_number in
     // id-hash order (DESC + id tie-break = TopKByScore's keep-highest with
@@ -681,22 +681,20 @@ object LlmQueries {
       val steps = (1 to 3).map { i =>
         s"""d$i AS (
            |  SELECT e.vec_id,
-           |         round(CAST(sum(e.x6 * CAST(v.v AS DECIMAL(19,6))) AS DOUBLE),
-           |               6)::DECIMAL(18,6) AS dot6
+           |         round((CAST(sum(e.x6 * CAST(v.v AS DECIMAL(19,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) AS dot6
            |  FROM pex e JOIN v${i - 1} v USING (dim) GROUP BY 1),
            |y$i AS (
            |  SELECT e.dim,
-           |         round(CAST(sum(e.x6 * CAST(d.dot6 AS DECIMAL(19,6))) AS DOUBLE),
-           |               6)::DECIMAL(18,6) AS y6
+           |         round((CAST(sum(e.x6 * CAST(d.dot6 AS DECIMAL(19,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) AS y6
            |  FROM pex e JOIN d$i d USING (vec_id) GROUP BY 1),
            |n$i AS (SELECT sqrt(CAST(sum(y6 * CAST(y6 AS DECIMAL(19,6))) AS DOUBLE))
            |          AS nrm FROM y$i),
-           |v$i AS (SELECT dim, round(CAST(y6 AS DOUBLE) / nrm, 6)::DECIMAL(18,6) AS v
+           |v$i AS (SELECT dim, round((CAST(y6 AS DOUBLE) / nrm)::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) AS v
            |        FROM y$i CROSS JOIN n$i)""".stripMargin
       }.mkString(",\n")
       s"""WITH pex AS (
          |  SELECT vec_id, (t.i - 1)::INT AS dim,
-         |         round(CAST(embedding[t.i] AS DOUBLE), 6)::DECIMAL(18,6) AS x6
+         |         round((CAST(embedding[t.i] AS DOUBLE))::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) AS x6
          |  FROM embeddings, range(1, 65) t(i)),
          |v0 AS (SELECT (t.i - 1)::INT AS dim, 0.125::DECIMAL(18,6) AS v
          |       FROM range(1, 65) t(i)),
@@ -722,7 +720,7 @@ object LlmQueries {
          |si AS (
          |  SELECT id, cid,
          |         CASE WHEN 1.0 - second <> 0.0
-         |              THEN round((best - second) / (1.0 - second), 6)
+         |              THEN round(((best - second) / (1.0 - second))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
          |              ELSE 0.0 END::DECIMAL(18,6) AS s6
          |  FROM tp),
          |g AS (SELECT cid AS cluster, count(*) AS n,
@@ -759,7 +757,7 @@ object LlmQueries {
          |bi AS (SELECT a, b, cab::DOUBLE / ca AS p
          |       FROM cab JOIN ca USING (a))
          |SELECT doc_id, count(*) AS n_pairs,
-         |       sum(round(p, 6)::DECIMAL(27,6))::DOUBLE / count(*) AS score
+         |       sum(round((p)::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(27,6))::DOUBLE / count(*) AS score
          |FROM pairs JOIN bi USING (a, b)
          |GROUP BY doc_id""".stripMargin,
     // exact tercile thresholds off the 6-dp quality-grid histogram;
@@ -767,9 +765,9 @@ object LlmQueries {
     "llm_curriculum" ->
       s"""WITH $toksCte,
          |q AS (SELECT doc_id,
-         |             round(least(len(w)::DOUBLE / 50.0, 1.0)
+         |             round((least(len(w)::DOUBLE / 50.0, 1.0)
          |               * (1.0 - len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
-         |                        / len(w)), 6) AS quality
+         |                        / len(w)))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS quality
          |      FROM toks),
          |h AS (SELECT quality, count(*) AS cnt FROM q GROUP BY 1),
          |cm AS (SELECT quality,
@@ -807,7 +805,7 @@ object LlmQueries {
          |      FROM pairs JOIN bi USING (a, b)
          |      JOIN uni ON uni.t = pairs.b CROSS JOIN nt)
          |SELECT doc_id, count(*) AS n_pairs,
-         |       sum(round(p, 6)::DECIMAL(27,6))::DOUBLE / count(*) AS score
+         |       sum(round((p)::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(27,6))::DOUBLE / count(*) AS score
          |FROM p GROUP BY doc_id""".stripMargin,
 
     "llm_dedup_exact" ->
@@ -925,12 +923,11 @@ object LlmQueries {
     "llm_norm_outliers" ->
       """WITH ex AS (
         |  SELECT vec_id,
-        |         round(CAST(embedding[t.i] AS DOUBLE), 6)::DECIMAL(18,6) AS v6
+        |         round((CAST(embedding[t.i] AS DOUBLE))::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) AS v6
         |  FROM embeddings, range(1, 65) t(i)),
         |nm AS (
         |  SELECT vec_id,
-        |         round(sqrt(CAST(sum(v6 * CAST(v6 AS DECIMAL(19,6))) AS DOUBLE)),
-        |               6)::DECIMAL(18,6) AS n6
+        |         round((sqrt(CAST(sum(v6 * CAST(v6 AS DECIMAL(19,6))) AS DOUBLE)))::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) AS n6
         |  FROM ex GROUP BY 1),
         |st AS (
         |  SELECT count(*) AS n, sum(n6) AS s,
@@ -942,9 +939,9 @@ object LlmQueries {
         |           - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS sd
         |  FROM st)
         |SELECT vec_id, CAST(n6 AS DOUBLE) AS norm,
-        |       round(CASE WHEN sd > 0
+        |       round((CASE WHEN sd > 0
         |                  THEN (CAST(n6 AS DOUBLE) - mean) / sd
-        |                  ELSE 0.0 END, 6) AS z,
+        |                  ELSE 0.0 END)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS z,
         |       abs(CASE WHEN sd > 0
         |                THEN (CAST(n6 AS DOUBLE) - mean) / sd
         |                ELSE 0.0 END) > 3.0 AS is_outlier
@@ -1042,7 +1039,7 @@ object LlmQueries {
          |         len(list_intersect(a.s, b.s))::DOUBLE
          |           / least(len(a.s), len(b.s)) AS c
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |SELECT i, j, round(c, 6) AS containment FROM p WHERE c >= 0.8""".stripMargin,
+         |SELECT i, j, round((c)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS containment FROM p WHERE c >= 0.8""".stripMargin,
 
     // inverted-index restatement (vs jaccardOracle's brute-force
     // list_intersect) so the df cap applies per shingle exactly as the
@@ -1058,7 +1055,7 @@ object LlmQueries {
          |             count(*) AS c
          |      FROM f a JOIN f b ON a.g = b.g AND a.doc_id < b.doc_id
          |      GROUP BY 1, 2, 3, 4)
-         |SELECT i, j, round(c::DOUBLE / (ni + nj - c), 6) AS jaccard
+         |SELECT i, j, round((c::DOUBLE / (ni + nj - c))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS jaccard
          |FROM p WHERE c::DOUBLE / (ni + nj - c) >= 0.6""".stripMargin,
 
     "llm_dedup_simhash" ->
@@ -1083,7 +1080,7 @@ object LlmQueries {
         |  SELECT a.vec_id AS i, b.vec_id AS j,
         |         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        |SELECT i, j, round(c, 6) AS cos FROM p WHERE c >= 0.45""".stripMargin,
+        |SELECT i, j, round((c)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS cos FROM p WHERE c >= 0.45""".stripMargin,
 
     "llm_ann_topk" -> annOracle,
     "llm_ann_sql" -> annOracle,
@@ -1094,7 +1091,7 @@ object LlmQueries {
     "llm_embed_center" ->
       """WITH ex AS (
         |  SELECT vec_id, (t.i - 1)::INT AS dim,
-        |         round(CAST(embedding[t.i] AS DOUBLE), 6)::DECIMAL(18,6) AS v6
+        |         round((CAST(embedding[t.i] AS DOUBLE))::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) AS v6
         |  FROM embeddings, range(1, 65) t(i)),
         |st AS (
         |  SELECT dim, count(*) AS n, sum(v6) AS s,
@@ -1123,7 +1120,7 @@ object LlmQueries {
         |               ORDER BY score DESC, cid ASC) AS rk
         |      FROM s),
         |k AS (SELECT qid, cid, score FROM r WHERE rk <= 5)
-        |SELECT x.qid AS a, x.cid AS b, round(x.score, 6) AS score
+        |SELECT x.qid AS a, x.cid AS b, round((x.score)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS score
         |FROM k x JOIN k y ON y.qid = x.cid AND y.cid = x.qid
         |WHERE x.qid < x.cid""".stripMargin,
 
@@ -1136,7 +1133,7 @@ object LlmQueries {
         |             list_transform(v, x -> CASE WHEN ma = 0 THEN 0
         |               ELSE round(x / ma * 127)::INT END) AS qs
         |      FROM m)
-        |SELECT vec_id, round(ma / 127, 6) AS scale,
+        |SELECT vec_id, round((ma / 127)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS scale,
         |       list_sum(qs)::BIGINT AS qsum,
         |       list_min(qs)::INT AS qmin, list_max(qs)::INT AS qmax
         |FROM q""".stripMargin,
@@ -1155,9 +1152,9 @@ object LlmQueries {
          |    FROM documents) WHERE keep),
          |q AS (
          |  SELECT doc_id FROM toks
-         |  WHERE round(least(len(w)::DOUBLE / 50.0, 1.0)
+         |  WHERE round((least(len(w)::DOUBLE / 50.0, 1.0)
          |        * (1.0 - len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
-         |                 / len(w)), 6) >= 0.2)
+         |                 / len(w)))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE >= 0.2)
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |JOIN canon USING (doc_id)
          |JOIN q USING (doc_id)
@@ -1178,9 +1175,9 @@ object LlmQueries {
          |st AS (
          |  SELECT doc_id, lang,
          |         len(w)::BIGINT AS n_tokens,
-         |         round(least(len(w)::DOUBLE / 50.0, 1.0)
+         |         round((least(len(w)::DOUBLE / 50.0, 1.0)
          |           * (1.0 - len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
-         |                    / len(w)), 6) AS quality
+         |                    / len(w)))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS quality
          |  FROM toks),
          |kept AS (
          |  SELECT d.doc_id, d.lang, d.source FROM documents d
@@ -1189,8 +1186,8 @@ object LlmQueries {
          |    AND d.doc_id IN (SELECT doc_id FROM st WHERE quality >= 0.2))
          |SELECT k.lang, k.source, count(*) AS n_docs,
          |       sum(st.n_tokens)::BIGINT AS total_tokens,
-         |       round(round(sum(st.quality::DECIMAL(18,6))::DOUBLE, 6)
-         |             / count(*), 6) AS avg_quality
+         |       round((round(sum(st.quality::DECIMAL(18,6))::DOUBLE, 6)
+         |             / count(*))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS avg_quality
          |FROM kept k JOIN st USING (doc_id)
          |GROUP BY 1, 2""".stripMargin,
 
@@ -1210,9 +1207,9 @@ object LlmQueries {
          |  SELECT doc_id,
          |         len(w)::BIGINT AS n_tokens,
          |         ('0x' || substr(md5(norm), 1, 15))::BIGINT % 100 AS b,
-         |         round(least(len(w)::DOUBLE / 50.0, 1.0)
+         |         round((least(len(w)::DOUBLE / 50.0, 1.0)
          |           * (1.0 - len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
-         |                    / len(w)), 6) AS quality
+         |                    / len(w)))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS quality
          |  FROM toks),
          |kept AS (
          |  SELECT d.doc_id FROM documents d
@@ -1224,20 +1221,20 @@ object LlmQueries {
          |            ELSE 'test' END AS split,
          |       count(*) AS n_docs,
          |       sum(st.n_tokens)::BIGINT AS total_tokens,
-         |       round(round(sum(st.quality::DECIMAL(18,6))::DOUBLE, 6)
-         |             / count(*), 6) AS avg_quality
+         |       round((round(sum(st.quality::DECIMAL(18,6))::DOUBLE, 6)
+         |             / count(*))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS avg_quality
          |FROM kept k JOIN st USING (doc_id)
          |GROUP BY 1""".stripMargin,
 
     "llm_text_stats" ->
       s"""WITH $toksCte
          |SELECT doc_id, length(text)::BIGINT AS n_chars, len(w)::BIGINT AS n_tokens,
-         |       round(length(replace(norm, ' ', ''))::DOUBLE / len(w), 6) AS avg_token_len,
-         |       round(len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
-         |             / len(w), 6) AS stopword_ratio,
-         |       round(least(len(w)::DOUBLE / 50.0, 1.0)
+         |       round((length(replace(norm, ' ', ''))::DOUBLE / len(w))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS avg_token_len,
+         |       round((len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
+         |             / len(w))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS stopword_ratio,
+         |       round((least(len(w)::DOUBLE / 50.0, 1.0)
          |             * (1.0 - len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
-         |                      / len(w)), 6) AS quality
+         |                      / len(w)))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS quality
          |FROM toks""".stripMargin,
 
     "llm_quality_model" ->
@@ -1253,7 +1250,7 @@ object LlmQueries {
          |  SELECT doc_id,
          |         -0.1 + 0.9 * f_len + -0.6 * f_stop + 0.05 * f_avg AS score
          |  FROM f)
-         |SELECT doc_id, round(score, 6) AS score
+         |SELECT doc_id, round((score)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS score
          |FROM s WHERE score >= 0.35""".stripMargin,
 
     "llm_data_mix" ->
@@ -1299,9 +1296,9 @@ object LlmQueries {
          |       len(regexp_extract_all(text,
          |         '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))::BIGINT
          |         AS n_bpe,
-         |       round(len(regexp_extract_all(text,
+         |       round((len(regexp_extract_all(text,
          |         '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))::DOUBLE
-         |         / len(w), 6) AS fertility
+         |         / len(w))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS fertility
          |FROM toks""".stripMargin,
 
     "llm_repetition" ->
@@ -1312,11 +1309,11 @@ object LlmQueries {
          |           i -> w[i] || ' ' || w[i + 1]) AS bg
          |  FROM toks)
          |SELECT doc_id, len(w)::BIGINT AS n_tokens,
-         |       round((len(w) - len(list_distinct(w)))::DOUBLE / len(w), 6)
+         |       round(((len(w) - len(list_distinct(w)))::DOUBLE / len(w))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
          |         AS dup_word_ratio,
          |       CASE WHEN len(w) >= 2
-         |            THEN round((len(bg) - len(list_distinct(bg)))::DOUBLE
-         |                       / len(bg), 6)
+         |            THEN round(((len(bg) - len(list_distinct(bg)))::DOUBLE
+         |                       / len(bg))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
          |            ELSE 0.0 END AS dup_bigram_ratio
          |FROM g""".stripMargin,
 
@@ -1344,9 +1341,9 @@ object LlmQueries {
          |    FROM documents) WHERE keep),
          |q AS (
          |  SELECT doc_id FROM toks
-         |  WHERE round(least(len(w)::DOUBLE / 50.0, 1.0)
+         |  WHERE round((least(len(w)::DOUBLE / 50.0, 1.0)
          |        * (1.0 - len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
-         |                 / len(w)), 6) >= 0.2)
+         |                 / len(w)))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE >= 0.2)
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |JOIN canon USING (doc_id)
          |JOIN q USING (doc_id)
@@ -1418,9 +1415,9 @@ object LlmQueries {
          |j AS (SELECT f.doc_id, v.freq FROM f LEFT JOIN v USING (tok))
          |SELECT doc_id, count(*) AS n_tokens,
          |       sum(CASE WHEN freq IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
-         |       round(sum(CASE WHEN freq IS NULL THEN 1 ELSE 0 END)::DOUBLE
-         |             / count(*), 6) AS oov_ratio,
-         |       round(quantile_cont(freq, 0.5), 6) AS med_freq
+         |       round((sum(CASE WHEN freq IS NULL THEN 1 ELSE 0 END)::DOUBLE
+         |             / count(*))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS oov_ratio,
+         |       round((quantile_cont(freq, 0.5))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS med_freq
          |FROM j GROUP BY doc_id""".stripMargin,
 
     // TF-IDF with the bm25-style rational idf: identical parenthesization
@@ -1440,7 +1437,7 @@ object LlmQueries {
          |        row_number() OVER (PARTITION BY doc_id
          |                           ORDER BY score DESC, tok) AS rank
          |      FROM sc)
-         |SELECT doc_id, tok AS term, tf, round(score, 6) AS score, rank
+         |SELECT doc_id, tok AS term, tf, round((score)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS score, rank
          |FROM r WHERE rank <= 3""".stripMargin,
 
     // rational PMI cab*U^2/(B*ca*cb): zipped unnest of the two shifted
@@ -1460,7 +1457,7 @@ object LlmQueries {
          |         cab::DOUBLE * ut * ut / (bt * a.c::DOUBLE * b.c::DOUBLE) AS pmi
          |       FROM cb JOIN cu a ON cb.t1 = a.tok JOIN cu b ON cb.t2 = b.tok, tot
          |       WHERE cab >= 5)
-         |SELECT t1, t2, cab, round(pmi, 6) AS pmi
+         |SELECT t1, t2, cab, round((pmi)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS pmi
          |FROM sc ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin,
 
     // BM25 with rational idf — every op is +,-,*,/ with the identical
@@ -1476,9 +1473,9 @@ object LlmQueries {
          |       WHERE tok IN ('spark', 'stream', 'merge') GROUP BY 1, 2),
          |dfq AS (SELECT tok, count(*)::BIGINT AS nd FROM tf GROUP BY 1),
          |sc AS (SELECT tf.doc_id,
-         |         round(((st.n_docs - nd::DOUBLE + 0.5) / (nd::DOUBLE + 0.5)) *
+         |         round((((st.n_docs - nd::DOUBLE + 0.5) / (nd::DOUBLE + 0.5)) *
          |               ((nt::DOUBLE * 2.2) /
-         |                (nt::DOUBLE + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE / st.avgdl)))), 6) AS score_t
+         |                (nt::DOUBLE + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE / st.avgdl)))))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS score_t
          |       FROM tf JOIN dfq USING (tok) JOIN dl ON tf.doc_id = dl.doc_id, st)
          |SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
          |       CAST(SUM(CAST(score_t AS DECIMAL(18,6))) AS DOUBLE) AS bm25
@@ -1582,7 +1579,7 @@ object LlmQueries {
         |SELECT user_id, session_no::BIGINT AS session_no,
         |       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
         |       count(*) AS n_events,
-        |       round(sum(value::DECIMAL(18,6))::DOUBLE, 6) AS total_value
+        |       round((sum(value::DECIMAL(18,6))::DOUBLE)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS total_value
         |FROM s2 GROUP BY 1, 2""".stripMargin,
 
     // brute-force inequality self-join over the same session set — the

@@ -118,6 +118,25 @@ object PipelineQueries {
         round(col("lower"), 6).as("lower"))
     }),
 
+    // incremental MACD — the EIGHTH family and the first with DUAL-LAYER
+    // recursion state (two price EMAs feeding a signal EMA): the W2 warm-up
+    // boundary must cover BOTH layers' seeds, so the lookback passes
+    // period = slow + sig through the S8 path (2·(26+9) = 70 rows) — a
+    // shorter reseed would seed the signal EMA from undefined MACD values.
+    // The oracle replays the identical truncation (the s8b/s8c/s8d accepted
+    // approximation) with the dual-recursion MACD state machine.
+    "s8h_idempotent_macd" -> ((s, d) => {
+      val c = candles1m(s, d)
+      def mac(cc: DataFrame) = Indicators.macd(cc).toDF()
+      val existing = mac(c.filter(col("time") < lit(Cutoff)))
+      val merged = Incremental.incrementalIndicator(c, existing, 26 + 9, mac,
+        dedupKeys = Seq("pair", "timeframe", "time"))
+      merged.select(col("pair"), col("timeframe"),
+        unix_timestamp(col("time")).as("time_s"),
+        round(col("macd"), 6).as("macd"), round(col("signal"), 6).as("signal"),
+        round(col("hist"), 6).as("hist"))
+    }),
+
     // incremental OBV — the SEVENTH family through the S8 path and the
     // first CUMULATIVE one: a running total cannot reseed from a warm-up
     // window, so the tail RESUMES from the last persisted (obv, close)
@@ -342,8 +361,8 @@ object PipelineQueries {
       s"""$prelude
          |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s, 14 AS period,
          |       CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY time) >= 14
-         |            THEN round(avg(close) OVER (PARTITION BY pair ORDER BY time
-         |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6)
+         |            THEN round((avg(close) OVER (PARTITION BY pair ORDER BY time
+         |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
          |       END AS value
          |FROM c1m""".stripMargin,
 
@@ -390,10 +409,10 @@ object PipelineQueries {
          |              ELSE (c.close - r.prev) * (2.0 / ${p + 1}) + r.prev END
          |  FROM rt r JOIN ct c ON c.pair = r.pair AND c.rn = r.rn + 1)
          |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
-         |       $p AS period, round(prev, 6) AS value
+         |       $p AS period, round((prev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS value
          |FROM rpre
          |UNION ALL
-         |SELECT r.pair, '1m', epoch(r.time)::BIGINT, $p, round(r.prev, 6)
+         |SELECT r.pair, '1m', epoch(r.time)::BIGINT, $p, round((r.prev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
          |FROM rt r LEFT JOIN wm USING (pair)
          |WHERE wm.watermark IS NULL OR r.time > wm.watermark""".stripMargin
     },
@@ -413,9 +432,9 @@ object PipelineQueries {
            |     WHEN $c.rn = ${p + 1} THEN ($r.l + greatest($r.close - $c.close, CAST(0.0 AS DOUBLE))) / $p
            |     ELSE ($r.l * ${p - 1} + greatest($r.close - $c.close, CAST(0.0 AS DOUBLE))) / $p END""".stripMargin
       def rsiVal(a: String) =
-        s"""round(CASE WHEN $a.rn <= $p THEN NULL
+        s"""round((CASE WHEN $a.rn <= $p THEN NULL
            |           WHEN $a.g + $a.l = CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
-           |           ELSE 100.0 * $a.g / ($a.g + $a.l) END, 6)""".stripMargin
+           |           ELSE 100.0 * $a.g / ($a.g + $a.l) END)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE""".stripMargin
       s"""WITH RECURSIVE ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte}, ${TradingQueries.c1mCte},
          |cpre AS MATERIALIZED (SELECT pair, time, close,
          |                row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
@@ -460,6 +479,77 @@ object PipelineQueries {
     // u6 bollinger — the merge equaling it IS the idempotence proof.
     "s8f_idempotent_bollinger" ->
       IndicatorQueries.bollingerSql(20, "CAST(2.0 AS DOUBLE)"),
+
+    // The u5 MACD dual-recursion run TWICE — full prefix, then the
+    // truncated tail window with the s8d watermark/boundary CTEs between
+    // them; the 2·(slow+sig)-row lookback covers both EMA layers' seeds.
+    "s8h_idempotent_macd" -> {
+      val (fast, slow, sig) = (12, 26, 9)
+      val lb = 2 * (slow + sig)
+      def macdRec(rec: String, src: String) =
+        s"""$rec AS (
+           |  SELECT pair, rn, time,
+           |         close AS sum_f, CAST(NULL AS DOUBLE) AS ema_f,
+           |         close AS sum_s, CAST(NULL AS DOUBLE) AS ema_s,
+           |         0 AS n_macd, CAST(0.0 AS DOUBLE) AS sum_g,
+           |         CAST(NULL AS DOUBLE) AS sig, CAST(NULL AS DOUBLE) AS macd
+           |  FROM $src WHERE rn = 1
+           |  UNION ALL
+           |  SELECT pair, rn, time, sum_f, ema_f, sum_s, ema_s,
+           |         CASE WHEN macd IS NULL THEN n0 ELSE n0 + 1 END AS n_macd,
+           |         CASE WHEN macd IS NULL THEN g0
+           |              WHEN n0 + 1 < $sig THEN g0 + macd
+           |              ELSE CAST(0.0 AS DOUBLE) END AS sum_g,
+           |         CASE WHEN macd IS NULL THEN sig0
+           |              WHEN n0 + 1 < $sig THEN NULL
+           |              WHEN n0 + 1 = $sig THEN (g0 + macd) / $sig
+           |              ELSE (macd - sig0) * (2.0 / ${sig + 1}) + sig0 END AS sig,
+           |         macd
+           |  FROM (
+           |    SELECT *, CASE WHEN rn >= $slow THEN ema_f - ema_s END AS macd
+           |    FROM (
+           |      SELECT c.pair, c.rn, c.time, c.close,
+           |             r.n_macd AS n0, r.sum_g AS g0, r.sig AS sig0,
+           |             CASE WHEN c.rn < $fast THEN r.sum_f + c.close
+           |                  ELSE CAST(0.0 AS DOUBLE) END AS sum_f,
+           |             CASE WHEN c.rn < $fast THEN NULL
+           |                  WHEN c.rn = $fast THEN (r.sum_f + c.close) / $fast
+           |                  ELSE (c.close - r.ema_f) * (2.0 / ${fast + 1}) + r.ema_f END AS ema_f,
+           |             CASE WHEN c.rn < $slow THEN r.sum_s + c.close
+           |                  ELSE CAST(0.0 AS DOUBLE) END AS sum_s,
+           |             CASE WHEN c.rn < $slow THEN NULL
+           |                  WHEN c.rn = $slow THEN (r.sum_s + c.close) / $slow
+           |                  ELSE (c.close - r.ema_s) * (2.0 / ${slow + 1}) + r.ema_s END AS ema_s
+           |      FROM $rec r JOIN $src c ON c.pair = r.pair AND c.rn = r.rn + 1) t1) t2)""".stripMargin
+      def emit(a: String) =
+        s"""round(($a.macd)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS macd,
+           |       round(($a.sig)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS signal,
+           |       round(($a.macd - $a.sig)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS hist""".stripMargin
+      s"""WITH RECURSIVE ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte}, ${TradingQueries.c1mCte},
+         |cpre AS MATERIALIZED (SELECT pair, time, close,
+         |                row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+         |         FROM c1m WHERE time < TIMESTAMP '$Cutoff'),
+         |${macdRec("rpre", "cpre")},
+         |wm AS (SELECT pair, max(time) AS watermark FROM cpre GROUP BY pair),
+         |b AS (SELECT pair, time AS boundary FROM (
+         |        SELECT c.pair, c.time,
+         |               row_number() OVER (PARTITION BY c.pair ORDER BY c.time DESC) AS drn
+         |        FROM c1m c JOIN wm USING (pair) WHERE c.time <= wm.watermark)
+         |      WHERE drn = ${lb + 1}),
+         |ct AS MATERIALIZED (SELECT c.pair, c.time, c.close,
+         |              row_number() OVER (PARTITION BY c.pair ORDER BY c.time) AS rn
+         |       FROM c1m c LEFT JOIN b USING (pair)
+         |       WHERE b.boundary IS NULL OR c.time >= b.boundary),
+         |${macdRec("rt", "ct")}
+         |SELECT p.pair, '1m' AS timeframe, epoch(p.time)::BIGINT AS time_s,
+         |       ${emit("p")}
+         |FROM rpre p
+         |UNION ALL
+         |SELECT r.pair, '1m', epoch(r.time)::BIGINT,
+         |       ${emit("r")}
+         |FROM rt r LEFT JOIN wm USING (pair)
+         |WHERE wm.watermark IS NULL OR r.time > wm.watermark""".stripMargin
+    },
 
     // Same dual-recurrence shape as s8b/s8c with Wilder's ATR as the
     // carried state: TR needs the PREVIOUS close (carried through the
@@ -507,10 +597,10 @@ object PipelineQueries {
          |         ${atrState("r", "c")}
          |  FROM rt r JOIN ct c ON c.pair = r.pair AND c.rn = r.rn + 1)
          |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
-         |       $p AS period, round(a, 6) AS value
+         |       $p AS period, round((a)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS value
          |FROM rpre
          |UNION ALL
-         |SELECT r.pair, '1m', epoch(r.time)::BIGINT, $p, round(r.a, 6)
+         |SELECT r.pair, '1m', epoch(r.time)::BIGINT, $p, round((r.a)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
          |FROM rt r LEFT JOIN wm USING (pair)
          |WHERE wm.watermark IS NULL OR r.time > wm.watermark""".stripMargin
     },
@@ -586,12 +676,12 @@ object PipelineQueries {
          |       WHERE b.boundary IS NULL OR c.time >= b.boundary),
          |${stRec("ct", "rt")}
          |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
-         |       round(CASE WHEN dir_up THEN flb ELSE fub END, 6) AS value,
+         |       round((CASE WHEN dir_up THEN flb ELSE fub END)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS value,
          |       dir_up
          |FROM rpre WHERE rn > $p
          |UNION ALL
          |SELECT r.pair, '1m', epoch(r.time)::BIGINT,
-         |       round(CASE WHEN r.dir_up THEN r.flb ELSE r.fub END, 6), r.dir_up
+         |       round((CASE WHEN r.dir_up THEN r.flb ELSE r.fub END)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE, r.dir_up
          |FROM rt r LEFT JOIN wm USING (pair)
          |WHERE (wm.watermark IS NULL OR r.time > wm.watermark) AND r.rn > $p""".stripMargin
     },
@@ -748,9 +838,9 @@ object PipelineQueries {
          |  FROM ev JOIN fb USING (pair) WHERE ev.time >= fb.fbt)
          |SELECT pair,
          |       count(*) FILTER (et = 'SELL')::INT AS trades,
-         |       round(sum(CASE WHEN et = 'SELL' THEN price ELSE -price END)
+         |       round((sum(CASE WHEN et = 'SELL' THEN price ELSE -price END)
          |             + CASE WHEN any_value(last_et) = 'BUY'
-         |                    THEN max_by(price, time) ELSE 0 END, 6) AS total_pnl,
+         |                    THEN max_by(price, time) ELSE 0 END)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS total_pnl,
          |       any_value(last_et) = 'BUY' AS open_position
          |FROM kept GROUP BY pair""".stripMargin,
 
@@ -787,9 +877,9 @@ object PipelineQueries {
          |         lead(ev.price) OVER (PARTITION BY ev.pair ORDER BY ev.time) AS x_price
          |  FROM ev JOIN fb USING (pair) WHERE ev.time >= fb.fbt)
          |SELECT pair, ((rn + 1) // 2)::INT AS trade_no,
-         |       epoch(time)::BIGINT AS entry_s, round(price, 6) AS entry_price,
-         |       epoch(x_time)::BIGINT AS exit_s, round(x_price, 6) AS exit_price,
-         |       round(x_price - price, 6) AS pnl
+         |       epoch(time)::BIGINT AS entry_s, round((price)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS entry_price,
+         |       epoch(x_time)::BIGINT AS exit_s, round((x_price)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS exit_price,
+         |       round((x_price - price)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS pnl
          |FROM kept WHERE rn % 2 = 1""".stripMargin,
 
     // the tradesStopped state machine replayed one merged row per pair per
@@ -869,11 +959,11 @@ object PipelineQueries {
          |  WHERE r.lng)
          |SELECT pair, trade_no::INT AS trade_no,
          |       epoch(o_entry_time)::BIGINT AS entry_s,
-         |       round(o_entry_px, 6) AS entry_price,
+         |       round((o_entry_px)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS entry_price,
          |       epoch(o_exit_time)::BIGINT AS exit_s,
-         |       round(o_exit_px, 6) AS exit_price,
+         |       round((o_exit_px)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS exit_price,
          |       o_reason AS reason,
-         |       round(o_exit_px - o_entry_px, 6) AS pnl
+         |       round((o_exit_px - o_entry_px)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS pnl
          |FROM (SELECT * FROM closed UNION ALL SELECT * FROM open_pos)""".stripMargin
     },
 
@@ -909,7 +999,7 @@ object PipelineQueries {
          |         lead(ev.time) OVER (PARTITION BY ev.pair ORDER BY ev.time) AS x_time,
          |         lead(ev.price) OVER (PARTITION BY ev.pair ORDER BY ev.time) AS x_price
          |  FROM ev JOIN fb USING (pair) WHERE ev.time >= fb.fbt),
-         |t AS (SELECT pair, round(x_price - price, 6)::DECIMAL(18,6) AS p
+         |t AS (SELECT pair, round((x_price - price)::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) AS p
          |      FROM kept WHERE rn % 2 = 1 AND x_time IS NOT NULL),
          |a AS (SELECT pair, count(*) AS n_trades,
          |             sum(p) AS s,
@@ -926,10 +1016,10 @@ object PipelineQueries {
          |             sqrt(CAST(dsq AS DOUBLE) / n_trades) AS ddev
          |      FROM a)
          |SELECT pair, n_trades::BIGINT AS n_trades,
-         |       round(mean, 6) AS mean_pnl, round(vol, 6) AS vol,
-         |       CASE WHEN vol > 0 THEN round(mean / vol, 6) END AS sharpe,
-         |       round(ddev, 6) AS downside_dev,
-         |       CASE WHEN ddev > 0 THEN round(mean / ddev, 6) END AS sortino
+         |       round((mean)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS mean_pnl, round((vol)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS vol,
+         |       CASE WHEN vol > 0 THEN round((mean / vol)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS sharpe,
+         |       round((ddev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS downside_dev,
+         |       CASE WHEN ddev > 0 THEN round((mean / ddev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS sortino
          |FROM m""".stripMargin,
 
     // the f6b ledger aggregated: NULL pnl (open final trade) counts as a
@@ -970,12 +1060,12 @@ object PipelineQueries {
          |         lead(ev.price) OVER (PARTITION BY ev.pair ORDER BY ev.time) AS x_price
          |  FROM ev JOIN fb USING (pair) WHERE ev.time >= fb.fbt),
          |led AS (
-         |  SELECT pair, round(x_price - price, 6) AS pnl
+         |  SELECT pair, round((x_price - price)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS pnl
          |  FROM kept WHERE rn % 2 = 1)
          |SELECT pair, count(*) AS n_trades,
          |       sum(CASE WHEN pnl > 0 THEN 1 ELSE 0 END)::BIGINT AS n_wins,
-         |       round(sum(pnl::DECIMAL(18,6))::DOUBLE, 6) AS total_pnl,
-         |       round(max(pnl), 6) AS best, round(min(pnl), 6) AS worst
+         |       round((sum(pnl::DECIMAL(18,6))::DOUBLE)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS total_pnl,
+         |       round((max(pnl))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS best, round((min(pnl))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS worst
          |FROM led GROUP BY 1""".stripMargin,
 
     // f6b's lead()-paired ledger at the (10,40) parameter set, with the
@@ -1017,12 +1107,12 @@ object PipelineQueries {
          |         (CAST(1000000 AS DOUBLE) / price) AS qty
          |  FROM kept WHERE rn % 2 = 1)
          |SELECT pair, ((rn + 1) // 2)::INT AS trade_no,
-         |       epoch(time)::BIGINT AS entry_s, round(price, 6) AS entry_price,
-         |       round(qty, 6) AS qty,
-         |       epoch(x_time)::BIGINT AS exit_s, round(x_price, 6) AS exit_price,
-         |       round(qty * (x_price - price), 6) AS gross,
-         |       round((CAST(0.0002 AS DOUBLE) * qty) * (price + x_price), 6) AS fee,
-         |       round(qty * (x_price - price)
-         |             - (CAST(0.0002 AS DOUBLE) * qty) * (price + x_price), 6) AS net
+         |       epoch(time)::BIGINT AS entry_s, round((price)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS entry_price,
+         |       round((qty)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS qty,
+         |       epoch(x_time)::BIGINT AS exit_s, round((x_price)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS exit_price,
+         |       round((qty * (x_price - price))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS gross,
+         |       round(((CAST(0.0002 AS DOUBLE) * qty) * (price + x_price))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS fee,
+         |       round((qty * (x_price - price)
+         |             - (CAST(0.0002 AS DOUBLE) * qty) * (price + x_price))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS net
          |FROM m""".stripMargin)
 }

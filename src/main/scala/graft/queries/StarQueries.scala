@@ -796,10 +796,10 @@ object StarQueries {
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
-        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_base_price,
-        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_disc_price,
-        |  round(round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) / COUNT(*), 6) AS avg_qty,
+        |  round((CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS sum_qty,
+        |  round((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS sum_base_price,
+        |  round((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS sum_disc_price,
+        |  round((round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) / COUNT(*))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
@@ -807,7 +807,7 @@ object StarQueries {
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
-        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  round((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS revenue,
         |  min(o_orderpriority) AS o_orderpriority
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -821,7 +821,7 @@ object StarQueries {
 
     "q5_region_revenue" ->
       """SELECT r_name, n_name,
-        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |  round((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -832,7 +832,7 @@ object StarQueries {
 
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, n_name,
-        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |  round((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -844,7 +844,7 @@ object StarQueries {
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q6_forecast_revenue" ->
-      """SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+      """SELECT round((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS revenue,
         |       count(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
@@ -853,14 +853,14 @@ object StarQueries {
         |  AND l_quantity < 24""".stripMargin,
 
     "q2_cheapest_parts" ->
-      """SELECT p_brand, p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
+      """SELECT p_brand, p_partkey, p_name, round((p_retailprice)::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS p_retailprice
         |FROM part p
         |WHERE p_retailprice = (SELECT min(p_retailprice) FROM part p2
         |                       WHERE p2.p_brand = p.p_brand)""".stripMargin,
 
     "q19_disjunctive" ->
       """SELECT p_type,
-        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  round((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
@@ -890,9 +890,9 @@ object StarQueries {
         |GROUP BY 1""".stripMargin,
 
     "q14_promo_share" ->
-      """SELECT round(100.0 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6)))
+      """SELECT round((100.0 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6)))
         |                         FILTER (p_type = 'PROMO') AS DOUBLE)
-        |             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_share,
+        |             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS promo_share,
         |       count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1999-09-01 00:00:00'
@@ -900,7 +900,7 @@ object StarQueries {
 
     "j7_bucketed_join" ->
       """SELECT o_orderpriority,
-        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  round((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS revenue,
         |  count(*) AS n_lines
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1""".stripMargin,
@@ -909,8 +909,8 @@ object StarQueries {
     // predicate over the raw table
     "j8_zorder_scan" ->
       """SELECT l_suppkey, count(*) AS n_lines,
-        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_qty,
-        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |  round((CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS sum_qty,
+        |  round((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS revenue
         |FROM lineitem
         |WHERE l_partkey >= 100 AND l_partkey < 400
         |  AND l_suppkey >= 10 AND l_suppkey < 40
@@ -956,7 +956,7 @@ object StarQueries {
     // column list (r_name = high bit, n_name = low bit)
     "a7_rollup_revenue" ->
       """SELECT r_name, n_name,
-        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  round((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS revenue,
         |  GROUPING(r_name, n_name)::BIGINT AS gid
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -967,7 +967,7 @@ object StarQueries {
 
     "a7b_cube_status_priority" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_price,
+        |  round((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS total_price,
         |  GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
@@ -981,7 +981,7 @@ object StarQueries {
 
     "o2_top_customers" ->
       """SELECT o_custkey,
-        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_spent,
+        |  round((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS total_spent,
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY o_custkey
         |ORDER BY total_spent DESC, o_custkey LIMIT 10""".stripMargin,
@@ -995,7 +995,7 @@ object StarQueries {
         |         row_number() OVER (ORDER BY event_type) AS type_id
         |  FROM (SELECT DISTINCT event_type FROM events) t)
         |SELECT d.type_id, e.event_type, COUNT(*) AS n,
-        |  round(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+        |  round((CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS total_value
         |FROM events e JOIN dim d USING (event_type)
         |GROUP BY 1, 2""".stripMargin,
 
@@ -1011,8 +1011,8 @@ object StarQueries {
 
     "a6_percentiles" ->
       """SELECT l_returnflag,
-        |       round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price,
-        |       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+        |       round((quantile_cont(l_extendedprice, 0.5))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS med_price,
+        |       round((quantile_cont(l_extendedprice, 0.95))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS p95_price,
         |       count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
 
@@ -1048,8 +1048,8 @@ object StarQueries {
         |           + (CASE WHEN value > q[8] THEN 1 ELSE 0 END)
         |           + (CASE WHEN value > q[9] THEN 1 ELSE 0 END) AS bin
         |  FROM events, b)
-        |SELECT bin, count(*) AS n, round(min(value), 6) AS lo,
-        |       round(max(value), 6) AS hi
+        |SELECT bin, count(*) AS n, round((min(value))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS lo,
+        |       round((max(value))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS hi
         |FROM binned GROUP BY 1""".stripMargin,
 
     "a10_corr_qty_price" ->
@@ -1063,8 +1063,8 @@ object StarQueries {
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag,
-        |       round((n * sxy - sx * sy)
-        |             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qp,
+        |       round(((n * sxy - sx * sy)
+        |             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS corr_qp,
         |       n::BIGINT AS n_rows
         |FROM m""".stripMargin,
 
@@ -1084,7 +1084,7 @@ object StarQueries {
         |         isodow(d_date)::BIGINT >= 6 AS is_weekend
         |  FROM dim)
         |SELECT d_year, d_quarter, is_weekend, count(*) AS n_orders,
-        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS spend
+        |  round((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS spend
         |FROM orders JOIN dim2 ON o_orderdate::DATE = d_date
         |GROUP BY 1, 2, 3""".stripMargin,
 
@@ -1109,7 +1109,7 @@ object StarQueries {
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       year(l_shipdate)::BIGINT AS l_year,
-        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+        |  round((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1132,7 +1132,7 @@ object StarQueries {
     "q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |    round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_rev
+        |    round((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS total_rev
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1999-04-01 00:00:00'
@@ -1151,8 +1151,8 @@ object StarQueries {
         |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
         |           / count(*) AS avg_qty
         |  FROM li GROUP BY 1)
-        |SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-        |             / 7.0, 2) AS avg_yearly,
+        |SELECT round((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |             / 7.0)::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS avg_yearly,
         |       count(*) AS n_lines
         |FROM li JOIN a USING (l_partkey)
         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
@@ -1163,7 +1163,7 @@ object StarQueries {
         |           / count(*) AS ab
         |  FROM customer WHERE c_acctbal > 0.0)
         |SELECT c_nationkey, count(*) AS numcust,
-        |  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS totacctbal
+        |  round((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 2)::DOUBLE AS totacctbal
         |FROM customer, ab
         |WHERE c_acctbal > ab
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
@@ -1172,10 +1172,10 @@ object StarQueries {
 
     "q8_market_share" ->
       """SELECT year(o_orderdate)::BIGINT AS o_year,
-        |  round(CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+        |  round((CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
         |                 THEN CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))
         |                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-        |        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share,
+        |        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(1.0 - l_discount AS DECIMAL(18,6))) AS DOUBLE))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS mkt_share,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey

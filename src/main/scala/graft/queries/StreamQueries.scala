@@ -184,6 +184,30 @@ object StreamQueries {
           col("open"), col("high"), col("low"), col("close"))
     }),
 
+    // T24 (derived-timeframe bars): 1m→5m resample as TWO chained streaming
+    // window aggregations in one query (multiple stateful operators, one
+    // source watermark) — the A2→T2 composition live. A 5m bar emits once
+    // the batch-over-batch watermark passes its end, by which point every
+    // inner 1m window has been finalized upstream in the same pipeline; the
+    // oracle resamples the complete 1m set and applies the same cutoff
+    // (5m end ≤ max truncated event time − 1 minute).
+    "t24_resample_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t24-").toString
+      withStreamShuffle(s, 8) {
+        awaitAndRecord("t24_resample_stream",
+          Streams.resampleStream(tickStream(s, d))
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/sink")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      }
+      s.read.parquet(s"$tmp/sink")
+        .select(col("pair"), unix_timestamp(col("time")).as("time_s"),
+          col("open"), col("high"), col("low"), col("close"))
+    }),
+
     // Streaming sessionization: session_window gap sessions accumulating
     // ACROSS the four micro-batches (session-state merge), append-emitted
     // once the watermark passes a session's close; the oracle applies the
@@ -772,6 +796,28 @@ object StreamQueries {
          |FROM agg
          |WHERE bkt + INTERVAL '1 minute' <= (SELECT m FROM mx) - INTERVAL '1 minute'""".stripMargin,
 
+    // t2's 1m candling composed with the A2 epoch-floor resample; cutoff on
+    // the DERIVED window end (the streaming query's emission condition)
+    "t24_resample_stream" ->
+      s"""WITH ${TradingQueries.ticksCte},
+         |tsec AS (
+         |  SELECT pair, date_trunc('second', time) AS time, bid, seq FROM ticks),
+         |mx AS (SELECT max(time) AS m FROM tsec),
+         |c1 AS (
+         |  SELECT pair, time_bucket(INTERVAL '1 minute', time) AS bkt,
+         |         arg_min(bid, epoch(time)::HUGEINT * 10000000 + seq) AS open,
+         |         max(bid) AS high, min(bid) AS low,
+         |         arg_max(bid, epoch(time)::HUGEINT * 10000000 + seq) AS close
+         |  FROM tsec GROUP BY 1, 2),
+         |c5 AS (
+         |  SELECT pair, time_bucket(INTERVAL '5 minutes', bkt) AS b5,
+         |         arg_min(open, bkt) AS open, max(high) AS high,
+         |         min(low) AS low, arg_max(close, bkt) AS close
+         |  FROM c1 GROUP BY 1, 2)
+         |SELECT pair, epoch(b5)::BIGINT AS time_s, open, high, low, close
+         |FROM c5
+         |WHERE b5 + INTERVAL '5 minutes' <= (SELECT m FROM mx) - INTERVAL '1 minute'""".stripMargin,
+
     "t6_session_stream" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('second', ts) AS t, value FROM events),
@@ -788,7 +834,7 @@ object StreamQueries {
         |g AS (
         |  SELECT user_id, sid, min(t) AS start, max(t) AS last,
         |         count(*) AS n_events,
-        |         round(sum(value::DECIMAL(18,6))::DOUBLE, 6) AS total_value
+        |         round((sum(value::DECIMAL(18,6))::DOUBLE)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS total_value
         |  FROM s2 GROUP BY 1, 2),
         |mx AS (SELECT max(t) AS m FROM e)
         |SELECT user_id, epoch(start)::BIGINT AS start_s, n_events, total_value
@@ -842,12 +888,12 @@ object StreamQueries {
         |mx AS (SELECT max(time) AS m FROM tks),
         |b AS (
         |  SELECT pair, time_bucket(INTERVAL '1 hour', time) AS bkt,
-        |         sum((round((bid + ask) / 2, 6)::DECIMAL(12,6))
+        |         sum((round(((bid + ask) / 2)::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(12,6))
         |             * (sz::DECIMAL(9,0))) AS pv,
         |         sum(sz)::BIGINT AS qty
         |  FROM tks GROUP BY 1, 2)
         |SELECT pair, epoch(bkt)::BIGINT AS time_s,
-        |       CASE WHEN qty > 0 THEN round(pv::DOUBLE / qty, 6) END AS vwap,
+        |       CASE WHEN qty > 0 THEN round((pv::DOUBLE / qty)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS vwap,
         |       qty
         |FROM b
         |WHERE bkt + INTERVAL '1 hour' <= (SELECT m FROM mx) - INTERVAL '1 hour'""".stripMargin,
@@ -902,7 +948,7 @@ object StreamQueries {
          |              WHEN c.rn = 14 THEN (r.seed_sum + c.bid) / 14
          |              ELSE (c.bid - r.prev) * (2.0 / 15) + r.prev END
          |  FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1)
-         |SELECT pair, epoch_us(time) AS time_us, round(prev, 6) AS ema
+         |SELECT pair, epoch_us(time) AS time_us, round((prev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS ema
          |FROM r WHERE prev IS NOT NULL""".stripMargin,
 
     // batch restatement: the u17 SAR state machine at tick grain (point
@@ -945,7 +991,7 @@ object StreamQueries {
          |                ELSE greatest(r.sar + r.af * (r.ep - r.sar), r.b1, r.b2)
          |           END AS s1
          |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t)
-         |SELECT pair, epoch_us(time) AS time_us, round(sar, 6) AS value
+         |SELECT pair, epoch_us(time) AS time_us, round((sar)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS value
          |FROM r""".stripMargin,
 
     // batch restatement: the w20 zigzag state machine over raw valid
@@ -995,7 +1041,7 @@ object StreamQueries {
          |                  THEN c.time ELSE r.lot END AS lot1
          |      FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t0) t1)
          |SELECT pair, pno AS pivot_no, epoch_us(ptime) AS time_us,
-         |       pkind AS kind, round(pprice, 6) AS price,
+         |       pkind AS kind, round((pprice)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS price,
          |       epoch_us(pconfirm) AS confirm_us
          |FROM r WHERE pkind IS NOT NULL""".stripMargin,
 
@@ -1024,14 +1070,14 @@ object StreamQueries {
          |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t)
          |SELECT pair, epoch_us(time) AS time_us,
          |       (n - ku - kd + i)::BIGINT AS brick_no, 'up' AS dir,
-         |       round(a0 + (m0 + i - 1) * 50.0, 6) AS open,
-         |       round(a0 + (m0 + i) * 50.0, 6) AS close
+         |       round((a0 + (m0 + i - 1) * 50.0)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS open,
+         |       round((a0 + (m0 + i) * 50.0)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS close
          |FROM (SELECT *, unnest(range(1, ku + 1)) AS i FROM r WHERE ku > 0)
          |UNION ALL
          |SELECT pair, epoch_us(time),
          |       (n - ku - kd + i)::BIGINT, 'down',
-         |       round(a0 + (m0 - i + 1) * 50.0, 6),
-         |       round(a0 + (m0 - i) * 50.0, 6)
+         |       round((a0 + (m0 - i + 1) * 50.0)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE,
+         |       round((a0 + (m0 - i) * 50.0)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
          |FROM (SELECT *, unnest(range(1, kd + 1)) AS i FROM r WHERE kd > 0)""".stripMargin,
 
     // batch restatement: the f6b BUY/SELL pairing over the per-pair
@@ -1051,16 +1097,15 @@ object StreamQueries {
          |cc AS (SELECT c.* FROM c1v c JOIN mx USING (pair)
          |       WHERE c.time < mx.cut),
          |m AS (SELECT pair, time, close, vol,
-         |             round(CASE WHEN high = low THEN 0.0
-         |                        ELSE (2.0 * close - low - high) / (high - low) END,
-         |                   6)::DECIMAL(18,6) * vol::DECIMAL(9,0) AS mfv
+         |             round((CASE WHEN high = low THEN 0.0
+         |                        ELSE (2.0 * close - low - high) / (high - low) END)::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) * vol::DECIMAL(9,0) AS mfv
          |      FROM cc),
          |s AS (SELECT pair, time, close, vol,
          |             sum(mfv) OVER (PARTITION BY pair ORDER BY time
          |               ROWS UNBOUNDED PRECEDING) AS ad_dec
          |      FROM m)
          |SELECT pair, epoch(time)::BIGINT AS time_s,
-         |       round(close, 6) AS close, vol, round(CAST(ad_dec AS DOUBLE), 6) AS ad
+         |       round((close)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS close, vol, round((CAST(ad_dec AS DOUBLE))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS ad
          |FROM s""".stripMargin,
 
     "t19_trade_stream" ->
@@ -1097,9 +1142,9 @@ object StreamQueries {
          |         lead(ev.price) OVER (PARTITION BY ev.pair ORDER BY ev.time) AS x_price
          |  FROM ev JOIN fb USING (pair) WHERE ev.time >= fb.fbt)
          |SELECT pair, ((rn + 1) // 2)::INT AS trade_no,
-         |       epoch(time)::BIGINT AS entry_s, round(price, 6) AS entry_price,
-         |       epoch(x_time)::BIGINT AS exit_s, round(x_price, 6) AS exit_price,
-         |       round(x_price - price, 6) AS pnl
+         |       epoch(time)::BIGINT AS entry_s, round((price)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS entry_price,
+         |       epoch(x_time)::BIGINT AS exit_s, round((x_price)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS exit_price,
+         |       round((x_price - price)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS pnl
          |FROM kept WHERE rn % 2 = 1 AND x_time IS NOT NULL""".stripMargin,
 
     // batch restatement: the w1 cross predicates over c1m SMAs with each
@@ -1124,7 +1169,7 @@ object StreamQueries {
          |       FROM dedup GROUP BY 1)
          |SELECT x.pair, epoch(x.time)::BIGINT AS time_s,
          |       CASE WHEN ps <= pl AND s14 > s28 THEN 'BUY' ELSE 'SELL' END AS event_type,
-         |       round(s14, 6) AS price, 14 AS period
+         |       round((s14)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS price, 14 AS period
          |FROM x JOIN mx ON mx.pair = x.pair
          |WHERE x.time < mx.cut
          |  AND ((ps <= pl AND s14 > s28) OR (ps >= pl AND s14 < s28))""".stripMargin,
@@ -1158,11 +1203,11 @@ object StreamQueries {
          |SELECT epoch(time)::BIGINT AS time_s, 30 AS n,
          |       CASE WHEN rn >= 31 AND (30.0 * sxx - sx * sx) > 0.0
          |                 AND (30.0 * syy - sy * sy) > 0.0
-         |            THEN round((30.0 * sxy - sx * sy)
-         |                 / sqrt((30.0 * sxx - sx * sx) * (30.0 * syy - sy * sy)), 6)
+         |            THEN round(((30.0 * sxy - sx * sy)
+         |                 / sqrt((30.0 * sxx - sx * sx) * (30.0 * syy - sy * sy)))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
          |       END AS corr,
          |       CASE WHEN rn >= 31 AND (30.0 * sxx - sx * sx) > 0.0
-         |            THEN round((30.0 * sxy - sx * sy) / (30.0 * sxx - sx * sx), 6)
+         |            THEN round(((30.0 * sxy - sx * sy) / (30.0 * sxx - sx * sx))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
          |       END AS beta
          |FROM s WHERE time < (SELECT m FROM mx)""".stripMargin,
 
@@ -1201,11 +1246,11 @@ object StreamQueries {
          |SELECT s.pair_a, s.pair_b, epoch(s.time)::BIGINT AS time_s, 30 AS n,
          |       CASE WHEN rn >= 31 AND (30.0 * sxx - sx * sx) > 0.0
          |                 AND (30.0 * syy - sy * sy) > 0.0
-         |            THEN round((30.0 * sxy - sx * sy)
-         |                 / sqrt((30.0 * sxx - sx * sx) * (30.0 * syy - sy * sy)), 6)
+         |            THEN round(((30.0 * sxy - sx * sy)
+         |                 / sqrt((30.0 * sxx - sx * sx) * (30.0 * syy - sy * sy)))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
          |       END AS corr,
          |       CASE WHEN rn >= 31 AND (30.0 * sxx - sx * sx) > 0.0
-         |            THEN round((30.0 * sxy - sx * sy) / (30.0 * sxx - sx * sx), 6)
+         |            THEN round(((30.0 * sxy - sx * sy) / (30.0 * sxx - sx * sx))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
          |       END AS beta
          |FROM s JOIN mx ON s.pair_a = mx.pair_a AND s.pair_b = mx.pair_b
          |WHERE s.time < mx.cut""".stripMargin,
@@ -1233,8 +1278,8 @@ object StreamQueries {
     "t13_twstate_drawdown" ->
       s"""WITH ${TradingQueries.ticksCte}
          |SELECT pair, epoch_us(time) AS time_us, seq,
-         |       round(max(bid) OVER w, 6) AS peak,
-         |       round(max(bid) OVER w - bid, 6) AS dd
+         |       round((max(bid) OVER w)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS peak,
+         |       round((max(bid) OVER w - bid)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS dd
          |FROM ticks
          |WINDOW w AS (PARTITION BY pair ORDER BY epoch_us(time), seq
          |             ROWS UNBOUNDED PRECEDING)""".stripMargin,

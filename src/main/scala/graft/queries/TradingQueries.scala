@@ -142,6 +142,9 @@ object TradingQueries {
       val t = ticks(s, d).select(col("pair"),
         (floor(unix_timestamp(col("time")) / 3600) * 3600).cast("bigint").as("hour_s"),
         (col("ask") - col("bid")).cast("decimal(18,6)").as("sp6"),
+        // the rel quotient is a raw double; the oracle replays this round()
+        // exactly via the shortest-repr sround twin (see Indicators.scala
+        // ROUND PARITY note), so no engine-tie divergence exists at 9 dp
         round((col("ask") - col("bid")) / ((col("bid") + col("ask")) / 2), 9)
           .cast("decimal(18,9)").as("rel9"))
       t.groupBy(col("pair"), col("hour_s"))
@@ -385,14 +388,14 @@ object TradingQueries {
 
     "w5_twap_sliding" ->
       s"""WITH $ticksCte, $dedupCte,
-         |m AS (SELECT pair, time, round((bid + ask) / 2, 6) AS mid FROM dedup),
+         |m AS (SELECT pair, time, round(((bid + ask) / 2)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS mid FROM dedup),
          |x AS (
          |  SELECT pair,
          |         time_bucket(INTERVAL '1 minute', time) - r.k * INTERVAL '1 minute' AS ws,
          |         mid
          |  FROM m CROSS JOIN range(0, 5) r(k))
          |SELECT pair, epoch(ws)::BIGINT AS time_s, count(*) AS n_ticks,
-         |       round(round(sum(mid::DECIMAL(18,6))::DOUBLE, 6) / count(*), 6) AS twap
+         |       round((round(sum(mid::DECIMAL(18,6))::DOUBLE, 6) / count(*))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS twap
          |FROM x GROUP BY 1, 2""".stripMargin,
     "a13_dow_returns" ->
       s"""WITH $ticksCte, $dedupCte, $c1mCte,
@@ -400,7 +403,7 @@ object TradingQueries {
          |        lag(close) OVER (PARTITION BY pair ORDER BY time) AS pc
          |      FROM c1m),
          |r AS (SELECT pair, dayofweek(time) AS dow,
-         |        round((close - pc) / pc, 6)::DECIMAL(18,6) AS r6
+         |        round(((close - pc) / pc)::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) AS r6
          |      FROM b WHERE pc IS NOT NULL),
          |g AS (SELECT pair, dow, count(*) AS n,
          |        CAST(sum(r6) * 1000000 AS BIGINT) AS micro
@@ -416,7 +419,7 @@ object TradingQueries {
          |t AS (SELECT pair,
          |        (epoch(time)::BIGINT // 3600) * 3600 AS hour_s,
          |        (ask - bid)::DECIMAL(18,6) AS sp6,
-         |        round((ask - bid) / ((bid + ask) / 2), 9)::DECIMAL(18,9) AS rel9
+         |        round(((ask - bid) / ((bid + ask) / 2))::VARCHAR::DECIMAL(38,23), 9)::DECIMAL(18,9) AS rel9
          |      FROM dedup),
          |g AS (SELECT pair, hour_s, count(*) AS n_ticks,
          |        CAST(sum(sp6) * 1000000 AS BIGINT) AS micro,
@@ -437,7 +440,7 @@ object TradingQueries {
     "w9_twap_weighted" ->
       s"""WITH $ticksCte, $dedupCte,
          |m AS (SELECT pair, epoch(time)::BIGINT AS t_s,
-         |             round((bid + ask) / 2, 6) AS mid FROM dedup),
+         |             round(((bid + ask) / 2)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS mid FROM dedup),
          |x AS (SELECT pair, t_s, mid,
          |        lead(t_s) OVER (PARTITION BY pair ORDER BY t_s) - t_s AS dur
          |      FROM m)
@@ -446,8 +449,8 @@ object TradingQueries {
          |       -- width-18 decimals in int64 and overflows at runtime;
          |       -- narrower declared widths route it through int128. The
          |       -- values are identical either way (sums stay exact).
-         |       round(sum((mid::DECIMAL(12,6)) * (dur::DECIMAL(9,0)))::DOUBLE
-         |             / sum(dur)::DOUBLE, 6) AS twap_w
+         |       round((sum((mid::DECIMAL(12,6)) * (dur::DECIMAL(9,0)))::DOUBLE
+         |             / sum(dur)::DOUBLE)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS twap_w
          |FROM x WHERE dur IS NOT NULL GROUP BY 1""".stripMargin,
 
     "a2b_gapfill_1m" ->
@@ -492,13 +495,13 @@ object TradingQueries {
          |SELECT pair, epoch(minute)::BIGINT AS minute_s,
          |       n_buy, n_sell, n_unclassified,
          |       CASE WHEN n_buy + n_sell > 0
-         |            THEN round((n_buy - n_sell)::DOUBLE / (n_buy + n_sell), 6)
+         |            THEN round(((n_buy - n_sell)::DOUBLE / (n_buy + n_sell))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
          |       END AS imbalance
          |FROM a""".stripMargin,
 
     "w8_zscore_outliers" ->
       s"""WITH $ticksCte, $dedupCte,
-         |m AS (SELECT pair, time, round((bid + ask) / 2, 6) AS mid FROM dedup),
+         |m AS (SELECT pair, time, round(((bid + ask) / 2)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS mid FROM dedup),
          |x AS (
          |  SELECT pair, time, mid,
          |         count(mid) OVER w AS n,
@@ -517,7 +520,7 @@ object TradingQueries {
          |         s / nd AS mean
          |  FROM y)
          |SELECT pair, epoch(time)::BIGINT AS time_s, mid, n,
-         |       round((mid - mean) / sqrt(vr), 6) AS z
+         |       round(((mid - mean) / sqrt(vr))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS z
          |FROM z
          |WHERE vr > 0 AND abs((mid - mean) / sqrt(vr)) > 3.0""".stripMargin,
 
@@ -557,12 +560,12 @@ object TradingQueries {
         |  SELECT pair, ((epoch_us(time) // 1000000) // 3600) * 3600 AS time_s,
         |         -- DECIMAL(12,6)×DECIMAL(9,0) keeps the product in int128
         |         -- (the w9 lesson: two width-18 decimals overflow int64)
-        |         sum((round((bid + ask) / 2, 6)::DECIMAL(12,6))
+        |         sum((round(((bid + ask) / 2)::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(12,6))
         |             * (sz::DECIMAL(9,0))) AS pv,
         |         sum(sz)::BIGINT AS qty
         |  FROM tks GROUP BY 1, 2)
         |SELECT pair, time_s,
-        |       CASE WHEN qty > 0 THEN round(pv::DOUBLE / qty, 6) END AS vwap,
+        |       CASE WHEN qty > 0 THEN round((pv::DOUBLE / qty)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS vwap,
         |       qty
         |FROM b""".stripMargin,
 
@@ -589,11 +592,11 @@ object TradingQueries {
          |SELECT epoch(time)::BIGINT AS time_s, 30 AS n,
          |       CASE WHEN rn >= 31 AND (30.0 * sxx - sx * sx) > 0.0
          |                 AND (30.0 * syy - sy * sy) > 0.0
-         |            THEN round((30.0 * sxy - sx * sy)
-         |                 / sqrt((30.0 * sxx - sx * sx) * (30.0 * syy - sy * sy)), 6)
+         |            THEN round(((30.0 * sxy - sx * sy)
+         |                 / sqrt((30.0 * sxx - sx * sx) * (30.0 * syy - sy * sy)))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
          |       END AS corr,
          |       CASE WHEN rn >= 31 AND (30.0 * sxx - sx * sx) > 0.0
-         |            THEN round((30.0 * sxy - sx * sy) / (30.0 * sxx - sx * sx), 6)
+         |            THEN round(((30.0 * sxy - sx * sy) / (30.0 * sxx - sx * sx))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
          |       END AS beta
          |FROM s""".stripMargin,
 
@@ -623,11 +626,11 @@ object TradingQueries {
          |SELECT pair_a, pair_b, epoch(time)::BIGINT AS time_s, 30 AS n,
          |       CASE WHEN rn >= 31 AND (30.0 * sxx - sx * sx) > 0.0
          |                 AND (30.0 * syy - sy * sy) > 0.0
-         |            THEN round((30.0 * sxy - sx * sy)
-         |                 / sqrt((30.0 * sxx - sx * sx) * (30.0 * syy - sy * sy)), 6)
+         |            THEN round(((30.0 * sxy - sx * sy)
+         |                 / sqrt((30.0 * sxx - sx * sx) * (30.0 * syy - sy * sy)))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
          |       END AS corr,
          |       CASE WHEN rn >= 31 AND (30.0 * sxx - sx * sx) > 0.0
-         |            THEN round((30.0 * sxy - sx * sy) / (30.0 * sxx - sx * sx), 6)
+         |            THEN round(((30.0 * sxy - sx * sy) / (30.0 * sxx - sx * sx))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
          |       END AS beta
          |FROM s""".stripMargin,
 
@@ -647,10 +650,10 @@ object TradingQueries {
          |         (c.open + c.high + c.low + c.close) / 4.0
          |  FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1)
          |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
-         |       round(ha_open, 6) AS ha_open,
-         |       round(greatest(high, ha_open, ha_close), 6) AS ha_high,
-         |       round(least(low, ha_open, ha_close), 6) AS ha_low,
-         |       round(ha_close, 6) AS ha_close
+         |       round((ha_open)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS ha_open,
+         |       round((greatest(high, ha_open, ha_close))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS ha_high,
+         |       round((least(low, ha_open, ha_close))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS ha_low,
+         |       round((ha_close)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS ha_close
          |FROM r""".stripMargin,
 
     "w16_candle_patterns" ->
@@ -686,7 +689,7 @@ object TradingQueries {
         |  WHERE value > 0 AND value + 0.01 > 0 AND value <= value + 0.01),
         |b AS (
         |  SELECT pair, date_trunc('day', time) AS day,
-        |         CAST(floor(round((bid + ask) / 2, 6) * 2.0) AS BIGINT) AS bin,
+        |         CAST(floor(round(((bid + ask) / 2)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE * 2.0) AS BIGINT) AS bin,
         |         sum(sz)::BIGINT AS vol, count(*) AS n_ticks
         |  FROM tks WHERE sz IS NOT NULL GROUP BY 1, 2, 3)
         |SELECT pair, epoch(day)::BIGINT AS day_s, bin, bin / 2.0 AS price_lo,
@@ -708,13 +711,13 @@ object TradingQueries {
          |pv AS (
          |  SELECT pair, day, ph, pl, pc, (ph + pl + pc) / 3.0 AS p FROM lagged)
          |SELECT pair, epoch(day)::BIGINT AS day_s,
-         |       round(p, 6) AS p,
-         |       round(p * 2.0 - pl, 6) AS r1,
-         |       round(p * 2.0 - ph, 6) AS s1,
-         |       round(p + (ph - pl), 6) AS r2,
-         |       round(p - (ph - pl), 6) AS s2,
-         |       round(ph + (p - pl) * 2.0, 6) AS r3,
-         |       round(pl - (ph - p) * 2.0, 6) AS s3
+         |       round((p)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS p,
+         |       round((p * 2.0 - pl)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS r1,
+         |       round((p * 2.0 - ph)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS s1,
+         |       round((p + (ph - pl))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS r2,
+         |       round((p - (ph - pl))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS s2,
+         |       round((ph + (p - pl) * 2.0)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS r3,
+         |       round((pl - (ph - p) * 2.0)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS s3
          |FROM pv WHERE p IS NOT NULL""".stripMargin,
 
     "w7_max_drawdown" ->
@@ -724,7 +727,7 @@ object TradingQueries {
          |         max(close) OVER (PARTITION BY pair ORDER BY time
          |           ROWS UNBOUNDED PRECEDING) - close AS dd
          |  FROM c1m)
-         |SELECT pair, round(dd, 6) AS max_drawdown, time_s AS trough_s
+         |SELECT pair, round((dd)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS max_drawdown, time_s AS trough_s
          |FROM p
          |QUALIFY row_number() OVER (PARTITION BY pair
          |  ORDER BY dd DESC, time_s) = 1""".stripMargin,

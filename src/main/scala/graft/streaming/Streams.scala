@@ -380,6 +380,44 @@ object Streams {
         .withWatermark("time", watermark),
       struct(col("time"), col("seq")))
 
+  /** T24: DERIVED-timeframe candles as ONE streaming query — two CHAINED
+    * event-time window aggregations (the production pattern for resampled
+    * bars, Spark ≥3.4 multiple-stateful-operators): tumbling 1m OHLC from
+    * raw ticks, then a `duration` window over the 1m bars keyed on
+    * `window_time` of the inner window. The single watermark set at the
+    * source propagates through both stages. Both stages pick open/close by
+    * TOTAL order ((time, seq), then the 1m window start), so any
+    * micro-batch split yields identical candles. A derived window emits
+    * only once the watermark passes its end — and by then every inner 1m
+    * window (all end ≤ the outer end) has already been finalized upstream
+    * IN THE SAME micro-batch pipeline, so the emitted bar aggregates the
+    * COMPLETE 1m set: the streaming restatement of
+    * `Ohlc.resample ∘ Ohlc.ohlcBase`. At 100 TB the two stages are two
+    * keyed state stores sized by open windows per pair — bars, not ticks:
+    * the second stage's state is 1/duration the first's. */
+  def resampleStream(ticks: DataFrame, duration: String = "5 minutes",
+                     watermark: String = "1 minute"): DataFrame = {
+    val ord = struct(col("time"), col("seq"))
+    val base = ticks
+      .withColumn("time", date_trunc("second", col("time")))
+      .withWatermark("time", watermark)
+      .groupBy(col("pair"), window(col("time"), "1 minute"))
+      .agg(
+        min_by(col("bid"), ord).as("open"),
+        max(col("bid")).as("high"),
+        min(col("bid")).as("low"),
+        max_by(col("bid"), ord).as("close"))
+    base
+      .groupBy(col("pair"), window(window_time(col("window")), duration))
+      .agg(
+        min_by(col("open"), col("window.start")).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), col("window.start")).as("close"))
+      .select(col("pair"), col("window.start").as("time"),
+        col("open"), col("high"), col("low"), col("close"))
+  }
+
   /** T16: streaming size-weighted VWAP per (pair, tumbling bucket) — the
     * streaming twin of [[graft.operators.Ohlc.vwap]] (w11). The numerator
     * is the batch op's EXACT decimal sum (6-dp-grid mids × integer sizes),

@@ -1021,4 +1021,64 @@ class StateRestartSpec extends SparkSpec {
       (2L, ts("2024-01-01 00:00:01"), "high", 120.0, ts("2024-01-01 00:00:02"))),
       s"pivots: $a")
   }
+
+  // ------------------------------------------- t24: chained window resample
+
+  // the kill lands with 5m window [0,5) still OPEN in BOTH stages: stage 1
+  // holds the un-finalized 1m bars 02 and 04, stage 2 holds the partial 5m
+  // aggregate of bars 00/01 — restart must restore both state stores or the
+  // emitted [0,5) bar loses its open/low
+  private val resChunks = Seq(
+    seqTicks(Seq(("X", "2024-01-01 00:00:05", 1L, 10.0),
+      ("X", "2024-01-01 00:01:05", 2L, 11.0),
+      ("Y", "2024-01-01 00:00:30", 3L, 5.0))),
+    seqTicks(Seq(("X", "2024-01-01 00:02:05", 4L, 12.0),
+      ("X", "2024-01-01 00:04:30", 5L, 9.0))),
+    seqTicks(Seq(("X", "2024-01-01 00:05:10", 6L, 13.0),
+      ("Y", "2024-01-01 00:06:00", 7L, 6.0))),
+    seqTicks(Seq(("X", "2024-01-01 00:11:30", 8L, 14.0))))
+
+  private def runResample(src: String, sink: String, ckpt: String): Unit = {
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    Streams.resampleStream(stream)
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+  }
+
+  test("t24: chained 1m→5m window state survives a checkpoint restart") {
+    val root = Files.createTempDirectory("graft-t24-restart-").toString
+    val (srcA, srcB) = (s"$root/srcA", s"$root/srcB")
+    new java.io.File(srcA).mkdirs(); new java.io.File(srcB).mkdirs()
+
+    resChunks.zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcA, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runResample(srcA, s"$root/sinkA", s"$root/ckptA")
+
+    resChunks.take(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c$i", 1600000000000L + i * 60000L)
+    }
+    runResample(srcB, s"$root/sinkB", s"$root/ckptB")
+    resChunks.drop(2).zipWithIndex.foreach { case (c, i) =>
+      stage(c, root, srcB, s"c${i + 2}", 1600000120000L + i * 60000L)
+    }
+    runResample(srcB, s"$root/sinkB", s"$root/ckptB")
+
+    def rows(p: String) = spark.read.parquet(p)
+      .select("pair", "time", "open", "high", "low", "close")
+      .orderBy("pair", "time").collect().toSeq
+    val (a, b) = (rows(s"$root/sinkA"), rows(s"$root/sinkB"))
+    assert(a.nonEmpty, "reference run emitted nothing")
+    // X's [00:00, 00:05) bar spans the kill: open/high from pre-kill state,
+    // low/close from the pre-kill 1m bars finalized only after restart
+    val x0 = a.find(r => r.getString(0) == "X"
+      && r.getTimestamp(1) == ts("2024-01-01 00:00:00")).get
+    assert((x0.getDouble(2), x0.getDouble(3), x0.getDouble(4), x0.getDouble(5))
+      === ((10.0, 12.0, 9.0, 9.0)))
+    assert(b === a) // bit-equality across the kill/restart
+  }
 }
