@@ -22,10 +22,13 @@ object Flows {
   }
 
   /** F3: the indicator grid {RSI, SMA, EMA} × cfg.periods × cfg.timeframes
-    * as one unioned fact set. */
+    * as one unioned fact set — the FUSED single-shuffle form (every
+    * (indicator, period) state machine steps in one sorted-group fold, so
+    * the candles are exchanged once for the whole grid, not once per
+    * combo; bit-identical to the per-branch ops, pinned by FlowsSpec). */
   def indicatorFlow(ticks: DataFrame, cfg: Config = Config.default): DataFrame = {
     val candles = candleFlow(ticks, cfg)
-    Indicators.indicatorFacts(candles, Seq("RSI", "SMA", "EMA"), cfg.periods)
+    Indicators.indicatorFactsFused(candles, Seq("RSI", "SMA", "EMA"), cfg.periods)
   }
 
   /** F4: SMA-cross strategy over the configured short/long periods on the

@@ -1576,4 +1576,90 @@ object Indicators {
     }
     parts.reduce(_ unionByName _)
   }
+
+  /** One fused (indicator, period) step machine — value-identical to the
+    * branch it replaces. SMA replicates WindowExec's sliding-frame AVG
+    * bit-for-bit: Spark has no retractable double aggregates, so the frame
+    * sum is a FRESH oldest→newest fold per row — the ring sum below is the
+    * identical sequence of double adds. EMA/RSI reuse the [[ema]]/[[rsi]]
+    * fold arithmetic verbatim. */
+  private def fusedStep(indicator: String, period: Int): Double => Option[Double] =
+    indicator match {
+      case "SMA" =>
+        val ring = new Array[Double](period)
+        var n = 0
+        c => {
+          ring(n % period) = c; n += 1
+          if (n < period) None
+          else {
+            // oldest→newest, fresh per row (the WindowExec order)
+            var s = 0.0
+            var i = 0
+            while (i < period) { s += ring((n + i) % period); i += 1 }
+            Some(s / period)
+          }
+        }
+      case "EMA" =>
+        val k = 2.0 / (period + 1)
+        var i = -1; var seedSum = 0.0; var prev = 0.0
+        c => {
+          i += 1
+          if (i < period - 1) { seedSum += c; None }
+          else if (i == period - 1) { prev = (seedSum + c) / period; Some(prev) }
+          else { prev = (c - prev) * k + prev; Some(prev) }
+        }
+      case "RSI" =>
+        var i = -1; var prevClose = 0.0; var avgGain = 0.0; var avgLoss = 0.0
+        c => {
+          i += 1
+          val out =
+            if (i == 0) None
+            else {
+              val diff = c - prevClose
+              val gain = math.max(diff, 0.0)
+              val loss = math.max(-diff, 0.0)
+              if (i < period) { avgGain += gain; avgLoss += loss; None }
+              else {
+                if (i == period) {
+                  avgGain = (avgGain + gain) / period; avgLoss = (avgLoss + loss) / period
+                } else {
+                  avgGain = (avgGain * (period - 1) + gain) / period
+                  avgLoss = (avgLoss * (period - 1) + loss) / period
+                }
+                val denom = avgGain + avgLoss
+                Some(if (denom == 0.0) 0.0 else 100.0 * avgGain / denom)
+              }
+            }
+          prevClose = c
+          out
+        }
+      case other => throw new IllegalArgumentException(s"unknown indicator: $other")
+    }
+
+  /** [[indicatorFacts]] with ONE shuffle instead of one per branch: every
+    * (indicator, period) state machine steps inside a single sorted-group
+    * fold, so the candle set is exchanged and sorted ONCE however wide the
+    * grid is — at the reference's full 45-combo grid
+    * (transform.py:79-121) the branch form moves the candles 45×, this
+    * moves them once. Values are BIT-IDENTICAL to the branch form
+    * (FlowsSpec pins it): SMA replays WindowExec's fresh frame fold,
+    * EMA/RSI are the same closures. Per-key heap is O(Σ periods) scalars
+    * — independent of series length, same as the branch folds. */
+  def indicatorFactsFused(candles: DataFrame, indicators: Seq[String], periods: Seq[Int],
+                          calcVersion: String = CalcVersion): DataFrame = {
+    require(indicators.nonEmpty && periods.nonEmpty, "empty indicator grid")
+    val specs = for { ind <- indicators; p <- periods } yield (ind, p)
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select($"pair", $"timeframe", $"time", $"close").as[CloseRow]
+      .groupByKey(r => (r.pair, r.timeframe))
+      .flatMapSortedGroups($"time") { case ((pair, tf), rows) =>
+        val steps = specs.map { case (ind, p) => (ind, p, fusedStep(ind, p)) }
+        rows.flatMap { r =>
+          steps.iterator.map { case (ind, p, f) =>
+            IndicatorValue(ind, pair, tf, r.time, p, calcVersion, f(r.close))
+          }
+        }
+      }.toDF()
+  }
 }

@@ -36,6 +36,26 @@ class FlowsSpec extends SparkSpec {
     } yield (i, p, t)))
   }
 
+  test("fused indicator grid is BIT-identical to the per-branch union") {
+    val candles = Flows.candleFlow(ticks,
+      new Config(Map("DEFAULT_TIMEFRAMES" -> "1m,5m")))
+    val inds = Seq("RSI", "SMA", "EMA")
+    val ps = Seq(3, 5, 14)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("indicator", "pair", "timeframe", "time", "period", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getTimestamp(3), r.getInt(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .sortBy(t => (t._1, t._2, t._3, t._4.getTime, t._5))
+    val branch = rows(graft.operators.Indicators.indicatorFacts(candles, inds, ps))
+    val fused = rows(graft.operators.Indicators.indicatorFactsFused(candles, inds, ps))
+    assert(fused.length === branch.length)
+    // exact double equality — the fused SMA must replay WindowExec's fresh
+    // oldest→newest frame fold, EMA/RSI the identical recursions
+    assert(fused === branch)
+  }
+
   test("strategyFlow emits alternating BUY/SELL per pair, config periods") {
     val cfg = new Config(Map(
       "DEFAULT_SHORT_PERIOD" -> "3", "DEFAULT_LONG_PERIOD" -> "7"))
