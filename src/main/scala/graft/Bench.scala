@@ -39,6 +39,14 @@ object Bench {
       case "headline" => Seq("a1_ohlc_1m", "q5_region_revenue", "llm_text_stats")
       case _ => names
     }
+    // AMBIENT load must be sampled BEFORE the warm-up pass: at sf1 the
+    // warm-up itself is minutes of 32-thread work, so a post-warmup sample
+    // reads the bench's OWN load and self-flags comparable:false on an
+    // idle host (r10's sf1 records were all marked incomparable this way).
+    def loadavg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadAmbient = loadavg
     warmup.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
@@ -54,10 +62,7 @@ object Bench {
     // timed pass and flag comparability — every round before r8 had to
     // reconstruct "was the host busy?" by hand in BASELINE.md's noise
     // ledger. Threshold: a quarter of the bench's own cores of EXTERNAL
-    // load before we start is enough to distort min-of-N.
-    def loadavg: Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .getSystemLoadAverage
+    // (ambient, pre-warm-up) load is enough to distort min-of-N.
     val loadBefore = loadavg
     val loadThreshold = cpus.toDouble / 4.0
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -86,8 +91,9 @@ object Bench {
     val loadAfter = loadavg
     def f2(d: Double) = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val loadFields =
-      s""""load_before":${f2(loadBefore)},"load_after":${f2(loadAfter)},""" +
-        s""""comparable":${loadBefore < loadThreshold}"""
+      s""""load_ambient":${f2(loadAmbient)},""" +
+        s""""load_before":${f2(loadBefore)},"load_after":${f2(loadAfter)},""" +
+        s""""comparable":${loadAmbient < loadThreshold}"""
     val subtotalFields =
       s""""batch_total":${f2(batchTotal)},"streaming_total":${f2(streamingTotal)}"""
     def line(qs: String) =

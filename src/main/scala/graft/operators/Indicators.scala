@@ -1233,10 +1233,12 @@ object Indicators {
     val mid = (col("high") + col("low")) / 2
     val pmid = (lag(col("high"), 1).over(w) + lag(col("low"), 1).over(w)) / 2
     candlesWithVol
-      // %.6f → decimal, not round(): midmove sits on the half-grid (a mid
-      // is (h+l)/2 of 6-dp bids), so emv lands within an ulp of 6-dp ties
-      // where the engines' round() diverges (measured 26/9788 rows); the
-      // format conversions are correctly rounded on both engines
+      // %.6f → decimal: midmove sits on the half-grid (a mid is (h+l)/2 of
+      // 6-dp bids), so emv lands within an ulp of 6-dp ties where DuckDB's
+      // float-path round() diverged (measured 26/9788 rows). Java's %.6f is
+      // HALF_UP on the shortest repr — the SAME semantics as Spark round()
+      // — and the oracle replays it with the sround twin (see the ROUND
+      // PARITY note above microHalfUp).
       // the first bar has no midmove: format_string would stringify the
       // NULL to "null" and fail the ANSI decimal cast — guard first
       .withColumn("emv6",
@@ -1583,7 +1585,7 @@ object Indicators {
     * sum is a FRESH oldest→newest fold per row — the ring sum below is the
     * identical sequence of double adds. EMA/RSI reuse the [[ema]]/[[rsi]]
     * fold arithmetic verbatim. */
-  private def fusedStep(indicator: String, period: Int): Double => Option[Double] =
+  private[graft] def fusedStep(indicator: String, period: Int): Double => Option[Double] =
     indicator match {
       case "SMA" =>
         val ring = new Array[Double](period)

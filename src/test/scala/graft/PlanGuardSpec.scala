@@ -50,6 +50,26 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("fused indicator grid exchanges the candles ONCE however wide the grid") {
+    // the whole point of indicatorFactsFused: the per-branch union moves the
+    // candle set once per (indicator, period) combo (135 exchanges at the
+    // reference's 45-combo grid); the fused fold must stay at ONE exchange
+    // + one sort regardless of grid width
+    val candles = graft.queries.TradingQueries.queries("a1_ohlc_1m")(spark, d)
+      .selectExpr("pair", "'1m' AS timeframe",
+        "CAST(time_s AS TIMESTAMP) AS time", "close")
+    def exchanges(df: DataFrame): Int =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+    val base = exchanges(candles)
+    val fused = graft.operators.Indicators.indicatorFactsFused(
+      candles, Seq("RSI", "SMA", "EMA"), Seq(14, 28, 56))
+    // the 9-combo grid adds exactly ONE exchange on top of candle
+    // construction (the per-branch union would add 9)
+    assert(exchanges(fused) == base + 1,
+      s"fused grid added ${exchanges(fused) - base} exchanges (want 1)")
+  }
+
   test("q21 reads lineitem exactly thrice (l1 + semi + anti) and orders once") {
     // TPC-H Q21's EXISTS/NOT EXISTS require two correlated self-joins over
     // the fact — three lineitem references total. A fourth scan would mean

@@ -218,4 +218,28 @@ class PropertiesSpec extends SparkSpec {
       fps.getOrElse(1L, Set.empty).intersect(fps.getOrElse(2L, Set.empty)).nonEmpty
     }, n = 12)
   }
+
+  test("property: fused SMA step == fresh oldest-to-newest frame mean (any series, any period)") {
+    // the fused grid's SMA ring must replay WindowExec's sliding AVG
+    // exactly: a FRESH left-to-right sum of the trailing p closes per row
+    // (Spark has no retractable double aggregates). Pure-JVM check of the
+    // ring arithmetic (indexing off-by-ones, warm-up gate) against the
+    // spec written directly from the definition.
+    val series = Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))
+    val periods = Gen.chooseNum(2, 9)
+    checkProp(Prop.forAll(series, periods) { (xs, p) =>
+      val step = graft.operators.Indicators.fusedStep("SMA", p)
+      val got = xs.map(step)
+      val want = xs.indices.map { i =>
+        if (i < p - 1) None
+        else {
+          var s = 0.0
+          var j = i - p + 1
+          while (j <= i) { s += xs(j); j += 1 }
+          Some(s / p)
+        }
+      }
+      got == want // exact double equality — same adds in the same order
+    }, n = 40)
+  }
 }
