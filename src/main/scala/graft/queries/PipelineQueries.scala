@@ -137,6 +137,24 @@ object PipelineQueries {
         round(col("hist"), 6).as("hist"))
     }),
 
+    // incremental SMA at a DERIVED timeframe — the A2→S8 composition the
+    // reference's grid implies (transform.py:79-121 loops timeframes too):
+    // resample runs first, then the watermark/boundary/recompute machinery
+    // lives on the 5m grid, so one warm-up row spans five base minutes.
+    // SMA's backward-looking window makes merged ≡ one-shot, so the oracle
+    // is the plain window form over the resampled bars (the Cutoff sits on
+    // a 5m boundary, so prefix bars are final, never partial).
+    "s8i_idempotent_sma_5m" -> ((s, d) => {
+      val c5 = graft.operators.Ohlc.resample(candles1m(s, d),
+        graft.model.Timeframe.byCode("5m"))
+      val existing = Indicators.sma(c5.filter(col("time") < lit(Cutoff)), 14)
+      val merged = Incremental.incrementalIndicator(c5, existing, 14,
+        cc => Indicators.sma(cc, 14))
+      merged.select(col("pair"), col("timeframe"),
+        unix_timestamp(col("time")).as("time_s"),
+        col("period"), round(col("value"), 6).as("value"))
+    }),
+
     // incremental OBV — the SEVENTH family through the S8 path and the
     // first CUMULATIVE one: a running total cannot reseed from a warm-up
     // window, so the tail RESUMES from the last persisted (obv, close)
@@ -365,6 +383,21 @@ object PipelineQueries {
          |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
          |       END AS value
          |FROM c1m""".stripMargin,
+
+    // A2→S8 composition: SMA's backward window makes the first-write-wins
+    // merge identical to the one-shot run over the RESAMPLED series (close
+    // of a 5m bar = last 1m close in the bucket, the A2 semantics)
+    "s8i_idempotent_sma_5m" ->
+      s"""$prelude,
+         |c5m AS (SELECT pair, (epoch(time)::BIGINT // 300) * 300 AS ts,
+         |               max_by(close, time) AS close
+         |        FROM c1m GROUP BY 1, 2)
+         |SELECT pair, '5m' AS timeframe, ts AS time_s, 14 AS period,
+         |       CASE WHEN row_number() OVER (PARTITION BY pair ORDER BY ts) >= 14
+         |            THEN round((avg(close) OVER (PARTITION BY pair ORDER BY ts
+         |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
+         |       END AS value
+         |FROM c5m""".stripMargin,
 
     // Two recursive EMA recurrences: the full prefix run (rows < cutoff,
     // identical to u2's oracle over the restricted series) plus the

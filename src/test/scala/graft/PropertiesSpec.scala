@@ -242,4 +242,59 @@ class PropertiesSpec extends SparkSpec {
       got == want // exact double equality — same adds in the same order
     }, n = 40)
   }
+
+  test("property: fused EMA step == seed-mean + recurrence (any series, any period)") {
+    // spec written straight from the TA definition: mean of the first p
+    // closes seeds the series, then prev' = (c - prev)·k + prev with
+    // k = 2/(p+1). Same op order as the closure → exact double equality.
+    val series = Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))
+    val periods = Gen.chooseNum(2, 9)
+    checkProp(Prop.forAll(series, periods) { (xs, p) =>
+      val step = graft.operators.Indicators.fusedStep("EMA", p)
+      val got = xs.map(step)
+      val k = 2.0 / (p + 1)
+      var prev = 0.0
+      val want = xs.indices.map { i =>
+        if (i < p - 1) None
+        else if (i == p - 1) {
+          var s = 0.0
+          var j = 0
+          while (j <= i) { s += xs(j); j += 1 }
+          prev = s / p
+          Some(prev)
+        } else { prev = (xs(i) - prev) * k + prev; Some(prev) }
+      }
+      got == want
+    }, n = 40)
+  }
+
+  test("property: fused RSI step == Wilder smoothing (any series, any period)") {
+    // spec from the definition: diffs start at the 2nd close; the first p
+    // diffs seed avgGain/avgLoss as plain means, after that Wilder's
+    // (avg·(p−1) + x)/p smoothing; RSI = 100·g/(g+l), 0 when flat.
+    // Integer-valued closes so gain/loss sums are exact and the flat
+    // (denom == 0) branch is actually generated.
+    val series = Gen.nonEmptyListOf(Gen.chooseNum(-50, 50).map(_.toDouble))
+    val periods = Gen.chooseNum(2, 9)
+    checkProp(Prop.forAll(series, periods) { (xs, p) =>
+      val step = graft.operators.Indicators.fusedStep("RSI", p)
+      val got = xs.map(step)
+      var g = 0.0
+      var l = 0.0
+      val want = xs.indices.map { i =>
+        if (i == 0) None
+        else {
+          val d = xs(i) - xs(i - 1)
+          val (gain, loss) = (math.max(d, 0.0), math.max(-d, 0.0))
+          if (i < p) { g += gain; l += loss; None }
+          else {
+            if (i == p) { g = (g + gain) / p; l = (l + loss) / p }
+            else { g = (g * (p - 1) + gain) / p; l = (l * (p - 1) + loss) / p }
+            Some(if (g + l == 0.0) 0.0 else 100.0 * g / (g + l))
+          }
+        }
+      }
+      got == want
+    }, n = 40)
+  }
 }
