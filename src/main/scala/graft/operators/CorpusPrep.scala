@@ -18,6 +18,55 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPrep {
 
+  /** L60: incremental corpus ingest — the S8 first-write-wins pattern for
+    * documents, the shape a production 100 TB pipeline actually runs (the
+    * corpus is persisted; only batches arrive). An incoming doc is accepted
+    * iff it is (a) not an exact-content duplicate of the existing corpus or
+    * of a lower-id batch doc, (b) not a near-duplicate (verified Jaccard ≥
+    * `nearDupThreshold`) of ANY existing doc (the corpus always wins) or of
+    * a lower-id batch doc, and (c) quality ≥ `minQuality`. Existing rows
+    * are never touched. Returns the ACCEPTED incoming rows (the append set).
+    *
+    * Scale contract: candidate generation goes through
+    * [[Dedup.crossCandidates]], which never materializes an
+    * existing×existing pair — per-batch cost is proportional to the batch's
+    * bucket overlap with the corpus, not to the corpus's internal
+    * duplication. In production the existing side's signatures are computed
+    * once and persisted; here they are recomputed because the gate has no
+    * state store, but the pair generation is identical either way. */
+  def incrementalIngest(existing: DataFrame, incoming: DataFrame,
+                        n: Int = 3, numHashes: Int = 128, bands: Int = 16,
+                        nearDupThreshold: Double = 0.8,
+                        minQuality: Double = 0.2): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val existingHashes = existing
+      .select(md5(TextOps.normalize(col("text"))).as("content_hash")).distinct()
+    val exactSurvivors = Dedup.exact(incoming)
+      .filter(col("is_canonical"))
+      .select("doc_id", "content_hash")
+      .join(existingHashes, Seq("content_hash"), "left_anti")
+      .select("doc_id")
+    val shOld = Dedup.shingleSets(existing, n)
+    val shNew = Dedup.shingleSets(incoming, n)
+    val cands = Dedup.crossCandidates(
+      Dedup.minhashSignatures(shOld, numHashes),
+      Dedup.minhashSignatures(shNew, numHashes),
+      bands, numHashes / bands)
+    // j is always the incoming side (crossCandidates emits old×new as
+    // (i=old, j=new); new×new as i<j) — so losers are exactly the batch
+    // docs beaten by the corpus or by an earlier batch doc
+    val nearDupLosers = Dedup.verifyJaccard(cands, shOld.unionByName(shNew),
+        nearDupThreshold)
+      .select(col("j").as("doc_id")).distinct()
+    val qualified = TextAnalysis.stats(incoming)
+      .filter(col("quality") >= minQuality)
+      .select(col("doc_id"))
+    incoming
+      .join(exactSurvivors, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .join(qualified, Seq("doc_id"), "left_semi")
+  }
+
   /** Documents surviving cleaning: exact duplicates collapsed to the lowest
     * doc_id, near-duplicate (Jaccard ≥ `nearDupThreshold`) higher-id members
     * dropped, then low-quality docs (quality < `minQuality`) dropped. */

@@ -115,17 +115,7 @@ object Dedup {
     * partitions cleanly at scale. */
   def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
                     maxBucket: Int = 4096): DataFrame = {
-    val spark = sigs.sparkSession
-    import spark.implicits._
-    val banded = sigs.select(col("doc_id"), col("sig")).as[(Long, Array[Long])]
-      .flatMap { case (doc, sig) =>
-        (0 until bands).iterator.map { b =>
-          var h = 0x51_7c_c1_b7_27_22_0a_95L + b
-          var r = 0
-          while (r < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + r)); r += 1 }
-          (doc, b, h)
-        }
-      }.toDF("doc_id", "band", "bh")
+    val banded = bandedSigs(sigs, bands, rowsPerBand)
     // groupBy + in-bucket pair expansion, NOT a self-join: a self-join here
     // evaluates the whole signature pipeline once per side (broadcast-hash
     // plans cannot reuse the exchange), doubling the query. Buckets hold
@@ -134,6 +124,60 @@ object Dedup {
     // better handled by exact dedup first).
     bucketPairs(banded.groupBy(col("band"), col("bh"))
         .agg(array_sort(collect_list(col("doc_id"))).as("ds")), maxBucket)
+      .distinct()
+  }
+
+  /** Fold each band of `rowsPerBand` signature slots into one band hash:
+    * `(doc_id, band, bh)` rows, `bands` per doc. */
+  private def bandedSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    sigs.select(col("doc_id"), col("sig")).as[(Long, Array[Long])]
+      .flatMap { case (doc, sig) =>
+        (0 until bands).iterator.map { b =>
+          var h = 0x51_7c_c1_b7_27_22_0a_95L + b
+          var r = 0
+          while (r < rowsPerBand) { h = mix64(h ^ sig(b * rowsPerBand + r)); r += 1 }
+          (doc, b, h)
+        }
+      }.toDF("doc_id", "band", "bh")
+  }
+
+  /** LSH candidates for INCREMENTAL ingest: pairs that involve at least one
+    * `sigsNew` doc — old×new (i = old, j = new) and new×new (i < j) — and
+    * NEVER old×old. This is the property that makes batch-against-corpus
+    * dedup affordable at 100 TB: the persisted corpus's in-bucket pairs
+    * (quadratic in corpus duplication) are never materialized, so per-batch
+    * work is proportional to the batch's bucket overlap, not the corpus's.
+    * Band hashes are identical to [[lshCandidates]]'s, so a true near-dup
+    * pair collides here with exactly the same probability. `maxBucket` caps
+    * each side of a bucket independently (the standard degenerate-mass
+    * valve). Doc ids must be disjoint across the two inputs. */
+  def crossCandidates(sigsOld: DataFrame, sigsNew: DataFrame,
+                      bands: Int, rowsPerBand: Int,
+                      maxBucket: Int = 4096): DataFrame = {
+    val banded = bandedSigs(sigsOld, bands, rowsPerBand)
+        .withColumn("is_new", lit(false))
+      .unionByName(bandedSigs(sigsNew, bands, rowsPerBand)
+        .withColumn("is_new", lit(true)))
+    // collect_list skips the null branch of the CASE, so each bucket splits
+    // into its old and new member arrays in ONE aggregation
+    // both pair families expand from ONE aggregation pass (two consumers of
+    // the bucket aggregate would run the HashAggregate twice — only the
+    // exchange below it is reused)
+    val crossArr = flatten(transform(col("olds"), e =>
+      transform(col("news"), nn => struct(e.as("i"), nn.as("j")))))
+    val newArr = flatten(transform(col("news"), (x, i) =>
+      transform(slice(col("news"), i + 2, size(col("news"))),
+        y => struct(x.as("i"), y.as("j")))))
+    banded.groupBy(col("band"), col("bh"))
+      .agg(
+        array_sort(collect_list(when(!col("is_new"), col("doc_id")))).as("olds"),
+        array_sort(collect_list(when(col("is_new"), col("doc_id")))).as("news"))
+      .filter(size(col("news")) >= 1 &&
+        size(col("news")) <= maxBucket && size(col("olds")) <= maxBucket)
+      .select(explode(concat(crossArr, newArr)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
   }
 

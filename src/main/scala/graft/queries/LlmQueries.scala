@@ -108,6 +108,9 @@ object LlmQueries {
     * At production scale the scan is already many-partitioned and this
     * keyed exchange of raw text is a no-op cost next to the downstream
     * joins; it is NOT part of the operators themselves. */
+  /** Corpus/batch split point for the incremental-ingest gate. */
+  private val IngestCutoff = 350
+
   private def docsPar(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -319,6 +322,19 @@ object LlmQueries {
 
     "llm_corpus_clean" -> ((s, d) =>
       CorpusPrep.clean(docsPar(s, d)).select("doc_id", "lang", "source")),
+
+    // L60: incremental ingest — a batch (doc_id >= 350) arrives against the
+    // persisted corpus (doc_id < 350); the result is the ACCEPTED batch
+    // rows. Candidate generation never pairs corpus×corpus docs
+    // (Dedup.crossCandidates) — the property that keeps batch dedup
+    // affordable when the corpus is 100 TB and the batch is megabytes.
+    "llm_ingest_incremental" -> ((s, d) => {
+      val docs = docsPar(s, d)
+      CorpusPrep.incrementalIngest(
+        docs.filter(col("doc_id") < IngestCutoff),
+        docs.filter(col("doc_id") >= IngestCutoff))
+        .select("doc_id", "lang", "source")
+    }),
 
     "llm_corpus_stats" -> ((s, d) =>
       CorpusPrep.corpusStats(CorpusPrep.clean(docsPar(s, d)))),
@@ -1159,6 +1175,44 @@ object LlmQueries {
          |JOIN canon USING (doc_id)
          |JOIN q USING (doc_id)
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+
+    // true-Jaccard all-pairs restricted to pairs involving the batch — the
+    // exact semantics crossCandidates+verify implements (LSH recall at this
+    // corpus/threshold is exhaustive, as llm_dedup_minhash's gate proves)
+    "llm_ingest_incremental" ->
+      s"""WITH $shingleCte,
+         |cross_losers AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM sh a JOIN sh b ON a.doc_id < $IngestCutoff AND b.doc_id >= $IngestCutoff
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+         |          / len(list_distinct(a.s || b.s)) >= 0.8),
+         |batch_losers AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM sh a JOIN sh b ON a.doc_id >= $IngestCutoff AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+         |          / len(list_distinct(a.s || b.s)) >= 0.8),
+         |ex AS (
+         |  SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+         |  FROM documents WHERE doc_id < $IngestCutoff),
+         |canon AS (
+         |  SELECT doc_id, h FROM (
+         |    SELECT doc_id,
+         |           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
+         |           doc_id = min(doc_id) OVER (PARTITION BY
+         |             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep
+         |    FROM documents WHERE doc_id >= $IngestCutoff) WHERE keep),
+         |q AS (
+         |  SELECT doc_id FROM toks
+         |  WHERE doc_id >= $IngestCutoff
+         |    AND round((least(len(w)::DOUBLE / 50.0, 1.0)
+         |        * (1.0 - len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
+         |                 / len(w)))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE >= 0.2)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |JOIN canon USING (doc_id)
+         |JOIN q USING (doc_id)
+         |WHERE canon.h NOT IN (SELECT h FROM ex)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM cross_losers)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM batch_losers)""".stripMargin,
 
     "llm_corpus_stats" ->
       s"""WITH $shingleCte,

@@ -126,4 +126,41 @@ class CorpusPrepSpec extends SparkSpec {
         a._3 < 4) // last short chunk exempt
     }
   }
+
+  test("incrementalIngest: corpus wins, batch first-write-wins, corpus pairs never generated") {
+    // 56-token docs (see cleanClustered's shingle math): a two-token edit
+    // keeps J ≈ 0.86 ≥ 0.8; a fresh vocabulary is J = 0
+    val base = (0 until 56).map(i => f"w$i%02d")
+    val exact = base.mkString(" ")
+    val near = base.updated(10, "xx").updated(30, "yy").mkString(" ")
+    val novel = (0 until 56).map(i => f"v$i%02d").mkString(" ")
+    val nearNovel = (0 until 56).map(i => f"v$i%02d")
+      .updated(20, "zz").updated(40, "qq").mkString(" ")
+    val existing = Seq(
+      (1L, exact, "en", "s"),
+      (2L, exact, "en", "s")) // corpus-internal duplicate — must NOT matter
+      .toDF("doc_id", "text", "lang", "source")
+    val incoming = Seq(
+      (10L, exact, "en", "s"),     // exact dup of corpus → rejected
+      (11L, near, "en", "s"),      // near-dup of corpus → rejected
+      (12L, novel, "en", "s"),     // novel → accepted
+      (13L, nearNovel, "en", "s"), // near-dup of lower-id batch doc → rejected
+      (14L, "ab", "en", "s"))      // 1 token: quality 0.02 < 0.2 → rejected
+      .toDF("doc_id", "text", "lang", "source")
+    val accepted = CorpusPrep.incrementalIngest(existing, incoming)
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted === Set(12L))
+    // the scale contract: no corpus×corpus candidate pair, even though docs
+    // 1 and 2 are identical (they share every band bucket)
+    val sigs = graft.operators.Dedup.minhashSignatures(
+      graft.operators.Dedup.shingleSets(existing, 3), 128)
+    val sigsNew = graft.operators.Dedup.minhashSignatures(
+      graft.operators.Dedup.shingleSets(incoming, 3), 128)
+    val cands = graft.operators.Dedup.crossCandidates(sigs, sigsNew, 16, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cands.contains((1L, 2L)),
+      "corpus-internal pair materialized — breaks the incremental cost bound")
+    assert(cands.exists { case (i, j) => i <= 2 && j >= 10 },
+      "no corpus-batch candidate at all — banding broken")
+  }
 }
