@@ -290,6 +290,24 @@ object StreamQueries {
       s.read.parquet(s"$tmp/sink").select(col("content_hash"))
     }),
 
+    // T25 (streaming L60): the ingest-time dedup guard — each arriving doc
+    // is screened against everything seen before it (exact + near-dup +
+    // quality), the full batch joins the seen ledger, and the converged
+    // accept set must equal the one-shot batch clean() of the whole corpus
+    // (id-ordered arrival makes sequential seen-wins ≡ pairwise
+    // lower-id-wins). The redelivered tail file re-sends docs 0-99: every
+    // one must self-reject against the seen store.
+    "t25_ingest_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t25-").toString
+      withStreamShuffle(s, 8) {
+        awaitAndRecord("t25_ingest_stream",
+          Streams.ingestToParquet(
+            docStream(s, d).select("doc_id", "text", "lang", "source"),
+            s"$tmp/seen", s"$tmp/accepted", s"$tmp/ckpt"))
+      }
+      s.read.parquet(s"$tmp/accepted").select("doc_id", "lang", "source")
+    }),
+
     // T16 (streaming VWAP): the size-weighted w11 aggregation as a
     // streaming windowed agg — the EXACT decimal numerator makes emission
     // independent of the 4-batch split; hour buckets emit when the
@@ -874,6 +892,10 @@ object StreamQueries {
       """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
         |  AS content_hash
         |FROM documents""".stripMargin,
+
+    // the streaming accept set converges to the one-shot batch clean():
+    // reuse its oracle verbatim (same projection, same thresholds)
+    "t25_ingest_stream" -> LlmQueries.oracleSql("llm_corpus_clean"),
 
     // the w11 aggregation with the streaming append cutoff: buckets whose
     // end the final watermark (max second-truncated event time − 1 h) has

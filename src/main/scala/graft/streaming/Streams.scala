@@ -1179,6 +1179,45 @@ object Streams {
     * streaming `dropDuplicates` cannot express), exactly where the
     * reference normalizes each poll's rows before its conflict-skipping
     * insert (reference: src/gmo/ws_ticker_server.py:228-243). */
+  /** T25 (streaming L60): corpus build with an ingest-time dedup guard.
+    * Each micro-batch is screened against everything that arrived before
+    * it — exact-content, near-duplicate (MinHash/LSH, corpus-always-wins),
+    * and quality, via [[graft.operators.CorpusPrep.incrementalIngest]] —
+    * then the FULL batch (accepted or not) joins the seen ledger, so later
+    * docs are judged against every earlier arrival, exactly the one-shot
+    * pairwise lower-id-wins rule. With an id-ordered source the converged
+    * accept set therefore equals the batch [[graft.operators.CorpusPrep
+    * .clean]] of everything ever staged — the gate oracle.
+    *
+    * Crash safety: the accept append runs BEFORE the seen append, both
+    * behind first-write-wins guards. A kill between the two replays the
+    * batch against a seen store that does not yet contain it (same accept
+    * decisions, re-appends dropped); a kill after both is a no-op replay —
+    * every batch doc self-matches in the seen store and the accept rows
+    * are already present. */
+  def ingestToParquet(docs: DataFrame, seenPath: String, acceptPath: String,
+                      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        def readOr(path: String): DataFrame =
+          try spark.read.parquet(path)
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              batch.filter(lit(false)) // store not created yet: empty, same schema
+          }
+        val seen = readOr(seenPath)
+        val accepted = graft.operators.CorpusPrep.incrementalIngest(seen, batch)
+        Incremental.newRows(readOr(acceptPath), accepted, Seq("doc_id"))
+          .write.mode("append").parquet(acceptPath)
+        Incremental.newRows(seen, batch, Seq("doc_id"))
+          .write.mode("append").parquet(seenPath)
+      }
+      .start()
+
   def relayToParquet(ticks: DataFrame, sinkPath: String, checkpoint: String,
                      keys: Seq[String] = Seq("pair", "time"),
                      perBatch: DataFrame => DataFrame = identity): StreamingQuery =
