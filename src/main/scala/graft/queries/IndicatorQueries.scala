@@ -142,6 +142,16 @@ object IndicatorQueries {
         .select(col("indicator"), col("pair"), col("timeframe"),
           unix_timestamp(col("time")).as("time_s"), col("period"),
           round(col("value"), 6).as("value"))),
+    // the grid's FAR corner — long periods on coarse derived bars, where a
+    // close reaches the recursion through two aggregations and the warm-up
+    // spans hours of base data ({RSI,SMA,EMA} × {14,56} × {30m,4h})
+    "f3b_indicator_grid_wide" -> ((s, d) =>
+      graft.operators.Flows.indicatorFlow(TradingQueries.ticks(s, d),
+        new graft.Config(Map("DEFAULT_PERIODS" -> "14,56",
+          "DEFAULT_TIMEFRAMES" -> "30m,4h")))
+        .select(col("indicator"), col("pair"), col("timeframe"),
+          unix_timestamp(col("time")).as("time_s"), col("period"),
+          round(col("value"), 6).as("value"))),
     "u5_macd_1m" -> ((s, d) =>
       Indicators.macd(candles1m(s, d)).toDF()
         .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
@@ -1723,6 +1733,10 @@ object IndicatorQueries {
     "u2b_ema_14_4h" -> emaSql(14, "4h", 14400),
     "u3b_rsi_14_30m" -> rsiSql(14, "30m", 1800),
     "f3_indicator_grid" -> gridSql(Seq(14, 28), Seq(("1m", 60), ("5m", 300))),
+    // candleFlow always carries the 1m base alongside the configured
+    // resamples, so the oracle grid lists it too
+    "f3b_indicator_grid_wide" ->
+      gridSql(Seq(14, 56), Seq(("1m", 60), ("30m", 1800), ("4h", 14400))),
     "u41_cmo_14_1m" -> cmoSql(14),
     "w23_var_100_1m" -> varSql(100, 5),
     "u40_ulcer_14_1m" -> ulcerSql(14),
