@@ -1221,6 +1221,72 @@ object Indicators {
     }
   }
 
+  /** U43: Know Sure Thing (Pring) — a weighted sum of four SMA-smoothed
+    * rates of change: `KST = Σᵢ (i+1) · SMA(ROC(nᵢ), Lᵢ)` with the classic
+    * (n, L) grid (10,10) (15,10) (20,10) (30,15). Each ROC snaps to the
+    * 6-dp grid (`%.6f`, the [[eom]] pattern), so every smoothing sum is
+    * EXACT decimal, each mean is an integer-micro [[microHalfUp]] division,
+    * and the weighted sum is pure long arithmetic — the only float op is
+    * the final /1e6. Defined from rn = max(nᵢ+Lᵢ) = 45: `sum()` skips the
+    * NULL warm-up ROCs, so emission is gated to rows where every window is
+    * fully populated. Four lags + four sliding sums over ONE window spec —
+    * a single shuffle on the series key. */
+  def kst(candles: DataFrame,
+          rocs: Seq[Int] = Seq(10, 15, 20, 30),
+          smas: Seq[Int] = Seq(10, 10, 10, 15)): DataFrame = {
+    require(rocs.nonEmpty && rocs.size == smas.size, "rocs/smas must align")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val defFrom = rocs.lazyZip(smas).map(_ + _).max
+    var df = candles.withColumn("rn", row_number().over(w))
+    val qs = rocs.zip(smas).zipWithIndex.map { case ((n, l), i) =>
+      val cn = lag(col("close"), n).over(w)
+      df = df
+        .withColumn(s"roc$i",
+          when(cn.isNotNull,
+            format_string("%.6f", lit(100.0) * (col("close") - cn) / cn))
+            .cast("decimal(18,6)"))
+        .withColumn(s"s$i",
+          sum(col(s"roc$i")).over(w.rowsBetween(-(l - 1), Window.currentRow)))
+        .withColumn(s"m$i", (col(s"s$i") * 1000000).cast("long"))
+        .withColumn(s"q$i", microHalfUp(s"m$i", l))
+      col(s"q$i")
+    }
+    val kstMicro = qs.zipWithIndex.map { case (q, i) => q * (i + 1) }.reduce(_ + _)
+    df.select(col("pair"), col("timeframe"), col("time"),
+      lit(defFrom).as("period"),
+      when(col("rn") >= defFrom, kstMicro.cast("double") / 1000000.0).as("value"))
+  }
+
+  /** U42: True Strength Index (Blau) — momentum double-smoothed through a
+    * STACKED dual-chain EMA recursion: `mom = close − prev_close`, then
+    * `TSI = 100 · EMA(EMA(mom, slow), fast) / EMA(EMA(|mom|, slow), fast)`.
+    * A new recursion shape vs [[chaikin]]/[[pvo]] (two parallel stages) and
+    * [[trix]] (one chained stack): here TWO chained stacks run in parallel
+    * over a series DERIVED from a lag, so the stage warm-ups start at bar 2.
+    * With inputs from rn=2, the slow stages seed at rn=`slow+1` and the fast
+    * stages at rn=`slow+fast` — TSI is defined from there (|mom| sums are
+    * positive on any non-constant series; the `y != 0` guard keeps the
+    * operator total on degenerate flat series). O(1) state per series. */
+  def tsi(candles: DataFrame, slow: Int = 25, fast: Int = 13,
+          calcVersion: String = CalcVersion): Dataset[IndicatorValue] = {
+    require(fast >= 2 && slow >= 2, s"need fast/slow >= 2, got $fast/$slow")
+    foldSeries(candles, "TSI", slow, calcVersion) { () =>
+      val mS = new EmaStage(slow); val mF = new EmaStage(fast)
+      val aS = new EmaStage(slow); val aF = new EmaStage(fast)
+      var prev = Option.empty[Double]
+      c => {
+        val out = prev.flatMap { p =>
+          val mom = c - p
+          val m2 = mS.step(mom).flatMap(mF.step)
+          val a2 = aS.step(math.abs(mom)).flatMap(aF.step)
+          for (x <- m2; y <- a2 if y != 0.0) yield 100.0 * x / y
+        }
+        prev = Some(c)
+        out
+      }
+    }
+  }
+
   /** U37: Ease of Movement (Arms) — how far price travels per unit of
     * volume: per bar `emv = midmove · (high − low) / vol` with
     * `midmove = (h+l)/2 − (ph+pl)/2`, then an SMA(period) smoothing. The

@@ -40,6 +40,8 @@ object IndicatorQueries {
       col("trigger_indicator_period").as("period"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u42_tsi_25_13_1m" -> ((s, d) => indOut(Indicators.tsi(candles1m(s, d)).toDF())),
+    "u43_kst_1m" -> ((s, d) => indOut(Indicators.kst(candles1m(s, d)))),
     "u40_ulcer_14_1m" -> ((s, d) => indOut(Indicators.ulcer(candles1m(s, d), 14))),
     "u41_cmo_14_1m" -> ((s, d) => indOut(Indicators.cmo(candles1m(s, d), 14))),
     "w23_var_100_1m" -> ((s, d) =>
@@ -1493,6 +1495,93 @@ object IndicatorQueries {
        |            THEN round((100.0 * (fprev - sprev) / sprev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
        |FROM r""".stripMargin
 
+  /** KST: four %.6f-snapped ROCs → exact-decimal sliding sums → integer
+    * micro HALF_UP means → weighted long sum. The only float op on either
+    * engine is the final /1e6, so parity is structural. */
+  private def kstSql(rocs: Seq[Int], smas: Seq[Int]): String = {
+    val defFrom = rocs.lazyZip(smas).map(_ + _).max
+    val rocCols = rocs.zipWithIndex.map { case (n, i) =>
+      s"""round((100.0 * (close - lag(close, $n) OVER w) / lag(close, $n) OVER w)::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) AS roc$i"""
+    }.mkString(",\n|        ")
+    val sumCols = smas.zipWithIndex.map { case (l, i) =>
+      s"""CAST(sum(roc$i) OVER (PARTITION BY pair ORDER BY time
+         |          ROWS BETWEEN ${l - 1} PRECEDING AND CURRENT ROW) * 1000000 AS BIGINT) AS m$i""".stripMargin
+    }.mkString(",\n|        ")
+    val qCols = smas.zipWithIndex.map { case (l, i) =>
+      s"""CASE WHEN m$i >= 0 THEN (m$i * 2 + $l) // (2 * $l)
+         |             ELSE -(((-m$i) * 2 + $l) // (2 * $l)) END AS q$i""".stripMargin
+    }.mkString(",\n|        ")
+    val kst = smas.indices.map(i => s"${i + 1} * q$i").mkString(" + ")
+    s"""WITH $ticksCte, $dedupCte, $c1mCte,
+       |b AS (SELECT pair, time, row_number() OVER w AS rn,
+       |        $rocCols
+       |      FROM c1m WINDOW w AS (PARTITION BY pair ORDER BY time)),
+       |s AS (SELECT pair, time, rn,
+       |        $sumCols
+       |      FROM b),
+       |q AS (SELECT pair, time, rn,
+       |        $qCols
+       |      FROM s)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $defFrom AS period,
+       |       CASE WHEN rn >= $defFrom
+       |            THEN CAST($kst AS DOUBLE) / 1000000.0 END AS value
+       |FROM q""".stripMargin
+  }
+
+  /** TSI: TWO chained EMA stacks (slow→fast) run in parallel over the
+    * lag-derived momentum series `mom = close − prev_close` and its
+    * absolute value. Inputs start at rn=2, so the slow stages seed at
+    * rn=slow+1 and the fast stages at rn=slow+fast (the [[trixSql]]
+    * chained-stage pattern with a 1-row input offset). */
+  private def tsiSql(slow: Int, fast: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS MATERIALIZED (SELECT pair, time, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |r AS (
+       |  SELECT pair, rn, time, close,
+       |         CAST(0.0 AS DOUBLE) AS msum, CAST(NULL AS DOUBLE) AS me1,
+       |         CAST(0.0 AS DOUBLE) AS msum2, CAST(NULL AS DOUBLE) AS me2,
+       |         CAST(0.0 AS DOUBLE) AS asum, CAST(NULL AS DOUBLE) AS ae1,
+       |         CAST(0.0 AS DOUBLE) AS asum2, CAST(NULL AS DOUBLE) AS ae2
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT pair, rn, time, close, msum, me1,
+       |         CASE WHEN rn <= $slow THEN msum2_0
+       |              WHEN rn < ${slow + fast} THEN msum2_0 + me1
+       |              ELSE CAST(0.0 AS DOUBLE) END AS msum2,
+       |         CASE WHEN rn < ${slow + fast} THEN NULL
+       |              WHEN rn = ${slow + fast} THEN (msum2_0 + me1) / $fast
+       |              ELSE (me1 - me2_0) * (2.0 / ${fast + 1}) + me2_0 END AS me2,
+       |         asum, ae1,
+       |         CASE WHEN rn <= $slow THEN asum2_0
+       |              WHEN rn < ${slow + fast} THEN asum2_0 + ae1
+       |              ELSE CAST(0.0 AS DOUBLE) END AS asum2,
+       |         CASE WHEN rn < ${slow + fast} THEN NULL
+       |              WHEN rn = ${slow + fast} THEN (asum2_0 + ae1) / $fast
+       |              ELSE (ae1 - ae2_0) * (2.0 / ${fast + 1}) + ae2_0 END AS ae2
+       |  FROM (
+       |    SELECT c.pair, c.rn, c.time, c.close,
+       |           r.msum2 AS msum2_0, r.me2 AS me2_0,
+       |           r.asum2 AS asum2_0, r.ae2 AS ae2_0,
+       |           CASE WHEN c.rn <= $slow THEN r.msum + (c.close - r.close)
+       |                ELSE CAST(0.0 AS DOUBLE) END AS msum,
+       |           CASE WHEN c.rn <= $slow THEN NULL
+       |                WHEN c.rn = ${slow + 1} THEN (r.msum + (c.close - r.close)) / $slow
+       |                ELSE ((c.close - r.close) - r.me1) * (2.0 / ${slow + 1}) + r.me1 END AS me1,
+       |           CASE WHEN c.rn <= $slow THEN r.asum + abs(c.close - r.close)
+       |                ELSE CAST(0.0 AS DOUBLE) END AS asum,
+       |           CASE WHEN c.rn <= $slow THEN NULL
+       |                WHEN c.rn = ${slow + 1} THEN (r.asum + abs(c.close - r.close)) / $slow
+       |                ELSE (abs(c.close - r.close) - r.ae1) * (2.0 / ${slow + 1}) + r.ae1 END AS ae1
+       |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t1)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $slow AS period,
+       |       CASE WHEN ae2 IS NOT NULL AND ae2 <> 0
+       |            THEN round((100.0 * me2 / ae2)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
+       |FROM r""".stripMargin
+
   private def eomSql(p: Int): String =
     s"""WITH $ticksCte, $dedupCte, $c1vCte,
        |b AS (SELECT pair, time,
@@ -1737,6 +1826,8 @@ object IndicatorQueries {
     // resamples, so the oracle grid lists it too
     "f3b_indicator_grid_wide" ->
       gridSql(Seq(14, 56), Seq(("1m", 60), ("30m", 1800), ("4h", 14400))),
+    "u42_tsi_25_13_1m" -> tsiSql(25, 13),
+    "u43_kst_1m" -> kstSql(Seq(10, 15, 20, 30), Seq(10, 10, 10, 15)),
     "u41_cmo_14_1m" -> cmoSql(14),
     "w23_var_100_1m" -> varSql(100, 5),
     "u40_ulcer_14_1m" -> ulcerSql(14),

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Indicators
+import org.apache.spark.sql.functions._
+
+/** U42 TSI / U43 KST — closed-form series where the indicator value is
+  * known independently of the implementation:
+  *
+  *  - an ARITHMETIC ramp has constant momentum m, so both TSI chains see
+  *    constant inputs (mom and |mom| identical for m > 0) and every EMA
+  *    equals its input → TSI ≡ 100 from its first defined row (−100 on a
+  *    falling ramp);
+  *  - a GEOMETRIC series close = c·rⁿ has constant ROC(n) = 100·(rⁿ−1),
+  *    so every smoothed ROC is that constant and KST is the weighted sum.
+  */
+class MomentumIndicatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def candles(closes: Seq[Double], pair: String = "A") =
+    closes.zipWithIndex.map { case (c, i) =>
+      (pair, "1m", ts(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), c, c, c, c)
+    }.toDF("pair", "timeframe", "time", "open", "high", "low", "close")
+
+  test("TSI is exactly +100 on a rising ramp, -100 on a falling one, from rn=slow+fast") {
+    val up = (1 to 12).map(i => 10.0 + i * 0.5)
+    val r = Indicators.tsi(candles(up), slow = 3, fast = 2).toDF()
+      .orderBy("time").select("value").as[Option[Double]].collect()
+    assert(r.take(4).forall(_.isEmpty))            // rn 1..4 warm
+    assert(r.drop(4).forall(_.contains(100.0)))    // defined from rn = 3+2
+    val down = (1 to 12).map(i => 20.0 - i * 0.5)
+    val d = Indicators.tsi(candles(down), slow = 3, fast = 2).toDF()
+      .orderBy("time").select("value").as[Option[Double]].collect()
+    assert(d.drop(4).forall(_.contains(-100.0)))
+  }
+
+  test("TSI on a flat series stays null (|mom| chain is 0: the guard keeps it total)") {
+    val r = Indicators.tsi(candles(Seq.fill(10)(7.0)), slow = 3, fast = 2).toDF()
+      .select("value").as[Option[Double]].collect()
+    assert(r.forall(_.isEmpty))
+  }
+
+  test("TSI folds are isolated per series key") {
+    val two = candles((1 to 12).map(i => 10.0 + i * 0.5), "A")
+      .unionByName(candles((1 to 12).map(i => 20.0 - i * 0.5), "B"))
+    val r = Indicators.tsi(two, slow = 3, fast = 2).toDF()
+      .groupBy("pair").agg(max(abs(col("value"))).as("m"), min(col("value")).as("lo"))
+      .orderBy("pair").collect()
+    assert(r(0).getDouble(1) === 100.0 && r(1).getDouble(2) === -100.0)
+  }
+
+  test("KST equals the weighted constant-ROC sum on a geometric series") {
+    // close = 100 · 1.01^i → ROC(n) = 100·(1.01^n − 1), constant per n
+    val closes = (0 until 60).map(i => 100.0 * math.pow(1.01, i))
+    val rocs = Seq(10, 15, 20, 30); val smas = Seq(10, 10, 10, 15)
+    val r = Indicators.kst(candles(closes), rocs, smas)
+      .orderBy("time").select("value").as[Option[Double]].collect()
+    assert(r.take(44).forall(_.isEmpty))           // defined from rn = 30+15
+    // independent expectation: each ROC snaps to the 6-dp grid, the SMA of
+    // a constant is that constant (HALF_UP mean of d equal micro values is
+    // exact), and the weighted sum is integer micro arithmetic
+    val micro = rocs.map(n => math.round(100.0 * (math.pow(1.01, n) - 1) * 1e6))
+    val expect = micro.zipWithIndex.map { case (m, i) => (i + 1) * m }.sum / 1e6
+    r.drop(44).foreach(v => assert(math.abs(v.get - expect) < 2e-6,
+      s"got ${v.get}, want ~$expect"))
+  }
+
+  test("KST warm-up gate: value null while any ROC window is part-filled") {
+    val closes = (0 until 10).map(i => 10.0 + i)
+    val r = Indicators.kst(candles(closes), Seq(2, 3), Seq(2, 2))
+      .orderBy("time").select("value").as[Option[Double]].collect()
+    assert(r.take(4).forall(_.isEmpty) && r.drop(4).forall(_.isDefined)) // defFrom = 3+2
+  }
+}
