@@ -562,4 +562,28 @@ object TextAnalysis {
         (expr("(cast(sum_bpe as decimal(38,0)) * 2000000 + sum_ws)" +
           " div (2 * cast(sum_ws as decimal(38,0)))")
           .cast("double") / 1000000.0).as("fertility"))
+
+  /** L62: length-bucket padding report — the dynamic-batching planner's
+    * input. Docs are truncated to `maxLen` whitespace tokens and assigned
+    * to the next `step`-multiple bucket; per bucket: doc count, real token
+    * mass, padded mass (`bucket · n_docs`) and the padding waste ratio a
+    * fixed-shape batch of that bucket would burn. Length bucketing is how
+    * training loaders cut pad-token waste (uniform batching wastes
+    * `1 − mean/max` of every batch) — this report prices the bucket grid.
+    * Pure integer arithmetic to one final division; one map-side-combined
+    * aggregate on ~`maxLen/step` keys — shuffle-free at any corpus size. */
+  def lengthBuckets(docs: DataFrame, step: Int = 32, maxLen: Int = 512): DataFrame = {
+    require(step >= 1 && maxLen >= step && maxLen % step == 0,
+      s"need maxLen a positive multiple of step, got step=$step maxLen=$maxLen")
+    docs
+      .select(least(size(TextOps.tokens(col("text"))), lit(maxLen)).as("t"))
+      .select(col("t"), (expr(s"(t + ${step - 1}) div $step") * step).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("sum_tokens"))
+      .select(col("bucket").cast("long").as("bucket"), col("n_docs"),
+        col("sum_tokens"),
+        (col("bucket").cast("long") * col("n_docs")).as("padded"),
+        round(lit(1.0) - col("sum_tokens").cast("double")
+          / (col("bucket").cast("long") * col("n_docs")), 6).as("pad_waste"))
+  }
 }

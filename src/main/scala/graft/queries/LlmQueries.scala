@@ -140,6 +140,19 @@ object LlmQueries {
     "llm_dup_matrix" -> ((s, d) =>
       Dedup.dupMatrix(docsPar(s, d), threshold = 0.8)),
 
+    // L62: length-bucket padding report — the dynamic-batching planner;
+    // integer token masses per step-multiple bucket + the waste ratio a
+    // fixed-shape batch of that bucket burns
+    "llm_length_buckets" -> ((s, d) =>
+      TextAnalysis.lengthBuckets(Tables.documents(s, d), step = 32, maxLen = 512)),
+
+    // L61: cross-source KMV sketch similarity — per-source bottom-k
+    // shingle-hash sketches (bounded TopKByScore heaps) + the standard
+    // k-minimum-values Jaccard estimate per source pair; the crawl-overlap
+    // planning report without a doc-level pair join
+    "llm_source_sketch" -> ((s, d) =>
+      graft.operators.Sketches.sourceSketchSim(docsPar(s, d), n = 3, k = 256)),
+
     // L57: embedding-norm outlier screen — broken-embedding detector;
     // exact decimal norm moments, one-row global broadcast
     "llm_norm_outliers" -> ((s, d) =>
@@ -921,6 +934,51 @@ object LlmQueries {
          |       CAST((sum_bpe * 2000000 + sum_ws) // (2 * sum_ws) AS DOUBLE)
          |         / 1000000.0 AS fertility
          |FROM g""".stripMargin,
+
+    "llm_length_buckets" ->
+      """WITH t AS (
+        |  SELECT least(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')),
+        |               512) AS t
+        |  FROM documents),
+        |b AS (SELECT ((t + 31) // 32) * 32 AS bucket, t FROM t)
+        |SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+        |       sum(t)::BIGINT AS sum_tokens,
+        |       (bucket * count(*))::BIGINT AS padded,
+        |       round((1.0 - sum(t)::DOUBLE / (bucket * count(*)))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS pad_waste
+        |FROM b GROUP BY bucket""".stripMargin,
+
+    // KMV replay: distinct (source, hash60(shingle)) → bottom-k per source
+    // via row_number over h ascending → identical list algebra. Exact, not
+    // approximate, parity: the sketch is a pure function of the hashes.
+    "llm_source_sketch" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+         |  FROM documents),
+         |shs AS (
+         |  SELECT DISTINCT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+         |  FROM (SELECT source,
+         |          unnest(list_distinct(list_transform(range(1, len(w) - 1),
+         |            i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS g
+         |        FROM t WHERE len(w) >= 3)),
+         |rk AS (SELECT source, h,
+         |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |       FROM shs),
+         |sk AS (SELECT source, list(h ORDER BY h) AS sk
+         |       FROM rk WHERE rn <= 256 GROUP BY source),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |        a.sk AS ska, b.sk AS skb
+         |      FROM sk a JOIN sk b ON a.source < b.source),
+         |u AS (SELECT src_a, src_b, ska, skb,
+         |        list_sort(list_distinct(list_concat(ska, skb))) AS un FROM p),
+         |c AS (SELECT src_a, src_b, ska, skb,
+         |        least(256, len(un))::BIGINT AS ku,
+         |        un[1:least(256, len(un))] AS low FROM u)
+         |SELECT src_a, src_b, ku,
+         |       len(list_intersect(list_intersect(low, ska), skb))::BIGINT AS overlap,
+         |       round((len(list_intersect(list_intersect(low, ska), skb))::DOUBLE
+         |              / ku)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS jacc_est
+         |FROM c""".stripMargin,
 
     "llm_dup_matrix" ->
       s"""WITH $shingleCte,
