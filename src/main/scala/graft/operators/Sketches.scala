@@ -55,15 +55,35 @@ object Sketches {
     * breaks score ties by ascending id (= h), so the (score desc, id asc)
     * heap order is EXACTLY h ascending even where 60-bit hashes collapse
     * onto one 53-bit-mantissa double. */
-  def sourceSketchSim(docs: DataFrame, n: Int = 3, k: Int = 256): DataFrame = {
+  def sourceSketchSim(docs: DataFrame, n: Int = 3, k: Int = 256): DataFrame =
+    kmvMatrix(sourceSketch(docs, n, k), k)
+
+  /** Per-source KMV sketch: the `k` smallest distinct portable 60-bit
+    * shingle hashes, as a sorted array. Bounded TopKByScore heaps — ≤ k
+    * rows cross the shuffle per source. */
+  def sourceSketch(docs: DataFrame, n: Int = 3, k: Int = 256): DataFrame = {
     require(n >= 1 && k >= 1, s"need n,k >= 1, got n=$n k=$k")
-    val sh = docs
+    bottomK(docs
       .select(col("source"), explode(TextOps.shingles(col("text"), n)).as("g"))
-      .select(col("source"), TextOps.hash60(col("g")).as("h"))
-      .distinct()
-    val sk = sh.groupBy(col("source"))
+      .select(col("source"), TextOps.hash60(col("g")).as("h")), k)
+  }
+
+  /** Merge per-shard sketches (many `(source, sk)` rows per source → one):
+    * `bottom_k(bottom_k(A) ∪ bottom_k(B)) = bottom_k(A ∪ B)`, so shard
+    * sketches roll up exactly, in any order, with duplicates absorbed —
+    * the associative/commutative/idempotent property an append-only
+    * sketch ledger leans on for its crash contract. */
+  def mergeSketches(sketches: DataFrame, k: Int = 256): DataFrame =
+    bottomK(sketches.select(col("source"), explode(col("sk")).as("h")), k)
+
+  private def bottomK(hashes: DataFrame, k: Int): DataFrame =
+    hashes.distinct()
+      .groupBy(col("source"))
       .agg(graft.functions.TopKByScore(-col("h").cast("double"), col("h"), k).as("top"))
       .select(col("source"), transform(col("top"), x => x.getField("id")).as("sk"))
+
+  /** Pairwise KMV Jaccard estimates over `(source, sk)` sketch rows. */
+  def kmvMatrix(sk: DataFrame, k: Int): DataFrame = {
     // sources are a handful of rows: broadcast the pair expansion
     sk.as("a").join(broadcast(sk.as("b")), col("a.source") < col("b.source"))
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"),

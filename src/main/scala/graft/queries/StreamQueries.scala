@@ -308,6 +308,25 @@ object StreamQueries {
       s.read.parquet(s"$tmp/accepted").select("doc_id", "lang", "source")
     }),
 
+    // T26 (streaming L61): the KMV sketch ledger — each micro-batch appends
+    // its own per-source bottom-k sketch row; the rolled-up ledger must
+    // equal the one-shot batch sketch for ANY batch split (KMV union is
+    // associative/commutative/idempotent), so the final pair matrix reuses
+    // llm_source_sketch's oracle verbatim. The redelivered docs-0-99 file
+    // appends a duplicate sketch that the merge must absorb.
+    "t26_sketch_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t26-").toString
+      withStreamShuffle(s, 8) {
+        awaitAndRecord("t26_sketch_stream",
+          Streams.sketchStream(
+            docStream(s, d).select("doc_id", "text", "source"),
+            s"$tmp/ledger", s"$tmp/ckpt"))
+      }
+      graft.operators.Sketches.kmvMatrix(
+        graft.operators.Sketches.mergeSketches(
+          s.read.parquet(s"$tmp/ledger"), k = 256), k = 256)
+    }),
+
     // T16 (streaming VWAP): the size-weighted w11 aggregation as a
     // streaming windowed agg — the EXACT decimal numerator makes emission
     // independent of the 4-batch split; hour buckets emit when the
@@ -896,6 +915,7 @@ object StreamQueries {
     // the streaming accept set converges to the one-shot batch clean():
     // reuse its oracle verbatim (same projection, same thresholds)
     "t25_ingest_stream" -> LlmQueries.oracleSql("llm_corpus_clean"),
+    "t26_sketch_stream" -> LlmQueries.oracleSql("llm_source_sketch"),
 
     // the w11 aggregation with the streaming append cutoff: buckets whose
     // end the final watermark (max second-truncated event time − 1 h) has

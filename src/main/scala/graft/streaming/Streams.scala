@@ -1218,6 +1218,32 @@ object Streams {
       }
       .start()
 
+  /** T26 (streaming L61): corpus-sketch maintenance as an APPEND-ONLY
+    * ledger of per-batch KMV sketches. Each micro-batch contributes its own
+    * per-source bottom-k row; readers roll the ledger up with
+    * [[graft.operators.Sketches.mergeSketches]], which converges to the
+    * one-shot batch sketch for ANY batch split because KMV union is
+    * associative, commutative and idempotent
+    * (`bottom_k(bottom_k(A) ∪ bottom_k(B)) = bottom_k(A ∪ B)`).
+    *
+    * Crash contract — stronger than a swap-file ledger: a kill after the
+    * append but before the checkpoint commit replays the batch, appending
+    * a DUPLICATE sketch row, which the idempotent merge absorbs; a kill
+    * mid-append leaves a partial file that parquet's _SUCCESS-less read
+    * either misses (batch replays: fine) or reads alongside the replayed
+    * append (duplicate: fine). No read-modify-write exists to corrupt. */
+  def sketchStream(docs: DataFrame, ledgerPath: String, checkpoint: String,
+                   n: Int = 3, k: Int = 256): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Sketches.sourceSketch(batch, n, k)
+          .write.mode("append").parquet(ledgerPath)
+      }
+      .start()
+
   def relayToParquet(ticks: DataFrame, sinkPath: String, checkpoint: String,
                      keys: Seq[String] = Seq("pair", "time"),
                      perBatch: DataFrame => DataFrame = identity): StreamingQuery =

@@ -52,6 +52,20 @@ class SourceSketchSpec extends SparkSpec {
     assert(once === again)
   }
 
+  test("shard sketches roll up exactly: merge(bottom_k per shard) == one-shot, duplicates absorbed") {
+    val k = 6
+    val oneShot = Sketches.sourceSketch(docs, n = 3, k = k)
+      .orderBy("source").collect().toSeq
+    // arbitrary shard split (by doc parity) + a DUPLICATE of shard 1 —
+    // the append-only ledger's crash-replay case
+    val s1 = Sketches.sourceSketch(docs.filter(col("doc_id") % 2 === 0), 3, k)
+    val s2 = Sketches.sourceSketch(docs.filter(col("doc_id") % 2 === 1), 3, k)
+    val ledger = s1.unionByName(s2).unionByName(s1)
+    val merged = Sketches.mergeSketches(ledger, k = k)
+      .orderBy("source").collect().toSeq
+    assert(merged === oneShot)
+  }
+
   test("length buckets: truncation, bucket edges, and waste arithmetic") {
     val d = Seq(
       (1L, Seq.fill(5)("w").mkString(" ")),    // 5 tokens  → bucket 32
