@@ -1221,6 +1221,34 @@ object Indicators {
     }
   }
 
+  /** U44: Stochastic RSI (Chande/Kroll) — the stochastic oscillator applied
+    * to the RSI series: `100·(RSI − min(RSI, n))/(max(RSI, n) − min(RSI, n))`
+    * over the last `n` DEFINED RSI values. A window-over-recursion
+    * composition: the Wilder recursion ([[rsi]]) feeds a rolling min/max
+    * frame — order statistics, not sums, so the window adds no float-
+    * summation divergence on top of the bit-exact recursion. NULL while
+    * fewer than `n` RSI values exist or when the window is flat
+    * (max = min leaves the ratio undefined; emitting NULL keeps the
+    * operator total without inventing a 0/0 convention). Same single
+    * series-key shuffle as the RSI fold — the window reuses its
+    * partitioning. */
+  def stochRsi(candles: DataFrame, period: Int = 14, stoch: Int = 14,
+               calcVersion: String = CalcVersion): DataFrame = {
+    require(stoch >= 2, s"stoch window must be >= 2, got $stoch")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val f = w.rowsBetween(-(stoch - 1), Window.currentRow)
+    rsi(candles, period, calcVersion).toDF()
+      .filter(col("value").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("mn", min(col("value")).over(f))
+      .withColumn("mx", max(col("value")).over(f))
+      .select(col("pair"), col("timeframe"), col("time"),
+        lit(period).as("period"),
+        when(col("rn") >= stoch && col("mx") =!= col("mn"),
+          lit(100.0) * (col("value") - col("mn")) / (col("mx") - col("mn")))
+          .as("value"))
+  }
+
   /** U43: Know Sure Thing (Pring) — a weighted sum of four SMA-smoothed
     * rates of change: `KST = Σᵢ (i+1) · SMA(ROC(nᵢ), Lᵢ)` with the classic
     * (n, L) grid (10,10) (15,10) (20,10) (30,15). Each ROC snaps to the

@@ -42,6 +42,7 @@ object IndicatorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u42_tsi_25_13_1m" -> ((s, d) => indOut(Indicators.tsi(candles1m(s, d)).toDF())),
     "u43_kst_1m" -> ((s, d) => indOut(Indicators.kst(candles1m(s, d)))),
+    "u44_stochrsi_14_1m" -> ((s, d) => indOut(Indicators.stochRsi(candles1m(s, d)))),
     "u40_ulcer_14_1m" -> ((s, d) => indOut(Indicators.ulcer(candles1m(s, d), 14))),
     "u41_cmo_14_1m" -> ((s, d) => indOut(Indicators.cmo(candles1m(s, d), 14))),
     "w23_var_100_1m" -> ((s, d) =>
@@ -1495,6 +1496,51 @@ object IndicatorQueries {
        |            THEN round((100.0 * (fprev - sprev) / sprev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
        |FROM r""".stripMargin
 
+  /** StochRSI: the rsiSql Wilder recursion kept RAW (no per-row rounding),
+    * then a rolling min/max frame over the DEFINED rsi rows — order
+    * statistics compose with the bit-exact recursion without any new
+    * float-summation surface. */
+  private def stochRsiSql(p: Int, n: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS MATERIALIZED (SELECT pair, time, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |r AS (
+       |  SELECT pair, rn, time, close AS prev_close,
+       |         CAST(0.0 AS DOUBLE) AS avg_gain, CAST(0.0 AS DOUBLE) AS avg_loss
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT c.pair, c.rn, c.time, c.close,
+       |         CASE WHEN c.rn <= $p
+       |                THEN r.avg_gain + greatest(c.close - r.prev_close, 0.0)
+       |              WHEN c.rn = ${p + 1}
+       |                THEN (r.avg_gain + greatest(c.close - r.prev_close, 0.0)) / $p
+       |              ELSE (r.avg_gain * ${p - 1}
+       |                    + greatest(c.close - r.prev_close, 0.0)) / $p END,
+       |         CASE WHEN c.rn <= $p
+       |                THEN r.avg_loss + greatest(r.prev_close - c.close, 0.0)
+       |              WHEN c.rn = ${p + 1}
+       |                THEN (r.avg_loss + greatest(r.prev_close - c.close, 0.0)) / $p
+       |              ELSE (r.avg_loss * ${p - 1}
+       |                    + greatest(r.prev_close - c.close, 0.0)) / $p END
+       |  FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1),
+       |v AS (
+       |  SELECT pair, time,
+       |         CASE WHEN avg_gain + avg_loss = 0.0 THEN 0.0
+       |              ELSE 100.0 * avg_gain / (avg_gain + avg_loss) END AS rsi
+       |  FROM r WHERE rn > $p),
+       |s AS (
+       |  SELECT pair, time, rsi,
+       |         row_number() OVER w AS rn2,
+       |         min(rsi) OVER (w ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) AS mn,
+       |         max(rsi) OVER (w ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) AS mx
+       |  FROM v WINDOW w AS (PARTITION BY pair ORDER BY time))
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period,
+       |       CASE WHEN rn2 >= $n AND mx <> mn
+       |            THEN round((100.0 * (rsi - mn) / (mx - mn))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
+       |FROM s""".stripMargin
+
   /** KST: four %.6f-snapped ROCs → exact-decimal sliding sums → integer
     * micro HALF_UP means → weighted long sum. The only float op on either
     * engine is the final /1e6, so parity is structural. */
@@ -1828,6 +1874,7 @@ object IndicatorQueries {
       gridSql(Seq(14, 56), Seq(("1m", 60), ("30m", 1800), ("4h", 14400))),
     "u42_tsi_25_13_1m" -> tsiSql(25, 13),
     "u43_kst_1m" -> kstSql(Seq(10, 15, 20, 30), Seq(10, 10, 10, 15)),
+    "u44_stochrsi_14_1m" -> stochRsiSql(14, 14),
     "u41_cmo_14_1m" -> cmoSql(14),
     "w23_var_100_1m" -> varSql(100, 5),
     "u40_ulcer_14_1m" -> ulcerSql(14),

@@ -64,6 +64,21 @@ class MomentumIndicatorsSpec extends SparkSpec {
       s"got ${v.get}, want ~$expect"))
   }
 
+  test("StochRSI: 100 at a window-max RSI, 0 at a window-min, null on a flat window") {
+    // rising ramp → RSI ≡ 100 → flat stoch window → null everywhere
+    val ramp = (1 to 20).map(i => 10.0 + i)
+    val flat = Indicators.stochRsi(candles(ramp), period = 3, stoch = 3)
+      .select("value").as[Option[Double]].collect()
+    assert(flat.forall(_.isEmpty))
+    // up-up-down sawtooth: RSI alternates; the extremes hit 100/0 exactly
+    val saw = Seq(10.0, 11.0, 12.0, 11.0, 13.0, 12.0, 14.0, 13.0, 15.0, 14.0)
+    val r = Indicators.stochRsi(candles(saw), period = 3, stoch = 3)
+      .orderBy("time").select("value").as[Option[Double]].collect()
+    val defined = r.flatten
+    assert(defined.nonEmpty && defined.forall(v => v >= 0.0 && v <= 100.0))
+    assert(defined.contains(100.0) || defined.contains(0.0))
+  }
+
   test("KST warm-up gate: value null while any ROC window is part-filled") {
     val closes = (0 until 10).map(i => 10.0 + i)
     val r = Indicators.kst(candles(closes), Seq(2, 3), Seq(2, 2))
