@@ -1221,6 +1221,49 @@ object Indicators {
     }
   }
 
+  /** U45: Percentage Price Oscillator — [[pvo]]'s scale-free MACD shape
+    * applied to PRICE: `100·(EMA(fast) − EMA(slow))/EMA(slow)` over the
+    * close. Two SMA-seeded [[EmaStage]]s stepped together; NULL while warm
+    * or if the slow EMA is 0 (impossible for positive prices — the guard
+    * keeps the operator total). O(1) state per series. */
+  def ppo(candles: DataFrame, fast: Int = 12, slow: Int = 26,
+          calcVersion: String = CalcVersion): Dataset[IndicatorValue] = {
+    require(fast >= 2 && slow > fast, s"need slow > fast >= 2, got $fast/$slow")
+    foldSeries(candles, "PPO", slow, calcVersion) { () =>
+      val f = new EmaStage(fast); val s = new EmaStage(slow)
+      c => {
+        val a = f.step(c); val b = s.step(c)
+        for (x <- a; y <- b if y != 0.0) yield 100.0 * (x - y) / y
+      }
+    }
+  }
+
+  /** U46: Vertical Horizontal Filter (Adam White) — trendiness gauge:
+    * `(max(close, n) − min(close, n)) / Σ|Δclose|` over the same n-bar
+    * frame. The numerator is a pure order statistic (no summation); each
+    * |Δclose| snaps to the 6-dp grid so the denominator is an EXACT
+    * decimal sliding sum — the one float division happens on identical
+    * operands in both engines. Defined from rn = n+1 (every Δ in the
+    * frame exists); NULL on a flat frame (denominator 0). */
+  def vhf(candles: DataFrame, period: Int = 28): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    val f = w.rowsBetween(-(period - 1), Window.currentRow)
+    candles
+      .withColumn("d6",
+        when(lag(col("close"), 1).over(w).isNotNull,
+          format_string("%.6f", abs(col("close") - lag(col("close"), 1).over(w))))
+          .cast("decimal(18,6)"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("mx", max(col("close")).over(f))
+      .withColumn("mn", min(col("close")).over(f))
+      .withColumn("den", sum(col("d6")).over(f))
+      .select(col("pair"), col("timeframe"), col("time"),
+        lit(period).as("period"),
+        when(col("rn") >= period + 1 && col("den") =!= 0,
+          (col("mx") - col("mn")) / col("den").cast("double")).as("value"))
+  }
+
   /** U44: Stochastic RSI (Chande/Kroll) — the stochastic oscillator applied
     * to the RSI series: `100·(RSI − min(RSI, n))/(max(RSI, n) − min(RSI, n))`
     * over the last `n` DEFINED RSI values. A window-over-recursion

@@ -43,6 +43,8 @@ object IndicatorQueries {
     "u42_tsi_25_13_1m" -> ((s, d) => indOut(Indicators.tsi(candles1m(s, d)).toDF())),
     "u43_kst_1m" -> ((s, d) => indOut(Indicators.kst(candles1m(s, d)))),
     "u44_stochrsi_14_1m" -> ((s, d) => indOut(Indicators.stochRsi(candles1m(s, d)))),
+    "u45_ppo_1m" -> ((s, d) => indOut(Indicators.ppo(candles1m(s, d)).toDF())),
+    "u46_vhf_28_1m" -> ((s, d) => indOut(Indicators.vhf(candles1m(s, d), 28))),
     "u40_ulcer_14_1m" -> ((s, d) => indOut(Indicators.ulcer(candles1m(s, d), 14))),
     "u41_cmo_14_1m" -> ((s, d) => indOut(Indicators.cmo(candles1m(s, d), 14))),
     "w23_var_100_1m" -> ((s, d) =>
@@ -1496,6 +1498,55 @@ object IndicatorQueries {
        |            THEN round((100.0 * (fprev - sprev) / sprev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
        |FROM r""".stripMargin
 
+  /** PPO: the pvoSql dual-EMA recursion over the CLOSE series. */
+  private def ppoSql(fast: Int, slow: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |s AS MATERIALIZED (
+       |  SELECT pair, time, close AS v,
+       |         row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |  FROM c1m),
+       |r AS (
+       |  SELECT pair, rn, time, v AS fseed, CAST(NULL AS DOUBLE) AS fprev,
+       |         v AS sseed, CAST(NULL AS DOUBLE) AS sprev
+       |  FROM s WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.pair, s.rn, s.time,
+       |         CASE WHEN s.rn < $fast THEN r.fseed + s.v
+       |              ELSE CAST(0.0 AS DOUBLE) END,
+       |         CASE WHEN s.rn < $fast THEN NULL
+       |              WHEN s.rn = $fast THEN (r.fseed + s.v) / $fast
+       |              ELSE (s.v - r.fprev) * (2.0 / ${fast + 1}) + r.fprev END,
+       |         CASE WHEN s.rn < $slow THEN r.sseed + s.v
+       |              ELSE CAST(0.0 AS DOUBLE) END,
+       |         CASE WHEN s.rn < $slow THEN NULL
+       |              WHEN s.rn = $slow THEN (r.sseed + s.v) / $slow
+       |              ELSE (s.v - r.sprev) * (2.0 / ${slow + 1}) + r.sprev END
+       |  FROM r JOIN s ON s.pair = r.pair AND s.rn = r.rn + 1)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $slow AS period,
+       |       CASE WHEN sprev IS NOT NULL AND sprev <> 0
+       |            THEN round((100.0 * (fprev - sprev) / sprev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
+       |FROM r""".stripMargin
+
+  /** VHF: order-statistic numerator over the frame, 6-dp-snapped |Δclose|
+    * for an exact decimal denominator — one float division per row. */
+  private def vhfSql(p: Int): String =
+    s"""WITH $ticksCte, $dedupCte, $c1mCte,
+       |b AS (SELECT pair, time, close,
+       |        round((abs(close - lag(close) OVER w))::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) AS d6,
+       |        row_number() OVER w AS rn
+       |      FROM c1m WINDOW w AS (PARTITION BY pair ORDER BY time)),
+       |s AS (SELECT pair, time, rn,
+       |        max(close) OVER fr AS mx, min(close) OVER fr AS mn,
+       |        sum(d6) OVER fr AS den
+       |      FROM b WINDOW fr AS (PARTITION BY pair ORDER BY time
+       |        ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW))
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period,
+       |       CASE WHEN rn >= ${p + 1} AND den <> 0
+       |            THEN round(((mx - mn) / den::DOUBLE)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
+       |FROM s""".stripMargin
+
   /** StochRSI: the rsiSql Wilder recursion kept RAW (no per-row rounding),
     * then a rolling min/max frame over the DEFINED rsi rows — order
     * statistics compose with the bit-exact recursion without any new
@@ -1875,6 +1926,8 @@ object IndicatorQueries {
     "u42_tsi_25_13_1m" -> tsiSql(25, 13),
     "u43_kst_1m" -> kstSql(Seq(10, 15, 20, 30), Seq(10, 10, 10, 15)),
     "u44_stochrsi_14_1m" -> stochRsiSql(14, 14),
+    "u45_ppo_1m" -> ppoSql(12, 26),
+    "u46_vhf_28_1m" -> vhfSql(28),
     "u41_cmo_14_1m" -> cmoSql(14),
     "w23_var_100_1m" -> varSql(100, 5),
     "u40_ulcer_14_1m" -> ulcerSql(14),

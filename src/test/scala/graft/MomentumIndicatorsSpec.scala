@@ -79,6 +79,24 @@ class MomentumIndicatorsSpec extends SparkSpec {
     assert(defined.contains(100.0) || defined.contains(0.0))
   }
 
+  test("PPO is exactly 0 on a constant series from rn=slow") {
+    val r = Indicators.ppo(candles(Seq.fill(12)(5.0)), fast = 3, slow = 5).toDF()
+      .orderBy("time").select("value").as[Option[Double]].collect()
+    assert(r.take(4).forall(_.isEmpty) && r.drop(4).forall(_.contains(0.0)))
+  }
+
+  test("VHF on a monotone ramp is (n-1)/n: range covers n-1 of the frame's n unit steps") {
+    val ramp = (1 to 12).map(i => 10.0 + i * 0.5)
+    val r = Indicators.vhf(candles(ramp), period = 4)
+      .orderBy("time").select("value").as[Option[Double]].collect()
+    assert(r.take(4).forall(_.isEmpty)) // defined from rn = period+1
+    r.drop(4).foreach(v => assert(v.contains(0.75), s"got $v"))
+    // flat series: denominator 0 → null (total, no 0/0)
+    val f = Indicators.vhf(candles(Seq.fill(8)(3.0)), period = 4)
+      .select("value").as[Option[Double]].collect()
+    assert(f.forall(_.isEmpty))
+  }
+
   test("KST warm-up gate: value null while any ROC window is part-filled") {
     val closes = (0 until 10).map(i => 10.0 + i)
     val r = Indicators.kst(candles(closes), Seq(2, 3), Seq(2, 2))
