@@ -108,6 +108,24 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), s"bm25 lost tf exchange reuse:\n$p")
   }
 
+  test("source sketch scans the corpus once: the pair join's broadcast side reuses the distinct exchange") {
+    // sourceSketchSim self-joins the per-source sketches; the heavy stage
+    // (shingle explode + hash + distinct shuffle) must be computed ONCE,
+    // with the broadcast side re-aggregating from a ReusedExchange — two
+    // corpus scans here would double the dominant cost at 100 TB
+    val df = SparkEntry.queries("llm_source_sketch")(spark, d)
+    df.collect()
+    // AdaptiveSparkPlan.toString prints Final AND Initial sections — only
+    // the final (executed) one counts
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange"),
+      s"sketch pair join lost exchange reuse (corpus scanned twice):\n$p")
+    assert(p.linesIterator.count(l => l.contains("Scan parquet") &&
+      l.contains("documents")) === 1,
+      s"expected exactly one documents scan:\n$p")
+  }
+
   test("packing never sorts the full corpus on one task") {
     // the two-phase prefix sum's only unpartitioned window runs over the
     // per-bucket totals (≤ buckets rows); a global Sort directly above the
