@@ -2,6 +2,8 @@ package graft
 
 import graft.operators.{Sketches, TextAnalysis, TextOps}
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 class SourceSketchSpec extends SparkSpec {
   import spark.implicits._
@@ -64,6 +66,30 @@ class SourceSketchSpec extends SparkSpec {
     val merged = Sketches.mergeSketches(ledger, k = k)
       .orderBy("source").collect().toSeq
     assert(merged === oneShot)
+  }
+
+  test("bottom-k heap order is exact even where 60-bit hashes collapse onto one double") {
+    // the -h-as-double score is only claimed monotone; adjacent longs
+    // differing below the 53-bit mantissa get EQUAL scores and must be
+    // separated by the id tie-break. Generate clustered hashes (same
+    // double, different low bits) plus spread ones and compare against a
+    // Seq-based exact bottom-k.
+    val base = Gen.chooseNum(1L, (1L << 60) - 16)
+    val gen = Gen.nonEmptyListOf(for {
+      b <- base; off <- Gen.chooseNum(0L, 7L)
+    } yield b + off)
+    val prop = forAll(gen, Gen.chooseNum(1, 12)) { (hs: List[Long], k: Int) =>
+      // production bottomK runs distinct() before the heap; mirror that
+      val df = hs.distinct.map(h => ("s", h)).toDF("source", "h")
+        .groupBy(col("source"))
+        .agg(graft.functions.TopKByScore(-col("h").cast("double"), col("h"), k).as("top"))
+        .select(transform(col("top"), x => x.getField("id")).as("sk"))
+      val got = df.collect().head.getSeq[Long](0).toList
+      val exp = hs.distinct.sorted.take(k)
+      (got == exp) :| s"k=$k hashes=$hs got=$got exp=$exp"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("length buckets: truncation, bucket edges, and waste arithmetic") {
