@@ -1239,7 +1239,14 @@ object Streams {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Sketches.sourceSketch(batch, n, k)
+        // a maxFilesPerTrigger=1 micro-batch arrives as ONE partition; the
+        // shingle+MD5 stage is CPU-bound, so without an explicit fan-out it
+        // runs serially on that partition (measured 47.9 s vs 15.9 s for
+        // the full suite's t26 at 10× data). Same valve as
+        // Dedup.minhashSignatures' explicit repartition.
+        val wide = batch.repartition(
+          batch.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+        graft.operators.Sketches.sourceSketch(wide, n, k)
           .write.mode("append").parquet(ledgerPath)
       }
       .start()
