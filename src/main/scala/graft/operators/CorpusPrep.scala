@@ -235,6 +235,47 @@ object CorpusPrep {
         expr(s"_start % $budget").as("seq_offset"))
   }
 
+  /** L63: packed causal-LM training examples — the LAST step of the data
+    * pipeline, materializing what [[packSequences]] only assigns: per
+    * `budget`-token block, the concatenated token-id array and the
+    * shifted-left label array (`labels[i] = input[i+1]`, final position
+    * masked with −100 — the standard packed-causal convention; blocks are
+    * independent, so no token attends across a block boundary).
+    *
+    * Token ids are the portable 60-bit hash of each token (a vocab-free
+    * stand-in with an exact DuckDB twin). A doc spanning blocks contributes
+    * one slice per block (explode over `seq_first..seq_last`); each block
+    * reassembles its pieces in global-offset order. Memory per group is
+    * bounded by construction — a block holds exactly `budget` tokens — and
+    * the one shuffle keys on `block_id`, uniform by construction. Scale
+    * shape: tokens/budget blocks, each a bounded task; the prefix sums
+    * come from [[packSequences]]'s two-phase machinery (no global sort). */
+  def packExamples(docs: DataFrame, budget: Long, buckets: Int = 256): DataFrame = {
+    require(budget >= 2, s"budget must be >= 2, got $budget")
+    val ids = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        transform(col("toks"), t => TextOps.hash60(t)).as("tid"))
+    val asg = packSequences(
+      ids.select(col("doc_id"), size(col("tid")).cast("long").as("n_tokens")),
+      budget, buckets)
+    asg.join(ids, "doc_id")
+      .withColumn("_start", col("seq_first") * budget + col("seq_offset"))
+      .withColumn("blk", explode(sequence(col("seq_first"), col("seq_last"))))
+      .withColumn("lo", greatest(col("blk") * budget - col("_start"), lit(0L)))
+      .withColumn("hi",
+        least((col("blk") + 1) * budget - col("_start"), col("n_tokens")))
+      .withColumn("piece", slice(col("tid"), col("lo") + 1, col("hi") - col("lo")))
+      .groupBy(col("blk"))
+      .agg(sort_array(collect_list(struct(col("_start"), col("piece")))).as("ps"))
+      .select(col("blk").as("block_id"),
+        flatten(transform(col("ps"), x => x.getField("piece"))).as("input_ids"))
+      .select(col("block_id"), size(col("input_ids")).cast("long").as("n_tokens"),
+        col("input_ids"),
+        concat(slice(col("input_ids"), 2, (budget - 1).toInt),
+          array(lit(-100L))).as("labels"))
+  }
+
   /** Fixed-size token-window chunking with stride — the complement of
     * [[packSequences]]: packing concatenates short docs into budget-sized
     * blocks, chunking splits long docs into overlapping `size`-token

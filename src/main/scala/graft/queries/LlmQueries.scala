@@ -501,6 +501,11 @@ object LlmQueries {
         TextAnalysis.stats(docsPar(s, d)).select(col("doc_id"), col("n_tokens")),
         budget = 1024L)),
 
+    // L63: packed causal-LM training examples — materialized 128-token
+    // blocks with hash token ids and shifted-left labels (last masked -100)
+    "llm_pack_examples" -> ((s, d) =>
+      CorpusPrep.packExamples(docsPar(s, d), budget = 128L)),
+
     // context-window chunking: 64-token windows, stride 48 (16-token overlap)
     "llm_chunk_windows" -> ((s, d) =>
       CorpusPrep.chunkWindows(docsPar(s, d), chunkSize = 64, stride = 48)),
@@ -1478,6 +1483,32 @@ object LlmQueries {
          |  UNION
          |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)
          |SELECT v AS doc_id, min(u) AS cluster_id FROM reach GROUP BY v""".stripMargin,
+
+    // block reassembly replay: same prefix sums, per-block list slices in
+    // global-offset order, shifted labels via 1-based end-truncating slices
+    "llm_pack_examples" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, len(w)::BIGINT AS nt,
+         |             list_transform(w, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS tid
+         |      FROM toks),
+         |c AS (SELECT doc_id, nt, tid,
+         |             sum(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM t),
+         |sp AS (SELECT nt, tid, (cum - nt)::BIGINT AS st,
+         |              ((cum - nt) // 128)::BIGINT AS bf,
+         |              ((cum - 1) // 128)::BIGINT AS bl
+         |       FROM c),
+         |e AS (SELECT st, tid, nt, unnest(range(bf, bl + 1)) AS blk FROM sp),
+         |p AS (SELECT blk, st,
+         |             tid[greatest(blk * 128 - st, 0) + 1 :
+         |                 least((blk + 1) * 128 - st, nt)] AS piece
+         |      FROM e),
+         |g AS (SELECT blk, flatten(list(piece ORDER BY st)) AS input_ids
+         |      FROM p GROUP BY blk)
+         |SELECT blk::BIGINT AS block_id, len(input_ids)::BIGINT AS n_tokens,
+         |       input_ids,
+         |       list_append(input_ids[2:len(input_ids)], (-100)::BIGINT) AS labels
+         |FROM g""".stripMargin,
 
     "llm_pack_sequences" ->
       s"""WITH $toksCte,

@@ -34,6 +34,30 @@ class PackingSpec extends SparkSpec {
     assert(bucketed === global)
   }
 
+  test("packExamples round-trips: blocks re-concatenate to the corpus token stream; labels shift left") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "e f g h i j"), (3L, "k"), (4L, "l m n o p q r s")
+    ).toDF("doc_id", "text") // 4+6+1+8 = 19 tokens, budget 5 → blocks 0..3
+    val blocks = CorpusPrep.packExamples(docs, budget = 5L)
+      .orderBy("block_id").collect()
+    assert(blocks.length === 4)
+    // stream round-trip: flatten(blocks) == hashed tokens in doc_id order
+    val stream = blocks.flatMap(_.getSeq[Long](2))
+    val expected = docs.orderBy("doc_id")
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("t"))
+      .select(graft.operators.TextOps.hash60(col("t")))
+      .as[Long].collect()
+    assert(stream.toSeq === expected.toSeq)
+    // every full block holds exactly budget tokens; the tail holds the rest
+    assert(blocks.init.forall(_.getLong(1) === 5L) && blocks.last.getLong(1) === 4L)
+    // labels law: labels[i] == input[i+1], last masked with -100
+    blocks.foreach { b =>
+      val in = b.getSeq[Long](2); val lab = b.getSeq[Long](3)
+      assert(lab.size === in.size)
+      assert(lab.init === in.tail && lab.last === -100L)
+    }
+  }
+
   test("packing an empty corpus yields an empty result, not an NPE") {
     val docs = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
     val got = CorpusPrep.packSequences(docs, budget = 10L)
