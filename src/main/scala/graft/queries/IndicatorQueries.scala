@@ -41,6 +41,10 @@ object IndicatorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u42_tsi_25_13_1m" -> ((s, d) => indOut(Indicators.tsi(candles1m(s, d)).toDF())),
+    // the dual-stack recursion on RESAMPLED bars (two aggregations feed it)
+    "u42b_tsi_30m" -> ((s, d) => indOut(Indicators.tsi(
+      graft.operators.Ohlc.resample(candles1m(s, d),
+        graft.model.Timeframe.byCode("30m"))).toDF())),
     "u43_kst_1m" -> ((s, d) => indOut(Indicators.kst(candles1m(s, d)))),
     "u44_stochrsi_14_1m" -> ((s, d) => indOut(Indicators.stochRsi(candles1m(s, d)))),
     "u45_ppo_1m" -> ((s, d) => indOut(Indicators.ppo(candles1m(s, d)).toDF())),
@@ -1631,11 +1635,12 @@ object IndicatorQueries {
     * absolute value. Inputs start at rn=2, so the slow stages seed at
     * rn=slow+1 and the fast stages at rn=slow+fast (the [[trixSql]]
     * chained-stage pattern with a 1-row input offset). */
-  private def tsiSql(slow: Int, fast: Int): String =
+  private def tsiSql(slow: Int, fast: Int, tf: String = "1m", d: Int = 60): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
-       |c AS MATERIALIZED (SELECT pair, time, close,
-       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
-       |      FROM c1m),
+       |${tfCloseCte("b", tf, d)},
+       |c AS MATERIALIZED (SELECT pair, ts AS time, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY ts) AS rn
+       |      FROM b),
        |r AS (
        |  SELECT pair, rn, time, close,
        |         CAST(0.0 AS DOUBLE) AS msum, CAST(NULL AS DOUBLE) AS me1,
@@ -1673,7 +1678,7 @@ object IndicatorQueries {
        |                WHEN c.rn = ${slow + 1} THEN (r.asum + abs(c.close - r.close)) / $slow
        |                ELSE (abs(c.close - r.close) - r.ae1) * (2.0 / ${slow + 1}) + r.ae1 END AS ae1
        |    FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t1)
-       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |SELECT pair, '$tf' AS timeframe, time AS time_s,
        |       $slow AS period,
        |       CASE WHEN ae2 IS NOT NULL AND ae2 <> 0
        |            THEN round((100.0 * me2 / ae2)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
@@ -1924,6 +1929,7 @@ object IndicatorQueries {
     "f3b_indicator_grid_wide" ->
       gridSql(Seq(14, 56), Seq(("1m", 60), ("30m", 1800), ("4h", 14400))),
     "u42_tsi_25_13_1m" -> tsiSql(25, 13),
+    "u42b_tsi_30m" -> tsiSql(25, 13, "30m", 1800),
     "u43_kst_1m" -> kstSql(Seq(10, 15, 20, 30), Seq(10, 10, 10, 15)),
     "u44_stochrsi_14_1m" -> stochRsiSql(14, 14),
     "u45_ppo_1m" -> ppoSql(12, 26),
