@@ -320,6 +320,9 @@ class PlanGuardSpec extends SparkSpec {
       // prefix-sum over per-bucket totals: <= `buckets` (256) rows by
       // construction (the corpus-sized running sum is _b-partitioned)
       "llm_pack_sequences" -> "per-bucket totals, <= buckets rows",
+      // packExamples rides packSequences' machinery: the same deliberate
+      // tiny window over per-bucket totals
+      "llm_pack_examples" -> "per-bucket totals, <= buckets rows",
       // decile edges over an aggregated histogram of value buckets
       "a9_equidepth_bins" -> "aggregated bucket histogram, not raw rows",
       // global running total over o_orderdate DAYS — bounded by calendar
