@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-row linear-model weight vector for [[TextAnalysis.qualityModel]]:
@@ -562,6 +563,32 @@ object TextAnalysis {
         (expr("(cast(sum_bpe as decimal(38,0)) * 2000000 + sum_ws)" +
           " div (2 * cast(sum_ws as decimal(38,0)))")
           .cast("double") / 1000000.0).as("fertility"))
+
+  /** L64: vocabulary growth curve (Heaps' law) — distinct-type count after
+    * each `step`-doc checkpoint, in doc_id ingest order. A healthy corpus
+    * grows types sublinearly (Heaps Vᵦ, β≈0.5–0.7); a curve that bends
+    * UP betrays synthetic/templated floods, one that flatlines betrays
+    * mass duplication — the cheap dedup-health diagnostic before any
+    * pairwise machinery runs.
+    *
+    * Scale shape: each type contributes ONE row at its first-occurrence
+    * checkpoint (`min(doc_id)` per token — one map-side-combined shuffle
+    * on the token key), then the cumulative sum runs over ≤ #checkpoints
+    * rows on a deliberately tiny task. No per-doc×vocab expansion. */
+  def heapsCurve(docs: DataFrame, step: Long = 100L): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    val w = Window.orderBy(col("checkpoint"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      // checkpoint C covers doc_ids [0, C): first_doc d lands at the next
+      // step multiple above it
+      .select((expr(s"first_doc div $step") * step + step).as("checkpoint"))
+      .groupBy(col("checkpoint")).agg(count(lit(1)).as("new_types"))
+      .select(col("checkpoint"), col("new_types"),
+        sum(col("new_types")).over(w).as("vocab_size"))
+  }
 
   /** L62: length-bucket padding report — the dynamic-batching planner's
     * input. Docs are truncated to `maxLen` whitespace tokens and assigned

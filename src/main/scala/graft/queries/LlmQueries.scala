@@ -140,6 +140,13 @@ object LlmQueries {
     "llm_dup_matrix" -> ((s, d) =>
       Dedup.dupMatrix(docsPar(s, d), threshold = 0.8)),
 
+    // L64: Heaps-law vocabulary growth curve at per-doc granularity (the
+    // fixture's ~50-type vocab saturates within the first docs, so coarser
+    // checkpoints collapse to one row); the cheap dedup-health diagnostic
+    // (one first-occurrence shuffle, cum-sum over <= #checkpoints rows)
+    "llm_heaps_curve" -> ((s, d) =>
+      TextAnalysis.heapsCurve(docsPar(s, d), step = 1L)),
+
     // L62: length-bucket padding report — the dynamic-batching planner;
     // integer token masses per step-multiple bucket + the waste ratio a
     // fixed-shape batch of that bucket burns
@@ -939,6 +946,18 @@ object LlmQueries {
          |       CAST((sum_bpe * 2000000 + sum_ws) // (2 * sum_ws) AS DOUBLE)
          |         / 1000000.0 AS fertility
          |FROM g""".stripMargin,
+
+    "llm_heaps_curve" ->
+      s"""WITH $toksCte,
+         |f AS (SELECT unnest(w) AS tok, doc_id FROM toks),
+         |fo AS (SELECT tok, min(doc_id) AS first_doc FROM f GROUP BY tok),
+         |cp AS (SELECT (first_doc + 1)::BIGINT AS checkpoint,
+         |              count(*)::BIGINT AS new_types
+         |       FROM fo GROUP BY 1)
+         |SELECT checkpoint, new_types,
+         |       sum(new_types) OVER (ORDER BY checkpoint
+         |         ROWS UNBOUNDED PRECEDING)::BIGINT AS vocab_size
+         |FROM cp""".stripMargin,
 
     "llm_length_buckets" ->
       """WITH t AS (

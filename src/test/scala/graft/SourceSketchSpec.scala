@@ -92,6 +92,22 @@ class SourceSketchSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("heaps curve: new types land at their first-occurrence checkpoint; cum-sum totals the vocab") {
+    // doc 0: 3 new types; doc 1: 1 new (b,c repeat); doc 3: 2 new; doc 2: none
+    val d = Seq(
+      (0L, "a b c"), (1L, "b c d"), (2L, "a d"), (3L, "e f a")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.heapsCurve(d, step = 1L)
+      .orderBy("checkpoint").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq((1L, 3L, 3L), (2L, 1L, 4L), (4L, 2L, 6L)))
+    // step=2 buckets docs {0,1} and {2,3}
+    val r2 = TextAnalysis.heapsCurve(d, step = 2L)
+      .orderBy("checkpoint").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r2.toSeq === Seq((2L, 4L, 4L), (4L, 2L, 6L)))
+  }
+
   test("length buckets: truncation, bucket edges, and waste arithmetic") {
     val d = Seq(
       (1L, Seq.fill(5)("w").mkString(" ")),    // 5 tokens  → bucket 32
