@@ -272,6 +272,128 @@ object Similarity {
     topKPerQuery(exact, k)
   }
 
+  /** L65: PQ codebooks — classic product quantization (Jégou et al., PAMI
+    * 2011): L2-normalize, split into `m` subspaces, train `k` L2-k-means
+    * centroids PER subspace on the [[ivfCentroids]]-style bounded driver
+    * sample (first-k init in id order, `iters` Lloyd steps, empty clusters
+    * keep their centroid, argmin ties to the lowest index — fully
+    * deterministic). At 100 TB the codebooks are still m·k·(dim/m) doubles
+    * trained on a bounded sample and broadcast. */
+  def pqCodebooks(embs: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 5,
+                  sampleSize: Int = 4096): Array[Array[Array[Double]]] = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val sample = prep(embs).orderBy(col("id")).limit(sampleSize)
+      .as[(Long, Array[Double])].collect().map(v => normL2(v._2))
+    require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val vs = sample.map(_.slice(s * sub, (s + 1) * sub))
+      var cents = vs.take(k).map(_.clone)
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val counts = new Array[Int](k)
+        vs.foreach { v =>
+          val c = nearestL2(v, cents)
+          counts(c) += 1
+          var d = 0; while (d < sub) { sums(c)(d) += v(d); d += 1 }
+        }
+        cents = Array.tabulate(k)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      }
+      cents
+    }
+  }
+
+  private def normL2(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Argmin L2² over centroids, lowest index on ties. */
+  private def nearestL2(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d2 = 0.0; var d = 0
+      while (d < v.length) { val t = v(d) - cents(c)(d); d2 += t * t; d += 1 }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Encode each vector as `m` codebook indices (the 100 TB storage win:
+    * m·log2(k) bits per vector instead of dim floats). Broadcast books,
+    * per-partition loops — the [[ivfAssign]] shape. */
+  def pqEncode(embs: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(books)
+    val m = books.length
+    embs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val bs = bc.value
+        val v = normL2(emb.map(_.toDouble))
+        val sub = v.length / m
+        (id, Array.tabulate(m)(s => nearestL2(v.slice(s * sub, (s + 1) * sub), bs(s))))
+      }.toDF("cid", "codes")
+  }
+
+  /** PQ ANN: asymmetric-distance coarse scoring + exact re-rank. Per
+    * partition, each query's m×k inner-product lookup tables against the
+    * broadcast codebooks are built ONCE (`dot(q̂_s, centroid)` — since
+    * corpus vectors were normalized before encoding, Σ_s table[s][code_s]
+    * approximates the true cosine); a corpus vector then costs m table
+    * lookups instead of dim multiplies. Top `candFactor·k` approximate
+    * candidates per query re-rank at full precision — the
+    * [[quantizedTopK]] contract: recall tuned by candFactor, exactness
+    * restored by the re-rank (verified exhaustive at oracle SF). */
+  def pqTopK(embs: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+             kCent: Int = 16, candFactor: Int = 40, iters: Int = 5): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val books = pqCodebooks(embs, m, kCent, iters)
+    val codes = pqEncode(embs, books)
+    val qs = prep(queries).as[(Long, Array[Double])].collect()
+      .map { case (id, v) => (id, normL2(v)) }
+    require(qs.length <= 65536, s"query side too large to broadcast: ${qs.length}")
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val bcQs = spark.sparkContext.broadcast(qs)
+    val approx = codes.as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val bs = bcBooks.value
+        val sub = bs(0)(0).length
+        // per-partition: build every query's m×k dot tables once
+        val tables = bcQs.value.map { case (qid, qv) =>
+          (qid, Array.tabulate(bs.length) { s =>
+            bs(s).map { cent =>
+              var dot = 0.0; var d = 0
+              while (d < sub) { dot += qv(s * sub + d) * cent(d); d += 1 }
+              dot
+            }
+          })
+        }
+        it.flatMap { case (cid, cs) =>
+          tables.iterator.collect { case (qid, t) if qid != cid =>
+            var s = 0; var sum = 0.0
+            while (s < cs.length) { sum += t(s)(cs(s)); s += 1 }
+            (qid, cid, sum)
+          }
+        }
+      }.toDF("qid", "cid", "score")
+    val cands = topKPerQuery(approx, candFactor * k).select(col("qid"), col("cid"))
+    val corpus = prep(embs).select(col("id").as("cid"), col("emb"))
+    val qv = prep(queries).select(col("id").as("qid"), col("emb").as("qemb"))
+    val exact = cands
+      .join(corpus, "cid")
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("cid"), cosine(col("qemb"), col("emb")).as("score"))
+    topKPerQuery(exact, k)
+  }
+
   /** Train an IVF coarse quantizer: spherical k-means on a deterministic
     * corpus sample, driver-side (k·dim doubles; the standard approach — at
     * 100 TB the quantizer is still trained on a bounded sample and

@@ -300,6 +300,16 @@ object LlmQueries {
         .select(col("qid"), col("cid"), col("rank"), round(col("score"), 6).as("sim"))
     }),
 
+    // L65: PQ ANN — codebook-compressed coarse scan (m=8 subspaces × 16
+    // centroids, ADC lookup tables) + exact re-rank; candFactor 60 for
+    // exhaustive recall on this near-isotropic corpus (PQ's coarse signal
+    // is crudest of the family; clustered real embeddings need far less)
+    "llm_ann_pq" -> ((s, d) => {
+      val e = embsPar(s, d)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5, candFactor = 60)
+        .select(col("qid"), col("cid"), col("rank"), round(col("score"), 6).as("sim"))
+    }),
+
     // candFactor 40: this synthetic corpus is near-isotropic (tight coarse
     // score spread vs int8 noise), so full recall at oracle SF needs a
     // wide candidate margin; clustered real embeddings use small factors
@@ -1185,6 +1195,7 @@ object LlmQueries {
     "llm_ann_lsh" -> annOracle,
     "llm_ann_ivf" -> annOracle,
     "llm_ann_quant" -> annOracle,
+    "llm_ann_pq" -> annOracle,
 
     "llm_embed_center" ->
       """WITH ex AS (

@@ -126,6 +126,45 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.toSeq === exact.toSeq)
   }
 
+  test("pqTopK equals brute force on a clustered corpus at a modest candFactor") {
+    // 3 well-separated clusters in 16 dims — the regime PQ is built for:
+    // codes carry the cluster signal, so a small candidate margin recalls
+    // every true neighbor before the exact re-rank
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array.tabulate(16)(i => if (i < 5) 1.0 else 0.0),
+      Array.tabulate(16)(i => if (i >= 5 && i < 10) 1.0 else 0.0),
+      Array.tabulate(16)(i => if (i >= 10) 1.0 else 0.0))
+    val d = embs((0L until 60L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq, (i % 3).toInt)
+    }: _*).select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val q = d.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(d, q, k = 4)
+      .orderBy("qid", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // candFactor·k must cover a full 20-member cluster: same-cluster codes
+    // coincide, so ADC scores TIE and the candidate cut among ties is by
+    // cid — a margin below the tie-group size can drop a true neighbor
+    val pq = Similarity.pqTopK(d, q, k = 4, m = 4, kCent = 8, candFactor = 5)
+      .orderBy("qid", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pq.toSeq === exact.toSeq)
+  }
+
+  test("pqEncode is deterministic under repartition and codes stay in range") {
+    val rnd = new scala.util.Random(9)
+    val d = embs((0L until 40L).map { i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat), 0)
+    }: _*).select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val books = Similarity.pqCodebooks(d, m = 4, k = 8)
+    val once = Similarity.pqEncode(d, books)
+      .orderBy("cid").collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+    val again = Similarity.pqEncode(d.repartition(7), books)
+      .orderBy("cid").collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+    assert(once.toSeq === again.toSeq)
+    assert(once.forall(_._2.forall(c => c >= 0 && c < 8)))
+    assert(once.forall(_._2.size === 4))
+  }
+
   test("powerIteration recovers a planted dominant direction") {
     // 64-dim corpus dominated by ±e3 (power iteration is sign-blind to
     // the DATA's sign — the planted axis dominates ΣxxT either way),
