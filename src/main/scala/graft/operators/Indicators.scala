@@ -39,6 +39,9 @@ final case class RenkoBrick(pair: String, timeframe: String, time: Timestamp,
 
 /** Close + volume row for folds that need both (force index). Public for
   * the same Catalyst-deserializer reason as [[CloseRow]]. */
+final case class HlcvRow(pair: String, timeframe: String, time: Timestamp,
+                         high: Double, low: Double, close: Double, vol: Long)
+
 final case class CloseVolRow(pair: String, timeframe: String, time: Timestamp,
                              close: Double, vol: Long)
 
@@ -1219,6 +1222,51 @@ object Indicators {
         for (x <- a; y <- b if y != 0.0) yield 100.0 * (x - y) / y
       }
     }
+  }
+
+  /** U47: Klinger Volume Oscillator — volume force through a dual EMA, with
+    * a TREND STATE MACHINE feeding the recursion (a new fold shape: the
+    * derived series itself carries discrete state, not just a lag):
+    * `trend = sign(hlc − prev_hlc)` (down on ties, the common convention),
+    * `cm = cm + dm` while the trend holds, else `prev_dm + dm` (reset),
+    * `vf = vol · |2·dm/cm − 1| · trend · 100` (0 when cm = 0, flat bars),
+    * `KVO = EMA(vf, fast) − EMA(vf, slow)`. Two parallel SMA-seeded
+    * [[EmaStage]]s over the vf stream (defined from bar 2) — KVO defined
+    * from rn = slow+1. O(1) state per series. */
+  def klinger(candlesWithVol: DataFrame, fast: Int = 34, slow: Int = 55,
+              calcVersion: String = CalcVersion): Dataset[IndicatorValue] = {
+    require(fast >= 2 && slow > fast, s"need slow > fast >= 2, got $fast/$slow")
+    val spark = candlesWithVol.sparkSession
+    import spark.implicits._
+    candlesWithVol
+      .select($"pair", $"timeframe", $"time", $"high", $"low", $"close", $"vol")
+      .as[HlcvRow]
+      .groupByKey(r => (r.pair, r.timeframe))
+      .flatMapSortedGroups($"time") { case ((pair, tf), rows) =>
+        val eF = new EmaStage(fast); val eS = new EmaStage(slow)
+        var prevHlc = 0.0; var prevTrend = 0; var cm = 0.0; var prevDm = 0.0
+        var first = true
+        rows.map { r =>
+          val out =
+            if (first) {
+              first = false
+              prevHlc = r.high + r.low + r.close; prevDm = r.high - r.low
+              None
+            } else {
+              val hlc = r.high + r.low + r.close
+              val trend = if (hlc > prevHlc) 1 else -1
+              val dm = r.high - r.low
+              cm = if (trend == prevTrend) cm + dm else prevDm + dm
+              val vf =
+                if (cm == 0.0) 0.0
+                else r.vol * math.abs(2.0 * dm / cm - 1.0) * trend * 100.0
+              prevHlc = hlc; prevTrend = trend; prevDm = dm
+              val a = eF.step(vf); val b = eS.step(vf)
+              for (x <- a; y <- b) yield x - y
+            }
+          IndicatorValue("KVO", pair, tf, r.time, slow, calcVersion, out)
+        }
+      }
   }
 
   /** U45: Percentage Price Oscillator — [[pvo]]'s scale-free MACD shape

@@ -48,6 +48,8 @@ object IndicatorQueries {
     "u43_kst_1m" -> ((s, d) => indOut(Indicators.kst(candles1m(s, d)))),
     "u44_stochrsi_14_1m" -> ((s, d) => indOut(Indicators.stochRsi(candles1m(s, d)))),
     "u45_ppo_1m" -> ((s, d) => indOut(Indicators.ppo(candles1m(s, d)).toDF())),
+    "u47_klinger_1m" -> ((s, d) => indOut(Indicators.klinger(
+      graft.operators.Ohlc.ohlcBaseWithVol(TradingQueries.ticks(s, d))).toDF())),
     "u46_vhf_28_1m" -> ((s, d) => indOut(Indicators.vhf(candles1m(s, d), 28))),
     "u40_ulcer_14_1m" -> ((s, d) => indOut(Indicators.ulcer(candles1m(s, d), 14))),
     "u41_cmo_14_1m" -> ((s, d) => indOut(Indicators.cmo(candles1m(s, d), 14))),
@@ -1502,6 +1504,57 @@ object IndicatorQueries {
        |            THEN round((100.0 * (fprev - sprev) / sprev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
        |FROM r""".stripMargin
 
+  /** KVO: the trend state machine (sign of Δhlc, cumulative-measure reset
+    * on flips) replayed in the recursion's inner subquery, vf derived per
+    * step, dual parallel EMA stages seeded from rn=2 inputs (the tsiSql
+    * boundary arithmetic: seeds at fast+1 / slow+1). */
+  private def klingerSql(fast: Int, slow: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1vCte,
+       |c AS MATERIALIZED (SELECT pair, time, high, low, close, vol,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1v),
+       |r AS (
+       |  SELECT pair, rn, time,
+       |         high + low + close AS hlc, 0 AS trend,
+       |         CAST(0.0 AS DOUBLE) AS cm, high - low AS dm,
+       |         CAST(0.0 AS DOUBLE) AS fseed, CAST(NULL AS DOUBLE) AS fprev,
+       |         CAST(0.0 AS DOUBLE) AS sseed, CAST(NULL AS DOUBLE) AS sprev
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT pair, rn, time, hlc, trend, cm, dm,
+       |         CASE WHEN rn <= $fast THEN fseed_0 + vf
+       |              ELSE CAST(0.0 AS DOUBLE) END AS fseed,
+       |         CASE WHEN rn <= $fast THEN NULL
+       |              WHEN rn = ${fast + 1} THEN (fseed_0 + vf) / $fast
+       |              ELSE (vf - fprev_0) * (2.0 / ${fast + 1}) + fprev_0 END AS fprev,
+       |         CASE WHEN rn <= $slow THEN sseed_0 + vf
+       |              ELSE CAST(0.0 AS DOUBLE) END AS sseed,
+       |         CASE WHEN rn <= $slow THEN NULL
+       |              WHEN rn = ${slow + 1} THEN (sseed_0 + vf) / $slow
+       |              ELSE (vf - sprev_0) * (2.0 / ${slow + 1}) + sprev_0 END AS sprev
+       |  FROM (
+       |    SELECT pair, rn, time, hlc, trend, cm, dm,
+       |           fseed_0, fprev_0, sseed_0, sprev_0,
+       |           CASE WHEN cm = 0.0 THEN 0.0
+       |                ELSE vol * abs(2.0 * dm / cm - 1.0) * trend * 100.0
+       |           END AS vf
+       |    FROM (
+       |      SELECT c.pair, c.rn, c.time, c.vol,
+       |             c.high + c.low + c.close AS hlc,
+       |             CASE WHEN c.high + c.low + c.close > r.hlc THEN 1 ELSE -1 END AS trend,
+       |             CASE WHEN (CASE WHEN c.high + c.low + c.close > r.hlc THEN 1 ELSE -1 END) = r.trend
+       |                  THEN r.cm + (c.high - c.low)
+       |                  ELSE r.dm + (c.high - c.low) END AS cm,
+       |             c.high - c.low AS dm,
+       |             r.fseed AS fseed_0, r.fprev AS fprev_0,
+       |             r.sseed AS sseed_0, r.sprev AS sprev_0
+       |      FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t0) t1)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $slow AS period,
+       |       CASE WHEN sprev IS NOT NULL
+       |            THEN round((fprev - sprev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
+       |FROM r""".stripMargin
+
   /** PPO: the pvoSql dual-EMA recursion over the CLOSE series. */
   private def ppoSql(fast: Int, slow: Int): String =
     s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
@@ -1933,6 +1986,7 @@ object IndicatorQueries {
     "u43_kst_1m" -> kstSql(Seq(10, 15, 20, 30), Seq(10, 10, 10, 15)),
     "u44_stochrsi_14_1m" -> stochRsiSql(14, 14),
     "u45_ppo_1m" -> ppoSql(12, 26),
+    "u47_klinger_1m" -> klingerSql(34, 55),
     "u46_vhf_28_1m" -> vhfSql(28),
     "u41_cmo_14_1m" -> cmoSql(14),
     "w23_var_100_1m" -> varSql(100, 5),

@@ -97,6 +97,36 @@ class MomentumIndicatorsSpec extends SparkSpec {
     assert(f.forall(_.isEmpty))
   }
 
+  test("Klinger: zero-range bars give KVO exactly 0; the cm reset follows trend flips") {
+    def hlcv(rows: Seq[(Double, Double, Double, Long)]) =
+      rows.zipWithIndex.map { case ((h, l, c, v), i) =>
+        ("A", "1m", ts(f"2024-01-01 00:${i}%02d:00"), h, l, c, v)
+      }.toDF("pair", "timeframe", "time", "high", "low", "close", "vol")
+    // flat-range rising bars: dm = 0 → cm = 0 → vf = 0 → KVO ≡ 0 from slow+1
+    val flat = hlcv((1 to 10).map(i => (10.0 + i, 10.0 + i, 10.0 + i, 5L)))
+    val r = Indicators.klinger(flat, fast = 2, slow = 3).toDF()
+      .orderBy("time").select("value").as[Option[Double]].collect()
+    assert(r.take(3).forall(_.isEmpty) && r.drop(3).forall(_.contains(0.0)))
+    // hand-trace one flip: hlc 30→33 (up), 33→27 (down) — cm resets to
+    // prev_dm + dm on the flip rather than accumulating
+    val flip = hlcv(Seq((11.0, 9.0, 10.0, 1L), (12.0, 10.0, 11.0, 1L),
+      (10.0, 8.0, 9.0, 1L), (11.0, 9.0, 10.0, 1L)))
+    // bar2: trend +1 (0→+1 counts as flip from anchor 0): cm = 2+2 = 4,
+    //   vf = 1·|2·2/4 − 1|·1·100 = 0
+    // bar3: trend −1 (flip): cm = 2+2 = 4, vf = 1·|2·2/4−1|·(−1)·100 = −0.0
+    // bar4: trend +1 (flip): cm = 2+2 = 4, vf = 0 again
+    // → every vf is ±0 → both EMAs 0 → KVO 0 at rn=4 (slow=3 seeds at 4)
+    val f2 = Indicators.klinger(flip, fast = 2, slow = 3).toDF()
+      .orderBy("time").select("value").as[Option[Double]].collect()
+    assert(f2.last.contains(0.0))
+    // non-degenerate check: a widening-range rising series has nonzero KVO
+    val wide = hlcv((1 to 10).map(i => (10.0 + i + i * 0.1, 10.0 + i - i * 0.1,
+      10.0 + i, 5L)))
+    val w = Indicators.klinger(wide, fast = 2, slow = 3).toDF()
+      .orderBy("time").select("value").as[Option[Double]].collect()
+    assert(w.drop(3).exists(v => v.exists(_ != 0.0)))
+  }
+
   test("KST warm-up gate: value null while any ROC window is part-filled") {
     val closes = (0 until 10).map(i => 10.0 + i)
     val r = Indicators.kst(candles(closes), Seq(2, 3), Seq(2, 2))
