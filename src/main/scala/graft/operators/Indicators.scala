@@ -1224,6 +1224,29 @@ object Indicators {
     }
   }
 
+  /** U48: Balance of Power (Livermore) — per-bar buying-vs-selling pressure
+    * `(close − open)/(high − low)`, SMA-smoothed. The [[eom]] exact-
+    * arithmetic pattern end-to-end: the one float division snaps to the
+    * 6-dp grid (`%.6f`), the smoothing sum is exact decimal, the mean is an
+    * integer-micro HALF_UP division — no float round anywhere. Flat bars
+    * (high = low) contribute exactly 0; defined from rn = period. */
+  def bop(candles: DataFrame, period: Int = 14): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val w = Window.partitionBy(col("pair"), col("timeframe")).orderBy(col("time"))
+    candles
+      .withColumn("b6",
+        when(col("high") === col("low"), lit(BigDecimal(0)).cast("decimal(18,6)"))
+          .otherwise(format_string("%.6f",
+            (col("close") - col("open")) / (col("high") - col("low")))
+            .cast("decimal(18,6)")))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("s", sum(col("b6")).over(w.rowsBetween(-(period - 1), Window.currentRow)))
+      .withColumn("micro", (col("s") * 1000000).cast("long"))
+      .withColumn("q", microHalfUp("micro", period))
+      .select(col("pair"), col("timeframe"), col("time"), lit(period).as("period"),
+        when(col("rn") >= period, col("q").cast("double") / 1000000.0).as("value"))
+  }
+
   /** U47: Klinger Volume Oscillator — volume force through a dual EMA, with
     * a TREND STATE MACHINE feeding the recursion (a new fold shape: the
     * derived series itself carries discrete state, not just a lag):

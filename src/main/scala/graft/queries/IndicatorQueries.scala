@@ -48,6 +48,7 @@ object IndicatorQueries {
     "u43_kst_1m" -> ((s, d) => indOut(Indicators.kst(candles1m(s, d)))),
     "u44_stochrsi_14_1m" -> ((s, d) => indOut(Indicators.stochRsi(candles1m(s, d)))),
     "u45_ppo_1m" -> ((s, d) => indOut(Indicators.ppo(candles1m(s, d)).toDF())),
+    "u48_bop_14_1m" -> ((s, d) => indOut(Indicators.bop(candles1m(s, d), 14))),
     "u47_klinger_1m" -> ((s, d) => indOut(Indicators.klinger(
       graft.operators.Ohlc.ohlcBaseWithVol(TradingQueries.ticks(s, d))).toDF())),
     "u46_vhf_28_1m" -> ((s, d) => indOut(Indicators.vhf(candles1m(s, d), 28))),
@@ -1504,6 +1505,31 @@ object IndicatorQueries {
        |            THEN round((100.0 * (fprev - sprev) / sprev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
        |FROM r""".stripMargin
 
+  /** BOP: the eom exact chain — %.6f-snapped per-bar ratio, exact decimal
+    * sliding sum, integer micro HALF_UP mean. */
+  private def bopSql(p: Int): String =
+    s"""WITH $ticksCte, $dedupCte, $c1mCte,
+       |b AS (SELECT pair, time,
+       |        CASE WHEN high = low THEN (0.0)::DECIMAL(18,6)
+       |             ELSE round(((close - open) / (high - low))::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6)
+       |        END AS b6,
+       |        row_number() OVER w AS rn
+       |      FROM c1m WINDOW w AS (PARTITION BY pair ORDER BY time)),
+       |s AS (SELECT pair, time, rn,
+       |        CAST(sum(b6) OVER (PARTITION BY pair ORDER BY time
+       |          ROWS BETWEEN ${p - 1} PRECEDING AND CURRENT ROW)
+       |             * 1000000 AS BIGINT) AS micro
+       |      FROM b),
+       |q AS (SELECT pair, time, rn,
+       |        CASE WHEN micro >= 0 THEN (micro * 2 + $p) // (2 * $p)
+       |             ELSE -(((-micro) * 2 + $p) // (2 * $p)) END AS qv
+       |      FROM s)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $p AS period,
+       |       CASE WHEN rn >= $p
+       |            THEN CAST(qv AS DOUBLE) / 1000000.0 END AS value
+       |FROM q""".stripMargin
+
   /** KVO: the trend state machine (sign of Δhlc, cumulative-measure reset
     * on flips) replayed in the recursion's inner subquery, vf derived per
     * step, dual parallel EMA stages seeded from rn=2 inputs (the tsiSql
@@ -1987,6 +2013,7 @@ object IndicatorQueries {
     "u44_stochrsi_14_1m" -> stochRsiSql(14, 14),
     "u45_ppo_1m" -> ppoSql(12, 26),
     "u47_klinger_1m" -> klingerSql(34, 55),
+    "u48_bop_14_1m" -> bopSql(14),
     "u46_vhf_28_1m" -> vhfSql(28),
     "u41_cmo_14_1m" -> cmoSql(14),
     "w23_var_100_1m" -> varSql(100, 5),
