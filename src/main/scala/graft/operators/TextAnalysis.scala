@@ -574,7 +574,10 @@ object TextAnalysis {
     * Scale shape: each type contributes ONE row at its first-occurrence
     * checkpoint (`min(doc_id)` per token — one map-side-combined shuffle
     * on the token key), then the cumulative sum runs over ≤ #checkpoints
-    * rows on a deliberately tiny task. No per-doc×vocab expansion. */
+    * rows on a deliberately tiny task. No per-doc×vocab expansion. `step`
+    * IS the scale valve: it bounds that final task at #docs/step rows, so
+    * a 100 TB corpus wants step in the millions (the gate's step=1 exists
+    * only because the tiny fixture's vocab saturates in a few docs). */
   def heapsCurve(docs: DataFrame, step: Long = 100L): DataFrame = {
     require(step >= 1, s"step must be >= 1, got $step")
     val w = Window.orderBy(col("checkpoint"))

@@ -323,6 +323,8 @@ class PlanGuardSpec extends SparkSpec {
       // packExamples rides packSequences' machinery: the same deliberate
       // tiny window over per-bucket totals
       "llm_pack_examples" -> "per-bucket totals, <= buckets rows",
+      // heaps curve's cum-sum runs over the aggregated checkpoint rows
+      "llm_heaps_curve" -> "per-checkpoint aggregate, <= #checkpoints rows",
       // decile edges over an aggregated histogram of value buckets
       "a9_equidepth_bins" -> "aggregated bucket histogram, not raw rows",
       // global running total over o_orderdate DAYS — bounded by calendar
