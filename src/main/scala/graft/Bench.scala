@@ -106,7 +106,11 @@ object Bench {
     // truncated mid-object. stdout gets a rounded line instead, degraded one
     // step further if the registry ever grows past the capture budget (sbt's
     // trailing "[success] Total time..." line eats ~90 chars of the window).
-    val out = java.nio.file.Paths.get("target/bench.json")
+    // a SPARK_GRAFT_ONLY subset run writes its own file instead of
+    // clobbering the full-suite record (a targeted sf1 probe once silently
+    // overwrote the per-query map a comparison script then read)
+    val out = java.nio.file.Paths.get(
+      if (only.isDefined) "target/bench_subset.json" else "target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     System.err.println(full)
