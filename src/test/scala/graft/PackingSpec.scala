@@ -58,6 +58,36 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("packExamples round-trip holds for arbitrary corpora and budgets") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.{forAll, propBoolean}
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val docGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, word))
+    val corpusGen = Gen.nonEmptyListOf(docGen).map(_.take(12))
+    val prop = forAll(corpusGen, Gen.chooseNum(2, 9)) { (corpus, budget) =>
+      val docs = corpus.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val blocks = graft.operators.CorpusPrep.packExamples(docs, budget.toLong)
+        .orderBy("block_id").collect()
+      val stream = blocks.flatMap(_.getSeq[Long](2)).toList
+      val expectedHashes = docs.orderBy("doc_id")
+        .select(explode(graft.operators.TextOps.tokens(col("text"))).as("t"))
+        .select(graft.operators.TextOps.hash60(col("t")))
+        .as[Long].collect().toList
+      val sizesOk = blocks.init.forall(_.getLong(1) == budget.toLong) &&
+        blocks.last.getLong(1) == (expectedHashes.size - 1) % budget + 1
+      val labelsOk = blocks.forall { b =>
+        val in = b.getSeq[Long](2); val lab = b.getSeq[Long](3)
+        lab.size == in.size && lab.init == in.tail && lab.last == -100L
+      }
+      (stream == expectedHashes && sizesOk && labelsOk) :|
+        s"budget=$budget docs=${corpus.size} toks=${expectedHashes.size}"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("packing an empty corpus yields an empty result, not an NPE") {
     val docs = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
     val got = CorpusPrep.packSequences(docs, budget = 10L)
