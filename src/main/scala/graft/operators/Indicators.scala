@@ -1224,6 +1224,48 @@ object Indicators {
     }
   }
 
+  /** U49: Schaff Trend Cycle — MACD run through TWO stochastic+smoothing
+    * layers: `k1 = stoch(macd, cycle)`, `d1 += factor·(k1 − d1)`,
+    * `k2 = stoch(d1, cycle)`, `stc += factor·(k2 − stc)`. A five-layer
+    * recursion/window interleave carried by ONE sorted-group fold: two
+    * EMA stages, two `cycle`-length rings (order statistics only — no
+    * float-summation surface), two first-order smoothers. Flat stochastic
+    * windows CARRY the previous %K (initial 0 — the `nz(f[1])`
+    * convention), which also covers the first window (size 1, max = min).
+    * Defined from rn = slow. O(cycle) state per series. */
+  def stc(candles: DataFrame, fast: Int = 23, slow: Int = 50, cycle: Int = 10,
+          factor: Double = 0.5, calcVersion: String = CalcVersion): Dataset[IndicatorValue] = {
+    require(fast >= 2 && slow > fast && cycle >= 2,
+      s"need slow > fast >= 2 and cycle >= 2, got $fast/$slow/$cycle")
+    foldSeries(candles, "STC", slow, calcVersion) { () =>
+      val eF = new EmaStage(fast); val eS = new EmaStage(slow)
+      val ringM = scala.collection.mutable.Queue.empty[Double]
+      val ringD = scala.collection.mutable.Queue.empty[Double]
+      var prevK1 = 0.0; var prevK2 = 0.0
+      var d1 = Option.empty[Double]; var stcV = Option.empty[Double]
+      c => {
+        val a = eF.step(c); val b = eS.step(c)
+        (for (x <- a; y <- b) yield x - y) match {
+          case None => None
+          case Some(m) =>
+            ringM.enqueue(m); if (ringM.size > cycle) ringM.dequeue()
+            val mn = ringM.min; val mx = ringM.max
+            val k1 = if (mx != mn) 100.0 * (m - mn) / (mx - mn) else prevK1
+            prevK1 = k1
+            val d1v = d1 match { case None => k1; case Some(p) => p + factor * (k1 - p) }
+            d1 = Some(d1v)
+            ringD.enqueue(d1v); if (ringD.size > cycle) ringD.dequeue()
+            val dn = ringD.min; val dx = ringD.max
+            val k2 = if (dx != dn) 100.0 * (d1v - dn) / (dx - dn) else prevK2
+            prevK2 = k2
+            val s = stcV match { case None => k2; case Some(p) => p + factor * (k2 - p) }
+            stcV = Some(s)
+            Some(s)
+        }
+      }
+    }
+  }
+
   /** U48: Balance of Power (Livermore) — per-bar buying-vs-selling pressure
     * `(close − open)/(high − low)`, SMA-smoothed. The [[eom]] exact-
     * arithmetic pattern end-to-end: the one float division snaps to the

@@ -49,6 +49,7 @@ object IndicatorQueries {
     "u44_stochrsi_14_1m" -> ((s, d) => indOut(Indicators.stochRsi(candles1m(s, d)))),
     "u45_ppo_1m" -> ((s, d) => indOut(Indicators.ppo(candles1m(s, d)).toDF())),
     "u48_bop_14_1m" -> ((s, d) => indOut(Indicators.bop(candles1m(s, d), 14))),
+    "u49_stc_1m" -> ((s, d) => indOut(Indicators.stc(candles1m(s, d)).toDF())),
     "u47_klinger_1m" -> ((s, d) => indOut(Indicators.klinger(
       graft.operators.Ohlc.ohlcBaseWithVol(TradingQueries.ticks(s, d))).toDF())),
     "u46_vhf_28_1m" -> ((s, d) => indOut(Indicators.vhf(candles1m(s, d), 28))),
@@ -1505,6 +1506,80 @@ object IndicatorQueries {
        |            THEN round((100.0 * (fprev - sprev) / sprev)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
        |FROM r""".stripMargin
 
+  /** STC: the five-layer interleave replayed with LIST-state rings in the
+    * recursion — `list_append` + tail-slice keeps the last `cycle` values,
+    * `list_min`/`list_max` are the stochastic windows (order statistics:
+    * no summation surface), the two smoothers are scalar carries. Flat
+    * windows carry the previous %K (init 0), which also covers the first
+    * (size-1) window. */
+  private def stcSql(fast: Int, slow: Int, cycle: Int): String =
+    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+       |c AS MATERIALIZED (SELECT pair, time, close,
+       |             row_number() OVER (PARTITION BY pair ORDER BY time) AS rn
+       |      FROM c1m),
+       |r AS (
+       |  SELECT pair, rn, time,
+       |         close AS fseed, CAST(NULL AS DOUBLE) AS fprev,
+       |         close AS sseed, CAST(NULL AS DOUBLE) AS sprev,
+       |         []::DOUBLE[] AS ringm, CAST(0.0 AS DOUBLE) AS k1,
+       |         CAST(NULL AS DOUBLE) AS d1,
+       |         []::DOUBLE[] AS ringd, CAST(0.0 AS DOUBLE) AS k2,
+       |         CAST(NULL AS DOUBLE) AS stc
+       |  FROM c WHERE rn = 1
+       |  UNION ALL
+       |  SELECT pair, rn, time, fseed, fprev, sseed, sprev,
+       |         ringm, k1, d1, ringd, k2,
+       |         CASE WHEN rn < $slow THEN stc_0
+       |              WHEN stc_0 IS NULL THEN k2
+       |              ELSE stc_0 + 0.5 * (k2 - stc_0) END AS stc
+       |  FROM (
+       |    SELECT *,
+       |           CASE WHEN rn < $slow THEN ringd_0
+       |                ELSE (list_append(ringd_0, d1))[greatest(len(ringd_0) + 2 - $cycle, 1):] END AS ringd,
+       |           CASE WHEN rn < $slow THEN k2_0
+       |                WHEN list_max((list_append(ringd_0, d1))[greatest(len(ringd_0) + 2 - $cycle, 1):])
+       |                     <> list_min((list_append(ringd_0, d1))[greatest(len(ringd_0) + 2 - $cycle, 1):])
+       |                THEN 100.0 * (d1 - list_min((list_append(ringd_0, d1))[greatest(len(ringd_0) + 2 - $cycle, 1):]))
+       |                     / (list_max((list_append(ringd_0, d1))[greatest(len(ringd_0) + 2 - $cycle, 1):])
+       |                        - list_min((list_append(ringd_0, d1))[greatest(len(ringd_0) + 2 - $cycle, 1):]))
+       |                ELSE k2_0 END AS k2
+       |    FROM (
+       |      SELECT *,
+       |             CASE WHEN rn < $slow THEN d1_0
+       |                  WHEN d1_0 IS NULL THEN k1
+       |                  ELSE d1_0 + 0.5 * (k1 - d1_0) END AS d1
+       |      FROM (
+       |        SELECT *,
+       |               CASE WHEN rn < $slow THEN ringm_0
+       |                    ELSE (list_append(ringm_0, fprev - sprev))[greatest(len(ringm_0) + 2 - $cycle, 1):] END AS ringm,
+       |               CASE WHEN rn < $slow THEN k1_0
+       |                    WHEN list_max((list_append(ringm_0, fprev - sprev))[greatest(len(ringm_0) + 2 - $cycle, 1):])
+       |                         <> list_min((list_append(ringm_0, fprev - sprev))[greatest(len(ringm_0) + 2 - $cycle, 1):])
+       |                    THEN 100.0 * ((fprev - sprev) - list_min((list_append(ringm_0, fprev - sprev))[greatest(len(ringm_0) + 2 - $cycle, 1):]))
+       |                         / (list_max((list_append(ringm_0, fprev - sprev))[greatest(len(ringm_0) + 2 - $cycle, 1):])
+       |                            - list_min((list_append(ringm_0, fprev - sprev))[greatest(len(ringm_0) + 2 - $cycle, 1):]))
+       |                    ELSE k1_0 END AS k1
+       |        FROM (
+       |          SELECT c.pair, c.rn, c.time,
+       |                 r.ringm AS ringm_0, r.k1 AS k1_0, r.d1 AS d1_0,
+       |                 r.ringd AS ringd_0, r.k2 AS k2_0, r.stc AS stc_0,
+       |                 CASE WHEN c.rn < $fast THEN r.fseed + c.close
+       |                      ELSE CAST(0.0 AS DOUBLE) END AS fseed,
+       |                 CASE WHEN c.rn < $fast THEN NULL
+       |                      WHEN c.rn = $fast THEN (r.fseed + c.close) / $fast
+       |                      ELSE (c.close - r.fprev) * (2.0 / ${fast + 1}) + r.fprev END AS fprev,
+       |                 CASE WHEN c.rn < $slow THEN r.sseed + c.close
+       |                      ELSE CAST(0.0 AS DOUBLE) END AS sseed,
+       |                 CASE WHEN c.rn < $slow THEN NULL
+       |                      WHEN c.rn = $slow THEN (r.sseed + c.close) / $slow
+       |                      ELSE (c.close - r.sprev) * (2.0 / ${slow + 1}) + r.sprev END AS sprev
+       |          FROM r JOIN c ON c.pair = r.pair AND c.rn = r.rn + 1) t0) t1) t2) t3)
+       |SELECT pair, '1m' AS timeframe, epoch(time)::BIGINT AS time_s,
+       |       $slow AS period,
+       |       CASE WHEN rn >= $slow
+       |            THEN round((stc)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE END AS value
+       |FROM r""".stripMargin
+
   /** BOP: the eom exact chain — %.6f-snapped per-bar ratio, exact decimal
     * sliding sum, integer micro HALF_UP mean. */
   private def bopSql(p: Int): String =
@@ -2014,6 +2089,7 @@ object IndicatorQueries {
     "u45_ppo_1m" -> ppoSql(12, 26),
     "u47_klinger_1m" -> klingerSql(34, 55),
     "u48_bop_14_1m" -> bopSql(14),
+    "u49_stc_1m" -> stcSql(23, 50, 10),
     "u46_vhf_28_1m" -> vhfSql(28),
     "u41_cmo_14_1m" -> cmoSql(14),
     "w23_var_100_1m" -> varSql(100, 5),

@@ -127,6 +127,27 @@ class MomentumIndicatorsSpec extends SparkSpec {
     assert(w.drop(3).exists(v => v.exists(_ != 0.0)))
   }
 
+  test("STC: exactly 0 on a flat series; converges to 100 on a ramp; bounded in [0,100]") {
+    val flat = Indicators.stc(candles(Seq.fill(12)(7.0)), fast = 3, slow = 5, cycle = 3)
+      .toDF().orderBy("time").select("value").as[Option[Double]].collect()
+    assert(flat.take(4).forall(_.isEmpty))          // defined from rn = slow
+    assert(flat.drop(4).forall(_.contains(0.0)))    // macd ≡ 0 → every layer 0
+    // LINEAR ramp: an SMA-seeded EMA sits at its steady-state lag b·(p−1)/2
+    // from the seed onward, so macd = b·(slow−fast)/2 is CONSTANT — every
+    // stochastic window is flat and the carry rule pins STC ≡ 0
+    val ramp = (1 to 30).map(i => 10.0 + i * 0.5)
+    val lin = Indicators.stc(candles(ramp), fast = 3, slow = 5, cycle = 3)
+      .toDF().orderBy("time").select("value").as[Option[Double]].collect().flatten
+    assert(lin.forall(_ == 0.0), s"linear ramp should pin STC to 0, got ${lin.toSeq}")
+    // ACCELERATING series: macd strictly increases, each bar is its ring's
+    // max → k1 = 100 every bar → both smoothers saturate toward 100
+    val geo = (1 to 30).map(i => 10.0 * math.pow(1.05, i))
+    val r = Indicators.stc(candles(geo), fast = 3, slow = 5, cycle = 3)
+      .toDF().orderBy("time").select("value").as[Option[Double]].collect().flatten
+    assert(r.forall(v => v >= 0.0 && v <= 100.0))
+    assert(r.last > 99.0, s"accelerating STC should saturate toward 100, got ${r.last}")
+  }
+
   test("KST warm-up gate: value null while any ROC window is part-filled") {
     val closes = (0 until 10).map(i => 10.0 + i)
     val r = Indicators.kst(candles(closes), Seq(2, 3), Seq(2, 2))
