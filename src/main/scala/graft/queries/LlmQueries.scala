@@ -519,9 +519,17 @@ object LlmQueries {
         budget = 1024L)),
 
     // L63: packed causal-LM training examples — materialized 128-token
-    // blocks with hash token ids and shifted-left labels (last masked -100)
+    // blocks with hash token ids and shifted-left labels (last masked -100).
+    // GATE EMISSION RULE: the library API (CorpusPrep.packExamples) returns
+    // BIGINT[] columns, but the driver's pandas hash harness cannot sort
+    // array cells — so the gate serializes them to space-joined VARCHAR
+    // (oracle twin: array_to_string). Never emit array/map/struct columns
+    // from a queries() entry.
     "llm_pack_examples" -> ((s, d) =>
-      CorpusPrep.packExamples(docsPar(s, d), budget = 128L)),
+      CorpusPrep.packExamples(docsPar(s, d), budget = 128L)
+        .select(col("block_id"), col("n_tokens"),
+          array_join(col("input_ids"), " ").as("input_ids"),
+          array_join(col("labels"), " ").as("labels"))),
 
     // context-window chunking: 64-token windows, stride 48 (16-token overlap)
     "llm_chunk_windows" -> ((s, d) =>
@@ -1536,8 +1544,10 @@ object LlmQueries {
          |g AS (SELECT blk, flatten(list(piece ORDER BY st)) AS input_ids
          |      FROM p GROUP BY blk)
          |SELECT blk::BIGINT AS block_id, len(input_ids)::BIGINT AS n_tokens,
-         |       input_ids,
-         |       list_append(input_ids[2:len(input_ids)], (-100)::BIGINT) AS labels
+         |       array_to_string(input_ids, ' ') AS input_ids,
+         |       array_to_string(
+         |         list_append(input_ids[2:len(input_ids)], (-100)::BIGINT),
+         |         ' ') AS labels
          |FROM g""".stripMargin,
 
     "llm_pack_sequences" ->

@@ -414,6 +414,32 @@ class PlanGuardSpec extends SparkSpec {
       s"TIMESTAMP_NTZ leaked past the source readers:\n${offenders.mkString("\n")}")
   }
 
+  test("no batch gate emits a nested (array/map/struct) output column") {
+    // The driver's correctness harness sorts result rows BY VALUE in pandas
+    // before hashing, and numpy array cells are unhashable in sort_values —
+    // so a gate emitting ARRAY (or MAP/STRUCT) columns can NEVER go green,
+    // even when every value matches (the r11 llm_pack_examples red row).
+    // Library APIs may return arrays; GATES must serialize (array_join) or
+    // explode them. Streaming gates execute real streams on invocation and
+    // are covered by tools/check_oracle.py's parquet-schema guard instead.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val streaming = graft.queries.StreamQueries.queries.keySet
+    val offenders = SparkEntry.queries.filterNot(q => streaming(q._1))
+      .flatMap { case (name, fn) =>
+        val nested = fn(spark, d).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"${f.name}:${f.dataType.simpleString}"
+        }
+        if (nested.nonEmpty) Some(s"$name -> ${nested.mkString(", ")}")
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"gate output schemas with driver-unhashable nested columns:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("streaming operator plans: every Window partitioned, no NTZ attribute") {
     // The batch sweeps above skip the streaming GATES (invoking them runs
     // real checkpointed streams), but the streaming OPERATORS analyze

@@ -25,18 +25,23 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 # else in an oracle's output schema (HUGEINT from sum(BIGINT)/windowed sums,
 # UHUGEINT, DECIMAL, INTERVAL, ...) hash-mismatches even when every value is
 # bit-identical — cast in the oracle SQL instead (e.g. sum(x)::BIGINT).
+# ARRAY RULE (round-12, from the r11 llm_pack_examples red row): the driver's
+# pandas harness sorts rows BY VALUE before hashing, and numpy arrays are
+# unhashable in sort_values — so NO array/list/map/struct column may appear
+# in a gate's output, even of an ok base type. Serialize in the query
+# (array_join in Spark, array_to_string in the oracle) or posexplode to rows.
 SPARK_TYPES = {"BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
                "FLOAT", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP",
                "TIMESTAMP WITH TIME ZONE", "BLOB"}
 
 def bad_types(con, sql):
-    """Columns of the oracle whose DuckDB type Spark cannot emit."""
+    """Columns of the oracle whose DuckDB type the driver gate cannot hash:
+    non-Spark scalars, and ANY nested type (array/map/struct)."""
     desc = con.sql(f"DESCRIBE {sql}").df()
     bad = []
     for _, r in desc.iterrows():
         t = r["column_type"].strip().upper()
-        base = t[:-2] if t.endswith("[]") else t  # allow arrays of ok types
-        if base not in SPARK_TYPES:
+        if t not in SPARK_TYPES:
             bad.append(f"{r['column_name']}:{t}")
     return bad
 
@@ -57,6 +62,13 @@ def main(sf_dir, out_dir):
             if bad:
                 print(f"FAIL {name}: oracle emits non-Spark types {bad} "
                       f"(driver hash is type-sensitive; cast in oracle SQL)")
+                n_fail += 1; continue
+            bad_spark = bad_types(
+                con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            if bad_spark:
+                print(f"FAIL {name}: SPARK output emits non-hashable types "
+                      f"{bad_spark} (driver sort_values dies on array cells; "
+                      f"array_join in the query)")
                 n_fail += 1; continue
             got = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
             exp = canon(con.sql(oracle[name]).df())
