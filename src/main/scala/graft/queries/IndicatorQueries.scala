@@ -165,6 +165,17 @@ object IndicatorQueries {
         .select(col("indicator"), col("pair"), col("timeframe"),
           unix_timestamp(col("time")).as("time_s"), col("period"),
           round(col("value"), 6).as("value"))),
+    // the reference's FULL default grid, literally replayed: {RSI,SMA,EMA}
+    // × {14,28,56} × {1m,5m,30m,1h,4h} = 45 Prefect tasks
+    // (reference: src/etl/flows/transform.py:79-121, src/config/config.py:
+    // 18-19) as ONE fused plan under the stock Config defaults — the
+    // candles are exchanged once for all 45 combos, not once per task
+    "f3c_indicator_grid_full" -> ((s, d) =>
+      graft.operators.Flows.indicatorFlow(TradingQueries.ticks(s, d),
+        new graft.Config(Map.empty))
+        .select(col("indicator"), col("pair"), col("timeframe"),
+          unix_timestamp(col("time")).as("time_s"), col("period"),
+          round(col("value"), 6).as("value"))),
     "u5_macd_1m" -> ((s, d) =>
       Indicators.macd(candles1m(s, d)).toDF()
         .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
@@ -2082,6 +2093,11 @@ object IndicatorQueries {
     // resamples, so the oracle grid lists it too
     "f3b_indicator_grid_wide" ->
       gridSql(Seq(14, 56), Seq(("1m", 60), ("30m", 1800), ("4h", 14400))),
+    // the full 45-combo default grid (15 recursive CTE pairs + 15 SMA
+    // frame branches over 5 shared candle CTEs)
+    "f3c_indicator_grid_full" ->
+      gridSql(Seq(14, 28, 56), Seq(("1m", 60), ("5m", 300), ("30m", 1800),
+        ("1h", 3600), ("4h", 14400))),
     "u42_tsi_25_13_1m" -> tsiSql(25, 13),
     "u42b_tsi_30m" -> tsiSql(25, 13, "30m", 1800),
     "u43_kst_1m" -> kstSql(Seq(10, 15, 20, 30), Seq(10, 10, 10, 15)),

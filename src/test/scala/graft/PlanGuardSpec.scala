@@ -68,6 +68,18 @@ class PlanGuardSpec extends SparkSpec {
     // construction (the per-branch union would add 9)
     assert(exchanges(fused) == base + 1,
       s"fused grid added ${exchanges(fused) - base} exchanges (want 1)")
+
+    // and the SAME invariant at the reference's full default 45-combo
+    // grid, measured on the shipped f3c gate: the whole indicator stage
+    // on top of the 5-timeframe candle flow is still ONE exchange —
+    // 45 Prefect tasks' worth of shuffle collapsed into one
+    val ticks = graft.queries.TradingQueries.ticks(spark, d)
+    val cfg = new graft.Config(Map.empty)
+    val candBase = exchanges(graft.operators.Flows.candleFlow(ticks, cfg))
+    val full = exchanges(graft.operators.Flows.indicatorFlow(ticks, cfg))
+    assert(full == candBase + 1,
+      s"full 45-combo grid added ${full - candBase} exchanges over the " +
+        s"candle flow (want 1)")
   }
 
   test("q21 reads lineitem exactly thrice (l1 + semi + anti) and orders once") {
