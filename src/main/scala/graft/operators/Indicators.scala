@@ -1834,45 +1834,73 @@ object Indicators {
     * bit-for-bit: Spark has no retractable double aggregates, so the frame
     * sum is a FRESH oldest→newest fold per row — the ring sum below is the
     * identical sequence of double adds. EMA/RSI reuse the [[ema]]/[[rsi]]
-    * fold arithmetic verbatim. */
-  private[graft] def fusedStep(indicator: String, period: Int): Double => Option[Double] =
+    * fold arithmetic verbatim.
+    *
+    * Machines are RESUMABLE: `snapshot`/`restore` round-trip the complete
+    * fold state as (rows consumed, a small double vector), which is what
+    * makes the incremental grid (E2 at the fused-plan shape) BIT-EXACT —
+    * a machine restored from a snapshot replays the identical double ops
+    * the uninterrupted fold would, unlike the truncated-warm-up reseed
+    * (the s8b/s8c accepted approximation). State per cell: SMA `period`
+    * doubles (the ring), EMA 2, RSI 3 — O(Σ periods) per key, independent
+    * of series length. */
+  private[graft] sealed abstract class FusedMachine {
+    protected var n: Long = 0L
+    def step(c: Double): Option[Double]
+    /** Complete fold state: (rows consumed, indicator-specific vector). */
+    def snapshot: (Long, Array[Double])
+    def restore(n0: Long, v: Array[Double]): Unit
+  }
+
+  private[graft] def fusedMachine(indicator: String, period: Int): FusedMachine =
     indicator match {
-      case "SMA" =>
-        val ring = new Array[Double](period)
-        var n = 0
-        c => {
-          ring(n % period) = c; n += 1
+      case "SMA" => new FusedMachine {
+        private val ring = new Array[Double](period)
+        def step(c: Double): Option[Double] = {
+          ring((n % period).toInt) = c; n += 1
           if (n < period) None
           else {
             // oldest→newest, fresh per row (the WindowExec order)
             var s = 0.0
             var i = 0
-            while (i < period) { s += ring((n + i) % period); i += 1 }
+            while (i < period) { s += ring(((n + i) % period).toInt); i += 1 }
             Some(s / period)
           }
         }
-      case "EMA" =>
-        val k = 2.0 / (period + 1)
-        var i = -1; var seedSum = 0.0; var prev = 0.0
-        c => {
-          i += 1
-          if (i < period - 1) { seedSum += c; None }
-          else if (i == period - 1) { prev = (seedSum + c) / period; Some(prev) }
+        def snapshot: (Long, Array[Double]) = (n, ring.clone())
+        def restore(n0: Long, v: Array[Double]): Unit = {
+          n = n0; System.arraycopy(v, 0, ring, 0, period)
+        }
+      }
+      case "EMA" => new FusedMachine {
+        private val k = 2.0 / (period + 1)
+        private var seedSum = 0.0
+        private var prev = 0.0
+        def step(c: Double): Option[Double] = {
+          n += 1
+          if (n < period) { seedSum += c; None }
+          else if (n == period) { prev = (seedSum + c) / period; Some(prev) }
           else { prev = (c - prev) * k + prev; Some(prev) }
         }
-      case "RSI" =>
-        var i = -1; var prevClose = 0.0; var avgGain = 0.0; var avgLoss = 0.0
-        c => {
-          i += 1
+        def snapshot: (Long, Array[Double]) = (n, Array(seedSum, prev))
+        def restore(n0: Long, v: Array[Double]): Unit = {
+          n = n0; seedSum = v(0); prev = v(1)
+        }
+      }
+      case "RSI" => new FusedMachine {
+        private var prevClose = 0.0
+        private var avgGain = 0.0
+        private var avgLoss = 0.0
+        def step(c: Double): Option[Double] = {
           val out =
-            if (i == 0) None
+            if (n == 0) None
             else {
               val diff = c - prevClose
               val gain = math.max(diff, 0.0)
               val loss = math.max(-diff, 0.0)
-              if (i < period) { avgGain += gain; avgLoss += loss; None }
+              if (n < period) { avgGain += gain; avgLoss += loss; None }
               else {
-                if (i == period) {
+                if (n == period) {
                   avgGain = (avgGain + gain) / period; avgLoss = (avgLoss + loss) / period
                 } else {
                   avgGain = (avgGain * (period - 1) + gain) / period
@@ -1883,10 +1911,21 @@ object Indicators {
               }
             }
           prevClose = c
+          n += 1
           out
         }
+        def snapshot: (Long, Array[Double]) = (n, Array(prevClose, avgGain, avgLoss))
+        def restore(n0: Long, v: Array[Double]): Unit = {
+          n = n0; prevClose = v(0); avgGain = v(1); avgLoss = v(2)
+        }
+      }
       case other => throw new IllegalArgumentException(s"unknown indicator: $other")
     }
+
+  private[graft] def fusedStep(indicator: String, period: Int): Double => Option[Double] = {
+    val m = fusedMachine(indicator, period)
+    m.step
+  }
 
   /** [[indicatorFacts]] with ONE shuffle instead of one per branch: every
     * (indicator, period) state machine steps inside a single sorted-group
@@ -1914,4 +1953,72 @@ object Indicators {
         }
       }.toDF()
   }
+
+  /** Per-cell fold-state snapshot of the fused grid after consuming
+    * `candles` — ONE row per (pair, timeframe, indicator, period) holding
+    * the complete [[FusedMachine]] state. This is the persisted-state half
+    * of the incremental grid (E2 at the fused-plan shape): a production
+    * run writes the snapshot alongside the facts, and the next run folds
+    * ONLY the new candles via [[indicatorFactsFusedResume]] — bit-exact,
+    * because restoring a machine replays the identical double ops.
+    * Snapshot size is #keys × #cells rows of ≤ max(period) doubles —
+    * O(cells), never O(history); the same shuffle/sort as the fact fold. */
+  def indicatorGridSnapshot(candles: DataFrame, indicators: Seq[String],
+                            periods: Seq[Int]): DataFrame = {
+    require(indicators.nonEmpty && periods.nonEmpty, "empty indicator grid")
+    val specs = for { ind <- indicators; p <- periods } yield (ind, p)
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.select($"pair", $"timeframe", $"time", $"close").as[CloseRow]
+      .groupByKey(r => (r.pair, r.timeframe))
+      .flatMapSortedGroups($"time") { case ((pair, tf), rows) =>
+        val machines = specs.map { case (ind, p) => (ind, p, fusedMachine(ind, p)) }
+        rows.foreach(r => machines.foreach(_._3.step(r.close)))
+        machines.iterator.map { case (ind, p, m) =>
+          val (n, vec) = m.snapshot
+          GridState(pair, tf, ind, p, n, vec.toSeq)
+        }
+      }.toDF()
+  }
+
+  /** [[indicatorFactsFused]] RESUMED from a [[indicatorGridSnapshot]]:
+    * folds only the (new) `candles`, with each cell's machine restored
+    * from its state row — keys absent from the snapshot start fresh (new
+    * pairs appear mid-stream for free). Sorted cogroup on (pair,
+    * timeframe): one exchange for the tail candles + one for the
+    * O(cells) state rows, so an incremental run's cost tracks the NEW
+    * data, never the history it resumes from. */
+  def indicatorFactsFusedResume(candles: DataFrame, indicators: Seq[String],
+                                periods: Seq[Int], state: DataFrame,
+                                calcVersion: String = CalcVersion): DataFrame = {
+    require(indicators.nonEmpty && periods.nonEmpty, "empty indicator grid")
+    val specs = for { ind <- indicators; p <- periods } yield (ind, p)
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val st = state
+      .select($"pair", $"timeframe", $"indicator", $"period", $"n", $"vec")
+      .as[GridState]
+      .groupByKey(r => (r.pair, r.timeframe))
+    candles.select($"pair", $"timeframe", $"time", $"close").as[CloseRow]
+      .groupByKey(r => (r.pair, r.timeframe))
+      .cogroupSorted(st)($"time")() { case ((pair, tf), rows, states) =>
+        val byCell = states.map(s => (s.indicator, s.period) -> s).toMap
+        val steps = specs.map { case (ind, p) =>
+          val m = fusedMachine(ind, p)
+          byCell.get((ind, p)).foreach(s => m.restore(s.n, s.vec.toArray))
+          (ind, p, m)
+        }
+        rows.flatMap { r =>
+          steps.iterator.map { case (ind, p, m) =>
+            IndicatorValue(ind, pair, tf, r.time, p, calcVersion, m.step(r.close))
+          }
+        }
+      }.toDF()
+  }
 }
+
+/** One cell's persisted fold state for the resumable fused grid:
+  * `n` = candles consumed, `vec` = the machine's state vector (SMA: the
+  * ring; EMA: seedSum+prev; RSI: prevClose+avgGain+avgLoss). */
+final case class GridState(pair: String, timeframe: String, indicator: String,
+                           period: Int, n: Long, vec: Seq[Double])

@@ -176,6 +176,36 @@ object IndicatorQueries {
         .select(col("indicator"), col("pair"), col("timeframe"),
           unix_timestamp(col("time")).as("time_s"), col("period"),
           round(col("value"), 6).as("value"))),
+    // S8 at the fused-grid shape (E2 as the reference's production loop
+    // runs it, transform_services.py:146-182, but over ONE plan instead of
+    // 45 tasks): the previous run persisted the grid facts AND a per-cell
+    // fold-state snapshot; the incremental run folds ONLY candles past the
+    // per-key watermark with each (indicator,period) machine restored from
+    // its snapshot, then merges first-write-wins. Resume is BIT-exact (no
+    // truncated-warm-up approximation), so the oracle is the PLAIN f3
+    // grid — incremental ≡ full is exactly what the hash match proves.
+    "s8j_incremental_grid" -> ((s, d) => {
+      val inds = Seq("RSI", "SMA", "EMA")
+      val ps = Seq(14, 28)
+      val cfg = new graft.Config(Map("DEFAULT_PERIODS" -> "14,28",
+        "DEFAULT_TIMEFRAMES" -> "1m,5m"))
+      val candAll = graft.operators.Flows.candleFlow(TradingQueries.ticks(s, d), cfg)
+      // the prior run's world: every bar strictly before the cutoff (the
+      // cutoff sits on a bar boundary of every configured timeframe, so
+      // prefix bars are final — never partial)
+      val candPrefix = candAll.filter(col("time") < lit(PipelineQueries.Cutoff))
+      val existing = Indicators.indicatorFactsFused(candPrefix, inds, ps)
+      val state = Indicators.indicatorGridSnapshot(candPrefix, inds, ps)
+      val wms = graft.operators.Incremental.watermarks(existing)
+      val tail = candAll.join(wms, Seq("pair", "timeframe"), "left")
+        .filter(col("watermark").isNull || col("time") > col("watermark"))
+        .drop("watermark")
+      val merged = existing.unionByName(
+        Indicators.indicatorFactsFusedResume(tail, inds, ps, state))
+      merged.select(col("indicator"), col("pair"), col("timeframe"),
+        unix_timestamp(col("time")).as("time_s"), col("period"),
+        round(col("value"), 6).as("value"))
+    }),
     "u5_macd_1m" -> ((s, d) =>
       Indicators.macd(candles1m(s, d)).toDF()
         .select(col("pair"), col("timeframe"), unix_timestamp(col("time")).as("time_s"),
@@ -2098,6 +2128,9 @@ object IndicatorQueries {
     "f3c_indicator_grid_full" ->
       gridSql(Seq(14, 28, 56), Seq(("1m", 60), ("5m", 300), ("30m", 1800),
         ("1h", 3600), ("4h", 14400))),
+    // snapshot-resume is bit-exact, so incremental ≡ the plain full grid
+    "s8j_incremental_grid" ->
+      gridSql(Seq(14, 28), Seq(("1m", 60), ("5m", 300))),
     "u42_tsi_25_13_1m" -> tsiSql(25, 13),
     "u42b_tsi_30m" -> tsiSql(25, 13, "30m", 1800),
     "u43_kst_1m" -> kstSql(Seq(10, 15, 20, 30), Seq(10, 10, 10, 15)),

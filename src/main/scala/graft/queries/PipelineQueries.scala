@@ -11,7 +11,9 @@ object PipelineQueries {
   import TradingQueries.{c1mCte, candles1m, dedupCte, ticks, ticksCte}
 
   private val prelude = s"WITH $ticksCte, $dedupCte, $c1mCte"
-  private val Cutoff = "2024-01-15 00:00:00"
+  // shared with IndicatorQueries' s8j incremental-grid gate; midnight, so
+  // it sits on a bar boundary of every configured timeframe
+  private[queries] val Cutoff = "2024-01-15 00:00:00"
   private val Cursor = "2024-01-20 00:00:00"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

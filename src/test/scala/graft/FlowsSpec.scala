@@ -56,6 +56,43 @@ class FlowsSpec extends SparkSpec {
     assert(fused === branch)
   }
 
+  test("snapshot-resumed fused grid is BIT-identical to the one-shot fold") {
+    // the incremental-grid contract (s8j): fold a prefix, snapshot every
+    // cell's machine state, resume over the tail — prefix∪tail must equal
+    // the uninterrupted fold EXACTLY (raw doubles, no rounding), at a
+    // split point chosen mid-warm-up so seeds cross the snapshot too
+    val candles = Flows.candleFlow(ticks,
+      new Config(Map("DEFAULT_TIMEFRAMES" -> "1m,5m")))
+    val inds = Seq("RSI", "SMA", "EMA")
+    val ps = Seq(3, 5, 14)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("indicator", "pair", "timeframe", "time", "period", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getTimestamp(3), r.getInt(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .sortBy(t => (t._1, t._2, t._3, t._4.getTime, t._5))
+    val full = rows(graft.operators.Indicators.indicatorFactsFused(candles, inds, ps))
+    // 00:07 splits inside period-14's seed accumulation AND mid-5m-bar
+    // warm-up; a second split late enough that every cell is warm
+    for (cut <- Seq("2024-01-01 00:07:00", "2024-01-01 01:30:00")) {
+      val prefix = candles.filter(col("time") < lit(cut))
+      val tail = candles.filter(col("time") >= lit(cut))
+      val state = graft.operators.Indicators.indicatorGridSnapshot(prefix, inds, ps)
+      val merged = rows(
+        graft.operators.Indicators.indicatorFactsFused(prefix, inds, ps).unionByName(
+          graft.operators.Indicators.indicatorFactsFusedResume(tail, inds, ps, state)))
+      assert(merged.length === full.length, s"cut=$cut")
+      assert(merged === full, s"cut=$cut")
+    }
+    // a tail containing a BRAND-NEW key starts that key's machines fresh
+    val newKey = rows(graft.operators.Indicators.indicatorFactsFusedResume(
+      candles.filter(col("pair") === "Y"), inds, ps,
+      graft.operators.Indicators.indicatorGridSnapshot(
+        candles.filter(col("pair") === "X"), inds, ps)))
+    assert(newKey === full.filter(_._2 == "Y"))
+  }
+
   test("strategyFlow emits alternating BUY/SELL per pair, config periods") {
     val cfg = new Config(Map(
       "DEFAULT_SHORT_PERIOD" -> "3", "DEFAULT_LONG_PERIOD" -> "7"))
