@@ -142,6 +142,55 @@ object StreamQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // U4d (S1, the direct socket→engine path): the DSv2 `graft-websocket`
+    // streaming source — a real RFC-6455 client inside a MicroBatchStream,
+    // no file spool — driven against a wire-replay endpoint serving the
+    // replay window's deduped tick set, parsed by the production
+    // fromWireJson, sunk to parquet. Determinism: the replayed SET is
+    // exactly `dedup WHERE time < WireEnd` (sorted before replay so the
+    // fixture byte stream is plan-independent); the source's offsets are
+    // message counts over one ordered socket stream, so any micro-batch
+    // split parses the same rows. Reconnect realism: the endpoint severs
+    // the TCP stream abruptly every 2500 frames and the client must
+    // reconnect + re-subscribe + resume from the server's shared cursor
+    // (the tight 2-message version is proven in WebSocketSourceSpec, as
+    // is WAL replay across a query kill). Fixture bound: ≤ pairs ×
+    // window-seconds rows by the per-second dedup — require-guarded.
+    "u4d_socket_ingest" -> ((s, d) => {
+      val wireEnd = "2024-01-03 00:00:00"
+      val msgs = graft.operators.Relay.toWireMessages(
+          TradingQueries.ticks(s, d).filter(col("time") < lit(wireEnd)))
+        .select(col("message")).orderBy(col("message"))
+        .collect().map(_.getString(0)).toIndexedSeq
+      require(msgs.length <= 250000,
+        s"u4d replay fixture unexpectedly large: ${msgs.length}")
+      val server = new graft.serving.WireReplayServer(msgs, dropEvery = 2500)
+      val port = server.start()
+      val tmp = Files.createTempDirectory("graft-u4d-").toString
+      try {
+        val lines = s.readStream.format("graft-websocket")
+          .option("host", "localhost").option("port", port.toString)
+          .option("path", "/ws/public/v1")
+          .option("subscribe",
+            """{"command":"subscribe","channel":"ticker"}""")
+          .option("maxMessages", msgs.length.toString)
+          .option("backoffMs", "25")
+          .option("maxReconnects", (msgs.length / 2500 + 5).toString)
+          .load()
+        awaitAndRecord("u4d_socket_ingest",
+          Ticks.fromWireJson(lines)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/sink")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      } finally server.stop()
+      s.read.parquet(s"$tmp/sink")
+        .select(col("pair"), unix_millis(col("time")).as("time_ms"),
+          col("bid"), col("ask"))
+    }),
+
     // T4 (CDC relay cursor): stream the fixture through the idempotent
     // relay — per-batch second-dedup, first-write-wins parquet sink — then
     // read the sink back. Oracle: the batch tick-dedup SQL (S2).
@@ -911,6 +960,15 @@ object StreamQueries {
       """SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
         |  AS content_hash
         |FROM documents""".stripMargin,
+
+    // the wire round-trip over the bounded replay window — identical field
+    // formatting contract as u4c (%.6f prices, ISO-8601-ms time re-parse)
+    "u4d_socket_ingest" ->
+      s"""WITH ${TradingQueries.ticksCte}, ${TradingQueries.dedupCte}
+         |SELECT pair, epoch_ms(time)::BIGINT AS time_ms,
+         |       printf('%.6f', bid)::DOUBLE AS bid,
+         |       printf('%.6f', ask)::DOUBLE AS ask
+         |FROM dedup WHERE time < TIMESTAMP '2024-01-03 00:00:00'""".stripMargin,
 
     // the streaming accept set converges to the one-shot batch clean():
     // reuse its oracle verbatim (same projection, same thresholds)

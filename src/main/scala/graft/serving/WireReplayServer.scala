@@ -1,0 +1,129 @@
+package graft.serving
+
+import java.io.DataInputStream
+import java.net.{ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.Base64
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import graft.sources.WebSocketClient
+
+/** RFC-6455 replay fixture: a WebSocket SERVER that streams a fixed
+  * message sequence to each subscriber — the stand-in for the reference's
+  * live tick endpoint (src/gmo/ws-connection.py connects OUT to one of
+  * these) used by the `u4d_socket_ingest` gate and the source specs.
+  *
+  * Faithful to the upstream contract the ingest relies on:
+  *  - RFC 6455 §4 server handshake (accept token from the client key);
+  *  - waits for ONE subscribe command before streaming (the reference
+  *    endpoint only pushes after a subscribe, ws-connection.py:121-128);
+  *  - a SHARED cursor across connections: a reconnecting client resumes
+  *    at the first unsent message (the ingest's reconnect proof needs the
+  *    stream to continue, not restart);
+  *  - optional `dropEvery`: abruptly severs the TCP connection after
+  *    every N messages (no CLOSE frame) — the reconnect trigger;
+  *  - clean CLOSE frame once the sequence is exhausted.
+  *
+  * Driver-side test plumbing, not a data-plane component: the message
+  * sequence is bounded by construction (the gate caps it). */
+final class WireReplayServer(messages: IndexedSeq[String], port: Int = 0,
+                             dropEvery: Int = Int.MaxValue) {
+
+  private val cursor = new AtomicInteger(0)
+  private val subs = new AtomicInteger(0)
+  private val running = new AtomicBoolean(false)
+  private var server: ServerSocket = _
+  private var acceptor: Thread = _
+
+  def subscribesSeen: Int = subs.get()
+
+  /** Start accepting; returns the bound port. */
+  def start(): Int = {
+    server = new ServerSocket(port)
+    running.set(true)
+    acceptor = new Thread(() => {
+      while (running.get()) {
+        try {
+          val s = server.accept()
+          val t = new Thread(() => handle(s), s"wire-replay-${s.getPort}")
+          t.setDaemon(true)
+          t.start()
+        } catch { case _: SocketException => () /* closed */ }
+      }
+    }, "wire-replay-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    server.getLocalPort
+  }
+
+  def stop(): Unit = {
+    running.set(false)
+    if (server != null) server.close()
+  }
+
+  private def handle(sock: Socket): Unit = {
+    try {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = sock.getOutputStream
+      // §4 handshake
+      val sb = new StringBuilder
+      while (!sb.endsWith("\r\n\r\n")) {
+        val b = in.read()
+        if (b < 0) return
+        sb.append(b.toChar)
+      }
+      val key = sb.toString.split("\r\n")
+        .find(_.toLowerCase.startsWith("sec-websocket-key:"))
+        .map(h => h.substring(h.indexOf(':') + 1).trim)
+        .getOrElse(return)
+      val accept = Base64.getEncoder.encodeToString(
+        MessageDigest.getInstance("SHA-1")
+          .digest((key + WebSocketClient.Guid).getBytes(UTF_8)))
+      out.write(("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n" +
+        s"Connection: Upgrade\r\nSec-WebSocket-Accept: $accept\r\n\r\n")
+        .getBytes(UTF_8))
+      out.flush()
+      // wait for the subscribe command (a masked client text frame)
+      readClientFrame(in)
+      subs.incrementAndGet()
+      // stream from the shared cursor; sever abruptly every `dropEvery`
+      var sentThisConn = 0
+      var i = cursor.getAndIncrement()
+      while (i < messages.length) {
+        out.write(textFrame(messages(i)))
+        sentThisConn += 1
+        if (sentThisConn >= dropEvery) { sock.close(); return }
+        i = cursor.getAndIncrement()
+      }
+      cursor.set(messages.length) // park overshoot from getAndIncrement
+      out.write(closeFrame())
+      out.flush()
+    } catch { case _: Exception => () } finally {
+      try sock.close() catch { case _: Exception => () }
+    }
+  }
+
+  private def readClientFrame(in: DataInputStream): Unit = {
+    val b0 = in.read(); val b1 = in.read()
+    if (b0 < 0 || b1 < 0) return
+    var len = (b1 & 0x7f).toLong
+    if (len == 126) len = ((in.read() & 0xffL) << 8) | (in.read() & 0xffL)
+    else if (len == 127) len = in.readLong()
+    if ((b1 & 0x80) != 0) { val m = new Array[Byte](4); in.readFully(m) }
+    val p = new Array[Byte](len.toInt); in.readFully(p)
+  }
+
+  private def textFrame(s: String): Array[Byte] = {
+    val payload = s.getBytes(UTF_8)
+    val head =
+      if (payload.length < 126) Array((0x80 | 0x1).toByte, payload.length.toByte)
+      else if (payload.length < 65536)
+        Array((0x80 | 0x1).toByte, 126.toByte,
+          (payload.length >> 8).toByte, (payload.length & 0xff).toByte)
+      else throw new IllegalArgumentException("fixture frame > 64 KiB")
+    head ++ payload
+  }
+
+  private def closeFrame(): Array[Byte] = Array((0x80 | 0x8).toByte, 0.toByte)
+}
