@@ -578,13 +578,27 @@ object TextAnalysis {
     * IS the scale valve: it bounds that final task at #docs/step rows, so
     * a 100 TB corpus wants step in the millions (the gate's step=1 exists
     * only because the tiny fixture's vocab saturates in a few docs). */
-  def heapsCurve(docs: DataFrame, step: Long = 100L): DataFrame = {
-    require(step >= 1, s"step must be >= 1, got $step")
-    val w = Window.orderBy(col("checkpoint"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  def heapsCurve(docs: DataFrame, step: Long = 100L): DataFrame =
+    heapsCurveFromFirstOcc(firstOccurrence(docs), step)
+
+  /** The per-token first-occurrence set `(tok, first_doc)` — heapsCurve's
+    * shuffle stage, exposed because it is the MERGEABLE summary the
+    * streaming ledger twin (T27) maintains: min(doc_id) per token is
+    * associative, commutative and idempotent, so per-batch partials
+    * rolled up with another min converge to this exact set for any batch
+    * split or replay. */
+  def firstOccurrence(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+
+  /** Curve tail over an already-built first-occurrence set (≤ vocab rows,
+    * then ≤ #checkpoints rows under the window — the bounded final task). */
+  def heapsCurveFromFirstOcc(firstOcc: DataFrame, step: Long): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    val w = Window.orderBy(col("checkpoint"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstOcc
       // checkpoint C covers doc_ids [0, C): first_doc d lands at the next
       // step multiple above it
       .select((expr(s"first_doc div $step") * step + step).as("checkpoint"))

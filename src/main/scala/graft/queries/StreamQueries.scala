@@ -376,6 +376,44 @@ object StreamQueries {
           s.read.parquet(s"$tmp/ledger"), k = 256), k = 256)
     }),
 
+    // T27 (streaming L64): the vocabulary-growth ledger — each micro-batch
+    // appends its per-token min(doc_id) partial; the rolled-up ledger must
+    // equal the one-shot batch heapsCurve for ANY batch split (min is
+    // associative/commutative/idempotent), so the gate reuses
+    // llm_heaps_curve's oracle verbatim. The redelivered docs-0-99 file
+    // appends duplicate partials the min roll-up absorbs.
+    "t27_heaps_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t27-").toString
+      withStreamShuffle(s, 8) {
+        awaitAndRecord("t27_heaps_stream",
+          Streams.heapsStream(
+            docStream(s, d).select("doc_id", "text"),
+            s"$tmp/ledger", s"$tmp/ckpt"))
+      }
+      graft.operators.TextAnalysis.heapsCurveFromFirstOcc(
+        s.read.parquet(s"$tmp/ledger")
+          .groupBy(col("tok")).agg(min(col("first_doc")).as("first_doc")),
+        step = 1L)
+    }),
+
+    // T28 (streaming L62): the length-bucket padding report maintained
+    // incrementally. Counters are not idempotent, so the gate exercises
+    // BOTH at-least-once guards: the re-sent docs 0-99 must be screened
+    // out by the seen store (else n_docs over-counts by 100), and the
+    // batch_id-keyed ledger dedup guards batch replays. Converged roll-up
+    // ≡ the one-shot batch lengthBuckets — oracle reused verbatim.
+    "t28_length_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t28-").toString
+      withStreamShuffle(s, 8) {
+        awaitAndRecord("t28_length_stream",
+          Streams.lengthStream(
+            docStream(s, d).select("doc_id", "text"),
+            s"$tmp/seen", s"$tmp/ledger", s"$tmp/ckpt",
+            step = 32, maxLen = 512))
+      }
+      Streams.rollupLengthLedger(s.read.parquet(s"$tmp/ledger"))
+    }),
+
     // T16 (streaming VWAP): the size-weighted w11 aggregation as a
     // streaming windowed agg — the EXACT decimal numerator makes emission
     // independent of the 4-batch split; hour buckets emit when the
@@ -974,6 +1012,11 @@ object StreamQueries {
     // reuse its oracle verbatim (same projection, same thresholds)
     "t25_ingest_stream" -> LlmQueries.oracleSql("llm_corpus_clean"),
     "t26_sketch_stream" -> LlmQueries.oracleSql("llm_source_sketch"),
+
+    // the mergeable-ledger twins converge to their one-shot batch ops:
+    // reuse those oracles verbatim
+    "t27_heaps_stream" -> LlmQueries.oracleSql("llm_heaps_curve"),
+    "t28_length_stream" -> LlmQueries.oracleSql("llm_length_buckets"),
 
     // the w11 aggregation with the streaming append cutoff: buckets whose
     // end the final watermark (max second-truncated event time − 1 h) has

@@ -1251,6 +1251,88 @@ object Streams {
       }
       .start()
 
+  /** T27 (streaming L64): vocabulary-growth maintenance as an append-only
+    * ledger of per-batch first-occurrence partials `(tok, first_doc)`.
+    * Each micro-batch appends its own per-token min(doc_id); readers roll
+    * the ledger up with another min and feed
+    * [[graft.operators.TextAnalysis.heapsCurveFromFirstOcc]], which equals
+    * the one-shot batch curve for ANY batch split because min is
+    * associative, commutative and idempotent — same ledger algebra as the
+    * KMV sketchStream (T26), so the same crash contract: replayed batches
+    * append duplicate partials the min roll-up absorbs; no
+    * read-modify-write exists to corrupt. Redelivered DOCS (not just
+    * replayed batches) are absorbed too — a duplicate doc's tokens can
+    * only lose min ties to the original's equal doc_id. Ledger growth is
+    * Σ per-batch vocab, the same order as the batch op's shuffle. */
+  def heapsStream(docs: DataFrame, ledgerPath: String,
+                  checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // single-partition micro-batch + CPU-bound tokenize: fan out first
+        // (the t26 valve)
+        val wide = batch.repartition(
+          batch.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+        graft.operators.TextAnalysis.firstOccurrence(wide)
+          .write.mode("append").parquet(ledgerPath)
+      }
+      .start()
+
+  /** T28 (streaming L62): the length-bucket padding report maintained
+    * incrementally. Counting aggregates are NOT idempotent, so the two
+    * at-least-once hazards need distinct guards:
+    *  - redelivered DOCS (the fixture's re-sent 0–99 tail): each batch is
+    *    screened against a `seen` doc_id store and only novel docs are
+    *    counted — the T25 pattern;
+    *  - replayed BATCHES (crash after ledger append, before checkpoint
+    *    commit): ledger rows carry the micro-batch id, and the roll-up
+    *    first collapses duplicates per (batch_id, bucket) — identical by
+    *    determinism of the per-batch agg over the offset-logged file set —
+    *    before summing across batches.
+    * Append order is ledger THEN seen: a kill between the two replays the
+    * batch against the old seen store, recomputing the SAME novel set and
+    * appending only batch_id-duplicate rows. Ledger growth is
+    * ≤ maxLen/step rows per batch. Roll up with [[rollupLengthLedger]]. */
+  def lengthStream(docs: DataFrame, seenPath: String, ledgerPath: String,
+                   checkpoint: String, step: Int = 32,
+                   maxLen: Int = 512): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val novel = (
+          try Incremental.newRows(spark.read.parquet(seenPath), batch,
+            Seq("doc_id"))
+          catch { case _: org.apache.spark.sql.AnalysisException => batch }
+        ).localCheckpoint() // two sinks below; compute the screen once
+        graft.operators.TextAnalysis.lengthBuckets(novel, step, maxLen)
+          .select(lit(batchId).as("batch_id"), col("bucket"), col("n_docs"),
+            col("sum_tokens"))
+          .write.mode("append").parquet(ledgerPath)
+        novel.select("doc_id").write.mode("append").parquet(seenPath)
+      }
+      .start()
+
+  /** Converged read of a [[lengthStream]] ledger: batch-replay dedup, then
+    * the cross-batch counter sum, then the same derived padded/pad_waste
+    * columns as the one-shot [[graft.operators.TextAnalysis.lengthBuckets]]. */
+  def rollupLengthLedger(ledger: DataFrame): DataFrame =
+    ledger
+      .groupBy(col("batch_id"), col("bucket"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("sum_tokens")).as("sum_tokens"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_tokens")).as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        (col("bucket") * col("n_docs")).as("padded"),
+        round(lit(1.0) - col("sum_tokens").cast("double")
+          / (col("bucket") * col("n_docs")), 6).as("pad_waste"))
+
   def relayToParquet(ticks: DataFrame, sinkPath: String, checkpoint: String,
                      keys: Seq[String] = Seq("pair", "time"),
                      perBatch: DataFrame => DataFrame = identity): StreamingQuery =

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.TextAnalysis
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Crash contracts of the round-12 ledger twins:
+  *  - t27 heaps ledger: min-merge absorbs both a kill-and-restart and a
+  *    forged replayed append (idempotent algebra, same class as t26);
+  *  - t28 length ledger: counters are NOT idempotent — the proof covers
+  *    the two distinct guards: batch_id-keyed dedup absorbs a replayed
+  *    append, and the seen store screens redelivered DOCS after a
+  *    restart. Converged roll-up must equal the one-shot batch op. */
+class LedgerTwinsRestartSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val c1 = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "pack my box with five dozen liquor jugs again"))
+  private val c2 = Seq(
+    (3L, "the quick brown fox jumps over the lazy dog tonight"),
+    (4L, "sphinx of black quartz judge my vow right now ok"))
+  // doc 2 re-delivered verbatim alongside a novel doc
+  private val c3 = Seq(
+    (2L, "pack my box with five dozen liquor jugs again"),
+    (5L, "how vexingly quick daft zebras jump in the fog"))
+
+  private def fixture(prefix: String): (String, String) = {
+    val root = Files.createTempDirectory(prefix).toString
+    new java.io.File(s"$root/src").mkdirs()
+    (root, s"$root/src")
+  }
+
+  private def stage(root: String, src: String, rows: Seq[(Long, String)],
+                    name: String, mtime: Long): Unit = {
+    val tmp = s"$root/tmp-$name"
+    rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.startsWith("part-")).get
+    val dst = new java.io.File(src, s"$name.parquet")
+    Files.copy(part.toPath, dst.toPath)
+    dst.setLastModified(mtime)
+  }
+
+  private def docStream(src: String) = {
+    val schema = spark.read.parquet(src).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+  }
+
+  test("t27 heaps ledger survives a kill-and-restart and a replayed append") {
+    val (root, src) = fixture("graft-t27-restart-")
+    val (ledger, ckpt) = (s"$root/ledger", s"$root/ckpt")
+    def run(): Unit =
+      Streams.heapsStream(docStream(src), ledger, ckpt).awaitTermination()
+
+    stage(root, src, c1, "c1", 1600000000000L)
+    run() // the process "dies" here
+    // forge the kill-after-append-before-commit replay
+    val replay = spark.read.parquet(ledger)
+    replay.write.mode("append").parquet(ledger)
+
+    stage(root, src, c2, "c2", 1600000060000L)
+    run() // restart: same checkpoint — only c2 is new work
+
+    val rolled = TextAnalysis.heapsCurveFromFirstOcc(
+      spark.read.parquet(ledger)
+        .groupBy(col("tok")).agg(min(col("first_doc")).as("first_doc")),
+      step = 1L).orderBy("checkpoint").collect().toSeq
+    val oneShot = TextAnalysis.heapsCurve(
+      (c1 ++ c2).toDF("doc_id", "text"), step = 1L)
+      .orderBy("checkpoint").collect().toSeq
+    assert(rolled === oneShot)
+  }
+
+  test("t28 length ledger: batch replay deduped, redelivered doc screened") {
+    val (root, src) = fixture("graft-t28-restart-")
+    val (seen, ledger, ckpt) = (s"$root/seen", s"$root/ledger", s"$root/ckpt")
+    def run(): Unit =
+      Streams.lengthStream(docStream(src), seen, ledger, ckpt,
+        step = 4, maxLen = 16).awaitTermination()
+
+    stage(root, src, c1, "c1", 1600000000000L)
+    run() // dies after committing c1
+    // forge the replayed append: same batch_id rows appended twice
+    val replay = spark.read.parquet(ledger)
+    replay.write.mode("append").parquet(ledger)
+
+    // restart delivers one redelivered doc (2) and one novel doc (5)
+    stage(root, src, c3, "c3", 1600000060000L)
+    run()
+
+    val rolled = Streams.rollupLengthLedger(spark.read.parquet(ledger))
+      .orderBy("bucket").collect().toSeq
+    // doc 2 counted ONCE: one-shot over the distinct doc set
+    val oneShot = TextAnalysis.lengthBuckets(
+      (c1 ++ c3).distinct.toDF("doc_id", "text"), step = 4, maxLen = 16)
+      .orderBy("bucket").collect().toSeq
+    assert(rolled === oneShot)
+    // and the forged duplicate batch really is in the ledger (absorbed,
+    // not absent)
+    val perBatch = spark.read.parquet(ledger)
+      .groupBy("batch_id", "bucket").count()
+      .filter(col("count") > 1).count()
+    assert(perBatch > 0, "replay forge did not take — proof is vacuous")
+  }
+}
