@@ -97,14 +97,20 @@ object SpillProbe {
         .parquet(s"$outDir/$name")
       val sec = (System.nanoTime() - t0) / 1e9
       // listener events drain asynchronously (the bus is private[spark]);
-      // poll until two consecutive snapshots agree before attributing
+      // poll until two consecutive snapshots agree before attributing —
+      // bounded, so a lingering event trickle (e.g. a streaming query's
+      // stages) degrades to approximate attribution instead of a hang
       var prev = (-1L, -1L)
       var settled = 0
-      while (settled < 2) {
+      val settleDeadline = System.currentTimeMillis() + 30000
+      while (settled < 2 && System.currentTimeMillis() < settleDeadline) {
         val cur = (mem, disk)
         if (cur == prev) settled += 1 else { settled = 0; prev = cur }
         Thread.sleep(100)
       }
+      if (settled < 2) println(
+        s"[spill] WARN: listener drain did not settle in 30s for $name; " +
+        "spill attribution may include trailing stages")
       val r = (name, sec, mem - m0, disk - d0)
       println(f"[spill] $name%-28s ${sec}%8.2f s  spillMem=${(mem - m0) / 1e6}%9.1f MB  spillDisk=${(disk - d0) / 1e6}%9.1f MB")
       r

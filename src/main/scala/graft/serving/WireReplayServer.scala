@@ -91,7 +91,16 @@ final class WireReplayServer(messages: IndexedSeq[String], port: Int = 0,
       var sentThisConn = 0
       var i = cursor.getAndIncrement()
       while (i < messages.length) {
-        out.write(textFrame(messages(i)))
+        try out.write(textFrame(messages(i)))
+        catch {
+          case e: Exception =>
+            // the claimed message never left: roll the cursor back so the
+            // next connection re-serves it instead of losing it forever
+            // (best-effort — if a racing connection already advanced past,
+            // the CAS no-ops and that connection owns the tail)
+            cursor.compareAndSet(i + 1, i)
+            throw e
+        }
         sentThisConn += 1
         if (sentThisConn >= dropEvery) { sock.close(); return }
         i = cursor.getAndIncrement()

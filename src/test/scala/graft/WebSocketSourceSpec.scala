@@ -87,10 +87,17 @@ class WebSocketSourceSpec extends SparkSpec {
     // BEFORE any batch containing it commits — so a query killed there
     // leaves exactly this state: wire(3) and wire(4) in the WAL, absent
     // from the sink and from Spark's offset log. Seed that state directly
-    // (deterministic; a real kill races the micro-batch thread).
-    val wal = Paths.get(ckpt, "sources", "0", "ws-wal.txt")
-    assert(Files.exists(wal), "phase-1 WAL missing")
-    Files.write(wal, (wire(3) + "\n" + wire(4) + "\n").getBytes(UTF_8),
+    // (deterministic; a real kill races the micro-batch thread) into the
+    // last surviving WAL segment.
+    val walDir = Paths.get(ckpt, "sources", "0", "ws-wal")
+    val segs = Files.list(walDir).iterator()
+    val lastSeg = {
+      var acc = List.empty[java.nio.file.Path]
+      while (segs.hasNext) { val p = segs.next(); if (p.getFileName.toString.startsWith("seg-")) acc ::= p }
+      assert(acc.nonEmpty, "phase-1 WAL segments missing")
+      acc.maxBy(_.getFileName.toString)
+    }
+    Files.write(lastSeg, (wire(3) + "\n" + wire(4) + "\n").getBytes(UTF_8),
       StandardOpenOption.APPEND)
 
     // phase 2: restart against a server that only has NEW data (it can
@@ -108,5 +115,87 @@ class WebSocketSourceSpec extends SparkSpec {
     assert(got.length === 6, got.mkString("\n"))
     assert(got.map(_.getDouble(2)).toSeq ===
       Seq(151.245, 160.101, 151.25, 160.105, 151.26, 151.27))
+  }
+
+  // ---- round-13: commit-time GC + the fan-out valve, driven directly ----
+
+  private def streamOpts(port: Int, extra: (String, String)*) = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("host", "localhost"); m.put("port", port.toString)
+    m.put("subscribe", """{"command":"subscribe"}""")
+    extra.foreach { case (k, v) => m.put(k, v) }
+    new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)
+  }
+
+  private def awaitReceived(s: graft.sources.WebSocketMicroBatchStream,
+                            n: Int): Unit = {
+    val deadline = System.currentTimeMillis() + 30000
+    while (s.bufferedCount < n && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    assert(s.bufferedCount === n, "receiver did not deliver the fixture")
+  }
+
+  test("socket source: commit() trims the buffer to O(uncommitted) and GCs WAL segments") {
+    val msgs = (0 until 10).map(i => s"""{"i":$i}""")
+    val server = new WireReplayServer(msgs)
+    val port = server.start()
+    val ckpt = Files.createTempDirectory("graft-wssrc-gc-").toString
+    try {
+      val s1 = new graft.sources.WebSocketMicroBatchStream(
+        streamOpts(port, "maxMessages" -> "10", "walSegmentMessages" -> "2"), ckpt)
+      try {
+        awaitReceived(s1, 10)
+        assert(s1.walSegmentStarts === Seq(0L, 2L, 4L, 6L, 8L))
+        // micro-batch [0,7) runs and commits
+        val batch = s1.planInputPartitions(
+          graft.sources.WsOffset(0L), graft.sources.WsOffset(7L))
+        assert(batch.map(_.asInstanceOf[graft.sources.WsInputPartition].msgs.length).sum === 7)
+        s1.commit(graft.sources.WsOffset(7L))
+        // driver state is O(uncommitted): 3 buffered, floor at the commit
+        assert(s1.gcFloor === 7L)
+        assert(s1.bufferedCount === 3)
+        // segments wholly below the commit are gone; the straddler survives
+        assert(s1.walSegmentStarts === Seq(6L, 8L))
+      } finally s1.stop()
+
+      // restart on the GC'd WAL: only [6,10) survives on disk, and the
+      // uncommitted range [7,10) must still replay exactly
+      val s2 = new graft.sources.WebSocketMicroBatchStream(
+        streamOpts(port, "maxMessages" -> "10", "walSegmentMessages" -> "2"), ckpt)
+      try {
+        assert(s2.bufferedCount === 4) // the straddling segment re-buffers whole
+        val replay = s2.planInputPartitions(
+          graft.sources.WsOffset(7L), graft.sources.WsOffset(10L))
+          .flatMap(_.asInstanceOf[graft.sources.WsInputPartition].msgs)
+        assert(replay.toSeq === msgs.slice(7, 10))
+        // an offset below the GC floor fails loudly, never silently misreads
+        intercept[IllegalArgumentException] {
+          s2.planInputPartitions(
+            graft.sources.WsOffset(5L), graft.sources.WsOffset(10L))
+        }
+      } finally s2.stop()
+    } finally server.stop()
+  }
+
+  test("socket source: minPartitions fans a micro-batch into ordered contiguous chunks") {
+    val msgs = (0 until 10).map(i => s"""{"i":$i}""")
+    val server = new WireReplayServer(msgs)
+    val port = server.start()
+    val ckpt = Files.createTempDirectory("graft-wssrc-fan-").toString
+    try {
+      val s1 = new graft.sources.WebSocketMicroBatchStream(
+        streamOpts(port, "maxMessages" -> "10", "minPartitions" -> "3"), ckpt)
+      try {
+        awaitReceived(s1, 10)
+        val parts = s1.planInputPartitions(
+          graft.sources.WsOffset(0L), graft.sources.WsOffset(10L))
+          .map(_.asInstanceOf[graft.sources.WsInputPartition].msgs.toSeq)
+        // the valve: a CPU-heavy parse stage downstream runs one task per
+        // chunk (narrow 1:1), so source width IS the parse width
+        assert(parts.length === 3)
+        assert(parts.flatten.toSeq === msgs)
+        assert(parts.forall(_.nonEmpty))
+      } finally s1.stop()
+    } finally server.stop()
   }
 }
