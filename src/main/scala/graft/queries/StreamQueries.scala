@@ -123,6 +123,36 @@ object StreamQueries {
       .parquet(stagePath)
   }
 
+  /** The full-default-grid candle set ({1m,5m,30m,1h,4h} under stock
+    * Config) staged as a bounded 4-chunk file stream (same staging
+    * discipline as [[eventsStream]]): FINAL candles from the batch
+    * candleFlow, range-partitioned by time so every key's candles arrive
+    * in nondecreasing time order across chunks — the ordered-replay
+    * contract the T29 grid fold states. */
+  private val candleStageCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
+  private def candleStream(s: SparkSession, d: String,
+                           chunks: Int = 4): DataFrame = {
+    val batch = graft.operators.Flows.candleFlow(
+      TradingQueries.ticks(s, d), new graft.Config(Map.empty))
+    val stagePath = candleStageCache.getOrElseUpdate((d, chunks), {
+      val stage = Files.createTempDirectory("graft-candlestream-src-").toString
+      batch.repartitionByRange(chunks, col("time"))
+        .sortWithinPartitions(col("time"), col("pair"), col("timeframe"))
+        .write.mode("overwrite").parquet(stage)
+      val parts = new java.io.File(stage).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1600000000000L + i * 60000L)
+      }
+      stage
+    })
+    s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagePath)
+  }
+
   /** Telemetry from the most recent run of each streaming gate query (per
     * JVM): micro-batch count, final-batch state-store rows, state memory —
     * the quantities the stream-family scale probe reports next to wall
@@ -838,6 +868,44 @@ object StreamQueries {
           round(col("peak"), 6).as("peak"), round(col("dd"), 6).as("dd"))
     }),
 
+    // T29 (streaming fused grid): the reference's FULL default 45-combo
+    // indicator grid as LIVE keyed state — per (pair, timeframe), the
+    // batch grid's FusedMachine snapshots persist in a transformWithState
+    // value handle and every arriving final candle steps all 9
+    // (indicator, period) cells of that key (×5 timeframes = the 45
+    // combos), emitting grid facts as they happen. Snapshot/restore is
+    // bit-exact (the s8j contract), candles fold in time order within a
+    // batch and chunks replay in ascending time ranges, so the converged
+    // fact set equals the one-shot batch grid for ANY batch split — the
+    // oracle is f3c's, verbatim.
+    "t29_grid_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t29-").toString
+      import s.implicits._
+      val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try withStreamShuffle(s, 8) {
+        val candles = candleStream(s, d)
+          .select(col("pair"), col("timeframe"), col("time"), col("close"))
+          .as[graft.operators.CloseRow]
+        awaitAndRecord("t29_grid_stream",
+          Streams.gridStream(candles, Seq("RSI", "SMA", "EMA"), Seq(14, 28, 56))
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/sink")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+      } finally prevProvider match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      s.read.parquet(s"$tmp/sink")
+        .select(col("indicator"), col("pair"), col("timeframe"),
+          unix_timestamp(col("time")).as("time_s"), col("period"),
+          round(col("value"), 6).as("value"))
+    }),
+
     // T9 (stream-static join): the live tick stream enriched with a
     // bounded static dim (pair → type_id, the j2 pattern) via broadcast
     // INSIDE the streaming query, then watermark-finalized per-(type_id,
@@ -1017,6 +1085,9 @@ object StreamQueries {
     // reuse those oracles verbatim
     "t27_heaps_stream" -> LlmQueries.oracleSql("llm_heaps_curve"),
     "t28_length_stream" -> LlmQueries.oracleSql("llm_length_buckets"),
+    // streaming fused grid converges to the one-shot batch grid (bit-exact
+    // machine snapshots), so the oracle is f3c's, verbatim
+    "t29_grid_stream" -> IndicatorQueries.oracleSql("f3c_indicator_grid_full"),
 
     // the w11 aggregation with the streaming append cutoff: buckets whose
     // end the final watermark (max second-truncated event time − 1 h) has

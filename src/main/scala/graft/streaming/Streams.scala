@@ -26,6 +26,18 @@ final case class EmaPoint(pair: String, time: Timestamp, ema: Double)
 final case class DrawdownPoint(pair: String, time: Timestamp, seq: Long,
                                peak: Double, dd: Double)
 
+/** One indicator cell's persisted fold state in the STREAMING grid (T29)
+  * — the keyed-state twin of the batch [[graft.operators.GridState]] row:
+  * `n` = candles consumed, `vec` = the [[graft.operators.Indicators]]
+  * FusedMachine state vector. */
+final case class GridCellSnap(indicator: String, period: Int, n: Long,
+                              vec: Seq[Double])
+
+/** The full per-(pair, timeframe) grid state (T29): one [[GridCellSnap]]
+  * per (indicator, period) cell — O(Σ periods) doubles per key, never
+  * O(history). */
+final case class GridSnap(cells: Seq[GridCellSnap])
+
 /** First-tick-of-second pick buffered for an OPEN candle minute in the
   * streaming correlation fold (`sec`/`us` in epoch µs). */
 final case class CorrSecPick(sec: Long, us: Long, seq: Long, bid: Double)
@@ -160,6 +172,65 @@ class DrawdownProcessor
         DrawdownPoint(key, r.time, r.seq, p, p - r.bid)
       }
     peak.update(p)
+    out.iterator
+  }
+}
+
+/** T29 processor: the reference's FULL default indicator grid
+  * ({RSI,SMA,EMA} × {14,28,56} per timeframe — transform.py:79-121,
+  * config.py:18-19) as LIVE keyed streaming state on the
+  * `transformWithState` API: one key per (pair, timeframe), whose state
+  * is exactly the batch grid's per-cell FusedMachine snapshot
+  * ([[graft.operators.Indicators.indicatorGridSnapshot]]'s row, as a
+  * [[GridSnap]] value handle). Each final candle steps all cells and
+  * emits their grid facts; the machines' snapshot/restore contract makes
+  * resume-from-checkpoint BIT-EXACT — the streaming half of what s8j
+  * proves for batch incrementality.
+  *
+  * Determinism across the micro-batch split: candles fold in time order
+  * within a batch, chunks replay in ascending time ranges (the house
+  * staging contract), and a restored machine replays the identical
+  * double ops the uninterrupted fold would — so the emitted fact set
+  * equals the one-shot batch [[graft.operators.Indicators
+  * .indicatorFactsFused]] (= the f3c oracle) for ANY split/kill point.
+  * Out-of-order candles below the carried `n` count cannot occur under
+  * ordered replay; a production source that violates this surfaces as a
+  * value mismatch, not silent corruption, because every cell's count
+  * advances monotonically. */
+class GridProcessor(indicators: Seq[String], periods: Seq[Int], calcVersion: String)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (String, String), graft.operators.CloseRow, graft.model.IndicatorValue] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var snap: ValueState[GridSnap] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    snap = getHandle.getValueState[GridSnap]("grid",
+      org.apache.spark.sql.Encoders.product[GridSnap], TTLConfig.NONE)
+
+  override def handleInputRows(key: (String, String),
+      rows: Iterator[graft.operators.CloseRow],
+      timerValues: TimerValues): Iterator[graft.model.IndicatorValue] = {
+    val specs = for { i <- indicators; p <- periods } yield (i, p)
+    val machines = specs.map { case (i, p) =>
+      (i, p, graft.operators.Indicators.fusedMachine(i, p))
+    }
+    if (snap.exists()) {
+      val byCell = snap.get().cells.map(c => (c.indicator, c.period) -> c).toMap
+      machines.foreach { case (i, p, m) =>
+        byCell.get((i, p)).foreach(c => m.restore(c.n, c.vec.toArray))
+      }
+    }
+    val (pair, tf) = key
+    val out = rows.toVector.sortBy(_.time.getTime).flatMap { r =>
+      machines.map { case (i, p, m) =>
+        graft.model.IndicatorValue(i, pair, tf, r.time, p, calcVersion, m.step(r.close))
+      }
+    }
+    snap.update(GridSnap(machines.map { case (i, p, m) =>
+      val (n, vec) = m.snapshot
+      GridCellSnap(i, p, n, vec.toSeq)
+    }))
     out.iterator
   }
 }
@@ -1164,6 +1235,24 @@ object Streams {
     ticks.groupByKey(_.pair)
       .transformWithState(new StaleProcessor(thresholdMs),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  /** T29: the fused indicator grid as a LIVE stream via [[GridProcessor]]
+    * — keyed FusedMachine snapshots stepping every (indicator, period)
+    * cell per arriving candle (the reference's E2-per-run loop made
+    * continuous). Requires the RocksDB state-store provider like
+    * [[drawdownStream]]; caller supplies final candles in ascending time
+    * order per key. */
+  def gridStream(candles: Dataset[graft.operators.CloseRow],
+                 indicators: Seq[String], periods: Seq[Int],
+                 calcVersion: String = graft.operators.Indicators.CalcVersion)
+      : Dataset[graft.model.IndicatorValue] = {
+    val spark = candles.sparkSession
+    import spark.implicits._
+    candles.groupByKey(r => (r.pair, r.timeframe))
+      .transformWithState(new GridProcessor(indicators, periods, calcVersion),
+        org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 

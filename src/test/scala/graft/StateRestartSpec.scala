@@ -1081,4 +1081,84 @@ class StateRestartSpec extends SparkSpec {
       === ((10.0, 12.0, 9.0, 9.0)))
     assert(b === a) // bit-equality across the kill/restart
   }
+
+  // ------------------------- t29: streaming fused grid (transformWithState)
+
+  private def candleRows(rows: Seq[(String, String, String, Double)]) =
+    rows.map { case (p, tf, t, c) => (p, tf, ts(t), c) }
+      .toDF("pair", "timeframe", "time", "close")
+
+  // period=3 and the kill after chunk 2: X@1m has consumed exactly 3
+  // candles there, so every machine's state at the kill is the loaded
+  // post-seed form — SMA's ring holds (11, 12), EMA's recurrence has just
+  // seeded, RSI's averages have just normalized. Chunk 3 continues the
+  // recursion immediately: a lost snapshot would emit null (SMA/EMA
+  // re-warming) or a re-seeded value, never the reference's numbers.
+  private val gridChunks = Seq(
+    candleRows(Seq(("X", "1m", "2024-01-01 00:00:00", 10.0),
+      ("X", "1m", "2024-01-01 00:01:00", 11.0),
+      ("Y", "5m", "2024-01-01 00:00:00", 5.0))),
+    candleRows(Seq(("X", "1m", "2024-01-01 00:02:00", 12.0),
+      ("Y", "5m", "2024-01-01 00:05:00", 6.0))),
+    candleRows(Seq(("X", "1m", "2024-01-01 00:03:00", 9.0),
+      ("X", "1m", "2024-01-01 00:04:00", 14.0),
+      ("Y", "5m", "2024-01-01 00:10:00", 7.0))),
+    candleRows(Seq(("X", "1m", "2024-01-01 00:05:00", 13.0),
+      ("Y", "5m", "2024-01-01 00:15:00", 4.0))))
+
+  private def runGrid(src: String, sink: String, ckpt: String): Unit = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      Streams.gridStream(stream.as[graft.operators.CloseRow],
+        Seq("RSI", "SMA", "EMA"), Seq(3))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("t29: every grid cell's FusedMachine resumes from keyed state bit-exactly") {
+    val root = Files.createTempDirectory("graft-t29-restart-").toString
+    val (srcA, srcB) = (s"$root/srcA", s"$root/srcB")
+    new java.io.File(srcA).mkdirs(); new java.io.File(srcB).mkdirs()
+
+    def run(src: String, tag: String, upTo: Int, from: Int = 0): Unit = {
+      gridChunks.slice(from, upTo).zipWithIndex.foreach { case (c, i) =>
+        stage(c, root, src, s"c${from + i}", 1600000000000L + (from + i) * 60000L)
+      }
+      runGrid(src, s"$root/sink$tag", s"$root/ckpt$tag")
+    }
+    run(srcA, "A", gridChunks.length) // uninterrupted reference
+    run(srcB, "B", 2)                 // two chunks, then the process "dies"
+    run(srcB, "B", gridChunks.length, from = 2) // restart, same checkpoint
+
+    def rows(sink: String) = spark.read.parquet(sink)
+      .select("indicator", "pair", "timeframe", "time", "period", "value")
+      .orderBy("indicator", "pair", "timeframe", "time").collect().toSeq
+    val (a, b) = (rows(s"$root/sinkA"), rows(s"$root/sinkB"))
+    assert(a.nonEmpty, "reference run emitted nothing")
+    assert(b === a) // bit-equality: same doubles, same rows, every cell
+    // the restored ring actually fired: X@1m's FIRST post-kill candle
+    // (00:03, close 9) emits SMA(3) = (11+12+9)/3 — two of the three ring
+    // slots predate the kill; a fresh machine would emit null here
+    val sma = b.find(r => r.getString(0) == "SMA" && r.getString(1) == "X"
+      && r.getTimestamp(3) == ts("2024-01-01 00:03:00")).get
+    assert(!sma.isNullAt(5) && math.abs(sma.getDouble(5) - 32.0 / 3) < 1e-12,
+      s"post-restart SMA lost its ring: $sma")
+    // and the restored EMA recurrence: prev = 11.0 at the kill, so 00:03
+    // emits (9 - 11) * 0.5 + 11 = 10.0, not a re-seed
+    val ema = b.find(r => r.getString(0) == "EMA" && r.getString(1) == "X"
+      && r.getTimestamp(3) == ts("2024-01-01 00:03:00")).get
+    assert(!ema.isNullAt(5) && math.abs(ema.getDouble(5) - 10.0) < 1e-12,
+      s"post-restart EMA lost its recurrence: $ema")
+  }
 }
