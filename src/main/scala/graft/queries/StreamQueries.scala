@@ -399,7 +399,7 @@ object StreamQueries {
         awaitAndRecord("t26_sketch_stream",
           Streams.sketchStream(
             docStream(s, d).select("doc_id", "text", "source"),
-            s"$tmp/ledger", s"$tmp/ckpt"))
+            s"$tmp/ledger", s"$tmp/ckpt", compactEvery = 2))
       }
       graft.operators.Sketches.kmvMatrix(
         graft.operators.Sketches.mergeSketches(
@@ -418,7 +418,7 @@ object StreamQueries {
         awaitAndRecord("t27_heaps_stream",
           Streams.heapsStream(
             docStream(s, d).select("doc_id", "text"),
-            s"$tmp/ledger", s"$tmp/ckpt"))
+            s"$tmp/ledger", s"$tmp/ckpt", compactEvery = 2))
       }
       graft.operators.TextAnalysis.heapsCurveFromFirstOcc(
         s.read.parquet(s"$tmp/ledger")
@@ -439,7 +439,7 @@ object StreamQueries {
           Streams.lengthStream(
             docStream(s, d).select("doc_id", "text"),
             s"$tmp/seen", s"$tmp/ledger", s"$tmp/ckpt",
-            step = 32, maxLen = 512))
+            step = 32, maxLen = 512, compactEvery = 2))
       }
       Streams.rollupLengthLedger(s.read.parquet(s"$tmp/ledger"))
     }),

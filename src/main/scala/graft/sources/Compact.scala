@@ -53,4 +53,45 @@ object Compact {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(path).count(_.getPath.getName.startsWith("part-"))
   }
+
+  /** Crash-safe compaction for APPEND-ONLY LEDGERS (the t26/t27/t28
+    * streaming sinks): snapshot the ledger's current fragments, append
+    * their `merge`d equivalent as a new fragment, then delete the
+    * snapshotted originals. No rename protocol and no read-modify-write —
+    * correctness leans on the ledger's own roll-up contract: any reader
+    * must absorb duplicate rows (idempotent merges like KMV union and
+    * min-partials do inherently; counter ledgers key rows by batch_id and
+    * the roll-up collapses per-key duplicates first). Under that contract
+    * a crash at ANY point — after the append, or mid-delete — leaves
+    * originals alongside the merged fragment, and the roll-up is
+    * unchanged; the next compaction pass absorbs the leftovers.
+    *
+    * `merge` must preserve the ledger schema AND the roll-up value (e.g.
+    * re-merge sketches per source, min first-occurrence partials per
+    * token, collapse counter rows per (batch_id, bucket)); it must NOT
+    * collapse across batch_ids on non-idempotent ledgers — a replayed
+    * micro-batch appends rows under its original batch_id, and that key
+    * is the only thing standing between replay and double-count.
+    *
+    * Returns (fragments before, fragments after). A month-long stream
+    * calling this every N micro-batches holds the ledger at O(N + rows/
+    * targetBytes) fragments instead of one per batch forever. */
+  def compactLedger(spark: SparkSession, ledgerDir: String,
+                    merge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                    targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(path).filter(_.getPath.getName.startsWith("part-"))
+    if (parts.length <= 1) return (parts.length, parts.length)
+    val snapshot = parts.map(_.getPath.toString).toSeq
+    // merged output is never larger than its input bytes
+    val n = math.max(1, math.ceil(
+      parts.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    merge(spark.read.parquet(snapshot: _*))
+      .coalesce(n).write.mode("append").parquet(ledgerDir)
+    snapshot.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    (parts.length,
+      fs.listStatus(path).count(_.getPath.getName.startsWith("part-")))
+  }
 }

@@ -1322,12 +1322,12 @@ object Streams {
     * either misses (batch replays: fine) or reads alongside the replayed
     * append (duplicate: fine). No read-modify-write exists to corrupt. */
   def sketchStream(docs: DataFrame, ledgerPath: String, checkpoint: String,
-                   n: Int = 3, k: Int = 256): StreamingQuery =
+                   n: Int = 3, k: Int = 256, compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // a maxFilesPerTrigger=1 micro-batch arrives as ONE partition; the
         // shingle+MD5 stage is CPU-bound, so without an explicit fan-out it
         // runs serially on that partition (measured 47.9 s vs 15.9 s for
@@ -1337,6 +1337,13 @@ object Streams {
           batch.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
         graft.operators.Sketches.sourceSketch(wide, n, k)
           .write.mode("append").parquet(ledgerPath)
+        // periodic fragment roll-up: re-merging per source IS the ledger's
+        // reader algebra (KMV union), so compaction is a no-op to any
+        // roll-up and crash-safe by idempotence
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.sources.Compact.compactLedger(batch.sparkSession, ledgerPath,
+            df => graft.operators.Sketches.mergeSketches(df, k))
+        ()
       }
       .start()
 
@@ -1354,18 +1361,24 @@ object Streams {
     * only lose min ties to the original's equal doc_id. Ledger growth is
     * Σ per-batch vocab, the same order as the batch op's shuffle. */
   def heapsStream(docs: DataFrame, ledgerPath: String,
-                  checkpoint: String): StreamingQuery =
+                  checkpoint: String, compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // single-partition micro-batch + CPU-bound tokenize: fan out first
         // (the t26 valve)
         val wide = batch.repartition(
           batch.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
         graft.operators.TextAnalysis.firstOccurrence(wide)
           .write.mode("append").parquet(ledgerPath)
+        // periodic fragment roll-up: min-per-token IS the reader algebra —
+        // idempotent, so append-then-delete is crash-safe at any point
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.sources.Compact.compactLedger(batch.sparkSession, ledgerPath,
+            df => df.groupBy(col("tok")).agg(min(col("first_doc")).as("first_doc")))
+        ()
       }
       .start()
 
@@ -1386,7 +1399,7 @@ object Streams {
     * ≤ maxLen/step rows per batch. Roll up with [[rollupLengthLedger]]. */
   def lengthStream(docs: DataFrame, seenPath: String, ledgerPath: String,
                    checkpoint: String, step: Int = 32,
-                   maxLen: Int = 512): StreamingQuery =
+                   maxLen: Int = 512, compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -1403,6 +1416,20 @@ object Streams {
             col("sum_tokens"))
           .write.mode("append").parquet(ledgerPath)
         novel.select("doc_id").write.mode("append").parquet(seenPath)
+        // periodic fragment roll-up — batch_id-AWARE: counters are not
+        // idempotent, so compaction only collapses duplicate rows per
+        // (batch_id, bucket) (identical by per-batch determinism) and
+        // KEEPS the batch_id key; that key is what lets the reader's
+        // roll-up absorb both a replayed batch's re-append and a crash
+        // that leaves originals beside the merged fragment
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.sources.Compact.compactLedger(spark, ledgerPath,
+            df => df.groupBy(col("batch_id"), col("bucket"))
+              .agg(max(col("n_docs")).as("n_docs"),
+                max(col("sum_tokens")).as("sum_tokens"))
+              .select(col("batch_id"), col("bucket"), col("n_docs"),
+                col("sum_tokens")))
+        ()
       }
       .start()
 

@@ -57,4 +57,123 @@ class CompactSpec extends SparkSpec {
     }
     assert(spans.length >= 2 && sorted, "range re-clustering failed")
   }
+
+  // ---- append-only ledger compaction (t26/t27/t28 housekeeping) ----------
+
+  import spark.implicits._
+
+  private def docBatch(ids: Range, src: String) =
+    ids.map(i => (i.toLong, s"alpha tok$i beta ${"pad " * (i % 7)}gamma", src))
+      .toDF("doc_id", "text", "source")
+
+  private def fragments(dir: String): Int =
+    new java.io.File(dir).listFiles().count(_.getName.startsWith("part-"))
+
+  test("ledger compaction: min-partial ledger (t27) — roll-up invariant, crash-tolerant") {
+    val ledger = java.nio.file.Files.createTempDirectory("graft-lc27-").toString
+    val batches = Seq(docBatch(0 until 10, "a"), docBatch(5 until 20, "a"),
+      docBatch(15 until 30, "b"))
+    batches.foreach(b => graft.operators.TextAnalysis.firstOccurrence(b)
+      .write.mode("append").parquet(ledger))
+    def rollup() = spark.read.parquet(ledger)
+      .groupBy(col("tok")).agg(min(col("first_doc")).as("first_doc"))
+      .orderBy("tok").collect().toSeq
+    val before = rollup()
+    val merge = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("tok")).agg(min(col("first_doc")).as("first_doc"))
+    val (nb, na) = Compact.compactLedger(spark, ledger, merge)
+    assert(nb > na && na <= 2, s"no compaction: $nb -> $na")
+    assert(rollup() === before, "compaction changed the roll-up")
+    // crash simulation: merged fragment appended but originals NOT deleted
+    // (a kill mid-compactLedger) — the idempotent roll-up must not move
+    merge(spark.read.parquet(ledger)).write.mode("append").parquet(ledger)
+    assert(rollup() === before, "duplicate merged fragment changed the roll-up")
+  }
+
+  test("ledger compaction: KMV sketch ledger (t26) — union algebra absorbs the repack") {
+    val ledger = java.nio.file.Files.createTempDirectory("graft-lc26-").toString
+    Seq(docBatch(0 until 15, "a").union(docBatch(100 until 110, "b")),
+      docBatch(10 until 30, "a").union(docBatch(105 until 125, "b")),
+      docBatch(25 until 40, "b"))
+      .foreach(b => graft.operators.Sketches.sourceSketch(b, 3, 64)
+        .write.mode("append").parquet(ledger))
+    def rollup() = graft.operators.Sketches.kmvMatrix(
+      graft.operators.Sketches.mergeSketches(spark.read.parquet(ledger), 64), 64)
+      .orderBy("src_a", "src_b").collect().toSeq
+    val before = rollup()
+    val (nb, na) = Compact.compactLedger(spark, ledger,
+      df => graft.operators.Sketches.mergeSketches(df, 64))
+    assert(nb > na && na <= 2, s"no compaction: $nb -> $na")
+    assert(rollup() === before, "compaction changed the sketch roll-up")
+  }
+
+  test("ledger compaction: counter ledger (t28) — batch_id preserved, replay still absorbed") {
+    val ledger = java.nio.file.Files.createTempDirectory("graft-lc28-").toString
+    val batches = Seq(docBatch(0 until 12, "a"), docBatch(12 until 25, "a"),
+      docBatch(25 until 40, "b"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.operators.TextAnalysis.lengthBuckets(b, 4, 64)
+        .select(lit(i.toLong).as("batch_id"), col("bucket"), col("n_docs"),
+          col("sum_tokens"))
+        .write.mode("append").parquet(ledger)
+    }
+    // a crash-replayed batch: batch 1's rows appended a second time under
+    // the SAME batch_id — the ledger's own at-least-once hazard
+    graft.operators.TextAnalysis.lengthBuckets(batches(1), 4, 64)
+      .select(lit(1L).as("batch_id"), col("bucket"), col("n_docs"),
+        col("sum_tokens"))
+      .write.mode("append").parquet(ledger)
+    def rollup() = graft.streaming.Streams
+      .rollupLengthLedger(spark.read.parquet(ledger))
+      .orderBy("bucket").collect().toSeq
+    val before = rollup()
+    val merge = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("batch_id"), col("bucket"))
+        .agg(max(col("n_docs")).as("n_docs"), max(col("sum_tokens")).as("sum_tokens"))
+        .select(col("batch_id"), col("bucket"), col("n_docs"), col("sum_tokens"))
+    val (nb, na) = Compact.compactLedger(spark, ledger, merge)
+    assert(nb > na && na <= 2, s"no compaction: $nb -> $na")
+    assert(rollup() === before, "compaction changed the counter roll-up")
+    // post-compaction replay of batch 2 (its batch_id survived the repack,
+    // so the reader's per-(batch_id, bucket) collapse still screens it)
+    graft.operators.TextAnalysis.lengthBuckets(batches(2), 4, 64)
+      .select(lit(2L).as("batch_id"), col("bucket"), col("n_docs"),
+        col("sum_tokens"))
+      .write.mode("append").parquet(ledger)
+    assert(rollup() === before, "post-compaction replay double-counted")
+  }
+
+  test("lengthStream with compactEvery holds ledger fragments bounded, roll-up exact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lcstream-").toString
+    val src = s"$root/src"; new java.io.File(src).mkdirs()
+    val all = docBatch(0 until 48, "a")
+    // four ascending doc_id chunks, one micro-batch each
+    (0 until 4).foreach { i =>
+      val tmp = s"$root/tmp-$i"
+      all.filter(col("doc_id") >= i * 12 && col("doc_id") < (i + 1) * 12)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(src, s"c$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(1600000000000L + i * 60000L)
+    }
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .select("doc_id", "text")
+    graft.streaming.Streams.lengthStream(stream, s"$root/seen", s"$root/ledger",
+      s"$root/ckpt", step = 4, maxLen = 64, compactEvery = 2)
+      .awaitTermination()
+    // roll-up ≡ the one-shot batch report
+    val got = graft.streaming.Streams
+      .rollupLengthLedger(spark.read.parquet(s"$root/ledger"))
+      .orderBy("bucket").collect().toSeq
+    val want = graft.operators.TextAnalysis.lengthBuckets(all, 4, 64)
+      .orderBy("bucket").collect().toSeq
+    assert(got === want, "compacted streaming ledger diverged from batch report")
+    // 4 batches × up-to-#buckets files each without compaction; the every-2
+    // pass at batch 4 leaves the merged fragment alone
+    assert(fragments(s"$root/ledger") <= 2,
+      s"ledger not compacted: ${fragments(s"$root/ledger")} fragments")
+  }
 }
