@@ -2015,6 +2015,40 @@ object Indicators {
         }
       }.toDF()
   }
+
+  /** The ADVANCED snapshot after folding (new) `candles` into machines
+    * restored from `state` — the companion of [[indicatorFactsFusedResume]]
+    * that a CONTINUOUS E2 loop persists each round: snapshot(prefix) +
+    * fold(tail) ≡ snapshot(prefix ++ tail) bit-exactly, so per-round cost
+    * tracks the new candles, never the history. Keys present only in
+    * `state` re-emit their rows unchanged (cogroup unions keys); keys new
+    * in `candles` start fresh. */
+  def indicatorGridSnapshotResume(candles: DataFrame, indicators: Seq[String],
+                                  periods: Seq[Int], state: DataFrame): DataFrame = {
+    require(indicators.nonEmpty && periods.nonEmpty, "empty indicator grid")
+    val specs = for { ind <- indicators; p <- periods } yield (ind, p)
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val st = state
+      .select($"pair", $"timeframe", $"indicator", $"period", $"n", $"vec")
+      .as[GridState]
+      .groupByKey(r => (r.pair, r.timeframe))
+    candles.select($"pair", $"timeframe", $"time", $"close").as[CloseRow]
+      .groupByKey(r => (r.pair, r.timeframe))
+      .cogroupSorted(st)($"time")() { case ((pair, tf), rows, states) =>
+        val byCell = states.map(s => (s.indicator, s.period) -> s).toMap
+        val machines = specs.map { case (ind, p) =>
+          val m = fusedMachine(ind, p)
+          byCell.get((ind, p)).foreach(s => m.restore(s.n, s.vec.toArray))
+          (ind, p, m)
+        }
+        rows.foreach(r => machines.foreach(_._3.step(r.close)))
+        machines.iterator.map { case (ind, p, m) =>
+          val (n, vec) = m.snapshot
+          GridState(pair, tf, ind, p, n, vec.toSeq)
+        }
+      }.toDF()
+  }
 }
 
 /** One cell's persisted fold state for the resumable fused grid:

@@ -2046,8 +2046,24 @@ object IndicatorQueries {
     * own recursive CTE — over shared per-timeframe candle CTEs. Mirrors
     * [[graft.operators.Flows.indicatorFlow]]'s fan-out (the reference's
     * 45 Prefect tasks, transform.py:79-121). */
-  private def gridSql(periods: Seq[Int], tfs: Seq[(String, Int)]): String = {
-    val closes = tfs.map { case (tf, d) => tfCloseCte(s"b_$tf", tf, d) }
+  /** The fused-grid oracle. With `cutoff` set, replays the LIVE pipeline's
+    * semantics instead of the batch flow's: ticks restricted below the
+    * cutoff, and every timeframe's bar series truncated to bars whose
+    * window has CLOSED against the pair's max tick time (`ts + dur <=
+    * max_tick`) — the e2e pipeline's finality rule. The finality cut is a
+    * per-pair series SUFFIX, so row numbers and every recursion prefix
+    * are unchanged. */
+  private def gridSql(periods: Seq[Int], tfs: Seq[(String, Int)],
+                      cutoff: Option[String] = None): String = {
+    val closes = tfs.flatMap { case (tf, d) =>
+      cutoff match {
+        case None => Seq(tfCloseCte(s"b_$tf", tf, d))
+        case Some(_) => Seq(tfCloseCte(s"raw_$tf", tf, d),
+          s"""b_$tf AS (SELECT r.pair, r.ts, r.close FROM raw_$tf r
+             |  JOIN mx ON r.pair = mx.pair
+             |  WHERE r.ts + $d <= epoch(mx.mt)::BIGINT)""".stripMargin)
+      }
+    }
     val rns = tfs.map { case (tf, _) =>
       s"""n_$tf AS MATERIALIZED (SELECT pair, ts, close,
          |       row_number() OVER (PARTITION BY pair ORDER BY ts) AS rn
@@ -2110,10 +2126,32 @@ object IndicatorQueries {
       (tf, _) <- tfs; p <- periods
       b <- Seq(smaBranch(p, tf), emaBranch(p, tf), rsiBranch(p, tf))
     } yield b
-    s"""WITH RECURSIVE $ticksCte, $dedupCte, $c1mCte,
+    val prelude = cutoff match {
+      case None => s"$ticksCte, $dedupCte, $c1mCte"
+      case Some(ts) =>
+        s"""$ticksCte, $dedupCte,
+           |-- the live pipeline's ticks crossed the wire as %.6f text
+           |-- (Relay.toWireMessages), so the oracle replays that rounding
+           |dcut AS (SELECT pair, time,
+           |                printf('%.6f', bid)::DOUBLE AS bid,
+           |                printf('%.6f', ask)::DOUBLE AS ask
+           |         FROM dedup WHERE time < TIMESTAMP '$ts'),
+           |mx AS (SELECT pair, max(time) AS mt FROM dcut GROUP BY 1),
+           |c1m AS (
+           |  SELECT pair, date_trunc('minute', time) AS time,
+           |         min_by(bid, time) AS open, max(bid) AS high,
+           |         min(bid) AS low, max_by(bid, time) AS close
+           |  FROM dcut GROUP BY 1, 2)""".stripMargin
+    }
+    s"""WITH RECURSIVE $prelude,
        |${(closes ++ rns ++ recs).mkString(",\n")}
        |${branches.mkString("\nUNION ALL\n")}""".stripMargin
   }
+
+  /** The `e2e_live_pipeline` gate's oracle: the (14,28)×(1m,5m) grid with
+    * the live pipeline's tick cutoff + bar-finality semantics. */
+  private[queries] def liveGridOracle(wireEnd: String): String =
+    gridSql(Seq(14, 28), Seq(("1m", 60), ("5m", 300)), cutoff = Some(wireEnd))
 
   val oracleSql: Map[String, String] = Map(
     "u2b_ema_14_4h" -> emaSql(14, "4h", 14400),

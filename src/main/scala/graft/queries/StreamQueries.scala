@@ -221,6 +221,60 @@ object StreamQueries {
           col("bid"), col("ask"))
     }),
 
+    // E2E (the reference's whole deployment, one living chain): wire JSON
+    // over a real socket → DSv2 source → parse → tick relay → E1 candle
+    // maintenance → E2 fused-grid resume-from-snapshot → E3 ticker fan-out
+    // (a real subscribed WebSocket client rides along), multiple REAL
+    // micro-batches (maxMessagesPerBatch read limit). The gate returns the
+    // DEEPEST store — the grid facts — so a hash match certifies every
+    // upstream stage; the oracle replays the pipeline's semantics in SQL
+    // (tick cutoff, %.6f wire rounding, per-pair bar finality, the grid
+    // recursions).
+    "e2e_live_pipeline" -> ((s, d) => {
+      val wireEnd = "2024-01-03 00:00:00"
+      // the live endpoint pushes in TIME order (the pipeline's ordered-
+      // socket contract; u4d's string-sort is set-semantics only), so the
+      // replay orders by the embedded ISO timestamp
+      val msgs = graft.operators.Relay.toWireMessages(
+          TradingQueries.ticks(s, d).filter(col("time") < lit(wireEnd)))
+        .select(col("message"),
+          regexp_extract(col("message"), "\"timestamp\":\"([^\"]+)\"", 1).as("ts"))
+        .orderBy(col("ts"), col("message"))
+        .collect().map(_.getString(0)).toIndexedSeq
+      require(msgs.length <= 250000,
+        s"e2e replay fixture unexpectedly large: ${msgs.length}")
+      val endpoint = new graft.serving.WireReplayServer(msgs)
+      val epPort = endpoint.start()
+      val srv = new graft.serving.TickerServer(
+        Seq("click", "view", "signup").map(p =>
+          graft.serving.PathConfig(p, s"/ws/ticker_$p")), heartbeatMillis = 60000L)
+      val srvPort = srv.start()
+      val root = Files.createTempDirectory("graft-e2e-").toString
+      val sub = new graft.sources.WebSocketClient("127.0.0.1", srvPort, "/ws/ticker_click")
+      try {
+        sub.connect()
+        awaitAndRecord("e2e_live_pipeline",
+          graft.serving.LivePipeline.start(s, "localhost", epPort, "/ws/public/v1",
+            """{"command":"subscribe","channel":"ticker"}""", root, srv,
+            Seq("RSI", "SMA", "EMA"), Seq(14, 28), Seq("1m", "5m"),
+            maxMessages = msgs.length.toLong,
+            maxMessagesPerBatch = math.max(1L, msgs.length.toLong / 4)))
+        // the serving leg really fired: the subscriber heard live json
+        srv.publish("/ws/ticker_click", """{"type":"done"}""")
+        var sawTicker = false
+        var m = sub.readMessage()
+        while (m.isDefined && !m.get.contains("\"done\"")) {
+          sawTicker ||= m.get.contains("\"type\":\"ticker\"")
+          m = sub.readMessage()
+        }
+        require(sawTicker, "no ticker payload reached the live subscriber")
+      } finally { sub.close(); endpoint.stop(); srv.close() }
+      s.read.parquet(s"$root/grid_facts")
+        .select(col("indicator"), col("pair"), col("timeframe"),
+          unix_timestamp(col("time")).as("time_s"), col("period"),
+          round(col("value"), 6).as("value"))
+    }),
+
     // T4 (CDC relay cursor): stream the fixture through the idempotent
     // relay — per-batch second-dedup, first-write-wins parquet sink — then
     // read the sink back. Oracle: the batch tick-dedup SQL (S2).
@@ -1088,6 +1142,9 @@ object StreamQueries {
     // streaming fused grid converges to the one-shot batch grid (bit-exact
     // machine snapshots), so the oracle is f3c's, verbatim
     "t29_grid_stream" -> IndicatorQueries.oracleSql("f3c_indicator_grid_full"),
+    // the whole live chain's deepest store: the grid oracle with the
+    // pipeline's cutoff + wire rounding + bar-finality semantics
+    "e2e_live_pipeline" -> IndicatorQueries.liveGridOracle("2024-01-03 00:00:00"),
 
     // the w11 aggregation with the streaming append cutoff: buckets whose
     // end the final watermark (max second-truncated event time − 1 h) has

@@ -66,9 +66,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * holds this many (makes AvailableNow runs deterministic: the trigger
   * drains exactly the expected set); `availableNowTimeoutMs` (default
   * 30000) — how long AvailableNow waits for `maxMessages` before
-  * draining what arrived; `minPartitions` (default 1) — contiguous
-  * chunks per micro-batch; `walSegmentMessages` (default 4096) —
-  * messages per WAL segment file (the GC granularity). */
+  * draining what arrived; `maxMessagesPerBatch` (default ∞) — ReadLimit
+  * per micro-batch (an AvailableNow drain then runs MULTIPLE batches to
+  * the frozen target, the Kafka maxOffsetsPerTrigger pattern);
+  * `minPartitions` (default 1) — contiguous chunks per micro-batch;
+  * `walSegmentMessages` (default 4096) — messages per WAL segment file
+  * (the GC granularity). */
 final class WebSocketSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-websocket"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -128,6 +131,10 @@ private[graft] final class WebSocketMicroBatchStream(
     Option(options.get("maxMessages")).map(_.toLong).getOrElse(Long.MaxValue)
   private val availableNowTimeoutMs =
     Option(options.get("availableNowTimeoutMs")).map(_.toLong).getOrElse(30000L)
+  private val maxMessagesPerBatch =
+    Option(options.get("maxMessagesPerBatch")).map(_.toLong)
+  require(maxMessagesPerBatch.forall(_ >= 1),
+    s"maxMessagesPerBatch must be >= 1, got $maxMessagesPerBatch")
   private val minPartitions =
     Option(options.get("minPartitions")).map(_.toInt).getOrElse(1)
   require(minPartitions >= 1, s"minPartitions must be >= 1, got $minPartitions")
@@ -294,12 +301,19 @@ private[graft] final class WebSocketMicroBatchStream(
     availableNowCap = received
   }
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    maxMessagesPerBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     // a dead receiver must fail the query, not stall it silently
     receiverFailure.foreach(m => throw new IllegalStateException(m))
-    WsOffset(if (availableNowCap >= 0) availableNowCap else received)
+    val cap = if (availableNowCap >= 0) availableNowCap else received
+    val s = start.asInstanceOf[WsOffset].n
+    WsOffset(limit match {
+      case mr: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        math.min(cap, s + mr.maxRows())
+      case _ => cap
+    })
   }
 
   override def latestOffset(): Offset =

@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.model.Timeframe
+import graft.operators.{Indicators, Ohlc, Ticks}
+import graft.serving.{LivePipeline, PathConfig, TickerServer, WireReplayServer}
+import graft.sources.WebSocketClient
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-13 verdict item 4: the reference's WHOLE deployment as one
+  * living artifact — a real socket endpoint feeding the DSv2 source,
+  * through tick relay + candle + fused-grid state, out to real WebSocket
+  * subscribers of the [[TickerServer]] — including a kill/restart across
+  * which every store reconverges to the uninterrupted run bit-exactly. */
+class LivePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val inds = Seq("RSI", "SMA", "EMA")
+  private val ps = Seq(3)
+  private val tfCodes = Seq("1m", "5m")
+  private val tfs = tfCodes.map(Timeframe.byCode)
+
+  private def msg(sym: String, t: String, bid: Double, ask: Double) =
+    f"""{"symbol":"$sym","timestamp":"$t","bid":"$bid%.3f","ask":"$ask%.3f"}"""
+
+  /** 40 minutes × 2 pairs × 2 ticks/minute, per-pair ascending (the
+    * socket contract), deterministic pseudo-walk closes. */
+  private val wire: IndexedSeq[String] = {
+    val out = Vector.newBuilder[String]
+    for (m <- 0 until 40; s <- Seq(0, 30)) {
+      val t = f"2024-01-01T00:$m%02d:$s%02d.000Z"
+      val w = ((m * 2 + s / 30) * 7) % 23 // deterministic walk
+      out += msg("USD_JPY", t, 150.0 + w * 0.1, 150.05 + w * 0.1)
+      out += msg("EUR_JPY", t, 160.0 - w * 0.07, 160.04 - w * 0.07)
+    }
+    out.result().toIndexedSeq
+  }
+
+  private def parseAll(msgs: Seq[String]): DataFrame =
+    Ticks.valid(Ticks.fromWireJson(msgs.toDF("value")))
+
+  /** The one-shot batch twin of the whole chain over `msgs`. */
+  private def expected(msgs: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
+    val ticksB = Ticks.dedupSecond(parseAll(msgs).withColumn("seq", lit(0L)))
+    val mx = ticksB.groupBy("pair").agg(max(col("time")).as("max_t"))
+    val durs = tfs.map(t => (t.code, t.durationSeconds.toLong)).toDF("timeframe", "dur")
+    val cand = Ohlc.allTimeframes(ticksB, tfs)
+    val candFinal = cand.join(durs, "timeframe").join(mx, "pair")
+      .filter(unix_timestamp(col("time")) + col("dur") <= unix_timestamp(col("max_t")))
+      .select(cand.columns.map(col).toSeq: _*)
+    val grid = Indicators.indicatorFactsFused(candFinal, inds, ps)
+    (ticksB, candFinal, grid)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def eventually(cond: => Boolean, msg: => String,
+                         timeoutMs: Long = 10000L): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(cond, msg)
+  }
+
+  private def assertStores(root: String, msgs: Seq[String]): Unit = {
+    val (et, ec, eg) = expected(msgs)
+    val st = LivePipeline.Stores(root)
+    assert(sortedRows(spark.read.parquet(st.ticks)
+      .select("pair", "time", "bid", "ask")) ===
+      sortedRows(et.select("pair", "time", "bid", "ask")), "tick store diverged")
+    assert(sortedRows(spark.read.parquet(st.candles)) === sortedRows(ec),
+      "candle store diverged")
+    assert(sortedRows(spark.read.parquet(st.gridFacts)) === sortedRows(eg),
+      "grid facts diverged")
+  }
+
+  test("live pipeline: socket in, stores advanced per batch, ticker json out") {
+    val endpoint = new WireReplayServer(wire)
+    val epPort = endpoint.start()
+    val srv = new TickerServer(Seq(PathConfig("USD_JPY", "/ws/ticker_usd_jpy"),
+      PathConfig("EUR_JPY", "/ws/ticker_eur_jpy")), heartbeatMillis = 60000L)
+    val srvPort = srv.start()
+    val root = Files.createTempDirectory("graft-livepipe-").toString
+    try {
+      val sub = new WebSocketClient("127.0.0.1", srvPort, "/ws/ticker_usd_jpy")
+      sub.connect()
+      eventually(srv.clientCount("/ws/ticker_usd_jpy") == 1, "subscriber not registered")
+      LivePipeline.start(spark, "localhost", epPort, "/ws/public/v1",
+        """{"command":"subscribe","channel":"ticker"}""", root, srv,
+        inds, ps, tfCodes,
+        maxMessages = wire.length.toLong, maxMessagesPerBatch = 25L)
+        .awaitTermination(120000)
+      // tick-in → json-out: the subscriber saw live ticker payloads, and
+      // the last one carries the pair's FINAL bid (batches are per-pair
+      // time-ordered, so the last publish is the latest tick). A sentinel
+      // published after termination bounds the read deterministically.
+      srv.publish("/ws/ticker_usd_jpy", """{"type":"done"}""")
+      var seen = Vector.empty[String]
+      var m = sub.readMessage()
+      while (m.isDefined && !m.get.contains("\"done\"")) {
+        seen :+= m.get; m = sub.readMessage()
+      }
+      sub.close()
+      val tickers = seen.filter(_.contains("\"type\":\"ticker\""))
+      assert(tickers.nonEmpty, s"no ticker json reached the subscriber: $seen")
+      assert(tickers.forall(_.contains("\"symbol\":\"USD_JPY\"")), tickers.take(3))
+      val lastBid = parseAll(wire).filter(col("pair") === "USD/JPY")
+        .orderBy(col("time").desc).limit(1).collect()(0).getDouble(2)
+      assert(tickers.last.contains(s""""bid":$lastBid"""),
+        s"last ticker ${tickers.last} != final bid $lastBid")
+      // every store equals its one-shot batch twin
+      assertStores(root, wire)
+    } finally { endpoint.stop(); srv.close() }
+  }
+
+  test("live pipeline: kill between batches, restart reconverges every store bit-exactly") {
+    val k = 70 // the kill point: mid-warm-up for 5m cells, mid-series for 1m
+    val srv = new TickerServer(Seq(PathConfig("USD_JPY", "/ws/ticker_usd_jpy"),
+      PathConfig("EUR_JPY", "/ws/ticker_eur_jpy")), heartbeatMillis = 60000L)
+    srv.start()
+    val root = Files.createTempDirectory("graft-livepipe-restart-").toString
+    try {
+      // phase 1: first k messages, then the process "dies"
+      val epA = new WireReplayServer(wire.take(k))
+      val pA = epA.start()
+      try LivePipeline.start(spark, "localhost", pA, "/",
+        """{"command":"subscribe"}""", root, srv, inds, ps, tfCodes,
+        maxMessages = k.toLong, maxMessagesPerBatch = 25L)
+        .awaitTermination(120000)
+      finally epA.stop()
+      // phase 2: restart on the SAME checkpoint/stores against an endpoint
+      // that only has the tail (the WAL replays nothing lost; Spark's
+      // offset log resumes at k)
+      val epB = new WireReplayServer(wire.drop(k))
+      val pB = epB.start()
+      try LivePipeline.start(spark, "localhost", pB, "/",
+        """{"command":"subscribe"}""", root, srv, inds, ps, tfCodes,
+        maxMessages = wire.length.toLong, maxMessagesPerBatch = 25L)
+        .awaitTermination(120000)
+      finally epB.stop()
+      assertStores(root, wire)
+    } finally srv.close()
+  }
+
+  test("live pipeline: a replayed micro-batch is a no-op on every store") {
+    val srv = new TickerServer(Seq(PathConfig("USD_JPY", "/ws/ticker_usd_jpy")),
+      heartbeatMillis = 60000L)
+    srv.start()
+    val root = Files.createTempDirectory("graft-livepipe-replay-").toString
+    try {
+      val st = LivePipeline.Stores(root)
+      val b1 = parseAll(wire.take(100))
+      val b2 = parseAll(wire.slice(100, 160))
+      LivePipeline.processBatch(b1, 0L, st, srv, inds, ps, tfs)
+      LivePipeline.processBatch(b2, 1L, st, srv, inds, ps, tfs)
+      def state() = (sortedRows(spark.read.parquet(st.ticks)),
+        sortedRows(spark.read.parquet(st.candles)),
+        sortedRows(spark.read.parquet(st.gridFacts)))
+      val before = state()
+      // the at-least-once hazard: batch 1 replays AFTER batch 2 committed
+      // (crash after the stores advanced, before the checkpoint commit)
+      LivePipeline.processBatch(b2, 1L, st, srv, inds, ps, tfs)
+      assert(state() === before, "replayed batch mutated a store")
+      assertStores(root, wire)
+    } finally srv.close()
+  }
+}
