@@ -311,7 +311,11 @@ object TextAnalysis {
     * bigram total — log being monotone, the no-transcendentals rule
     * applies), with a min-count floor killing the unstable singleton tail.
     * Scale shape: two map-side-combined hash aggregates (bigrams,
-    * unigrams) re-using the one token-array projection; totals
+    * unigrams), each computed ONCE — every later reference (totals,
+    * both join sides) resolves to a ReusedExchange of its shuffle, so
+    * the corpus scans exactly twice, column-pruned to `text` (verified
+    * in the adaptive plan; a repartition barrier A/B'd slower — one
+    * scan saved never pays for a full token-array shuffle); totals
     * re-aggregate the COMPACT count tables (no second corpus pass);
     * the final join keys on the min-count-filtered bigram table; top-k is
     * a distributed TakeOrdered, never a global sort. */
