@@ -348,6 +348,47 @@ object CorpusPrep {
         phone, "<PHONE>"))
   }
 
+  /** L66: deterministic corpus shuffle + shard assignment — the final
+    * pre-training pass. Every document gets a position in a seeded
+    * pseudo-random total order (md5 of `seed ++ doc_id` — uniform and
+    * engine-portable, so re-runs and retried tasks land identically) and
+    * a (shard, position-in-shard) slot; any number of training workers
+    * then read disjoint, reproducible, well-mixed shards. Round-robin
+    * sharding (`shard = rank % nShards`) balances shards to ±1 document
+    * with no knowledge of the total count.
+    *
+    * Scale shape: the global rank is the two-phase prefix-count pattern
+    * ([[packSequences]]) pointed at HASH space — the bucket key is the
+    * leading hex byte of the hash, which is ORDER-ALIGNED with the full
+    * hash (a mod-bucket would interleave ranges and break rank
+    * composition): within-bucket row_numbers run in parallel over
+    * ~corpus/256 rows each, the 256 bucket counts prefix-sum on one tiny
+    * task and broadcast back. No global single-task sort anywhere; at
+    * 100 TB widen the bucket key to 3-4 hex chars (4096-65536 buckets)
+    * so each within-bucket sort stays executor-sized. */
+  def corpusShuffle(docs: DataFrame, nShards: Int, seed: Long = 42L): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val withH = docs.select(col("doc_id"),
+      md5(concat(lit(seed.toString), col("doc_id").cast("string"))
+        .cast("binary")).as("_h"))
+    // lowercase-hex lexicographic order == numeric order, so the leading
+    // two hex chars are a monotone 256-way range partition of the hash
+    val local = withH
+      .withColumn("_b", conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("_b")).orderBy(col("_h"), col("doc_id"))))
+    val offs = local.groupBy(col("_b")).agg(count(lit(1)).as("_n"))
+      .withColumn("_pre", coalesce(sum(col("_n")).over(
+        Window.orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_b"), col("_pre"))
+    local.join(broadcast(offs), "_b")
+      .withColumn("rank", col("_pre") + col("_r") - 1)
+      .select(col("doc_id"), col("rank"),
+        (col("rank") % nShards).cast("int").as("shard"),
+        expr(s"rank div $nShards").as("pos"))
+  }
+
   /** Per-split rollup of a cleaned, split-assigned corpus — the last stage
     * of the end-to-end curation flow (clean → [[assignSplit]] → audit the
     * train/val/test balance before training). Same order-insensitive

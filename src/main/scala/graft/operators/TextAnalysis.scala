@@ -346,6 +346,87 @@ object TextAnalysis {
       .select(col("t1"), col("t2"), col("cab"), col("pmi"))
   }
 
+  /** L67: BPE merge training — the first k merge rules of byte-pair
+    * encoding learned from the corpus (Sennrich et al. 2016), the
+    * tokenizer-training pass a data pipeline runs before anything else
+    * consumes token ids. Each round finds the most frequent adjacent
+    * symbol pair (count-weighted over the DISTINCT-word table, ties
+    * broken lexicographically) and fuses it corpus-wide via a
+    * left-to-right non-overlapping fold — the textbook algorithm.
+    *
+    * Scale shape: the corpus is read ONCE into the word-frequency table
+    * (map-side-combined groupBy, bounded by VOCABULARY not corpus size);
+    * each round is then one explode+agg over that compact table plus a
+    * string fold, with the chosen pair the round's only driver state
+    * (k pairs total — the kmeans-centroid pattern). State is
+    * localCheckpoint'd per round so lineage stays flat. Symbols live in
+    * a space-delimited string (tokens cannot contain whitespace after
+    * [[TextOps.tokens]]), and the fold rule `acc endsWith " l" && x == r
+    * → acc ++ r` is non-overlap by construction: a merged symbol
+    * contains no space, so it can never left-anchor a second merge in
+    * the same pass. */
+  def bpeMerges(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    bpeState(docs, k, textCol)._2.toDF("merge_no", "lhs", "rhs", "pair_count")
+  }
+
+  /** L68: encode the corpus with the tokenizer [[bpeMerges]] just learned —
+    * per document, the whitespace token count and the BPE-unit count after
+    * k merges (the learned tokenizer's fertility, the number a token-budget
+    * planner actually consumes). All-integer. Scale shape: the trained
+    * word→units table is vocabulary-bounded, so the token→units lookup is
+    * one join against a compact side (broadcast-able at any corpus SF) and
+    * the per-doc rollup one map-side-combined agg. */
+  def bpeEncode(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
+    val units = bpeState(docs, k, textCol)._1
+      .select(col("word"), size(split(col("sym"), " ")).cast("long").as("units"))
+    docs.select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word").isNotNull && col("word") =!= "")
+      .join(units, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws"), sum(col("units")).as("n_units"))
+  }
+
+  /** The shared BPE trainer: (post-k-merges word state, merge rules). */
+  private def bpeState(docs: DataFrame, k: Int, textCol: String)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var state = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word").isNotNull && col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        concat_ws(" ", filter(split(col("word"), ""), x => x =!= lit(""))).as("sym"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var done = false
+    for (i <- 1 to k if !done) {
+      val arr = split(col("sym"), " ")
+      val best = state
+        .select(col("cnt"), explode(zip_with(
+          slice(arr, lit(1), size(arr) - 1), slice(arr, lit(2), size(arr) - 1),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("pr"))
+        .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("lhs"), col("rhs"))
+        .limit(1).collect() // ONE row — the round's merge rule
+      if (best.isEmpty) done = true
+      else {
+        val l = best(0).getString(0)
+        val r = best(0).getString(1)
+        val pc = best(0).getLong(2)
+        merges += ((i, l, r, pc))
+        state = state.select(col("word"), col("cnt"),
+          ltrim(aggregate(split(col("sym"), " "), lit(""),
+            (acc, x) => when(acc.endsWith(lit(" " + l)) && x === lit(r),
+              concat(acc, x)).otherwise(concat(acc, lit(" "), x)))).as("sym"))
+          .localCheckpoint(true)
+      }
+    }
+    (state, merges.result())
+  }
+
   def lmScore(docs: DataFrame): DataFrame = {
     // token arrays in their OWN projection (lambda-CSE rule)
     val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))

@@ -37,6 +37,44 @@ object LlmQueries {
       |  FROM documents
       |)""".stripMargin
 
+  /** One BPE merge fold (DuckDB list_reduce twin of the Spark aggregate()
+    * fold in [[graft.operators.TextAnalysis.bpeMerges]]): apply round
+    * `to`'s best pair to state s`from`. */
+  private def bpeFoldStep(from: Int, to: Int): String =
+    s"""SELECT word, cnt,
+       |  ltrim(list_reduce(list_prepend('', string_split(sym, ' ')),
+       |    (acc, x) -> CASE WHEN right(acc, length(b.lhs)+1) = ' ' || b.lhs
+       |                      AND x = b.rhs
+       |                THEN acc || x ELSE acc || ' ' || x END)) AS sym
+       |FROM s$from, b$to b""".stripMargin
+
+  /** The unrolled BPE training chain: w0 (word frequencies), s0 (char
+    * symbols), then per round i: pair counts p_i, best pair b_i, and the
+    * merged state s_i (for all but the last round — append it with
+    * [[bpeFoldStep]] if the final state is needed). */
+  private def bpeChain(k: Int): String = {
+    val head =
+      s"""WITH $toksCte,
+         |w0 AS (SELECT word, count(*)::BIGINT AS cnt
+         |       FROM (SELECT unnest(w) AS word FROM toks)
+         |       WHERE word IS NOT NULL AND word <> '' GROUP BY word),
+         |s0 AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |         array_to_string(regexp_split_to_array(word, ''), ' ') AS sym
+         |  FROM w0)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      val pair =
+        s"""p$i AS (SELECT arr[i] AS lhs, arr[i+1] AS rhs, sum(cnt)::BIGINT AS pc
+           |       FROM (SELECT cnt, string_split(sym, ' ') AS arr FROM s${i - 1}) t,
+           |            UNNEST(generate_series(1, len(arr)-1)) AS u(i)
+           |       GROUP BY 1, 2),
+           |b$i AS (SELECT lhs, rhs, pc FROM p$i ORDER BY pc DESC, lhs, rhs LIMIT 1)""".stripMargin
+      if (i < k) pair + s",\ns$i AS MATERIALIZED (${bpeFoldStep(i - 1, i)})"
+      else pair
+    }.mkString(",\n")
+    head + ",\n" + rounds
+  }
+
   /** Distinct 3-word shingle sets (DuckDB twin of [[graft.operators.TextOps.shingles]]). */
   private val shingleCte =
     s"""$toksCte,
@@ -599,6 +637,23 @@ object LlmQueries {
     "llm_split_assign" -> ((s, d) =>
       CorpusPrep.assignSplit(Tables.documents(s, d))
         .select(col("doc_id"), col("split"))),
+
+    // L66: deterministic pre-training shuffle — seeded-hash total order,
+    // round-robin shard + in-shard position; the global rank comes from
+    // the hash-bucketed two-phase prefix count (never a single-task sort)
+    "llm_shuffle_shards" -> ((s, d) =>
+      CorpusPrep.corpusShuffle(Tables.documents(s, d), nShards = 8)),
+
+    // L67: the first 3 BPE merge rules learned from the corpus — each
+    // round one explode+agg over the vocabulary-bounded word-frequency
+    // table; oracle replays the identical rounds as unrolled CTEs
+    "llm_bpe_merges" -> ((s, d) =>
+      TextAnalysis.bpeMerges(Tables.documents(s, d), k = 3)),
+
+    // L68: encode with the just-learned tokenizer — per-doc whitespace vs
+    // BPE-unit counts (all-integer; vocabulary-bounded lookup join)
+    "llm_bpe_encode" -> ((s, d) =>
+      TextAnalysis.bpeEncode(Tables.documents(s, d), k = 3)),
 
     "llm_sample_strata" -> ((s, d) =>
       CorpusPrep.sampleStrata(Tables.documents(s, d), "lang",
@@ -1735,6 +1790,37 @@ object LlmQueries {
          |            WHEN b < 95 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM h""".stripMargin,
+
+    // the merge fold (list_reduce with the right()-suffix rule) is the
+    // byte-identical DuckDB twin of the Spark aggregate() fold; sN are
+    // MATERIALIZED because each is referenced by both pN+1 and sN+1
+    "llm_bpe_merges" ->
+      s"""${bpeChain(3)}
+         |SELECT 1 AS merge_no, lhs, rhs, pc AS pair_count FROM b1
+         |UNION ALL SELECT 2, lhs, rhs, pc FROM b2
+         |UNION ALL SELECT 3, lhs, rhs, pc FROM b3""".stripMargin,
+
+    // L68: fertility of the JUST-LEARNED tokenizer — per doc, whitespace
+    // tokens and BPE units after the 3 trained merges (all-integer)
+    "llm_bpe_encode" ->
+      s"""${bpeChain(3)},
+         |s3 AS MATERIALIZED (${bpeFoldStep(2, 3)}),
+         |u AS (SELECT word, len(string_split(sym, ' '))::BIGINT AS units FROM s3),
+         |t AS (SELECT doc_id, unnest(w) AS word FROM toks)
+         |SELECT doc_id, count(*)::BIGINT AS n_ws, sum(units)::BIGINT AS n_units
+         |FROM t JOIN u USING (word)
+         |WHERE word IS NOT NULL AND word <> ''
+         |GROUP BY doc_id""".stripMargin,
+
+    "llm_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id, md5('42' || CAST(doc_id AS VARCHAR)) AS _h
+        |           FROM documents),
+        |r AS (SELECT doc_id,
+        |             (ROW_NUMBER() OVER (ORDER BY _h, doc_id) - 1)::BIGINT AS rank
+        |      FROM h)
+        |SELECT doc_id, rank, CAST(rank % 8 AS INT) AS shard,
+        |       (rank // 8)::BIGINT AS pos
+        |FROM r""".stripMargin,
 
     "llm_sample_strata" ->
       s"""WITH $toksCte,

@@ -163,4 +163,32 @@ class CorpusPrepSpec extends SparkSpec {
     assert(cands.exists { case (i, j) => i <= 2 && j >= 10 },
       "no corpus-batch candidate at all — banding broken")
   }
+
+  test("corpusShuffle: bucketed rank == global hash order, shards balanced, order-invariant") {
+    val out = CorpusPrep.corpusShuffle(docs, nShards = 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+        r.getAs[Int]("shard"), r.getAs[Long]("pos")))
+    // ranks are exactly the permutation 0..n-1
+    assert(out.map(_._2).sorted.toSeq === (0L until 400L))
+    // the two-phase bucketed rank composes to the TRUE global hash order
+    val direct = docs.select(col("doc_id"),
+        md5(concat(lit("42"), col("doc_id").cast("string")).cast("binary")).as("h"))
+      .orderBy(col("h"), col("doc_id")).collect().map(_.getLong(0))
+    assert(out.sortBy(_._2).map(_._1).toSeq === direct.toSeq)
+    // round-robin shards balance to +-1 and pos is the in-shard index
+    val byShard = out.groupBy(_._3)
+    assert(byShard.keySet === (0 until 8).toSet)
+    assert(byShard.values.map(_.size).max - byShard.values.map(_.size).min <= 1)
+    byShard.values.foreach { s =>
+      assert(s.sortBy(_._2).map(_._4).toSeq === (0L until s.size.toLong))
+    }
+    // seeded hash = pure function of doc_id: input row order cannot matter
+    val reord = CorpusPrep.corpusShuffle(docs.orderBy(rand(7)).repartition(5), 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"))).toMap
+    assert(out.map(t => (t._1, t._2)).toMap === reord)
+    // a different seed is a different permutation (the shuffle actually mixes)
+    val other = CorpusPrep.corpusShuffle(docs, 8, seed = 43L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"))).toMap
+    assert(other !== out.map(t => (t._1, t._2)).toMap)
+  }
 }

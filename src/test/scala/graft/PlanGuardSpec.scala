@@ -154,6 +154,18 @@ class PlanGuardSpec extends SparkSpec {
       && l.contains("_lc")), s"per-bucket running-sum window missing:\n$p")
   }
 
+  test("corpus shuffle never sorts the full corpus on one task") {
+    // the global rank composes from _b-partitioned row_numbers + a tiny
+    // offsets window; a global Sort/SinglePartition over the corpus would
+    // mean the hash order came from a single-task sort
+    val p = plan("llm_shuffle_shards")
+    val lines = p.linesIterator.toSeq
+    assert(lines.count(_.contains("Exchange SinglePartition")) === 1,
+      s"expected exactly one deliberate SinglePartition exchange (offsets):\n$p")
+    assert(lines.exists(l => l.contains("Window") && l.contains("_b#")
+      && l.contains("row_number")), s"bucket-partitioned rank window missing:\n$p")
+  }
+
   test("capped ngram semi-joins the df valve below the postings aggregate") {
     val p = plan("llm_dedup_ngram_capped")
     val lines = p.linesIterator.toSeq
@@ -354,7 +366,10 @@ class PlanGuardSpec extends SparkSpec {
       "llm_vocab_topk" -> "post-TakeOrdered rank, <= topV rows",
       // cumulative window over the quality histogram: its domain is the
       // fixed 6-dp grid of [0,1] — <= 1e6+1 rows at ANY corpus size
-      "llm_curriculum" -> "6-dp quality-grid histogram, <= 1e6+1 rows")
+      "llm_curriculum" -> "6-dp quality-grid histogram, <= 1e6+1 rows",
+      // corpusShuffle's offset prefix-sum runs over the 256 per-bucket
+      // counts (the corpus-sized rank window is _b-partitioned)
+      "llm_shuffle_shards" -> "per-bucket counts, <= 256 rows")
     val streaming = graft.queries.StreamQueries.queries.keySet
     val offenders = SparkEntry.queries.filterNot(q => streaming(q._1))
       .flatMap { case (name, fn) =>

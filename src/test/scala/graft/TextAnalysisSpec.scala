@@ -67,4 +67,72 @@ class TextAnalysisSpec extends SparkSpec {
     assert((got(1)._1, got(1)._2) === ("a", "new"))
     assert(math.abs(got(1)._4 - 2.0 * 64.0 / (7.0 * 3.0 * 2.0)) < 1e-12)
   }
+
+  test("bpeMerges replays the textbook algorithm (driver reference impl, random corpus)") {
+    import spark.implicits._
+    // driver-side reference: word-freq map, per round count adjacent pairs,
+    // pick (count DESC, lhs, rhs), merge left-to-right non-overlapping
+    def refBpe(words: Map[String, Long], k: Int): Seq[(Int, String, String, Long)] = {
+      var st = words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      (1 to k).flatMap { i =>
+        val pairs = st.toSeq.flatMap { case (sym, c) =>
+          sym.sliding(2).filter(_.size == 2).map(p => ((p(0), p(1)), c))
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        if (pairs.isEmpty) Nil
+        else {
+          val ((l, r), pc) = pairs.minBy { case ((a, b), c) => (-c, a, b) }
+          st = st.map { case (sym, c) =>
+            val out = Vector.newBuilder[String]
+            var j = 0
+            while (j < sym.length) {
+              if (j + 1 < sym.length && sym(j) == l && sym(j + 1) == r) {
+                out += (l + r); j += 2
+              } else { out += sym(j); j += 1 }
+            }
+            (out.result(), c)
+          }
+          Seq((i, l, r, pc))
+        }
+      }
+    }
+    val rnd = new scala.util.Random(99)
+    val alpha = "abcd"
+    val texts = (1L to 60L).map { i =>
+      (i, Seq.fill(12)(
+        (0 until (1 + rnd.nextInt(5))).map(_ => alpha(rnd.nextInt(4))).mkString
+      ).mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val words = texts.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exp = refBpe(words, 4)
+    val got = graft.operators.TextAnalysis.bpeMerges(docs, k = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(got === exp, s"got=$got exp=$exp")
+
+    // encode with the learned tokenizer: per-doc unit counts must match
+    // re-running the reference merges over each doc's token stream
+    var refState = words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    exp.foreach { case (_, l, r, _) =>
+      refState = refState.map { case (sym, c) =>
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < sym.length) {
+          if (j + 1 < sym.length && sym(j) == l && sym(j + 1) == r) {
+            out += (l + r); j += 2
+          } else { out += sym(j); j += 1 }
+        }
+        (out.result(), c)
+      }
+    }
+    val unitsOf = refState.map { case (sym, _) => (sym.mkString, sym.length) }
+    val expEnc = texts.map { case (id, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      (id, (toks.length.toLong, toks.map(w => unitsOf(w).toLong).sum))
+    }.toMap
+    val gotEnc = graft.operators.TextAnalysis.bpeEncode(docs, k = 4).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(gotEnc === expEnc, s"encode mismatch")
+  }
 }

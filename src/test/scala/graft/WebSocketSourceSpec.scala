@@ -177,6 +177,76 @@ class WebSocketSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  // ---- round-13: WAL-replay determinism as a ScalaCheck property ---------
+
+  test("socket source: output invariant over random kill x commit x reconnect x segmentation points") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.{forAll, propBoolean}
+
+    // one simulated run of Spark's offset protocol against a live stream:
+    // drain [from, to) in the given micro-batch splits, committing after
+    // each batch exactly as the engine does
+    def drain(s: graft.sources.WebSocketMicroBatchStream,
+              from: Long, to: Long, splits: Seq[Long]): Seq[String] = {
+      if (from >= to) return Nil
+      val bounds = (from +: splits.filter(b => b > from && b < to) :+ to).distinct.sorted
+      bounds.sliding(2).flatMap { case Seq(a, b) =>
+        val out = s.planInputPartitions(
+          graft.sources.WsOffset(a), graft.sources.WsOffset(b))
+          .flatMap(_.asInstanceOf[graft.sources.WsInputPartition].msgs)
+        s.commit(graft.sources.WsOffset(b))
+        out
+      }.toSeq
+    }
+
+    val params = for {
+      n <- Gen.chooseNum(6, 20)               // wire length
+      drop <- Gen.oneOf(Int.MaxValue, 1, 2, 3) // sever every k frames
+      walSeg <- Gen.chooseNum(1, 5)            // GC granularity
+      k1 <- Gen.chooseNum(1, n)                // kill after k1 received
+      c <- Gen.chooseNum(0, k1)                // committed boundary at kill
+      splits <- Gen.listOfN(4, Gen.chooseNum(1L, n.toLong - 1)) // batch bounds
+    } yield (n, drop, walSeg, k1, c, splits)
+
+    val prop = forAll(params) { case (n, drop, walSeg, k1, c, splits) =>
+      val msgs = (0 until n).map(i =>
+        tickJson("USD_JPY", f"2024-01-01T00:00:$i%02d.000Z", s"151.$i", s"152.$i"))
+      val ckpt = Files.createTempDirectory("graft-wssrc-prop-").toString
+      def opts(port: Int, maxMessages: Int) = streamOpts(port,
+        "maxMessages" -> maxMessages.toString, "backoffMs" -> "10",
+        "walSegmentMessages" -> walSeg.toString)
+
+      // phase 1: receive exactly k1, commit through c, then the kill.
+      // the phase-1 server holds ONLY the first k1 messages so the stop
+      // point can never race frames into an unread TCP buffer
+      val srv1 = new WireReplayServer(msgs.take(k1), dropEvery = drop)
+      val p1 = srv1.start()
+      val s1 = new graft.sources.WebSocketMicroBatchStream(opts(p1, k1), ckpt)
+      val out1 =
+        try { awaitReceived(s1, k1); drain(s1, 0L, c.toLong, splits.map(_ min c.toLong)) }
+        finally { s1.stop(); srv1.stop() }
+
+      // phase 2: restart on the same checkpoint; the server has only NEW
+      // data — [c, k1) must come back from the GC'd segmented WAL alone
+      val srv2 = new WireReplayServer(msgs.drop(k1), dropEvery = drop)
+      val p2 = srv2.start()
+      val s2 = new graft.sources.WebSocketMicroBatchStream(opts(p2, n), ckpt)
+      val out2 =
+        try {
+          val deadline = System.currentTimeMillis() + 30000
+          while (s2.gcFloor + s2.bufferedCount < n &&
+            System.currentTimeMillis() < deadline) Thread.sleep(10)
+          drain(s2, c.toLong, n.toLong, splits)
+        } finally { s2.stop(); srv2.stop() }
+
+      ((out1 ++ out2) == msgs) :|
+        s"n=$n drop=$drop walSeg=$walSeg kill=$k1 commit=$c splits=$splits " +
+        s"got=${(out1 ++ out2).length} rows"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("socket source: minPartitions fans a micro-batch into ordered contiguous chunks") {
     val msgs = (0 until 10).map(i => s"""{"i":$i}""")
     val server = new WireReplayServer(msgs)
