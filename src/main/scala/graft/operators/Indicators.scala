@@ -1991,40 +1991,29 @@ object Indicators {
   def indicatorFactsFusedResume(candles: DataFrame, indicators: Seq[String],
                                 periods: Seq[Int], state: DataFrame,
                                 calcVersion: String = CalcVersion): DataFrame = {
-    require(indicators.nonEmpty && periods.nonEmpty, "empty indicator grid")
-    val specs = for { ind <- indicators; p <- periods } yield (ind, p)
     val spark = candles.sparkSession
     import spark.implicits._
-    val st = state
-      .select($"pair", $"timeframe", $"indicator", $"period", $"n", $"vec")
-      .as[GridState]
-      .groupByKey(r => (r.pair, r.timeframe))
-    candles.select($"pair", $"timeframe", $"time", $"close").as[CloseRow]
-      .groupByKey(r => (r.pair, r.timeframe))
-      .cogroupSorted(st)($"time")() { case ((pair, tf), rows, states) =>
-        val byCell = states.map(s => (s.indicator, s.period) -> s).toMap
-        val steps = specs.map { case (ind, p) =>
-          val m = fusedMachine(ind, p)
-          byCell.get((ind, p)).foreach(s => m.restore(s.n, s.vec.toArray))
-          (ind, p, m)
-        }
+    resumeCogroup[IndicatorValue](candles, indicators, periods, state) {
+      (pair, tf, machines, rows) =>
         rows.flatMap { r =>
-          steps.iterator.map { case (ind, p, m) =>
+          machines.iterator.map { case (ind, p, m) =>
             IndicatorValue(ind, pair, tf, r.time, p, calcVersion, m.step(r.close))
           }
         }
-      }.toDF()
+    }
   }
 
-  /** The ADVANCED snapshot after folding (new) `candles` into machines
-    * restored from `state` — the companion of [[indicatorFactsFusedResume]]
-    * that a CONTINUOUS E2 loop persists each round: snapshot(prefix) +
-    * fold(tail) ≡ snapshot(prefix ++ tail) bit-exactly, so per-round cost
-    * tracks the new candles, never the history. Keys present only in
-    * `state` re-emit their rows unchanged (cogroup unions keys); keys new
-    * in `candles` start fresh. */
-  def indicatorGridSnapshotResume(candles: DataFrame, indicators: Seq[String],
-                                  periods: Seq[Int], state: DataFrame): DataFrame = {
+  /** The shared resume preamble — the ONE place the snapshot/restore
+    * contract is wired (sorted cogroup of tail candles against the
+    * O(cells) state rows per (pair, timeframe), one restored machine per
+    * grid cell) — so the fact fold and the snapshot fold can never drift
+    * apart. Keys absent from the snapshot start fresh; keys present only
+    * in the snapshot still reach `emit` with no candle rows. */
+  private def resumeCogroup[T: org.apache.spark.sql.Encoder](
+      candles: DataFrame, indicators: Seq[String], periods: Seq[Int],
+      state: DataFrame)(
+      emit: (String, String, Seq[(String, Int, FusedMachine)],
+             Iterator[CloseRow]) => Iterator[T]): DataFrame = {
     require(indicators.nonEmpty && periods.nonEmpty, "empty indicator grid")
     val specs = for { ind <- indicators; p <- periods } yield (ind, p)
     val spark = candles.sparkSession
@@ -2042,12 +2031,29 @@ object Indicators {
           byCell.get((ind, p)).foreach(s => m.restore(s.n, s.vec.toArray))
           (ind, p, m)
         }
+        emit(pair, tf, machines, rows)
+      }.toDF()
+  }
+
+  /** The ADVANCED snapshot after folding (new) `candles` into machines
+    * restored from `state` — the companion of [[indicatorFactsFusedResume]]
+    * that a CONTINUOUS E2 loop persists each round: snapshot(prefix) +
+    * fold(tail) ≡ snapshot(prefix ++ tail) bit-exactly, so per-round cost
+    * tracks the new candles, never the history. Keys present only in
+    * `state` re-emit their rows unchanged (cogroup unions keys); keys new
+    * in `candles` start fresh. */
+  def indicatorGridSnapshotResume(candles: DataFrame, indicators: Seq[String],
+                                  periods: Seq[Int], state: DataFrame): DataFrame = {
+    val spark = candles.sparkSession
+    import spark.implicits._
+    resumeCogroup[GridState](candles, indicators, periods, state) {
+      (pair, tf, machines, rows) =>
         rows.foreach(r => machines.foreach(_._3.step(r.close)))
         machines.iterator.map { case (ind, p, m) =>
           val (n, vec) = m.snapshot
           GridState(pair, tf, ind, p, n, vec.toSeq)
         }
-      }.toDF()
+    }
   }
 }
 

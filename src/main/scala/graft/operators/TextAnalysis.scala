@@ -368,7 +368,7 @@ object TextAnalysis {
   def bpeMerges(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
     val session = docs.sparkSession
     import session.implicits._
-    bpeState(docs, k, textCol)._2.toDF("merge_no", "lhs", "rhs", "pair_count")
+    bpeTrain(docs, k, textCol)._2.toDF("merge_no", "lhs", "rhs", "pair_count")
   }
 
   /** L68: encode the corpus with the tokenizer [[bpeMerges]] just learned —
@@ -378,8 +378,14 @@ object TextAnalysis {
     * word→units table is vocabulary-bounded, so the token→units lookup is
     * one join against a compact side (broadcast-able at any corpus SF) and
     * the per-doc rollup one map-side-combined agg. */
-  def bpeEncode(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
-    val units = bpeState(docs, k, textCol)._1
+  def bpeEncode(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame =
+    bpeEncodeWith(docs, bpeTrain(docs, k, textCol)._1, textCol)
+
+  /** [[bpeEncode]] against an ALREADY-TRAINED word state (the first half
+    * of [[bpeTrain]]'s result) — the merges+encode workflow trains once. */
+  def bpeEncodeWith(docs: DataFrame, trained: DataFrame,
+                    textCol: String = "text"): DataFrame = {
+    val units = trained
       .select(col("word"), size(split(col("sym"), " ")).cast("long").as("units"))
     docs.select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("word"))
       .filter(col("word").isNotNull && col("word") =!= "")
@@ -388,8 +394,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_ws"), sum(col("units")).as("n_units"))
   }
 
-  /** The shared BPE trainer: (post-k-merges word state, merge rules). */
-  private def bpeState(docs: DataFrame, k: Int, textCol: String)
+  /** The shared BPE trainer: (post-k-merges word state `(word, cnt,
+    * sym)`, merge rules) — call once, feed both [[bpeMerges]]-shaped
+    * reporting and [[bpeEncodeWith]]. */
+  def bpeTrain(docs: DataFrame, k: Int, textCol: String = "text")
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
     require(k >= 1, s"k must be >= 1, got $k")
     var state = docs

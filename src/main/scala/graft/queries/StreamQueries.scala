@@ -41,6 +41,25 @@ object StreamQueries {
   private val stageCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), String]
 
+  /** The ONE copy of the bounded-file-stream replay protocol: write
+    * `batch` as `chunks` range-partitioned, within-partition-sorted part
+    * files whose ascending lastModified mod-times drive
+    * maxFilesPerTrigger=1 delivery order. Returns the chunk count (for
+    * callers appending extra chunks after the main sequence). */
+  private def stageChunks(stage: String, batch: DataFrame, chunks: Int,
+                          rangeCols: Seq[org.apache.spark.sql.Column],
+                          sortCols: Seq[org.apache.spark.sql.Column]): Int = {
+    batch.repartitionByRange(chunks, rangeCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode("overwrite").parquet(stage)
+    val parts = new java.io.File(stage).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1600000000000L + i * 60000L)
+    }
+    parts.length
+  }
+
   private def eventsStream(s: SparkSession, d: String,
                            chunks: Int = 4): DataFrame = {
     // same timestamp policy as the batch reader (naive µs = UTC instant)
@@ -48,16 +67,10 @@ object StreamQueries {
     s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val batch = s.read.parquet(s"$d/events.parquet")
     val stagePath = stageCache.getOrElseUpdate((d, chunks), {
-      val stage = Files.createTempDirectory("graft-stream-src-")
-      batch.repartitionByRange(chunks, col("ts"), col("event_id"))
-        .sortWithinPartitions(col("ts"), col("event_id"))
-        .write.mode("overwrite").parquet(stage.toString)
-      val parts = new java.io.File(stage.toString).listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1600000000000L + i * 60000L)
-      }
-      stage.toString
+      val stage = Files.createTempDirectory("graft-stream-src-").toString
+      stageChunks(stage, batch, chunks,
+        Seq(col("ts"), col("event_id")), Seq(col("ts"), col("event_id")))
+      stage
     })
     val stream = s.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
@@ -98,25 +111,19 @@ object StreamQueries {
     val batch = graft.sources.Tables.documents(s, d)
       .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
     val stagePath = docStageCache.getOrElseUpdate((d, chunks), {
-      val stage = Files.createTempDirectory("graft-docstream-src-")
-      batch.repartitionByRange(chunks, col("doc_id"))
-        .sortWithinPartitions(col("doc_id"))
-        .write.mode("overwrite").parquet(stage.toString)
+      val stage = Files.createTempDirectory("graft-docstream-src-").toString
+      val n = stageChunks(stage, batch, chunks,
+        Seq(col("doc_id")), Seq(col("doc_id")))
       val redeliver = batch.orderBy(col("doc_id")).limit(100)
         .withColumn("ts", col("ts") + expr("INTERVAL 600 SECONDS"))
       val redir = s"$stage-redeliver"
       redeliver.coalesce(1).write.mode("overwrite").parquet(redir)
-      val parts = new java.io.File(stage.toString).listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1600000000000L + i * 60000L)
-      }
       val rpart = new java.io.File(redir).listFiles()
         .find(_.getName.startsWith("part-")).get
-      val dst = new java.io.File(stage.toString, "redelivered.parquet")
+      val dst = new java.io.File(stage, "redelivered.parquet")
       Files.copy(rpart.toPath, dst.toPath)
-      dst.setLastModified(1600000000000L + parts.length * 60000L)
-      stage.toString
+      dst.setLastModified(1600000000000L + n * 60000L)
+      stage
     })
     s.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
@@ -138,14 +145,8 @@ object StreamQueries {
       TradingQueries.ticks(s, d), new graft.Config(Map.empty))
     val stagePath = candleStageCache.getOrElseUpdate((d, chunks), {
       val stage = Files.createTempDirectory("graft-candlestream-src-").toString
-      batch.repartitionByRange(chunks, col("time"))
-        .sortWithinPartitions(col("time"), col("pair"), col("timeframe"))
-        .write.mode("overwrite").parquet(stage)
-      val parts = new java.io.File(stage).listFiles()
-        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1600000000000L + i * 60000L)
-      }
+      stageChunks(stage, batch, chunks, Seq(col("time")),
+        Seq(col("time"), col("pair"), col("timeframe")))
       stage
     })
     s.readStream.schema(batch.schema)

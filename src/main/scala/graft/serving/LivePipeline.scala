@@ -74,6 +74,7 @@ object LivePipeline {
             maxMessagesPerBatch: Long = Long.MaxValue,
             backoffMs: Long = 25L,
             maxReconnects: Int = 5,
+            availableNowTimeoutMs: Long = 30000L,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val stores = Stores(storeRoot)
     val tfs = timeframes.map(c => Timeframe.byCode.getOrElse(c,
@@ -86,6 +87,7 @@ object LivePipeline {
       .option("maxMessagesPerBatch", maxMessagesPerBatch.toString)
       .option("backoffMs", backoffMs.toString)
       .option("maxReconnects", maxReconnects.toString)
+      .option("availableNowTimeoutMs", availableNowTimeoutMs.toString)
       .load()
     Ticks.valid(Ticks.fromWireJson(lines))
       .writeStream
@@ -104,7 +106,13 @@ object LivePipeline {
                    server: TickerServer, indicators: Seq[String],
                    periods: Seq[Int], tfs: Seq[Timeframe]): Unit = {
     val spark = batch.sparkSession
-    val ticks = batch.localCheckpoint()
+    // wire-order tiebreak for the per-second dedup: (partition, ordinal)
+    // is socket order through the source's contiguous chunks, and a
+    // crash-replayed batch re-plans the identical offset slice into the
+    // identical partitioning — so the SAME survivor wins on replay even
+    // when two ticks share a wire timestamp
+    val ticks = batch.withColumn("seq", monotonically_increasing_id())
+      .localCheckpoint()
     if (ticks.isEmpty) return
 
     // 1) E3 serving edge: latest tick per pair fans out NOW — the edge
@@ -112,7 +120,7 @@ object LivePipeline {
     server.publishBatch(ticks, batchId)
 
     // 2) S2+T4 relay into the first-write-wins tick store
-    val staged = Ticks.dedupSecond(ticks.withColumn("seq", lit(0L)))
+    val staged = Ticks.dedupSecond(ticks)
     val prevTicks = readOpt(spark, stores.ticks)
     val novel = prevTicks.map(p => Incremental.newRows(p, staged, Seq("pair", "time")))
       .getOrElse(staged)

@@ -56,15 +56,26 @@ object Compact {
 
   /** Crash-safe compaction for APPEND-ONLY LEDGERS (the t26/t27/t28
     * streaming sinks): snapshot the ledger's current fragments, append
-    * their `merge`d equivalent as a new fragment, then delete the
-    * snapshotted originals. No rename protocol and no read-modify-write —
-    * correctness leans on the ledger's own roll-up contract: any reader
-    * must absorb duplicate rows (idempotent merges like KMV union and
-    * min-partials do inherently; counter ledgers key rows by batch_id and
-    * the roll-up collapses per-key duplicates first). Under that contract
-    * a crash at ANY point — after the append, or mid-delete — leaves
+    * their `merge`d equivalent as a new fragment, and GC with a GRACE
+    * CYCLE — the snapshotted originals are only recorded as tombstones
+    * now and deleted on the NEXT compaction call. No rename protocol and
+    * no read-modify-write — correctness leans on the ledger's own
+    * roll-up contract: any reader must absorb duplicate rows (idempotent
+    * merges like KMV union and min-partials do inherently; counter
+    * ledgers key rows by batch_id and the roll-up collapses per-key
+    * duplicates first). Under that contract a crash at ANY point —
+    * after the append, mid-tombstone-write, or mid-delete — leaves
     * originals alongside the merged fragment, and the roll-up is
-    * unchanged; the next compaction pass absorbs the leftovers.
+    * unchanged; the next pass absorbs or re-deletes the leftovers
+    * (tombstoned deletes are idempotent, and a tombstoned file's rows
+    * are ALWAYS also in a previously-appended merged fragment, so
+    * deletion never loses data).
+    *
+    * The grace cycle is the concurrent-reader seam: a reader that lists
+    * the directory sees every non-tombstoned fragment (complete) plus
+    * possibly tombstoned ones (duplicates, absorbed); a file it listed
+    * can only vanish mid-scan if the reader outlives a FULL compaction
+    * interval — not the milliseconds of a delete-after-append.
     *
     * `merge` must preserve the ledger schema AND the roll-up value (e.g.
     * re-merge sketches per source, min first-occurrence partials per
@@ -73,15 +84,29 @@ object Compact {
     * micro-batch appends rows under its original batch_id, and that key
     * is the only thing standing between replay and double-count.
     *
-    * Returns (fragments before, fragments after). A month-long stream
-    * calling this every N micro-batches holds the ledger at O(N + rows/
-    * targetBytes) fragments instead of one per batch forever. */
+    * Returns (fragments before, fragments after — including the
+    * tombstoned ones that survive until the next call). A month-long
+    * stream calling this every N micro-batches holds the ledger at
+    * O(N + rows/targetBytes) fragments instead of one per batch forever. */
   def compactLedger(spark: SparkSession, ledgerDir: String,
                     merge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
                     targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val path = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombPath = new org.apache.hadoop.fs.Path(ledgerDir, "_tombstones")
+
+    // 1) reap the PREVIOUS cycle's tombstones — their rows were merged
+    //    into a fragment appended before they were recorded, so deletion
+    //    can never lose data, and re-deletion after a crash is a no-op
+    if (fs.exists(tombPath)) {
+      val in = fs.open(tombPath)
+      val listed = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList finally in.close()
+      listed.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+      fs.delete(tombPath, false)
+    }
+
     val parts = fs.listStatus(path).filter(_.getPath.getName.startsWith("part-"))
     if (parts.length <= 1) return (parts.length, parts.length)
     val snapshot = parts.map(_.getPath.toString).toSeq
@@ -90,7 +115,15 @@ object Compact {
       parts.map(_.getLen).sum.toDouble / targetBytes).toInt)
     merge(spark.read.parquet(snapshot: _*))
       .coalesce(n).write.mode("append").parquet(ledgerDir)
-    snapshot.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+
+    // 2) tombstone the snapshot for the NEXT cycle (atomic rename; a
+    //    crash before the rename just leaves the originals as ordinary
+    //    fragments for the next pass to re-compact)
+    val tmp = new org.apache.hadoop.fs.Path(ledgerDir, "_tombstones.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((snapshot.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, tombPath)
     (parts.length,
       fs.listStatus(path).count(_.getPath.getName.startsWith("part-")))
   }

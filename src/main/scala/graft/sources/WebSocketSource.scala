@@ -371,8 +371,13 @@ private[graft] final class WebSocketMicroBatchStream(
     if (e > bufferBase) {
       buffer.remove(0, (e - bufferBase).toInt)
       bufferBase = e
-      Files.write(floorPath, (e.toString + "\n").getBytes(UTF_8),
+      // atomic floor update: a crash mid-write must never leave an
+      // empty/partial marker (restart parses it with toLong)
+      val tmp = walDir.resolve("floor.tmp")
+      Files.write(tmp, (e.toString + "\n").getBytes(UTF_8),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, floorPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       while (segments.nonEmpty && segments.head.start + segments.head.count <= e &&
              !(segments.last eq segments.head)) {
         Files.deleteIfExists(segments.head.path)

@@ -81,9 +81,15 @@ class CompactSpec extends SparkSpec {
     val before = rollup()
     val merge = (df: org.apache.spark.sql.DataFrame) =>
       df.groupBy(col("tok")).agg(min(col("first_doc")).as("first_doc"))
-    val (nb, na) = Compact.compactLedger(spark, ledger, merge)
-    assert(nb > na && na <= 2, s"no compaction: $nb -> $na")
+    // grace-cycle GC: call 1 appends the merged fragment and TOMBSTONES
+    // the originals (they survive one cycle for concurrent readers — the
+    // roll-up absorbs them as duplicates); call 2 reaps them
+    val (nb1, na1) = Compact.compactLedger(spark, ledger, merge)
+    assert(na1 > nb1, s"originals should survive the grace cycle: $nb1 -> $na1")
     assert(rollup() === before, "compaction changed the roll-up")
+    val (_, na2) = Compact.compactLedger(spark, ledger, merge)
+    assert(na2 <= 2, s"tombstoned originals not reaped: $na2 fragments")
+    assert(rollup() === before, "reap changed the roll-up")
     // crash simulation: merged fragment appended but originals NOT deleted
     // (a kill mid-compactLedger) — the idempotent roll-up must not move
     merge(spark.read.parquet(ledger)).write.mode("append").parquet(ledger)
@@ -101,10 +107,13 @@ class CompactSpec extends SparkSpec {
       graft.operators.Sketches.mergeSketches(spark.read.parquet(ledger), 64), 64)
       .orderBy("src_a", "src_b").collect().toSeq
     val before = rollup()
-    val (nb, na) = Compact.compactLedger(spark, ledger,
-      df => graft.operators.Sketches.mergeSketches(df, 64))
-    assert(nb > na && na <= 2, s"no compaction: $nb -> $na")
+    val m = (df: org.apache.spark.sql.DataFrame) =>
+      graft.operators.Sketches.mergeSketches(df, 64)
+    Compact.compactLedger(spark, ledger, m)
     assert(rollup() === before, "compaction changed the sketch roll-up")
+    val (_, na2) = Compact.compactLedger(spark, ledger, m)
+    assert(na2 <= 2, s"tombstoned originals not reaped: $na2 fragments")
+    assert(rollup() === before, "reap changed the sketch roll-up")
   }
 
   test("ledger compaction: counter ledger (t28) — batch_id preserved, replay still absorbed") {
@@ -131,9 +140,11 @@ class CompactSpec extends SparkSpec {
       df.groupBy(col("batch_id"), col("bucket"))
         .agg(max(col("n_docs")).as("n_docs"), max(col("sum_tokens")).as("sum_tokens"))
         .select(col("batch_id"), col("bucket"), col("n_docs"), col("sum_tokens"))
-    val (nb, na) = Compact.compactLedger(spark, ledger, merge)
-    assert(nb > na && na <= 2, s"no compaction: $nb -> $na")
+    Compact.compactLedger(spark, ledger, merge)
     assert(rollup() === before, "compaction changed the counter roll-up")
+    val (_, na2) = Compact.compactLedger(spark, ledger, merge)
+    assert(na2 <= 2, s"tombstoned originals not reaped: $na2 fragments")
+    assert(rollup() === before, "reap changed the counter roll-up")
     // post-compaction replay of batch 2 (its batch_id survived the repack,
     // so the reader's per-(batch_id, bucket) collapse still screens it)
     graft.operators.TextAnalysis.lengthBuckets(batches(2), 4, 64)
@@ -171,9 +182,23 @@ class CompactSpec extends SparkSpec {
     val want = graft.operators.TextAnalysis.lengthBuckets(all, 4, 64)
       .orderBy("bucket").collect().toSeq
     assert(got === want, "compacted streaming ledger diverged from batch report")
-    // 4 batches × up-to-#buckets files each without compaction; the every-2
-    // pass at batch 4 leaves the merged fragment alone
+    // 4 batches compact at 2 and 4; the grace cycle keeps each pass's
+    // tombstoned originals alive one more pass, so the bound is
+    // O(compactEvery + grace), not per-batch growth
+    assert(fragments(s"$root/ledger") <= 6,
+      s"ledger not bounded: ${fragments(s"$root/ledger")} fragments")
+    // one more offline pass reaps the last tombstones down to the merged set
+    val merge = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("batch_id"), col("bucket"))
+        .agg(max(col("n_docs")).as("n_docs"), max(col("sum_tokens")).as("sum_tokens"))
+        .select(col("batch_id"), col("bucket"), col("n_docs"), col("sum_tokens"))
+    Compact.compactLedger(spark, s"$root/ledger", merge)
+    Compact.compactLedger(spark, s"$root/ledger", merge)
     assert(fragments(s"$root/ledger") <= 2,
-      s"ledger not compacted: ${fragments(s"$root/ledger")} fragments")
+      s"offline reap left ${fragments(s"$root/ledger")} fragments")
+    assert(graft.streaming.Streams
+      .rollupLengthLedger(spark.read.parquet(s"$root/ledger"))
+      .orderBy("bucket").collect().toSeq === want,
+      "offline reap changed the roll-up")
   }
 }
