@@ -297,4 +297,28 @@ class PropertiesSpec extends SparkSpec {
       got == want
     }, n = 40)
   }
+
+  test("corpusShuffle rank == global (md5, id) order for ARBITRARY id sets") {
+    // the bucketed two-phase rank must compose to the true global hash
+    // order for any id population — sparse, negative, adversarially
+    // clustered — and shard/pos must stay consistent with it
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    checkProp(forAll(
+        Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)),
+        Gen.chooseNum(1, 9)) { (rawIds, nShards) =>
+      val ids = rawIds.distinct
+      val docs = ids.map(i => (i, "x")).toDF("doc_id", "text")
+      val got = graft.operators.CorpusPrep.corpusShuffle(docs, nShards)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+          r.getAs[Int]("shard"), r.getAs[Long]("pos")))
+      val want = ids.map(i => (md5hex("42" + i), i)).sorted.map(_._2)
+      val ranks = got.sortBy(_._2)
+      (ranks.map(_._1).toSeq == want.toSeq &&
+        got.forall(t => t._3 == (t._2 % nShards).toInt && t._4 == t._2 / nShards)) :|
+        s"ids=${ids.take(8)}... nShards=$nShards"
+    }, n = 12)
+  }
 }
