@@ -382,22 +382,46 @@ object TextAnalysis {
     bpeEncodeWith(docs, bpeTrain(docs, k, textCol)._1, textCol)
 
   /** [[bpeEncode]] against an ALREADY-TRAINED word state (the first half
-    * of [[bpeTrain]]'s result) — the merges+encode workflow trains once. */
+    * of [[bpeTrain]]'s result) — the merges+encode workflow trains once.
+    * Words ABSENT from the training vocabulary fall back to their
+    * character count (an untrained word encodes symbol-per-character —
+    * no merge rule has ever fused any of its pairs), so encoding a corpus
+    * different from the training one counts every word instead of
+    * silently dropping out-of-vocabulary ones. */
   def bpeEncodeWith(docs: DataFrame, trained: DataFrame,
                     textCol: String = "text"): DataFrame = {
     val units = trained
       .select(col("word"), size(split(col("sym"), " ")).cast("long").as("units"))
     docs.select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("word"))
       .filter(col("word").isNotNull && col("word") =!= "")
-      .join(units, "word")
+      .join(units, Seq("word"), "left")
+      .withColumn("units", coalesce(col("units"),
+        size(filter(split(col("word"), ""), x => x =!= lit(""))).cast("long")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ws"), sum(col("units")).as("n_units"))
   }
 
   /** The shared BPE trainer: (post-k-merges word state `(word, cnt,
     * sym)`, merge rules) — call once, feed both [[bpeMerges]]-shaped
-    * reporting and [[bpeEncodeWith]]. */
-  def bpeTrain(docs: DataFrame, k: Int, textCol: String = "text")
+    * reporting and [[bpeEncodeWith]].
+    *
+    * TWO physical paths, one semantics (ScalaCheck-proven equivalent):
+    *
+    *  - **bounded-vocabulary fast path** (the production shape for real
+    *    merge counts): the word-frequency table is vocabulary-bounded —
+    *    measured by `count()`, never guessed — and when it fits the
+    *    `maxDriverVocab` budget it is collected ONCE and the k merge
+    *    rounds run driver-side with pair-delta updates (an inverted
+    *    pair→words index; each round touches only the words containing
+    *    the fused pair). k=32,000 costs ONE Spark job + O(corpus-chars)
+    *    driver work instead of 32k distributed rounds — the same
+    *    bounded-probe pattern as Similarity's smallCorpus collect.
+    *  - **distributed round loop** for vocabularies past the budget:
+    *    each round one explode+agg over the compact word table plus a
+    *    non-overlapping string fold, driver state = k rules.
+    */
+  def bpeTrain(docs: DataFrame, k: Int, textCol: String = "text",
+               maxDriverVocab: Long = 4000000L)
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
     require(k >= 1, s"k must be >= 1, got $k")
     var state = docs
@@ -407,6 +431,10 @@ object TextAnalysis {
       .select(col("word"), col("cnt"),
         concat_ws(" ", filter(split(col("word"), ""), x => x =!= lit(""))).as("sym"))
       .localCheckpoint(true)
+    // bounded probe: a MEASURED vocabulary size decides the path (the
+    // localCheckpoint above already materialized the table, so this
+    // count is metadata-cheap)
+    if (state.count() <= maxDriverVocab) return bpeTrainDriver(state, k)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var done = false
     for (i <- 1 to k if !done) {
@@ -433,6 +461,107 @@ object TextAnalysis {
       }
     }
     (state, merges.result())
+  }
+
+  /** The bounded-vocabulary BPE trainer: one collect of the (word, cnt,
+    * sym) table, then k merge rounds driver-side with PAIR-DELTA updates —
+    * an inverted pair→words index so each round touches only the words
+    * containing the fused pair, and a lazy-invalidation max-heap so best-
+    * pair selection is O(log n) amortized instead of a full rescan. The
+    * selection order (count DESC, lhs, rhs) and the non-overlapping
+    * left-to-right fuse are EXACTLY the distributed round's semantics
+    * (PropertiesSpec proves equivalence on arbitrary corpora); the initial
+    * `sym` strings are collected, not re-derived, so the character split
+    * is bit-identical to the distributed one. */
+  private def bpeTrainDriver(state0: DataFrame, k: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    val spark = state0.sparkSession
+    import spark.implicits._
+    import scala.collection.mutable
+    val rows = state0.select(col("word"), col("cnt"), col("sym"))
+      .as[(String, Long, String)].collect()
+    val cnts = rows.map(_._2)
+    val syms: Array[mutable.ArrayBuffer[String]] =
+      rows.map(r => mutable.ArrayBuffer.from(r._3.split(" ")))
+
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // max-heap by (count, then lexicographically SMALLEST pair); entries
+    // are snapshots — stale ones are skipped on pop by re-checking `counts`
+    implicit val ord: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c
+          else {
+            val l = b._2.compareTo(a._2) // smaller lhs = "greater" (popped first)
+            if (l != 0) l else b._3.compareTo(a._3)
+          }
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)]
+
+    def bump(p: (String, String), delta: Long,
+             changed: mutable.HashSet[(String, String)]): Unit = {
+      val nc = counts.getOrElse(p, 0L) + delta
+      if (nc == 0L) counts.remove(p) else counts(p) = nc
+      changed += p
+    }
+    def eachPair(i: Int)(f: ((String, String)) => Unit): Unit = {
+      val s = syms(i); var j = 0
+      while (j + 1 < s.length) { f((s(j), s(j + 1))); j += 1 }
+    }
+
+    val init = mutable.HashSet.empty[(String, String)]
+    for (i <- syms.indices) eachPair(i) { p =>
+      bump(p, cnts(i), init)
+      index.getOrElseUpdate(p, mutable.HashSet.empty) += i
+    }
+    init.foreach(p => counts.get(p).foreach(c => heap.enqueue((c, p._1, p._2))))
+
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= k && !exhausted) {
+      // pop to the first non-stale entry
+      var best: (Long, String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (counts.get((e._2, e._3)).contains(e._1)) best = e
+      }
+      if (best == null) exhausted = true
+      else {
+        val (pc, l, r) = best
+        merges += ((round, l, r, pc))
+        val p = (l, r)
+        val changed = mutable.HashSet.empty[(String, String)]
+        val affected = index.remove(p).getOrElse(mutable.HashSet.empty)
+        for (i <- affected) {
+          eachPair(i)(q => bump(q, -cnts(i), changed))
+          // non-overlapping left-to-right fuse — the fold's semantics
+          val s = syms(i)
+          val out = mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < s.length) {
+            if (j + 1 < s.length && s(j) == l && s(j + 1) == r) {
+              out += (l + r); j += 2
+            } else { out += s(j); j += 1 }
+          }
+          syms(i) = out
+          eachPair(i) { q =>
+            bump(q, cnts(i), changed)
+            index.getOrElseUpdate(q, mutable.HashSet.empty) += i
+          }
+        }
+        changed.foreach(q =>
+          counts.get(q).foreach(c => heap.enqueue((c, q._1, q._2))))
+        round += 1
+      }
+    }
+    val outState = rows.indices
+      .map(i => (rows(i)._1, cnts(i), syms(i).mkString(" ")))
+      .toDF("word", "cnt", "sym")
+    (outState, merges.result())
   }
 
   def lmScore(docs: DataFrame): DataFrame = {

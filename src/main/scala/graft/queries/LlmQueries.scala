@@ -42,11 +42,12 @@ object LlmQueries {
     * `to`'s best pair to state s`from`. */
   private def bpeFoldStep(from: Int, to: Int): String =
     s"""SELECT word, cnt,
-       |  ltrim(list_reduce(list_prepend('', string_split(sym, ' ')),
+       |  CASE WHEN b.lhs IS NULL THEN sym
+       |  ELSE ltrim(list_reduce(list_prepend('', string_split(sym, ' ')),
        |    (acc, x) -> CASE WHEN right(acc, length(b.lhs)+1) = ' ' || b.lhs
        |                      AND x = b.rhs
-       |                THEN acc || x ELSE acc || ' ' || x END)) AS sym
-       |FROM s$from, b$to b""".stripMargin
+       |                THEN acc || x ELSE acc || ' ' || x END)) END AS sym
+       |FROM s$from LEFT JOIN b$to b ON TRUE""".stripMargin
 
   /** The unrolled BPE training chain: w0 (word frequencies), s0 (char
     * symbols), then per round i: pair counts p_i, best pair b_i, and the
@@ -644,11 +645,12 @@ object LlmQueries {
     "llm_shuffle_shards" -> ((s, d) =>
       CorpusPrep.corpusShuffle(Tables.documents(s, d), nShards = 8)),
 
-    // L67: the first 3 BPE merge rules learned from the corpus — each
-    // round one explode+agg over the vocabulary-bounded word-frequency
-    // table; oracle replays the identical rounds as unrolled CTEs
+    // L67: the first 16 BPE merge rules learned from the corpus — the
+    // vocabulary fits the measured driver budget, so training is ONE
+    // collect + a pair-delta merge loop (k jobs only past the budget);
+    // oracle replays the identical 16 rounds as unrolled CTEs
     "llm_bpe_merges" -> ((s, d) =>
-      TextAnalysis.bpeMerges(Tables.documents(s, d), k = 3)),
+      TextAnalysis.bpeMerges(Tables.documents(s, d), k = 16)),
 
     // L68: encode with the just-learned tokenizer — per-doc whitespace vs
     // BPE-unit counts (all-integer; vocabulary-bounded lookup join)
@@ -1795,10 +1797,10 @@ object LlmQueries {
     // byte-identical DuckDB twin of the Spark aggregate() fold; sN are
     // MATERIALIZED because each is referenced by both pN+1 and sN+1
     "llm_bpe_merges" ->
-      s"""${bpeChain(3)}
-         |SELECT 1 AS merge_no, lhs, rhs, pc AS pair_count FROM b1
-         |UNION ALL SELECT 2, lhs, rhs, pc FROM b2
-         |UNION ALL SELECT 3, lhs, rhs, pc FROM b3""".stripMargin,
+      s"""${bpeChain(16)}
+         |${(1 to 16).map(i =>
+               s"SELECT $i AS merge_no, lhs, rhs, pc AS pair_count FROM b$i")
+             .mkString("\nUNION ALL ")}""".stripMargin,
 
     // L68: fertility of the JUST-LEARNED tokenizer — per doc, whitespace
     // tokens and BPE units after the 3 trained merges (all-integer)

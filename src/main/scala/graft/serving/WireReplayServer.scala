@@ -31,6 +31,13 @@ final class WireReplayServer(messages: IndexedSeq[String], port: Int = 0,
                              dropEvery: Int = Int.MaxValue) {
 
   private val cursor = new AtomicInteger(0)
+  // indices claimed from the cursor whose send FAILED: pushed here so any
+  // later connection re-serves them. A plain CAS rollback is lossy when
+  // connections overlap (a racing thread that already advanced the cursor
+  // past i+1 makes the rollback no-op and message i vanishes, stalling an
+  // AvailableNow drain that expects the full set); a reclaim queue never
+  // drops an index no matter how claims interleave.
+  private val orphans = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
   private val subs = new AtomicInteger(0)
   private val running = new AtomicBoolean(false)
   private var server: ServerSocket = _
@@ -87,29 +94,39 @@ final class WireReplayServer(messages: IndexedSeq[String], port: Int = 0,
       // wait for the subscribe command (a masked client text frame)
       readClientFrame(in)
       subs.incrementAndGet()
-      // stream from the shared cursor; sever abruptly every `dropEvery`
+      // stream from the shared cursor (orphaned indices first); sever
+      // abruptly every `dropEvery`
       var sentThisConn = 0
-      var i = cursor.getAndIncrement()
-      while (i < messages.length) {
+      var i = claim()
+      while (i >= 0) {
         try out.write(textFrame(messages(i)))
         catch {
           case e: Exception =>
-            // the claimed message never left: roll the cursor back so the
-            // next connection re-serves it instead of losing it forever
-            // (best-effort — if a racing connection already advanced past,
-            // the CAS no-ops and that connection owns the tail)
-            cursor.compareAndSet(i + 1, i)
+            // the claimed message never left: park it for the NEXT
+            // connection to reclaim (never lossy, unlike a cursor CAS
+            // rollback that a racing claim can defeat)
+            orphans.add(i)
             throw e
         }
         sentThisConn += 1
         if (sentThisConn >= dropEvery) { sock.close(); return }
-        i = cursor.getAndIncrement()
+        i = claim()
       }
-      cursor.set(messages.length) // park overshoot from getAndIncrement
       out.write(closeFrame())
       out.flush()
     } catch { case _: Exception => () } finally {
       try sock.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** Next index to serve: a parked orphan if one exists, else the shared
+    * cursor; -1 once the sequence is exhausted. */
+  private def claim(): Int = {
+    val o = orphans.poll()
+    if (o != null) o.intValue()
+    else {
+      val i = cursor.getAndIncrement()
+      if (i >= messages.length) { cursor.set(messages.length); -1 } else i
     }
   }
 

@@ -123,7 +123,11 @@ object Compact {
     val out = fs.create(tmp, true)
     try out.write((snapshot.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    fs.rename(tmp, tombPath)
+    // a rename that fails by RETURNING false (some FS contracts) would
+    // silently drop the tombstone list — originals would never be reaped
+    // and the fragment count would grow without bound
+    require(fs.rename(tmp, tombPath),
+      s"tombstone rename failed: $tmp -> $tombPath")
     (parts.length,
       fs.listStatus(path).count(_.getPath.getName.startsWith("part-")))
   }

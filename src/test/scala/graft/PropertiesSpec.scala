@@ -321,4 +321,30 @@ class PropertiesSpec extends SparkSpec {
         s"ids=${ids.take(8)}... nShards=$nShards"
     }, n = 12)
   }
+
+  test("bpeTrain: driver fast path ≡ distributed round loop (merges AND state)") {
+    // the bounded-vocabulary collect + pair-delta loop must replay the
+    // distributed explode+agg+fold rounds EXACTLY — same rules, same
+    // tie-breaks, same post-merge symbol strings — for arbitrary corpora
+    val wordGen = for {
+      len <- Gen.chooseNum(1, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val docGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    checkProp(forAll(Gen.chooseNum(1L, 12L).flatMap(n =>
+        Gen.listOfN(n.toInt, docGen)), Gen.chooseNum(1, 5)) { (texts, k) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val (fastState, fastMerges) =
+        graft.operators.TextAnalysis.bpeTrain(docs, k) // measured: driver path
+      val (distState, distMerges) =
+        graft.operators.TextAnalysis.bpeTrain(docs, k, maxDriverVocab = -1L)
+      def st(df: org.apache.spark.sql.DataFrame) =
+        df.select("word", "cnt", "sym").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      (fastMerges == distMerges && st(fastState) == st(distState)) :|
+        s"k=$k fast=$fastMerges dist=$distMerges"
+    }, n = 8)
+  }
 }

@@ -135,4 +135,42 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(gotEnc === expEnc, s"encode mismatch")
   }
+
+  test("bpeTrain fast path: k=256 trains in ONE collect (the realistic-merge-count probe)") {
+    import spark.implicits._
+    // a corpus rich enough that 256 distinct merges exist: random words
+    // over a 14-letter alphabet, lengths 3-10
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefghijklmn"
+    val texts = (1L to 400L).map { i =>
+      (i, Seq.fill(24)(
+        (0 until (3 + rnd.nextInt(8))).map(_ => alpha(rnd.nextInt(alpha.length)))
+          .mkString).mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val (state, merges) = graft.operators.TextAnalysis.bpeTrain(docs, k = 256)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    info(s"k=256 trained in ${elapsedMs} ms (driver fast path)")
+    assert(merges.length === 256, s"corpus exhausted at ${merges.length} merges")
+    // the classic BPE invariant: the best pair count never increases
+    // round over round (a merge only removes occurrences of existing
+    // pairs; a pair it creates occurs at most as often as the fused pair)
+    val pcs = merges.map(_._4)
+    assert(pcs.zip(pcs.tail).forall { case (a, b) => a >= b },
+      s"best-pair counts increased: ${pcs.take(20)}")
+    // the learned prefix is the distributed loop's result exactly (the
+    // full-k equivalence is PropertiesSpec's job; here the probe-scale
+    // corpus pins the first rounds at real data volume)
+    val (_, distPrefix) = graft.operators.TextAnalysis.bpeTrain(
+      docs, k = 8, maxDriverVocab = -1L)
+    assert(merges.take(8) === distPrefix, "driver prefix != distributed")
+    // symbol mass is conserved: every word's symbols concatenate back to
+    // the word (merges fuse, never drop or duplicate characters)
+    val broken = state.collect().count(r =>
+      r.getString(2).replace(" ", "") != r.getString(0))
+    assert(broken === 0, s"$broken words do not reassemble from their symbols")
+    // the whole 256-round training must be seconds, not 256 Spark jobs
+    assert(elapsedMs < 60000L, s"k=256 took ${elapsedMs} ms")
+  }
 }
