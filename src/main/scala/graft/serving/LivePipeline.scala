@@ -1,11 +1,12 @@
 package graft.serving
 
-import org.apache.spark.sql.{AnalysisException, DataFrame, SparkSession}
+import org.apache.spark.sql.{AnalysisException, Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.model.Timeframe
 import graft.operators.{Incremental, Indicators, Ohlc, Ticks}
+import graft.sources.Compact
 
 /** The reference's WHOLE deployment as ONE continuously running query:
   * `ws-connection.py` (ingest) → the transform flow's candle + indicator
@@ -43,13 +44,34 @@ import graft.operators.{Incremental, Indicators, Ohlc, Ticks}
   * either dedups out or re-produces the identical bytes. The restart
   * proof is LivePipelineSpec; the gate row is `e2e_live_pipeline`.
   *
-  * SCALE SHAPE: stores partition by their keys at deployment; per-batch
-  * reads filter by watermark (time predicates push down), the only
-  * driver collects are the edge-sized publish and the per-pair max/
-  * threshold broadcasts (O(pairs × timeframes)). Store fragmentation is
-  * the offline `Compact.compact` job's concern (these stores are
-  * first-write-wins sets, NOT merge-absorbing ledgers — compactLedger's
-  * append-then-delete protocol does not apply). */
+  * SCALE SHAPE — per-batch cost is O(new data), never O(history):
+  *
+  *  - every store is written `partitionBy(pair, dt)` (dt = the tick's
+  *    UTC date), so every bounded read below prunes PARTITIONS by pair
+  *    and date and parquet ROW GROUPS by time statistics;
+  *  - the per-(pair, timeframe) candle watermarks are carried in the
+  *    grid snapshot (O(pairs × timeframes) rows) and collected ONCE per
+  *    batch; every threshold below is a LITERAL predicate built from
+  *    them — nothing arrives at a scan through a join, so pushdown is
+  *    structural, not optimizer luck;
+  *  - tick-dedup anti-join: first-write-wins collisions can only occur
+  *    at matching (pair, second), so the existing side is bounded by the
+  *    batch's literal [min, max] second range — lossless;
+  *  - candle tail: ticks at/after the pair's threshold literal (the
+  *    earliest instant any timeframe's next bar can start);
+  *  - candle/fact anti-joins: existing sides bounded by per-pair literal
+  *    time floors no incoming row can undercut (anti-join semantics are
+  *    unchanged wherever collisions are possible);
+  *  - the only driver materializations are the edge-sized publish, the
+  *    watermark rows, and the batch min/max — all O(pairs × timeframes)
+  *    or O(1);
+  *  - the out-of-order probe rides the tick append's OWN action as an
+  *    `observe` metric (no extra job per batch);
+  *  - store fragmentation is bounded by [[Compact.compactStore]] every
+  *    `compactEvery` batches — a crash-safe partition-granular
+  *    rewrite-and-swap (work ∝ fragmented partitions, not store size),
+  *    with [[Compact.recoverStore]]'s O(1) probe guarding every batch.
+  */
 object LivePipeline {
 
   /** Store layout under one root: the four tables of the deployment. */
@@ -75,7 +97,8 @@ object LivePipeline {
             backoffMs: Long = 25L,
             maxReconnects: Int = 5,
             availableNowTimeoutMs: Long = 30000L,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            compactEvery: Int = 16): StreamingQuery = {
     val stores = Stores(storeRoot)
     val tfs = timeframes.map(c => Timeframe.byCode.getOrElse(c,
       throw new IllegalArgumentException(s"unknown timeframe code: $c")))
@@ -95,17 +118,94 @@ object LivePipeline {
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, stores, server, indicators, periods, tfs)
+        processBatch(batch, batchId, stores, server, indicators, periods, tfs,
+          compactEvery)
       }
       .start()
   }
+
+  /** A per-pair scan bound: rows of `pair` pass when the row's second is
+    * at/after `sec` (strictly after, per `strict`), except rows whose
+    * `timeframe` is in `exempt`, which always pass (the pin-open valve
+    * for timeframes the watermark source has not seen yet). Bounds are
+    * EPOCH SECONDS against the stores' `t_s` BIGINT column: every store
+    * row is second-aligned (tick dedup truncates; bars sit on their
+    * grid), so the integer comparison is exact — and, unlike a TIMESTAMP
+    * predicate, an INT64 comparison actually engages parquet row-group
+    * statistics (measured: a pushed timestamp filter decodes every row;
+    * the long filter skips the groups). */
+  private final case class PairBound(pair: String, sec: Long,
+                                     exempt: Seq[String])
+
+  /** The exact per-pair OR-of-ANDs cut: pairs WITHOUT a bound pass
+    * entirely; bounded pairs pass their at/after-`ts` rows plus their
+    * exempted timeframes. Mixes the pair partition column into every
+    * disjunct, so it CANNOT translate to a parquet filter — it is the
+    * post-scan correctness filter; [[readStoreBounded]] supplies the
+    * pushable coarse conjuncts. */
+  private def exactPred(bounds: Seq[PairBound], strict: Boolean): Column = {
+    if (bounds.isEmpty) return lit(true)
+    val arms = bounds.map { b =>
+      val timeOk = if (strict) col("t_s") > lit(b.sec) else col("t_s") >= lit(b.sec)
+      val pass = if (b.exempt.isEmpty) timeOk
+        else timeOk || col("timeframe").isin(b.exempt: _*)
+      col("pair") === b.pair && pass
+    }
+    !col("pair").isin(bounds.map(_.pair): _*) || arms.reduce(_ || _)
+  }
+
+  /** Bounded store read as TWO complementary scans, shaped so the bounds
+    * actually reach the storage layer (an OR that mixes the pair
+    * partition column with time would translate to NO parquet filter at
+    * all — measured: full-store reads every batch):
+    *
+    *  - CLOSED pairs (a bound with no exemptions): partition-pruned to
+    *    those pairs, with a PURE time conjunct at the pairs' minimum
+    *    bound — a single-column literal parquet filter, so row groups
+    *    below every pair's bound are skipped at the reader; the exact
+    *    per-pair cut runs post-scan.
+    *  - everything else (pairs with exempt timeframes, pairs with no
+    *    bound): partition-pruned to exactly those pairs — the
+    *    startup/crash-window residue, transient by construction.
+    *
+    * Per-batch scan cost = the widest closed pair's unfrozen window +
+    * the open-pair residue — never store history. */
+  private def readStoreBounded(spark: SparkSession, path: String,
+                               bounds: Seq[PairBound], strict: Boolean)
+      : Option[DataFrame] =
+    try {
+      val raw = spark.read.parquet(path)
+      raw.schema // force resolution
+      if (bounds.isEmpty) return Some(raw.drop("dt", "t_s"))
+      val exact = exactPred(bounds, strict)
+      val closed = bounds.filter(_.exempt.isEmpty)
+      val closedPairs = closed.map(_.pair)
+      val open = raw.filter(!col("pair").isin(closedPairs: _*) && exact)
+      val out =
+        if (closed.isEmpty) open
+        else {
+          val minSec = closed.map(_.sec).min
+          val minT = lit(new java.sql.Timestamp(minSec * 1000L))
+          val timeOk = if (strict) col("t_s") > lit(minSec)
+            else col("t_s") >= lit(minSec)
+          raw.filter(col("pair").isin(closedPairs: _*) &&
+              col("dt") >= to_date(minT) && timeOk && exact)
+            .unionByName(open)
+        }
+      Some(out.drop("dt", "t_s"))
+    } catch { case _: AnalysisException => None }
 
   /** One poll of the reference's deployment loop (also driven directly by
     * the spec's kill/restart harness). */
   def processBatch(batch: DataFrame, batchId: Long, stores: Stores,
                    server: TickerServer, indicators: Seq[String],
-                   periods: Seq[Int], tfs: Seq[Timeframe]): Unit = {
+                   periods: Seq[Int], tfs: Seq[Timeframe],
+                   compactEvery: Int = 16): Unit = {
     val spark = batch.sparkSession
+    // finish/abort any compaction swap a crash interrupted BEFORE any
+    // read (O(1) probe per store in the steady state)
+    Seq(stores.ticks, stores.candles, stores.gridFacts)
+      .foreach(Compact.recoverStore(spark, _))
     // wire-order tiebreak for the per-second dedup: (partition, ordinal)
     // is socket order through the source's contiguous chunks, and a
     // crash-replayed batch re-plans the identical offset slice into the
@@ -119,51 +219,98 @@ object LivePipeline {
     //    never waits for storage
     server.publishBatch(ticks, batchId)
 
-    // 2) S2+T4 relay into the first-write-wins tick store
+    val allTfs = (Timeframe.Base +: tfs.filterNot(_.code == Timeframe.Base.code)).distinct
+    val durByTf = allTfs.map(t => t.code -> t.durationSeconds.toLong).toMap
+
+    // per-(pair, timeframe) candle watermarks, collected ONCE: normally
+    // the O(pairs × timeframes) rows the grid snapshot already carries;
+    // after a crash between candle append and snapshot advance they are
+    // merely STALE-LOW (never high), which only widens the recomputed
+    // tail — the anti-joins dedup the overlap, so correctness is
+    // unaffected. Aggregating the candle store is the no-snapshot
+    // fallback (first batches / crash before the first snapshot).
+    val snapOpt = readLatestSnapshot(spark, stores.gridState)
+    val wmRows: Seq[(String, String, java.sql.Timestamp)] = snapOpt match {
+      case Some(snap) =>
+        snap.select(col("pair"), col("timeframe"), col("wm")).distinct()
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2)))
+      case None => readStore(spark, stores.candles, None) match {
+        case Some(pc) => Incremental.watermarks(pc).collect().toSeq
+          .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2)))
+        case None => Seq.empty
+      }
+    }
+    val byPair = wmRows.groupBy(_._1)
+    // candle-tail threshold per pair: the earliest instant any
+    // timeframe's next bar can start — defined only when EVERY timeframe
+    // has a frozen bar (a timeframe with none pins the pair open: its
+    // first bars may still need the oldest ticks)
+    val thrByPair: Map[String, Long] = byPair.collect {
+      case (p, rows) if allTfs.forall(t => rows.exists(_._2 == t.code)) =>
+        p -> rows.filter(r => durByTf.contains(r._2))
+          .map(r => r._3.getTime / 1000L + durByTf(r._2)).min
+    }
+    // per-pair minimum watermark + missing-timeframe exemptions: the
+    // coarse bound for candle-tail and fact reads (a timeframe absent
+    // from the snapshot passes unbounded — its history may still be
+    // unfolded)
+    val wmBounds: Seq[PairBound] = byPair.toSeq.sortBy(_._1).map {
+      case (p, rows) =>
+        val minWmSec = rows.map(_._3.getTime / 1000L).min
+        val missing = allTfs.map(_.code).filterNot(c => rows.exists(_._2 == c))
+        PairBound(p, minWmSec, missing)
+    }
+    val thrBounds: Seq[PairBound] = thrByPair.toSeq.sortBy(_._1)
+      .map { case (p, s) => PairBound(p, s, Nil) }
+    val maxDur = allTfs.map(_.durationSeconds.toLong).max
+
+    // 2) S2+T4 relay into the first-write-wins tick store. Collisions are
+    //    per (pair, second), so the existing side needs only the batch's
+    //    literal [min, max] second window of the store — partition- and
+    //    row-group-pruned, O(batch window) regardless of history.
     val staged = Ticks.dedupSecond(ticks)
-    val prevTicks = readOpt(spark, stores.ticks)
+    val rng = staged.agg(min(col("time")).as("lo"), max(col("time")).as("hi"))
+      .collect()(0)
+    val (lo, hi) = (rng.getTimestamp(0), rng.getTimestamp(1))
+    val prevTicks = readStore(spark, stores.ticks, Some(
+      col("dt").between(to_date(lit(lo)), to_date(lit(hi))) &&
+        col("t_s").between(lit(lo.getTime / 1000L), lit(hi.getTime / 1000L))))
     val novel = prevTicks.map(p => Incremental.newRows(p, staged, Seq("pair", "time")))
       .getOrElse(staged)
       .localCheckpoint() // written below AND screened for stragglers
-    novel.write.mode("append").parquet(stores.ticks)
+    // ordered-socket contract tripwire, folded into the append's OWN
+    // action as an observe metric: a NOVEL tick below the frozen candle
+    // frontier arrived out of order — its bar is already final, so it can
+    // never influence a candle. Keep it in the tick store, but say so:
+    // silent loss is how a mis-ordered source hides.
+    val lateObs = new Observation(s"live-late-$batchId")
+    val thrCol: Column =
+      if (thrByPair.isEmpty) lit(null).cast("timestamp")
+      else element_at(
+        typedlit(thrByPair.map { case (p, s) =>
+          p -> new java.sql.Timestamp(s * 1000L) }), col("pair"))
+    writeStore(
+      novel.observe(lateObs,
+        sum(when(thrCol.isNotNull && col("time") < thrCol, 1L)
+          .otherwise(0L)).as("late")),
+      stores.ticks)
+    val late = lateObs.get.get("late").collect { case l: Long => l }.getOrElse(0L)
+    if (late > 0) println(
+      s"[live-pipeline] WARN batch $batchId: $late out-of-order ticks " +
+      "below the frozen candle frontier (stored, but their bars are " +
+      "final — the source violated per-pair time order)")
 
-    // 3) E1 candles: candle only the tick tail, freeze only closed bars
-    val allTfs = (Timeframe.Base +: tfs.filterNot(_.code == Timeframe.Base.code)).distinct
+    // 3) E1 candles: candle only the tick tail (literal per-pair
+    //    threshold — the scan prunes to the unfrozen window), freeze only
+    //    closed bars
     val durs = {
       import spark.implicits._
       allTfs.map(t => (t.code, t.durationSeconds.toLong)).toDF("timeframe", "dur")
     }
-    val store = spark.read.parquet(stores.ticks)
-    val prevCand = readOpt(spark, stores.candles)
-    val tailTicks = prevCand match {
-      case None => store
-      case Some(pc) =>
-        // per-pair threshold: the earliest instant any timeframe's next
-        // bar can start — ticks below it can only rebuild frozen bars. A
-        // timeframe with NO frozen bar yet pins the pair's threshold open
-        // (its first bars may still need the oldest ticks).
-        val wms = Incremental.watermarks(pc)
-        val thr = wms.select("pair").distinct().crossJoin(durs)
-          .join(wms, Seq("pair", "timeframe"), "left")
-          .groupBy("pair")
-          .agg(when(count(col("watermark")) === lit(allTfs.length),
-            min(unix_timestamp(col("watermark")) + col("dur"))).as("thr_s"))
-        // ordered-socket contract tripwire: a NOVEL tick below the frozen
-        // frontier arrived out of order — its bar is already final, so it
-        // can never influence a candle. Keep it in the tick store, but
-        // say so: silent loss is how a mis-ordered source hides.
-        val late = novel.join(broadcast(thr), Seq("pair"), "left")
-          .filter(col("thr_s").isNotNull &&
-            unix_timestamp(col("time")) < col("thr_s")).count()
-        if (late > 0) println(
-          s"[live-pipeline] WARN batch $batchId: $late out-of-order ticks " +
-          "below the frozen candle frontier (stored, but their bars are " +
-          "final — the source violated per-pair time order)")
-        store.join(broadcast(thr), Seq("pair"), "left")
-          .filter(col("thr_s").isNull || unix_timestamp(col("time")) >= col("thr_s"))
-          .drop("thr_s")
-    }
-    val tail = tailTicks.localCheckpoint() // candled + max'd below
+    val tail = readStoreBounded(spark, stores.ticks, thrBounds, strict = false)
+      .getOrElse(sys.error("tick store missing after append"))
+      .localCheckpoint() // candled + max'd below
     val mx = tail.groupBy("pair").agg(max(col("time")).as("max_t"))
     val cand = Ohlc.allTimeframes(tail, allTfs)
     val candFinal = cand
@@ -171,33 +318,48 @@ object LivePipeline {
       .join(broadcast(mx), "pair")
       .filter(unix_timestamp(col("time")) + col("dur") <= unix_timestamp(col("max_t")))
       .select(cand.columns.map(col).toSeq: _*)
-    prevCand.map(p => Incremental.newRows(p, candFinal,
-        Seq("pair", "timeframe", "time")))
-      .getOrElse(candFinal)
-      .write.mode("append").parquet(stores.candles)
+    // recomputed bars can reach at most maxDur below a DEFINED threshold
+    // (bar start ≥ floor_tf(thr) > thr − dur); an open pair is unbounded
+    val candAntiBounds = thrByPair.toSeq.sortBy(_._1)
+      .map { case (p, s) => PairBound(p, s - maxDur, Nil) }
+    val prevCand = readStoreBounded(spark, stores.candles, candAntiBounds,
+      strict = false)
+    writeStore(
+      prevCand.map(p => Incremental.newRows(p, candFinal,
+          Seq("pair", "timeframe", "time")))
+        .getOrElse(candFinal),
+      stores.candles)
 
     // 4) E2 grid: resume machines from the versioned snapshot, fold only
-    //    the candle tail, persist facts + the advanced snapshot
-    readOpt(spark, stores.candles).foreach { allCand =>
-      val snapOpt = readLatestSnapshot(spark, stores.gridState)
-      val tailCand = snapOpt match {
-        case None => allCand
-        case Some(snap) =>
-          val wms = snap.select("pair", "timeframe", "wm").distinct()
-          allCand.join(broadcast(wms), Seq("pair", "timeframe"), "left")
+    //    the candle tail (coarse literal bound prunes the scan; the exact
+    //    per-(pair, timeframe) cut is the broadcast of the same O(keys)
+    //    watermark rows), persist facts + the advanced snapshot
+    readStoreBounded(spark, stores.candles, wmBounds,
+        strict = true).foreach { candTail =>
+      val tailCand =
+        if (wmRows.isEmpty) candTail
+        else {
+          import spark.implicits._
+          val wms = wmRows.toDF("pair", "timeframe", "wm")
+          candTail.join(broadcast(wms), Seq("pair", "timeframe"), "left")
             .filter(col("wm").isNull || col("time") > col("wm"))
             .drop("wm")
-      }
+        }
       val tailC = tailCand.localCheckpoint()
       if (!tailC.isEmpty) {
         val stateDf = snapOpt.getOrElse(emptyState(spark))
         val facts = Indicators.indicatorFactsFusedResume(
           tailC, indicators, periods, stateDf)
-        readOpt(spark, stores.gridFacts)
-          .map(p => Incremental.newRows(p, facts,
-            Seq("indicator", "pair", "timeframe", "time", "period")))
-          .getOrElse(facts)
-          .write.mode("append").parquet(stores.gridFacts)
+        // incoming facts all sit strictly past their key's watermark (or
+        // in an exempt timeframe), so the same coarse bound is lossless
+        // on the anti-join's existing side
+        val prevFacts = readStoreBounded(spark, stores.gridFacts, wmBounds,
+          strict = true)
+        writeStore(
+          prevFacts.map(p => Incremental.newRows(p, facts,
+              Seq("indicator", "pair", "timeframe", "time", "period")))
+            .getOrElse(facts),
+          stores.gridFacts)
         val advanced = Indicators.indicatorGridSnapshotResume(
           tailC, indicators, periods, stateDf)
         val newWms = tailC.groupBy("pair", "timeframe")
@@ -215,14 +377,32 @@ object LivePipeline {
           advanced.join(wmAll, Seq("pair", "timeframe"), "left"))
       }
     }
+
+    // 5) housekeeping: bound store fragmentation (crash-safe partition
+    //    rewrite-and-swap; single-writer — this stream — by construction)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      Seq(stores.ticks, stores.candles, stores.gridFacts)
+        .foreach(Compact.compactStore(spark, _))
   }
 
-  private def readOpt(spark: SparkSession, path: String): Option[DataFrame] =
+  /** Read a (pair, dt)-partitioned store, applying `pred` BEFORE dropping
+    * the partition-only `dt` column so its literal dt conjuncts prune
+    * partitions. None = store absent. */
+  private def readStore(spark: SparkSession, path: String,
+                        pred: Option[Column]): Option[DataFrame] =
     try {
       val df = spark.read.parquet(path)
       df.schema // force resolution
-      Some(df)
+      Some(pred.fold(df)(df.filter).drop("dt", "t_s"))
     } catch { case _: AnalysisException => None }
+
+  /** First-write-wins append, partitioned by (pair, UTC date), carrying
+    * the epoch-second BIGINT `t_s` the bounded reads prune row groups
+    * with (see [[PairBound]] for why a long, not the timestamp). */
+  private def writeStore(df: DataFrame, path: String): Unit =
+    df.withColumn("dt", to_date(col("time")))
+      .withColumn("t_s", unix_timestamp(col("time")))
+      .write.mode("append").partitionBy("pair", "dt").parquet(path)
 
   private def emptyState(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -131,4 +131,132 @@ object Compact {
     (parts.length,
       fs.listStatus(path).count(_.getPath.getName.startsWith("part-")))
   }
+
+  // ---------------------------------------------------------------------
+  // Crash-safe compaction for PARTITIONED FIRST-WRITE-WINS STORES (the
+  // LivePipeline tick/candle/grid-fact tables): per-micro-batch appends
+  // accrete one fragment set per batch per touched (pair, dt) partition
+  // forever. Unlike the ledgers above, these stores are SETS — a reader
+  // must never see a row twice — so append-then-absorb does not apply;
+  // instead each over-fragmented LEAF PARTITION is rewritten and swapped
+  // in place with a recoverable three-rename protocol:
+  //
+  //   1. rewrite leaf -> root/_compact/<token>/   (invisible: "_" prefix;
+  //      Spark's own _SUCCESS marks the rewrite complete)
+  //   2. rename leaf  -> parent/_old.<leaf with '=' -> '~'>  (invisible:
+  //      "_" prefix AND no '=' so partition discovery never parses it)
+  //   3. rename root/_compact/<token> -> leaf      (ONE atomic rename)
+  //   4. delete the _old dir
+  //
+  // A crash at any point leaves a state [[recoverStore]] classifies
+  // unambiguously: leaf present + _old present -> crashed after 3, delete
+  // _old; leaf absent + tmp complete -> finish 3+4; leaf absent + tmp
+  // incomplete -> rename _old back; tmp present + leaf present -> crashed
+  // before 2, drop tmp. The `_compact` dir itself is the protocol-active
+  // marker: it is created first and removed last, so the per-batch
+  // recovery check is ONE exists() call in the steady state.
+  //
+  // Single-writer protocol (the store's writing stream runs it inside
+  // foreachBatch between its own reads); concurrent outside readers would
+  // need the ledger-style grace cycle instead.
+  // ---------------------------------------------------------------------
+
+  private def hfs(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def tokenOf(root: org.apache.hadoop.fs.Path,
+                      leaf: org.apache.hadoop.fs.Path): String =
+    java.net.URLEncoder.encode(
+      leaf.toString.stripPrefix(root.toString).stripPrefix("/"), "UTF-8")
+
+  private def hiddenOld(leaf: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(leaf.getParent,
+      "_old." + leaf.getName.replace("=", "~"))
+
+  /** Leaf data directories (those directly holding part- files) under
+    * `root`, skipping protocol/metadata names. */
+  private def leafDirs(fs: org.apache.hadoop.fs.FileSystem,
+                       root: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    val out = Seq.newBuilder[org.apache.hadoop.fs.Path]
+    def walk(d: org.apache.hadoop.fs.Path): Unit = {
+      val st = fs.listStatus(d)
+      if (st.exists(f => f.isFile && f.getPath.getName.startsWith("part-")))
+        out += d
+      st.filter(f => f.isDirectory &&
+          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        .foreach(f => walk(f.getPath))
+    }
+    walk(root)
+    out.result()
+  }
+
+  /** Finish or roll back an interrupted [[compactStore]] swap. O(1) when
+    * no protocol was active (one exists() probe) — call before every read
+    * of a store whose writer compacts. */
+  def recoverStore(spark: SparkSession, root: String): Unit = {
+    val (fs, rootPath) = hfs(spark, root)
+    if (!fs.exists(rootPath)) return
+    val pending = new org.apache.hadoop.fs.Path(rootPath, "_compact")
+    if (!fs.exists(pending)) return // steady state: nothing interrupted
+    def walk(d: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(d).filter(_.isDirectory).foreach { f =>
+        val name = f.getPath.getName
+        if (name.startsWith("_old.")) {
+          val leaf = new org.apache.hadoop.fs.Path(f.getPath.getParent,
+            name.stripPrefix("_old.").replace("~", "="))
+          val tmp = new org.apache.hadoop.fs.Path(pending, tokenOf(rootPath, leaf))
+          if (fs.exists(leaf)) {
+            // crashed after swap-in: the new leaf is authoritative
+            require(fs.delete(f.getPath, true), s"recover: delete $f failed")
+          } else if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+            // rewrite completed: finish the swap forward
+            require(fs.rename(tmp, leaf), s"recover: rename $tmp -> $leaf failed")
+            require(fs.delete(f.getPath, true), s"recover: delete $f failed")
+          } else {
+            // rewrite incomplete: restore the original leaf
+            require(fs.rename(f.getPath, leaf), s"recover: restore $leaf failed")
+          }
+        } else if (!name.startsWith("_") && !name.startsWith(".")) walk(f.getPath)
+      }
+    walk(rootPath)
+    fs.delete(pending, true)
+  }
+
+  /** Compact every leaf partition of `root` holding more than
+    * `maxFragments` part-files down to ~`targetBytes`-sized files, with
+    * the crash-safe swap protocol above. Returns the number of leaves
+    * rewritten. Work is proportional to the FRAGMENTED partitions only —
+    * a month-long stream compacting every N batches touches the hot
+    * partitions of the last N batches, never the whole store. */
+  def compactStore(spark: SparkSession, root: String, maxFragments: Int = 8,
+                   targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(maxFragments >= 1, s"maxFragments must be >= 1, got $maxFragments")
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val (fs, rootPath) = hfs(spark, root)
+    if (!fs.exists(rootPath)) return 0
+    recoverStore(spark, root)
+    val pending = new org.apache.hadoop.fs.Path(rootPath, "_compact")
+    var done = 0
+    leafDirs(fs, rootPath).foreach { leaf =>
+      val parts = fs.listStatus(leaf)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      if (parts.length > maxFragments) {
+        val tmp = new org.apache.hadoop.fs.Path(pending, tokenOf(rootPath, leaf))
+        val n = math.max(1,
+          math.ceil(parts.map(_.getLen).sum.toDouble / targetBytes).toInt)
+        spark.read.parquet(leaf.toString).coalesce(n)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val old = hiddenOld(leaf)
+        require(fs.rename(leaf, old), s"compact: rename $leaf -> $old failed")
+        require(fs.rename(tmp, leaf), s"compact: rename $tmp -> $leaf failed")
+        require(fs.delete(old, true), s"compact: delete $old failed")
+        done += 1
+      }
+    }
+    if (fs.exists(pending)) fs.delete(pending, true)
+    done
+  }
 }

@@ -67,12 +67,16 @@ class LivePipelineSpec extends SparkSpec {
   private def assertStores(root: String, msgs: Seq[String]): Unit = {
     val (et, ec, eg) = expected(msgs)
     val st = LivePipeline.Stores(root)
+    // stores are (pair, dt)-partitioned — select the logical columns
+    // explicitly (the derived dt partition column is layout, not data)
     assert(sortedRows(spark.read.parquet(st.ticks)
       .select("pair", "time", "bid", "ask")) ===
       sortedRows(et.select("pair", "time", "bid", "ask")), "tick store diverged")
-    assert(sortedRows(spark.read.parquet(st.candles)) === sortedRows(ec),
+    assert(sortedRows(spark.read.parquet(st.candles)
+      .select(ec.columns.map(col).toSeq: _*)) === sortedRows(ec),
       "candle store diverged")
-    assert(sortedRows(spark.read.parquet(st.gridFacts)) === sortedRows(eg),
+    assert(sortedRows(spark.read.parquet(st.gridFacts)
+      .select(eg.columns.map(col).toSeq: _*)) === sortedRows(eg),
       "grid facts diverged")
   }
 
@@ -140,6 +144,138 @@ class LivePipelineSpec extends SparkSpec {
         maxMessages = wire.length.toLong, maxMessagesPerBatch = 25L)
         .awaitTermination(120000)
       finally epB.stop()
+      assertStores(root, wire)
+    } finally srv.close()
+  }
+
+  test("live pipeline: per-batch scanned rows stay flat while the stores grow") {
+    // the O(new data) claim, measured: with (pair, dt)-partitioned stores,
+    // literal watermark thresholds, and time-bounded anti-joins, a batch's
+    // input row count must track the batch + unfrozen tail — NOT store
+    // history. 18 equal-sized batches; if any per-batch read scanned the
+    // full store, late batches would read ~9x the rows of early ones.
+    val srv = new TickerServer(Seq(PathConfig("USD_JPY", "/ws/ticker_usd_jpy")),
+      heartbeatMillis = 60000L)
+    srv.start()
+    val root = Files.createTempDirectory("graft-livepipe-scan-").toString
+    try {
+      val st = LivePipeline.Stores(root)
+      val recs = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            recs.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+      }
+      // 18 batches x 20 minutes x 2 ticks/min x 2 pairs (6 hours total)
+      def batchMsgs(b: Int): Seq[String] =
+        for (m <- 0 until 20; s <- Seq(0, 30); p <- Seq("USD_JPY", "EUR_JPY"))
+          yield {
+            val tot = b * 20 + m
+            val t = f"2024-01-01T${tot / 60}%02d:${tot % 60}%02d:$s%02d.000Z"
+            msg(p, t, 150.0 + (tot % 23) * 0.1, 150.05 + (tot % 23) * 0.1)
+          }
+      def settled(): Long = {
+        // listener events post asynchronously: wait for the count to
+        // hold still before reading it
+        var prev = -1L
+        var cur = recs.get()
+        while (cur != prev) { Thread.sleep(200); prev = cur; cur = recs.get() }
+        cur
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val perBatch = try {
+        (0 until 18).map { b =>
+          val before = settled()
+          LivePipeline.processBatch(parseAll(batchMsgs(b)), b.toLong, st, srv,
+            inds, ps, tfs, compactEvery = 0)
+          settled() - before
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      // steady state from batch 3 (thresholds defined once every
+      // timeframe froze a bar); late batches must not outgrow early ones
+      val early = perBatch.slice(3, 6).sum / 3.0
+      val lateB = perBatch.slice(15, 18).sum / 3.0
+      info(s"rows read per batch: ${perBatch.mkString(", ")}")
+      assert(lateB <= early * 2.0,
+        s"per-batch scan grew with history: early=$early late=$lateB " +
+        s"(${perBatch.mkString(",")})")
+      // and the run was still CORRECT end to end
+      assertStores(root, (0 until 18).flatMap(batchMsgs))
+    } finally srv.close()
+  }
+
+  test("live pipeline: compaction bounds fragments; a kill mid-compact loses nothing") {
+    val srv = new TickerServer(Seq(PathConfig("USD_JPY", "/ws/ticker_usd_jpy")),
+      heartbeatMillis = 60000L)
+    srv.start()
+    val root = Files.createTempDirectory("graft-livepipe-compact-").toString
+    try {
+      val st = LivePipeline.Stores(root)
+      val all = wire.grouped(16).toSeq // 10 batches of 16 msgs
+      all.zipWithIndex.foreach { case (msgs, b) =>
+        LivePipeline.processBatch(parseAll(msgs), b.toLong, st, srv,
+          inds, ps, tfs, compactEvery = 4)
+      }
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      def leafCounts(dir: String): Seq[Int] = {
+        def walk(p: org.apache.hadoop.fs.Path): Seq[Int] = {
+          val stt = fs.listStatus(p)
+          val here = stt.count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+          val sub = stt.filter(f => f.isDirectory &&
+            !f.getPath.getName.startsWith("_")).flatMap(f => walk(f.getPath))
+          (if (here > 0) Seq(here) else Nil) ++ sub
+        }
+        walk(new org.apache.hadoop.fs.Path(dir))
+      }
+      // 10 appends per leaf without compaction; every-4-batches compaction
+      // must hold each leaf under maxFragments + the appends since the
+      // last compact cycle
+      for (dir <- Seq(st.ticks, st.candles, st.gridFacts)) {
+        val counts = leafCounts(dir)
+        assert(counts.nonEmpty && counts.forall(_ <= 12),
+          s"$dir fragments unbounded: $counts")
+      }
+      assertStores(root, wire)
+
+      // crash mid-compact, at the worst point: the tick leaf was renamed
+      // away and the rewrite is INCOMPLETE (no _SUCCESS) — the next batch
+      // must recover the original leaf before reading
+      val tickRoot = new org.apache.hadoop.fs.Path(st.ticks)
+      val leaf = fs.listStatus(tickRoot).filter(f => f.isDirectory &&
+          f.getPath.getName.startsWith("pair="))
+        .flatMap(p => fs.listStatus(p.getPath)).filter(_.isDirectory)
+        .map(_.getPath).head
+      val token = java.net.URLEncoder.encode(
+        leaf.toString.stripPrefix(tickRoot.toString).stripPrefix("/"), "UTF-8")
+      val tmp = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(tickRoot, "_compact"), token)
+      fs.mkdirs(tmp) // rewrite started, never finished: no _SUCCESS
+      val old = new org.apache.hadoop.fs.Path(leaf.getParent,
+        "_old." + leaf.getName.replace("=", "~"))
+      assert(fs.rename(leaf, old), "test setup: rename failed")
+      // a replayed batch drives recovery through processBatch itself
+      LivePipeline.processBatch(parseAll(all.last), (all.length - 1).toLong,
+        st, srv, inds, ps, tfs, compactEvery = 4)
+      assertStores(root, wire)
+
+      // and the complementary crash: rewrite COMPLETE (_SUCCESS present),
+      // original renamed away — recovery must finish the swap forward
+      val leaf2 = fs.listStatus(tickRoot).filter(f => f.isDirectory &&
+          f.getPath.getName.startsWith("pair="))
+        .flatMap(p => fs.listStatus(p.getPath)).filter(_.isDirectory)
+        .map(_.getPath).head
+      val token2 = java.net.URLEncoder.encode(
+        leaf2.toString.stripPrefix(tickRoot.toString).stripPrefix("/"), "UTF-8")
+      val tmp2 = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(tickRoot, "_compact"), token2)
+      spark.read.parquet(leaf2.toString).coalesce(1)
+        .write.mode("overwrite").parquet(tmp2.toString)
+      val old2 = new org.apache.hadoop.fs.Path(leaf2.getParent,
+        "_old." + leaf2.getName.replace("=", "~"))
+      assert(fs.rename(leaf2, old2), "test setup: rename failed")
+      graft.sources.Compact.recoverStore(spark, st.ticks)
       assertStores(root, wire)
     } finally srv.close()
   }
