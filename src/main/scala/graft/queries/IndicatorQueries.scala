@@ -2128,30 +2128,81 @@ object IndicatorQueries {
     } yield b
     val prelude = cutoff match {
       case None => s"$ticksCte, $dedupCte, $c1mCte"
-      case Some(ts) =>
-        s"""$ticksCte, $dedupCte,
-           |-- the live pipeline's ticks crossed the wire as %.6f text
-           |-- (Relay.toWireMessages), so the oracle replays that rounding
-           |dcut AS (SELECT pair, time,
-           |                printf('%.6f', bid)::DOUBLE AS bid,
-           |                printf('%.6f', ask)::DOUBLE AS ask
-           |         FROM dedup WHERE time < TIMESTAMP '$ts'),
-           |mx AS (SELECT pair, max(time) AS mt FROM dcut GROUP BY 1),
-           |c1m AS (
-           |  SELECT pair, date_trunc('minute', time) AS time,
-           |         min_by(bid, time) AS open, max(bid) AS high,
-           |         min(bid) AS low, max_by(bid, time) AS close
-           |  FROM dcut GROUP BY 1, 2)""".stripMargin
+      case Some(ts) => livePrelude(ts)
     }
     s"""WITH RECURSIVE $prelude,
        |${(closes ++ rns ++ recs).mkString(",\n")}
        |${branches.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** The live deployment's tick→candle prelude: wire %.6f rounding, the
+    * cutoff, per-pair max tick time (bar finality), and the 1m base —
+    * shared by the e2e grid oracle and the e2e signals oracle. */
+  private def livePrelude(ts: String): String =
+    s"""$ticksCte, $dedupCte,
+       |-- the live pipeline's ticks crossed the wire as %.6f text
+       |-- (Relay.toWireMessages), so the oracle replays that rounding
+       |dcut AS (SELECT pair, time,
+       |                printf('%.6f', bid)::DOUBLE AS bid,
+       |                printf('%.6f', ask)::DOUBLE AS ask
+       |         FROM dedup WHERE time < TIMESTAMP '$ts'),
+       |mx AS (SELECT pair, max(time) AS mt FROM dcut GROUP BY 1),
+       |c1m AS (
+       |  SELECT pair, date_trunc('minute', time) AS time,
+       |         min_by(bid, time) AS open, max(bid) AS high,
+       |         min(bid) AS low, max_by(bid, time) AS close
+       |  FROM dcut GROUP BY 1, 2)""".stripMargin
+
   /** The `e2e_live_pipeline` gate's oracle: the (14,28)×(1m,5m) grid with
     * the live pipeline's tick cutoff + bar-finality semantics. */
   private[queries] def liveGridOracle(wireEnd: String): String =
     gridSql(Seq(14, 28), Seq(("1m", 60), ("5m", 300)), cutoff = Some(wireEnd))
+
+  /** The `e2e_live_signals` gate's oracle: golden/dead SMA crosses
+    * (short × long) over the live deployment's FINAL bars per timeframe —
+    * the one-shot restatement of [[graft.operators.Signals.strategy]]
+    * composed over the live grid's SMA facts at the same cutoff. */
+  private[queries] def liveSignalsOracle(wireEnd: String, shortP: Int,
+                                         longP: Int,
+                                         tfs: Seq[(String, Int)]): String = {
+    val closes = tfs.flatMap { case (tf, d) =>
+      Seq(tfCloseCte(s"raw_$tf", tf, d),
+        s"""b_$tf AS (SELECT r.pair, r.ts, r.close FROM raw_$tf r
+           |  JOIN mx ON r.pair = mx.pair
+           |  WHERE r.ts + $d <= epoch(mx.mt)::BIGINT)""".stripMargin)
+    }
+    val xs = tfs.map { case (tf, _) =>
+      s"""n_$tf AS (SELECT pair, ts, close,
+         |       row_number() OVER (PARTITION BY pair ORDER BY ts) AS rn
+         |  FROM b_$tf),
+         |s_$tf AS (SELECT pair, ts,
+         |  CASE WHEN rn >= $shortP
+         |       THEN avg(close) OVER (PARTITION BY pair ORDER BY ts
+         |            ROWS BETWEEN ${shortP - 1} PRECEDING AND CURRENT ROW)
+         |  END AS ss,
+         |  CASE WHEN rn >= $longP
+         |       THEN avg(close) OVER (PARTITION BY pair ORDER BY ts
+         |            ROWS BETWEEN ${longP - 1} PRECEDING AND CURRENT ROW)
+         |  END AS sl
+         |  FROM n_$tf),
+         |x_$tf AS (SELECT pair, ts, ss, sl,
+         |  lag(ss) OVER (PARTITION BY pair ORDER BY ts) AS ps,
+         |  lag(sl) OVER (PARTITION BY pair ORDER BY ts) AS pl
+         |  FROM s_$tf)""".stripMargin
+    }
+    val branches = tfs.map { case (tf, _) =>
+      s"""SELECT pair, '$tf' AS timeframe, ts AS time_s,
+         |       CASE WHEN ps <= pl AND ss > sl THEN 'BUY' ELSE 'SELL' END
+         |         AS event_type,
+         |       round((ss)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS price,
+         |       $shortP AS period
+         |FROM x_$tf
+         |WHERE (ps <= pl AND ss > sl) OR (ps >= pl AND ss < sl)""".stripMargin
+    }
+    s"""WITH ${livePrelude(wireEnd)},
+       |${(closes ++ xs).mkString(",\n")}
+       |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "u2b_ema_14_4h" -> emaSql(14, "4h", 14400),

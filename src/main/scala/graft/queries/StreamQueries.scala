@@ -276,6 +276,59 @@ object StreamQueries {
           round(col("value"), 6).as("value"))
     }),
 
+    // E2E strategy tail (F4 live): the reference deployment's signal flow
+    // appended to the SAME per-poll loop — 4 real micro-batches drive
+    // processBatch (ingest dedup → candles → fused grid → golden/dead SMA
+    // crosses), each batch anti-join-appending to the (pair, dt)-
+    // partitioned signal store with literal watermark bounds, compaction
+    // included (compactEvery=2). The socket layer is e2e_live_pipeline's
+    // gate; this one certifies the per-batch STORE chain to its deepest
+    // new table. Oracle: the w1 cross composition over the live-cutoff
+    // final bars, per timeframe.
+    "e2e_live_signals" -> ((s, d) => {
+      val wireEnd = "2024-01-03 00:00:00"
+      val msgs = graft.operators.Relay.toWireMessages(
+          TradingQueries.ticks(s, d).filter(col("time") < lit(wireEnd)))
+        .select(col("message"),
+          regexp_extract(col("message"), "\"timestamp\":\"([^\"]+)\"", 1).as("ts"))
+        .orderBy(col("ts"), col("message"))
+        .collect().map(_.getString(0)).toIndexedSeq
+      require(msgs.length <= 250000,
+        s"e2e signals fixture unexpectedly large: ${msgs.length}")
+      val srv = new graft.serving.TickerServer(
+        Seq(graft.serving.PathConfig("click", "/ws/ticker_click")),
+        heartbeatMillis = 60000L)
+      srv.start()
+      val root = Files.createTempDirectory("graft-e2esig-").toString
+      try {
+        val st = graft.serving.LivePipeline.Stores(root)
+        val tfs = Seq("1m", "5m").map(graft.model.Timeframe.byCode)
+        val chunk = math.max(1, msgs.length / 4)
+        msgs.grouped(chunk).zipWithIndex.foreach { case (ms, i) =>
+          import s.implicits._
+          val batch = Ticks.valid(Ticks.fromWireJson(ms.toDF("value")))
+          graft.serving.LivePipeline.processBatch(batch, i.toLong, st, srv,
+            Seq("RSI", "SMA", "EMA"), Seq(14, 28), tfs, compactEvery = 2)
+        }
+        val out =
+          try s.read.parquet(st.signals)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            // a window with no crosses writes no store (sub-gate SFs):
+            // the oracle is empty there too
+            import s.implicits._
+            Seq.empty[(String, java.sql.Timestamp, String, Double, String, Int)]
+              .toDF("pair", "event_datetime", "event_type", "price",
+                "trigger_indicator_timeframe", "trigger_indicator_period")
+          }
+        out.select(col("pair"),
+            col("trigger_indicator_timeframe").as("timeframe"),
+            unix_timestamp(col("event_datetime")).as("time_s"),
+            col("event_type"),
+            round(col("price"), 6).as("price"),
+            col("trigger_indicator_period").as("period"))
+      } finally srv.close()
+    }),
+
     // T4 (CDC relay cursor): stream the fixture through the idempotent
     // relay — per-batch second-dedup, first-write-wins parquet sink — then
     // read the sink back. Oracle: the batch tick-dedup SQL (S2).
@@ -1146,6 +1199,8 @@ object StreamQueries {
     // the whole live chain's deepest store: the grid oracle with the
     // pipeline's cutoff + wire rounding + bar-finality semantics
     "e2e_live_pipeline" -> IndicatorQueries.liveGridOracle("2024-01-03 00:00:00"),
+    "e2e_live_signals" -> IndicatorQueries.liveSignalsOracle(
+      "2024-01-03 00:00:00", 14, 28, Seq(("1m", 60), ("5m", 300))),
 
     // the w11 aggregation with the streaming append cutoff: buckets whose
     // end the final watermark (max second-truncated event time − 1 h) has

@@ -74,12 +74,13 @@ import graft.sources.Compact
   */
 object LivePipeline {
 
-  /** Store layout under one root: the four tables of the deployment. */
+  /** Store layout under one root: the five tables of the deployment. */
   final case class Stores(root: String) {
     val ticks = s"$root/ticks"
     val candles = s"$root/candles"
     val gridFacts = s"$root/grid_facts"
     val gridState = s"$root/grid_state"
+    val signals = s"$root/signals"
     val checkpoint = s"$root/ckpt"
   }
 
@@ -172,10 +173,17 @@ object LivePipeline {
     * the open-pair residue — never store history. */
   private def readStoreBounded(spark: SparkSession, path: String,
                                bounds: Seq[PairBound], strict: Boolean)
-      : Option[DataFrame] =
-    try {
-      val raw = spark.read.parquet(path)
-      raw.schema // force resolution
+      : Option[DataFrame] = {
+    // only the READ may report "store absent" — a filter-analysis error
+    // (e.g. a bound referencing a column the store lacks) must THROW, not
+    // silently disable the anti-join it feeds
+    val rawOpt =
+      try {
+        val raw = spark.read.parquet(path)
+        raw.schema // force resolution
+        Some(raw)
+      } catch { case _: AnalysisException => None }
+    rawOpt.map { raw =>
       if (bounds.isEmpty) return Some(raw.drop("dt", "t_s"))
       val exact = exactPred(bounds, strict)
       val closed = bounds.filter(_.exempt.isEmpty)
@@ -192,8 +200,9 @@ object LivePipeline {
               col("dt") >= to_date(minT) && timeOk && exact)
             .unionByName(open)
         }
-      Some(out.drop("dt", "t_s"))
-    } catch { case _: AnalysisException => None }
+      out.drop("dt", "t_s")
+    }
+  }
 
   /** One poll of the reference's deployment loop (also driven directly by
     * the spec's kill/restart harness). */
@@ -204,7 +213,7 @@ object LivePipeline {
     val spark = batch.sparkSession
     // finish/abort any compaction swap a crash interrupted BEFORE any
     // read (O(1) probe per store in the steady state)
-    Seq(stores.ticks, stores.candles, stores.gridFacts)
+    Seq(stores.ticks, stores.candles, stores.gridFacts, stores.signals)
       .foreach(Compact.recoverStore(spark, _))
     // wire-order tiebreak for the per-second dedup: (partition, ordinal)
     // is socket order through the source's contiguous chunks, and a
@@ -378,10 +387,39 @@ object LivePipeline {
       }
     }
 
-    // 5) housekeeping: bound store fragmentation (crash-safe partition
+    // 5) F4 strategy tail: golden/dead SMA crosses over the grid facts
+    //    just appended — the reference deployment's signal flow, live,
+    //    same first-write-wins contract. A cross at a NEW bar needs its
+    //    previous bar's SMA row for the lag, so the input window is the
+    //    NON-strict bound (includes each key's boundary bar); signals can
+    //    only fire strictly past the watermark, so the existing side is
+    //    the strict bound. Derived (short, long) = (min, max) of the
+    //    configured periods — the reference's configured cross pair.
+    if (periods.distinct.size >= 2 && indicators.contains("SMA")) {
+      val (shortP, longP) = (periods.min, periods.max)
+      readStoreBounded(spark, stores.gridFacts, wmBounds, strict = false)
+        .foreach { factsWindow =>
+          val sigs = graft.operators.Signals.strategy(
+            factsWindow.filter(col("indicator") === "SMA"), shortP, longP)
+          // pairs whose bound carries exemptions stay unbounded on the
+          // existing side (the signal store has no timeframe column for
+          // the exempt arm — and those pairs are startup-transient)
+          val sigBounds = wmBounds.filter(_.exempt.isEmpty)
+          val prevSigs = readStoreBounded(spark, stores.signals, sigBounds,
+            strict = true)
+          val newSigs = prevSigs.map(p => Incremental.newRows(p, sigs,
+              Seq("pair", "trigger_indicator_timeframe", "event_datetime")))
+            .getOrElse(sigs)
+            .localCheckpoint()
+          if (!newSigs.isEmpty)
+            writeStore(newSigs, stores.signals, timeCol = "event_datetime")
+        }
+    }
+
+    // 6) housekeeping: bound store fragmentation (crash-safe partition
     //    rewrite-and-swap; single-writer — this stream — by construction)
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      Seq(stores.ticks, stores.candles, stores.gridFacts)
+      Seq(stores.ticks, stores.candles, stores.gridFacts, stores.signals)
         .foreach(Compact.compactStore(spark, _))
   }
 
@@ -389,19 +427,23 @@ object LivePipeline {
     * the partition-only `dt` column so its literal dt conjuncts prune
     * partitions. None = store absent. */
   private def readStore(spark: SparkSession, path: String,
-                        pred: Option[Column]): Option[DataFrame] =
-    try {
-      val df = spark.read.parquet(path)
-      df.schema // force resolution
-      Some(pred.fold(df)(df.filter).drop("dt", "t_s"))
-    } catch { case _: AnalysisException => None }
+                        pred: Option[Column]): Option[DataFrame] = {
+    val rawOpt =
+      try {
+        val df = spark.read.parquet(path)
+        df.schema // force resolution
+        Some(df)
+      } catch { case _: AnalysisException => None }
+    rawOpt.map(df => pred.fold(df)(df.filter).drop("dt", "t_s"))
+  }
 
   /** First-write-wins append, partitioned by (pair, UTC date), carrying
     * the epoch-second BIGINT `t_s` the bounded reads prune row groups
     * with (see [[PairBound]] for why a long, not the timestamp). */
-  private def writeStore(df: DataFrame, path: String): Unit =
-    df.withColumn("dt", to_date(col("time")))
-      .withColumn("t_s", unix_timestamp(col("time")))
+  private def writeStore(df: DataFrame, path: String,
+                         timeCol: String = "time"): Unit =
+    df.withColumn("dt", to_date(col(timeCol)))
+      .withColumn("t_s", unix_timestamp(col(timeCol)))
       .write.mode("append").partitionBy("pair", "dt").parquet(path)
 
   private def emptyState(spark: SparkSession): DataFrame = {

@@ -42,7 +42,8 @@ class LivePipelineSpec extends SparkSpec {
     Ticks.valid(Ticks.fromWireJson(msgs.toDF("value")))
 
   /** The one-shot batch twin of the whole chain over `msgs`. */
-  private def expected(msgs: Seq[String]): (DataFrame, DataFrame, DataFrame) = {
+  private def expected(msgs: Seq[String], periods: Seq[Int] = ps)
+      : (DataFrame, DataFrame, DataFrame) = {
     val ticksB = Ticks.dedupSecond(parseAll(msgs).withColumn("seq", lit(0L)))
     val mx = ticksB.groupBy("pair").agg(max(col("time")).as("max_t"))
     val durs = tfs.map(t => (t.code, t.durationSeconds.toLong)).toDF("timeframe", "dur")
@@ -50,7 +51,7 @@ class LivePipelineSpec extends SparkSpec {
     val candFinal = cand.join(durs, "timeframe").join(mx, "pair")
       .filter(unix_timestamp(col("time")) + col("dur") <= unix_timestamp(col("max_t")))
       .select(cand.columns.map(col).toSeq: _*)
-    val grid = Indicators.indicatorFactsFused(candFinal, inds, ps)
+    val grid = Indicators.indicatorFactsFused(candFinal, inds, periods)
     (ticksB, candFinal, grid)
   }
 
@@ -64,8 +65,9 @@ class LivePipelineSpec extends SparkSpec {
     assert(cond, msg)
   }
 
-  private def assertStores(root: String, msgs: Seq[String]): Unit = {
-    val (et, ec, eg) = expected(msgs)
+  private def assertStores(root: String, msgs: Seq[String],
+                           periods: Seq[Int] = ps): Unit = {
+    val (et, ec, eg) = expected(msgs, periods)
     val st = LivePipeline.Stores(root)
     // stores are (pair, dt)-partitioned — select the logical columns
     // explicitly (the derived dt partition column is layout, not data)
@@ -277,6 +279,43 @@ class LivePipelineSpec extends SparkSpec {
       assert(fs.rename(leaf2, old2), "test setup: rename failed")
       graft.sources.Compact.recoverStore(spark, st.ticks)
       assertStores(root, wire)
+    } finally srv.close()
+  }
+
+  test("live pipeline: signal tail — kill/restart + replay keep the signal store bit-exact") {
+    // two periods arm the strategy tail: golden/dead SMA(2)x(3) crosses
+    // fire densely on the pseudo-walk fixture
+    val ps2 = Seq(2, 3)
+    val srv = new TickerServer(Seq(PathConfig("USD_JPY", "/ws/ticker_usd_jpy")),
+      heartbeatMillis = 60000L)
+    srv.start()
+    val root = Files.createTempDirectory("graft-livepipe-sig-").toString
+    try {
+      val st = LivePipeline.Stores(root)
+      val chunks = wire.grouped(25).toSeq
+      // phase 1: first 3 batches, then the process "dies" and batch 2
+      // REPLAYS (crash after stores advanced, before checkpoint commit)
+      chunks.take(3).zipWithIndex.foreach { case (ms, i) =>
+        LivePipeline.processBatch(parseAll(ms), i.toLong, st, srv,
+          inds, ps2, tfs, compactEvery = 3)
+      }
+      LivePipeline.processBatch(parseAll(chunks(2)), 2L, st, srv,
+        inds, ps2, tfs, compactEvery = 3)
+      // phase 2: restart carries on with the tail
+      chunks.drop(3).zipWithIndex.foreach { case (ms, i) =>
+        LivePipeline.processBatch(parseAll(ms), (i + 3).toLong, st, srv,
+          inds, ps2, tfs, compactEvery = 3)
+      }
+      // one-shot twin: strategy over the one-shot grid's SMA facts
+      val (_, _, eg) = expected(wire, ps2)
+      val expSig = graft.operators.Signals.strategy(
+        eg.filter(col("indicator") === "SMA"), 2, 3)
+      assert(expSig.count() > 0, "fixture produced no crosses — test is vacuous")
+      val cols = expSig.columns.map(col).toSeq
+      assert(sortedRows(spark.read.parquet(st.signals).select(cols: _*)) ===
+        sortedRows(expSig), "signal store diverged from the one-shot twin")
+      // the other stores stayed exact through the replay + compaction
+      assertStores(root, wire, ps2)
     } finally srv.close()
   }
 
