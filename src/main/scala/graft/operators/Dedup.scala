@@ -480,6 +480,71 @@ object Dedup {
           x => x.getField("seg"))).as("clean_text"))
   }
 
+  /** ExactSubstr dedup: repeated-passage removal at ANY token offset —
+    * the suffix-array-class scrub training pipelines run (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better")
+    * and the gap [[dedupSpans]]' fixed grid leaves open: a duplicated
+    * passage shifted 3 tokens in one document is invisible to a 10-token
+    * grid but removed here.
+    *
+    * Semantics: a token is removed iff it lies inside some `minRun`-token
+    * window whose exact token sequence occurs EARLIER in the corpus
+    * (global first occurrence by (doc_id, position) survives — the same
+    * first-wins order as [[dedupSpans]]); each document is reassembled
+    * from its surviving tokens in order. Every duplicated run of length
+    * >= minRun is fully covered by its own duplicated minRun-grams, so
+    * this removes exactly the ExactSubstr overlap set at threshold
+    * minRun.
+    *
+    * Scale shape (all linear, no postings list, no suffix array):
+    *  1. every-offset minRun-gram hashes — O(tokens) rows, O(minRun)
+    *     hash work each (the honest cost of any-offset sensitivity;
+    *     the grid variant pays 1/minRun of it and misses shifts);
+    *  2. first-wins over the gram hash — ONE wide shuffle on a uniform
+    *     high-cardinality key (the exact-dedup shape);
+    *  3. coverage as a DIFFERENCE ARRAY: each later-occurrence gram
+    *     contributes (+1 at pos, -1 at pos+minRun); summed per token
+    *     index, a running total > 0 marks covered tokens — two narrow
+    *     aggregations and one per-doc window, never an interval join;
+    *  4. reassembly grouped by doc_id (per-group state = one document).
+    * Spark-first: sequence/slice/concat_ws/md5 + windows — no UDF. */
+  def dedupSubstr(docs: DataFrame, minRun: Int = 10): DataFrame = {
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    val k = minRun
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // sequence(0, n-k) must never see n < k (it would descend), so gate
+    // short docs out — they can emit no gram
+    val grams = toks.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - k)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(k)))).as("h"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    val covered = grams
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos"))
+    val events = covered
+      .select(col("doc_id"), col("pos").as("idx"), lit(1L).as("d"))
+      .unionAll(covered.select(col("doc_id"), (col("pos") + k).as("idx"),
+        lit(-1L).as("d")))
+      .groupBy(col("doc_id"), col("idx")).agg(sum(col("d")).as("d"))
+    val tokens = toks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("idx", "tok")))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokens.join(events, Seq("doc_id", "idx"), "left")
+      .withColumn("cov", sum(coalesce(col("d"), lit(0L))).over(wd))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cov") === 0L, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("cov") === 0L,
+            struct(col("idx"), col("tok"))))),
+          x => x.getField("tok"))).as("clean_text"))
+  }
+
   /** L50: PageRank centrality over the near-dup similarity graph — the
     * canonical-document selector: inside a cluster of near-duplicates the
     * highest-rank node is the best-connected representative to KEEP

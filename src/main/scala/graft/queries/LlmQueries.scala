@@ -168,6 +168,11 @@ object LlmQueries {
     // grid; first occurrence (lowest (doc_id, position)) survives
     "llm_dedup_spans" -> ((s, d) => Dedup.dedupSpans(docsPar(s, d), span = 10)),
 
+    // ExactSubstr: repeated passages removed at ANY offset (the
+    // suffix-array-class dedup; dedupSpans' grid misses shifted twins) —
+    // oracle is the brute-force any-offset restatement
+    "llm_dedup_substr" -> ((s, d) => Dedup.dedupSubstr(docsPar(s, d), minRun = 10)),
+
     // L58: tokenizer fertility by (lang, source) — Σbpe/Σws as an
     // integer HALF_UP division of exact long sums; the data-mix
     // token-budget report
@@ -969,6 +974,31 @@ object LlmQueries {
         |       coalesce(array_to_string(list(seg ORDER BY i) FILTER (rn = 1), ' '),
         |                '') AS clean_text
         |FROM f GROUP BY doc_id""".stripMargin,
+
+    // brute-force any-offset restatement: every 10-gram ranked by global
+    // (doc_id, pos) first occurrence; later occurrences cover their 10
+    // token indices; kept tokens reassemble the doc
+    "llm_dedup_substr" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g0 AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 8, 1))) AS pos, w
+        |       FROM t),
+        |g AS (SELECT doc_id, pos, array_to_string(w[pos : pos + 9], ' ') AS gram
+        |      FROM g0),
+        |m AS (SELECT doc_id, pos,
+        |             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |      FROM g),
+        |cv0 AS (SELECT doc_id, pos + unnest(range(0, 10)) AS idx
+        |        FROM (SELECT doc_id, pos FROM m WHERE rn > 1)),
+        |cov AS (SELECT DISTINCT doc_id, idx FROM cv0),
+        |tok0 AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS idx, w FROM t),
+        |tk AS (SELECT doc_id, idx, w[idx] AS tok FROM tok0),
+        |j AS (SELECT tk.doc_id, tk.idx, tk.tok, cov.idx IS NOT NULL AS c
+        |      FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.idx = tk.idx)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       sum(CASE WHEN NOT c THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |       coalesce(array_to_string(list(tok ORDER BY idx) FILTER (NOT c), ' '),
+        |                '') AS clean_text
+        |FROM j GROUP BY doc_id""".stripMargin,
 
     // same 60-bit MD5 hash >> 7 (exact in double) and the same
     // (hash desc, doc_id asc) total order as the engine's top-k heaps

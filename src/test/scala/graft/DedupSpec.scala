@@ -198,6 +198,42 @@ class DedupSpec extends SparkSpec {
     assert(d.getAs[String]("clean_text") === "p q r")
   }
 
+  test("dedupSubstr removes the NON-grid-aligned repeated passage dedupSpans misses") {
+    // P = a 15-token passage; doc 1 carries it at offset 0, doc 2 at
+    // offset 3 — not a multiple of the 10-token grid, so no 10-token
+    // SEGMENT of doc 2 equals any segment of doc 1
+    val p = (1 to 15).map(i => s"p$i").mkString(" ")
+    val d1 = p + " " + (1 to 5).map(i => s"x$i").mkString(" ")   // 20 toks
+    val d2 = "j1 j2 j3 " + p + " " + (1 to 2).map(i => s"y$i").mkString(" ") // 20 toks
+    val in = docs(1L -> d1, 2L -> d2)
+    // the grid scrub is blind to the shift: every segment survives
+    val spans = Dedup.dedupSpans(in, span = 10).orderBy("doc_id").collect()
+    assert(spans.map(_.getAs[Long]("n_kept")).toSeq === Seq(2L, 2L),
+      "fixture invalid: dedupSpans caught the shifted passage")
+    // the any-offset scrub removes exactly doc 2's copy of P
+    val sub = Dedup.dedupSubstr(in, minRun = 10).orderBy("doc_id").collect()
+    assert(sub(0).getAs[Long]("n_kept") === 20L, "first occurrence must survive")
+    assert(sub(0).getAs[String]("clean_text") === d1)
+    assert(sub(1).getAs[Long]("n_tokens") === 20L)
+    assert(sub(1).getAs[Long]("n_kept") === 5L)
+    assert(sub(1).getAs[String]("clean_text") === "j1 j2 j3 y1 y2")
+  }
+
+  test("dedupSubstr: runs shorter than minRun survive; within-doc repeats scrub") {
+    // 9-token repeat < minRun=10: kept everywhere
+    val q = (1 to 9).map(i => s"q$i").mkString(" ")
+    val short = docs(1L -> (q + " a b"), 2L -> ("c " + q + " d"))
+    val gotShort = Dedup.dedupSubstr(short, minRun = 10).orderBy("doc_id").collect()
+    assert(gotShort.map(_.getAs[Long]("n_kept")).toSeq === Seq(11L, 11L))
+    // a doc repeating its own 12-token run back-to-back scrubs the echo
+    val r = (1 to 12).map(i => s"r$i").mkString(" ")
+    val self = docs(7L -> (r + " " + r))
+    val gotSelf = Dedup.dedupSubstr(self, minRun = 10).collect()(0)
+    assert(gotSelf.getAs[Long]("n_tokens") === 24L)
+    assert(gotSelf.getAs[Long]("n_kept") === 12L)
+    assert(gotSelf.getAs[String]("clean_text") === r)
+  }
+
   test("prefix dedup: same k-token head groups regardless of tail; short docs skip") {
     val d = Dedup.prefixDedup(docs(
       1L -> "a b c tail one",

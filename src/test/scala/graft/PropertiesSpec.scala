@@ -163,6 +163,37 @@ class PropertiesSpec extends SparkSpec {
     })
   }
 
+  test("dedupSubstr ≡ in-memory any-offset coverage model for random corpora") {
+    // tiny alphabet + short runs force dense overlapping duplicates —
+    // the adversarial case for interval bookkeeping (self-overlap,
+    // nested covers, runs crossing each other)
+    val docGen = for {
+      n <- Gen.chooseNum(1, 30)
+      ws <- Gen.listOfN(n, Gen.oneOf("p", "q"))
+    } yield ws.mkString(" ")
+    checkProp(forAll(Gen.listOfN(5, docGen), Gen.chooseNum(2, 6)) { (texts, k) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup.dedupSubstr(docs, k).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      // model: first occurrence of each k-gram by global (doc, pos);
+      // later occurrences cover [pos, pos+k); kept = uncovered tokens
+      val seen = scala.collection.mutable.Set.empty[String]
+      val exp = texts.zipWithIndex.map { case (t, i) =>
+        val toks = t.split(" ").toSeq
+        val cover = Array.fill(toks.length)(false)
+        for (p <- 0 to toks.length - k) {
+          val gram = toks.slice(p, p + k).mkString(" ")
+          if (!seen.add(gram)) (p until p + k).foreach(cover(_) = true)
+        }
+        val kept = toks.indices.filterNot(cover).map(toks)
+        i.toLong -> ((toks.length.toLong, kept.size.toLong, kept.mkString(" ")))
+      }.toMap
+      (got == exp) :| s"k=$k got=$got exp=$exp"
+    })
+  }
+
   test("chunkWindows reconstructs the corpus: stride prefixes concatenate to the tokens") {
     val docGen = for {
       n <- Gen.chooseNum(1, 40)
