@@ -285,6 +285,16 @@ object Similarity {
     import spark.implicits._
     val sample = prep(embs).orderBy(col("id")).limit(sampleSize)
       .as[(Long, Array[Double])].collect().map(v => normL2(v._2))
+    trainSubspaceBooks(sample, m, k, iters)
+  }
+
+  /** The shared per-subspace L2-k-means trainer behind [[pqCodebooks]]
+    * (trained on normalized vectors) and [[ivfPqTopK]] (trained on coarse
+    * RESIDUALS): first-k init in input order, `iters` Lloyd steps, empty
+    * clusters keep their centroid, argmin ties to the lowest index —
+    * fully deterministic for a fixed sample. */
+  private def trainSubspaceBooks(sample: Array[Array[Double]], m: Int,
+                                 k: Int, iters: Int): Array[Array[Array[Double]]] = {
     require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -477,6 +487,121 @@ object Similarity {
       .join(broadcast(q), "qid")
       .select(col("qid"), col("cid"), cosine(col("qemb"), col("emb")).as("score"))
     topKPerQuery(scored, k)
+  }
+
+  /** IVF-PQ ANN (the FAISS IVFADC shape, Jégou et al. PAMI 2011 §III):
+    * the coarse quantizer routes each vector to an inverted list, and PQ
+    * codes quantize the RESIDUAL v̂ − c(v̂) against the list's centroid —
+    * residual energy is a fraction of vector energy, so the same m·log2(k)
+    * bits carry far more precision than whole-vector PQ at equal recall;
+    * this is the production 100 TB composition of [[ivfTopK]] + [[pqTopK]],
+    * reusing [[ivfCentroids]]/[[ivfAssign]] and the PQ subspace trainer
+    * verbatim.
+    *
+    * Query path: probe the `nprobe` nearest lists; score each probed
+    * list's members by asymmetric distance — `q̂·c(list)` (per-list
+    * offset) + Σ_s table_s[code_s] where table_s = q̂_s · book_s (built
+    * once per query driver-side: queries are the bounded broadcast side);
+    * exact cosine re-ranks the top `candFactor·k` — recall tuned by
+    * (nprobe, candFactor), exactness restored by the re-rank.
+    *
+    * Scale shape: codebooks + centroids + query tables are broadcast
+    * (m·k·dim/m + nLists·dim + Q·m·k doubles); the corpus is touched ONCE
+    * to encode (then carries m bytes/vector); candidate generation is the
+    * list join (corpus side pre-partitioned by list), and only the
+    * candFactor·k re-rank rows ever ship full vectors. */
+  def ivfPqTopK(embs: DataFrame, queries: DataFrame, k: Int, nLists: Int = 16,
+                nprobe: Int = 8, m: Int = 8, kCent: Int = 16,
+                candFactor: Int = 40, iters: Int = 5,
+                sampleSize: Int = 4096): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val centroids = ivfCentroids(embs, nLists, iters, sampleSize)
+    // residual codebooks: the SAME deterministic bounded sample as
+    // pqCodebooks, each vector replaced by its coarse residual
+    val sample = prep(embs).orderBy(col("id")).limit(sampleSize)
+      .as[(Long, Array[Double])].collect().map { case (_, v) =>
+        val nv = normL2(v)
+        val c = centroids(nearestCos(nv, centroids))
+        Array.tabulate(nv.length)(d => nv(d) - c(d))
+      }
+    val books = trainSubspaceBooks(sample, m, kCent, iters)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcB = spark.sparkContext.broadcast(books)
+    // corpus: ONE pass — list assignment + residual PQ codes
+    val codes = embs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val cs = bcC.value; val bs = bcB.value
+        val v = normL2(emb.map(_.toDouble))
+        val list = nearestCos(v, cs)
+        val r = Array.tabulate(v.length)(d => v(d) - cs(list)(d))
+        val sub = v.length / bs.length
+        (id, list,
+          Array.tabulate(bs.length)(s =>
+            nearestL2(r.slice(s * sub, (s + 1) * sub), bs(s))))
+      }.toDF("cid", "list", "codes")
+    val queryLists = ivfAssign(queries, centroids, nearest = nprobe)
+      .select(col("id").as("qid"), col("list"))
+    // per-query ADC tables + per-(query, list) offsets, driver-built on
+    // the bounded query side and broadcast
+    val qs = prep(queries).as[(Long, Array[Double])].collect()
+      .map { case (id, v) => (id, normL2(v)) }
+    require(qs.length <= 65536, s"query side too large to broadcast: ${qs.length}")
+    val sub = centroids.head.length / m
+    val tables: Map[Long, (Array[Array[Double]], Array[Double])] = qs.map {
+      case (qid, qv) =>
+        val t = Array.tabulate(m) { s =>
+          books(s).map { cent =>
+            var dot = 0.0; var d = 0
+            while (d < sub) { dot += qv(s * sub + d) * cent(d); d += 1 }
+            dot
+          }
+        }
+        val off = centroids.map { c =>
+          var dot = 0.0; var d = 0
+          while (d < qv.length) { dot += qv(d) * c(d); d += 1 }
+          dot
+        }
+        qid -> ((t, off))
+    }.toMap
+    val bcT = spark.sparkContext.broadcast(tables)
+    val approx = codes.join(queryLists, Seq("list"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("list"), col("codes"))
+      .as[(Long, Long, Int, Array[Int])]
+      .mapPartitions { it =>
+        val ts = bcT.value
+        it.map { case (qid, cid, list, cs) =>
+          val (t, off) = ts(qid)
+          var s = 0; var sum = off(list)
+          while (s < cs.length) { sum += t(s)(cs(s)); s += 1 }
+          (qid, cid, sum)
+        }
+      }.toDF("qid", "cid", "score")
+    val cands = topKPerQuery(approx, candFactor * k).select(col("qid"), col("cid"))
+    val corpus = prep(embs).select(col("id").as("cid"), col("emb"))
+    val qv = prep(queries).select(col("id").as("qid"), col("emb").as("qemb"))
+    val exact = cands
+      .join(corpus, "cid")
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("cid"), cosine(col("qemb"), col("emb")).as("score"))
+    topKPerQuery(exact, k)
+  }
+
+  /** Argmax cosine (= dot against the normalized centroids) over
+    * `centroids` for a normalized vector, lowest index on ties — the
+    * driver-side twin of [[ivfAssign]]'s per-row loop. */
+  private def nearestCos(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestDot = Double.MinValue
+    var c = 0
+    while (c < cents.length) {
+      var dot = 0.0; var d = 0
+      while (d < v.length) { dot += v(d) * cents(c)(d); d += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
   }
 
   /** LSH-bucketed ANN: candidates = corpus vectors sharing ≥ 1 band with the

@@ -344,6 +344,17 @@ object LlmQueries {
         .select(col("qid"), col("cid"), col("rank"), round(col("score"), 6).as("sim"))
     }),
 
+    // IVF-PQ (FAISS IVFADC): coarse lists + RESIDUAL product quantization
+    // + ADC scoring over the probed lists + exact re-rank — the production
+    // composition of llm_ann_ivf and llm_ann_pq; exact-top-k parity at
+    // oracle SF with high nprobe/candFactor on this near-isotropic corpus
+    "llm_ann_ivfpq" -> ((s, d) => {
+      val e = embsPar(s, d)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), k = 5,
+          nLists = 16, nprobe = 12, candFactor = 60)
+        .select(col("qid"), col("cid"), col("rank"), round(col("score"), 6).as("sim"))
+    }),
+
     // L65: PQ ANN — codebook-compressed coarse scan (m=8 subspaces × 16
     // centroids, ADC lookup tables) + exact re-rank; candFactor 60 for
     // exhaustive recall on this near-isotropic corpus (PQ's coarse signal
@@ -1289,6 +1300,7 @@ object LlmQueries {
     "llm_ann_sql" -> annOracle,
     "llm_ann_lsh" -> annOracle,
     "llm_ann_ivf" -> annOracle,
+    "llm_ann_ivfpq" -> annOracle,
     "llm_ann_quant" -> annOracle,
     "llm_ann_pq" -> annOracle,
 

@@ -150,6 +150,36 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.toSeq === exact.toSeq)
   }
 
+  test("ivfPqTopK (IVFADC) equals brute force on a clustered corpus") {
+    // same 3-cluster regime as the pqTopK test: coarse lists align with
+    // clusters, residual codes carry the within-cluster signal
+    val rnd = new scala.util.Random(11)
+    val centers = Seq(
+      Array.tabulate(16)(i => if (i < 5) 1.0 else 0.0),
+      Array.tabulate(16)(i => if (i >= 5 && i < 10) 1.0 else 0.0),
+      Array.tabulate(16)(i => if (i >= 10) 1.0 else 0.0))
+    val d = embs((0L until 60L).map { i =>
+      val c = centers((i % 3).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq, (i % 3).toInt)
+    }: _*).select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val q = d.filter($"vec_id" < 3)
+    val exact = Similarity.bruteForceTopK(d, q, k = 4)
+      .orderBy("qid", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // probing every list + a cluster-sized candidate margin makes the
+    // composition exhaustive: parity must be exact, not approximate
+    val got = Similarity.ivfPqTopK(d, q, k = 4, nLists = 6, nprobe = 6,
+        m = 4, kCent = 8, candFactor = 5)
+      .orderBy("qid", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === exact.toSeq)
+    // and the residual advantage is real: with ONE probed list per query
+    // the candidates stay within the query's own cluster — top-4 of a
+    // 20-member cluster is still the exact top-4 (neighbors ARE in-cluster)
+    val oneProbe = Similarity.ivfPqTopK(d, q, k = 4, nLists = 3, nprobe = 1,
+        m = 4, kCent = 8, candFactor = 5)
+      .orderBy("qid", "rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(oneProbe.toSeq === exact.toSeq)
+  }
+
   test("pqEncode is deterministic under repartition and codes stay in range") {
     val rnd = new scala.util.Random(9)
     val d = embs((0L until 40L).map { i =>
