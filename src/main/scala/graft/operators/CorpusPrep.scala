@@ -362,19 +362,28 @@ object CorpusPrep {
     * leading hex byte of the hash, which is ORDER-ALIGNED with the full
     * hash (a mod-bucket would interleave ranges and break rank
     * composition): within-bucket row_numbers run in parallel over
-    * ~corpus/256 rows each, the 256 bucket counts prefix-sum on one tiny
-    * task and broadcast back. No global single-task sort anywhere; at
-    * 100 TB widen the bucket key to 3-4 hex chars (4096-65536 buckets)
-    * so each within-bucket sort stays executor-sized. */
-  def corpusShuffle(docs: DataFrame, nShards: Int, seed: Long = 42L): DataFrame = {
+    * ~corpus/buckets rows each, the bucket counts prefix-sum on one tiny
+    * task and broadcast back. No global single-task sort anywhere.
+    * `bucketHexChars` is the 100 TB valve: 2 hex chars (256 buckets,
+    * the default) keeps the prefix-sum trivial at test scale; 3-4 hex
+    * chars (4,096-65,536 buckets) keep each within-bucket sort
+    * executor-sized at full scale — rank composition is bucket-width-
+    * independent (PropertiesSpec proves 256 ≡ 4,096 ≡ the global
+    * order). */
+  def corpusShuffle(docs: DataFrame, nShards: Int, seed: Long = 42L,
+                    bucketHexChars: Int = 2): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(bucketHexChars >= 1 && bucketHexChars <= 4,
+      s"bucketHexChars must be in [1, 4], got $bucketHexChars")
     val withH = docs.select(col("doc_id"),
       md5(concat(lit(seed.toString), col("doc_id").cast("string"))
         .cast("binary")).as("_h"))
     // lowercase-hex lexicographic order == numeric order, so the leading
-    // two hex chars are a monotone 256-way range partition of the hash
+    // hex chars are a monotone 16^bucketHexChars-way range partition of
+    // the hash
     val local = withH
-      .withColumn("_b", conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+      .withColumn("_b",
+        conv(substring(col("_h"), 1, bucketHexChars), 16, 10).cast("int"))
       .withColumn("_r", row_number().over(
         Window.partitionBy(col("_b")).orderBy(col("_h"), col("doc_id"))))
     val offs = local.groupBy(col("_b")).agg(count(lit(1)).as("_n"))

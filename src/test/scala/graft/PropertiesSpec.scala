@@ -353,6 +353,30 @@ class PropertiesSpec extends SparkSpec {
     }, n = 12)
   }
 
+  test("corpusShuffle rank composition is bucket-width-independent (256 ≡ 4096 ≡ global)") {
+    // the 100 TB valve: widening the bucket key must not move a single
+    // rank — the leading-hex buckets are order-aligned prefixes of the
+    // same hash at ANY width
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    checkProp(forAll(
+        Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))) {
+      rawIds =>
+        val ids = rawIds.distinct
+        val docs = ids.map(i => (i, "x")).toDF("doc_id", "text")
+        def ranks(hexChars: Int): Seq[(Long, Long)] =
+          graft.operators.CorpusPrep.corpusShuffle(docs, 8,
+              bucketHexChars = hexChars)
+            .select("doc_id", "rank").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+        val want = ids.map(i => (md5hex("42" + i), i)).sorted
+          .map(_._2).zipWithIndex.map { case (id, r) => (id, r.toLong) }
+          .sortBy(_._1)
+        (ranks(2) == want && ranks(3) == want) :| s"n=${ids.length}"
+    }, n = 8)
+  }
+
   test("bpeTrain: driver fast path ≡ distributed round loop (merges AND state)") {
     // the bounded-vocabulary collect + pair-delta loop must replay the
     // distributed explode+agg+fold rounds EXACTLY — same rules, same
