@@ -52,12 +52,14 @@ object LlmQueries {
   /** The unrolled BPE training chain: w0 (word frequencies), s0 (char
     * symbols), then per round i: pair counts p_i, best pair b_i, and the
     * merged state s_i (for all but the last round — append it with
-    * [[bpeFoldStep]] if the final state is needed). */
-  private def bpeChain(k: Int): String = {
+    * [[bpeFoldStep]] if the final state is needed). `trainWhere` filters
+    * the TRAINING corpus (the cross-corpus encode gate trains on a
+    * subset). */
+  private def bpeChain(k: Int, trainWhere: String = ""): String = {
     val head =
       s"""WITH $toksCte,
          |w0 AS (SELECT word, count(*)::BIGINT AS cnt
-         |       FROM (SELECT unnest(w) AS word FROM toks)
+         |       FROM (SELECT unnest(w) AS word FROM toks $trainWhere)
          |       WHERE word IS NOT NULL AND word <> '' GROUP BY word),
          |s0 AS MATERIALIZED (
          |  SELECT word, cnt,
@@ -672,6 +674,16 @@ object LlmQueries {
     // BPE-unit counts (all-integer; vocabulary-bounded lookup join)
     "llm_bpe_encode" -> ((s, d) =>
       TextAnalysis.bpeEncode(Tables.documents(s, d), k = 3)),
+
+    // L68 cross-corpus: tokenizer trained on the 'en' slice, encoding the
+    // WHOLE corpus — out-of-vocabulary words fall back to their character
+    // count (an untrained word encodes symbol-per-character); oracle
+    // replays the filtered training chain + the same left-join fallback
+    "llm_bpe_encode_xcorpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bpeEncodeWith(docs,
+        TextAnalysis.bpeTrain(docs.filter(col("lang") === "en"), k = 8)._1)
+    }),
 
     "llm_sample_strata" -> ((s, d) =>
       CorpusPrep.sampleStrata(Tables.documents(s, d), "lang",
@@ -1853,6 +1865,21 @@ object LlmQueries {
          |t AS (SELECT doc_id, unnest(w) AS word FROM toks)
          |SELECT doc_id, count(*)::BIGINT AS n_ws, sum(units)::BIGINT AS n_units
          |FROM t JOIN u USING (word)
+         |WHERE word IS NOT NULL AND word <> ''
+         |GROUP BY doc_id""".stripMargin,
+
+    // the cross-corpus fallback: unseen words cost their character count
+    // (len of the same '' split the symbol seed uses)
+    "llm_bpe_encode_xcorpus" ->
+      s"""${bpeChain(8, "WHERE lang = 'en'")},
+         |s8 AS MATERIALIZED (${bpeFoldStep(7, 8)}),
+         |u AS (SELECT word, len(string_split(sym, ' '))::BIGINT AS units FROM s8),
+         |t AS (SELECT doc_id, unnest(w) AS word FROM toks)
+         |SELECT doc_id, count(*)::BIGINT AS n_ws,
+         |       sum(coalesce(u.units,
+         |                    len(regexp_split_to_array(t.word, ''))))::BIGINT
+         |         AS n_units
+         |FROM t LEFT JOIN u USING (word)
          |WHERE word IS NOT NULL AND word <> ''
          |GROUP BY doc_id""".stripMargin,
 
