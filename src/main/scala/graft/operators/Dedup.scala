@@ -545,6 +545,79 @@ object Dedup {
           x => x.getField("tok"))).as("clean_text"))
   }
 
+  /** The reusable gram index behind [[dedupSubstrAgainst]]: every
+    * distinct `minRun`-gram hash of `docs`. Build it ONCE over the
+    * standing corpus (and write it bucketed by `h` at deployment — each
+    * incremental batch then joins shuffle-free on the bucketed side);
+    * never rebuilt per batch. */
+  def substrGramIndex(docs: DataFrame, minRun: Int = 10): DataFrame = {
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    toks.filter(size(col("toks")) >= minRun)
+      .select(col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - minRun)).as("pos"))
+      .select(md5(concat_ws(" ",
+        slice(col("toks"), col("pos") + 1, lit(minRun)))).as("h"))
+      .distinct()
+  }
+
+  /** Incremental ExactSubstr: scrub a NEW batch against a standing
+    * corpus WITHOUT re-scrubbing the corpus — the [[dedupSubstr]]
+    * semantics under the L60 incremental-ingest contract. A new token is
+    * removed iff it lies inside a minRun-window whose sequence occurs in
+    * the standing corpus (ANY position there is "earlier") or earlier
+    * within the batch itself (first occurrence by (doc_id, pos) among
+    * the new docs survives). Returns the scrubbed NEW docs only; the
+    * standing corpus is authoritative and untouched — exactly how a
+    * training pipeline absorbs a daily crawl against years of corpus.
+    *
+    * Scale shape: the batch side is O(batch tokens) grams; the ONE join
+    * against `index` is the per-batch cost an incremental dedup cannot
+    * avoid, and a bucketed-by-h index makes it shuffle-free on the
+    * corpus side (the batch side shuffles its own grams only — never
+    * O(history) rows moved per batch). Coverage + reassembly are the
+    * [[dedupSubstr]] difference-array, batch-sized. */
+  def dedupSubstrAgainst(index: DataFrame, newDocs: DataFrame,
+                         minRun: Int = 10): DataFrame = {
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    val k = minRun
+    val toks = newDocs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val grams = toks.filter(size(col("toks")) >= k)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - k)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(k)))).as("h"))
+    // rn BEFORE the join: a non-distinct index must not be able to
+    // duplicate gram rows under the row_number window (coverage events
+    // are multiplicity-insensitive, the rank is not)
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    val covered = grams
+      .withColumn("rn", row_number().over(w))
+      .join(index.select(col("h"), lit(true).as("seen")).distinct(),
+        Seq("h"), "left")
+      .filter(col("seen").isNotNull || col("rn") > 1)
+      .select(col("doc_id"), col("pos"))
+    val events = covered
+      .select(col("doc_id"), col("pos").as("idx"), lit(1L).as("d"))
+      .unionAll(covered.select(col("doc_id"), (col("pos") + k).as("idx"),
+        lit(-1L).as("d")))
+      .groupBy(col("doc_id"), col("idx")).agg(sum(col("d")).as("d"))
+    val tokens = toks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("idx", "tok")))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokens.join(events, Seq("doc_id", "idx"), "left")
+      .withColumn("cov", sum(coalesce(col("d"), lit(0L))).over(wd))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cov") === 0L, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("cov") === 0L,
+            struct(col("idx"), col("tok"))))),
+          x => x.getField("tok"))).as("clean_text"))
+  }
+
   /** L50: PageRank centrality over the near-dup similarity graph — the
     * canonical-document selector: inside a cluster of near-duplicates the
     * highest-rank node is the best-connected representative to KEEP

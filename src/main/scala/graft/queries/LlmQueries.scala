@@ -175,6 +175,17 @@ object LlmQueries {
     // oracle is the brute-force any-offset restatement
     "llm_dedup_substr" -> ((s, d) => Dedup.dedupSubstr(docsPar(s, d), minRun = 10)),
 
+    // incremental ExactSubstr: the odd-id "daily crawl" scrubbed against
+    // the even-id standing corpus's gram index (built once, reused) plus
+    // first-wins within the batch — the L60 ingest contract for
+    // substring dedup; the standing corpus is never re-scrubbed
+    "llm_dedup_substr_inc" -> ((s, d) => {
+      val docs = docsPar(s, d)
+      Dedup.dedupSubstrAgainst(
+        Dedup.substrGramIndex(docs.filter(col("doc_id") % 2 === 0), minRun = 10),
+        docs.filter(col("doc_id") % 2 === 1), minRun = 10)
+    }),
+
     // L58: tokenizer fertility by (lang, source) — Σbpe/Σws as an
     // integer HALF_UP division of exact long sums; the data-mix
     // token-budget report
@@ -1014,6 +1025,37 @@ object LlmQueries {
         |        FROM (SELECT doc_id, pos FROM m WHERE rn > 1)),
         |cov AS (SELECT DISTINCT doc_id, idx FROM cv0),
         |tok0 AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS idx, w FROM t),
+        |tk AS (SELECT doc_id, idx, w[idx] AS tok FROM tok0),
+        |j AS (SELECT tk.doc_id, tk.idx, tk.tok, cov.idx IS NOT NULL AS c
+        |      FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.idx = tk.idx)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       sum(CASE WHEN NOT c THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |       coalesce(array_to_string(list(tok ORDER BY idx) FILTER (NOT c), ' '),
+        |                '') AS clean_text
+        |FROM j GROUP BY doc_id""".stripMargin,
+
+    // brute-force incremental restatement: corpus grams (even ids, any
+    // pos) are all "seen"; batch grams rank among the batch only
+    "llm_dedup_substr_inc" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |gx0 AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 8, 1))) AS pos, w
+        |        FROM t WHERE doc_id % 2 = 0),
+        |gx AS (SELECT DISTINCT array_to_string(w[pos : pos + 9], ' ') AS gram
+        |       FROM gx0),
+        |g0 AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 8, 1))) AS pos, w
+        |       FROM t WHERE doc_id % 2 = 1),
+        |g AS (SELECT doc_id, pos, array_to_string(w[pos : pos + 9], ' ') AS gram
+        |      FROM g0),
+        |m AS (SELECT g.doc_id, g.pos,
+        |             row_number() OVER (PARTITION BY g.gram
+        |                                ORDER BY g.doc_id, g.pos) AS rn,
+        |             gx.gram IS NOT NULL AS seen
+        |      FROM g LEFT JOIN gx ON gx.gram = g.gram),
+        |cv0 AS (SELECT doc_id, pos + unnest(range(0, 10)) AS idx
+        |        FROM (SELECT doc_id, pos FROM m WHERE seen OR rn > 1)),
+        |cov AS (SELECT DISTINCT doc_id, idx FROM cv0),
+        |tok0 AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS idx, w
+        |         FROM t WHERE doc_id % 2 = 1),
         |tk AS (SELECT doc_id, idx, w[idx] AS tok FROM tok0),
         |j AS (SELECT tk.doc_id, tk.idx, tk.tok, cov.idx IS NOT NULL AS c
         |      FROM tk LEFT JOIN cov ON cov.doc_id = tk.doc_id AND cov.idx = tk.idx)

@@ -234,6 +234,32 @@ class DedupSpec extends SparkSpec {
     assert(gotSelf.getAs[String]("clean_text") === r)
   }
 
+  test("dedupSubstrAgainst ≡ full dedupSubstr on new docs when the corpus is globally first") {
+    // with corpus ids strictly below batch ids, the union's global
+    // (doc_id, pos) first-wins order makes every corpus occurrence
+    // "earlier" — exactly the incremental contract, so the two paths
+    // must agree on the batch rows bit-for-bit
+    val p = (1 to 12).map(i => s"p$i").mkString(" ")
+    val corpus = docs(
+      1L -> (p + " a b c"),
+      2L -> "u v w x y z u v w x y z") // self-repeat inside the corpus
+    val batch = docs(
+      100L -> ("k1 k2 " + p + " tail"),          // shifted corpus passage
+      101L -> ("fresh f1 f2 f3 " + p),            // another copy, later id
+      102L -> ("k1 k2 " + p + " tail"))           // identical to 100: within-batch dup
+    val k = 5
+    val full = Dedup.dedupSubstr(corpus.unionByName(batch), minRun = k)
+      .filter(col("doc_id") >= 100L).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val inc = Dedup.dedupSubstrAgainst(
+        Dedup.substrGramIndex(corpus, minRun = k), batch, minRun = k)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(inc === full, s"incremental diverged from the one-shot union")
+    // and the corpus passage really was scrubbed from every batch doc
+    assert(inc.forall(r => !r._4.contains("p3 p4 p5 p6 p7")), inc.toString)
+  }
+
   test("prefix dedup: same k-token head groups regardless of tail; short docs skip") {
     val d = Dedup.prefixDedup(docs(
       1L -> "a b c tail one",
