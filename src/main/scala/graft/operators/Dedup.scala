@@ -510,20 +510,30 @@ object Dedup {
     * Spark-first: sequence/slice/concat_ws/md5 + windows — no UDF. */
   def dedupSubstr(docs: DataFrame, minRun: Int = 10): DataFrame = {
     require(minRun >= 1, s"minRun must be >= 1, got $minRun")
-    val k = minRun
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    // sequence(0, n-k) must never see n < k (it would descend), so gate
-    // short docs out — they can emit no gram
-    val grams = toks.filter(size(col("toks")) >= k)
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    val covered = gramsOf(toks, minRun)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos"))
+    coverAndReassemble(toks, covered, minRun)
+  }
+
+  /** Every-offset `k`-gram hashes of a (doc_id, toks) frame:
+    * (doc_id, pos, h). `sequence(0, n-k)` must never see n < k (it would
+    * descend), so short docs — which can emit no gram — are gated out. */
+  private def gramsOf(toks: DataFrame, k: Int): DataFrame =
+    toks.filter(size(col("toks")) >= k)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), size(col("toks")) - k)).as("pos"))
       .select(col("doc_id"), col("pos"),
         md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(k)))).as("h"))
-    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
-    val covered = grams
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > 1)
-      .select(col("doc_id"), col("pos"))
+
+  /** The shared ExactSubstr tail: covered gram positions → per-token
+    * coverage via the difference array (+1 at pos, −1 at pos+k, running
+    * sum per doc) → (doc_id, n_tokens, n_kept, clean_text) reassembly. */
+  private def coverAndReassemble(toks: DataFrame, covered: DataFrame,
+                                 k: Int): DataFrame = {
     val events = covered
       .select(col("doc_id"), col("pos").as("idx"), lit(1L).as("d"))
       .unionAll(covered.select(col("doc_id"), (col("pos") + k).as("idx"),
@@ -552,13 +562,9 @@ object Dedup {
     * never rebuilt per batch. */
   def substrGramIndex(docs: DataFrame, minRun: Int = 10): DataFrame = {
     require(minRun >= 1, s"minRun must be >= 1, got $minRun")
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    toks.filter(size(col("toks")) >= minRun)
-      .select(col("toks"),
-        explode(sequence(lit(0), size(col("toks")) - minRun)).as("pos"))
-      .select(md5(concat_ws(" ",
-        slice(col("toks"), col("pos") + 1, lit(minRun)))).as("h"))
-      .distinct()
+    gramsOf(docs.select(col("doc_id"), split(col("text"), " ").as("toks")),
+        minRun)
+      .select(col("h")).distinct()
   }
 
   /** Incremental ExactSubstr: scrub a NEW batch against a standing
@@ -580,42 +586,18 @@ object Dedup {
   def dedupSubstrAgainst(index: DataFrame, newDocs: DataFrame,
                          minRun: Int = 10): DataFrame = {
     require(minRun >= 1, s"minRun must be >= 1, got $minRun")
-    val k = minRun
     val toks = newDocs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val grams = toks.filter(size(col("toks")) >= k)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), size(col("toks")) - k)).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        md5(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(k)))).as("h"))
     // rn BEFORE the join: a non-distinct index must not be able to
     // duplicate gram rows under the row_number window (coverage events
     // are multiplicity-insensitive, the rank is not)
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
-    val covered = grams
+    val covered = gramsOf(toks, minRun)
       .withColumn("rn", row_number().over(w))
       .join(index.select(col("h"), lit(true).as("seen")).distinct(),
         Seq("h"), "left")
       .filter(col("seen").isNotNull || col("rn") > 1)
       .select(col("doc_id"), col("pos"))
-    val events = covered
-      .select(col("doc_id"), col("pos").as("idx"), lit(1L).as("d"))
-      .unionAll(covered.select(col("doc_id"), (col("pos") + k).as("idx"),
-        lit(-1L).as("d")))
-      .groupBy(col("doc_id"), col("idx")).agg(sum(col("d")).as("d"))
-    val tokens = toks.select(col("doc_id"),
-      posexplode(col("toks")).as(Seq("idx", "tok")))
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tokens.join(events, Seq("doc_id", "idx"), "left")
-      .withColumn("cov", sum(coalesce(col("d"), lit(0L))).over(wd))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("cov") === 0L, 1L).otherwise(0L)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(col("cov") === 0L,
-            struct(col("idx"), col("tok"))))),
-          x => x.getField("tok"))).as("clean_text"))
+    coverAndReassemble(toks, covered, minRun)
   }
 
   /** L50: PageRank centrality over the near-dup similarity graph — the

@@ -416,6 +416,13 @@ object Similarity {
     import spark.implicits._
     val sample = prep(embs).orderBy(col("id")).limit(sampleSize)
       .as[(Long, Array[Double])].collect().map(_._2)
+    ivfCentroidsFromSample(sample, k, iters)
+  }
+
+  /** [[ivfCentroids]] on an already-collected sample — callers that also
+    * need the sample for other training (IVF-PQ residuals) collect once. */
+  private def ivfCentroidsFromSample(sample: Array[Array[Double]], k: Int,
+                                     iters: Int): Array[Array[Double]] = {
     require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
     def norm(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
@@ -516,15 +523,18 @@ object Similarity {
                 sampleSize: Int = 4096): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val centroids = ivfCentroids(embs, nLists, iters, sampleSize)
+    // ONE sample collect feeds both trainers (the global orderBy+limit is
+    // the dominant setup scan — don't pay it twice)
+    val rawSample = prep(embs).orderBy(col("id")).limit(sampleSize)
+      .as[(Long, Array[Double])].collect().map(_._2)
+    val centroids = ivfCentroidsFromSample(rawSample, nLists, iters)
     // residual codebooks: the SAME deterministic bounded sample as
     // pqCodebooks, each vector replaced by its coarse residual
-    val sample = prep(embs).orderBy(col("id")).limit(sampleSize)
-      .as[(Long, Array[Double])].collect().map { case (_, v) =>
-        val nv = normL2(v)
-        val c = centroids(nearestCos(nv, centroids))
-        Array.tabulate(nv.length)(d => nv(d) - c(d))
-      }
+    val sample = rawSample.map { v =>
+      val nv = normL2(v)
+      val c = centroids(nearestCos(nv, centroids))
+      Array.tabulate(nv.length)(d => nv(d) - c(d))
+    }
     val books = trainSubspaceBooks(sample, m, kCent, iters)
     val bcC = spark.sparkContext.broadcast(centroids)
     val bcB = spark.sparkContext.broadcast(books)

@@ -486,16 +486,24 @@ object TextAnalysis {
 
     val counts = mutable.HashMap.empty[(String, String), Long]
     val index = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
-    // max-heap by (count, then lexicographically SMALLEST pair); entries
-    // are snapshots — stale ones are skipped on pop by re-checking `counts`
+    // tie order must be the DISTRIBUTED path's: Spark string orderBy (and
+    // the DuckDB oracle) compare UTF-8 BINARY, which diverges from Java's
+    // String.compareTo (UTF-16 code units) for supplementary-plane
+    // symbols vs [U+E000, U+FFFF] — compare the encoded bytes unsigned
+    def utf8Cmp(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // max-heap by (count, then UTF-8-SMALLEST pair); entries are
+    // snapshots — stale ones are skipped on pop by re-checking `counts`
     implicit val ord: Ordering[(Long, String, String)] =
       new Ordering[(Long, String, String)] {
         def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
           val c = java.lang.Long.compare(a._1, b._1)
           if (c != 0) c
           else {
-            val l = b._2.compareTo(a._2) // smaller lhs = "greater" (popped first)
-            if (l != 0) l else b._3.compareTo(a._3)
+            val l = utf8Cmp(b._2, a._2) // smaller lhs = "greater" (popped first)
+            if (l != 0) l else utf8Cmp(b._3, a._3)
           }
         }
       }

@@ -174,16 +174,7 @@ object LivePipeline {
   private def readStoreBounded(spark: SparkSession, path: String,
                                bounds: Seq[PairBound], strict: Boolean)
       : Option[DataFrame] = {
-    // only the READ may report "store absent" — a filter-analysis error
-    // (e.g. a bound referencing a column the store lacks) must THROW, not
-    // silently disable the anti-join it feeds
-    val rawOpt =
-      try {
-        val raw = spark.read.parquet(path)
-        raw.schema // force resolution
-        Some(raw)
-      } catch { case _: AnalysisException => None }
-    rawOpt.map { raw =>
+    probeStore(spark, path).map { raw =>
       if (bounds.isEmpty) return Some(raw.drop("dt", "t_s"))
       val exact = exactPred(bounds, strict)
       val closed = bounds.filter(_.exempt.isEmpty)
@@ -328,29 +319,38 @@ object LivePipeline {
       .filter(unix_timestamp(col("time")) + col("dur") <= unix_timestamp(col("max_t")))
       .select(cand.columns.map(col).toSeq: _*)
     // recomputed bars can reach at most maxDur below a DEFINED threshold
-    // (bar start ≥ floor_tf(thr) > thr − dur); an open pair is unbounded
+    // (bar start ≥ floor_tf(thr) > thr − dur); an open pair is unbounded.
+    // This window also CONTAINS the grid step's strictly-past-watermark
+    // candles (thr − maxDur ≤ minWm by min(a+b) ≥ min a + min b), so ONE
+    // checkpointed read serves the anti-join AND the grid tail.
     val candAntiBounds = thrByPair.toSeq.sortBy(_._1)
       .map { case (p, s) => PairBound(p, s - maxDur, Nil) }
-    val prevCand = readStoreBounded(spark, stores.candles, candAntiBounds,
-      strict = false)
-    writeStore(
-      prevCand.map(p => Incremental.newRows(p, candFinal,
-          Seq("pair", "timeframe", "time")))
-        .getOrElse(candFinal),
-      stores.candles)
+    val candWindow = readStoreBounded(spark, stores.candles, candAntiBounds,
+      strict = false).map(_.localCheckpoint())
+    val novelCand = candWindow
+      .map(p => Incremental.newRows(p, candFinal, Seq("pair", "timeframe", "time")))
+      .getOrElse(candFinal)
+      .localCheckpoint() // written now, folded into the grid below
+    writeStore(novelCand, stores.candles)
 
     // 4) E2 grid: resume machines from the versioned snapshot, fold only
-    //    the candle tail (coarse literal bound prunes the scan; the exact
-    //    per-(pair, timeframe) cut is the broadcast of the same O(keys)
-    //    watermark rows), persist facts + the advanced snapshot
-    readStoreBounded(spark, stores.candles, wmBounds,
-        strict = true).foreach { candTail =>
+    //    the candle tail — the checkpointed window + the bars just
+    //    written, cut to strictly-past-watermark by the broadcast of the
+    //    same O(keys) rows (no second store scan), persist facts + the
+    //    advanced snapshot
+    var novelFacts: Option[DataFrame] = None
+    val factsWindow = readStoreBounded(spark, stores.gridFacts, wmBounds,
+      strict = false).map(_.localCheckpoint())
+    // a missing pre-write window (first batch) is the empty window: the
+    // just-written bars alone feed the fold
+    locally {
+      val candAll = candWindow.map(_.unionByName(novelCand)).getOrElse(novelCand)
       val tailCand =
-        if (wmRows.isEmpty) candTail
+        if (wmRows.isEmpty) candAll
         else {
           import spark.implicits._
           val wms = wmRows.toDF("pair", "timeframe", "wm")
-          candTail.join(broadcast(wms), Seq("pair", "timeframe"), "left")
+          candAll.join(broadcast(wms), Seq("pair", "timeframe"), "left")
             .filter(col("wm").isNull || col("time") > col("wm"))
             .drop("wm")
         }
@@ -360,15 +360,14 @@ object LivePipeline {
         val facts = Indicators.indicatorFactsFusedResume(
           tailC, indicators, periods, stateDf)
         // incoming facts all sit strictly past their key's watermark (or
-        // in an exempt timeframe), so the same coarse bound is lossless
-        // on the anti-join's existing side
-        val prevFacts = readStoreBounded(spark, stores.gridFacts, wmBounds,
-          strict = true)
-        writeStore(
-          prevFacts.map(p => Incremental.newRows(p, facts,
-              Seq("indicator", "pair", "timeframe", "time", "period")))
-            .getOrElse(facts),
-          stores.gridFacts)
+        // in an exempt timeframe), so the non-strict window is a lossless
+        // (slightly wide) existing side for the anti-join
+        novelFacts = Some(factsWindow
+          .map(p => Incremental.newRows(p, facts,
+            Seq("indicator", "pair", "timeframe", "time", "period")))
+          .getOrElse(facts)
+          .localCheckpoint()) // written now, scanned by the signal tail
+        writeStore(novelFacts.get, stores.gridFacts)
         val advanced = Indicators.indicatorGridSnapshotResume(
           tailC, indicators, periods, stateDf)
         val newWms = tailC.groupBy("pair", "timeframe")
@@ -390,17 +389,18 @@ object LivePipeline {
     // 5) F4 strategy tail: golden/dead SMA crosses over the grid facts
     //    just appended — the reference deployment's signal flow, live,
     //    same first-write-wins contract. A cross at a NEW bar needs its
-    //    previous bar's SMA row for the lag, so the input window is the
-    //    NON-strict bound (includes each key's boundary bar); signals can
-    //    only fire strictly past the watermark, so the existing side is
-    //    the strict bound. Derived (short, long) = (min, max) of the
-    //    configured periods — the reference's configured cross pair.
+    //    previous bar's SMA row for the lag, so the input is the
+    //    NON-strict window already checkpointed above plus the facts just
+    //    written (no re-read); signals can only fire strictly past the
+    //    watermark, so the existing side is the strict bound. Derived
+    //    (short, long) = (min, max) of the configured periods — the
+    //    reference's configured cross pair.
     if (periods.distinct.size >= 2 && indicators.contains("SMA")) {
       val (shortP, longP) = (periods.min, periods.max)
-      readStoreBounded(spark, stores.gridFacts, wmBounds, strict = false)
-        .foreach { factsWindow =>
+      (factsWindow.toSeq ++ novelFacts.toSeq).reduceOption(_ unionByName _)
+        .foreach { sigInput =>
           val sigs = graft.operators.Signals.strategy(
-            factsWindow.filter(col("indicator") === "SMA"), shortP, longP)
+            sigInput.filter(col("indicator") === "SMA"), shortP, longP)
           // pairs whose bound carries exemptions stay unbounded on the
           // existing side (the signal store has no timeframe column for
           // the exempt arm — and those pairs are startup-transient)
@@ -427,15 +427,21 @@ object LivePipeline {
     * the partition-only `dt` column so its literal dt conjuncts prune
     * partitions. None = store absent. */
   private def readStore(spark: SparkSession, path: String,
-                        pred: Option[Column]): Option[DataFrame] = {
-    val rawOpt =
-      try {
-        val df = spark.read.parquet(path)
-        df.schema // force resolution
-        Some(df)
-      } catch { case _: AnalysisException => None }
-    rawOpt.map(df => pred.fold(df)(df.filter).drop("dt", "t_s"))
-  }
+                        pred: Option[Column]): Option[DataFrame] =
+    probeStore(spark, path)
+      .map(df => pred.fold(df)(df.filter).drop("dt", "t_s"))
+
+  /** The ONE absent-store probe: only the READ may report "store absent"
+    * — a downstream filter-analysis error (e.g. a bound referencing a
+    * column the store lacks) must THROW, not silently disable the
+    * anti-join it feeds, so callers build their filters OUTSIDE this
+    * catch. */
+  private def probeStore(spark: SparkSession, path: String): Option[DataFrame] =
+    try {
+      val df = spark.read.parquet(path)
+      df.schema // force resolution
+      Some(df)
+    } catch { case _: AnalysisException => None }
 
   /** First-write-wins append, partitioned by (pair, UTC date), carrying
     * the epoch-second BIGINT `t_s` the bounded reads prune row groups

@@ -38,6 +38,11 @@ final class WireReplayServer(messages: IndexedSeq[String], port: Int = 0,
   // AvailableNow drain that expects the full set); a reclaim queue never
   // drops an index no matter how claims interleave.
   private val orphans = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+  // indices claimed but not yet written-or-parked: a connection must not
+  // send the clean CLOSE while another connection's claimed index is
+  // in flight and about to fail into the orphan queue — that client
+  // would stop reconnecting and the message would never be served
+  private val inflight = new AtomicInteger(0)
   private val subs = new AtomicInteger(0)
   private val running = new AtomicBoolean(false)
   private var server: ServerSocket = _
@@ -99,13 +104,16 @@ final class WireReplayServer(messages: IndexedSeq[String], port: Int = 0,
       var sentThisConn = 0
       var i = claim()
       while (i >= 0) {
-        try out.write(textFrame(messages(i)))
+        try { out.write(textFrame(messages(i))); inflight.decrementAndGet() }
         catch {
           case e: Exception =>
             // the claimed message never left: park it for the NEXT
             // connection to reclaim (never lossy, unlike a cursor CAS
-            // rollback that a racing claim can defeat)
+            // rollback that a racing claim can defeat). Park BEFORE
+            // dropping the inflight count so a closing connection either
+            // still sees the claim or already sees the orphan.
             orphans.add(i)
+            inflight.decrementAndGet()
             throw e
         }
         sentThisConn += 1
@@ -119,15 +127,26 @@ final class WireReplayServer(messages: IndexedSeq[String], port: Int = 0,
     }
   }
 
-  /** Next index to serve: a parked orphan if one exists, else the shared
-    * cursor; -1 once the sequence is exhausted. */
+  /** Next index to serve (claimed: the inflight count is raised and must
+    * be dropped after the write succeeds or the index is parked): a
+    * parked orphan if one exists, else the shared cursor. Returns -1 only
+    * once the sequence is exhausted AND no other connection holds a
+    * claim that could still fail into the orphan queue — so the clean
+    * CLOSE can never race a message into oblivion. */
   private def claim(): Int = {
     val o = orphans.poll()
-    if (o != null) o.intValue()
-    else {
-      val i = cursor.getAndIncrement()
-      if (i >= messages.length) { cursor.set(messages.length); -1 } else i
+    if (o != null) { inflight.incrementAndGet(); return o.intValue() }
+    val i = cursor.getAndIncrement()
+    if (i < messages.length) { inflight.incrementAndGet(); return i }
+    cursor.set(messages.length)
+    // exhausted: wait out in-flight claims (their writes either succeed
+    // — nothing to do — or park an orphan this connection then serves)
+    while (inflight.get() > 0 || !orphans.isEmpty) {
+      val o2 = orphans.poll()
+      if (o2 != null) { inflight.incrementAndGet(); return o2.intValue() }
+      Thread.sleep(2)
     }
+    -1
   }
 
   private def readClientFrame(in: DataInputStream): Unit = {

@@ -380,10 +380,13 @@ class PropertiesSpec extends SparkSpec {
   test("bpeTrain: driver fast path ≡ distributed round loop (merges AND state)") {
     // the bounded-vocabulary collect + pair-delta loop must replay the
     // distributed explode+agg+fold rounds EXACTLY — same rules, same
-    // tie-breaks, same post-merge symbol strings — for arbitrary corpora
+    // tie-breaks, same post-merge symbol strings — for arbitrary corpora.
+    // The alphabet deliberately mixes a supplementary-plane symbol (UTF-8
+    // binary order ≠ Java UTF-16 compareTo there) with U+FFFD to exercise
+    // the tie-break order the two paths must share
     val wordGen = for {
       len <- Gen.chooseNum(1, 6)
-      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      cs <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "�", "😀"))
     } yield cs.mkString
     val docGen = Gen.chooseNum(1, 8).flatMap(n =>
       Gen.listOfN(n, wordGen).map(_.mkString(" ")))

@@ -153,12 +153,13 @@ class TextAnalysisSpec extends SparkSpec {
     val elapsedMs = (System.nanoTime() - t0) / 1000000L
     info(s"k=256 trained in ${elapsedMs} ms (driver fast path)")
     assert(merges.length === 256, s"corpus exhausted at ${merges.length} merges")
-    // the classic BPE invariant: the best pair count never increases
-    // round over round (a merge only removes occurrences of existing
-    // pairs; a pair it creates occurs at most as often as the fused pair)
-    val pcs = merges.map(_._4)
-    assert(pcs.zip(pcs.tail).forall { case (a, b) => a >= b },
-      s"best-pair counts increased: ${pcs.take(20)}")
+    // NOTE deliberately NOT asserted: "best-pair counts never increase".
+    // It is almost-always true but not an invariant — two different rules
+    // can fuse to the SAME symbol string (e.g. (ab,c) and (a,bc) -> abc),
+    // and the later fusion then adds occurrences to an already-counted
+    // pair involving that string; a fixture regeneration could legally
+    // trip it. All counts positive IS invariant:
+    assert(merges.forall(_._4 > 0), "non-positive merge count")
     // the learned prefix is the distributed loop's result exactly (the
     // full-k equivalence is PropertiesSpec's job; here the probe-scale
     // corpus pins the first rounds at real data volume)
