@@ -459,15 +459,8 @@ object Dedup {
   def dedupSpans(docs: DataFrame, span: Int = 10): DataFrame = {
     require(span >= 1, s"span must be >= 1, got $span")
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val segs = toks
-      .select(col("doc_id"), col("toks"),
-        // `div`, not `/`: int `/` is double division in Spark SQL
-        explode(sequence(lit(0),
-          expr(s"greatest((size(toks) + ${span - 1}) div $span - 1, 0)"))).as("i"))
-      .select(col("doc_id"), col("i"),
-        concat_ws(" ", slice(col("toks"), col("i") * span + 1, lit(span))).as("seg"))
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("i"))
-    segs
+    gridSegs(toks, span)
       .withColumn("h", md5(col("seg")))
       .withColumn("rn", row_number().over(w))
       .groupBy(col("doc_id"))
@@ -476,6 +469,56 @@ object Dedup {
         sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
         concat_ws(" ", transform(
           array_sort(collect_list(when(col("rn") === 1,
+            struct(col("i"), col("seg"))))),
+          x => x.getField("seg"))).as("clean_text"))
+  }
+
+  /** `span`-token grid segments of a (doc_id, toks) frame: (doc_id, i,
+    * seg), i the 0-based grid index. Shared by [[dedupSpans]] and
+    * [[boilerplateScrub]]. */
+  private def gridSegs(toks: DataFrame, span: Int): DataFrame =
+    toks
+      .select(col("doc_id"), col("toks"),
+        // `div`, not `/`: int `/` is double division in Spark SQL
+        explode(sequence(lit(0),
+          expr(s"greatest((size(toks) + ${span - 1}) div $span - 1, 0)"))).as("i"))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", slice(col("toks"), col("i") * span + 1, lit(span))).as("seg"))
+
+  /** L69: frequency-thresholded boilerplate scrub — the C4/CCNet corpus
+    * rule (Raffel et al. 2020 §2.2 drop lines repeated across the crawl;
+    * Wenzek et al. 2020 dedup shared paragraphs) re-expressed on the
+    * engine's token grid. A `span`-token grid segment that occurs in at
+    * least `minDf` DISTINCT documents is boilerplate (navigation chrome,
+    * licence headers, templated footers) and is removed from EVERY
+    * document — including the first. That removed-everywhere semantic is
+    * what distinguishes this from the whole first-wins dedup family
+    * ([[dedupSpans]]/[[dedupSubstr]] keep one canonical copy): boilerplate
+    * has no canonical copy worth keeping.
+    *
+    * Scale shape: grid segmentation is linear in corpus tokens (1/span of
+    * the any-offset gram cost); the distinct-doc frequency is the exact-
+    * dedup shuffle shape — (h, doc_id) distinct (map-side combined), then
+    * one narrow count per hash; the boilerplate set joins back on the
+    * uniform hash key (no broadcast assumption — at 100 TB a templated
+    * crawl's boilerplate set is NOT small); reassembly groups by doc_id
+    * with per-group state = one document. No UDF, no postings list. */
+  def boilerplateScrub(docs: DataFrame, span: Int = 10, minDf: Long = 3L): DataFrame = {
+    require(span >= 1, s"span must be >= 1, got $span")
+    require(minDf >= 2, s"minDf must be >= 2 (df 1 would scrub everything), got $minDf")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val segs = gridSegs(toks, span).withColumn("h", md5(col("seg")))
+    val bp = segs.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"), lit(true).as("bp"))
+    segs.join(bp, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("bp").isNull, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("bp").isNull,
             struct(col("i"), col("seg"))))),
           x => x.getField("seg"))).as("clean_text"))
   }

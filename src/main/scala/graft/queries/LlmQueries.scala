@@ -175,6 +175,12 @@ object LlmQueries {
     // oracle is the brute-force any-offset restatement
     "llm_dedup_substr" -> ((s, d) => Dedup.dedupSubstr(docsPar(s, d), minRun = 10)),
 
+    // L69: frequency-thresholded boilerplate scrub (the C4/CCNet rule) —
+    // a 10-token grid segment in >= 3 DISTINCT docs is removed from
+    // EVERY doc (no canonical copy kept, unlike the first-wins family)
+    "llm_boilerplate" -> ((s, d) =>
+      Dedup.boilerplateScrub(docsPar(s, d), span = 10, minDf = 3)),
+
     // incremental ExactSubstr: the odd-id "daily crawl" scrubbed against
     // the even-id standing corpus's gram index (built once, reused) plus
     // first-wins within the batch — the L60 ingest contract for
@@ -1012,6 +1018,24 @@ object LlmQueries {
     // brute-force any-offset restatement: every 10-gram ranked by global
     // (doc_id, pos) first occurrence; later occurrences cover their 10
     // token indices; kept tokens reassemble the doc
+    "llm_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |             unnest(range(0, greatest((len(toks) + 9) // 10, 1))) AS i,
+        |             toks
+        |      FROM t),
+        |g AS (SELECT doc_id, i,
+        |             array_to_string(toks[i*10+1 : i*10+10], ' ') AS seg
+        |      FROM s),
+        |bp AS (SELECT seg
+        |       FROM (SELECT seg, count(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+        |       WHERE df >= 3)
+        |SELECT g.doc_id, count(*) AS n_spans,
+        |       sum(CASE WHEN b.seg IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |       coalesce(array_to_string(list(g.seg ORDER BY g.i) FILTER (b.seg IS NULL), ' '),
+        |                '') AS clean_text
+        |FROM g LEFT JOIN bp b ON b.seg = g.seg GROUP BY g.doc_id""".stripMargin,
+
     "llm_dedup_substr" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g0 AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 8, 1))) AS pos, w

@@ -198,6 +198,31 @@ class DedupSpec extends SparkSpec {
     assert(d.getAs[String]("clean_text") === "p q r")
   }
 
+  test("boilerplate scrub: df>=3 segments removed from EVERY doc, df=2 survives") {
+    // span=2 grid: [h h] appears in docs 1,2,3 (df=3 → boilerplate,
+    // removed everywhere incl. the first); [u v] appears in docs 1,2
+    // (df=2 → kept in both — first-wins dedup would drop the second)
+    val d = Dedup.boilerplateScrub(docs(
+      1L -> "h h u v a b",
+      2L -> "h h u v c d",
+      3L -> "h h e f"), span = 2, minDf = 3)
+      .orderBy("doc_id").collect()
+    assert(d.map(_.getAs[Long]("n_spans")).toSeq === Seq(3L, 3L, 2L))
+    assert(d.map(_.getAs[Long]("n_kept")).toSeq === Seq(2L, 2L, 1L))
+    assert(d.map(_.getAs[String]("clean_text")).toSeq ===
+      Seq("u v a b", "u v c d", "e f"))
+  }
+
+  test("boilerplate scrub: within-doc repetition counts ONE doc toward df") {
+    // [x y] three times in doc 1 but only 2 distinct docs → NOT boilerplate
+    val d = Dedup.boilerplateScrub(docs(
+      1L -> "x y x y x y",
+      2L -> "x y q r"), span = 2, minDf = 3)
+      .orderBy("doc_id").collect()
+    assert(d.map(_.getAs[Long]("n_kept")).toSeq === Seq(3L, 2L))
+    assert(d(0).getAs[String]("clean_text") === "x y x y x y")
+  }
+
   test("dedupSubstr removes the NON-grid-aligned repeated passage dedupSpans misses") {
     // P = a 15-token passage; doc 1 carries it at offset 0, doc 2 at
     // offset 3 — not a multiple of the 10-token grid, so no 10-token
