@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.Files
 
 import graft.functions.MisraGries
-import graft.operators.{CorpusPrep, Dedup, Multimodal, Similarity, TextAnalysis, TextOps}
+import graft.operators.{CorpusPrep, Dedup, EditJoin, Multimodal, Similarity, TextAnalysis, TextOps}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -174,6 +174,12 @@ object LlmQueries {
     // suffix-array-class dedup; dedupSpans' grid misses shifted twins) —
     // oracle is the brute-force any-offset restatement
     "llm_dedup_substr" -> ((s, d) => Dedup.dedupSubstr(docsPar(s, d), minRun = 10)),
+
+    // L70: edit-distance similarity join (PassJoin segment pigeonhole,
+    // levenshtein <= 8 verify) — lossless candidates, so the gate proves
+    // parity with the brute-force all-pairs oracle
+    "llm_editdist_join" -> ((s, d) =>
+      EditJoin.editDistJoin(docsPar(s, d), t = 8)),
 
     // L69: frequency-thresholded boilerplate scrub (the C4/CCNet rule) —
     // a 10-token grid segment in >= 3 DISTINCT docs is removed from
@@ -1018,6 +1024,16 @@ object LlmQueries {
     // brute-force any-offset restatement: every 10-gram ranked by global
     // (doc_id, pos) first occurrence; later occurrences cover their 10
     // token indices; kept tokens reassemble the doc
+    "llm_editdist_join" ->
+      """WITH n AS (SELECT doc_id,
+        |              lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+        |       FROM documents),
+        |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+        |             levenshtein(a.s, b.s)::BIGINT AS dist
+        |      FROM n a JOIN n b ON a.doc_id < b.doc_id
+        |      WHERE abs(length(a.s) - length(b.s)) <= 8)
+        |SELECT i, j, dist FROM p WHERE dist <= 8""".stripMargin,
+
     "llm_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id,
