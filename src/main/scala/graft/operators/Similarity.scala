@@ -1016,4 +1016,116 @@ object Similarity {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), col("score"))
   }
+
+  /** L71: hard-negative mining — for every anchor, the k most-similar
+    * vectors carrying a DIFFERENT label: the negatives that actually
+    * teach a contrastive embedding model (random negatives are trivially
+    * far; the semi-hard band near the decision boundary carries the
+    * gradient — Schroff et al. 2015 FaceNet; Karpukhin et al. 2020 DPR).
+    *
+    * Same candidate stance as [[knnGraph]]: banded hyperplane LSH
+    * (band width corpus-adaptive) with the guarded all-pairs path as an
+    * O(n²) audit config; the label filter runs BEFORE scoring so
+    * same-label collisions never reach the cosine. Per-anchor top-k via
+    * the bounded [[graft.functions.TopKByScore]] heap — k rows per
+    * anchor cross the shuffle regardless of candidate count. Output:
+    * (qid, cid, rank, score), rank 1..k by (score desc, cid asc). */
+  def hardNegatives(embs: DataFrame, k: Int, bands: Int = 96,
+                    bitsPerBand: Option[Int] = None, seed: Long = 42,
+                    exact: Boolean = false): DataFrame = {
+    val cands = if (exact) {
+      val n = embs.count()
+      require(n <= 20000,
+        s"exact=true is an O(n²) all-pairs audit path; corpus has $n vectors (max 20000)")
+      val ids = embs.select(col("vec_id").as("id"))
+      ids.select(col("id").as("qid"))
+        .crossJoin(ids.select(col("id").as("cid")))
+        .filter(col("qid") =!= col("cid"))
+    } else {
+      val bits = bitsPerBand.getOrElse(adaptiveBits(embs.count()))
+      val cb = lshBands(embs, bands, bits, seed)
+      cb.join(cb.select(col("id").as("qid"), col("band"), col("bv")), Seq("band", "bv"))
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id").as("cid"))
+        .distinct()
+    }
+    val labels = embs.select(col("vec_id").as("id"), col("label"))
+    val corpus = prep(embs)
+    val scored = cands
+      .join(labels.select(col("id").as("qid"), col("label").as("ql")), "qid")
+      .join(labels.select(col("id").as("cid"), col("label").as("cl")), "cid")
+      .filter(col("ql") =!= col("cl"))
+      .join(corpus.select(col("id").as("cid"), col("emb")), "cid")
+      .join(corpus.select(col("id").as("qid"), col("emb").as("qemb")), "qid")
+      .select(col("qid"), col("cid"), cosine(col("qemb"), col("emb")).as("score"))
+    topKPerQuery(scored, k)
+  }
+
+  /** L72: margin-based bitext mining (Artetxe & Schwenk 2019, the
+    * CCMatrix/LASER parallel-corpus miner): for every source-side vector
+    * x, its best target-side partner y scored by the MARGIN — the cosine
+    * normalized by both sides' local neighborhood densities
+    *
+    *   margin(x, y) = cos(x, y) / ((avgNNk(x) + avgNNk(y)) / 2)
+    *
+    * which suppresses hubs (vectors close to everything) that raw cosine
+    * mining drowns in. Forward mining: one candidate pair per source
+    * vector (its margin-argmax among its k nearest targets), kept when
+    * margin >= threshold.
+    *
+    * Number discipline (the silhouette pattern): per-neighbor cosines
+    * are rounded to 6 dp and summed as EXACT DECIMAL, so each side's
+    * denominator is arrival-order-free; the margin is ONE double
+    * division 2k·c6 / (Σx + Σy) — bit-identical on any engine replaying
+    * the same formula. Scale stance: banded hyperplane LSH across the
+    * two sides (same family as [[knnGraph]]; band width corpus-adaptive)
+    * with the guarded exact path as the oracle-parity audit config; all
+    * per-vector state is the bounded top-k heap. */
+  def bitextMargin(embsA: DataFrame, embsB: DataFrame, k: Int = 4,
+                   threshold: Double = 1.0, bands: Int = 96,
+                   bitsPerBand: Option[Int] = None, seed: Long = 42,
+                   exact: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cands = if (exact) {
+      val na = embsA.count(); val nb = embsB.count()
+      require(na <= 20000 && nb <= 20000,
+        s"exact=true is an O(n·m) all-pairs audit path; sides have $na × $nb vectors (max 20000 each)")
+      embsA.select(col("vec_id").as("x"))
+        .crossJoin(embsB.select(col("vec_id").as("y")))
+    } else {
+      val bits = bitsPerBand.getOrElse(
+        adaptiveBits(math.max(embsA.count(), embsB.count())))
+      lshBands(embsA, bands, bits, seed).select(col("id").as("x"), col("band"), col("bv"))
+        .join(lshBands(embsB, bands, bits, seed)
+          .select(col("id").as("y"), col("band"), col("bv")), Seq("band", "bv"))
+        .select(col("x"), col("y"))
+        .distinct()
+    }
+    val scored = cands
+      .join(prep(embsA).select(col("id").as("x"), col("emb").as("va")), "x")
+      .join(prep(embsB).select(col("id").as("y"), col("emb").as("vb")), "y")
+      .select(col("x"), col("y"), cosine(col("va"), col("vb")).as("score"))
+      .localCheckpoint() // scored feeds THREE consumers (kNN-x, kNN-y, margin)
+    val c6 = round(col("score"), 6).cast("decimal(18,6)")
+    // per-side kNN sums of 6-dp-exact cosines (the denominator halves)
+    val knnX = topKPerQuery(scored.select(col("x").as("qid"), col("y").as("cid"),
+        col("score")), k)
+      .select(col("qid").as("x"), col("cid").as("y"), col("score"))
+    val sumX = knnX.groupBy(col("x")).agg(sum(c6).as("sx"))
+    val sumY = topKPerQuery(scored.select(col("y").as("qid"), col("x").as("cid"),
+        col("score")), k)
+      .groupBy(col("qid")).agg(sum(c6).as("sy"))
+      .select(col("qid").as("y"), col("sy"))
+    // margin over the source side's own k candidates, argmax per source
+    val margins = knnX
+      .join(sumX, "x").join(sumY, "y")
+      .select(col("x").as("qid"), col("y").as("cid"),
+        when(col("sx") + col("sy") =!= 0,
+          (lit(2 * k) * c6).cast("double") / (col("sx") + col("sy")).cast("double"))
+          .otherwise(lit(0.0)).as("score"))
+    topKPerQuery(margins, 1)
+      .filter(col("score") >= threshold)
+      .select(col("qid").as("src_id"), col("cid").as("tgt_id"),
+        col("score").as("margin"))
+  }
 }

@@ -424,6 +424,29 @@ object LlmQueries {
           bitsPerBand = Some(3))
         .select(col("a"), col("b"), round(col("score"), 6).as("score"))),
 
+    // L71: hard-negative mining — per anchor, the 5 nearest DIFFERENT-
+    // label vectors (the contrastive-training negative set); oracle-
+    // parity config as llm_knn_graph (3-bit bands, first 500 vectors)
+    "llm_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(embsPar(s, d).filter(col("vec_id") < 500), k = 5,
+          bitsPerBand = Some(3))
+        .select(col("qid"), col("cid"), col("rank"),
+          round(col("score"), 6).as("score"))),
+
+    // L72: margin-based bitext mining (Artetxe & Schwenk) — en-side vs
+    // de-side vectors via the documents lang column; forward mining,
+    // margin >= 1.0; exact-decimal kNN sums in the denominator
+    "llm_bitext_mine" -> ((s, d) => {
+      val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val e = embsPar(s, d).filter(col("vec_id") < 500)
+        .join(langs, col("vec_id") === col("doc_id"))
+      Similarity.bitextMargin(
+          e.filter(col("lang") === "en").select(col("vec_id"), col("embedding")),
+          e.filter(col("lang") === "de").select(col("vec_id"), col("embedding")),
+          k = 4, threshold = 1.0, bitsPerBand = Some(3))
+        .select(col("src_id"), col("tgt_id"), round(col("margin"), 6).as("margin"))
+    }),
+
     "llm_embed_quant" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d))
         .select(col("vec_id"), round(col("scale"), 6).as("scale"),
@@ -1433,6 +1456,55 @@ object LlmQueries {
         |SELECT x.qid AS a, x.cid AS b, round((x.score)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS score
         |FROM k x JOIN k y ON y.qid = x.cid AND y.cid = x.qid
         |WHERE x.qid < x.cid""".stripMargin,
+
+    "llm_hard_negatives" ->
+      """WITH e5 AS (SELECT * FROM embeddings WHERE vec_id < 500),
+        |s AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS cid,
+        |         list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                b.embedding::DOUBLE[]) AS score
+        |  FROM e5 a JOIN e5 b
+        |    ON a.vec_id <> b.vec_id AND a.label <> b.label),
+        |r AS (SELECT qid, cid, score,
+        |             row_number() OVER (PARTITION BY qid
+        |               ORDER BY score DESC, cid ASC) AS rk
+        |      FROM s)
+        |SELECT qid, cid, rk::INT AS rank,
+        |       round((score)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS score
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    "llm_bitext_mine" ->
+      """WITH dl AS (SELECT doc_id, lang FROM documents),
+        |a AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v
+        |      FROM embeddings e JOIN dl ON dl.doc_id = e.vec_id
+        |      WHERE e.vec_id < 500 AND dl.lang = 'en'),
+        |b AS (SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v
+        |      FROM embeddings e JOIN dl ON dl.doc_id = e.vec_id
+        |      WHERE e.vec_id < 500 AND dl.lang = 'de'),
+        |s AS (SELECT a.id AS x, b.id AS y,
+        |             list_cosine_similarity(a.v, b.v) AS c
+        |      FROM a CROSS JOIN b),
+        |s6 AS (SELECT x, y,
+        |              round((c)::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(18,6) AS c6,
+        |              row_number() OVER (PARTITION BY x ORDER BY c DESC, y) AS rx,
+        |              row_number() OVER (PARTITION BY y ORDER BY c DESC, x) AS ry
+        |       FROM s),
+        |sx AS (SELECT x, sum(c6) AS sx FROM s6 WHERE rx <= 4 GROUP BY x),
+        |sy AS (SELECT y, sum(c6) AS sy FROM s6 WHERE ry <= 4 GROUP BY y),
+        |m AS (SELECT s6.x, s6.y,
+        |             CASE WHEN (sx.sx + sy.sy) <> 0
+        |                  THEN CAST(8 * s6.c6 AS DOUBLE)
+        |                       / CAST(sx.sx + sy.sy AS DOUBLE)
+        |                  ELSE CAST(0 AS DOUBLE) END AS margin
+        |      FROM s6 JOIN sx ON sx.x = s6.x JOIN sy ON sy.y = s6.y
+        |      WHERE s6.rx <= 4),
+        |t AS (SELECT x, y, margin,
+        |             row_number() OVER (PARTITION BY x
+        |               ORDER BY margin DESC, y ASC) AS rk
+        |      FROM m)
+        |SELECT x AS src_id, y AS tgt_id,
+        |       round((margin)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS margin
+        |FROM t WHERE rk = 1 AND margin >= 1.0""".stripMargin,
 
     "llm_embed_quant" ->
       """WITH m AS (

@@ -251,4 +251,67 @@ class SimilaritySpec extends SparkSpec {
     // every emitted edge is ordered and unique
     assert(got.forall { case (a, b) => a < b })
   }
+
+  test("hardNegatives: banded == exact on a clustered corpus; labels always differ") {
+    val rnd = new scala.util.Random(13)
+    val centers = Seq(
+      Array.tabulate(16)(i => if (i < 8) 1.0 else 0.0),
+      Array.tabulate(16)(i => if (i >= 8) 1.0 else 0.0))
+    val d = embs((0L until 40L).map { i =>
+      val c = centers((i % 2).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq, (i % 2).toInt)
+    }: _*).select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val exact = rows(Similarity.hardNegatives(d, k = 3, exact = true))
+    val banded = rows(Similarity.hardNegatives(d, k = 3, bitsPerBand = Some(3)))
+    assert(exact.size === 40 * 3)
+    assert(banded === exact)
+    // no same-label row can ever appear
+    val lbl = (0L until 40L).map(i => i -> (i % 2).toInt).toMap
+    assert(exact.forall { case (q, c, _) => lbl(q) != lbl(c) })
+  }
+
+  test("bitextMargin: hub suppressed, forward argmax honors the margin not raw cosine") {
+    // side A anchor x0 has raw-cosine argmax = the HUB (close to
+    // everything on side B); the margin denominator (the hub's dense
+    // neighborhood) demotes it below the genuine partner
+    def v(parts: Double*): Seq[Float] = parts.map(_.toFloat)
+    val a = embs(
+      (0L, v(1.0, 0.05, 0.0, 0.0), 0),   // x0: true partner y10
+      (1L, v(0.0, 0.0, 1.0, 0.08), 0))   // x1: true partner y12
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val b = embs(
+      (10L, v(1.0, 0.0, 0.0, 0.0), 1),   // y10: aligned with x0
+      (11L, v(0.55, 0.5, 0.55, 0.5), 1), // y11: the hub — mid-distance to all
+      (12L, v(0.0, 0.0, 1.0, 0.0), 1),   // y12: aligned with x1
+      (13L, v(0.0, 1.0, 0.0, 0.05), 1))
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val got = Similarity.bitextMargin(a, b, k = 2, threshold = 0.0, exact = true)
+      .orderBy("src_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSeq === Seq((0L, 10L), (1L, 12L)))
+    assert(got.forall(_._3 > 1.0), "true pairs stand above their neighborhoods")
+  }
+
+  test("bitextMargin: banded == exact on a clustered bilingual corpus") {
+    val rnd = new scala.util.Random(29)
+    val centers = Seq(
+      Array.tabulate(16)(i => if (i < 8) 1.0 else 0.0),
+      Array.tabulate(16)(i => if (i >= 8) 1.0 else 0.0))
+    def side(off: Long, n: Int) = embs((0 until n).map { i =>
+      val c = centers(i % 2)
+      (off + i, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq, i % 2)
+    }: _*).select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val a = side(0L, 20); val b = side(100L, 24)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("src_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = rows(Similarity.bitextMargin(a, b, k = 3, threshold = 0.9, exact = true))
+    val banded = rows(Similarity.bitextMargin(a, b, k = 3, threshold = 0.9,
+      bitsPerBand = Some(3)))
+    assert(exact.nonEmpty)
+    assert(banded === exact)
+  }
 }
