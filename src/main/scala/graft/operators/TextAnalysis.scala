@@ -401,6 +401,110 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_ws"), sum(col("units")).as("n_units"))
   }
 
+  /** L73 (training): WordPiece-style vocabulary — every single character
+    * plus the `topV` most frequent multi-character substrings (length
+    * 2..maxPiece) of the corpus's words, occurrence-weighted by word
+    * frequency, ties broken lexically. The frequency-ranked-substring
+    * seeding is the WordPiece/unigram-LM initialization (Schuster &
+    * Nakajima 2012; Kudo 2018); singles guarantee the greedy encoder is
+    * TOTAL (every word segments, no UNK escape needed).
+    *
+    * Scale shape: candidate pieces explode off the vocabulary-bounded
+    * word-frequency table (<= maxPiece × word-length rows per DISTINCT
+    * word, never per corpus token); the top-V cut is distributed
+    * TakeOrdered (per-partition heaps), no global sort, no window. */
+  def wordpieceVocab(docs: DataFrame, topV: Int = 200, maxPiece: Int = 6,
+                     textCol: String = "text"): DataFrame = {
+    require(topV >= 0, s"topV must be >= 0, got $topV")
+    require(maxPiece >= 2, s"maxPiece must be >= 2, got $maxPiece")
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word").isNotNull && col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val starts = words.select(col("word"), col("cnt"),
+      explode(sequence(lit(0), length(col("word")) - 1)).as("i"))
+    val top = starts
+      .filter(length(col("word")) - col("i") >= 2)
+      .select(col("word"), col("cnt"), col("i"),
+        explode(sequence(lit(2),
+          least(lit(maxPiece), length(col("word")) - col("i")))).as("l"))
+      .select(col("word").substr(col("i") + 1, col("l")).as("piece"), col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+      .orderBy(col("freq").desc, col("piece")).limit(topV)
+      .select(col("piece"))
+    val singles = starts
+      .select(col("word").substr(col("i") + 1, lit(1)).as("piece")).distinct()
+    top.unionAll(singles).distinct()
+  }
+
+  /** L73 (encoding): greedy longest-match-first segmentation of every
+    * word under a piece vocabulary — the WordPiece/BERT tokenizer
+    * (Schuster & Nakajima 2012; Devlin et al. 2019), the OTHER tokenizer
+    * family beside BPE ([[bpeEncode]]): instead of replaying merge
+    * rules, each position consumes the longest vocabulary piece that
+    * matches there. Emits per document the whitespace-token count and
+    * the piece count (the tokenizer's fertility).
+    *
+    * Spark-first greedy without a driver loop or UDF: the per-word walk
+    * (pos → pos + bestLen(pos)) is a FUNCTIONAL GRAPH, so the positions
+    * a word's greedy path visits are computed by POINTER DOUBLING —
+    * O(log maxWordLen) self-join rounds of the jump table (with the word
+    * end made absorbing so compositions past the end stay total),
+    * doubling the covered path length each round — never a per-word
+    * sequential fold and never one Spark job per position. All frames in
+    * the loop are bounded by (distinct words × word length): vocabulary-
+    * scale, not corpus-scale; the only corpus-scale stages are the
+    * initial token explosion and the final per-doc rollup (both
+    * map-side-combined single shuffles). Positions no vocabulary piece
+    * matches advance by one character (an unknown char costs one unit),
+    * keeping the encoder total on corpora the vocabulary never saw. */
+  def wordpieceEncode(docs: DataFrame, vocab: DataFrame, maxPiece: Int = 6,
+                      textCol: String = "text"): DataFrame = {
+    val docWords = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word").isNotNull && col("word") =!= "")
+    val words = docWords.select(col("word")).distinct()
+      .withColumn("wl", length(col("word"))).localCheckpoint(true)
+    val maxLen = words.agg(max(col("wl"))).first().getInt(0)
+    require(maxLen <= 4096,
+      s"pathological word of $maxLen chars — not natural-language input")
+    val pos = words.select(col("word"), col("wl"),
+      explode(sequence(lit(0), col("wl") - 1)).as("i"))
+    val matched = pos
+      .select(col("word"), col("i"),
+        explode(sequence(lit(1), least(lit(maxPiece), col("wl") - col("i")))).as("l"))
+      .withColumn("piece", col("word").substr(col("i") + 1, col("l")))
+      .join(vocab.select(col("piece")), Seq("piece"))
+      .groupBy(col("word"), col("i")).agg(max(col("l")).as("bl"))
+    // jump table with the absorbing end row (word, wl, wl) so the r-fold
+    // composition is total for paths that finish early
+    var jump = pos.join(matched, Seq("word", "i"), "left")
+      .select(col("word"), col("i"),
+        (col("i") + coalesce(col("bl"), lit(1))).as("j"))
+      .unionAll(words.select(col("word"), col("wl").as("i"), col("wl").as("j")))
+      .localCheckpoint(true)
+    var front = words.select(col("word"), lit(0).as("i")).localCheckpoint(true)
+    var covered = 1L // F covers paths of < `covered` jumps; J jumps 2^r
+    while (covered - 1 < maxLen) {
+      front = front.unionAll(
+          front.join(jump, Seq("word", "i")).select(col("word"), col("j").as("i")))
+        .distinct().localCheckpoint(true)
+      covered *= 2
+      if (covered - 1 < maxLen) {
+        jump = jump
+          .join(jump.select(col("word"), col("i").as("j"), col("j").as("j2")),
+            Seq("word", "j"))
+          .select(col("word"), col("i"), col("j2").as("j"))
+          .localCheckpoint(true)
+      }
+    }
+    val nPieces = front.join(words, "word").filter(col("i") < col("wl"))
+      .groupBy(col("word")).agg(count(lit(1)).as("np"))
+    docWords.join(nPieces, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws"), sum(col("np")).as("n_pieces"))
+  }
+
   /** The shared BPE trainer: (post-k-merges word state `(word, cnt,
     * sym)`, merge rules) — call once, feed both [[bpeMerges]]-shaped
     * reporting and [[bpeEncodeWith]].

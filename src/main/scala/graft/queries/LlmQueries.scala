@@ -175,6 +175,13 @@ object LlmQueries {
     // oracle is the brute-force any-offset restatement
     "llm_dedup_substr" -> ((s, d) => Dedup.dedupSubstr(docsPar(s, d), minRun = 10)),
 
+    // L73: WordPiece tokenizer — singles + top-200 substrings (len 2..6)
+    // trained on the corpus, then greedy longest-match-first encoding via
+    // pointer doubling; oracle replays the walk as a recursive CTE
+    "llm_wordpiece" -> ((s, d) =>
+      TextAnalysis.wordpieceEncode(docsPar(s, d),
+        TextAnalysis.wordpieceVocab(docsPar(s, d), topV = 200, maxPiece = 6))),
+
     // L70: edit-distance similarity join (PassJoin segment pigeonhole,
     // levenshtein <= 8 verify) — lossless candidates, so the gate proves
     // parity with the brute-force all-pairs oracle
@@ -1047,6 +1054,44 @@ object LlmQueries {
     // brute-force any-offset restatement: every 10-gram ranked by global
     // (doc_id, pos) first occurrence; later occurrences cover their 10
     // token indices; kept tokens reassemble the doc
+    "llm_wordpiece" ->
+      s"""WITH RECURSIVE $toksCte,
+         |wd AS (SELECT word, count(*)::BIGINT AS cnt
+         |       FROM (SELECT unnest(w) AS word FROM toks)
+         |       WHERE word IS NOT NULL AND word <> '' GROUP BY word),
+         |st AS (SELECT word, cnt, unnest(range(0, length(word))) AS i FROM wd),
+         |ml AS (SELECT word, cnt, i,
+         |              unnest(range(2, least(6, length(word) - i) + 1)) AS l
+         |       FROM st WHERE length(word) - i >= 2),
+         |tp AS (SELECT piece FROM (
+         |         SELECT substr(word, i + 1, l) AS piece, sum(cnt) AS freq
+         |         FROM ml GROUP BY 1
+         |         ORDER BY freq DESC, piece LIMIT 200)),
+         |sg AS (SELECT DISTINCT substr(word, i + 1, 1) AS piece FROM st),
+         |vocab AS MATERIALIZED (SELECT piece FROM tp UNION SELECT piece FROM sg),
+         |dw AS (SELECT word FROM wd),
+         |ps AS (SELECT word, unnest(range(0, length(word))) AS i FROM dw),
+         |cd AS (SELECT word, i,
+         |              unnest(range(1, least(6, length(word) - i) + 1)) AS l
+         |       FROM ps),
+         |mt AS (SELECT cd.word, cd.i, max(cd.l) AS bl
+         |       FROM cd JOIN vocab v ON v.piece = substr(cd.word, cd.i + 1, cd.l)
+         |       GROUP BY 1, 2),
+         |best AS MATERIALIZED (
+         |  SELECT ps.word, ps.i, coalesce(mt.bl, 1) AS bl
+         |  FROM ps LEFT JOIN mt ON mt.word = ps.word AND mt.i = ps.i),
+         |walk AS (
+         |  SELECT word, 0 AS pos FROM dw
+         |  UNION ALL
+         |  SELECT w.word, w.pos + b.bl AS pos
+         |  FROM walk w JOIN best b ON b.word = w.word AND b.i = w.pos),
+         |np AS (SELECT word, (count(*) - 1)::BIGINT AS np
+         |       FROM walk GROUP BY word)
+         |SELECT t.doc_id, count(*)::BIGINT AS n_ws, sum(np.np)::BIGINT AS n_pieces
+         |FROM (SELECT doc_id, unnest(w) AS word FROM toks) t
+         |JOIN np ON np.word = t.word
+         |GROUP BY t.doc_id""".stripMargin,
+
     "llm_editdist_join" ->
       """WITH n AS (SELECT doc_id,
         |              lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s

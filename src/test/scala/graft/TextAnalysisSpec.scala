@@ -174,4 +174,66 @@ class TextAnalysisSpec extends SparkSpec {
     // the whole 256-round training must be seconds, not 256 Spark jobs
     assert(elapsedMs < 60000L, s"k=256 took ${elapsedMs} ms")
   }
+
+  test("wordpieceEncode is greedy longest-match-first, not DP-minimal") {
+    import org.apache.spark.sql.functions.col
+    // vocab {ab, bcd, singles}: greedy on "abcd" takes ab|c|d = 3 pieces;
+    // the MINIMAL segmentation a|bcd = 2 must NOT be produced — this pins
+    // the WordPiece semantic against an accidentally-optimal encoder
+    val vocab = Seq("ab", "bcd", "a", "b", "c", "d").toDF("piece")
+    val d = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val got = TextAnalysis.wordpieceEncode(d, vocab).collect().head
+    assert(got.getAs[Long]("n_ws") === 1L)
+    assert(got.getAs[Long]("n_pieces") === 3L)
+  }
+
+  test("wordpieceEncode: positions without any vocab piece advance one char") {
+    import org.apache.spark.sql.functions.col
+    val vocab = Seq("ab").toDF("piece") // no singles: c, d unknown
+    val d = Seq((1L, "abcd ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.wordpieceEncode(d, vocab).collect().head
+    // "abcd" → ab|c|d (unknown chars cost one each), "ab" → ab
+    assert(got.getAs[Long]("n_ws") === 2L)
+    assert(got.getAs[Long]("n_pieces") === 4L)
+  }
+
+  test("wordpieceVocab: every single char present; top cut by freq then lexical") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq((1L, "aaab aaab xyz")).toDF("doc_id", "text")
+    val v = TextAnalysis.wordpieceVocab(d, topV = 2, maxPiece = 3)
+      .collect().map(_.getString(0)).toSet
+    // singles a,b,x,y,z always present; top-2 multis: "aa" freq 4 (two
+    // starts × cnt 2) wins, then tie freq-2 group broken lexically: "aaa" < "aab" < "ab"
+    assert(Set("a", "b", "x", "y", "z").subsetOf(v))
+    assert(v.contains("aa") && v.contains("aaa"))
+    assert(!v.contains("ab") && !v.contains("xyz"))
+  }
+
+  test("wordpiece pointer-doubling walk == driver-side reference greedy (random corpora)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(41)
+    val alpha = "abcde"
+    def randWord() = Seq.fill(1 + rnd.nextInt(18))(alpha(rnd.nextInt(alpha.length))).mkString
+    val docs = (1L to 30L).map(i => (i, Seq.fill(1 + rnd.nextInt(8))(randWord()).mkString(" ")))
+    val d = docs.toDF("doc_id", "text")
+    val vocabDf = TextAnalysis.wordpieceVocab(d, topV = 30, maxPiece = 4)
+    val vocab = vocabDf.collect().map(_.getString(0)).toSet
+    def refGreedy(word: String): Long = {
+      var pos = 0; var n = 0L
+      while (pos < word.length) {
+        val l = (math.min(4, word.length - pos) to 1 by -1)
+          .find(len => vocab.contains(word.substring(pos, pos + len))).getOrElse(1)
+        pos += l; n += 1
+      }
+      n
+    }
+    val exp = docs.map { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      (id, ws.length.toLong, ws.map(refGreedy).sum)
+    }.sortBy(_._1)
+    val got = TextAnalysis.wordpieceEncode(d, vocabDf, maxPiece = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === exp)
+  }
 }
