@@ -503,11 +503,26 @@ object Dedup {
     * uniform hash key (no broadcast assumption — at 100 TB a templated
     * crawl's boilerplate set is NOT small); reassembly groups by doc_id
     * with per-group state = one document. No UDF, no postings list. */
-  def boilerplateScrub(docs: DataFrame, span: Int = 10, minDf: Long = 3L): DataFrame = {
+  def boilerplateScrub(docs: DataFrame, span: Int = 10, minDf: Long = 3L): DataFrame =
+    boilerplateFromSegments(gridSegments(docs, span), minDf)
+
+  /** The `span`-token grid segmentation of a (doc_id, text) corpus:
+    * (doc_id, i, seg) — [[boilerplateScrub]]'s first phase, public so the
+    * streaming twin can ledger per-batch segments and scrub on read. */
+  def gridSegments(docs: DataFrame, span: Int = 10): DataFrame = {
     require(span >= 1, s"span must be >= 1, got $span")
+    gridSegs(docs.select(col("doc_id"), split(col("text"), " ").as("toks")), span)
+  }
+
+  /** [[boilerplateScrub]]'s scrub phase over an already-segmented corpus
+    * (e.g. a streaming segment ledger): distinct-doc df per segment,
+    * segments at df >= minDf removed from every document, per-doc
+    * reassembly. Rows are deduplicated first — a (doc_id, i, seg) row is
+    * pure set data, so replayed ledger appends are absorbed by
+    * idempotence (the t27 min-merge class). */
+  def boilerplateFromSegments(segments: DataFrame, minDf: Long = 3L): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2 (df 1 would scrub everything), got $minDf")
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val segs = gridSegs(toks, span).withColumn("h", md5(col("seg")))
+    val segs = segments.distinct().withColumn("h", md5(col("seg")))
     val bp = segs.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)

@@ -552,6 +552,23 @@ object StreamQueries {
       Streams.rollupLengthLedger(s.read.parquet(s"$tmp/ledger"))
     }),
 
+    // T30 (streaming L69): the boilerplate segment ledger — per-batch
+    // grid segments appended; converged read computes the GLOBAL
+    // distinct-doc df and scrubs, ≡ the one-shot batch boilerplateScrub
+    // (segment rows are set data: the re-sent docs 0-99 and any replayed
+    // append are absorbed by distinct). Oracle reused verbatim.
+    "t30_boilerplate_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t30-").toString
+      withStreamShuffle(s, 8) {
+        awaitAndRecord("t30_boilerplate_stream",
+          Streams.boilerplateStream(
+            docStream(s, d).select("doc_id", "text"),
+            s"$tmp/ledger", s"$tmp/ckpt", span = 10, compactEvery = 2))
+      }
+      graft.operators.Dedup.boilerplateFromSegments(
+        s.read.parquet(s"$tmp/ledger"), minDf = 3)
+    }),
+
     // T16 (streaming VWAP): the size-weighted w11 aggregation as a
     // streaming windowed agg — the EXACT decimal numerator makes emission
     // independent of the 4-batch split; hour buckets emit when the
@@ -1193,6 +1210,7 @@ object StreamQueries {
     // reuse those oracles verbatim
     "t27_heaps_stream" -> LlmQueries.oracleSql("llm_heaps_curve"),
     "t28_length_stream" -> LlmQueries.oracleSql("llm_length_buckets"),
+    "t30_boilerplate_stream" -> LlmQueries.oracleSql("llm_boilerplate"),
     // streaming fused grid converges to the one-shot batch grid (bit-exact
     // machine snapshots), so the oracle is f3c's, verbatim
     "t29_grid_stream" -> IndicatorQueries.oracleSql("f3c_indicator_grid_full"),

@@ -1449,6 +1449,40 @@ object Streams {
         round(lit(1.0) - col("sum_tokens").cast("double")
           / (col("bucket") * col("n_docs")), 6).as("pad_waste"))
 
+  /** T30 (streaming L69): the boilerplate-scrub segment ledger — each
+    * micro-batch appends its docs' grid segments (doc_id, i, seg); the
+    * converged read ([[graft.operators.Dedup.boilerplateFromSegments]])
+    * computes the GLOBAL distinct-doc frequency and scrubs, equal to the
+    * one-shot batch [[graft.operators.Dedup.boilerplateScrub]] for ANY
+    * batch split. Segment rows are pure set data (distinct absorbs both
+    * a redelivered doc and a crash-replayed append — the t27 idempotent-
+    * algebra class), so the ledger needs no batch_id key and compaction
+    * is a plain distinct. Frequency-thresholded boilerplate is inherently
+    * a full-corpus verdict — a segment's df can cross minDf on ANY later
+    * batch — so the streaming form maintains the evidence incrementally
+    * and scrubs on read; per-batch cost is one linear segmentation plus
+    * an O(batch) append. */
+  def boilerplateStream(docs: DataFrame, ledgerPath: String,
+                        checkpoint: String, span: Int = 10,
+                        compactEvery: Int = 0): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // single-partition micro-batch + CPU-bound segmentation: fan out
+        // first (the t26 valve)
+        val wide = batch.repartition(
+          batch.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+        graft.operators.Dedup.gridSegments(wide.select("doc_id", "text"), span)
+          .write.mode("append").parquet(ledgerPath)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.sources.Compact.compactLedger(batch.sparkSession, ledgerPath,
+            df => df.distinct())
+        ()
+      }
+      .start()
+
   def relayToParquet(ticks: DataFrame, sinkPath: String, checkpoint: String,
                      keys: Seq[String] = Seq("pair", "time"),
                      perBatch: DataFrame => DataFrame = identity): StreamingQuery =

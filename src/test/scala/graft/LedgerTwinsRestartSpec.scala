@@ -75,6 +75,36 @@ class LedgerTwinsRestartSpec extends SparkSpec {
     assert(rolled === oneShot)
   }
 
+  test("t30 boilerplate ledger survives a kill-and-restart and a replayed append") {
+    val (root, src) = fixture("graft-t30-restart-")
+    val (ledger, ckpt) = (s"$root/ledger", s"$root/ckpt")
+    def run(): Unit =
+      Streams.boilerplateStream(docStream(src), ledger, ckpt, span = 3)
+        .awaitTermination()
+
+    stage(root, src, c1, "c1", 1600000000000L)
+    run() // the process "dies" here
+    // forge the kill-after-append-before-commit replay
+    val replay = spark.read.parquet(ledger)
+    replay.write.mode("append").parquet(ledger)
+
+    // restart delivers a redelivered doc (2, verbatim) plus novel docs —
+    // doc 3 repeats doc 1's text so a segment reaches df >= 2
+    stage(root, src, c2 ++ c3, "c2", 1600000060000L)
+    run()
+
+    val rolled = graft.operators.Dedup.boilerplateFromSegments(
+        spark.read.parquet(ledger), minDf = 2)
+      .orderBy("doc_id").collect().toSeq
+    val oneShot = graft.operators.Dedup.boilerplateScrub(
+        (c1 ++ c2 ++ c3).distinct.toDF("doc_id", "text"), span = 3, minDf = 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(rolled === oneShot)
+    // the scrub must actually bite: docs 1 and 3 share every segment
+    val d1 = rolled.find(_.getLong(0) == 1L).get
+    assert(d1.getAs[Long]("n_kept") < d1.getAs[Long]("n_spans"))
+  }
+
   test("t28 length ledger: batch replay deduped, redelivered doc screened") {
     val (root, src) = fixture("graft-t28-restart-")
     val (seen, ledger, ckpt) = (s"$root/seen", s"$root/ledger", s"$root/ckpt")
