@@ -401,6 +401,21 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_ws"), sum(col("units")).as("n_units"))
   }
 
+  /** L74: blocklist tagging — total occurrence count of a phrase
+    * blocklist per document (the C4 "bad words" screen and every
+    * compliance/safety phrase filter), via ONE Aho–Corasick pass
+    * ([[graft.functions.BlocklistHits]], a native whole-stage-codegen
+    * expression). Counts are per-position exact: overlapping occurrences
+    * and phrases nested inside longer matches all count, so the number
+    * is engine-replayable by brute-force position probing. Per-row cost
+    * is O(chars), independent of blocklist size — the scale property a
+    * regex alternation lacks. Shuffle-free scan; docs with zero hits are
+    * dropped (the common case at scale — emit nothing for clean docs). */
+  def blocklistHits(docs: DataFrame, patterns: Seq[String]): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.BlocklistHits(col("text"), patterns).as("hits"))
+      .filter(col("hits") > 0)
+
   /** L73 (training): WordPiece-style vocabulary — every single character
     * plus the `topV` most frequent multi-character substrings (length
     * 2..maxPiece) of the corpus's words, occurrence-weighted by word

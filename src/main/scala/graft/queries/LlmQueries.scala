@@ -175,6 +175,13 @@ object LlmQueries {
     // oracle is the brute-force any-offset restatement
     "llm_dedup_substr" -> ((s, d) => Dedup.dedupSubstr(docsPar(s, d), minRun = 10)),
 
+    // L74: blocklist tagging — one Aho-Corasick pass over every doc; the
+    // phrase set exercises nested matches ("low" inside "slow") and
+    // shared prefixes; oracle brute-forces per-position equality
+    "llm_blocklist" -> ((s, d) =>
+      TextAnalysis.blocklistHits(docsPar(s, d),
+        Seq("scan slow", "low", "table", "merge batch", "qu", "row"))),
+
     // L73: WordPiece tokenizer — singles + top-200 substrings (len 2..6)
     // trained on the corpus, then greedy longest-match-first encoding via
     // pointer doubling; oracle replays the walk as a recursive CTE
@@ -1054,6 +1061,17 @@ object LlmQueries {
     // brute-force any-offset restatement: every 10-gram ranked by global
     // (doc_id, pos) first occurrence; later occurrences cover their 10
     // token indices; kept tokens reassemble the doc
+    "llm_blocklist" ->
+      """WITH pats AS (
+        |  SELECT unnest(['scan slow','low','table','merge batch','qu','row']) AS p),
+        |c AS (
+        |  SELECT d.doc_id,
+        |         len(list_filter(range(1, length(d.text) - length(p.p) + 2),
+        |             i -> substr(d.text, i, length(p.p)) = p.p)) AS cnt
+        |  FROM documents d CROSS JOIN pats p)
+        |SELECT doc_id, sum(cnt)::BIGINT AS hits
+        |FROM c GROUP BY doc_id HAVING sum(cnt) > 0""".stripMargin,
+
     "llm_wordpiece" ->
       s"""WITH RECURSIVE $toksCte,
          |wd AS (SELECT word, count(*)::BIGINT AS cnt

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class BlocklistSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  /** Brute-force reference: per-position substring equality, all
+    * overlaps and nested matches counted. */
+  private def ref(text: String, pats: Seq[String]): Long =
+    pats.map { p =>
+      (0 to text.length - p.length).count(i => text.regionMatches(i, p, 0, p.length)).toLong
+    }.sum
+
+  test("nested and overlapping matches all count (dict-suffix collapse)") {
+    // "slow" contains "low"; "aaa" in "aaaa" matches at 2 positions
+    val pats = Seq("slow", "low", "aaa")
+    val d = docs(1L -> "slow aaaa", 2L -> "clean text", 3L -> "lowlow")
+    val got = TextAnalysis.blocklistHits(d, pats)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // doc1: slow(1) + low(1, inside slow) + aaa(2) = 4; doc3: low x2
+    assert(got === Seq((1L, 4L), (3L, 2L)))
+  }
+
+  test("patterns sharing prefixes resolve through failure links") {
+    val pats = Seq("abcd", "abce", "bce", "cd")
+    val d = docs(1L -> "zabcez xabcdx")
+    // abce(1) + bce(1) + abcd(1) + cd(1) = 4
+    val got = TextAnalysis.blocklistHits(d, pats).collect().head.getLong(1)
+    assert(got === 4L)
+  }
+
+  test("AC expression == brute-force positional reference on random text") {
+    val rnd = new scala.util.Random(23)
+    val alpha = "abc d"
+    def rs(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val pats = (1 to 12).map(_ => rs(1 + rnd.nextInt(4))).distinct
+    val rows = (1L to 50L).map(i => i -> rs(20 + rnd.nextInt(200)))
+    val got = TextAnalysis.blocklistHits(docs(rows: _*), pats)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, text) =>
+      val expect = ref(text, pats)
+      assert(got.getOrElse(id, 0L) === expect, s"doc $id: '$text'")
+    }
+  }
+
+  test("null text rows drop; duplicate patterns rejected") {
+    val d = Seq((1L, "low key"), (2L, null)).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistHits(d, Seq("low")).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L))
+    intercept[Exception] {
+      TextAnalysis.blocklistHits(d, Seq("a", "a")).collect()
+    }
+  }
+}
