@@ -401,6 +401,65 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_ws"), sum(col("units")).as("n_units"))
   }
 
+  /** L75: TRAINED quality/domain classifier — a batch perceptron over
+    * the L8 feature vector, weak-supervised by a metadata label (here:
+    * lang == 'en'), the fastText/LR-classifier curation stage
+    * (GPT-3/LLaMA-style "quality classifier") with every transcendental
+    * engineered OUT so training is engine-replayable bit-for-bit:
+    *
+    *  - features live on the 6-dp DECIMAL grid (the silhouette
+    *    discipline), all in [0, 1];
+    *  - the update is the BATCH rule w += Σ_misclassified y·x with
+    *    integer learning rate 1 — an exact decimal sum, so the result
+    *    cannot depend on row order or partitioning (specs prove
+    *    repartition-invariance); sigmoid/exp never appears (Math.exp is
+    *    not correctly rounded and WOULD diverge across engines — the
+    *    reason this is a perceptron and not logistic regression);
+    *  - misclassification tests are pure decimal sign comparisons,
+    *    written as per-class predicates (y=1 ∧ m<=0) ∨ (y=-1 ∧ m>=0) so
+    *    no int×wide-decimal product can overflow Spark's precision-38
+    *    adjustment into silent rounding.
+    *
+    * Scale shape: driver state is the 4-element weight vector (the
+    * kmeans-centroid pattern); each epoch is ONE filter+aggregate over
+    * the localCheckpoint'd feature table — embarrassingly parallel,
+    * map-side-combined, O(epochs) tiny jobs. Output: every doc with its
+    * label, final margin, and prediction. */
+  def perceptronQuality(docs: DataFrame, epochs: Int = 4): DataFrame = {
+    require(epochs >= 1 && epochs <= 64, s"epochs must be in [1,64], got $epochs")
+    val toks = TextOps.tokens(col("text"))
+    val nTok = size(toks).cast("bigint")
+    val alpha = length(regexp_replace(TextOps.normalize(col("text")), " ", ""))
+    val stopRatio = hitCount(toks, StopwordsEn).cast("double") / nTok
+    val feats = docs.select(
+        col("doc_id"),
+        when(col("lang") === "en", 1).otherwise(-1).as("y"),
+        lit(java.math.BigDecimal.ONE).cast("decimal(12,6)").as("x0"),
+        round(least(nTok.cast("double") / 50.0, lit(1.0)), 6)
+          .cast("decimal(12,6)").as("x1"),
+        round(stopRatio, 6).cast("decimal(12,6)").as("x2"),
+        round(least(alpha.cast("double") / nTok / 10.0, lit(1.0)), 6)
+          .cast("decimal(12,6)").as("x3"))
+      .localCheckpoint() // scanned epochs+1 times; keep lineage flat
+    val w = Array.fill(4)(java.math.BigDecimal.ZERO)
+    def wl(i: Int) = lit(w(i)).cast("decimal(18,6)")
+    def margin =
+      wl(0) * col("x0") + wl(1) * col("x1") + wl(2) * col("x2") + wl(3) * col("x3")
+    def misclassified =
+      (col("y") === 1 && margin <= 0) || (col("y") === -1 && margin >= 0)
+    for (_ <- 1 to epochs) {
+      val upd = feats.filter(misclassified)
+        .agg(sum(col("y") * col("x0")).as("d0"), sum(col("y") * col("x1")).as("d1"),
+          sum(col("y") * col("x2")).as("d2"), sum(col("y") * col("x3")).as("d3"))
+        .first()
+      for (i <- 0 until 4)
+        if (!upd.isNullAt(i)) w(i) = w(i).add(upd.getDecimal(i))
+    }
+    feats.select(col("doc_id"), col("y"),
+      margin.cast("double").as("margin"),
+      when(margin >= 0, 1).otherwise(-1).as("pred"))
+  }
+
   /** L74: blocklist tagging — total occurrence count of a phrase
     * blocklist per document (the C4 "bad words" screen and every
     * compliance/safety phrase filter), via ONE Aho–Corasick pass

@@ -78,6 +78,47 @@ object LlmQueries {
     head + ",\n" + rounds
   }
 
+  /** Unrolled batch-perceptron training (DuckDB twin of
+    * [[graft.operators.TextAnalysis.perceptronQuality]]): p0 = zero
+    * weights; epoch i computes the exact-decimal update sum over the
+    * misclassified rows under p(i-1) — every epoch a CTE pair, the
+    * bpeChain pattern. All arithmetic is DECIMAL-exact; the only doubles
+    * are the 6-dp feature roundings and the final margin cast. */
+  private def perceptronOracle(epochs: Int): String = {
+    val m = "(w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3)"
+    val rounds = (1 to epochs).map { i =>
+      s"""u$i AS (SELECT
+         |  coalesce(sum(f.y * f.x0), CAST(0 AS DECIMAL(18,6)))::DECIMAL(18,6) AS d0,
+         |  coalesce(sum(f.y * f.x1), CAST(0 AS DECIMAL(18,6)))::DECIMAL(18,6) AS d1,
+         |  coalesce(sum(f.y * f.x2), CAST(0 AS DECIMAL(18,6)))::DECIMAL(18,6) AS d2,
+         |  coalesce(sum(f.y * f.x3), CAST(0 AS DECIMAL(18,6)))::DECIMAL(18,6) AS d3
+         |  FROM feats f, p${i - 1} w
+         |  WHERE (f.y = 1 AND $m <= 0) OR (f.y = -1 AND $m >= 0)),
+         |p$i AS (SELECT (w.w0 + u.d0)::DECIMAL(18,6) AS w0,
+         |               (w.w1 + u.d1)::DECIMAL(18,6) AS w1,
+         |               (w.w2 + u.d2)::DECIMAL(18,6) AS w2,
+         |               (w.w3 + u.d3)::DECIMAL(18,6) AS w3
+         |        FROM p${i - 1} w, u$i u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $toksCte,
+       |feats AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |         CAST(1 AS DECIMAL(12,6)) AS x0,
+       |         round((least(len(w)::DOUBLE / 50.0, 1.0))::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(12,6) AS x1,
+       |         round((len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
+       |               / len(w))::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(12,6) AS x2,
+       |         round((least(length(replace(norm, ' ', ''))::DOUBLE / len(w) / 10.0,
+       |               1.0))::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(12,6) AS x3
+       |  FROM toks),
+       |p0 AS (SELECT CAST(0 AS DECIMAL(18,6)) AS w0, CAST(0 AS DECIMAL(18,6)) AS w1,
+       |              CAST(0 AS DECIMAL(18,6)) AS w2, CAST(0 AS DECIMAL(18,6)) AS w3),
+       |$rounds
+       |SELECT f.doc_id, f.y,
+       |       round(($m::DOUBLE)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS margin,
+       |       CASE WHEN $m >= 0 THEN 1 ELSE -1 END AS pred
+       |FROM feats f, p$epochs w""".stripMargin
+  }
+
   /** Distinct 3-word shingle sets (DuckDB twin of [[graft.operators.TextOps.shingles]]). */
   private val shingleCte =
     s"""$toksCte,
@@ -174,6 +215,14 @@ object LlmQueries {
     // suffix-array-class dedup; dedupSpans' grid misses shifted twins) —
     // oracle is the brute-force any-offset restatement
     "llm_dedup_substr" -> ((s, d) => Dedup.dedupSubstr(docsPar(s, d), minRun = 10)),
+
+    // L75: trained quality/domain perceptron — 4 batch epochs on the
+    // exact-decimal feature grid, weak-supervised by lang == 'en'; the
+    // oracle replays every epoch as an unrolled CTE, bit-for-bit
+    "llm_perceptron" -> ((s, d) =>
+      TextAnalysis.perceptronQuality(docsPar(s, d), epochs = 4)
+        .select(col("doc_id"), col("y"),
+          round(col("margin"), 6).as("margin"), col("pred"))),
 
     // L74: blocklist tagging — one Aho-Corasick pass over every doc; the
     // phrase set exercises nested matches ("low" inside "slow") and
@@ -1061,6 +1110,8 @@ object LlmQueries {
     // brute-force any-offset restatement: every 10-gram ranked by global
     // (doc_id, pos) first occurrence; later occurrences cover their 10
     // token indices; kept tokens reassemble the doc
+    "llm_perceptron" -> perceptronOracle(4),
+
     "llm_blocklist" ->
       """WITH pats AS (
         |  SELECT unnest(['scan slow','low','table','merge batch','qu','row']) AS p),

@@ -175,6 +175,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(elapsedMs < 60000L, s"k=256 took ${elapsedMs} ms")
   }
 
+  test("perceptron separates a linearly separable corpus; exact batch updates") {
+    import org.apache.spark.sql.functions.col
+    // en docs: long, stopword-rich; others: short, stopword-free —
+    // cleanly separable in the (len, stopword) feature plane
+    val en = (1L to 10L).map(i => (i, "en",
+      "the cat and the dog in the house of the king is to the point " * 3))
+    val de = (11L to 20L).map(i => (i, "de", "kurz knapp wort satz"))
+    val d = (en ++ de).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.perceptronQuality(d, epochs = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(3)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, y, pred) => y === pred },
+      s"not separated: ${got.filter(p => p._2 != p._3).mkString(",")}")
+  }
+
+  test("perceptron training is partitioning-invariant (exact decimal sums)") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(59)
+    val langs = Seq("en", "de", "es")
+    val d = (1L to 60L).map { i =>
+      (i, langs(rnd.nextInt(3)),
+        Seq.fill(3 + rnd.nextInt(40))(s"w${rnd.nextInt(30)}").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.perceptronQuality(df, epochs = 5)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3))).toSeq
+    val a = run(d.repartition(1))
+    val b = run(d.repartition(7, col("doc_id")))
+    assert(a === b)
+  }
+
   test("wordpieceEncode is greedy longest-match-first, not DP-minimal") {
     import org.apache.spark.sql.functions.col
     // vocab {ab, bcd, singles}: greedy on "abcd" takes ab|c|d = 3 pieces;
