@@ -411,4 +411,35 @@ object CorpusPrep {
         sum(col("n_tokens")).as("total_tokens"),
         round(round(sum(col("quality").cast("decimal(18,6)")).cast("double"), 6)
           / count(lit(1)), 6).as("avg_quality"))
+
+  /** L76: corpus-release diff — the per-source delta report between two
+    * corpus versions (the artifact every dataset release ships: what a
+    * re-crawl added, what takedowns removed, what re-extraction changed).
+    * Statuses by doc_id: added (only in v2), removed (only in v1),
+    * changed (both, different content hash), unchanged. A changed doc's
+    * source attribution follows v2 (the release being described).
+    *
+    * Scale shape: ONE full-outer join on the uniform doc_id key — both
+    * sides pre-hashed to (id, md5, source) so the join moves 3 skinny
+    * columns, never text; with both versions bucketed by doc_id at
+    * deployment the join is shuffle-free. The rollup is one
+    * map-side-combined agg on ~|sources| keys. */
+  def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(col("text")).as("h1"),
+      col("source").as("s1"))
+    val b = v2.select(col("doc_id"), md5(col("text")).as("h2"),
+      col("source").as("s2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("s2"), col("s1")).as("source"),
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+  }
 }

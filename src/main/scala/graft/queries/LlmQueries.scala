@@ -216,6 +216,20 @@ object LlmQueries {
     // oracle is the brute-force any-offset restatement
     "llm_dedup_substr" -> ((s, d) => Dedup.dedupSubstr(docsPar(s, d), minRun = 10)),
 
+    // L76: corpus-release diff — v2 derived deterministically from the
+    // fixture (takedowns % 11, re-extractions % 7, crawl additions % 13)
+    // so both engines build the same pair of versions
+    "llm_corpus_diff" -> ((s, d) => {
+      val v1 = Tables.documents(s, d).select(col("doc_id"), col("text"), col("source"))
+      val kept = v1.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val added = v1.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" new")).as("text"), col("source"))
+      CorpusPrep.corpusDiff(v1, kept.unionByName(added))
+    }),
+
     // L75: trained quality/domain perceptron — 4 batch epochs on the
     // exact-decimal feature grid, weak-supervised by lang == 'en'; the
     // oracle replays every epoch as an unrolled CTE, bit-for-bit
@@ -1111,6 +1125,29 @@ object LlmQueries {
     // (doc_id, pos) first occurrence; later occurrences cover their 10
     // token indices; kept tokens reassemble the doc
     "llm_perceptron" -> perceptronOracle(4),
+
+    "llm_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text, source FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text,
+        |         source
+        |  FROM v1 WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' new', source
+        |  FROM v1 WHERE doc_id % 13 = 0),
+        |j AS (SELECT coalesce(b.source, a.source) AS source,
+        |             CASE WHEN a.doc_id IS NULL THEN 'added'
+        |                  WHEN b.doc_id IS NULL THEN 'removed'
+        |                  WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+        |                  ELSE 'unchanged' END AS status
+        |      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT source,
+        |       sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+        |       sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+        |       sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+        |       sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)::BIGINT AS n_unchanged
+        |FROM j GROUP BY source""".stripMargin,
 
     "llm_blocklist" ->
       """WITH pats AS (

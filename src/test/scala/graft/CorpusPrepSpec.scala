@@ -191,4 +191,24 @@ class CorpusPrepSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"))).toMap
     assert(other !== out.map(t => (t._1, t._2)).toMap)
   }
+
+  test("corpusDiff: all four statuses; changed docs attribute to v2's source") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, "stays the same", "srcA"),
+      (2L, "will change", "srcA"),
+      (3L, "will be removed", "srcB"),
+      (4L, "also unchanged", "srcB")).toDF("doc_id", "text", "source")
+    val v2 = Seq(
+      (1L, "stays the same", "srcA"),
+      (2L, "has changed", "srcC"),      // content AND source moved
+      (4L, "also unchanged", "srcB"),
+      (5L, "brand new doc", "srcC")).toDF("doc_id", "text", "source")
+    val got = CorpusPrep.corpusDiff(v1, v2).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      ("srcA", 0L, 0L, 0L, 1L),   // doc 1 unchanged
+      ("srcB", 0L, 1L, 0L, 1L),   // doc 3 removed (v1 source), doc 4 unchanged
+      ("srcC", 1L, 0L, 1L, 0L)))  // doc 5 added, doc 2 changed → v2's source
+  }
 }
