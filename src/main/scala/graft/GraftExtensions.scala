@@ -1,11 +1,11 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MisraGries, TopKByScore}
+import graft.functions.{BlocklistHits, CosineSimilarity, MisraGries, TopKByScore}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 /** Engine extension point: registers graft's native expressions with the
   * session so plain SQL can call them
@@ -39,6 +39,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "misra_gries(item, k)")
         MisraGries(children.head, litInt(children(1), "k")).toAggregateExpression()
       }))
+    // variadic: blocklist_hits(text, 'phrase1', 'phrase2', ...) — the
+    // phrase list must be literal (the automaton is built at plan time)
+    ext.injectFunction((
+      FunctionIdentifier("blocklist_hits"),
+      new ExpressionInfo(classOf[BlocklistHits].getName, "blocklist_hits"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2, "blocklist_hits(text, pattern, ...)")
+        BlocklistHits(children.head, children.tail.map(litStr(_, "pattern")))
+      }))
+  }
+
+  private def litStr(e: Expression, name: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other =>
+      throw new IllegalArgumentException(
+        s"$name must be a string literal, got $other")
   }
 
   private def litInt(e: Expression, name: String): Int = e match {

@@ -47,6 +47,16 @@ class BlocklistSpec extends SparkSpec {
     }
   }
 
+  test("blocklist_hits is SQL-callable through the session extensions") {
+    val s = graft.GraftExtensions.sessionFor(spark)
+    import s.implicits._
+    Seq((1L, "slow aaaa")).toDF("doc_id", "text").createOrReplaceTempView("bl_docs")
+    val got = s.sql(
+      "SELECT blocklist_hits(text, 'slow', 'low', 'aaa') AS hits FROM bl_docs")
+      .collect().head.getLong(0)
+    assert(got === 4L)
+  }
+
   test("null text rows drop; duplicate patterns rejected") {
     val d = Seq((1L, "low key"), (2L, null)).toDF("doc_id", "text")
     val got = TextAnalysis.blocklistHits(d, Seq("low")).collect()
