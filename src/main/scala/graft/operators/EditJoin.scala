@@ -82,7 +82,13 @@ object EditJoin {
       .filter(col("q") >= 1 && col("q") + col("l") - 1 <= col("len"))
       .select(col("id").as("rid"), col("nn"), col("i"),
         col("s").substr(col("q"), col("l")).as("seg"))
-    val passPairs = segs.join(probes, Seq("nn", "i", "seg"))
+    // shuffle_hash, NEVER broadcast: both sides are corpus-derived
+    // explode products whose size estimates Catalyst gets badly wrong
+    // (post-Generate stats) — at 10x it picked a driver-side broadcast of
+    // the multi-million-row segment table (measured: 60 s / OOM at
+    // default driver memory); the key is uniform high-cardinality, the
+    // canonical shuffle-join shape
+    val passPairs = segs.hint("shuffle_hash").join(probes, Seq("nn", "i", "seg"))
       .filter(col("sid") =!= col("rid"))
       .select(least(col("sid"), col("rid")).as("a"),
         greatest(col("sid"), col("rid")).as("b"))
