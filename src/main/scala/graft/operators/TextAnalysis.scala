@@ -551,8 +551,15 @@ object TextAnalysis {
       .join(vocab.select(col("piece")), Seq("piece"))
       .groupBy(col("word"), col("i")).agg(max(col("l")).as("bl"))
     // jump table with the absorbing end row (word, wl, wl) so the r-fold
-    // composition is total for paths that finish early
-    var jump = pos.join(matched, Seq("word", "i"), "left")
+    // composition is total for paths that finish early.
+    // Join strategy note: every word-keyed frame below is WORD-TYPE-scale
+    // (Heaps-bounded, but 1e8+ types on a web-scale corpus) or, for
+    // docWords, CORPUS-scale — and several are localCheckpoint'd RDDs
+    // whose stats Catalyst doesn't know, which at 10× made it BROADCAST
+    // the corpus-scale side (measured). shuffle_hash hints pin every one
+    // of these joins to a shuffled hash join building the bounded side;
+    // only the vocab join (genuinely small, topV+chars rows) broadcasts.
+    var jump = pos.join(matched.hint("shuffle_hash"), Seq("word", "i"), "left")
       .select(col("word"), col("i"),
         (col("i") + coalesce(col("bl"), lit(1))).as("j"))
       .unionAll(words.select(col("word"), col("wl").as("i"), col("wl").as("j")))
@@ -561,20 +568,22 @@ object TextAnalysis {
     var covered = 1L // F covers paths of < `covered` jumps; J jumps 2^r
     while (covered - 1 < maxLen) {
       front = front.unionAll(
-          front.join(jump, Seq("word", "i")).select(col("word"), col("j").as("i")))
+          front.join(jump.hint("shuffle_hash"), Seq("word", "i"))
+            .select(col("word"), col("j").as("i")))
         .distinct().localCheckpoint(true)
       covered *= 2
       if (covered - 1 < maxLen) {
         jump = jump
-          .join(jump.select(col("word"), col("i").as("j"), col("j").as("j2")),
-            Seq("word", "j"))
+          .join(jump.select(col("word"), col("i").as("j"), col("j").as("j2"))
+            .hint("shuffle_hash"), Seq("word", "j"))
           .select(col("word"), col("i"), col("j2").as("j"))
           .localCheckpoint(true)
       }
     }
-    val nPieces = front.join(words, "word").filter(col("i") < col("wl"))
+    val nPieces = front.join(words.hint("shuffle_hash"), "word")
+      .filter(col("i") < col("wl"))
       .groupBy(col("word")).agg(count(lit(1)).as("np"))
-    docWords.join(nPieces, Seq("word"))
+    docWords.join(nPieces.hint("shuffle_hash"), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ws"), sum(col("np")).as("n_pieces"))
   }
