@@ -569,6 +569,24 @@ object StreamQueries {
         s.read.parquet(s"$tmp/ledger"), minDf = 3)
     }),
 
+    // T31 (streaming L30/L60): incremental ExactSubstr live — each batch
+    // scrubbed against the standing gram-index ledger, then contributing
+    // its own grams; seen store screens the re-sent docs 0-99 (a
+    // re-delivered doc must not re-scrub against a larger index), and
+    // batch_id-tagged grams make crash replays self-excluding. Converged
+    // output ≡ one-shot dedupSubstr — oracle reused verbatim.
+    "t31_substr_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t31-").toString
+      withStreamShuffle(s, 8) {
+        awaitAndRecord("t31_substr_stream",
+          Streams.substrStream(
+            docStream(s, d).select("doc_id", "text"),
+            s"$tmp/seen", s"$tmp/grams", s"$tmp/out", s"$tmp/ckpt",
+            minRun = 10, compactEvery = 2))
+      }
+      s.read.parquet(s"$tmp/out").distinct()
+    }),
+
     // T16 (streaming VWAP): the size-weighted w11 aggregation as a
     // streaming windowed agg — the EXACT decimal numerator makes emission
     // independent of the 4-batch split; hour buckets emit when the
@@ -1211,6 +1229,7 @@ object StreamQueries {
     "t27_heaps_stream" -> LlmQueries.oracleSql("llm_heaps_curve"),
     "t28_length_stream" -> LlmQueries.oracleSql("llm_length_buckets"),
     "t30_boilerplate_stream" -> LlmQueries.oracleSql("llm_boilerplate"),
+    "t31_substr_stream" -> LlmQueries.oracleSql("llm_dedup_substr"),
     // streaming fused grid converges to the one-shot batch grid (bit-exact
     // machine snapshots), so the oracle is f3c's, verbatim
     "t29_grid_stream" -> IndicatorQueries.oracleSql("f3c_indicator_grid_full"),

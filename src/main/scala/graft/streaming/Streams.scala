@@ -1483,6 +1483,64 @@ object Streams {
       }
       .start()
 
+  /** T31 (streaming L30/L60): incremental ExactSubstr dedup live — each
+    * micro-batch of NEW docs is scrubbed against the standing corpus's
+    * gram-index ledger ([[graft.operators.Dedup.dedupSubstrAgainst]]:
+    * any-offset repeated passages whose sequence exists in the corpus,
+    * or earlier in the batch, are removed) and then contributes its own
+    * grams — "scrub today's crawl against years of corpus" as a running
+    * deployment, never re-scrubbing the corpus.
+    *
+    * At-least-once guards, by hazard:
+    *  - redelivered DOCS: screened by the `seen` store (the T25/T28
+    *    pattern) — a re-delivered doc must NOT be re-scrubbed against
+    *    the LARGER index a later batch sees (it would over-scrub);
+    *  - replayed BATCHES: gram rows carry the micro-batch id and the
+    *    per-batch index view filters `batch_id < currentBatchId` —
+    *    foreachBatch replays reuse the SAME batch id, so a replay
+    *    excludes the crashed attempt's own (and any later) gram rows and
+    *    recomputes the identical scrub; its re-appended output/gram rows
+    *    are exact duplicates absorbed by distinct on read.
+    * Append order (out → grams → seen) makes every kill window land in
+    * one of those two cases. Converged output ≡ the one-shot batch
+    * [[graft.operators.Dedup.dedupSubstr]] when batch order follows doc
+    * order (which the file source's ordered staging provides). */
+  def substrStream(docs: DataFrame, seenPath: String, gramPath: String,
+                   outPath: String, checkpoint: String, minRun: Int = 10,
+                   compactEvery: Int = 0): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val wide = batch.repartition(
+          spark.sparkContext.defaultParallelism, col("doc_id"))
+        val novel = (
+          try Incremental.newRows(spark.read.parquet(seenPath), wide,
+            Seq("doc_id"))
+          catch { case _: org.apache.spark.sql.AnalysisException => wide }
+        ).select("doc_id", "text").localCheckpoint() // scrub + grams + seen
+        val idx =
+          try spark.read.parquet(gramPath)
+            .filter(col("batch_id") < batchId).select(col("h"))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            graft.operators.Dedup.substrGramIndex(novel.limit(0), minRun) }
+        graft.operators.Dedup.dedupSubstrAgainst(idx, novel, minRun)
+          .write.mode("append").parquet(outPath)
+        graft.operators.Dedup.substrGramIndex(novel, minRun)
+          .select(lit(batchId).as("batch_id"), col("h"))
+          .write.mode("append").parquet(gramPath)
+        novel.select("doc_id").write.mode("append").parquet(seenPath)
+        // gram rows are (batch_id, h) set data — compaction is a plain
+        // distinct, crash-safe in the ledger protocol
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.sources.Compact.compactLedger(spark, gramPath,
+            df => df.distinct())
+        ()
+      }
+      .start()
+
   def relayToParquet(ticks: DataFrame, sinkPath: String, checkpoint: String,
                      keys: Seq[String] = Seq("pair", "time"),
                      perBatch: DataFrame => DataFrame = identity): StreamingQuery =

@@ -105,6 +105,40 @@ class LedgerTwinsRestartSpec extends SparkSpec {
     assert(d1.getAs[Long]("n_kept") < d1.getAs[Long]("n_spans"))
   }
 
+  test("t31 substr stream: replay self-excludes via batch_id, redelivered doc screened") {
+    val (root, src) = fixture("graft-t31-restart-")
+    val (seen, grams, out, ckpt) =
+      (s"$root/seen", s"$root/grams", s"$root/out", s"$root/ckpt")
+    def run(): Unit =
+      Streams.substrStream(docStream(src), seen, grams, out, ckpt, minRun = 3)
+        .awaitTermination()
+
+    stage(root, src, c1, "c1", 1600000000000L)
+    run() // dies here
+    // forge the kill-after-appends-before-commit replay: out AND gram
+    // rows appended twice (the replayed batch recomputes identical rows
+    // because its index view excludes its own batch_id)
+    spark.read.parquet(out).write.mode("append").parquet(out)
+    spark.read.parquet(grams).write.mode("append").parquet(grams)
+
+    // restart: doc 2 re-delivered verbatim (must be screened — scrubbing
+    // it against the now-larger index would over-scrub), docs 3-5 novel;
+    // doc 3 repeats doc 1's text so the cross-batch index actually bites
+    stage(root, src, c2 ++ c3, "c2", 1600000060000L)
+    run()
+
+    val rolled = spark.read.parquet(out).distinct()
+      .orderBy("doc_id").collect().toSeq
+    val oneShot = graft.operators.Dedup.dedupSubstr(
+        (c1 ++ c2 ++ c3).distinct.toDF("doc_id", "text"), minRun = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(rolled === oneShot)
+    // the cross-batch scrub must actually bite: doc 3 loses its copy of
+    // doc 1's passage
+    val d3 = rolled.find(_.getLong(0) == 3L).get
+    assert(d3.getAs[Long]("n_kept") < d3.getAs[Long]("n_tokens"))
+  }
+
   test("t28 length ledger: batch replay deduped, redelivered doc screened") {
     val (root, src) = fixture("graft-t28-restart-")
     val (seen, ledger, ckpt) = (s"$root/seen", s"$root/ledger", s"$root/ckpt")
