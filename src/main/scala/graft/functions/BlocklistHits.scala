@@ -28,48 +28,72 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
   require(patterns.distinct.length == patterns.length,
     "duplicate patterns would double-count hits")
 
-  // trie: per-node char→child transitions, failure links, and the
-  // PRE-COLLAPSED output count (own terminal count + fail-chain counts)
-  private val children = {
-    val buf = scala.collection.mutable.ArrayBuffer(
-      new java.util.HashMap[Character, Integer]())
-    val ends = scala.collection.mutable.ArrayBuffer(0)
+  // build (driver-only): boxed trie maps, then FROZEN into flat sorted
+  // char/next arrays — the per-row match loop does binary searches over
+  // primitive arrays, no boxing, no hash probes (Character.valueOf only
+  // caches code units <= 127, so a map-based loop would allocate per
+  // char on any non-ASCII text)
+  private val frozen: (Array[Array[Char]], Array[Array[Int]], Array[Int], Array[Long]) = {
+    val maps = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.TreeMap.empty[Char, Int])
+    val ends = scala.collection.mutable.ArrayBuffer(0L)
     patterns.foreach { p =>
       var s = 0
       p.foreach { c =>
-        val next = buf(s).get(c)
-        s = if (next != null) next.intValue()
-        else {
-          buf += new java.util.HashMap[Character, Integer]()
-          ends += 0
-          buf(s).put(c, buf.length - 1)
-          buf.length - 1
+        maps(s).get(c) match {
+          case Some(v) => s = v
+          case None =>
+            maps += scala.collection.mutable.TreeMap.empty[Char, Int]
+            ends += 0L
+            maps(s).put(c, maps.length - 1)
+            s = maps.length - 1
         }
       }
       ends(s) += 1
     }
-    (buf.toArray, ends.toArray)
-  }
-  private val nodes: Array[java.util.HashMap[Character, Integer]] = children._1
-  private val fail: Array[Int] = new Array[Int](nodes.length)
-  private val cumOut: Array[Long] = {
-    val out = children._2.map(_.toLong)
-    // BFS: failure links + output-count collapse (parent fail before child)
-    val queue = new java.util.ArrayDeque[Integer]()
-    nodes(0).forEach((_, v) => { fail(v.intValue()) = 0; queue.add(v) })
-    while (!queue.isEmpty) {
-      val u = queue.poll().intValue()
-      out(u) += out(fail(u))
-      nodes(u).forEach { (c, v) =>
-        val vi = v.intValue()
-        var f = fail(u)
-        while (f != 0 && !nodes(f).containsKey(c)) f = fail(f)
-        val t = nodes(f).get(c)
-        fail(vi) = if (t != null && t.intValue() != vi) t.intValue() else 0
-        queue.add(v)
+    val fl = new Array[Int](maps.length)
+    val out = ends.toArray
+    // BFS: failure links + output-count collapse (fail(u) is shallower
+    // than u, so out(fail(u)) is final when u is popped)
+    val queue = scala.collection.mutable.ArrayDeque.empty[Int]
+    maps(0).foreach { case (_, v) => fl(v) = 0; queue.append(v) }
+    while (queue.nonEmpty) {
+      val u = queue.removeHead()
+      out(u) += out(fl(u))
+      maps(u).foreach { case (c, v) =>
+        var f = fl(u)
+        while (f != 0 && !maps(f).contains(c)) f = fl(f)
+        val t = maps(f).getOrElse(c, 0)
+        fl(v) = if (t != v) t else 0
+        queue.append(v)
       }
     }
-    out
+    (maps.map(_.keysIterator.toArray).toArray,
+      maps.map(_.valuesIterator.toArray).toArray, fl, out)
+  }
+  private val charArr = frozen._1
+  private val nextArr = frozen._2
+  private val fail = frozen._3
+  private val cumOut = frozen._4
+
+  /** goto(state, c) with failure-link fallback; allocation-free. */
+  private def step(state: Int, c: Char): Int = {
+    var s = state
+    while (true) {
+      val cs = charArr(s)
+      var lo = 0
+      var hi = cs.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val cm = cs(mid)
+        if (cm < c) lo = mid + 1
+        else if (cm > c) hi = mid - 1
+        else return nextArr(s)(mid)
+      }
+      if (s == 0) return 0
+      s = fail(s)
+    }
+    0 // unreachable
   }
 
   /** Total match count over all patterns, overlaps included. */
@@ -79,13 +103,7 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
     var i = 0
     val n = s.length
     while (i < n) {
-      val c = Character.valueOf(s.charAt(i))
-      var t = nodes(state).get(c)
-      while (t == null && state != 0) {
-        state = fail(state)
-        t = nodes(state).get(c)
-      }
-      state = if (t != null) t.intValue() else 0
+      state = step(state, s.charAt(i))
       hits += cumOut(state)
       i += 1
     }

@@ -425,15 +425,18 @@ object CorpusPrep {
     * deployment the join is shuffle-free. The rollup is one
     * map-side-combined agg on ~|sources| keys. */
   def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    // presence is a FLAG, not hash non-nullness: a NULL-text doc present
+    // in both versions is unchanged, not added/removed; hash compare is
+    // null-safe for the same reason (NULL vs non-NULL text = changed)
     val a = v1.select(col("doc_id"), md5(col("text")).as("h1"),
-      col("source").as("s1"))
+      col("source").as("s1"), lit(true).as("p1"))
     val b = v2.select(col("doc_id"), md5(col("text")).as("h2"),
-      col("source").as("s2"))
+      col("source").as("s2"), lit(true).as("p2"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(coalesce(col("s2"), col("s1")).as("source"),
-        when(col("h1").isNull, lit("added"))
-          .when(col("h2").isNull, lit("removed"))
-          .when(col("h1") =!= col("h2"), lit("changed"))
+        when(col("p1").isNull, lit("added"))
+          .when(col("p2").isNull, lit("removed"))
+          .when(!(col("h1") <=> col("h2")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
       .groupBy(col("source"))
       .agg(

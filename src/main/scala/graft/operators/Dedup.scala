@@ -504,7 +504,9 @@ object Dedup {
     * crawl's boilerplate set is NOT small); reassembly groups by doc_id
     * with per-group state = one document. No UDF, no postings list. */
   def boilerplateScrub(docs: DataFrame, span: Int = 10, minDf: Long = 3L): DataFrame =
-    boilerplateFromSegments(gridSegments(docs, span), minDf)
+    // grid segments are unique per (doc_id, i) by construction — skip the
+    // ledger path's replay-dedup shuffle
+    boilerplateFromSegments(gridSegments(docs, span), minDf, dedupe = false)
 
   /** The `span`-token grid segmentation of a (doc_id, text) corpus:
     * (doc_id, i, seg) — [[boilerplateScrub]]'s first phase, public so the
@@ -517,12 +519,17 @@ object Dedup {
   /** [[boilerplateScrub]]'s scrub phase over an already-segmented corpus
     * (e.g. a streaming segment ledger): distinct-doc df per segment,
     * segments at df >= minDf removed from every document, per-doc
-    * reassembly. Rows are deduplicated first — a (doc_id, i, seg) row is
-    * pure set data, so replayed ledger appends are absorbed by
-    * idempotence (the t27 min-merge class). */
-  def boilerplateFromSegments(segments: DataFrame, minDf: Long = 3L): DataFrame = {
+    * reassembly. With `dedupe` (the ledger default) rows are
+    * deduplicated first — a (doc_id, i, seg) row is pure set data, so
+    * replayed ledger appends are absorbed by idempotence (the t27
+    * min-merge class); the batch path passes false because its segments
+    * are unique by construction and the extra corpus-wide shuffle would
+    * buy nothing. */
+  def boilerplateFromSegments(segments: DataFrame, minDf: Long = 3L,
+                              dedupe: Boolean = true): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2 (df 1 would scrub everything), got $minDf")
-    val segs = segments.distinct().withColumn("h", md5(col("seg")))
+    val deduped = if (dedupe) segments.distinct() else segments
+    val segs = deduped.withColumn("h", md5(col("seg")))
     val bp = segs.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)

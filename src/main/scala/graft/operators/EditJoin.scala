@@ -94,20 +94,22 @@ object EditJoin {
         greatest(col("sid"), col("rid")).as("b"))
 
     // ---- degenerate tail: strings shorter than t+1 chars ----
-    // a partner differs by <= t chars in length, so both sides of this
-    // join are <= 2t-char strings — bounded by construction, and the
-    // stage is skipped entirely when no such string exists
+    // a partner differs by <= t chars in length, so a short string's
+    // candidates are exactly the strings in its [len−t, len+t] length
+    // window (all <= 2t chars) — generated as an EQUI-join on partner
+    // length (2t+1 exploded keys per short row), never a cartesian, and
+    // fully lazy: when no sub-t+1-char string exists the branch costs an
+    // empty scan, not an eager existence probe
     val shorts = norm.filter(col("len") < m)
-    val allPairs =
-      if (shorts.isEmpty) passPairs
-      else {
-        val shortPairs = shorts.select(col("id").as("ia"))
-          .crossJoin(norm.filter(col("len") <= 2 * t).select(col("id").as("ib")))
-          .filter(col("ia") =!= col("ib"))
-          .select(least(col("ia"), col("ib")).as("a"),
-            greatest(col("ia"), col("ib")).as("b"))
-        passPairs.unionAll(shortPairs)
-      }
+    val shortPairs = shorts
+      .select(col("id").as("ia"),
+        explode(sequence(greatest(col("len") - t, lit(1)),
+          col("len") + t)).as("plen"))
+      .join(norm.select(col("id").as("ib"), col("len").as("plen")), Seq("plen"))
+      .filter(col("ia") =!= col("ib"))
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"))
+    val allPairs = passPairs.unionAll(shortPairs)
 
     // ---- verify: threshold-bounded Levenshtein on the candidates ----
     allPairs.distinct()

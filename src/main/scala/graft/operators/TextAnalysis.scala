@@ -539,7 +539,11 @@ object TextAnalysis {
       .filter(col("word").isNotNull && col("word") =!= "")
     val words = docWords.select(col("word")).distinct()
       .withColumn("wl", length(col("word"))).localCheckpoint(true)
-    val maxLen = words.agg(max(col("wl"))).first().getInt(0)
+    val maxRow = words.agg(max(col("wl"))).first()
+    if (maxRow.isNullAt(0)) // no non-empty token anywhere: empty report
+      return docWords.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ws"), sum(lit(0L)).as("n_pieces"))
+    val maxLen = maxRow.getInt(0)
     require(maxLen <= 4096,
       s"pathological word of $maxLen chars — not natural-language input")
     val pos = words.select(col("word"), col("wl"),

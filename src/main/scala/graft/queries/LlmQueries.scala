@@ -1139,7 +1139,7 @@ object LlmQueries {
         |j AS (SELECT coalesce(b.source, a.source) AS source,
         |             CASE WHEN a.doc_id IS NULL THEN 'added'
         |                  WHEN b.doc_id IS NULL THEN 'removed'
-        |                  WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+        |                  WHEN md5(a.text) IS DISTINCT FROM md5(b.text) THEN 'changed'
         |                  ELSE 'unchanged' END AS status
         |      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
         |SELECT source,
