@@ -44,6 +44,23 @@ final case class StopTradeRow(pair: String, trade_no: Int,
                               exit_time: Option[Timestamp], exit_price: Option[Double],
                               reason: Option[String], pnl: Option[Double])
 
+/** Event row of the LIVE trade fold: `kind` 0 = the key's resumed state
+  * (sorts before every strictly-later signal), 1 = a new signal. */
+final case class LiveTradeEvent(pair: String, timeframe: String, kind: Int,
+                                time: Timestamp, event_type: String, price: Double,
+                                entry_time: Timestamp, entry_price: Double,
+                                n_closed: Long, open: Boolean)
+
+/** Tagged output of [[Backtest.tradesIncremental]]: `is_state` = false →
+  * one CLOSED round-trip trade; true → the key's advanced fold state
+  * (open-position fields + closed-trade count + folded frontier). */
+final case class LiveTradeFold(pair: String, timeframe: String,
+                               is_state: Boolean, trade_no: Long,
+                               entry_time: Timestamp, entry_price: Double,
+                               exit_time: Option[Timestamp],
+                               exit_price: Option[Double], pnl: Option[Double],
+                               open: Boolean, n_closed: Long, last_time: Timestamp)
+
 /** F6: event-driven backtest over buy/sell signal events.
   *
   * The reference ships this as a stub that reads `fact_buysell_events` in
@@ -256,5 +273,71 @@ object Backtest {
         when(col("vol") > 0, round(col("mean") / col("vol"), 6)).as("sharpe"),
         round(col("ddev"), 6).as("downside_dev"),
         when(col("ddev") > 0, round(col("mean") / col("ddev"), 6)).as("sortino"))
+  }
+
+  /** F6 live: resume the alternating trade machine from per-key state and
+    * fold ONLY the new signals — the [[trades]] semantics as an
+    * incremental per-poll pass (the deployment's trade-ledger tail).
+    *
+    * Inputs: `state` = the previous [[LiveTradeFold]] state rows (empty
+    * on first fold); `signals` in the live signal-store shape, every row
+    * STRICTLY past its key's folded frontier (the caller bounds the
+    * read; a signal at or before the frontier here means the ordering
+    * contract broke and the fold FAILS LOUDLY rather than silently
+    * re-pairing history). Output: one tagged frame — closed trades plus
+    * every key's advanced state (state-only keys re-emit unchanged, so a
+    * snapshot overwrite carries all keys forward).
+    *
+    * Scale shape: one shuffle on (pair, timeframe), secondary-sorted
+    * fold (the EMA/RSI pattern); state is O(keys), per-group memory one
+    * key's new signals. */
+  def tradesIncremental(state: DataFrame, signals: DataFrame): Dataset[LiveTradeFold] = {
+    val spark = signals.sparkSession
+    import spark.implicits._
+    val sigEv = signals.select($"pair",
+      $"trigger_indicator_timeframe".as("timeframe"), lit(1).as("kind"),
+      $"event_datetime".as("time"), $"event_type", $"price",
+      lit(null).cast("timestamp").as("entry_time"),
+      lit(0.0).as("entry_price"), lit(0L).as("n_closed"), lit(false).as("open"))
+    val stEv = state.select($"pair", $"timeframe", lit(0).as("kind"),
+      $"last_time".as("time"), lit(null).cast("string").as("event_type"),
+      lit(0.0).as("price"), $"entry_time", $"entry_price", $"n_closed", $"open")
+    sigEv.unionByName(stEv).as[LiveTradeEvent]
+      .groupByKey(e => (e.pair, e.timeframe))
+      .flatMapSortedGroups($"time", $"kind") { case ((pair, tf), rows) =>
+        val out = Vector.newBuilder[LiveTradeFold]
+        var open = false
+        var entryT: Timestamp = null
+        var entryP = 0.0
+        var n = 0L
+        var last: Timestamp = null
+        var sigSeen = false
+        rows.foreach { e =>
+          if (e.kind == 0) {
+            require(!sigSeen,
+              s"signal at or before the folded frontier for $pair/$tf — " +
+                "the live ordering contract broke; refusing to re-pair history")
+            open = e.open; entryT = e.entry_time; entryP = e.entry_price
+            n = e.n_closed; last = e.time
+          } else {
+            sigSeen = true
+            e.event_type match {
+              case "BUY" if !open =>
+                open = true; entryT = e.time; entryP = e.price
+              case "SELL" if open =>
+                n += 1
+                out += LiveTradeFold(pair, tf, is_state = false, n,
+                  entryT, entryP, Some(e.time), Some(e.price),
+                  Some(e.price - entryP), open = false, n, e.time)
+                open = false; entryT = null; entryP = 0.0
+              case _ => // already long on BUY / flat on SELL: ignore
+            }
+            last = e.time
+          }
+        }
+        out += LiveTradeFold(pair, tf, is_state = true, 0L,
+          entryT, entryP, None, None, None, open, n, last)
+        out.result().iterator
+      }
   }
 }

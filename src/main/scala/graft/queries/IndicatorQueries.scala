@@ -2204,6 +2204,68 @@ object IndicatorQueries {
        |${branches.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** The `e2e_live_trades` gate's oracle: the alternating trade machine
+    * over [[liveSignalsOracle]]'s crosses, per (pair, timeframe). Crosses
+    * strictly alternate, so the fold is the f6b pairing — drop events
+    * before the first BUY, then each odd row pairs with its successor;
+    * the trailing unpaired BUY is the open position (NULL exit). */
+  private[queries] def liveTradesOracle(wireEnd: String, shortP: Int,
+                                        longP: Int,
+                                        tfs: Seq[(String, Int)]): String = {
+    val closes = tfs.flatMap { case (tf, d) =>
+      Seq(tfCloseCte(s"raw_$tf", tf, d),
+        s"""b_$tf AS (SELECT r.pair, r.ts, r.close FROM raw_$tf r
+           |  JOIN mx ON r.pair = mx.pair
+           |  WHERE r.ts + $d <= epoch(mx.mt)::BIGINT)""".stripMargin)
+    }
+    val xs = tfs.map { case (tf, _) =>
+      s"""n_$tf AS (SELECT pair, ts, close,
+         |       row_number() OVER (PARTITION BY pair ORDER BY ts) AS rn
+         |  FROM b_$tf),
+         |s_$tf AS (SELECT pair, ts,
+         |  CASE WHEN rn >= $shortP
+         |       THEN avg(close) OVER (PARTITION BY pair ORDER BY ts
+         |            ROWS BETWEEN ${shortP - 1} PRECEDING AND CURRENT ROW)
+         |  END AS ss,
+         |  CASE WHEN rn >= $longP
+         |       THEN avg(close) OVER (PARTITION BY pair ORDER BY ts
+         |            ROWS BETWEEN ${longP - 1} PRECEDING AND CURRENT ROW)
+         |  END AS sl
+         |  FROM n_$tf),
+         |x_$tf AS (SELECT pair, ts, ss, sl,
+         |  lag(ss) OVER (PARTITION BY pair ORDER BY ts) AS ps,
+         |  lag(sl) OVER (PARTITION BY pair ORDER BY ts) AS pl
+         |  FROM s_$tf)""".stripMargin
+    }
+    val pairing = tfs.map { case (tf, _) =>
+      s"""ev_$tf AS (SELECT pair, ts,
+         |  CASE WHEN ps <= pl AND ss > sl THEN 'BUY' ELSE 'SELL' END AS et,
+         |  ss AS price
+         |  FROM x_$tf
+         |  WHERE (ps <= pl AND ss > sl) OR (ps >= pl AND ss < sl)),
+         |fb_$tf AS (SELECT pair, min(ts) FILTER (et = 'BUY') AS fbt
+         |           FROM ev_$tf GROUP BY pair),
+         |kept_$tf AS (
+         |  SELECT e.pair, e.ts, e.price,
+         |         row_number() OVER (PARTITION BY e.pair ORDER BY e.ts) AS rn,
+         |         lead(e.ts) OVER (PARTITION BY e.pair ORDER BY e.ts) AS x_ts,
+         |         lead(e.price) OVER (PARTITION BY e.pair ORDER BY e.ts) AS x_price
+         |  FROM ev_$tf e JOIN fb_$tf USING (pair) WHERE e.ts >= fbt)""".stripMargin
+    }
+    val branches = tfs.map { case (tf, _) =>
+      s"""SELECT pair, '$tf' AS timeframe, ((rn + 1) // 2)::BIGINT AS trade_no,
+         |       ts AS entry_s,
+         |       round((price)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS entry_price,
+         |       x_ts::BIGINT AS exit_s,
+         |       round((x_price)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS exit_price,
+         |       round((x_price - price)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS pnl
+         |FROM kept_$tf WHERE rn % 2 = 1""".stripMargin
+    }
+    s"""WITH ${livePrelude(wireEnd)},
+       |${(closes ++ xs ++ pairing).mkString(",\n")}
+       |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "u2b_ema_14_4h" -> emaSql(14, "4h", 14400),
     "u3b_rsi_14_30m" -> rsiSql(14, "30m", 1800),

@@ -329,6 +329,68 @@ object StreamQueries {
       } finally srv.close()
     }),
 
+    // E2E trade ledger (F6 live): the deployment's LAST table — the
+    // alternating trade machine folded incrementally per poll from the
+    // signal store's unfolded tail (frontier-bounded scan, versioned
+    // per-key state, first-write-wins closed-trade appends). Output:
+    // closed trades from the store plus the open positions from the
+    // state snapshot. Oracle: the f6b pairing over the live crosses.
+    "e2e_live_trades" -> ((s, d) => {
+      val wireEnd = "2024-01-03 00:00:00"
+      val msgs = graft.operators.Relay.toWireMessages(
+          TradingQueries.ticks(s, d).filter(col("time") < lit(wireEnd)))
+        .select(col("message"),
+          regexp_extract(col("message"), "\"timestamp\":\"([^\"]+)\"", 1).as("ts"))
+        .orderBy(col("ts"), col("message"))
+        .collect().map(_.getString(0)).toIndexedSeq
+      require(msgs.length <= 250000,
+        s"e2e trades fixture unexpectedly large: ${msgs.length}")
+      val srv = new graft.serving.TickerServer(
+        Seq(graft.serving.PathConfig("click", "/ws/ticker_click")),
+        heartbeatMillis = 60000L)
+      srv.start()
+      val root = Files.createTempDirectory("graft-e2etrd-").toString
+      try {
+        val st = graft.serving.LivePipeline.Stores(root)
+        val tfs = Seq("1m", "5m").map(graft.model.Timeframe.byCode)
+        val chunk = math.max(1, msgs.length / 4)
+        msgs.grouped(chunk).zipWithIndex.foreach { case (ms, i) =>
+          import s.implicits._
+          val batch = Ticks.valid(Ticks.fromWireJson(ms.toDF("value")))
+          graft.serving.LivePipeline.processBatch(batch, i.toLong, st, srv,
+            Seq("RSI", "SMA", "EMA"), Seq(14, 28), tfs, compactEvery = 2)
+        }
+        import s.implicits._
+        val emptyTrades =
+          Seq.empty[(String, String, Long, java.sql.Timestamp, Double,
+              java.sql.Timestamp, Double, Double)]
+            .toDF("pair", "timeframe", "trade_no", "entry_time",
+              "entry_price", "exit_time", "exit_price", "pnl")
+        val closed =
+          (try s.read.parquet(st.trades)
+           catch { case _: org.apache.spark.sql.AnalysisException => emptyTrades })
+            .select("pair", "timeframe", "trade_no", "entry_time",
+              "entry_price", "exit_time", "exit_price", "pnl")
+        val open = graft.serving.LivePipeline.latestTradeState(s, st) match {
+          case Some(ts) => ts.filter(col("open"))
+            .select(col("pair"), col("timeframe"),
+              (col("n_closed") + 1).as("trade_no"),
+              col("entry_time"), col("entry_price"),
+              lit(null).cast("timestamp").as("exit_time"),
+              lit(null).cast("double").as("exit_price"),
+              lit(null).cast("double").as("pnl"))
+          case None => emptyTrades
+        }
+        closed.unionByName(open)
+          .select(col("pair"), col("timeframe"), col("trade_no"),
+            unix_timestamp(col("entry_time")).as("entry_s"),
+            round(col("entry_price"), 6).as("entry_price"),
+            unix_timestamp(col("exit_time")).as("exit_s"),
+            round(col("exit_price"), 6).as("exit_price"),
+            round(col("pnl"), 6).as("pnl"))
+      } finally srv.close()
+    }),
+
     // T4 (CDC relay cursor): stream the fixture through the idempotent
     // relay — per-batch second-dedup, first-write-wins parquet sink — then
     // read the sink back. Oracle: the batch tick-dedup SQL (S2).
@@ -1236,6 +1298,8 @@ object StreamQueries {
     // the whole live chain's deepest store: the grid oracle with the
     // pipeline's cutoff + wire rounding + bar-finality semantics
     "e2e_live_pipeline" -> IndicatorQueries.liveGridOracle("2024-01-03 00:00:00"),
+    "e2e_live_trades" -> IndicatorQueries.liveTradesOracle(
+      "2024-01-03 00:00:00", 14, 28, Seq(("1m", 60), ("5m", 300))),
     "e2e_live_signals" -> IndicatorQueries.liveSignalsOracle(
       "2024-01-03 00:00:00", 14, 28, Seq(("1m", 60), ("5m", 300))),
 

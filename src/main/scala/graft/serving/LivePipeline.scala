@@ -74,13 +74,15 @@ import graft.sources.Compact
   */
 object LivePipeline {
 
-  /** Store layout under one root: the five tables of the deployment. */
+  /** Store layout under one root: the seven tables of the deployment. */
   final case class Stores(root: String) {
     val ticks = s"$root/ticks"
     val candles = s"$root/candles"
     val gridFacts = s"$root/grid_facts"
     val gridState = s"$root/grid_state"
     val signals = s"$root/signals"
+    val trades = s"$root/trades"
+    val tradeState = s"$root/trade_state"
     val checkpoint = s"$root/ckpt"
   }
 
@@ -204,7 +206,8 @@ object LivePipeline {
     val spark = batch.sparkSession
     // finish/abort any compaction swap a crash interrupted BEFORE any
     // read (O(1) probe per store in the steady state)
-    Seq(stores.ticks, stores.candles, stores.gridFacts, stores.signals)
+    Seq(stores.ticks, stores.candles, stores.gridFacts, stores.signals,
+        stores.trades)
       .foreach(Compact.recoverStore(spark, _))
     // wire-order tiebreak for the per-second dedup: (partition, ordinal)
     // is socket order through the source's contiguous chunks, and a
@@ -416,12 +419,91 @@ object LivePipeline {
         }
     }
 
+    // 5b) F6 live: fold the signal store's UNFOLDED tail into the trade
+    //    ledger — the deployment's last table. Driven from the STORE
+    //    above the trade state's per-key frontier, never from "this
+    //    batch's new signals": a crash between the signal append and
+    //    this fold would otherwise starve the ledger forever (the replay
+    //    sees those signals as already-existing). Per-batch cost is
+    //    O(unfolded signals): the scan is frontier-bounded per pair, the
+    //    state O(pairs × timeframes), and the closed-trade anti-join's
+    //    existing side bounded by the same literals (a re-derived
+    //    trade's entry is never below min(frontier, open entry)).
+    if (periods.distinct.size >= 2 && indicators.contains("SMA")) {
+      val stateOpt = readLatestSnapshot(spark, stores.tradeState)
+      val tradeBounds = stateOpt.map { st =>
+        st.groupBy("pair").agg(
+            min(unix_timestamp(col("last_time"))).as("f"),
+            min(when(col("open"),
+              unix_timestamp(col("entry_time")))).as("oe"))
+          .collect().map(r => PairBound(r.getString(0),
+            math.min(r.getLong(1),
+              if (r.isNullAt(2)) Long.MaxValue else r.getLong(2)),
+            Seq.empty)).toSeq
+      }.getOrElse(Seq.empty)
+      readStoreBounded(spark, stores.signals, tradeBounds, strict = true)
+        .foreach { sigsWide =>
+          // the pair-level scan bound is lossless-wide; the exact
+          // per-(pair, timeframe) frontier cut happens here
+          val unfolded = stateOpt match {
+            case None => sigsWide
+            case Some(st) =>
+              sigsWide.join(
+                broadcast(st.select(col("pair"),
+                  col("timeframe").as("trigger_indicator_timeframe"),
+                  col("last_time").as("_front"))),
+                Seq("pair", "trigger_indicator_timeframe"), "left")
+                .filter(col("_front").isNull ||
+                  col("event_datetime") > col("_front"))
+                .drop("_front")
+          }
+          val hasState = stateOpt.isDefined
+          if (hasState || !unfolded.isEmpty) {
+            val folded = graft.operators.Backtest.tradesIncremental(
+                stateOpt.getOrElse(emptyTradeState(spark)), unfolded)
+              .toDF().localCheckpoint()
+            val closed = folded.filter(!col("is_state"))
+              .select(col("pair"), col("timeframe"), col("trade_no"),
+                col("entry_time"), col("entry_price"),
+                col("exit_time"), col("exit_price"), col("pnl"))
+            val prevTrades = readStoreBounded(spark, stores.trades,
+              tradeBounds, strict = false)
+            val newTrades = prevTrades.map(p => Incremental.newRows(p, closed,
+                Seq("pair", "timeframe", "trade_no")))
+              .getOrElse(closed).localCheckpoint()
+            if (!newTrades.isEmpty)
+              writeStore(newTrades, stores.trades, timeCol = "entry_time")
+            writeSnapshotVersion(spark, stores.tradeState, batchId,
+              folded.filter(col("is_state"))
+                .select(col("pair"), col("timeframe"), col("open"),
+                  col("entry_time"), col("entry_price"), col("n_closed"),
+                  col("last_time")))
+          }
+        }
+    }
+
     // 6) housekeeping: bound store fragmentation (crash-safe partition
     //    rewrite-and-swap; single-writer — this stream — by construction)
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      Seq(stores.ticks, stores.candles, stores.gridFacts, stores.signals)
+      Seq(stores.ticks, stores.candles, stores.gridFacts, stores.signals,
+          stores.trades)
         .foreach(Compact.compactStore(spark, _))
   }
+
+  /** Empty trade-state frame in the [[graft.operators.LiveTradeFold]]
+    * state-row shape. */
+  private def emptyTradeState(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, Boolean, java.sql.Timestamp, Double, Long,
+        java.sql.Timestamp)]
+      .toDF("pair", "timeframe", "open", "entry_time", "entry_price",
+        "n_closed", "last_time")
+  }
+
+  /** The latest complete trade-state snapshot (gate/diagnostic surface):
+    * open positions + per-key counters, None before the first fold. */
+  def latestTradeState(spark: SparkSession, stores: Stores): Option[DataFrame] =
+    readLatestSnapshot(spark, stores.tradeState)
 
   /** Read a (pair, dt)-partitioned store, applying `pred` BEFORE dropping
     * the partition-only `dt` column so its literal dt conjuncts prune

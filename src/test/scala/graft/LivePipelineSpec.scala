@@ -319,6 +319,75 @@ class LivePipelineSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("live pipeline: trade tail — replay + crash-before-snapshot converge to the one-shot fold") {
+    val ps2 = Seq(2, 3) // dense crosses arm the whole signal→trade chain
+    val srv = new TickerServer(Seq(PathConfig("USD_JPY", "/ws/ticker_usd_jpy")),
+      heartbeatMillis = 60000L)
+    srv.start()
+    val root = Files.createTempDirectory("graft-livepipe-trd-").toString
+    try {
+      val st = LivePipeline.Stores(root)
+      val chunks = wire.grouped(25).toSeq
+      chunks.take(3).zipWithIndex.foreach { case (ms, i) =>
+        LivePipeline.processBatch(parseAll(ms), i.toLong, st, srv,
+          inds, ps2, tfs, compactEvery = 3)
+      }
+      // crash window A: batch 2 replays whole (after all stores advanced,
+      // before checkpoint commit)
+      LivePipeline.processBatch(parseAll(chunks(2)), 2L, st, srv,
+        inds, ps2, tfs, compactEvery = 3)
+      // crash window B: the trade-state snapshot write "crashed" — delete
+      // the latest version so the next batch re-folds from the older
+      // frontier against a trade store that already has the rows
+      val fs = new java.io.File(st.tradeState)
+      if (fs.exists()) {
+        val latest = fs.listFiles().filter(_.getName.startsWith("v"))
+          .maxBy(_.getName.stripPrefix("v").toLong)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+        }
+        rm(latest)
+      }
+      chunks.drop(3).zipWithIndex.foreach { case (ms, i) =>
+        LivePipeline.processBatch(parseAll(ms), (i + 3).toLong, st, srv,
+          inds, ps2, tfs, compactEvery = 3)
+      }
+      // one-shot twin: Backtest.trades over the one-shot signal set,
+      // folded per (pair, timeframe)
+      val (_, _, eg) = expected(wire, ps2)
+      val expSig = graft.operators.Signals.strategy(
+        eg.filter(col("indicator") === "SMA"), 2, 3)
+      val expTrades = expSig.select(col("trigger_indicator_timeframe").as("tf"),
+          col("pair"), col("event_datetime"), col("event_type"), col("price"))
+        .collect().groupBy(r => (r.getString(1), r.getString(0)))
+        .flatMap { case ((pair, tf), rows) =>
+          var open = false; var eT: java.sql.Timestamp = null; var eP = 0.0
+          var n = 0L
+          val out = Vector.newBuilder[(String, String, Long, java.sql.Timestamp, Double, java.sql.Timestamp, Double)]
+          rows.sortBy(_.getTimestamp(2).getTime).foreach { r =>
+            r.getString(3) match {
+              case "BUY" if !open => open = true; eT = r.getTimestamp(2); eP = r.getDouble(4)
+              case "SELL" if open =>
+                n += 1; out += ((pair, tf, n, eT, eP, r.getTimestamp(2), r.getDouble(4)))
+                open = false
+              case _ => ()
+            }
+          }
+          out.result()
+        }.toSeq.sortBy(t => (t._1, t._2, t._3))
+      assert(expTrades.nonEmpty, "fixture closed no trades — test is vacuous")
+      val got = spark.read.parquet(st.trades)
+        .select(col("pair"), col("timeframe"), col("trade_no"),
+          col("entry_time"), col("entry_price"), col("exit_time"),
+          col("exit_price"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getTimestamp(3), r.getDouble(4), r.getTimestamp(5), r.getDouble(6)))
+        .toSeq.distinct.sortBy(t => (t._1, t._2, t._3))
+      assert(got === expTrades, "trade store diverged from the one-shot fold")
+      assertStores(root, wire, ps2)
+    } finally srv.close()
+  }
+
   test("live pipeline: a replayed micro-batch is a no-op on every store") {
     val srv = new TickerServer(Seq(PathConfig("USD_JPY", "/ws/ticker_usd_jpy")),
       heartbeatMillis = 60000L)
