@@ -200,6 +200,32 @@ class PlanGuardSpec extends SparkSpec {
       s"chunking must not join or window:\n$p")
   }
 
+  test("editDistJoin: the candidate join is shuffled, never a broadcast or cartesian") {
+    // round-14's measured 10x trap: post-Generate size estimates made
+    // Catalyst broadcast the multi-million-row segment table (60 s at
+    // 32 g, OOM at stock driver memory); the shuffle_hash hint is
+    // semantically load-bearing — both sides are corpus-derived explode
+    // products on a uniform key. The degenerate short-string tail must
+    // stay an equi-join (no CartesianProduct ever).
+    val p = plan("llm_editdist_join")
+    assert(p.contains("ShuffledHashJoin"),
+      s"editDistJoin candidate join lost its shuffle_hash shape:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"editDistJoin grew a cartesian:\n$p")
+  }
+
+  test("wordpiece: corpus- and word-type-scale joins stay shuffled; only vocab broadcasts") {
+    // the second round-14 10x trap: checkpoint'd RDD scans have no stats
+    // and the rollup join BuildLeft-broadcast the corpus-scale exploded
+    // docWords table. Every word-keyed join is hinted shuffle_hash; the
+    // only legitimate broadcast side is the bounded vocab piece set.
+    val p = plan("llm_wordpiece")
+    assert(p.contains("ShuffledHashJoin"),
+      s"wordpiece lost its shuffle_hash joins:\n$p")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj <= 1, s"wordpiece broadcasts more than the vocab join ($bhj):\n$p")
+  }
+
   test("span dedup: no joins, no postings — two shuffles plus the corpus spread") {
     val p = plan("llm_dedup_spans")
     assert(!p.contains("Join"), s"span dedup must not join:\n$p")
