@@ -401,6 +401,57 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_ws"), sum(col("units")).as("n_units"))
   }
 
+  /** L77: interpolated Kneser–Ney bigram fluency scoring — the smoothing
+    * that n-gram LM filtering actually ships (Kneser & Ney 1995; Chen &
+    * Goodman 1999): absolute discounting of the bigram MLE with the
+    * discounted mass re-routed to the CONTINUATION unigram (how many
+    * distinct contexts a word follows — "francisco" is frequent but
+    * follows only "san", so its continuation probability is tiny, which
+    * is the whole point vs raw-frequency backoff):
+    *
+    *   P(b|a) = max(c(a,b) − d, 0)/c(a·) + (d·N1+(a·)/c(a·)) · (N1+(·b)/B)
+    *
+    * with d = 0.75 and B the distinct-bigram-type count. Per-doc score =
+    * mean of per-pair probabilities, the [[lmScore]] number discipline:
+    * 6-dp-rounded probs summed as EXACT DECIMAL, one IEEE division, no
+    * final re-round; the probability itself is a fixed left-associated
+    * double chain both engines replay identically (no log, no exp).
+    *
+    * Scale shape: two map-side-combined aggregations over bigram keys
+    * (the [[lmScore]] shapes), the context/continuation tables
+    * vocabulary-bounded, B a one-row broadcast; scoring is one join of
+    * the doc pairs against the vocabulary-bounded model. */
+  def lmScoreKn(docs: DataFrame, d: Double = 0.75): DataFrame = {
+    require(d > 0 && d < 1, s"discount must be in (0,1), got $d")
+    // token arrays in their OWN projection (lambda-CSE rule)
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val pairs = toks.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("pr"))
+      .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+    val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .localCheckpoint() // feeds four aggregates below
+    val ca = cab.groupBy(col("a"))
+      .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1a"))
+    val ctx = cab.groupBy(col("b")).agg(count(lit(1)).as("ctxb"))
+    val tot = cab.agg(count(lit(1)).cast("double").as("bt"))
+    val model = cab.join(ca, "a").join(ctx, "b").crossJoin(broadcast(tot))
+      .select(col("a"), col("b"),
+        ((greatest(col("cab").cast("double") - lit(d), lit(0.0))
+            / col("ca").cast("double"))
+          + ((lit(d) * col("n1a").cast("double")) / col("ca").cast("double"))
+            * (col("ctxb").cast("double") / col("bt"))).as("p"))
+    pairs.join(model, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(round(col("p"), 6).cast("decimal(27,6)")).cast("double") /
+          count(lit(1))).as("score"))
+      .select(col("doc_id"), col("n_pairs"), col("score"))
+  }
+
   /** L75: TRAINED quality/domain classifier — a batch perceptron over
     * the L8 feature vector, weak-supervised by a metadata label (here:
     * lang == 'en'), the fastText/LR-classifier curation stage

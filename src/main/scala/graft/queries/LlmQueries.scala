@@ -216,6 +216,11 @@ object LlmQueries {
     // oracle is the brute-force any-offset restatement
     "llm_dedup_substr" -> ((s, d) => Dedup.dedupSubstr(docsPar(s, d), minRun = 10)),
 
+    // L77: interpolated Kneser-Ney bigram fluency — the production
+    // n-gram smoothing; probability chain replayed verbatim, per-doc
+    // mean under the lmScore exact-decimal discipline
+    "llm_lm_kn" -> ((s, d) => TextAnalysis.lmScoreKn(docsPar(s, d))),
+
     // L76: corpus-release diff — v2 derived deterministically from the
     // fixture (takedowns % 11, re-extractions % 7, crawl additions % 13)
     // so both engines build the same pair of versions
@@ -1125,6 +1130,25 @@ object LlmQueries {
     // (doc_id, pos) first occurrence; later occurrences cover their 10
     // token indices; kept tokens reassemble the doc
     "llm_perceptron" -> perceptronOracle(4),
+
+    "llm_lm_kn" ->
+      s"""WITH $toksCte,
+         |pairs AS (
+         |  SELECT doc_id, unnest(w[1:len(w) - 1]) AS a, unnest(w[2:len(w)]) AS b
+         |  FROM toks WHERE len(w) >= 2),
+         |cab AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY a, b),
+         |ca AS (SELECT a, sum(cab) AS ca, count(*) AS n1a FROM cab GROUP BY a),
+         |ctx AS (SELECT b, count(*) AS ctxb FROM cab GROUP BY b),
+         |tot AS (SELECT count(*)::DOUBLE AS bt FROM cab),
+         |kn AS (SELECT cab.a, cab.b,
+         |         (greatest(cab::DOUBLE - 0.75, 0.0) / ca::DOUBLE)
+         |           + ((0.75 * n1a::DOUBLE) / ca::DOUBLE)
+         |             * (ctxb::DOUBLE / bt) AS p
+         |       FROM cab JOIN ca USING (a) JOIN ctx USING (b) CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_pairs,
+         |       sum(round((p)::VARCHAR::DECIMAL(38,23), 6)::DECIMAL(27,6))::DOUBLE / count(*) AS score
+         |FROM pairs JOIN kn ON kn.a = pairs.a AND kn.b = pairs.b
+         |GROUP BY doc_id""".stripMargin,
 
     "llm_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, text, source FROM documents),

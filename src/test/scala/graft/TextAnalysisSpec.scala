@@ -175,6 +175,63 @@ class TextAnalysisSpec extends SparkSpec {
     assert(elapsedMs < 60000L, s"k=256 took ${elapsedMs} ms")
   }
 
+  test("Kneser-Ney == driver-side textbook reference on a random corpus") {
+    val rnd = new scala.util.Random(67)
+    val vocab = (1 to 12).map(i => s"w$i")
+    val docs = (1L to 25L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val d = docs.toDF("doc_id", "text")
+    // reference KN over the same corpus
+    val pairs = docs.flatMap { case (id, t) =>
+      val w = t.split(" "); w.dropRight(1).zip(w.drop(1)).map(p => (id, p._1, p._2))
+    }
+    val cab = pairs.groupBy(p => (p._2, p._3)).map { case (k, v) => k -> v.size.toLong }
+    val ca = cab.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val n1a = cab.groupBy(_._1._1).map { case (a, m) => a -> m.size.toLong }
+    val ctx = cab.groupBy(_._1._2).map { case (b, m) => b -> m.size.toLong }
+    val bt = cab.size.toDouble
+    def p(a: String, b: String): Double =
+      (math.max(cab((a, b)).toDouble - 0.75, 0.0) / ca(a).toDouble) +
+        ((0.75 * n1a(a).toDouble) / ca(a).toDouble) * (ctx(b).toDouble / bt)
+    val exp = pairs.groupBy(_._1).map { case (id, ps) =>
+      val r6 = ps.map(t => BigDecimal(p(t._2, t._3)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      id -> (ps.size.toLong, (r6.sum.toDouble / ps.size))
+    }
+    val got = TextAnalysis.lmScoreKn(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exp.foreach { case (id, (n, s)) =>
+      assert(got(id)._1 === n)
+      assert(math.abs(got(id)._2 - s) < 1e-12, s"doc $id: ${got(id)._2} vs $s")
+    }
+  }
+
+  test("Kneser-Ney: continuation probability demotes the one-context word") {
+    // 'sf' always follows 'san' (one context); 'the' follows many words.
+    // With equal raw bigram counts for (x sf) and (y the), the unseen-ish
+    // mass routed through continuation must score (y the) higher.
+    val d = Seq(
+      (1L, "san sf san sf san sf san sf"),
+      (2L, "a the b the c the d the"),
+      (3L, "x sf y the")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoreKn(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // direct check: rebuild doc 3's three pair probabilities from corpus
+    // counts (12 bigram types total):
+    // (x,sf):  cab=1, ca(x)=1,  n1a(x)=1,  ctx(sf)=2 {san,x}
+    // (sf,y):  cab=1, ca(sf)=4, n1a(sf)=2, ctx(y)=1  {sf}
+    // (y,the): cab=1, ca(y)=1,  n1a(y)=1,  ctx(the)=5 {a,b,c,d,y}
+    val bt = 12.0
+    val pXsf = (math.max(1 - 0.75, 0.0) / 1.0) + ((0.75 * 1) / 1.0) * (2.0 / bt)
+    val pSfY = (math.max(1 - 0.75, 0.0) / 4.0) + ((0.75 * 2) / 4.0) * (1.0 / bt)
+    val pYthe = (math.max(1 - 0.75, 0.0) / 1.0) + ((0.75 * 1) / 1.0) * (5.0 / bt)
+    // the continuation property: same raw count, same context totals,
+    // but 'the' continues after 5 contexts vs 2 for 'sf'
+    assert(pYthe > pXsf)
+    val r6 = (x: Double) => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(math.abs(got(3L) -
+      ((r6(pXsf) + r6(pSfY) + r6(pYthe)).toDouble / 3)) < 1e-12)
+  }
+
   test("perceptron separates a linearly separable corpus; exact batch updates") {
     import org.apache.spark.sql.functions.col
     // en docs: long, stopword-rich; others: short, stopword-free —
