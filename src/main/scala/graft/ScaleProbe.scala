@@ -97,9 +97,16 @@ object ScaleProbe {
       .groupBy(col("sh")).agg(count(lit(1)).as("df"))
     def joinRows(d: DataFrame) =
       d.agg(sum(expr("df * (df - 1) div 2"))).head().getLong(0)
+    // editdist_cands: the PassJoin candidate pair count before the
+    // levenshtein verify (round-14: the quantity its scale claim rides
+    // on — true pairs grow linearly in the replica construction, so
+    // candidates must too)
+    val ed = graft.operators.EditJoin.candidatePairs(
+      graft.operators.EditJoin.normalized(docs), 8).count()
     Map("minhash_cands" -> mh,
       "ngram_joinrows" -> joinRows(df),
-      "ngram_capped_joinrows" -> joinRows(df.filter(col("df") <= 2)))
+      "ngram_capped_joinrows" -> joinRows(df.filter(col("df") <= 2)),
+      "editdist_cands" -> ed)
   }
 
   def main(args: Array[String]): Unit = {

@@ -41,11 +41,27 @@ import org.apache.spark.sql.functions._
 object EditJoin {
 
   def editDistJoin(docs: DataFrame, t: Int = 8): DataFrame = {
-    require(t >= 1, s"threshold must be >= 1, got $t")
-    val m = t + 1
-    val norm = docs.select(col("doc_id").as("id"),
+    val norm = normalized(docs)
+    candidatePairs(norm, t)
+      .join(norm.select(col("id").as("a"), col("s").as("sa")), "a")
+      .join(norm.select(col("id").as("b"), col("s").as("sb")), "b")
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), t))
+      .filter(col("dist") >= 0)
+      .select(col("a").as("i"), col("b").as("j"),
+        col("dist").cast("bigint").as("dist"))
+  }
+
+  private[graft] def normalized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("id"),
         TextOps.normalize(col("text")).as("s"))
       .withColumn("len", length(col("s")))
+
+  /** The distinct candidate pair set BEFORE the levenshtein verify — the
+    * probe surface: candidate growth is the quantity the scale claim
+    * rides on (ScaleProbe measures it at 1× vs 10×). */
+  private[graft] def candidatePairs(norm: DataFrame, t: Int): DataFrame = {
+    require(t >= 1, s"threshold must be >= 1, got $t")
+    val m = t + 1
 
     // ---- PassJoin core: both sides have >= t+1 chars ----
     val long = norm.filter(col("len") >= m)
@@ -109,15 +125,6 @@ object EditJoin {
       .filter(col("ia") =!= col("ib"))
       .select(least(col("ia"), col("ib")).as("a"),
         greatest(col("ia"), col("ib")).as("b"))
-    val allPairs = passPairs.unionAll(shortPairs)
-
-    // ---- verify: threshold-bounded Levenshtein on the candidates ----
-    allPairs.distinct()
-      .join(norm.select(col("id").as("a"), col("s").as("sa")), "a")
-      .join(norm.select(col("id").as("b"), col("s").as("sb")), "b")
-      .withColumn("dist", levenshtein(col("sa"), col("sb"), t))
-      .filter(col("dist") >= 0)
-      .select(col("a").as("i"), col("b").as("j"),
-        col("dist").cast("bigint").as("dist"))
+    passPairs.unionAll(shortPairs).distinct()
   }
 }
