@@ -304,23 +304,32 @@ object Backtest {
       lit(0.0).as("price"), $"entry_time", $"entry_price", $"n_closed", $"open")
     sigEv.unionByName(stEv).as[LiveTradeEvent]
       .groupByKey(e => (e.pair, e.timeframe))
-      .flatMapSortedGroups($"time", $"kind") { case ((pair, tf), rows) =>
+      .flatMapSortedGroups($"time", $"kind", $"event_type") { case ((pair, tf), rows) =>
         val out = Vector.newBuilder[LiveTradeFold]
         var open = false
         var entryT: Timestamp = null
         var entryP = 0.0
         var n = 0L
         var last: Timestamp = null
+        var frontier: Timestamp = null
         var sigSeen = false
         rows.foreach { e =>
           if (e.kind == 0) {
+            // a signal sorting BEFORE the state row is strictly earlier
+            // than the frontier — caught here via sigSeen
             require(!sigSeen,
               s"signal at or before the folded frontier for $pair/$tf — " +
                 "the live ordering contract broke; refusing to re-pair history")
             open = e.open; entryT = e.entry_time; entryP = e.entry_price
-            n = e.n_closed; last = e.time
+            n = e.n_closed; last = e.time; frontier = e.time
           } else {
             sigSeen = true
+            // a signal AT the frontier sorts after the kind-0 state row
+            // (same time, kind 1 > 0) — catch the equality case here so
+            // "at or before" fails loudly as documented, not just "before"
+            require(frontier == null || e.time.after(frontier),
+              s"signal at or before the folded frontier for $pair/$tf — " +
+                "the live ordering contract broke; refusing to re-pair history")
             e.event_type match {
               case "BUY" if !open =>
                 open = true; entryT = e.time; entryP = e.price

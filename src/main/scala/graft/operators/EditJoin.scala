@@ -119,7 +119,7 @@ object EditJoin {
     val shorts = norm.filter(col("len") < m)
     val shortPairs = shorts
       .select(col("id").as("ia"),
-        explode(sequence(greatest(col("len") - t, lit(1)),
+        explode(sequence(greatest(col("len") - t, lit(0)),
           col("len") + t)).as("plen"))
       .join(norm.select(col("id").as("ib"), col("len").as("plen")), Seq("plen"))
       .filter(col("ia") =!= col("ib"))

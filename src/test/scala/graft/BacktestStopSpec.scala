@@ -47,4 +47,50 @@ class BacktestStopSpec extends SparkSpec {
     assert(out.length === 1 && out(0).reason === Some("SL")
       && out(0).exit_price === Some(90.0))
   }
+
+  private def liveSignals(rows: (String, String, java.sql.Timestamp, String, Double)*) =
+    rows.toDF("pair", "trigger_indicator_timeframe", "event_datetime",
+      "event_type", "price")
+
+  private def liveState(rows: (String, String, java.sql.Timestamp, java.sql.Timestamp,
+      Double, Long, Boolean)*) =
+    rows.toDF("pair", "timeframe", "last_time", "entry_time", "entry_price",
+      "n_closed", "open")
+
+  test("tradesIncremental fails loudly on a signal AT the folded frontier (not just before)") {
+    // state frontier = t(5); a signal at exactly t(5) sorts AFTER the
+    // kind-0 state row (kind 1 > 0) — the scaladoc promises "at or
+    // before" fails loudly, so equality must trip the guard too
+    val st = liveState(("A", "1min", t(5), t(3), 100.0, 2L, true))
+    val atFrontier = liveSignals(("A", "1min", t(5), "SELL", 105.0))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Backtest.tradesIncremental(st, atFrontier).collect()
+    }
+    assert(ex.getMessage.contains("folded frontier")
+      || Option(ex.getCause).exists(_.getMessage.contains("folded frontier")))
+    // strictly-before still fails via the sigSeen path
+    val before = liveSignals(("A", "1min", t(4), "SELL", 105.0))
+    intercept[org.apache.spark.SparkException] {
+      Backtest.tradesIncremental(st, before).collect()
+    }
+    // strictly-after folds cleanly
+    val after = liveSignals(("A", "1min", t(6), "SELL", 105.0))
+    val ok = Backtest.tradesIncremental(st, after).collect()
+    assert(ok.count(!_.is_state) === 1 && ok.filter(!_.is_state).head.pnl === Some(5.0))
+  }
+
+  test("tradesIncremental same-timestamp signals fold in (time, kind, event_type) order" +
+      " — the batch trades tie-break") {
+    // two signals at the same instant: BUY sorts before SELL
+    // (event_type asc), matching Backtest.trades' (time, event_type)
+    // sort, so the pair closes deterministically as one round trip
+    val sigs = liveSignals(
+      ("A", "1min", t(1), "SELL", 110.0),
+      ("A", "1min", t(1), "BUY", 100.0))
+    val out = Backtest.tradesIncremental(liveState(), sigs).collect()
+    val closed = out.filter(!_.is_state)
+    assert(closed.length === 1 && closed.head.pnl === Some(10.0))
+    val st = out.filter(_.is_state).head
+    assert(!st.open && st.n_closed === 1L)
+  }
 }

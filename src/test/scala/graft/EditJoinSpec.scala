@@ -83,6 +83,23 @@ class EditJoinSpec extends SparkSpec {
     assert(got.contains((2L, 3L, 4L)))
   }
 
+  test("empty-normalized docs (whitespace-only) pair at dist 0 and within t of short docs") {
+    // blank/whitespace-only docs are common in crawls; their normalized
+    // text is "" (len 0) — the degenerate path's partner-length window
+    // must include plen = 0 or these pairs are silently dropped
+    val d = docs(
+      1L -> "   ",
+      2L -> "\t  \t",
+      3L -> "ab",
+      4L -> "abcdefgh")
+    val t = 2
+    val got = collectPairs(EditJoin.editDistJoin(d, t))
+    val exp = collectPairs(brute(d, t))
+    assert(exp.contains((1L, 2L, 0L)), "oracle must see the empty-empty pair")
+    assert(exp.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 2L))
+    assert(got === exp)
+  }
+
   test("whitespace normalization applies before distance (case/space variants at dist 0)") {
     val d = docs(
       1L -> "Hello   World",
