@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.Files
 
 import graft.functions.MisraGries
-import graft.operators.{CorpusPrep, Dedup, EditJoin, Multimodal, Similarity, TextAnalysis, TextOps}
+import graft.operators.{CorpusPrep, Dedup, EditJoin, Multimodal, Similarity, TextAnalysis, TextOps, Unigram}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -118,6 +118,96 @@ object LlmQueries {
        |       CASE WHEN $m >= 0 THEN 1 ELSE -1 END AS pred
        |FROM feats f, p$epochs w""".stripMargin
   }
+
+  /** One probability-domain Viterbi pass (DuckDB twin of
+    * [[graft.operators.Unigram.viterbi]]) under model CTE `p$i` with total
+    * CTE `t$i`: cand$i pre-lists, per (word, end-position), the candidate
+    * piece probabilities ps[l] (l = 1..min(6, e); unknown singles floored
+    * at 1/T, unknown multis 0); walk$i is the recursive DP carrying
+    * fixed-width windows of the last 6 best values (`wb`, one IEEE mult
+    * per candidate — no transcendentals, same argmax as Σlog), best-path
+    * piece counts (`wc`) and piece-length paths (`wp`); ties take the
+    * longest piece (list_filter max-index, the Spark fold's `>=` twin). */
+  private def unigramViterbi(i: Int): String =
+    s"""cand$i AS MATERIALIZED (
+       |  SELECT word, e, list(pv ORDER BY l) AS ps FROM (
+       |    SELECT c.word, c.e, c.l,
+       |           CASE WHEN c.l = 1
+       |                THEN coalesce(p.p, (SELECT CAST(1 AS DOUBLE) / (t)::DOUBLE FROM t$i))
+       |                ELSE coalesce(p.p, CAST(0 AS DOUBLE)) END AS pv
+       |    FROM (SELECT word, e, unnest(range(1, least(6, e) + 1)) AS l
+       |          FROM (SELECT word, unnest(range(1, length(word) + 1)) AS e
+       |                FROM wd)) c
+       |    LEFT JOIN p$i p ON p.piece = substr(c.word, c.e - c.l + 1, c.l))
+       |  GROUP BY word, e),
+       |walk$i AS (
+       |  SELECT word, 0 AS e,
+       |         [1, 0, 0, 0, 0, 0]::DOUBLE[] AS wb,
+       |         [0, 0, 0, 0, 0, 0]::BIGINT[] AS wc,
+       |         [[], [], [], [], [], []]::BIGINT[][] AS wp
+       |  FROM wd
+       |  UNION ALL
+       |  SELECT word, e, list_prepend(b, wb[1:5]),
+       |         list_prepend(wc[ls] + 1, wc[1:5]),
+       |         list_prepend(list_append(wp[ls], ls), wp[1:5])
+       |  FROM (
+       |    SELECT word, e, wb, wc, wp,
+       |           list_aggregate(cands, 'max') AS b,
+       |           list_aggregate(list_filter(range(1, len(cands) + 1),
+       |             l -> cands[l] = list_aggregate(cands, 'max')), 'max') AS ls
+       |    FROM (SELECT w$i.word, w$i.e + 1 AS e, w$i.wb AS wb, w$i.wc AS wc,
+       |                 w$i.wp AS wp,
+       |                 list_transform(range(1, len(c.ps) + 1),
+       |                   l -> w$i.wb[l] * c.ps[l]) AS cands
+       |          FROM walk$i w$i JOIN cand$i c
+       |            ON c.word = w$i.word AND c.e = w$i.e + 1)))""".stripMargin
+
+  /** The shared unigram-LM training chain (topV=120, maxPiece=6, keepV=60,
+    * one hard-EM round): seed freqs → p0 → Viterbi pass 0 → decoded usage
+    * → singles add-one floor + keepV prune → m1/t1 (the trained model). */
+  private val unigramChain: String =
+    s"""WITH RECURSIVE $toksCte,
+       |wd AS (SELECT word, count(*)::BIGINT AS cnt
+       |       FROM (SELECT unnest(w) AS word FROM toks)
+       |       WHERE word IS NOT NULL AND word <> '' GROUP BY word),
+       |sf AS (SELECT substr(word, i + 1, l) AS piece, sum(cnt) AS freq
+       |       FROM (SELECT word, cnt, i,
+       |                    unnest(range(1, least(6, length(word) - i) + 1)) AS l
+       |             FROM (SELECT word, cnt, unnest(range(0, length(word))) AS i
+       |                   FROM wd))
+       |       GROUP BY 1),
+       |sing AS (SELECT piece, freq FROM sf WHERE length(piece) = 1),
+       |m0 AS MATERIALIZED (
+       |  SELECT piece, freq AS used FROM sing
+       |  UNION ALL
+       |  SELECT piece, freq AS used FROM (
+       |    SELECT piece, freq FROM sf WHERE length(piece) >= 2
+       |    ORDER BY freq DESC, piece LIMIT 120)),
+       |t0 AS (SELECT sum(used) AS t FROM m0),
+       |p0 AS MATERIALIZED (
+       |  SELECT piece, (used)::DOUBLE / (SELECT (t)::DOUBLE FROM t0) AS p FROM m0),
+       |${unigramViterbi(0)},
+       |dec0 AS (SELECT w.word, wd.cnt, w.wp[1] AS lens
+       |         FROM walk0 w JOIN wd ON wd.word = w.word
+       |         WHERE w.e = length(w.word)),
+       |u0 AS (SELECT piece, sum(cnt)::BIGINT AS used FROM (
+       |         SELECT cnt, substr(word,
+       |                  (1 + coalesce(list_aggregate(lens[1:j-1], 'sum'), 0))::BIGINT,
+       |                  lens[j]) AS piece
+       |         FROM (SELECT word, cnt, lens,
+       |                      unnest(range(1, len(lens) + 1)) AS j
+       |               FROM dec0))
+       |       GROUP BY 1),
+       |m1 AS MATERIALIZED (
+       |  SELECT s.piece, (coalesce(u.used, 0) + 1)::BIGINT AS used
+       |  FROM sing s LEFT JOIN u0 u ON u.piece = s.piece
+       |  UNION ALL
+       |  SELECT piece, used FROM (
+       |    SELECT piece, used FROM u0 WHERE length(piece) >= 2
+       |    ORDER BY used DESC, piece LIMIT 15)),
+       |t1 AS (SELECT sum(used) AS t FROM m1),
+       |p1 AS MATERIALIZED (
+       |  SELECT piece, (used)::DOUBLE / (SELECT (t)::DOUBLE FROM t1) AS p FROM m1)""".stripMargin
 
   /** Distinct 3-word shingle sets (DuckDB twin of [[graft.operators.TextOps.shingles]]). */
   private val shingleCte =
@@ -256,6 +346,21 @@ object LlmQueries {
     "llm_wordpiece" -> ((s, d) =>
       TextAnalysis.wordpieceEncode(docsPar(s, d),
         TextAnalysis.wordpieceVocab(docsPar(s, d), topV = 200, maxPiece = 6))),
+
+    // L78: unigram-LM (SentencePiece) tokenizer — frequency-seeded vocab
+    // (singles + top-120 substrings len 2..6), ONE hard-EM round (Viterbi
+    // decode in the probability domain — no transcendentals — usage
+    // re-count, singles add-one floor, prune to 15 multis), then the
+    // max-likelihood encode; oracle replays both Viterbi passes as
+    // window-list recursive CTEs, bit-for-bit
+    "llm_unigram_lm" -> ((s, d) =>
+      Unigram.encode(docsPar(s, d),
+        Unigram.train(docsPar(s, d), topV = 120, maxPiece = 6, keepV = 15))),
+
+    // L78 (model surface): the trained unigram vocabulary after the EM
+    // round — exact integer usage counts, the prune cut proven row-by-row
+    "llm_unigram_vocab" -> ((s, d) =>
+      Unigram.train(docsPar(s, d), topV = 120, maxPiece = 6, keepV = 15)),
 
     // L70: edit-distance similarity join (PassJoin segment pigeonhole,
     // levenshtein <= 8 verify) — lossless candidates, so the gate proves
@@ -1221,6 +1326,20 @@ object LlmQueries {
          |FROM (SELECT doc_id, unnest(w) AS word FROM toks) t
          |JOIN np ON np.word = t.word
          |GROUP BY t.doc_id""".stripMargin,
+
+    "llm_unigram_lm" ->
+      s"""$unigramChain,
+         |${unigramViterbi(1)},
+         |np AS (SELECT w.word, w.wc[1] AS np FROM walk1 w
+         |       WHERE w.e = length(w.word))
+         |SELECT t.doc_id, count(*)::BIGINT AS n_ws, sum(np.np)::BIGINT AS n_pieces
+         |FROM (SELECT doc_id, unnest(w) AS word FROM toks) t
+         |JOIN np ON np.word = t.word
+         |GROUP BY t.doc_id""".stripMargin,
+
+    "llm_unigram_vocab" ->
+      s"""$unigramChain
+         |SELECT piece, used FROM m1""".stripMargin,
 
     "llm_editdist_join" ->
       """WITH n AS (SELECT doc_id,
