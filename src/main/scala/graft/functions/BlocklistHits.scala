@@ -33,10 +33,11 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
   // primitive arrays, no boxing, no hash probes (Character.valueOf only
   // caches code units <= 127, so a map-based loop would allocate per
   // char on any non-ASCII text)
-  private val frozen: (Array[Array[Char]], Array[Array[Int]], Array[Int], Array[Long]) = {
+  private val frozen: (Array[Array[Char]], Array[Array[Int]], Array[Int], Array[Long], Array[Int]) = {
     val maps = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.TreeMap.empty[Char, Int])
     val ends = scala.collection.mutable.ArrayBuffer(0L)
+    val plen = scala.collection.mutable.ArrayBuffer(0)
     patterns.foreach { p =>
       var s = 0
       p.foreach { c =>
@@ -45,21 +46,25 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
           case None =>
             maps += scala.collection.mutable.TreeMap.empty[Char, Int]
             ends += 0L
+            plen += 0
             maps(s).put(c, maps.length - 1)
             s = maps.length - 1
         }
       }
       ends(s) += 1
+      plen(s) = p.length // distinct patterns: one end node each
     }
     val fl = new Array[Int](maps.length)
     val out = ends.toArray
-    // BFS: failure links + output-count collapse (fail(u) is shallower
-    // than u, so out(fail(u)) is final when u is popped)
+    val ml = plen.toArray
+    // BFS: failure links + output-count / max-match-length collapse
+    // (fail(u) is shallower than u, so its values are final when u pops)
     val queue = scala.collection.mutable.ArrayDeque.empty[Int]
     maps(0).foreach { case (_, v) => fl(v) = 0; queue.append(v) }
     while (queue.nonEmpty) {
       val u = queue.removeHead()
       out(u) += out(fl(u))
+      ml(u) = math.max(ml(u), ml(fl(u)))
       maps(u).foreach { case (c, v) =>
         var f = fl(u)
         while (f != 0 && !maps(f).contains(c)) f = fl(f)
@@ -69,12 +74,13 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
       }
     }
     (maps.map(_.keysIterator.toArray).toArray,
-      maps.map(_.valuesIterator.toArray).toArray, fl, out)
+      maps.map(_.valuesIterator.toArray).toArray, fl, out, ml)
   }
   private val charArr = frozen._1
   private val nextArr = frozen._2
   private val fail = frozen._3
   private val cumOut = frozen._4
+  private val maxOutLen = frozen._5
 
   /** goto(state, c) with failure-link fallback; allocation-free. */
   private def step(state: Int, c: Char): Int = {
@@ -109,6 +115,38 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
     }
     hits
   }
+
+  /** Scrub pass: every character inside ANY match span is masked (or
+    * dropped, `remove = true`) — the union-of-spans semantics, which a
+    * single longest-match per END position realizes exactly (a shorter
+    * match ending at the same place lies inside the longest one, so only
+    * the per-node MAX dict-suffix length matters). One automaton walk;
+    * per-hit marking is O(match length), so the worst case is
+    * O(chars · longest pattern) on pathological self-overlapping text and
+    * O(chars) on real blocklists. */
+  def scrub(s: String, mask: Char, remove: Boolean): String = {
+    var state = 0
+    val n = s.length
+    val covered = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      state = step(state, s.charAt(i))
+      val ml = maxOutLen(state)
+      if (ml > 0) {
+        var j = i - ml + 1
+        while (j <= i) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
+    while (i < n) {
+      if (!covered(i)) sb.append(s.charAt(i))
+      else if (!remove) sb.append(mask)
+      i += 1
+    }
+    sb.toString
+  }
 }
 
 /** Native Catalyst expression: total blocklist hits in a string column.
@@ -139,4 +177,36 @@ case class BlocklistHits(child: Expression, patterns: Seq[String])
 object BlocklistHits {
   def apply(text: Column, patterns: Seq[String]): Column =
     Bridge.column(BlocklistHits(Bridge.expression(text), patterns))
+}
+
+/** Native Catalyst expression: the [[AhoCorasick.scrub]] curation action —
+  * blocklist match spans masked (offset-preserving PII/contamination
+  * masking) or removed. Same plan-shipped automaton and codegen shape as
+  * [[BlocklistHits]]; one walk per row regardless of blocklist size. */
+case class BlocklistScrub(child: Expression, patterns: Seq[String],
+                          mask: Char, remove: Boolean)
+    extends UnaryExpression with StringInputCast {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "blocklist_scrub"
+  override protected def withNewChildInternal(newChild: Expression): BlocklistScrub =
+    copy(child = newChild)
+
+  @transient private lazy val ac = new AhoCorasick(patterns.toArray)
+
+  override def nullSafeEval(t: Any): Any =
+    UTF8String.fromString(ac.scrub(t.asInstanceOf[UTF8String].toString, mask, remove))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("blocklistAc", ac,
+      classOf[AhoCorasick].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString($acRef.scrub($c.toString(), (char) ${mask.toInt}, $remove))")
+  }
+}
+
+object BlocklistScrub {
+  def apply(text: Column, patterns: Seq[String], mask: Char = '*',
+            remove: Boolean = false): Column =
+    Bridge.column(BlocklistScrub(Bridge.expression(text), patterns, mask, remove))
 }

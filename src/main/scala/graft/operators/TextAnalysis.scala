@@ -526,6 +526,21 @@ object TextAnalysis {
         graft.functions.BlocklistHits(col("text"), patterns).as("hits"))
       .filter(col("hits") > 0)
 
+  /** L74b: blocklist SCRUB — the curation action behind the tag: every
+    * character inside any blocklist match span is masked
+    * (offset-preserving, the PII/contamination convention) and, in the
+    * second column, removed. Union-of-spans semantics via the same
+    * automaton as [[blocklistHits]] with per-node longest-match collapse
+    * ([[graft.functions.BlocklistScrub]]); both variants stay native
+    * codegen expressions, so the scan is shuffle-free and per-row cost is
+    * independent of blocklist size. All docs are emitted (clean docs pass
+    * through unchanged — the scrub is a map, not a filter). */
+  def blocklistScrub(docs: DataFrame, patterns: Seq[String]): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.BlocklistScrub(col("text"), patterns).as("masked_text"),
+      graft.functions.BlocklistScrub(col("text"), patterns, remove = true)
+        .as("scrubbed_text"))
+
   /** L73 (training): WordPiece-style vocabulary — every single character
     * plus the `topV` most frequent multi-character substrings (length
     * 2..maxPiece) of the corpus's words, occurrence-weighted by word

@@ -340,6 +340,13 @@ object LlmQueries {
       TextAnalysis.blocklistHits(docsPar(s, d),
         Seq("scan slow", "low", "table", "merge batch", "qu", "row"))),
 
+    // L74b: blocklist scrub — mask AND remove variants of the same
+    // automaton with longest-match span union; oracle restates coverage
+    // per position (a char is touched iff some occurrence spans it)
+    "llm_blocklist_scrub" -> ((s, d) =>
+      TextAnalysis.blocklistScrub(docsPar(s, d),
+        Seq("scan slow", "low", "table", "merge batch", "qu", "row"))),
+
     // L73: WordPiece tokenizer — singles + top-200 substrings (len 2..6)
     // trained on the corpus, then greedy longest-match-first encoding via
     // pointer doubling; oracle replays the walk as a recursive CTE
@@ -1288,6 +1295,27 @@ object LlmQueries {
         |  FROM documents d CROSS JOIN pats p)
         |SELECT doc_id, sum(cnt)::BIGINT AS hits
         |FROM c GROUP BY doc_id HAVING sum(cnt) > 0""".stripMargin,
+
+    "llm_blocklist_scrub" ->
+      """WITH pats AS (
+        |  SELECT unnest(['scan slow','low','table','merge batch','qu','row']) AS p),
+        |pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |        FROM documents),
+        |cov AS (
+        |  SELECT doc_id, i, substr(text, i, 1) AS ch,
+        |         CASE WHEN EXISTS (SELECT 1 FROM pats
+        |                 WHERE len(list_filter(
+        |                     range(greatest(1, i - length(p) + 1), i + 1),
+        |                     s -> substr(text, s, length(p)) = p)) > 0)
+        |              THEN 1 ELSE 0 END AS c
+        |  FROM pos),
+        |agg AS (SELECT doc_id,
+        |          string_agg(CASE WHEN c = 1 THEN '*' ELSE ch END, '' ORDER BY i) AS masked,
+        |          string_agg(CASE WHEN c = 0 THEN ch END, '' ORDER BY i) AS removed
+        |        FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.masked, '') AS masked_text,
+        |       coalesce(a.removed, '') AS scrubbed_text
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
 
     "llm_wordpiece" ->
       s"""WITH RECURSIVE $toksCte,

@@ -57,6 +57,44 @@ class BlocklistSpec extends SparkSpec {
     assert(got === 4L)
   }
 
+  /** Brute-force scrub reference: union of all match spans, mask or drop. */
+  private def refScrub(text: String, pats: Seq[String], remove: Boolean): String = {
+    val covered = Array.fill(text.length)(false)
+    for (p <- pats; i <- 0 to text.length - p.length
+         if text.regionMatches(i, p, 0, p.length); j <- i until i + p.length)
+      covered(j) = true
+    text.zipWithIndex.flatMap { case (c, i) =>
+      if (!covered(i)) Some(c) else if (remove) None else Some('*')
+    }.mkString
+  }
+
+  test("scrub masks the union of spans — nested, overlapping, back-extending") {
+    // "low" inside "slow"-matching span; "bc"@6 then "abcdef"@4 extends
+    // the union BACKWARD past an earlier match's start
+    val pats = Seq("slow", "low", "bc", "abcdef")
+    val d = docs(1L -> "slow xabcdefx", 2L -> "clean", 3L -> "ababcdef")
+    val got = TextAnalysis.blocklistScrub(d, pats).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got(0) === ((1L, "**** x******x", " xx")))
+    assert(got(1) === ((2L, "clean", "clean")))
+    // "ababcdef": "bc"@3 covers [3,4]; "abcdef"@3(0-based 2) covers [3,8]
+    assert(got(2) === ((3L, "ab******", "ab")))
+  }
+
+  test("scrub == brute-force span-union reference on random text (both modes)") {
+    val rnd = new scala.util.Random(31)
+    val alpha = "abc d"
+    def rs(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val pats = (1 to 12).map(_ => rs(1 + rnd.nextInt(4))).distinct
+    val rows = (1L to 50L).map(i => i -> rs(20 + rnd.nextInt(200)))
+    val got = TextAnalysis.blocklistScrub(docs(rows: _*), pats)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    rows.foreach { case (id, text) =>
+      assert(got(id)._1 === refScrub(text, pats, remove = false), s"mask doc $id")
+      assert(got(id)._2 === refScrub(text, pats, remove = true), s"remove doc $id")
+    }
+  }
+
   test("null text rows drop; duplicate patterns rejected") {
     val d = Seq((1L, "low key"), (2L, null)).toDF("doc_id", "text")
     val got = TextAnalysis.blocklistHits(d, Seq("low")).collect()
