@@ -182,7 +182,9 @@ object CorpusPrep {
     * divides by the count — every input to the final rounding is
     * bit-identical regardless of aggregation order. */
   def corpusStats(cleaned: DataFrame): DataFrame =
-    TextAnalysis.stats(cleaned)
+    // the per-doc stats frame is CORPUS-scale and stats-blind (its plan
+    // descends the token explode): pinned shuffled build on doc_id
+    TextAnalysis.stats(cleaned).hint("shuffle_hash")
       .join(cleaned.select("doc_id", "lang", "source"), "doc_id")
       .groupBy(col("lang"), col("source"))
       .agg(
@@ -403,7 +405,8 @@ object CorpusPrep {
     * train/val/test balance before training). Same order-insensitive
     * decimal summation as [[corpusStats]]. */
   def splitStats(cleanedSplit: DataFrame): DataFrame =
-    TextAnalysis.stats(cleanedSplit)
+    // corpus-scale stats-blind build, same pin as [[corpusStats]]
+    TextAnalysis.stats(cleanedSplit).hint("shuffle_hash")
       .join(cleanedSplit.select("doc_id", "split"), "doc_id")
       .groupBy(col("split"))
       .agg(

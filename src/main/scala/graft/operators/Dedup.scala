@@ -198,7 +198,10 @@ object Dedup {
     * Two id-keyed joins re-attach the shingle sets — proportional to the
     * candidate count, not n². */
   def verifyJaccard(cands: DataFrame, shingleSets: DataFrame, threshold: Double): DataFrame =
-    cands
+    // the candidate pair set is dup-rate-proportional — corpus-growing,
+    // stats-blind (post-Generate): pin it as a SHUFFLED build side, never
+    // let Catalyst broadcast it off a bogus size estimate
+    cands.hint("shuffle_hash")
       .join(shingleSets.select(col("doc_id").as("i"), col("shingles").as("si")), "i")
       .join(shingleSets.select(col("doc_id").as("j"), col("shingles").as("sj")), "j")
       .withColumn("jaccard",
@@ -280,9 +283,11 @@ object Dedup {
     // constant-space per key, so pre-count and semi-join away over-cap
     // shingles; only survivors reach collect_list.
     val eligible = maxDf.fold(exploded) { cap =>
+      // the under-cap shingle valve is shingle-TYPE-scale (corpus-growing)
+      // and stats-blind: pin the shuffled build, never broadcast
       val ok = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select(col("sh"))
-      exploded.join(ok, Seq("sh"), "left_semi")
+      exploded.join(ok.hint("shuffle_hash"), Seq("sh"), "left_semi")
     }
     eligible.groupBy(col("sh"))
       .agg(array_sort(collect_list(struct(col("doc_id"), col("sz")))).as("ds"))
@@ -364,7 +369,8 @@ object Dedup {
           count(when(col("side") === 1, lit(1))).as("dfe"))
         .filter(col("dft") <= cap && col("dfe") <= cap)
         .select(col("sh"))
-      posts.join(ok, Seq("sh"), "left_semi")
+      // shingle-type-scale valve, stats-blind: pinned shuffled build
+      posts.join(ok.hint("shuffle_hash"), Seq("sh"), "left_semi")
     }
     // one groupBy builds both sides' postings; collect_list drops the
     // other side's nulls, so each shingle row holds (train ids, eval ids)
@@ -388,9 +394,11 @@ object Dedup {
     * [[decontaminate]]. */
   def removeContaminated(train: DataFrame, evalDocs: DataFrame, n: Int = 3,
                          minShared: Long = 2L, maxDf: Option[Int] = None): DataFrame =
+    // the contaminated-id set is contamination-rate-proportional (corpus-
+    // growing worst case) and stats-blind: pinned shuffled build
     train.join(
       decontaminate(train, evalDocs, n, minShared, maxDf)
-        .select(col("train_id")).distinct(),
+        .select(col("train_id")).distinct().hint("shuffle_hash"),
       col("doc_id") === col("train_id"), "left_anti")
 
   /** 60-bit term-frequency-weighted SimHash per doc, built from the portable
@@ -534,7 +542,10 @@ object Dedup {
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("h"), lit(true).as("bp"))
-    segs.join(bp, Seq("h"), "left")
+    // the "no broadcast assumption" above, made EXPLICIT: the boilerplate
+    // set is stats-blind (post-Generate aggregate) and corpus-growing on
+    // templated crawls — pin the shuffled build
+    segs.join(bp.hint("shuffle_hash"), Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_spans"),
@@ -608,7 +619,9 @@ object Dedup {
       posexplode(col("toks")).as(Seq("idx", "tok")))
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tokens.join(events, Seq("doc_id", "idx"), "left")
+    // coverage events are dup-rate-proportional (corpus-growing) and
+    // stats-blind: pinned shuffled build on the co-grouped key
+    tokens.join(events.hint("shuffle_hash"), Seq("doc_id", "idx"), "left")
       .withColumn("cov", sum(coalesce(col("d"), lit(0L))).over(wd))
       .groupBy(col("doc_id"))
       .agg(
@@ -658,8 +671,11 @@ object Dedup {
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
     val covered = gramsOf(toks, minRun)
       .withColumn("rn", row_number().over(w))
-      .join(index.select(col("h"), lit(true).as("seen")).distinct(),
-        Seq("h"), "left")
+      // the gram index is STANDING-CORPUS-scale (the whole point of the
+      // incremental form): pin the shuffled build — a broadcast of years
+      // of corpus grams is the r14 trap class exactly
+      .join(index.select(col("h"), lit(true).as("seen")).distinct()
+        .hint("shuffle_hash"), Seq("h"), "left")
       .filter(col("seen").isNotNull || col("rn") > 1)
       .select(col("doc_id"), col("pos"))
     coverAndReassemble(toks, covered, minRun)
@@ -696,8 +712,11 @@ object Dedup {
     var ranks = nodes.crossJoin(cnt)
       .select(col("v"), (lit(1.0) / col("n").cast("double")).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = ranks.join(nodes, "v")
-        .join(edges, col("v") === col("src"))
+      // ranks/nodes/edges are all GRAPH-scale and stats-blind (the edge
+      // set is a checkpoint'd RDD): pin every iteration join shuffled —
+      // a broadcast edge list per round is the r14 trap times iters
+      val contrib = ranks.join(nodes.hint("shuffle_hash"), "v")
+        .join(edges.hint("shuffle_hash"), col("v") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(round(col("rank") / col("deg").cast("double"), 6)
           .cast("decimal(27,6)")).as("c"))
@@ -754,7 +773,9 @@ object Dedup {
     * top. */
   def dupMatrix(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    nearDupMinhash(docs, threshold = threshold)
+    // the near-dup pair set is dup-rate-proportional and stats-blind:
+    // pinned shuffled build against the source dim
+    nearDupMinhash(docs, threshold = threshold).hint("shuffle_hash")
       .join(src.select(col("doc_id").as("i"), col("source").as("src_i")), "i")
       .join(src.select(col("doc_id").as("j"), col("source").as("src_j")), "j")
       .groupBy(least(col("src_i"), col("src_j")).as("source_a"),

@@ -55,7 +55,10 @@ object IntervalJoin {
           expr(s"${p}start_s div $bucketSec") + col("_nrep") - 1)))
         .drop("_nrep")
     }
-    side(left, lPrefix).join(side(right, rPrefix), Seq("bkt"))
+    // both sides are EVENT-scale bucket replicas below a Generate — the
+    // size estimate is bogus and a broadcast of either side is the r14
+    // trap: pin the shuffled hash join on the bucket key
+    side(left, lPrefix).join(side(right, rPrefix).hint("shuffle_hash"), Seq("bkt"))
       .filter(col(s"${lPrefix}start_s") <= col(s"${rPrefix}end_s") &&
         col(s"${rPrefix}start_s") <= col(s"${lPrefix}end_s"))
       // one-bucket attribution: both sides cover the overlap's left edge,

@@ -265,7 +265,9 @@ object Similarity {
     val cands = topKPerQuery(coarse, candFactor * k).select(col("qid"), col("cid"))
     val corpus = prep(embs).select(col("id").as("cid"), col("emb"))
     val qv = prep(queries).select(col("id").as("qid"), col("emb").as("qemb"))
-    val exact = cands
+    // candidate list = |queries|·candFactor·k rows — query-set-scale,
+    // stats-blind: pinned shuffled build against the corpus side
+    val exact = cands.hint("shuffle_hash")
       .join(corpus, "cid")
       .join(broadcast(qv), "qid")
       .select(col("qid"), col("cid"), cosine(col("qemb"), col("emb")).as("score"))
@@ -397,7 +399,9 @@ object Similarity {
     val cands = topKPerQuery(approx, candFactor * k).select(col("qid"), col("cid"))
     val corpus = prep(embs).select(col("id").as("cid"), col("emb"))
     val qv = prep(queries).select(col("id").as("qid"), col("emb").as("qemb"))
-    val exact = cands
+    // candidate list = |queries|·candFactor·k rows — query-set-scale,
+    // stats-blind: pinned shuffled build against the corpus side
+    val exact = cands.hint("shuffle_hash")
       .join(corpus, "cid")
       .join(broadcast(qv), "qid")
       .select(col("qid"), col("cid"), cosine(col("qemb"), col("emb")).as("score"))
@@ -592,7 +596,9 @@ object Similarity {
     val cands = topKPerQuery(approx, candFactor * k).select(col("qid"), col("cid"))
     val corpus = prep(embs).select(col("id").as("cid"), col("emb"))
     val qv = prep(queries).select(col("id").as("qid"), col("emb").as("qemb"))
-    val exact = cands
+    // candidate list = |queries|·candFactor·k rows — query-set-scale,
+    // stats-blind: pinned shuffled build against the corpus side
+    val exact = cands.hint("shuffle_hash")
       .join(corpus, "cid")
       .join(broadcast(qv), "qid")
       .select(col("qid"), col("cid"), cosine(col("qemb"), col("emb")).as("score"))

@@ -335,9 +335,13 @@ object TextAnalysis {
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val tot = cu.agg(sum(col("c")).cast("double").as("ut"))
       .crossJoin(cb.agg(sum(col("cab")).cast("double").as("bt")))
+    // bigram/unigram count tables are TYPE-scale (Heaps-growing) and
+    // stats-blind: pin the unigram sides as shuffled builds
     cb.filter(col("cab") >= minCount)
-      .join(cu.select(col("tok").as("t1"), col("c").as("c1")), "t1")
-      .join(cu.select(col("tok").as("t2"), col("c").as("c2")), "t2")
+      .join(cu.select(col("tok").as("t1"), col("c").as("c1"))
+        .hint("shuffle_hash"), "t1")
+      .join(cu.select(col("tok").as("t2"), col("c").as("c2"))
+        .hint("shuffle_hash"), "t2")
       .crossJoin(broadcast(tot))
       .withColumn("pmi",
         col("cab").cast("double") * col("ut") * col("ut") /
@@ -438,13 +442,19 @@ object TextAnalysis {
       .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1a"))
     val ctx = cab.groupBy(col("b")).agg(count(lit(1)).as("ctxb"))
     val tot = cab.agg(count(lit(1)).cast("double").as("bt"))
-    val model = cab.join(ca, "a").join(ctx, "b").crossJoin(broadcast(tot))
+    // every model-assembly table is n-gram-TYPE-scale (Heaps-growing, NOT
+    // bounded at 100 TB) and stats-blind below the explode/checkpoint:
+    // pin each join shuffled so Catalyst never broadcasts a vocab-squared
+    // table — or, worse, the corpus-scale pair stream — off a bogus
+    // estimate (B stays the one-row broadcast it should be)
+    val model = cab.join(ca.hint("shuffle_hash"), "a")
+      .join(ctx.hint("shuffle_hash"), "b").crossJoin(broadcast(tot))
       .select(col("a"), col("b"),
         ((greatest(col("cab").cast("double") - lit(d), lit(0.0))
             / col("ca").cast("double"))
           + ((lit(d) * col("n1a").cast("double")) / col("ca").cast("double"))
             * (col("ctxb").cast("double") / col("bt"))).as("p"))
-    pairs.join(model, Seq("a", "b"))
+    pairs.join(model.hint("shuffle_hash"), Seq("a", "b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pairs"),
         (sum(round(col("p"), 6).cast("decimal(27,6)")).cast("double") /
@@ -841,10 +851,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
     val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
     val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
-    val bi = cab.join(ca, "a")
+    // bigram/context tables are n-gram-TYPE-scale (Heaps-growing) and
+    // stats-blind: pinned shuffled builds, never a coincidental broadcast
+    val bi = cab.join(ca.hint("shuffle_hash"), "a")
       .select(col("a"), col("b"),
         (col("cab").cast("double") / col("ca")).as("p"))
-    pairs.join(bi, Seq("a", "b"))
+    pairs.join(bi.hint("shuffle_hash"), Seq("a", "b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pairs"),
         (sum(round(col("p"), 6).cast("decimal(27,6)")).cast("double") /
@@ -871,7 +883,9 @@ object TextAnalysis {
     val posts = Dedup.shingleSets(docs, n)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
     val df = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    posts.join(df, "sh")
+    // the df table is shingle-TYPE-scale (corpus-growing) and stats-blind:
+    // pinned shuffled build against the posting stream
+    posts.join(df.hint("shuffle_hash"), "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
@@ -903,10 +917,11 @@ object TextAnalysis {
     val uni = docs.select(explode(TextOps.tokens(col("text"))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("cu"))
     val nt = broadcast(uni.agg(sum(col("cu")).as("nt")))
-    val bi = cab.join(ca, "a")
+    // same n-gram-TYPE-scale discipline as lmScore: pinned shuffled builds
+    val bi = cab.join(ca.hint("shuffle_hash"), "a")
       .select(col("a"), col("b"), (col("cab").cast("double") / col("ca")).as("pb"))
-    pairs.join(bi, Seq("a", "b"))
-      .join(uni.withColumnRenamed("t", "b"), Seq("b"))
+    pairs.join(bi.hint("shuffle_hash"), Seq("a", "b"))
+      .join(uni.withColumnRenamed("t", "b").hint("shuffle_hash"), Seq("b"))
       .crossJoin(nt)
       .withColumn("p",
         lit(lambda) * col("pb")
@@ -1020,7 +1035,9 @@ object TextAnalysis {
       .select(col("doc_id").as("m_doc"), col("pos").as("i"),
         min(col("h")).over(win.rowsBetween(-(w - 1), 0)).as("mn"))
       .filter(col("i") >= w)
-    mwin.join(posed,
+    // both sides are corpus-TOKEN-scale and stats-blind (post-Generate):
+    // pin the argmin-recovery join shuffled on its equi keys
+    mwin.hint("shuffle_hash").join(posed,
         col("m_doc") === col("doc_id") && col("h") === col("mn") &&
           col("pos").between(col("i") - (w - 1), col("i")))
       .groupBy(col("doc_id"), col("i"), col("mn"))

@@ -721,7 +721,8 @@ object LlmQueries {
       val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
         .localCheckpoint()
       val n = exact.agg(sum(col("exact"))).head().getLong(0)
-      exact.join(est, Seq("tok"), "left")
+      // est is PROVABLY bounded (<= k sketch rows): deliberate broadcast
+      exact.join(broadcast(est), Seq("tok"), "left")
         .select(col("tok"), col("exact"),
           (coalesce(col("est"), lit(0L)) <= col("exact") &&
             coalesce(col("est"), lit(0L)) * (k + 1) >=
@@ -746,7 +747,7 @@ object LlmQueries {
           |  FROM (SELECT explode(misra_gries(tok, 8)) AS e FROM toks)),
           |exact AS (SELECT tok, count(*) AS exact FROM toks GROUP BY tok),
           |n AS (SELECT sum(exact) AS n FROM exact)
-          |SELECT exact.tok, exact.exact,
+          |SELECT /*+ BROADCAST(est) */ exact.tok, exact.exact,
           |       (coalesce(est.est, CAST(0 AS BIGINT)) <= exact.exact AND
           |        coalesce(est.est, CAST(0 AS BIGINT)) * 9 >= exact.exact * 9 - n.n) AS mg_ok
           |FROM exact LEFT JOIN est USING (tok) CROSS JOIN n""".stripMargin)

@@ -436,6 +436,68 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("joins over stats-blind inputs (explode products, checkpoint'd RDDs) pin a strategy") {
+    // The round-14 trap, twice: Catalyst's size estimate below a Generate
+    // (explode) is a guess, and below a localCheckpoint (LogicalRDD) it is
+    // defaultSizeInBytes — both made it BROADCAST multi-million-row build
+    // sides at 10x (editdist 60 s/OOM, wordpiece rollup). The standing
+    // rule: a join whose either side descends from a Generate or a
+    // checkpoint'd RDD must carry an EXPLICIT strategy hint (shuffle_hash
+    // for the corpus/word-scale shapes, broadcast for provably bounded
+    // sides) — removing either r14 pin turns this sweep red. Joins whose
+    // stats-blind side is bounded by construction may instead be
+    // allowlisted here WITH the boundedness argument.
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.{GenerateExec, RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    // a grouping-free (grand-total) aggregate emits exactly ONE row
+    // whatever lies beneath it — a provable stats barrier, so the walk
+    // stops there (the one-row cross joins every scalar-total pattern
+    // builds are fine by construction)
+    def statsBlind(p: SparkPlan): Boolean = p match {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.groupingExpressions.isEmpty => false
+      case _: GenerateExec => true
+      case _: RDDScanExec => true
+      case other => other.children.exists(statsBlind)
+    }
+    def hinted(p: SparkPlan): Boolean =
+      p.logicalLink.exists {
+        case j: Join =>
+          j.hint.leftHint.flatMap(_.strategy).nonEmpty ||
+            j.hint.rightHint.flatMap(_.strategy).nonEmpty
+        case _ => false
+      }
+    val streaming = graft.queries.StreamQueries.queries.keySet
+    val offenders = SparkEntry.queries.filterNot(q => streaming(q._1))
+      .flatMap { case (name, fn) =>
+        // sparkPlan = the planner's join choices before AQE wrapping —
+        // exactly where the stats-blind estimate picks the strategy
+        val plan = fn(spark, d).queryExecution.sparkPlan
+        val bad = plan.collect {
+          case b: BroadcastHashJoinExec
+              if statsBlind(b.buildSide match {
+                case BuildLeft => b.left
+                case BuildRight => b.right
+              }) && !hinted(b) =>
+            val bs = b.buildSide match { case BuildLeft => b.left; case BuildRight => b.right }
+            b.nodeName + " keys=" + b.leftKeys.mkString(",") + " build=[" + bs.output.map(_.name).mkString(",") + "] top=" + bs.nodeName
+          case b: BroadcastNestedLoopJoinExec
+              if statsBlind(b.buildSide match {
+                case BuildLeft => b.left
+                case BuildRight => b.right
+              }) && !hinted(b) => b.nodeName
+        }
+        if (bad.nonEmpty)
+          Some(s"$name:\n  ${bad.mkString("\n  ")}")
+        else None
+      }
+    assert(offenders.isEmpty,
+      "broadcast joins building a Generate-/checkpoint-descended side " +
+        "without an explicit hint:\n" + offenders.mkString("\n"))
+  }
+
   test("no batch query's analyzed plan carries a TIMESTAMP_NTZ attribute") {
     // Event-time typing is POLICY, not luck: fixtures have shipped `ts` as
     // ns-long, µs NTZ, and µs UTC across driver regenerations, and every
