@@ -172,6 +172,72 @@ object StreamQueries {
       "state_mem_bytes" -> last.map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L))
   }
 
+  /** ONE deployment replay per (session, fixture dir) serving every e2e
+    * gate: the FULL socket chain — wire JSON over a real socket → DSv2
+    * source → per-batch store loop (compaction every 2 batches) → ticker
+    * fan-out with a live subscriber assertion. The pipeline gate always
+    * re-replays (its bench cell honestly prices the deployment and
+    * refreshes the cache); the tail gates are oracle checks against the
+    * SAME run's stores, falling back to a replay of their own when
+    * invoked standalone. */
+  private object E2eReplay {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+    /** Always replays (the honest timed path); refreshes the cache. */
+    def replay(s: SparkSession, d: String): String = {
+      val root = run(s, d)
+      cache.put(d, root)
+      root
+    }
+
+    /** Reuses the session's last replay of `d`, or replays once. */
+    def sharedRoot(s: SparkSession, d: String): String =
+      cache.getOrElseUpdate(d, run(s, d))
+
+    private def run(s: SparkSession, d: String): String = {
+      val wireEnd = "2024-01-03 00:00:00"
+      // the live endpoint pushes in TIME order (the pipeline's ordered-
+      // socket contract; u4d's string-sort is set-semantics only), so the
+      // replay orders by the embedded ISO timestamp
+      val msgs = graft.operators.Relay.toWireMessages(
+          TradingQueries.ticks(s, d).filter(col("time") < lit(wireEnd)))
+        .select(col("message"),
+          regexp_extract(col("message"), "\"timestamp\":\"([^\"]+)\"", 1).as("ts"))
+        .orderBy(col("ts"), col("message"))
+        .collect().map(_.getString(0)).toIndexedSeq
+      require(msgs.length <= 250000,
+        s"e2e replay fixture unexpectedly large: ${msgs.length}")
+      val endpoint = new graft.serving.WireReplayServer(msgs)
+      val epPort = endpoint.start()
+      val srv = new graft.serving.TickerServer(
+        Seq("click", "view", "signup").map(p =>
+          graft.serving.PathConfig(p, s"/ws/ticker_$p")), heartbeatMillis = 60000L)
+      val srvPort = srv.start()
+      val root = Files.createTempDirectory("graft-e2e-").toString
+      val sub = new graft.sources.WebSocketClient("127.0.0.1", srvPort, "/ws/ticker_click")
+      try {
+        sub.connect()
+        awaitAndRecord("e2e_live_pipeline",
+          graft.serving.LivePipeline.start(s, "localhost", epPort, "/ws/public/v1",
+            """{"command":"subscribe","channel":"ticker"}""", root, srv,
+            Seq("RSI", "SMA", "EMA"), Seq(14, 28), Seq("1m", "5m"),
+            maxMessages = msgs.length.toLong,
+            maxMessagesPerBatch = math.max(1L, msgs.length.toLong / 4),
+            compactEvery = 2))
+        // the serving leg really fired: the subscriber heard live json
+        srv.publish("/ws/ticker_click", """{"type":"done"}""")
+        var sawTicker = false
+        var m = sub.readMessage()
+        while (m.isDefined && !m.get.contains("\"done\"")) {
+          sawTicker ||= m.get.contains("\"type\":\"ticker\"")
+          m = sub.readMessage()
+        }
+        require(sawTicker, "no ticker payload reached the live subscriber")
+      } finally { sub.close(); endpoint.stop(); srv.close() }
+      root
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // U4d (S1, the direct socket→engine path): the DSv2 `graft-websocket`
     // streaming source — a real RFC-6455 client inside a MicroBatchStream,
@@ -230,103 +296,42 @@ object StreamQueries {
     // DEEPEST store — the grid facts — so a hash match certifies every
     // upstream stage; the oracle replays the pipeline's semantics in SQL
     // (tick cutoff, %.6f wire rounding, per-pair bar finality, the grid
-    // recursions).
+    // recursions). ONE deployment replay serves all e2e gates: this gate
+    // ALWAYS replays (the honest timed cell) and refreshes the session
+    // cache; the signal/trade/stopped tails are independent ORACLE CHECKS
+    // against the same run's stores (E2eReplay.sharedRoot — standalone
+    // invocations replay for themselves).
     "e2e_live_pipeline" -> ((s, d) => {
-      val wireEnd = "2024-01-03 00:00:00"
-      // the live endpoint pushes in TIME order (the pipeline's ordered-
-      // socket contract; u4d's string-sort is set-semantics only), so the
-      // replay orders by the embedded ISO timestamp
-      val msgs = graft.operators.Relay.toWireMessages(
-          TradingQueries.ticks(s, d).filter(col("time") < lit(wireEnd)))
-        .select(col("message"),
-          regexp_extract(col("message"), "\"timestamp\":\"([^\"]+)\"", 1).as("ts"))
-        .orderBy(col("ts"), col("message"))
-        .collect().map(_.getString(0)).toIndexedSeq
-      require(msgs.length <= 250000,
-        s"e2e replay fixture unexpectedly large: ${msgs.length}")
-      val endpoint = new graft.serving.WireReplayServer(msgs)
-      val epPort = endpoint.start()
-      val srv = new graft.serving.TickerServer(
-        Seq("click", "view", "signup").map(p =>
-          graft.serving.PathConfig(p, s"/ws/ticker_$p")), heartbeatMillis = 60000L)
-      val srvPort = srv.start()
-      val root = Files.createTempDirectory("graft-e2e-").toString
-      val sub = new graft.sources.WebSocketClient("127.0.0.1", srvPort, "/ws/ticker_click")
-      try {
-        sub.connect()
-        awaitAndRecord("e2e_live_pipeline",
-          graft.serving.LivePipeline.start(s, "localhost", epPort, "/ws/public/v1",
-            """{"command":"subscribe","channel":"ticker"}""", root, srv,
-            Seq("RSI", "SMA", "EMA"), Seq(14, 28), Seq("1m", "5m"),
-            maxMessages = msgs.length.toLong,
-            maxMessagesPerBatch = math.max(1L, msgs.length.toLong / 4)))
-        // the serving leg really fired: the subscriber heard live json
-        srv.publish("/ws/ticker_click", """{"type":"done"}""")
-        var sawTicker = false
-        var m = sub.readMessage()
-        while (m.isDefined && !m.get.contains("\"done\"")) {
-          sawTicker ||= m.get.contains("\"type\":\"ticker\"")
-          m = sub.readMessage()
-        }
-        require(sawTicker, "no ticker payload reached the live subscriber")
-      } finally { sub.close(); endpoint.stop(); srv.close() }
+      val root = E2eReplay.replay(s, d)
       s.read.parquet(s"$root/grid_facts")
         .select(col("indicator"), col("pair"), col("timeframe"),
           unix_timestamp(col("time")).as("time_s"), col("period"),
           round(col("value"), 6).as("value"))
     }),
 
-    // E2E strategy tail (F4 live): the reference deployment's signal flow
-    // appended to the SAME per-poll loop — 4 real micro-batches drive
-    // processBatch (ingest dedup → candles → fused grid → golden/dead SMA
-    // crosses), each batch anti-join-appending to the (pair, dt)-
-    // partitioned signal store with literal watermark bounds, compaction
-    // included (compactEvery=2). The socket layer is e2e_live_pipeline's
-    // gate; this one certifies the per-batch STORE chain to its deepest
-    // new table. Oracle: the w1 cross composition over the live-cutoff
-    // final bars, per timeframe.
+    // E2E strategy tail (F4 live): the deployment's signal flow inside
+    // the SAME per-poll loop — certified against the shared replay's
+    // signal store (one replay, independent oracle per tail table).
+    // Oracle: the w1 cross composition over the live-cutoff final bars,
+    // per timeframe.
     "e2e_live_signals" -> ((s, d) => {
-      val wireEnd = "2024-01-03 00:00:00"
-      val msgs = graft.operators.Relay.toWireMessages(
-          TradingQueries.ticks(s, d).filter(col("time") < lit(wireEnd)))
-        .select(col("message"),
-          regexp_extract(col("message"), "\"timestamp\":\"([^\"]+)\"", 1).as("ts"))
-        .orderBy(col("ts"), col("message"))
-        .collect().map(_.getString(0)).toIndexedSeq
-      require(msgs.length <= 250000,
-        s"e2e signals fixture unexpectedly large: ${msgs.length}")
-      val srv = new graft.serving.TickerServer(
-        Seq(graft.serving.PathConfig("click", "/ws/ticker_click")),
-        heartbeatMillis = 60000L)
-      srv.start()
-      val root = Files.createTempDirectory("graft-e2esig-").toString
-      try {
-        val st = graft.serving.LivePipeline.Stores(root)
-        val tfs = Seq("1m", "5m").map(graft.model.Timeframe.byCode)
-        val chunk = math.max(1, msgs.length / 4)
-        msgs.grouped(chunk).zipWithIndex.foreach { case (ms, i) =>
+      val st = graft.serving.LivePipeline.Stores(E2eReplay.sharedRoot(s, d))
+      val out =
+        try s.read.parquet(st.signals)
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          // a window with no crosses writes no store (sub-gate SFs):
+          // the oracle is empty there too
           import s.implicits._
-          val batch = Ticks.valid(Ticks.fromWireJson(ms.toDF("value")))
-          graft.serving.LivePipeline.processBatch(batch, i.toLong, st, srv,
-            Seq("RSI", "SMA", "EMA"), Seq(14, 28), tfs, compactEvery = 2)
+          Seq.empty[(String, java.sql.Timestamp, String, Double, String, Int)]
+            .toDF("pair", "event_datetime", "event_type", "price",
+              "trigger_indicator_timeframe", "trigger_indicator_period")
         }
-        val out =
-          try s.read.parquet(st.signals)
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            // a window with no crosses writes no store (sub-gate SFs):
-            // the oracle is empty there too
-            import s.implicits._
-            Seq.empty[(String, java.sql.Timestamp, String, Double, String, Int)]
-              .toDF("pair", "event_datetime", "event_type", "price",
-                "trigger_indicator_timeframe", "trigger_indicator_period")
-          }
-        out.select(col("pair"),
-            col("trigger_indicator_timeframe").as("timeframe"),
-            unix_timestamp(col("event_datetime")).as("time_s"),
-            col("event_type"),
-            round(col("price"), 6).as("price"),
-            col("trigger_indicator_period").as("period"))
-      } finally srv.close()
+      out.select(col("pair"),
+          col("trigger_indicator_timeframe").as("timeframe"),
+          unix_timestamp(col("event_datetime")).as("time_s"),
+          col("event_type"),
+          round(col("price"), 6).as("price"),
+          col("trigger_indicator_period").as("period"))
     }),
 
     // E2E trade ledger (F6 live): the deployment's LAST table — the
@@ -336,59 +341,35 @@ object StreamQueries {
     // closed trades from the store plus the open positions from the
     // state snapshot. Oracle: the f6b pairing over the live crosses.
     "e2e_live_trades" -> ((s, d) => {
-      val wireEnd = "2024-01-03 00:00:00"
-      val msgs = graft.operators.Relay.toWireMessages(
-          TradingQueries.ticks(s, d).filter(col("time") < lit(wireEnd)))
-        .select(col("message"),
-          regexp_extract(col("message"), "\"timestamp\":\"([^\"]+)\"", 1).as("ts"))
-        .orderBy(col("ts"), col("message"))
-        .collect().map(_.getString(0)).toIndexedSeq
-      require(msgs.length <= 250000,
-        s"e2e trades fixture unexpectedly large: ${msgs.length}")
-      val srv = new graft.serving.TickerServer(
-        Seq(graft.serving.PathConfig("click", "/ws/ticker_click")),
-        heartbeatMillis = 60000L)
-      srv.start()
-      val root = Files.createTempDirectory("graft-e2etrd-").toString
-      try {
-        val st = graft.serving.LivePipeline.Stores(root)
-        val tfs = Seq("1m", "5m").map(graft.model.Timeframe.byCode)
-        val chunk = math.max(1, msgs.length / 4)
-        msgs.grouped(chunk).zipWithIndex.foreach { case (ms, i) =>
-          import s.implicits._
-          val batch = Ticks.valid(Ticks.fromWireJson(ms.toDF("value")))
-          graft.serving.LivePipeline.processBatch(batch, i.toLong, st, srv,
-            Seq("RSI", "SMA", "EMA"), Seq(14, 28), tfs, compactEvery = 2)
-        }
-        import s.implicits._
-        val emptyTrades =
-          Seq.empty[(String, String, Long, java.sql.Timestamp, Double,
-              java.sql.Timestamp, Double, Double)]
-            .toDF("pair", "timeframe", "trade_no", "entry_time",
-              "entry_price", "exit_time", "exit_price", "pnl")
-        val closed =
-          (try s.read.parquet(st.trades)
-           catch { case _: org.apache.spark.sql.AnalysisException => emptyTrades })
-            .select("pair", "timeframe", "trade_no", "entry_time",
-              "entry_price", "exit_time", "exit_price", "pnl")
-        val open = graft.serving.LivePipeline.latestTradeState(s, st) match {
-          case Some(ts) => ts.filter(col("open"))
-            .select(col("pair"), col("timeframe"),
-              (col("n_closed") + 1).as("trade_no"),
-              col("entry_time"), col("entry_price"),
-              lit(null).cast("timestamp").as("exit_time"),
-              lit(null).cast("double").as("exit_price"),
-              lit(null).cast("double").as("pnl"))
-          case None => emptyTrades
-        }
-        closed.unionByName(open)
-          .select(col("pair"), col("timeframe"), col("trade_no"),
-            unix_timestamp(col("entry_time")).as("entry_s"),
-            round(col("entry_price"), 6).as("entry_price"),
-            unix_timestamp(col("exit_time")).as("exit_s"),
-            round(col("exit_price"), 6).as("exit_price"),
-            round(col("pnl"), 6).as("pnl"))
-      } finally srv.close()
+      val st = graft.serving.LivePipeline.Stores(E2eReplay.sharedRoot(s, d))
+      import s.implicits._
+      val emptyTrades =
+        Seq.empty[(String, String, Long, java.sql.Timestamp, Double,
+            java.sql.Timestamp, Double, Double)]
+          .toDF("pair", "timeframe", "trade_no", "entry_time",
+            "entry_price", "exit_time", "exit_price", "pnl")
+      val closed =
+        (try s.read.parquet(st.trades)
+         catch { case _: org.apache.spark.sql.AnalysisException => emptyTrades })
+          .select("pair", "timeframe", "trade_no", "entry_time",
+            "entry_price", "exit_time", "exit_price", "pnl")
+      val open = graft.serving.LivePipeline.latestTradeState(s, st) match {
+        case Some(ts) => ts.filter(col("open"))
+          .select(col("pair"), col("timeframe"),
+            (col("n_closed") + 1).as("trade_no"),
+            col("entry_time"), col("entry_price"),
+            lit(null).cast("timestamp").as("exit_time"),
+            lit(null).cast("double").as("exit_price"),
+            lit(null).cast("double").as("pnl"))
+        case None => emptyTrades
+      }
+      closed.unionByName(open)
+        .select(col("pair"), col("timeframe"), col("trade_no"),
+          unix_timestamp(col("entry_time")).as("entry_s"),
+          round(col("entry_price"), 6).as("entry_price"),
+          unix_timestamp(col("exit_time")).as("exit_s"),
+          round(col("exit_price"), 6).as("exit_price"),
+          round(col("pnl"), 6).as("pnl"))
     }),
 
     // T4 (CDC relay cursor): stream the fixture through the idempotent
