@@ -2,7 +2,7 @@ package graft.operators
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Event row for the backtest fold (top-level for Catalyst codegen access). */
@@ -43,6 +43,25 @@ final case class StopTradeRow(pair: String, trade_no: Int,
                               entry_time: Timestamp, entry_price: Double,
                               exit_time: Option[Timestamp], exit_price: Option[Double],
                               reason: Option[String], pnl: Option[Double])
+
+/** Event row of the LIVE stop-managed fold: `kind` -1 = the key's resumed
+  * state (sorts first), 0 = candle close, 1 = BUY, 2 = SELL — the same
+  * candle-before-signals same-bar tie-break as [[MergedRow]]. */
+final case class LiveStopEvent(pair: String, timeframe: String, kind: Int,
+                               time: Timestamp, px: Double,
+                               entry_time: Timestamp, entry_price: Double,
+                               n_closed: Long, open: Boolean)
+
+/** Tagged output of [[Backtest.tradesStoppedIncremental]]: `is_state` =
+  * false → one CLOSED stop-managed round trip (`reason` SL/TP/SIG); true →
+  * the key's advanced fold state. */
+final case class LiveStopFold(pair: String, timeframe: String,
+                              is_state: Boolean, trade_no: Long,
+                              entry_time: Timestamp, entry_price: Double,
+                              exit_time: Option[Timestamp],
+                              exit_price: Option[Double],
+                              reason: Option[String], pnl: Option[Double],
+                              open: Boolean, n_closed: Long, last_time: Timestamp)
 
 /** Event row of the LIVE trade fold: `kind` 0 = the key's resumed state
   * (sorts before every strictly-later signal), 1 = a new signal. */
@@ -346,6 +365,92 @@ object Backtest {
         }
         out += LiveTradeFold(pair, tf, is_state = true, 0L,
           entryT, entryP, None, None, None, open, n, last)
+        out.result().iterator
+      }
+  }
+
+  /** F6 risk live: the [[tradesStopped]] semantics as an incremental
+    * per-poll fold — candle closes INTERLEAVED with signals per
+    * (pair, timeframe), resumed from per-key state (the
+    * [[tradesIncremental]] contract: every new event strictly past its
+    * key's folded frontier, violations fail loudly; deterministic
+    * same-instant order state < candle < BUY < SELL, so an entry bar can
+    * never stop itself out and the chunked fold replays the one-shot
+    * [[tradesStopped]] machine exactly). Candles of a timeframe drive the
+    * stops of that timeframe's ledger. Multipliers computed once as
+    * `1.0 − sl` / `1.0 + tp` in double (the oracle-parity discipline of
+    * [[tradesStopped]]).
+    *
+    * Scale shape: one shuffle on (pair, timeframe), secondary-sorted
+    * fold; state O(keys); per-group memory one key's new events. */
+  def tradesStoppedIncremental(state: DataFrame, signals: DataFrame,
+                               candles: DataFrame, slPct: Double,
+                               tpPct: Double): Dataset[LiveStopFold] = {
+    require(slPct > 0 && tpPct > 0, s"sl/tp must be positive, got $slPct/$tpPct")
+    val spark = signals.sparkSession
+    import spark.implicits._
+    val slMult = 1.0 - slPct
+    val tpMult = 1.0 + tpPct
+    def pad(kind: Column, time: Column, px: Column)(df: DataFrame,
+        pairC: Column, tfC: Column) =
+      df.select(pairC.as("pair"), tfC.as("timeframe"), kind.as("kind"),
+        time.as("time"), px.as("px"),
+        lit(null).cast("timestamp").as("entry_time"),
+        lit(0.0).as("entry_price"), lit(0L).as("n_closed"), lit(false).as("open"))
+    val sigEv = pad(when(col("event_type") === "BUY", 1).otherwise(2),
+      col("event_datetime"), col("price"))(
+      signals, col("pair"), col("trigger_indicator_timeframe"))
+    val cdEv = pad(lit(0), col("time"), col("close"))(
+      candles, col("pair"), col("timeframe"))
+    val stEv = state.select(col("pair"), col("timeframe"),
+      lit(-1).as("kind"), col("last_time").as("time"), lit(0.0).as("px"),
+      col("entry_time"), col("entry_price"), col("n_closed"), col("open"))
+    sigEv.unionByName(cdEv).unionByName(stEv).as[LiveStopEvent]
+      .groupByKey(e => (e.pair, e.timeframe))
+      .flatMapSortedGroups($"time", $"kind") { case ((pair, tf), rows) =>
+        val out = Vector.newBuilder[LiveStopFold]
+        var open = false
+        var entryT: Timestamp = null
+        var entryP = 0.0
+        var n = 0L
+        var last: Timestamp = null
+        var frontier: Timestamp = null
+        var evSeen = false
+        rows.foreach { e =>
+          if (e.kind == -1) {
+            require(!evSeen,
+              s"event at or before the folded frontier for $pair/$tf — " +
+                "the live ordering contract broke; refusing to re-fold history")
+            open = e.open; entryT = e.entry_time; entryP = e.entry_price
+            n = e.n_closed; last = e.time; frontier = e.time
+          } else {
+            evSeen = true
+            require(frontier == null || e.time.after(frontier),
+              s"event at or before the folded frontier for $pair/$tf — " +
+                "the live ordering contract broke; refusing to re-fold history")
+            if (!open) {
+              if (e.kind == 1) { open = true; entryT = e.time; entryP = e.px }
+            } else {
+              val reason =
+                if (e.kind == 0) {
+                  if (e.px <= entryP * slMult) "SL"
+                  else if (e.px >= entryP * tpMult) "TP"
+                  else null
+                } else if (e.kind == 2) "SIG"
+                else null
+              if (reason != null) {
+                n += 1
+                out += LiveStopFold(pair, tf, is_state = false, n,
+                  entryT, entryP, Some(e.time), Some(e.px), Some(reason),
+                  Some(e.px - entryP), open = false, n, e.time)
+                open = false; entryT = null; entryP = 0.0
+              }
+            }
+            last = e.time
+          }
+        }
+        out += LiveStopFold(pair, tf, is_state = true, 0L,
+          entryT, entryP, None, None, None, None, open, n, last)
         out.result().iterator
       }
   }

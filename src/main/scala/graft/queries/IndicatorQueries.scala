@@ -2266,6 +2266,112 @@ object IndicatorQueries {
        |${branches.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** The `e2e_live_trades_stopped` gate's oracle: the f6f stop-managed
+    * state machine (candle closes of each timeframe interleaved with that
+    * timeframe's crosses, candle-before-signal same-instant order)
+    * replayed per (pair, timeframe) as a recursive CTE over the live
+    * deployment's final bars — multipliers spelled
+    * `CAST(1.0) − CAST(sl)` so both engines compare the identical double
+    * (the f6f_trades_stopped pattern at the live cutoff). */
+  private[queries] def liveStoppedOracle(wireEnd: String, shortP: Int,
+                                         longP: Int, tfs: Seq[(String, Int)],
+                                         sl: String, tp: String): String = {
+    val msl = s"(CAST(1.0 AS DOUBLE) - CAST($sl AS DOUBLE))"
+    val mtp = s"(CAST(1.0 AS DOUBLE) + CAST($tp AS DOUBLE))"
+    val closes = tfs.flatMap { case (tf, d) =>
+      Seq(tfCloseCte(s"raw_$tf", tf, d),
+        s"""b_$tf AS (SELECT r.pair, r.ts, r.close FROM raw_$tf r
+           |  JOIN mx ON r.pair = mx.pair
+           |  WHERE r.ts + $d <= epoch(mx.mt)::BIGINT)""".stripMargin)
+    }
+    val xs = tfs.map { case (tf, _) =>
+      s"""nb_$tf AS (SELECT pair, ts, close,
+         |       row_number() OVER (PARTITION BY pair ORDER BY ts) AS rn
+         |  FROM b_$tf),
+         |s_$tf AS (SELECT pair, ts,
+         |  CASE WHEN rn >= $shortP
+         |       THEN avg(close) OVER (PARTITION BY pair ORDER BY ts
+         |            ROWS BETWEEN ${shortP - 1} PRECEDING AND CURRENT ROW)
+         |  END AS ss,
+         |  CASE WHEN rn >= $longP
+         |       THEN avg(close) OVER (PARTITION BY pair ORDER BY ts
+         |            ROWS BETWEEN ${longP - 1} PRECEDING AND CURRENT ROW)
+         |  END AS sl
+         |  FROM nb_$tf),
+         |x_$tf AS (SELECT pair, ts, ss, sl,
+         |  lag(ss) OVER (PARTITION BY pair ORDER BY ts) AS ps,
+         |  lag(sl) OVER (PARTITION BY pair ORDER BY ts) AS pl
+         |  FROM s_$tf)""".stripMargin
+    }
+    val machines = tfs.map { case (tf, _) =>
+      val exit = s"(n.kind = 2 OR (n.kind = 0 AND " +
+        s"(n.px <= r.entry * $msl OR n.px >= r.entry * $mtp)))"
+      s"""ev_$tf AS (
+         |  SELECT pair, ts, 1 AS kind, ss AS px FROM x_$tf
+         |  WHERE ps <= pl AND ss > sl
+         |  UNION ALL
+         |  SELECT pair, ts, 2, ss FROM x_$tf
+         |  WHERE ps >= pl AND ss < sl),
+         |m_$tf AS (
+         |  SELECT pair, ts, 0 AS kind, close AS px FROM b_$tf
+         |  UNION ALL
+         |  SELECT pair, ts, kind, px FROM ev_$tf),
+         |n_$tf AS MATERIALIZED (
+         |  SELECT pair, ts, kind, px,
+         |         row_number() OVER (PARTITION BY pair ORDER BY ts, kind) AS rn
+         |  FROM m_$tf),
+         |st_$tf AS (
+         |  SELECT pair, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS etime,
+         |         CAST(0.0 AS DOUBLE) AS entry, FALSE AS lng, 0 AS n_closed,
+         |         CAST(NULL AS BIGINT) AS o_entry_s,
+         |         CAST(NULL AS DOUBLE) AS o_entry_px,
+         |         CAST(NULL AS BIGINT) AS o_exit_s,
+         |         CAST(NULL AS DOUBLE) AS o_exit_px,
+         |         CAST(NULL AS VARCHAR) AS o_reason
+         |  FROM (SELECT DISTINCT pair FROM n_$tf)
+         |  UNION ALL
+         |  SELECT n.pair, n.rn,
+         |         CASE WHEN NOT r.lng AND n.kind = 1 THEN n.ts
+         |              WHEN r.lng AND $exit THEN NULL
+         |              ELSE r.etime END,
+         |         CASE WHEN NOT r.lng AND n.kind = 1 THEN n.px
+         |              WHEN r.lng AND $exit THEN CAST(0.0 AS DOUBLE)
+         |              ELSE r.entry END,
+         |         CASE WHEN NOT r.lng THEN n.kind = 1 ELSE NOT $exit END,
+         |         r.n_closed + CASE WHEN r.lng AND $exit THEN 1 ELSE 0 END,
+         |         CASE WHEN r.lng AND $exit THEN r.etime END,
+         |         CASE WHEN r.lng AND $exit THEN r.entry END,
+         |         CASE WHEN r.lng AND $exit THEN n.ts END,
+         |         CASE WHEN r.lng AND $exit THEN n.px END,
+         |         CASE WHEN r.lng AND $exit THEN
+         |           CASE WHEN n.kind = 2 THEN 'SIG'
+         |                WHEN n.px <= r.entry * $msl THEN 'SL'
+         |                ELSE 'TP' END END
+         |  FROM st_$tf r JOIN n_$tf n ON n.pair = r.pair AND n.rn = r.rn + 1),
+         |last_$tf AS (SELECT pair, max(rn) AS mx FROM n_$tf GROUP BY 1)""".stripMargin
+    }
+    val branches = tfs.map { case (tf, _) =>
+      s"""SELECT pair, '$tf' AS timeframe, n_closed::BIGINT AS trade_no,
+         |       o_entry_s AS entry_s,
+         |       round((o_entry_px)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS entry_price,
+         |       o_exit_s AS exit_s,
+         |       round((o_exit_px)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS exit_price,
+         |       o_reason AS reason,
+         |       round((o_exit_px - o_entry_px)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS pnl
+         |FROM st_$tf WHERE o_exit_s IS NOT NULL
+         |UNION ALL
+         |SELECT r.pair, '$tf', (r.n_closed + 1)::BIGINT, r.etime,
+         |       round((r.entry)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE,
+         |       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+         |       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+         |FROM st_$tf r JOIN last_$tf l ON r.pair = l.pair AND r.rn = l.mx
+         |WHERE r.lng""".stripMargin
+    }
+    s"""WITH RECURSIVE ${livePrelude(wireEnd)},
+       |${(closes ++ xs ++ machines).mkString(",\n")}
+       |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "u2b_ema_14_4h" -> emaSql(14, "4h", 14400),
     "u3b_rsi_14_30m" -> rsiSql(14, "30m", 1800),

@@ -372,6 +372,46 @@ object StreamQueries {
           round(col("pnl"), 6).as("pnl"))
     }),
 
+    // E2E stop-managed trade ledger (F6 risk live): the f6f stop-loss/
+    // take-profit semantics folded incrementally per poll — each
+    // timeframe's candle closes interleaved with its signals from the
+    // store frontier. Same shared replay; oracle = the f6f recursive
+    // state machine over the live-cutoff final bars + crosses, per
+    // timeframe.
+    "e2e_live_trades_stopped" -> ((s, d) => {
+      val st = graft.serving.LivePipeline.Stores(E2eReplay.sharedRoot(s, d))
+      import s.implicits._
+      val emptyTrades =
+        Seq.empty[(String, String, Long, java.sql.Timestamp, Double,
+            java.sql.Timestamp, Double, String, Double)]
+          .toDF("pair", "timeframe", "trade_no", "entry_time",
+            "entry_price", "exit_time", "exit_price", "reason", "pnl")
+      val closed =
+        (try s.read.parquet(st.tradesStopped)
+         catch { case _: org.apache.spark.sql.AnalysisException => emptyTrades })
+          .select("pair", "timeframe", "trade_no", "entry_time",
+            "entry_price", "exit_time", "exit_price", "reason", "pnl")
+      val open = graft.serving.LivePipeline.latestStopTradeState(s, st) match {
+        case Some(ts) => ts.filter(col("open"))
+          .select(col("pair"), col("timeframe"),
+            (col("n_closed") + 1).as("trade_no"),
+            col("entry_time"), col("entry_price"),
+            lit(null).cast("timestamp").as("exit_time"),
+            lit(null).cast("double").as("exit_price"),
+            lit(null).cast("string").as("reason"),
+            lit(null).cast("double").as("pnl"))
+        case None => emptyTrades
+      }
+      closed.unionByName(open)
+        .select(col("pair"), col("timeframe"), col("trade_no"),
+          unix_timestamp(col("entry_time")).as("entry_s"),
+          round(col("entry_price"), 6).as("entry_price"),
+          unix_timestamp(col("exit_time")).as("exit_s"),
+          round(col("exit_price"), 6).as("exit_price"),
+          col("reason"),
+          round(col("pnl"), 6).as("pnl"))
+    }),
+
     // T4 (CDC relay cursor): stream the fixture through the idempotent
     // relay — per-batch second-dedup, first-write-wins parquet sink — then
     // read the sink back. Oracle: the batch tick-dedup SQL (S2).
@@ -1283,6 +1323,9 @@ object StreamQueries {
       "2024-01-03 00:00:00", 14, 28, Seq(("1m", 60), ("5m", 300))),
     "e2e_live_signals" -> IndicatorQueries.liveSignalsOracle(
       "2024-01-03 00:00:00", 14, 28, Seq(("1m", 60), ("5m", 300))),
+    "e2e_live_trades_stopped" -> IndicatorQueries.liveStoppedOracle(
+      "2024-01-03 00:00:00", 14, 28, Seq(("1m", 60), ("5m", 300)),
+      sl = "0.005", tp = "0.01"),
 
     // the w11 aggregation with the streaming append cutoff: buckets whose
     // end the final watermark (max second-truncated event time − 1 h) has

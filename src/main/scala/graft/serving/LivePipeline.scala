@@ -74,7 +74,7 @@ import graft.sources.Compact
   */
 object LivePipeline {
 
-  /** Store layout under one root: the seven tables of the deployment. */
+  /** Store layout under one root: the nine tables of the deployment. */
   final case class Stores(root: String) {
     val ticks = s"$root/ticks"
     val candles = s"$root/candles"
@@ -83,6 +83,8 @@ object LivePipeline {
     val signals = s"$root/signals"
     val trades = s"$root/trades"
     val tradeState = s"$root/trade_state"
+    val tradesStopped = s"$root/trades_stopped"
+    val tradeStopState = s"$root/trade_stop_state"
     val checkpoint = s"$root/ckpt"
   }
 
@@ -202,12 +204,13 @@ object LivePipeline {
   def processBatch(batch: DataFrame, batchId: Long, stores: Stores,
                    server: TickerServer, indicators: Seq[String],
                    periods: Seq[Int], tfs: Seq[Timeframe],
-                   compactEvery: Int = 16): Unit = {
+                   compactEvery: Int = 16,
+                   slPct: Double = 0.005, tpPct: Double = 0.01): Unit = {
     val spark = batch.sparkSession
     // finish/abort any compaction swap a crash interrupted BEFORE any
     // read (O(1) probe per store in the steady state)
     Seq(stores.ticks, stores.candles, stores.gridFacts, stores.signals,
-        stores.trades)
+        stores.trades, stores.tradesStopped)
       .foreach(Compact.recoverStore(spark, _))
     // wire-order tiebreak for the per-second dedup: (partition, ordinal)
     // is socket order through the source's contiguous chunks, and a
@@ -482,11 +485,83 @@ object LivePipeline {
         }
     }
 
+    // 5c) F6 risk live, stop-managed: the f6f stop-loss/take-profit
+    //    ledger folded incrementally — each timeframe's candle CLOSES
+    //    interleaved with that timeframe's signals in one ordered fold
+    //    (state < candle < BUY < SELL at equal instants, so an entry bar
+    //    cannot stop itself out). Same store-driven frontier contract as
+    //    5b — and because CANDLES advance the frontier too, signal-less
+    //    keys still move forward, keeping every per-batch scan O(new
+    //    data). Crash windows replay losslessly: the trade append
+    //    precedes the snapshot advance, re-derived trades dedup on
+    //    (pair, timeframe, trade_no).
+    if (periods.distinct.size >= 2 && indicators.contains("SMA")) {
+      val stateOpt = readLatestSnapshot(spark, stores.tradeStopState)
+      val stopBounds = stateOpt.map { st =>
+        st.groupBy("pair").agg(
+            min(unix_timestamp(col("last_time"))).as("f"),
+            min(when(col("open"),
+              unix_timestamp(col("entry_time")))).as("oe"))
+          .collect().map(r => PairBound(r.getString(0),
+            math.min(r.getLong(1),
+              if (r.isNullAt(2)) Long.MaxValue else r.getLong(2)),
+            Seq.empty)).toSeq
+      }.getOrElse(Seq.empty)
+      // exact per-(pair, timeframe) frontier cut (the pair-level scan
+      // bound is lossless-wide)
+      def pastFrontier(df: DataFrame, tfCol: String, timeCol: String): DataFrame =
+        stateOpt match {
+          case None => df
+          case Some(st) =>
+            df.join(broadcast(st.select(col("pair").as("_kp"),
+                col("timeframe").as("_ktf"), col("last_time").as("_front"))),
+                col("pair") === col("_kp") && col(tfCol) === col("_ktf"), "left")
+              .filter(col("_front").isNull || col(timeCol) > col("_front"))
+              .drop("_kp", "_ktf", "_front")
+        }
+      import spark.implicits._
+      val sigsCut = readStoreBounded(spark, stores.signals, stopBounds,
+          strict = true)
+        .map(pastFrontier(_, "trigger_indicator_timeframe", "event_datetime"))
+        .getOrElse(Seq.empty[(String, String, java.sql.Timestamp, String, Double)]
+          .toDF("pair", "trigger_indicator_timeframe", "event_datetime",
+            "event_type", "price"))
+      val candsCut = readStoreBounded(spark, stores.candles, stopBounds,
+          strict = true)
+        .map(pastFrontier(_, "timeframe", "time"))
+        .getOrElse(Seq.empty[(String, String, java.sql.Timestamp, Double)]
+          .toDF("pair", "timeframe", "time", "close"))
+        .localCheckpoint()
+      val hasState = stateOpt.isDefined
+      if (hasState || !candsCut.isEmpty) {
+        val folded = graft.operators.Backtest.tradesStoppedIncremental(
+            stateOpt.getOrElse(emptyTradeState(spark)), sigsCut, candsCut,
+            slPct, tpPct)
+          .toDF().localCheckpoint()
+        val closed = folded.filter(!col("is_state"))
+          .select(col("pair"), col("timeframe"), col("trade_no"),
+            col("entry_time"), col("entry_price"),
+            col("exit_time"), col("exit_price"), col("reason"), col("pnl"))
+        val prevStopped = readStoreBounded(spark, stores.tradesStopped,
+          stopBounds, strict = false)
+        val newStopped = prevStopped.map(p => Incremental.newRows(p, closed,
+            Seq("pair", "timeframe", "trade_no")))
+          .getOrElse(closed).localCheckpoint()
+        if (!newStopped.isEmpty)
+          writeStore(newStopped, stores.tradesStopped, timeCol = "entry_time")
+        writeSnapshotVersion(spark, stores.tradeStopState, batchId,
+          folded.filter(col("is_state"))
+            .select(col("pair"), col("timeframe"), col("open"),
+              col("entry_time"), col("entry_price"), col("n_closed"),
+              col("last_time")))
+      }
+    }
+
     // 6) housekeeping: bound store fragmentation (crash-safe partition
     //    rewrite-and-swap; single-writer — this stream — by construction)
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
       Seq(stores.ticks, stores.candles, stores.gridFacts, stores.signals,
-          stores.trades)
+          stores.trades, stores.tradesStopped)
         .foreach(Compact.compactStore(spark, _))
   }
 
@@ -504,6 +579,10 @@ object LivePipeline {
     * open positions + per-key counters, None before the first fold. */
   def latestTradeState(spark: SparkSession, stores: Stores): Option[DataFrame] =
     readLatestSnapshot(spark, stores.tradeState)
+
+  /** The latest complete STOP-managed trade-state snapshot. */
+  def latestStopTradeState(spark: SparkSession, stores: Stores): Option[DataFrame] =
+    readLatestSnapshot(spark, stores.tradeStopState)
 
   /** Read a (pair, dt)-partitioned store, applying `pred` BEFORE dropping
     * the partition-only `dt` column so its literal dt conjuncts prune

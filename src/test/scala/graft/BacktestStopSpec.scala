@@ -57,6 +57,68 @@ class BacktestStopSpec extends SparkSpec {
     rows.toDF("pair", "timeframe", "last_time", "entry_time", "entry_price",
       "n_closed", "open")
 
+  test("tradesStoppedIncremental folded in chunks == one-shot tradesStopped per timeframe") {
+    // oscillating closes force SL, TP and SIG exits plus re-entries; two
+    // pairs x two timeframes; chunk boundaries land mid-trade
+    val rnd = new scala.util.Random(5)
+    def priceAt(i: Int) = 100.0 + 6.0 * math.sin(i * 1.3) + rnd.nextInt(3)
+    val pairs = Seq("A", "B")
+    val tfs = Seq("1m", "5m")
+    val candleRows = for (p <- pairs; tf <- tfs; i <- 0 to 24)
+      yield (p, tf, t(i), priceAt(i + p.hashCode % 5))
+    val signalRows = for (p <- pairs; tf <- tfs; i <- Seq(1, 4, 9, 13, 19, 22))
+      yield (p, tf, t(i), if (i % 8 < 4) "BUY" else "SELL", priceAt(i) + 0.5)
+    val (sl, tp) = (0.08, 0.1)
+
+    // one-shot reference, per timeframe via the batch fold
+    val oneShot = tfs.flatMap { tf =>
+      val c = candleRows.filter(_._2 == tf).map(r => (r._1, r._3, r._4))
+        .toDF("pair", "time", "close")
+      val sg = signalRows.filter(_._2 == tf).map(r => (r._1, r._3, r._4, r._5))
+        .toDF("pair", "event_datetime", "event_type", "price")
+      Backtest.tradesStopped(sg, c, sl, tp).collect()
+        .map(r => (r.pair, tf, r.trade_no.toLong, r.entry_time, r.entry_price,
+          r.exit_time, r.exit_price, r.reason, r.pnl))
+    }.sortBy(x => (x._1, x._2, x._3))
+
+    // incremental: three chunks by time, state carried across folds
+    val cuts = Seq(0 to 7, 8 to 15, 16 to 24)
+    var state = Seq.empty[(String, String, Boolean, java.sql.Timestamp,
+      Double, Long, java.sql.Timestamp)]
+      .toDF("pair", "timeframe", "open", "entry_time", "entry_price",
+        "n_closed", "last_time")
+    val closed = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, java.sql.Timestamp, Double,
+        Option[java.sql.Timestamp], Option[Double], Option[String], Option[Double])]
+    for (w <- cuts) {
+      val c = candleRows.filter(r => w.contains((r._3.getTime / 60000L % 60).toInt))
+        .toDF("pair", "timeframe", "time", "close")
+      val sg = signalRows.filter(r => w.contains((r._3.getTime / 60000L % 60).toInt))
+        .toDF("pair", "trigger_indicator_timeframe", "event_datetime",
+          "event_type", "price")
+      val folded = Backtest.tradesStoppedIncremental(state, sg, c, sl, tp).collect()
+      closed ++= folded.filter(!_.is_state).map(f => (f.pair, f.timeframe,
+        f.trade_no, f.entry_time, f.entry_price, f.exit_time, f.exit_price,
+        f.reason, f.pnl))
+      state = folded.filter(_.is_state).map(f => (f.pair, f.timeframe, f.open,
+          f.entry_time, f.entry_price, f.n_closed, f.last_time)).toSeq
+        .toDF("pair", "timeframe", "open", "entry_time", "entry_price",
+          "n_closed", "last_time")
+    }
+    val finalState = state.collect().map(r => (r.getString(0), r.getString(1),
+      r.getBoolean(2), r.getTimestamp(3), r.getDouble(4), r.getLong(5)))
+    val openTail = finalState.filter(_._3).map(s =>
+      (s._1, s._2, s._6 + 1, s._4, s._5,
+        None: Option[java.sql.Timestamp], None: Option[Double],
+        None: Option[String], None: Option[Double]))
+    val got = (closed ++ openTail).sortBy(x => (x._1, x._2, x._3))
+    assert(oneShot.nonEmpty && oneShot.exists(_._8.contains("SL"))
+      && oneShot.exists(_._8.contains("TP")) && oneShot.exists(_._8.contains("SIG")),
+      s"fixture must exercise all three exit reasons: $oneShot")
+    assert(got.map(x => (x._1, x._2, x._3, x._4, x._5, x._6, x._7, x._8, x._9))
+      === oneShot.map(x => (x._1, x._2, x._3, x._4, x._5, x._6, x._7, x._8, x._9)))
+  }
+
   test("tradesIncremental fails loudly on a signal AT the folded frontier (not just before)") {
     // state frontier = t(5); a signal at exactly t(5) sorts AFTER the
     // kind-0 state row (kind 1 > 0) — the scaladoc promises "at or

@@ -388,6 +388,68 @@ class LivePipelineSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("live pipeline: STOPPED trade tail — replay + crash-before-snapshot converge to the one-shot f6f fold") {
+    val ps2 = Seq(2, 3)
+    val (slP, tpP) = (0.004, 0.006) // tight bands so SL/TP fire on the walk
+    val srv = new TickerServer(Seq(PathConfig("USD_JPY", "/ws/ticker_usd_jpy")),
+      heartbeatMillis = 60000L)
+    srv.start()
+    val root = Files.createTempDirectory("graft-livepipe-stp-").toString
+    try {
+      val st = LivePipeline.Stores(root)
+      val chunks = wire.grouped(25).toSeq
+      chunks.take(3).zipWithIndex.foreach { case (ms, i) =>
+        LivePipeline.processBatch(parseAll(ms), i.toLong, st, srv,
+          inds, ps2, tfs, compactEvery = 3, slPct = slP, tpPct = tpP)
+      }
+      // crash window A: batch 2 replays whole
+      LivePipeline.processBatch(parseAll(chunks(2)), 2L, st, srv,
+        inds, ps2, tfs, compactEvery = 3, slPct = slP, tpPct = tpP)
+      // crash window B: the stop-state snapshot write "crashed" — delete
+      // the latest version; the next batch re-folds from the older
+      // frontier against a stopped-trade store that already has the rows
+      val fs = new java.io.File(st.tradeStopState)
+      if (fs.exists()) {
+        val latest = fs.listFiles().filter(_.getName.startsWith("v"))
+          .maxBy(_.getName.stripPrefix("v").toLong)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+        }
+        rm(latest)
+      }
+      chunks.drop(3).zipWithIndex.foreach { case (ms, i) =>
+        LivePipeline.processBatch(parseAll(ms), (i + 3).toLong, st, srv,
+          inds, ps2, tfs, compactEvery = 3, slPct = slP, tpPct = tpP)
+      }
+      // one-shot twin: Backtest.tradesStopped per timeframe over the
+      // one-shot signals and final candles
+      val (_, ec, eg) = expected(wire, ps2)
+      val expSig = graft.operators.Signals.strategy(
+        eg.filter(col("indicator") === "SMA"), 2, 3).localCheckpoint()
+      val expStopped = tfCodes.flatMap { tf =>
+        val sg = expSig.filter(col("trigger_indicator_timeframe") === tf)
+        val cd = ec.filter(col("timeframe") === tf).select("pair", "time", "close")
+        graft.operators.Backtest.tradesStopped(sg, cd, slP, tpP).collect()
+          .filter(_.exit_time.isDefined)
+          .map(r => (r.pair, tf, r.trade_no.toLong, r.entry_time,
+            r.entry_price, r.exit_time.get, r.exit_price.get, r.reason.get))
+      }.sortBy(t => (t._1, t._2, t._3))
+      assert(expStopped.nonEmpty, "fixture closed no stopped trades — vacuous")
+      assert(expStopped.exists(t => t._8 == "SL" || t._8 == "TP"),
+        "no stop exit fired — bands too wide for the fixture walk")
+      val got = spark.read.parquet(st.tradesStopped)
+        .select(col("pair"), col("timeframe"), col("trade_no"),
+          col("entry_time"), col("entry_price"), col("exit_time"),
+          col("exit_price"), col("reason"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getTimestamp(3), r.getDouble(4), r.getTimestamp(5),
+          r.getDouble(6), r.getString(7)))
+        .toSeq.distinct.sortBy(t => (t._1, t._2, t._3))
+      assert(got === expStopped, "stopped-trade store diverged from the one-shot fold")
+      assertStores(root, wire, ps2)
+    } finally srv.close()
+  }
+
   test("live pipeline: a replayed micro-batch is a no-op on every store") {
     val srv = new TickerServer(Seq(PathConfig("USD_JPY", "/ws/ticker_usd_jpy")),
       heartbeatMillis = 60000L)
