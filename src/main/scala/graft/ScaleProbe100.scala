@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{Dedup, EditJoin, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The 100× evidence rung (round-14 verdict missing #3): every scale claim
+  * rested on measured 1×→10×; this probe replays the worst-scaling
+  * families at THREE tiers — sf0.1 (1×), the [[ScaleUp]] 10× corpus, and a
+  * 100× documents+embeddings corpus ([[ScaleProbe.generate]]'s
+  * statistically-like replicas, factor 100) — and records wall time NEXT
+  * TO each family's driving quantity:
+  *
+  *  - editdist_cands: PassJoin candidate pairs before the levenshtein
+  *    verify (linear in corpus at constant dup rate — the L70 claim);
+  *  - winnow_joinrows: Σ df·(df−1)/2 over the winnowing fingerprint index
+  *    — the exact pair-occurrence rows the MOSS join shuffles;
+  *  - ngram_capped_joinrows: same bound over the df≤2-capped shingle
+  *    index (the L3 valve);
+  *  - decontam_pairrows: Σ dft·dfe over shingles under the df cap — the
+  *    cross-side pair rows decontamination expands;
+  *  - hardneg_cands / bitext_cands: banded-LSH candidate pairs at the
+  *    corpus-adaptive band width — the r14 similarity joins' driving
+  *    quantity (the gates pin tiny oracle-parity configs; the SCALE
+  *    config is what this measures).
+  *
+  * The claim holds when each family's wall time grows no faster than its
+  * driving quantity between tiers; a super-linear wall over a linear
+  * quantity is a regression (the r14 broadcast traps were exactly that). */
+object ScaleProbe100 {
+
+  /** (gate family timed per tier, at the gates' own configs) */
+  private val Family = Seq(
+    "llm_editdist_join", "llm_winnow_dedup", "llm_dedup_ngram_capped",
+    "llm_decontaminate_capped", "llm_dedup_substr", "llm_boilerplate")
+
+  private def docsOf(s: SparkSession, d: String): DataFrame =
+    graft.sources.Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
+  private def joinRows(df: DataFrame): Long =
+    df.agg(sum(expr("df * (df - 1) div 2"))).head().getLong(0)
+
+  private[graft] def drivers(s: SparkSession, d: String): Seq[(String, Long)] = {
+    val docs = docsOf(s, d)
+    val ed = EditJoin.candidatePairs(EditJoin.normalized(docs), 8).count()
+    val wfp = graft.operators.TextAnalysis.winnow(docs, 3, 4)
+      .select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val sh = Dedup.shingleSets(docs, 3)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val shDf = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // decontamination pair rows at the llm_decontaminate_capped config:
+    // train/eval by content-hash split, df<=50 per side, Σ dft·dfe
+    val split = graft.operators.CorpusPrep.assignSplit(docs)
+    val sides = Dedup.shingleSets(split, 3)
+      .join(split.select(col("doc_id"), col("split")), "doc_id")
+      .select(explode(col("shingles")).as("sh"),
+        when(col("split") === "train", 0).otherwise(1).as("side"))
+      .groupBy(col("sh")).agg(
+        count(when(col("side") === 0, lit(1))).as("dft"),
+        count(when(col("side") === 1, lit(1))).as("dfe"))
+    val decontam = sides.filter(col("dft") <= 50 && col("dfe") <= 50)
+      .agg(sum(col("dft") * col("dfe"))).head().getLong(0)
+    // similarity joins at the SCALE config: full corpus, adaptive bands
+    val embs = graft.sources.Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .localCheckpoint()
+    val bits = Similarity.adaptiveBits(embs.count())
+    val cb = Similarity.lshBands(embs, bands = 96, bitsPerBand = bits, seed = 42)
+      .localCheckpoint()
+    val hardneg = cb.hint("shuffle_hash")
+      .join(cb.select(col("id").as("qid"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("id") =!= col("qid")).select(col("qid"), col("id")).distinct()
+      .count()
+    Seq("editdist_cands" -> ed,
+      "winnow_joinrows" -> joinRows(wfp),
+      "ngram_capped_joinrows" -> joinRows(shDf.filter(col("df") <= 2)),
+      "decontam_pairrows" -> decontam,
+      "simjoin_cands" -> hardneg)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val x10 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/sf1")
+    val x100 = sys.env.getOrElse("SPARK_GRAFT_SCALE100_DIR", "target/sf10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$x100/embeddings.parquet"))) {
+      System.err.println(s"[probe100] generating 100x docs+embeddings at $x100")
+      ScaleProbe.generate(spark, base, x100, 100)
+    }
+
+    val sb = new StringBuilder("{")
+    Seq("x1" -> base, "x10" -> x10, "x100" -> x100).foreach { case (tag, dir) =>
+      val rowsOut = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      val times = Family.map { name =>
+        val fn = SparkEntry.queries(name)
+        rowsOut(name) = fn(spark, dir).count() // warm-up + row count
+        val best = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        name -> best
+      }
+      val ds = drivers(spark, dir)
+      def obj(xs: Seq[(String, Any)]) = xs.map { case (k, v) =>
+        "\"" + k + "\":" + (v match {
+          case d: Double => BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+          case o => o
+        })
+      }.mkString("{", ",", "}")
+      sb.append(s""""$tag":{"dir":"$dir","sec":${obj(times)},""" +
+        s""""rows":${obj(rowsOut.toSeq)},"drivers":${obj(ds)}},""")
+      System.err.println(s"[probe100] $tag done")
+    }
+    val json = sb.dropRight(1).append("}").toString
+    val p = java.nio.file.Paths.get("target/scale_probe_100.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}
