@@ -154,8 +154,18 @@ class LivePipelineSpec extends SparkSpec {
     // the O(new data) claim, measured: with (pair, dt)-partitioned stores,
     // literal watermark thresholds, and time-bounded anti-joins, a batch's
     // input row count must track the batch + unfrozen tail — NOT store
-    // history. 18 equal-sized batches; if any per-batch read scanned the
-    // full store, late batches would read ~9x the rows of early ones.
+    // history. 50 equal-sized batches WITH compaction cycles inside
+    // (compactEvery=16 → batches 15/31/47): if any per-batch read scanned
+    // the full store, late batches would read ~25x the rows of early
+    // ones, and a compaction that broke partition layout would bend the
+    // post-compaction baseline. Compaction batches themselves are
+    // excluded from the flatness comparison — a rewrite-and-swap's read
+    // is proportional to the fragmented partitions it rewrites (this
+    // single-day fixture fragments ONE dt partition forever; production
+    // dt layout retires old days), which is amortized maintenance, not
+    // the steady-state scan. Measured shape: the swap echoes into ONE
+    // following batch (the first read after a swap re-establishes the
+    // merged file) and decays to the 1530-row baseline immediately.
     val srv = new TickerServer(Seq(PathConfig("USD_JPY", "/ws/ticker_usd_jpy")),
       heartbeatMillis = 60000L)
     srv.start()
@@ -185,25 +195,31 @@ class LivePipelineSpec extends SparkSpec {
         while (cur != prev) { Thread.sleep(200); prev = cur; cur = recs.get() }
         cur
       }
+      val nBatches = 50
+      val compactEvery = 16
+      def isCompactBatch(b: Int) = (b + 1) % compactEvery == 0
       spark.sparkContext.addSparkListener(listener)
       val perBatch = try {
-        (0 until 18).map { b =>
+        (0 until nBatches).map { b =>
           val before = settled()
           LivePipeline.processBatch(parseAll(batchMsgs(b)), b.toLong, st, srv,
-            inds, ps, tfs, compactEvery = 0)
+            inds, ps, tfs, compactEvery = compactEvery)
           settled() - before
         }
       } finally spark.sparkContext.removeSparkListener(listener)
       // steady state from batch 3 (thresholds defined once every
-      // timeframe froze a bar); late batches must not outgrow early ones
+      // timeframe froze a bar); late batches must not outgrow early ones.
+      // The late window sits AFTER two compaction cycles, so it also
+      // proves compaction preserves the bounded-read layout.
       val early = perBatch.slice(3, 6).sum / 3.0
-      val lateB = perBatch.slice(15, 18).sum / 3.0
+      val lateIdx = (44 until 47).filterNot(isCompactBatch)
+      val lateB = lateIdx.map(perBatch).sum.toDouble / lateIdx.size
       info(s"rows read per batch: ${perBatch.mkString(", ")}")
       assert(lateB <= early * 2.0,
         s"per-batch scan grew with history: early=$early late=$lateB " +
         s"(${perBatch.mkString(",")})")
       // and the run was still CORRECT end to end
-      assertStores(root, (0 until 18).flatMap(batchMsgs))
+      assertStores(root, (0 until nBatches).flatMap(batchMsgs))
     } finally srv.close()
   }
 
