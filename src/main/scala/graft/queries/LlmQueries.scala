@@ -128,7 +128,7 @@ object LlmQueries {
     * per candidate — no transcendentals, same argmax as Σlog), best-path
     * piece counts (`wc`) and piece-length paths (`wp`); ties take the
     * longest piece (list_filter max-index, the Spark fold's `>=` twin). */
-  private def unigramViterbi(i: Int): String =
+  private def unigramViterbi(i: Int, words: String = "wd"): String =
     s"""cand$i AS MATERIALIZED (
        |  SELECT word, e, list(pv ORDER BY l) AS ps FROM (
        |    SELECT c.word, c.e, c.l,
@@ -137,7 +137,7 @@ object LlmQueries {
        |                ELSE coalesce(p.p, CAST(0 AS DOUBLE)) END AS pv
        |    FROM (SELECT word, e, unnest(range(1, least(6, e) + 1)) AS l
        |          FROM (SELECT word, unnest(range(1, length(word) + 1)) AS e
-       |                FROM wd)) c
+       |                FROM $words)) c
        |    LEFT JOIN p$i p ON p.piece = substr(c.word, c.e - c.l + 1, c.l))
        |  GROUP BY word, e),
        |walk$i AS (
@@ -145,7 +145,7 @@ object LlmQueries {
        |         [1, 0, 0, 0, 0, 0]::DOUBLE[] AS wb,
        |         [0, 0, 0, 0, 0, 0]::BIGINT[] AS wc,
        |         [[], [], [], [], [], []]::BIGINT[][] AS wp
-       |  FROM wd
+       |  FROM $words
        |  UNION ALL
        |  SELECT word, e, list_prepend(b, wb[1:5]),
        |         list_prepend(wc[ls] + 1, wc[1:5]),
@@ -165,10 +165,10 @@ object LlmQueries {
   /** The shared unigram-LM training chain (topV=120, maxPiece=6, keepV=60,
     * one hard-EM round): seed freqs → p0 → Viterbi pass 0 → decoded usage
     * → singles add-one floor + keepV prune → m1/t1 (the trained model). */
-  private val unigramChain: String =
+  private def unigramChain(trainWhere: String = ""): String =
     s"""WITH RECURSIVE $toksCte,
        |wd AS (SELECT word, count(*)::BIGINT AS cnt
-       |       FROM (SELECT unnest(w) AS word FROM toks)
+       |       FROM (SELECT unnest(w) AS word FROM toks $trainWhere)
        |       WHERE word IS NOT NULL AND word <> '' GROUP BY word),
        |sf AS (SELECT substr(word, i + 1, l) AS piece, sum(cnt) AS freq
        |       FROM (SELECT word, cnt, i,
@@ -368,6 +368,19 @@ object LlmQueries {
     // round — exact integer usage counts, the prune cut proven row-by-row
     "llm_unigram_vocab" -> ((s, d) =>
       Unigram.train(docsPar(s, d), topV = 120, maxPiece = 6, keepV = 15)),
+
+    // L78 (cross-corpus): train the unigram model on the ENGLISH slice,
+    // Viterbi-encode the WHOLE corpus — unknown multi-char pieces score
+    // 0 (never on a best path) and unknown single chars take the 1/T
+    // floor, so the encoder is total on text the model never saw; the
+    // oracle replays the en-trained chain with the final DP over the
+    // full word table
+    "llm_unigram_encode_xcorpus" -> ((s, d) => {
+      val docs = docsPar(s, d)
+      Unigram.encode(docs,
+        Unigram.train(docs.filter(col("lang") === "en"),
+          topV = 120, maxPiece = 6, keepV = 15))
+    }),
 
     // L70: edit-distance similarity join (PassJoin segment pigeonhole,
     // levenshtein <= 8 verify) — lossless candidates, so the gate proves
@@ -1357,7 +1370,7 @@ object LlmQueries {
          |GROUP BY t.doc_id""".stripMargin,
 
     "llm_unigram_lm" ->
-      s"""$unigramChain,
+      s"""${unigramChain()},
          |${unigramViterbi(1)},
          |np AS (SELECT w.word, w.wc[1] AS np FROM walk1 w
          |       WHERE w.e = length(w.word))
@@ -1367,8 +1380,21 @@ object LlmQueries {
          |GROUP BY t.doc_id""".stripMargin,
 
     "llm_unigram_vocab" ->
-      s"""$unigramChain
+      s"""${unigramChain()}
          |SELECT piece, used FROM m1""".stripMargin,
+
+    "llm_unigram_encode_xcorpus" ->
+      s"""${unigramChain("WHERE lang = 'en'")},
+         |wde AS (SELECT word, count(*)::BIGINT AS cnt
+         |        FROM (SELECT unnest(w) AS word FROM toks)
+         |        WHERE word IS NOT NULL AND word <> '' GROUP BY word),
+         |${unigramViterbi(1, "wde")},
+         |np AS (SELECT w.word, w.wc[1] AS np FROM walk1 w
+         |       WHERE w.e = length(w.word))
+         |SELECT t.doc_id, count(*)::BIGINT AS n_ws, sum(np.np)::BIGINT AS n_pieces
+         |FROM (SELECT doc_id, unnest(w) AS word FROM toks) t
+         |JOIN np ON np.word = t.word
+         |GROUP BY t.doc_id""".stripMargin,
 
     "llm_editdist_join" ->
       """WITH n AS (SELECT doc_id,

@@ -436,6 +436,18 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("unigram tokenizer: word-scale joins shuffled, only the bounded model broadcasts") {
+    // the wordpiece discipline applied to the DP frames: the vocabulary-
+    // bounded model is the ONE legitimate broadcast (per Viterbi pass);
+    // the n_pieces rollup join against corpus-scale docWords is pinned
+    // shuffle_hash (stats-blind typed-fold output)
+    val p = plan("llm_unigram_lm")
+    assert(p.contains("ShuffledHashJoin"),
+      s"unigram lost its shuffle_hash rollup join:\n$p")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj <= 2, s"unigram broadcasts more than the model joins ($bhj):\n$p")
+  }
+
   test("joins over stats-blind inputs (explode products, checkpoint'd RDDs) pin a strategy") {
     // The round-14 trap, twice: Catalyst's size estimate below a Generate
     // (explode) is a guess, and below a localCheckpoint (LogicalRDD) it is

@@ -77,6 +77,22 @@ class UnigramSpec extends SparkSpec {
     assert(enc.count() === d.select(col("doc_id")).distinct().count())
   }
 
+  test("cross-corpus encode is total: unknown chars take the 1/T floor") {
+    // model trained on {a,b,c}-alphabet docs; encode text carrying 'z'
+    // (never seen): the z single scores pFloor, the encoder stays total,
+    // and known substrings still win their segments
+    val train = docs(1L -> "abc abc ab", 2L -> "bca cab abc")
+    val model = Unigram.train(train, topV = 10, maxPiece = 4, keepV = 5)
+    val pieces = model.collect().map(_.getString(0)).toSet
+    assert(!pieces.exists(_.contains("z")))
+    val out = Unigram.encode(docs(10L -> "abz zzq abc"), model, maxPiece = 4)
+      .collect()
+    assert(out.length === 1 && out(0).getLong(1) === 3L)
+    // every word segments (n_pieces >= n_ws, bounded by total chars)
+    val np = out(0).getLong(2)
+    assert(np >= 3L && np <= 9L)
+  }
+
   test("underflow guard fails loudly on pathological input") {
     val model = Seq(("x", 1000000000000000000L)).toDF("piece", "used")
     val longWord = "x" * 400
