@@ -687,6 +687,27 @@ object LlmQueries {
     "llm_corpus_splits" -> ((s, d) =>
       CorpusPrep.splitStats(CorpusPrep.assignSplit(CorpusPrep.clean(docsPar(s, d))))),
 
+    // the whole curation chain as ONE release report: raw corpus →
+    // clean (exact canon + near-dup losers + quality floor) → content-
+    // hash split → per-split accounting PLUS the '_removed' row pricing
+    // what curation dropped — the table a data curator signs off before
+    // training (release accounting must BALANCE: Σ n_docs over all four
+    // rows = the raw corpus)
+    "llm_corpus_release" -> ((s, d) => {
+      val docs = docsPar(s, d)
+      val cleaned = CorpusPrep.clean(docs)
+      val stats = CorpusPrep.splitStats(CorpusPrep.assignSplit(cleaned))
+      val removed = docs.join(cleaned.select("doc_id"), Seq("doc_id"), "left_anti")
+      val removedRow = TextAnalysis.stats(removed)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(round(sum(col("quality").cast("decimal(18,6)")).cast("double"), 6)
+            / count(lit(1)), 6).as("avg_quality"))
+        .select(lit("_removed").as("split"), col("n_docs"),
+          col("total_tokens"), col("avg_quality"))
+      stats.unionByName(removedRow)
+    }),
+
     "llm_text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d))),
 
     "llm_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -1994,6 +2015,47 @@ object LlmQueries {
          |             / count(*))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS avg_quality
          |FROM kept k JOIN st USING (doc_id)
          |GROUP BY 1""".stripMargin,
+
+    "llm_corpus_release" ->
+      s"""WITH $shingleCte,
+         |losers AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+         |          / len(list_distinct(a.s || b.s)) >= 0.8),
+         |canon AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY
+         |      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep
+         |    FROM documents) WHERE keep),
+         |st AS (
+         |  SELECT doc_id,
+         |         len(w)::BIGINT AS n_tokens,
+         |         ('0x' || substr(md5(norm), 1, 15))::BIGINT % 100 AS b,
+         |         round((least(len(w)::DOUBLE / 50.0, 1.0)
+         |           * (1.0 - len(list_filter(w, x -> list_contains($stopEn, x)))::DOUBLE
+         |                    / len(w)))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS quality
+         |  FROM toks),
+         |kept AS (
+         |  SELECT d.doc_id FROM documents d
+         |  JOIN canon USING (doc_id)
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+         |    AND d.doc_id IN (SELECT doc_id FROM st WHERE quality >= 0.2))
+         |SELECT CASE WHEN st.b < 90 THEN 'train'
+         |            WHEN st.b < 95 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       count(*) AS n_docs,
+         |       sum(st.n_tokens)::BIGINT AS total_tokens,
+         |       round((round(sum(st.quality::DECIMAL(18,6))::DOUBLE, 6)
+         |             / count(*))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS avg_quality
+         |FROM kept k JOIN st USING (doc_id)
+         |GROUP BY 1
+         |UNION ALL
+         |SELECT '_removed', count(*),
+         |       sum(st.n_tokens)::BIGINT,
+         |       round((round(sum(st.quality::DECIMAL(18,6))::DOUBLE, 6)
+         |             / count(*))::VARCHAR::DECIMAL(38,23), 6)::DOUBLE
+         |FROM st WHERE doc_id NOT IN (SELECT doc_id FROM kept)""".stripMargin,
 
     "llm_text_stats" ->
       s"""WITH $toksCte
