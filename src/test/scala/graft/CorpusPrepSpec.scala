@@ -50,6 +50,29 @@ class CorpusPrepSpec extends SparkSpec {
     assert(kept.contains(1L) && !kept.contains(9001L)) // exact dup loses
   }
 
+  test("release report balances: splits + removed account for every raw doc") {
+    // force all three removal classes: an exact dup, and junk below the
+    // quality floor (one whitespace-heavy word repeated = max stopword-
+    // free shortness penalty)
+    val d = docs.unionByName(Seq(
+        (9001L, docs.filter($"doc_id" === 1L).head.getString(1), "en"),
+        (9002L, "the the the", "en"))
+        .toDF("doc_id", "text", "lang"))
+      .withColumn("source", lit("s"))
+    val cleaned = CorpusPrep.clean(d, nearDupThreshold = 0.8, minQuality = 0.2)
+    val stats = CorpusPrep.splitStats(CorpusPrep.assignSplit(cleaned))
+      .select($"split", $"n_docs", $"total_tokens")
+    val removedN = d.count() - cleaned.count()
+    assert(removedN > 0, "fixture must drop something or the test is vacuous")
+    val splitN = stats.agg(sum($"n_docs")).head().getLong(0)
+    assert(splitN + removedN === d.count(),
+      s"release accounting must balance: $splitN kept + $removedN removed")
+    // token mass balances too: kept tokens == stats total
+    val keptTokens = graft.operators.TextAnalysis.stats(cleaned)
+      .agg(sum($"n_tokens")).head().getLong(0)
+    assert(stats.agg(sum($"total_tokens")).head().getLong(0) === keptTokens)
+  }
+
   test("cleanClustered collapses hub-connected transitive near-dups that clean keeps") {
     // hub topology: docs 1 and 2 are each ≥0.8-similar to hub 3 but <0.8
     // to each other — pair-loser removal drops only the hub; cluster-exact
