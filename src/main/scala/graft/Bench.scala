@@ -116,14 +116,21 @@ object Bench {
       if (!failed.contains(name) && needsRemeasure(prior, name, t)) {
         remeasured += name
         val fn = SparkEntry.queries(name)
-        val again = (1 to runs).map { _ =>
+        // only SUCCESSFUL re-runs may heal: a re-run that throws must not
+        // leave its time-to-failure in the record (the honest fallback is
+        // the original reading)
+        val again = (1 to runs).flatMap { _ =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name re-measure run failed: ${e.getMessage}")
+            None
+          }
         }
-        System.err.println(f"[bench] $name re-measured: $t%.2f -> ${again.min}%.2f s " +
-          s"(prior ${prior(name)})")
-        name -> math.min(t, again.min)
+        val healedT = if (again.nonEmpty) math.min(t, again.min) else t
+        System.err.println(f"[bench] $name re-measured: $t%.2f -> $healedT%.2f s " +
+          s"(prior ${prior(name)}, ${again.size}/$runs re-runs ok)")
+        name -> healedT
       } else name -> t
     }
     val rm = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")

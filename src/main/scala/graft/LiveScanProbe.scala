@@ -37,12 +37,19 @@ object LiveScanProbe {
 
     def msg(sym: String, t: String, bid: Double, ask: Double) =
       f"""{"symbol":"$sym","timestamp":"$t","bid":"$bid%.3f","ask":"$ask%.3f"}"""
-    // 20 minutes x 2 ticks/min x 2 pairs per batch, deterministic walk
+    // 20 minutes x 2 ticks/min x 2 pairs per batch, deterministic walk;
+    // timestamps via real date arithmetic so the horizon can extend past
+    // any day/month boundary (string-interpolated day fields silently
+    // produced unparseable dates past batch 647)
+    val wireFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+    val epoch0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
     def batchMsgs(b: Int): Seq[String] =
       for (m <- 0 until 20; s <- Seq(0, 30); p <- Seq("USD_JPY", "EUR_JPY"))
         yield {
           val tot = b * 20 + m
-          val t = f"2024-01-0${1 + tot / 1440}T${(tot / 60) % 24}%02d:${tot % 60}%02d:$s%02d.000Z"
+          val t = wireFmt.format(epoch0.plusSeconds(tot * 60L + s))
           msg(p, t, 150.0 + (tot % 23) * 0.1, 150.05 + (tot % 23) * 0.1)
         }
     def parseAll(msgs: Seq[String]): DataFrame =

@@ -38,8 +38,10 @@ object ScaleProbe100 {
     graft.sources.Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
-  private def joinRows(df: DataFrame): Long =
-    df.agg(sum(expr("df * (df - 1) div 2"))).head().getLong(0)
+  private def joinRows(df: DataFrame): Long = {
+    val r = df.agg(sum(expr("df * (df - 1) div 2"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0) // empty index -> 0, not NPE
+  }
 
   private[graft] def drivers(s: SparkSession, d: String): Seq[(String, Long)] = {
     val docs = docsOf(s, d)

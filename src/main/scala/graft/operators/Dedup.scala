@@ -200,9 +200,12 @@ object Dedup {
   def verifyJaccard(cands: DataFrame, shingleSets: DataFrame, threshold: Double): DataFrame =
     // the candidate pair set is dup-rate-proportional — corpus-growing,
     // stats-blind (post-Generate): pin it as a SHUFFLED build side, never
-    // let Catalyst broadcast it off a bogus size estimate
+    // let Catalyst broadcast it off a bogus size estimate. A hint binds
+    // to its NEAREST join only, so the chained second join re-pins the
+    // (cands x si) intermediate explicitly
     cands.hint("shuffle_hash")
       .join(shingleSets.select(col("doc_id").as("i"), col("shingles").as("si")), "i")
+      .hint("shuffle_hash")
       .join(shingleSets.select(col("doc_id").as("j"), col("shingles").as("sj")), "j")
       .withColumn("jaccard",
         size(array_intersect(col("si"), col("sj"))).cast("double") /
@@ -774,9 +777,11 @@ object Dedup {
   def dupMatrix(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
     // the near-dup pair set is dup-rate-proportional and stats-blind:
-    // pinned shuffled build against the source dim
+    // pinned shuffled build against the source dim (both chained joins —
+    // a hint binds to its nearest join only)
     nearDupMinhash(docs, threshold = threshold).hint("shuffle_hash")
       .join(src.select(col("doc_id").as("i"), col("source").as("src_i")), "i")
+      .hint("shuffle_hash")
       .join(src.select(col("doc_id").as("j"), col("source").as("src_j")), "j")
       .groupBy(least(col("src_i"), col("src_j")).as("source_a"),
         greatest(col("src_i"), col("src_j")).as("source_b"))

@@ -42,8 +42,12 @@ object EditJoin {
 
   def editDistJoin(docs: DataFrame, t: Int = 8): DataFrame = {
     val norm = normalized(docs)
-    candidatePairs(norm, t)
+    // the candidate set is stats-blind (post-Generate) and pair-
+    // proportional: pin BOTH chained re-attach joins shuffled (a hint
+    // binds to its nearest join only)
+    candidatePairs(norm, t).hint("shuffle_hash")
       .join(norm.select(col("id").as("a"), col("s").as("sa")), "a")
+      .hint("shuffle_hash")
       .join(norm.select(col("id").as("b"), col("s").as("sb")), "b")
       .withColumn("dist", levenshtein(col("sa"), col("sb"), t))
       .filter(col("dist") >= 0)

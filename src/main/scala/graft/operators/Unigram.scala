@@ -215,7 +215,9 @@ object Unigram {
     val docWords = docs
       .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("word"))
       .filter(col("word").isNotNull && col("word") =!= "")
-    val words = wordTable(docs, textCol)
+    // derive the word table from docWords instead of re-tokenizing the
+    // corpus a second time (one fewer corpus-scale explode pass)
+    val words = docWords.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val (m, pFloor) = withProbs(model)
     val np = viterbi(words, m, maxPiece, pFloor)
       .select(col("word"), col("n_pieces").as("np"))

@@ -697,7 +697,10 @@ object LlmQueries {
       val docs = docsPar(s, d)
       val cleaned = CorpusPrep.clean(docs)
       val stats = CorpusPrep.splitStats(CorpusPrep.assignSplit(cleaned))
-      val removed = docs.join(cleaned.select("doc_id"), Seq("doc_id"), "left_anti")
+      // the kept-id set is corpus-scale and stats-blind: pinned shuffled
+      // build (the sweep caught the unhinted broadcast on arrival)
+      val removed = docs.join(cleaned.select("doc_id").hint("shuffle_hash"),
+        Seq("doc_id"), "left_anti")
       val removedRow = TextAnalysis.stats(removed)
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
