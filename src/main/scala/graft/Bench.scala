@@ -29,6 +29,44 @@ object Bench {
                                     t: Double): Boolean =
     prior.get(name).exists(p => p > 0 && t > 3.0 * p)
 
+  /** The prior record's `"sf"` field: healing against a prior from a
+    * DIFFERENT scale factor would read nearly every cell as >3× and
+    * silently double the suite against a wrong baseline. */
+  private[graft] def parsePriorSf(json: String): Option[String] =
+    """"sf":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+
+  /** Query family = the leading alphabetic run of the name (`u5_macd` →
+    * `u`, `llm_winnow_fp` → `llm`, `s8j_incremental_grid` → `s`) — the
+    * granularity at which ambient load distorts a record (the r15b
+    * canonical shipped the whole u/w indicator band 2–3× inflated, every
+    * cell under the per-cell 3× healer's threshold). */
+  private[graft] def familyOf(name: String): String = {
+    val f = name.takeWhile(c => c >= 'a' && c <= 'z')
+    if (f.isEmpty) name else f
+  }
+
+  /** Families whose MEDIAN ratio vs the prior record exceeds `threshold`
+    * — a coherent drift no single cell triggers on, so the whole family
+    * gets an isolated re-measure. Requires ≥ `minCells` prior-matched
+    * cells (a one-cell "family" is the per-cell healer's job). */
+  private[graft] def familiesToHeal(prior: Map[String, Double],
+                                    results: Seq[(String, Double)],
+                                    minCells: Int = 3,
+                                    threshold: Double = 2.0): Set[String] = {
+    val ratios = results.flatMap { case (n, t) =>
+      prior.get(n).filter(_ > 0).map(p => (familyOf(n), t / p))
+    }
+    ratios.groupBy(_._1).collect {
+      case (fam, rs) if rs.size >= minCells => {
+        val xs = rs.map(_._2).sorted
+        val m =
+          if (xs.size % 2 == 1) xs(xs.size / 2)
+          else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0
+        (fam, m)
+      }
+    }.collect { case (fam, med) if med > threshold => fam }.toSet
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -105,32 +143,57 @@ object Bench {
     // value is re-measured in isolation before the artifact is written —
     // min over all observations, the cell-level twin of min-of-N (the
     // r13/r14 winnow-transient class, made self-correcting)
-    val prior = sys.env.get("SPARK_GRAFT_PRIOR")
+    val priorJson = sys.env.get("SPARK_GRAFT_PRIOR")
       .flatMap(p => scala.util.Try(new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
         "UTF-8")).toOption)
-      .map(parsePriorQueries(_, names.toSet))
-      .getOrElse(Map.empty[String, Double])
-    val remeasured = scala.collection.mutable.LinkedHashSet.empty[String]
-    val healed = results.map { case (name, t) =>
-      if (!failed.contains(name) && needsRemeasure(prior, name, t)) {
-        remeasured += name
-        val fn = SparkEntry.queries(name)
-        // only SUCCESSFUL re-runs may heal: a re-run that throws must not
-        // leave its time-to-failure in the record (the honest fallback is
-        // the original reading)
-        val again = (1 to runs).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name re-measure run failed: ${e.getMessage}")
-            None
-          }
+    // sf guard: a prior from a different scale factor makes nearly every
+    // cell read >3× and would silently double the suite while healing
+    // mins against a wrong baseline — compare basenames (records carry
+    // either the full dir or its basename depending on the variant)
+    def sfBase(p: String) =
+      java.nio.file.Paths.get(p).getFileName.toString
+    val prior = priorJson match {
+      case Some(j) =>
+        parsePriorSf(j).map(sfBase) match {
+          case Some(b) if b != sfBase(sfDir) =>
+            System.err.println(s"[bench] SPARK_GRAFT_PRIOR is for sf '$b' " +
+              s"but this run is '${sfBase(sfDir)}' — healing disabled")
+            Map.empty[String, Double]
+          case _ => parsePriorQueries(j, names.toSet)
         }
-        val healedT = if (again.nonEmpty) math.min(t, again.min) else t
-        System.err.println(f"[bench] $name re-measured: $t%.2f -> $healedT%.2f s " +
-          s"(prior ${prior(name)}, ${again.size}/$runs re-runs ok)")
-        name -> healedT
+      case None => Map.empty[String, Double]
+    }
+    val remeasured = scala.collection.mutable.LinkedHashSet.empty[String]
+    // family-median drift pass first: a coherent ambient stretch inflates
+    // a whole family 2–3× with no cell crossing the per-cell 3× trigger
+    // (the r15b u/w band) — heal those families wholesale, in isolation
+    val famHeal = familiesToHeal(prior, results)
+    if (famHeal.nonEmpty) System.err.println(
+      s"[bench] family-median drift >2x vs prior: ${famHeal.mkString(", ")} — re-measuring")
+    def remeasure(name: String, t: Double): Double = {
+      val fn = SparkEntry.queries(name)
+      // only SUCCESSFUL re-runs may heal: a re-run that throws must not
+      // leave its time-to-failure in the record (the honest fallback is
+      // the original reading)
+      val again = (1 to runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name re-measure run failed: ${e.getMessage}")
+          None
+        }
+      }
+      val healedT = if (again.nonEmpty) math.min(t, again.min) else t
+      System.err.println(f"[bench] $name re-measured: $t%.2f -> $healedT%.2f s " +
+        s"(prior ${prior.getOrElse(name, -1.0)}, ${again.size}/$runs re-runs ok)")
+      healedT
+    }
+    val healed = results.map { case (name, t) =>
+      if (!failed.contains(name) &&
+          (needsRemeasure(prior, name, t) || famHeal.contains(familyOf(name)))) {
+        remeasured += name
+        name -> remeasure(name, t)
       } else name -> t
     }
     val rm = remeasured.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -62,8 +62,12 @@ object ScaleProbe100 {
       .groupBy(col("sh")).agg(
         count(when(col("side") === 0, lit(1))).as("dft"),
         count(when(col("side") === 1, lit(1))).as("dfe"))
-    val decontam = sides.filter(col("dft") <= 50 && col("dfe") <= 50)
-      .agg(sum(col("dft") * col("dfe"))).head().getLong(0)
+    val decontam = {
+      // empty/fully-capped shingle side -> sum() is NULL, not a row to NPE on
+      val r = sides.filter(col("dft") <= 50 && col("dfe") <= 50)
+        .agg(sum(col("dft") * col("dfe"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     // similarity joins at the SCALE config: full corpus, adaptive bands
     val embs = graft.sources.Tables.embeddings(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))

@@ -123,7 +123,14 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
     * the per-node MAX dict-suffix length matters). One automaton walk;
     * per-hit marking is O(match length), so the worst case is
     * O(chars · longest pattern) on pathological self-overlapping text and
-    * O(chars) on real blocklists. */
+    * O(chars) on real blocklists.
+    *
+    * Masking is per CODEPOINT, not per UTF-16 unit: the span convention
+    * (and the DuckDB oracle's substr arithmetic) counts codepoints, so a
+    * masked supplementary-plane character becomes ONE mask char, never
+    * two. A valid pattern match always covers whole codepoints; a
+    * codepoint counts as covered if ANY of its units is (the lone-
+    * surrogate-pattern degenerate case). */
   def scrub(s: String, mask: Char, remove: Boolean): String = {
     var state = 0
     val n = s.length
@@ -141,9 +148,12 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
     val sb = new java.lang.StringBuilder(n)
     i = 0
     while (i < n) {
-      if (!covered(i)) sb.append(s.charAt(i))
+      val cp = s.codePointAt(i)
+      val w = Character.charCount(cp)
+      val cov = covered(i) || (w == 2 && covered(i + 1))
+      if (!cov) sb.appendCodePoint(cp)
       else if (!remove) sb.append(mask)
-      i += 1
+      i += w
     }
     sb.toString
   }

@@ -182,19 +182,36 @@ object StreamQueries {
     * invoked standalone. */
   private object E2eReplay {
     private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    // replay temp roots live for the whole session (a later tail gate may
+    // read a superseded root it captured earlier) — reap them at JVM exit
+    private val roots = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    sys.addShutdownHook {
+      roots.forEach { r =>
+        try {
+          val p = java.nio.file.Paths.get(r)
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: Throwable => () }
+      }
+    }
 
-    /** Always replays (the honest timed path); refreshes the cache. */
-    def replay(s: SparkSession, d: String): String = {
-      val root = run(s, d)
+    /** Always replays (the honest timed path); refreshes the cache.
+      * `gate` attributes the run's stream telemetry to the invoking
+      * query (a tail gate triggering a standalone replay must not record
+      * its stats under the pipeline gate's name). */
+    def replay(s: SparkSession, d: String, gate: String): String = {
+      val root = run(s, d, gate)
       cache.put(d, root)
       root
     }
 
     /** Reuses the session's last replay of `d`, or replays once. */
-    def sharedRoot(s: SparkSession, d: String): String =
-      cache.getOrElseUpdate(d, run(s, d))
+    def sharedRoot(s: SparkSession, d: String, gate: String): String =
+      cache.getOrElseUpdate(d, run(s, d, gate))
 
-    private def run(s: SparkSession, d: String): String = {
+    private def run(s: SparkSession, d: String, gate: String): String = {
       val wireEnd = "2024-01-03 00:00:00"
       // the live endpoint pushes in TIME order (the pipeline's ordered-
       // socket contract; u4d's string-sort is set-semantics only), so the
@@ -214,10 +231,11 @@ object StreamQueries {
           graft.serving.PathConfig(p, s"/ws/ticker_$p")), heartbeatMillis = 60000L)
       val srvPort = srv.start()
       val root = Files.createTempDirectory("graft-e2e-").toString
+      roots.add(root)
       val sub = new graft.sources.WebSocketClient("127.0.0.1", srvPort, "/ws/ticker_click")
       try {
         sub.connect()
-        awaitAndRecord("e2e_live_pipeline",
+        awaitAndRecord(gate,
           graft.serving.LivePipeline.start(s, "localhost", epPort, "/ws/public/v1",
             """{"command":"subscribe","channel":"ticker"}""", root, srv,
             Seq("RSI", "SMA", "EMA"), Seq(14, 28), Seq("1m", "5m"),
@@ -302,7 +320,7 @@ object StreamQueries {
     // against the same run's stores (E2eReplay.sharedRoot — standalone
     // invocations replay for themselves).
     "e2e_live_pipeline" -> ((s, d) => {
-      val root = E2eReplay.replay(s, d)
+      val root = E2eReplay.replay(s, d, "e2e_live_pipeline")
       s.read.parquet(s"$root/grid_facts")
         .select(col("indicator"), col("pair"), col("timeframe"),
           unix_timestamp(col("time")).as("time_s"), col("period"),
@@ -315,7 +333,8 @@ object StreamQueries {
     // Oracle: the w1 cross composition over the live-cutoff final bars,
     // per timeframe.
     "e2e_live_signals" -> ((s, d) => {
-      val st = graft.serving.LivePipeline.Stores(E2eReplay.sharedRoot(s, d))
+      val st = graft.serving.LivePipeline.Stores(
+        E2eReplay.sharedRoot(s, d, "e2e_live_signals"))
       val out =
         try s.read.parquet(st.signals)
         catch { case _: org.apache.spark.sql.AnalysisException =>
@@ -341,7 +360,8 @@ object StreamQueries {
     // closed trades from the store plus the open positions from the
     // state snapshot. Oracle: the f6b pairing over the live crosses.
     "e2e_live_trades" -> ((s, d) => {
-      val st = graft.serving.LivePipeline.Stores(E2eReplay.sharedRoot(s, d))
+      val st = graft.serving.LivePipeline.Stores(
+        E2eReplay.sharedRoot(s, d, "e2e_live_trades"))
       import s.implicits._
       val emptyTrades =
         Seq.empty[(String, String, Long, java.sql.Timestamp, Double,
@@ -379,7 +399,8 @@ object StreamQueries {
     // state machine over the live-cutoff final bars + crosses, per
     // timeframe.
     "e2e_live_trades_stopped" -> ((s, d) => {
-      val st = graft.serving.LivePipeline.Stores(E2eReplay.sharedRoot(s, d))
+      val st = graft.serving.LivePipeline.Stores(
+        E2eReplay.sharedRoot(s, d, "e2e_live_trades_stopped"))
       import s.implicits._
       val emptyTrades =
         Seq.empty[(String, String, Long, java.sql.Timestamp, Double,

@@ -95,6 +95,21 @@ class BlocklistSpec extends SparkSpec {
     }
   }
 
+  test("scrub masks one char per CODEPOINT on astral text; null text scrubs to ''") {
+    // U+1D54A (double-struck S) is a surrogate pair in UTF-16 but ONE
+    // codepoint — the oracle's substr convention; masking must emit one
+    // '*' for it, not two, and unmasked astral chars pass through intact
+    val astral = new String(Character.toChars(0x1D54A))
+    val pats = Seq("k" + astral + "y", "low")
+    val d = Seq((1L, s"a k${astral}y b$astral"), (2L, null))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistScrub(d, pats).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got(0) === ((1L, s"a *** b$astral", s"a  b$astral")))
+    // NULL text -> '' both modes (the oracle's coalesce)
+    assert(got(1) === ((2L, "", "")))
+  }
+
   test("null text rows drop; duplicate patterns rejected") {
     val d = Seq((1L, "low key"), (2L, null)).toDF("doc_id", "text")
     val got = TextAnalysis.blocklistHits(d, Seq("low")).collect()
