@@ -221,6 +221,78 @@ object Similarity {
     }
   }
 
+  /** L80: embedding-space cross-corpus decontamination — the PARAPHRASED
+    * contamination class [[Dedup.decontaminate]]'s shared-n-gram gate
+    * structurally misses (a reworded benchmark answer shares almost no
+    * trigrams with its source but sits next to it in embedding space;
+    * EmbedDecontamSpec pins a concrete such pair). The
+    * [[Dedup.crossCandidates]] stance applied to hyperplane sign bands:
+    * candidate pairs couple a CORPUS vector with a BENCHMARK vector only
+    * — never corpus×corpus — so the persisted corpus's in-bucket pair
+    * mass (quadratic in corpus duplication) is never materialized, and
+    * per-run work is proportional to the corpus's bucket overlap WITH THE
+    * BENCHMARK. That property is what makes embedding decontamination
+    * affordable when the corpus is 100 TB and the benchmark megabytes.
+    * Survivors verify with exact cosine at `threshold`.
+    *
+    * Same scale valves as [[embedNearDup]]: corpus-adaptive band width
+    * (wider bands on bigger corpora keep buckets near-constant), explicit
+    * repartition by (band, bv) and by pair key (AQE's byte-based
+    * coalescing would funnel the expansion/verify stages onto 1-2 tasks),
+    * per-side `maxBucket` caps, and `nHint` to skip the corpus counting
+    * pass. Verify re-attaches vectors through two pinned shuffled joins
+    * (the candidate frame is post-Generate stats-blind; a hint binds to
+    * its NEAREST join only, so the chain re-pins the intermediate).
+    *
+    * Output: (train_id, eval_id, cos) — every corpus vector within
+    * `threshold` of any benchmark vector, the rows a release gate removes. */
+  def embedDecontaminate(corpus: DataFrame, bench: DataFrame,
+                         threshold: Double = 0.45, bands: Int = 48,
+                         bitsPerBand: Int = 0, seed: Long = 42,
+                         maxBucket: Int = 4096, nHint: Long = -1L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // benchmark-sized probe doubles as the empty-bench guard (lshBands
+    // needs a dim row; an empty benchmark decontaminates nothing)
+    if (bench.select(col("vec_id")).limit(1).collect().isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("train_id", "eval_id", "cos")
+    val bits =
+      if (bitsPerBand > 0) bitsPerBand
+      else adaptiveBits(if (nHint >= 0) nHint else corpus.count())
+    val sp = spark.sessionState.conf.numShufflePartitions
+    // both sides banded with the SAME hyperplanes: a θ-close cross pair
+    // collides here with exactly embedNearDup's probability
+    val banded = lshBands(corpus, bands, bits, seed)
+        .withColumn("is_bench", lit(false))
+      .unionByName(lshBands(bench, bands, bits, seed)
+        .withColumn("is_bench", lit(true)))
+      .repartition(sp, col("band"), col("bv"))
+    // ONE aggregation pass splits each bucket into its corpus/bench
+    // member arrays (collect_list skips the null CASE branch); buckets
+    // with no bench member contribute NOTHING — the crossCandidates
+    // property, in embedding space
+    val crossArr = flatten(transform(col("cs"), c =>
+      transform(col("bs"), b => struct(c.as("i"), b.as("j")))))
+    val cands = banded.groupBy(col("band"), col("bv"))
+      .agg(
+        array_sort(collect_list(when(!col("is_bench"), col("id")))).as("cs"),
+        array_sort(collect_list(when(col("is_bench"), col("id")))).as("bs"))
+      .filter(size(col("bs")) >= 1 && size(col("cs")) >= 1 &&
+        size(col("bs")) <= maxBucket && size(col("cs")) <= maxBucket)
+      .select(explode(crossArr).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+      .repartition(sp, col("i"), col("j")).dropDuplicates()
+    val ce = prep(corpus)
+    val be = prep(bench)
+    cands.hint("shuffle_hash")
+      .join(ce.select(col("id").as("i"), col("emb").as("ei")), "i")
+      .hint("shuffle_hash")
+      .join(be.select(col("id").as("j"), col("emb").as("ej")), "j")
+      .withColumn("cos", cosine(col("ei"), col("ej")))
+      .filter(col("cos") >= threshold)
+      .select(col("i").as("train_id"), col("j").as("eval_id"), col("cos"))
+  }
+
   /** Scalar int8 quantization of the embedding column — the storage/IO
     * scale path (4× smaller than float32, 8× than float64; at 100 TB the
     * scan is usually IO-bound, so this is a 4× scan speedup for coarse

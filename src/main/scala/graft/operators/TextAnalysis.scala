@@ -544,12 +544,16 @@ object TextAnalysis {
     * ([[graft.functions.BlocklistScrub]]); both variants stay native
     * codegen expressions, so the scan is shuffle-free and per-row cost is
     * independent of blocklist size. All docs are emitted (clean docs pass
-    * through unchanged — the scrub is a map, not a filter). */
-  def blocklistScrub(docs: DataFrame, patterns: Seq[String]): DataFrame =
+    * through unchanged — the scrub is a map, not a filter). NULL text
+    * scrubs to '' — the curation convention (and the oracle's coalesce):
+    * a missing document body carries no spans and no residue. */
+  def blocklistScrub(docs: DataFrame, patterns: Seq[String]): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
     docs.select(col("doc_id"),
-      graft.functions.BlocklistScrub(col("text"), patterns).as("masked_text"),
-      graft.functions.BlocklistScrub(col("text"), patterns, remove = true)
+      graft.functions.BlocklistScrub(t, patterns).as("masked_text"),
+      graft.functions.BlocklistScrub(t, patterns, remove = true)
         .as("scrubbed_text"))
+  }
 
   /** L73 (training): WordPiece-style vocabulary — every single character
     * plus the `topV` most frequent multi-character substrings (length
@@ -688,15 +692,18 @@ object TextAnalysis {
     *    non-overlapping string fold, driver state = k rules.
     */
   def bpeTrain(docs: DataFrame, k: Int, textCol: String = "text",
-               maxDriverVocab: Long = 4000000L)
+               maxDriverVocab: Long = 4000000L,
+               byteLevel: Boolean = false)
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val seed =
+      if (byteLevel) byteSymSeed(col("word"))
+      else concat_ws(" ", filter(split(col("word"), ""), x => x =!= lit("")))
     var state = docs
       .select(explode(TextOps.tokens(col(textCol))).as("word"))
       .filter(col("word").isNotNull && col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .select(col("word"), col("cnt"),
-        concat_ws(" ", filter(split(col("word"), ""), x => x =!= lit(""))).as("sym"))
+      .select(col("word"), col("cnt"), seed.as("sym"))
       .localCheckpoint(true)
     // bounded probe: a MEASURED vocabulary size decides the path (the
     // localCheckpoint above already materialized the table, so this
@@ -728,6 +735,77 @@ object TextAnalysis {
       }
     }
     (state, merges.result())
+  }
+
+  /** Byte-level symbol seed: the word's UTF-8 bytes as uppercase hex
+    * pairs ("E3 81 82"), space-delimited — the GPT-2/tiktoken base
+    * alphabet ([[bpeTrain]]'s `byteLevel` path). Hex pairs (not raw
+    * bytes) because `sym` lives in a STRING column and arbitrary bytes
+    * are not valid UTF-8; two-hex-digit symbols compare bytewise in the
+    * same order on Spark, the driver trainer's UTF-8 comparator, and the
+    * DuckDB oracle (pure-ASCII alphabet), so merge tie-breaks agree
+    * everywhere by construction. */
+  private[operators] def byteSymSeed(word: Column): Column =
+    array_join(
+      regexp_extract_all(hex(encode(word, "UTF-8")), lit(".."), lit(0)), " ")
+
+  /** Apply already-learned merge rules to a symbol column, IN LEARNED
+    * ORDER, each exhaustively left-to-right non-overlapping — the
+    * textbook BPE *encoder* (Sennrich et al. 2016 apply-BPE; the
+    * in-order pass reproduces the trainer's state exactly for training
+    * words, because training IS this fold applied round by round). One
+    * chained column expression per rule: k rules = k codegen'd folds
+    * over a word-TYPE-scale frame, no joins, no shuffles. */
+  private def bpeApplySym(sym: Column,
+                          merges: Seq[(Int, String, String, Long)]): Column =
+    merges.sortBy(_._1).foldLeft(sym) { case (acc0, (_, l, r, _)) =>
+      ltrim(aggregate(split(acc0, " "), lit(""),
+        (acc, x) => when(acc.endsWith(lit(" " + l)) && x === lit(r),
+          concat(acc, x)).otherwise(concat(acc, lit(" "), x))))
+    }
+
+  /** L79: byte-level BPE merge training — [[bpeMerges]] with UTF-8 BYTES
+    * as the base alphabet (the GPT-2/tiktoken tokenizer family; Radford
+    * et al. 2019 §2.2). Same trainer, same driver/distributed paths,
+    * same tie-break discipline; `lhs`/`rhs` are uppercase-hex byte-run
+    * symbols. */
+  def bpeMergesBytes(docs: DataFrame, k: Int = 3,
+                     textCol: String = "text"): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    bpeTrain(docs, k, textCol, byteLevel = true)._2
+      .toDF("merge_no", "lhs", "rhs", "pair_count")
+  }
+
+  /** L79 (encode): byte-level BPE encoding of a corpus under
+    * already-learned merge rules — TOTAL BY CONSTRUCTION: every word is
+    * its UTF-8 byte sequence before any rule applies, so there is no
+    * out-of-vocabulary concept and no fallback path at all (the
+    * byte-fallback property production tokenizers are built on). Per
+    * document: whitespace tokens, UTF-8 bytes, and BPE units after the
+    * rules.
+    *
+    * Scale shape: rule application runs once per DISTINCT word
+    * (Heaps-bounded word-type-scale, never corpus-scale), as k chained
+    * in-order folds — no joins in the apply, and the word→units lookup
+    * join back to the corpus is pinned `shuffle_hash` (the typed/agg
+    * side is stats-blind; the measured broadcast trap). The only
+    * corpus-scale stages are the token explosion and the per-doc rollup,
+    * both map-side-combined single shuffles. */
+  def bpeEncodeBytes(docs: DataFrame,
+                     merges: Seq[(Int, String, String, Long)],
+                     textCol: String = "text"): DataFrame = {
+    val docWords = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word").isNotNull && col("word") =!= "")
+    val units = docWords.select(col("word")).distinct()
+      .withColumn("sym", bpeApplySym(byteSymSeed(col("word")), merges))
+      .select(col("word"), octet_length(col("word")).cast("long").as("nb"),
+        size(split(col("sym"), " ")).cast("long").as("units"))
+    docWords.join(units.hint("shuffle_hash"), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws"), sum(col("nb")).as("n_bytes"),
+        sum(col("units")).as("n_units"))
   }
 
   /** The bounded-vocabulary BPE trainer: one collect of the (word, cnt,

@@ -38,32 +38,44 @@ object LlmQueries {
       |)""".stripMargin
 
   /** One BPE merge fold (DuckDB list_reduce twin of the Spark aggregate()
-    * fold in [[graft.operators.TextAnalysis.bpeMerges]]): apply round
-    * `to`'s best pair to state s`from`. */
-  private def bpeFoldStep(from: Int, to: Int): String =
-    s"""SELECT word, cnt,
+    * fold in [[graft.operators.TextAnalysis.bpeMerges]]): apply rule CTE
+    * `rule`'s best pair to state CTE `from`, carrying columns `carry`
+    * through unchanged. */
+  private def bpeFoldStep(from: String, rule: String,
+                          carry: String = "cnt"): String =
+    s"""SELECT word, $carry,
        |  CASE WHEN b.lhs IS NULL THEN sym
        |  ELSE ltrim(list_reduce(list_prepend('', string_split(sym, ' ')),
        |    (acc, x) -> CASE WHEN right(acc, length(b.lhs)+1) = ' ' || b.lhs
        |                      AND x = b.rhs
        |                THEN acc || x ELSE acc || ' ' || x END)) END AS sym
-       |FROM s$from LEFT JOIN b$to b ON TRUE""".stripMargin
+       |FROM $from LEFT JOIN $rule b ON TRUE""".stripMargin
 
-  /** The unrolled BPE training chain: w0 (word frequencies), s0 (char
-    * symbols), then per round i: pair counts p_i, best pair b_i, and the
-    * merged state s_i (for all but the last round — append it with
-    * [[bpeFoldStep]] if the final state is needed). `trainWhere` filters
-    * the TRAINING corpus (the cross-corpus encode gate trains on a
-    * subset). */
-  private def bpeChain(k: Int, trainWhere: String = ""): String = {
+  /** The byte-level symbol seed over a word column: UTF-8 bytes as
+    * uppercase hex pairs — the DuckDB twin of
+    * [[graft.operators.TextAnalysis.byteSymSeed]]. */
+  private def byteSeedSql(word: String): String =
+    s"array_to_string([substr(hex(encode($word)), 2*i-1, 2) " +
+      s"FOR i IN range(1, octet_length(encode($word)) + 1)], ' ')"
+
+  /** The unrolled BPE training chain: w0 (word frequencies), s0 (char —
+    * or, `byteSeed`, UTF-8-byte hex-pair — symbols), then per round i:
+    * pair counts p_i, best pair b_i, and the merged state s_i (for all
+    * but the last round — append it with [[bpeFoldStep]] if the final
+    * state is needed). `trainWhere` filters the TRAINING corpus (the
+    * cross-corpus encode gates train on a subset). */
+  private def bpeChain(k: Int, trainWhere: String = "",
+                       byteSeed: Boolean = false): String = {
+    val seed =
+      if (byteSeed) byteSeedSql("word")
+      else "array_to_string(regexp_split_to_array(word, ''), ' ')"
     val head =
       s"""WITH $toksCte,
          |w0 AS (SELECT word, count(*)::BIGINT AS cnt
          |       FROM (SELECT unnest(w) AS word FROM toks $trainWhere)
          |       WHERE word IS NOT NULL AND word <> '' GROUP BY word),
          |s0 AS MATERIALIZED (
-         |  SELECT word, cnt,
-         |         array_to_string(regexp_split_to_array(word, ''), ' ') AS sym
+         |  SELECT word, cnt, $seed AS sym
          |  FROM w0)""".stripMargin
     val rounds = (1 to k).map { i =>
       val pair =
@@ -72,10 +84,25 @@ object LlmQueries {
            |            UNNEST(generate_series(1, len(arr)-1)) AS u(i)
            |       GROUP BY 1, 2),
            |b$i AS (SELECT lhs, rhs, pc FROM p$i ORDER BY pc DESC, lhs, rhs LIMIT 1)""".stripMargin
-      if (i < k) pair + s",\ns$i AS MATERIALIZED (${bpeFoldStep(i - 1, i)})"
+      if (i < k) pair + s",\ns$i AS MATERIALIZED (${bpeFoldStep(s"s${i - 1}", s"b$i")})"
       else pair
     }.mkString(",\n")
     head + ",\n" + rounds
+  }
+
+  /** The byte-level ENCODE chain appended to a [[bpeChain]]: e0 = byte
+    * seeds of every distinct corpus word (no vocabulary filter — the
+    * encoder is total), then the k learned rules applied in order. */
+  private def bpeBytesEncodeChain(k: Int): String = {
+    val e0 =
+      s"""e0 AS MATERIALIZED (
+         |  SELECT word, octet_length(encode(word))::BIGINT AS nb,
+         |         ${byteSeedSql("word")} AS sym
+         |  FROM (SELECT DISTINCT unnest(w) AS word FROM toks)
+         |  WHERE word IS NOT NULL AND word <> '')""".stripMargin
+    val steps = (1 to k).map(i =>
+      s"e$i AS MATERIALIZED (${bpeFoldStep(s"e${i - 1}", s"b$i", carry = "nb")})")
+    (e0 +: steps).mkString(",\n")
   }
 
   /** Unrolled batch-perceptron training (DuckDB twin of
@@ -929,6 +956,19 @@ object LlmQueries {
         maxDf = Some(2))
     }),
 
+    // L80: embedding-space cross-corpus decontamination — hyperplane-LSH
+    // candidates pairing corpus vectors with BENCHMARK vectors only
+    // (never corpus×corpus), exact-cosine verify; benchmark = every 20th
+    // vector. The paraphrase class the n-gram gate misses
+    // (EmbedDecontamSpec pins a concrete pair); oracle = brute-force
+    // cross-side cosine
+    "llm_decontaminate_embed" -> ((s, d) => {
+      val e = embsPar(s, d)
+      Similarity.embedDecontaminate(
+          e.filter(col("vec_id") % 20 =!= 0), e.filter(col("vec_id") % 20 === 0))
+        .select(col("train_id"), col("eval_id"), round(col("cos"), 6).as("cos"))
+    }),
+
     "llm_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
 
     "llm_split_assign" -> ((s, d) =>
@@ -961,6 +1001,24 @@ object LlmQueries {
       val docs = Tables.documents(s, d)
       TextAnalysis.bpeEncodeWith(docs,
         TextAnalysis.bpeTrain(docs.filter(col("lang") === "en"), k = 8)._1)
+    }),
+
+    // L79: the first 12 BYTE-LEVEL BPE merge rules — UTF-8 bytes as the
+    // base alphabet (GPT-2/tiktoken family), symbols as uppercase hex
+    // pairs; same trainer, same unrolled-CTE oracle discipline
+    "llm_bpe_bytes_merges" -> ((s, d) =>
+      TextAnalysis.bpeMergesBytes(Tables.documents(s, d), k = 12)),
+
+    // L79 encode, cross-corpus and TOTAL BY CONSTRUCTION: rules trained
+    // on the 'en' slice, every corpus word encoded by applying them to
+    // its UTF-8 byte sequence — no vocabulary lookup, no OOV path at all
+    // (the byte-fallback property); oracle replays the training chain +
+    // the same in-order rule application over every distinct word
+    "llm_bpe_bytes" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bpeEncodeBytes(docs,
+        TextAnalysis.bpeTrain(docs.filter(col("lang") === "en"), k = 8,
+          byteLevel = true)._2)
     }),
 
     "llm_sample_strata" -> ((s, d) =>
@@ -2398,6 +2456,18 @@ object LlmQueries {
          |JOIN (SELECT * FROM te WHERE g NOT IN (SELECT g FROM bad)) t USING (g)
          |GROUP BY 1, 2""".stripMargin,
 
+    "llm_decontaminate_embed" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id % 20 <> 0),
+        |b AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |      FROM embeddings WHERE vec_id % 20 = 0),
+        |p AS (SELECT c.vec_id AS train_id, b.vec_id AS eval_id,
+        |             list_cosine_similarity(c.v, b.v) AS s
+        |      FROM c CROSS JOIN b)
+        |SELECT train_id, eval_id,
+        |       round((s)::VARCHAR::DECIMAL(38,23), 6)::DOUBLE AS cos
+        |FROM p WHERE s >= 0.45""".stripMargin,
+
     "llm_fingerprint" ->
       s"""WITH $toksCte
          |SELECT doc_id, md5(norm) AS digest,
@@ -2428,7 +2498,7 @@ object LlmQueries {
     // tokens and BPE units after the 3 trained merges (all-integer)
     "llm_bpe_encode" ->
       s"""${bpeChain(3)},
-         |s3 AS MATERIALIZED (${bpeFoldStep(2, 3)}),
+         |s3 AS MATERIALIZED (${bpeFoldStep("s2", "b3")}),
          |u AS (SELECT word, len(string_split(sym, ' '))::BIGINT AS units FROM s3),
          |t AS (SELECT doc_id, unnest(w) AS word FROM toks)
          |SELECT doc_id, count(*)::BIGINT AS n_ws, sum(units)::BIGINT AS n_units
@@ -2440,7 +2510,7 @@ object LlmQueries {
     // (len of the same '' split the symbol seed uses)
     "llm_bpe_encode_xcorpus" ->
       s"""${bpeChain(8, "WHERE lang = 'en'")},
-         |s8 AS MATERIALIZED (${bpeFoldStep(7, 8)}),
+         |s8 AS MATERIALIZED (${bpeFoldStep("s7", "b8")}),
          |u AS (SELECT word, len(string_split(sym, ' '))::BIGINT AS units FROM s8),
          |t AS (SELECT doc_id, unnest(w) AS word FROM toks)
          |SELECT doc_id, count(*)::BIGINT AS n_ws,
@@ -2448,6 +2518,28 @@ object LlmQueries {
          |                    len(regexp_split_to_array(t.word, ''))))::BIGINT
          |         AS n_units
          |FROM t LEFT JOIN u USING (word)
+         |WHERE word IS NOT NULL AND word <> ''
+         |GROUP BY doc_id""".stripMargin,
+
+    // L79: byte-level training chain — identical rounds over hex-pair
+    // byte symbols (ASCII-only alphabet, so every engine's tie order is
+    // bytewise by construction)
+    "llm_bpe_bytes_merges" ->
+      s"""${bpeChain(12, byteSeed = true)}
+         |${(1 to 12).map(i =>
+               s"SELECT $i AS merge_no, lhs, rhs, pc AS pair_count FROM b$i")
+             .mkString("\nUNION ALL ")}""".stripMargin,
+
+    // L79 encode: the 8 en-trained rules applied IN ORDER to every
+    // distinct corpus word's byte seed — total, no vocabulary join
+    "llm_bpe_bytes" ->
+      s"""${bpeChain(8, "WHERE lang = 'en'", byteSeed = true)},
+         |${bpeBytesEncodeChain(8)},
+         |u AS (SELECT word, nb, len(string_split(sym, ' '))::BIGINT AS units FROM e8),
+         |t AS (SELECT doc_id, unnest(w) AS word FROM toks)
+         |SELECT doc_id, count(*)::BIGINT AS n_ws, sum(nb)::BIGINT AS n_bytes,
+         |       sum(units)::BIGINT AS n_units
+         |FROM t JOIN u USING (word)
          |WHERE word IS NOT NULL AND word <> ''
          |GROUP BY doc_id""".stripMargin,
 
