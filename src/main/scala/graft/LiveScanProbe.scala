@@ -23,6 +23,11 @@ object LiveScanProbe {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_LIVE_BATCHES", "180").toInt
+    // SPARK_GRAFT_RETAIN_DAYS > 0 runs the RETENTION variant: the same
+    // chain with dt-partition retirement armed, recording total store
+    // bytes per batch — the bounded-store claim is bytes PLATEAUING
+    // across simulated days while per-batch scans stay flat
+    val retainDays = sys.env.getOrElse("SPARK_GRAFT_RETAIN_DAYS", "0").toInt
     val compactEvery = 16
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -74,13 +79,22 @@ object LiveScanProbe {
       while (cur != prev) { Thread.sleep(150); prev = cur; cur = recs.get() }
       cur
     }
+    val allStores = Seq(st.ticks, st.candles, st.gridFacts, st.signals,
+      st.trades, st.tradesStopped)
+    def storeBytes(): Long = allStores.map { d =>
+      try graft.sources.Compact.dirBytes(spark, d)
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
     spark.sparkContext.addSparkListener(listener)
+    val bytesPerBatch = Array.ofDim[Long](nBatches)
     val perBatch = try {
       (0 until nBatches).map { b =>
         val before = settled()
         // two periods arm the FULL chain: signals, trades, stopped trades
         LivePipeline.processBatch(parseAll(batchMsgs(b)), b.toLong, st, srv,
-          Seq("RSI", "SMA", "EMA"), Seq(2, 3), tfs, compactEvery = compactEvery)
+          Seq("RSI", "SMA", "EMA"), Seq(2, 3), tfs, compactEvery = compactEvery,
+          retainDays = retainDays)
+        bytesPerBatch(b) = storeBytes()
         settled() - before
       }
     } finally {
@@ -96,11 +110,15 @@ object LiveScanProbe {
     val lateSteady = steady.takeRight(5).sum / 5.0
     val json =
       s"""{"batches":$nBatches,"compact_every":$compactEvery,""" +
+        s""""retain_days":$retainDays,""" +
         s""""early_steady_rows":$earlySteady,"late_steady_rows":$lateSteady,""" +
         s""""late_over_early":${BigDecimal(lateSteady / earlySteady)
           .setScale(3, BigDecimal.RoundingMode.HALF_UP)},""" +
-        s""""per_batch":[${perBatch.mkString(",")}]}"""
-    val p = java.nio.file.Paths.get("target/live_scan_probe.json")
+        s""""per_batch":[${perBatch.mkString(",")}],""" +
+        s""""bytes_per_batch":[${bytesPerBatch.mkString(",")}]}"""
+    val p = java.nio.file.Paths.get(
+      if (retainDays > 0) "target/live_scan_probe_retention.json"
+      else "target/live_scan_probe.json")
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, json.getBytes("UTF-8"))
     println(json.take(400))

@@ -103,7 +103,8 @@ object LivePipeline {
             maxReconnects: Int = 5,
             availableNowTimeoutMs: Long = 30000L,
             trigger: Trigger = Trigger.AvailableNow(),
-            compactEvery: Int = 16): StreamingQuery = {
+            compactEvery: Int = 16,
+            retainDays: Int = 0): StreamingQuery = {
     val stores = Stores(storeRoot)
     val tfs = timeframes.map(c => Timeframe.byCode.getOrElse(c,
       throw new IllegalArgumentException(s"unknown timeframe code: $c")))
@@ -124,7 +125,7 @@ object LivePipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, stores, server, indicators, periods, tfs,
-          compactEvery)
+          compactEvery, retainDays = retainDays)
       }
       .start()
   }
@@ -205,13 +206,17 @@ object LivePipeline {
                    server: TickerServer, indicators: Seq[String],
                    periods: Seq[Int], tfs: Seq[Timeframe],
                    compactEvery: Int = 16,
-                   slPct: Double = 0.005, tpPct: Double = 0.01): Unit = {
+                   slPct: Double = 0.005, tpPct: Double = 0.01,
+                   retainDays: Int = 0): Unit = {
     val spark = batch.sparkSession
-    // finish/abort any compaction swap a crash interrupted BEFORE any
-    // read (O(1) probe per store in the steady state)
+    // finish/abort any compaction swap OR retention delete a crash
+    // interrupted, BEFORE any read (O(1) probe per store in steady state)
     Seq(stores.ticks, stores.candles, stores.gridFacts, stores.signals,
         stores.trades, stores.tradesStopped)
-      .foreach(Compact.recoverStore(spark, _))
+      .foreach { st =>
+        Compact.recoverStore(spark, st)
+        Compact.recoverRetire(spark, st)
+      }
     // wire-order tiebreak for the per-second dedup: (partition, ordinal)
     // is socket order through the source's contiguous chunks, and a
     // crash-replayed batch re-plans the identical offset slice into the
@@ -559,10 +564,19 @@ object LivePipeline {
 
     // 6) housekeeping: bound store fragmentation (crash-safe partition
     //    rewrite-and-swap; single-writer — this stream — by construction)
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      Seq(stores.ticks, stores.candles, stores.gridFacts, stores.signals,
-          stores.trades, stores.tradesStopped)
-        .foreach(Compact.compactStore(spark, _))
+    //    and, with a retention policy set, RETIRE `dt` partitions older
+    //    than `retainDays` behind the batch's own max tick date (the
+    //    deployment's event clock — wall clock would mis-retire a replay)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      val allStores = Seq(stores.ticks, stores.candles, stores.gridFacts,
+        stores.signals, stores.trades, stores.tradesStopped)
+      allStores.foreach(Compact.compactStore(spark, _))
+      if (retainDays > 0) {
+        val horizon = hi.toInstant.atZone(java.time.ZoneOffset.UTC)
+          .toLocalDate.minusDays(retainDays.toLong).toString
+        allStores.foreach(Compact.retireStore(spark, _, "dt", horizon))
+      }
+    }
   }
 
   /** Empty trade-state frame in the [[graft.operators.LiveTradeFold]]

@@ -225,6 +225,112 @@ object Compact {
     fs.delete(pending, true)
   }
 
+  // ---------------------------------------------------------------------
+  // Retention/GC for PARTITIONED STORES: compaction bounds fragment
+  // counts, but nothing ever RETIRES data — an always-on deployment's
+  // stores grow without bound. [[retireStore]] drops (or archives) every
+  // `col=value` partition directory with value < horizon, with the same
+  // crash-window discipline as [[compactStore]]:
+  //
+  //  ARCHIVE mode is a SINGLE atomic rename per partition
+  //  (leaf -> archiveRoot/<relative leaf path>): a crash leaves every
+  //  partition in exactly one of its two complete homes — no recovery
+  //  protocol needed at all.
+  //
+  //  DROP mode is rename-then-delete:
+  //    1. create root/_retire            (the protocol-active marker)
+  //    2. rename leaf -> parent/_hidden  ("_retired." + leaf with '='->'~'
+  //       — invisible to partition discovery AND to [[leafDirs]]; ATOMIC,
+  //       so a reader never sees a partially-deleted partition)
+  //    3. delete the hidden dir recursively
+  //    4. remove root/_retire
+  //  A crash after 2 or mid-3 leaves only invisible residue;
+  //  [[recoverRetire]] (O(1) exists() probe in the steady state, the
+  //  recoverStore pattern) finishes the deletes on the next batch.
+  //
+  // Single-writer protocol, like compactStore: the store's own writing
+  // stream runs it inside foreachBatch between its reads.
+  // ---------------------------------------------------------------------
+
+  private def hiddenRetired(leaf: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(leaf.getParent,
+      "_retired." + leaf.getName.replace("=", "~"))
+
+  /** Finish an interrupted DROP-mode [[retireStore]]: delete any hidden
+    * `_retired.*` residue. O(1) when no retire was active. */
+  def recoverRetire(spark: SparkSession, root: String): Unit = {
+    val (fs, rootPath) = hfs(spark, root)
+    if (!fs.exists(rootPath)) return
+    val marker = new org.apache.hadoop.fs.Path(rootPath, "_retire")
+    if (!fs.exists(marker)) return
+    def walk(d: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(d).filter(_.isDirectory).foreach { f =>
+        val name = f.getPath.getName
+        if (name.startsWith("_retired."))
+          require(fs.delete(f.getPath, true), s"recoverRetire: delete $f failed")
+        else if (!name.startsWith("_") && !name.startsWith(".")) walk(f.getPath)
+      }
+    walk(rootPath)
+    fs.delete(marker, false)
+  }
+
+  /** Retire every `partCol=value` partition directory under `root` with
+    * value strictly below `horizon` (string compare — exact for ISO
+    * dates, the `dt` convention): DROP by default, or MOVE under
+    * `archiveRoot` preserving the relative path. Returns the number of
+    * partitions retired. Work is proportional to the PARTITION COUNT
+    * scanned (directory listings only) plus the retired data handled —
+    * never a byte of kept data moves. */
+  def retireStore(spark: SparkSession, root: String, partCol: String,
+                  horizon: String,
+                  archiveRoot: Option[String] = None): Int = {
+    require(horizon.nonEmpty, "horizon must be non-empty")
+    val (fs, rootPath) = hfs(spark, root)
+    if (!fs.exists(rootPath)) return 0
+    recoverRetire(spark, root)
+    val prefix = partCol + "="
+    val expired = Seq.newBuilder[org.apache.hadoop.fs.Path]
+    def walk(d: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(d).filter(_.isDirectory).foreach { f =>
+        val name = f.getPath.getName
+        if (name.startsWith(prefix)) {
+          if (name.stripPrefix(prefix) < horizon) expired += f.getPath
+        } else if (!name.startsWith("_") && !name.startsWith("."))
+          walk(f.getPath)
+      }
+    walk(rootPath)
+    val leaves = expired.result()
+    if (leaves.isEmpty) return 0
+    archiveRoot match {
+      case Some(ar) =>
+        val (afs, arPath) = hfs(spark, ar)
+        // walk paths come back scheme-qualified (file:/...); qualify the
+        // root the same way or the relative strip silently no-ops and the
+        // "move" renames each leaf onto itself
+        val qRoot = fs.makeQualified(rootPath).toString
+        leaves.foreach { leaf =>
+          val q = fs.makeQualified(leaf).toString
+          require(q.startsWith(qRoot), s"retire: $q escapes $qRoot")
+          val rel = q.stripPrefix(qRoot).stripPrefix("/")
+          val dst = new org.apache.hadoop.fs.Path(arPath, rel)
+          afs.mkdirs(dst.getParent)
+          // ONE atomic rename: the partition is always complete in
+          // exactly one of its two homes, crash anywhere
+          require(fs.rename(leaf, dst), s"retire: rename $leaf -> $dst failed")
+        }
+      case None =>
+        val marker = new org.apache.hadoop.fs.Path(rootPath, "_retire")
+        fs.mkdirs(marker)
+        leaves.foreach { leaf =>
+          val hidden = hiddenRetired(leaf)
+          require(fs.rename(leaf, hidden), s"retire: rename $leaf -> $hidden failed")
+          require(fs.delete(hidden, true), s"retire: delete $hidden failed")
+        }
+        fs.delete(marker, false)
+    }
+    leaves.size
+  }
+
   /** Compact every leaf partition of `root` holding more than
     * `maxFragments` part-files down to ~`targetBytes`-sized files, with
     * the crash-safe swap protocol above. Returns the number of leaves
