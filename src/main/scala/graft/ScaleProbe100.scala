@@ -87,6 +87,45 @@ object ScaleProbe100 {
       "simjoin_cands" -> hardneg)
   }
 
+  /** LSH-family wall + CANDIDATE RECALL at the SCALE config (the r15
+    * watch item: `simjoin_cands` grows ~15-16×/tier — super-linear in
+    * corpus size — so the question is whether WALL tracks it and whether
+    * recall survives the corpus-adaptive band widening). Wall times the
+    * full knnGraph chain (banding → candidate join → exact verify →
+    * top-k → mutualize) at the adaptive width; recall = the fraction of
+    * brute-force top-5 edges of ≤200 sampled anchors present in the
+    * banded candidate set (verification is exact, so candidate recall IS
+    * result recall). */
+  private[graft] def lshScale(s: SparkSession, d: String): Seq[(String, Any)] = {
+    val embs = graft.sources.Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .localCheckpoint()
+    val n = embs.count()
+    val bits = Similarity.adaptiveBits(n)
+    val wall = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      Similarity.knnGraph(embs, k = 5).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val rows = Similarity.knnGraph(embs, k = 5).count()
+    val cb = Similarity.lshBands(embs, bands = 96, bitsPerBand = bits, seed = 42)
+      .localCheckpoint()
+    val cands = cb.hint("shuffle_hash")
+      .join(cb.select(col("id").as("qid"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("cid"))
+    val step = math.max(1L, n / 200L)
+    val queries = embs.filter(col("vec_id") % step === 0)
+    val exact = Similarity.bruteForceTopK(embs, queries, 5)
+      .select(col("qid"), col("cid")).localCheckpoint()
+    val exactN = exact.count()
+    val hit = exact.join(cands, Seq("qid", "cid"), "left_semi").count()
+    Seq("n" -> n, "bits" -> bits, "knn_sec" -> wall, "knn_rows" -> rows,
+      "recall_q" -> exactN,
+      "recall" -> (if (exactN == 0) 1.0 else hit.toDouble / exactN))
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val x10 = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/sf1")
@@ -122,6 +161,7 @@ object ScaleProbe100 {
         name -> best
       }
       val ds = drivers(spark, dir)
+      val lsh = lshScale(spark, dir)
       def obj(xs: Seq[(String, Any)]) = xs.map { case (k, v) =>
         "\"" + k + "\":" + (v match {
           case d: Double => BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
@@ -129,7 +169,8 @@ object ScaleProbe100 {
         })
       }.mkString("{", ",", "}")
       sb.append(s""""$tag":{"dir":"$dir","sec":${obj(times)},""" +
-        s""""rows":${obj(rowsOut.toSeq)},"drivers":${obj(ds)}},""")
+        s""""rows":${obj(rowsOut.toSeq)},"drivers":${obj(ds)},""" +
+        s""""lsh_scale":${obj(lsh)}},""")
       System.err.println(s"[probe100] $tag done")
     }
     val json = sb.dropRight(1).append("}").toString

@@ -673,6 +673,26 @@ object StreamQueries {
         s.read.parquet(s"$tmp/ledger"), minDf = 3)
     }),
 
+    // T32 (streaming L78): unigram-LM token accounting under a FROZEN
+    // model — the model trains once on the corpus (the production
+    // tokenizer contract), the stream Viterbi-encodes arriving docs
+    // under it; per-doc rows are pure functions of the text, so the
+    // re-sent docs 0-99 and any crash replay are absorbed by distinct.
+    // Converged read ≡ the one-shot Unigram.encode — oracle verbatim.
+    "t32_unigram_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t32-").toString
+      val model = graft.operators.Unigram.train(
+        graft.sources.Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        topV = 120, maxPiece = 6, keepV = 15).localCheckpoint(true)
+      withStreamShuffle(s, 8) {
+        awaitAndRecord("t32_unigram_stream",
+          Streams.unigramEncodeStream(docStream(s, d).select("doc_id", "text"),
+            model, s"$tmp/ledger", s"$tmp/ckpt", compactEvery = 2))
+      }
+      s.read.parquet(s"$tmp/ledger").distinct()
+    }),
+
     // T31 (streaming L30/L60): incremental ExactSubstr live — each batch
     // scrubbed against the standing gram-index ledger, then contributing
     // its own grams; seen store screens the re-sent docs 0-99 (a
@@ -1334,6 +1354,8 @@ object StreamQueries {
     "t28_length_stream" -> LlmQueries.oracleSql("llm_length_buckets"),
     "t30_boilerplate_stream" -> LlmQueries.oracleSql("llm_boilerplate"),
     "t31_substr_stream" -> LlmQueries.oracleSql("llm_dedup_substr"),
+    // frozen-model unigram encode converges to the one-shot L78 encode
+    "t32_unigram_stream" -> LlmQueries.oracleSql("llm_unigram_lm"),
     // streaming fused grid converges to the one-shot batch grid (bit-exact
     // machine snapshots), so the oracle is f3c's, verbatim
     "t29_grid_stream" -> IndicatorQueries.oracleSql("f3c_indicator_grid_full"),

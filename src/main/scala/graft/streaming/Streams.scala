@@ -1483,6 +1483,44 @@ object Streams {
       }
       .start()
 
+  /** T32 (streaming L78): unigram-LM token accounting live — each
+    * micro-batch of arriving docs is Viterbi-encoded under a FROZEN
+    * unigram model (the production tokenizer contract: the model trains
+    * once, the stream never re-trains; the L58/L62 consumers read these
+    * counts) and appended to a per-doc ledger. Under a frozen model the
+    * (doc_id, n_ws, n_pieces) row is a pure function of the doc text, so
+    * the ledger is SET data — a redelivered doc and a crash-replayed
+    * append write byte-identical rows, absorbed by distinct on read (the
+    * t27/t30 idempotent-algebra class) — and compaction is a plain
+    * distinct. Converged read ≡ the one-shot
+    * [[graft.operators.Unigram.encode]] over the union of arrivals.
+    * Per-batch cost: one Viterbi pass over the BATCH's distinct words
+    * against the broadcast vocabulary-bounded model — O(batch), never
+    * O(ledger). */
+  def unigramEncodeStream(docs: DataFrame, model: DataFrame,
+                          ledgerPath: String, checkpoint: String,
+                          maxPiece: Int = 6,
+                          compactEvery: Int = 0): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // single-partition micro-batch + CPU-bound DP: fan out first
+        // (the t26 valve)
+        val wide = batch.repartition(
+          spark.sparkContext.defaultParallelism, col("doc_id"))
+        graft.operators.Unigram.encode(
+            wide.select("doc_id", "text"), model, maxPiece)
+          .write.mode("append").parquet(ledgerPath)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.sources.Compact.compactLedger(spark, ledgerPath,
+            df => df.distinct())
+        ()
+      }
+      .start()
+
   /** T31 (streaming L30/L60): incremental ExactSubstr dedup live — each
     * micro-batch of NEW docs is scrubbed against the standing corpus's
     * gram-index ledger ([[graft.operators.Dedup.dedupSubstrAgainst]]:

@@ -105,6 +105,39 @@ class LedgerTwinsRestartSpec extends SparkSpec {
     assert(d1.getAs[Long]("n_kept") < d1.getAs[Long]("n_spans"))
   }
 
+  test("t32 unigram ledger: frozen-model encode survives kill/restart and replayed append") {
+    val (root, src) = fixture("graft-t32-restart-")
+    val (ledger, ckpt) = (s"$root/ledger", s"$root/ckpt")
+    val all = (c1 ++ c2 ++ c3).distinct
+    // frozen model: trained ONCE, an input to the stream — never
+    // re-trained per batch (the production tokenizer contract)
+    val model = graft.operators.Unigram.train(
+      all.toDF("doc_id", "text"), topV = 40, maxPiece = 4, keepV = 10)
+      .localCheckpoint(true)
+    def run(): Unit =
+      Streams.unigramEncodeStream(docStream(src), model, ledger, ckpt,
+        maxPiece = 4).awaitTermination()
+
+    stage(root, src, c1, "c1", 1600000000000L)
+    run() // the process "dies" here
+    // forge the kill-after-append-before-commit replay
+    val replay = spark.read.parquet(ledger)
+    replay.write.mode("append").parquet(ledger)
+
+    // restart delivers doc 2 REDELIVERED verbatim plus novel docs
+    stage(root, src, c2 ++ c3, "c2", 1600000060000L)
+    run()
+
+    val rolled = spark.read.parquet(ledger).distinct()
+      .orderBy("doc_id").collect().toSeq
+    val oneShot = graft.operators.Unigram.encode(
+        all.toDF("doc_id", "text"), model, maxPiece = 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(rolled === oneShot)
+    // the segmentation really fired: some word fused into a multi-piece
+    assert(rolled.exists(r => r.getLong(2) < r.getLong(1) * 10))
+  }
+
   test("t31 substr stream: replay self-excludes via batch_id, redelivered doc screened") {
     val (root, src) = fixture("graft-t31-restart-")
     val (seen, grams, out, ckpt) =
