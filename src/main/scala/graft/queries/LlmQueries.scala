@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.Files
 
 import graft.functions.MisraGries
-import graft.operators.{CorpusPrep, Dedup, EditJoin, Multimodal, Similarity, TextAnalysis, TextOps, Unigram}
+import graft.operators.{CorpusPrep, Dedup, Dsir, EditJoin, Multimodal, Similarity, TextAnalysis, TextOps, Unigram}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -309,6 +309,60 @@ object LlmQueries {
     * joins; it is NOT part of the operators themselves. */
   /** Corpus/batch split point for the incremental-ingest gate. */
   private val IngestCutoff = 350
+
+  /** The DSIR importance-weight chain (DuckDB twin of
+    * [[graft.operators.Dsir.weights]]): hashed uni+bigram bucket counts,
+    * add-one-smoothed clamped ratios, then the per-doc product fold as a
+    * recursive CTE. The fold's renormalization is an unrolled exact
+    * halving cascade: pre-scale `m·r ∈ [2⁻³², 2³³)` by 2³² into
+    * `[1, 2⁶⁵)`, then conditionally divide by 2⁶⁴…2¹ — every multiply or
+    * divide by a power of two is EXACT, so the cascade equals the Spark
+    * side's `getExponent`/`scalb` extraction bit-for-bit; the only
+    * rounded op per step is the `m · r` multiply both engines perform on
+    * exactly-agreed operands. `finalSelect` ranges over `s` (steps at
+    * i = n) joined with `r` (per-doc ratio lists). */
+  private def dsirSql(finalSelect: String, buckets: Int = 256): String = {
+    def pow2(k: Int) = s"CAST('${BigInt(1) << k}' AS DOUBLE)"
+    val q0 = "SELECT s.doc_id, s.i + 1 AS i, s.e AS e, -32 AS d, " +
+      s"(s.m * r.rs[s.i + 1]) * ${pow2(32)} AS m " +
+      "FROM steps s JOIN rs r ON s.doc_id = r.doc_id AND s.i < r.n"
+    val cascade = Seq(64, 32, 16, 8, 4, 2, 1).foldLeft(q0) { (inner, k) =>
+      s"SELECT doc_id, i, e, d + CASE WHEN m >= ${pow2(k)} THEN $k ELSE 0 END AS d, " +
+        s"CASE WHEN m >= ${pow2(k)} THEN m / ${pow2(k)} ELSE m END AS m " +
+        s"FROM ($inner)"
+    }
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, lang = 'de' AS tgt,
+       |         string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+       |  FROM documents),
+       |u AS (SELECT doc_id, tgt, unnest(range(0, len(w))) AS pos, unnest(w) AS f FROM toks),
+       |bg AS (SELECT doc_id, tgt, n + pos AS pos, a || ' ' || b AS f FROM (
+       |  SELECT doc_id, tgt, len(w) AS n, unnest(range(0, len(w) - 1)) AS pos,
+       |         unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b
+       |  FROM toks WHERE len(w) >= 2)),
+       |feats AS MATERIALIZED (
+       |  SELECT doc_id, tgt, pos, ('0x' || substr(md5(f), 1, 15))::BIGINT % $buckets AS b
+       |  FROM (SELECT doc_id, tgt, pos, f FROM u UNION ALL SELECT doc_id, tgt, pos, f FROM bg)),
+       |counts AS (SELECT b, count(*)::BIGINT AS cq,
+       |                  sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct
+       |           FROM feats GROUP BY b),
+       |tot AS (SELECT sum(cq)::BIGINT AS rt, sum(ct)::BIGINT AS tt FROM counts),
+       |rat AS (SELECT b, least(greatest(
+       |          ((ct + 1)::DOUBLE / (tt + $buckets)::DOUBLE)
+       |            / ((cq + 1)::DOUBLE / (rt + $buckets)::DOUBLE),
+       |          CAST(1.0 AS DOUBLE) / ${pow2(32)}), ${pow2(32)}) AS r
+       |        FROM counts CROSS JOIN tot),
+       |rs AS MATERIALIZED (
+       |  SELECT doc_id, count(*)::BIGINT AS n, list(r ORDER BY pos) AS rs
+       |  FROM feats JOIN rat USING (b) GROUP BY doc_id),
+       |steps AS (
+       |  SELECT doc_id, 0 AS i, 0::BIGINT AS e, CAST(1.0 AS DOUBLE) AS m FROM rs
+       |  UNION ALL
+       |  SELECT doc_id, i, e + d AS e, m FROM ($cascade)
+       |)
+       |$finalSelect
+       |FROM steps s JOIN rs r ON s.doc_id = r.doc_id WHERE s.i = r.n""".stripMargin
+  }
 
   private def docsPar(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -1020,6 +1074,17 @@ object LlmQueries {
         TextAnalysis.bpeTrain(docs.filter(col("lang") === "en"), k = 8,
           byteLevel = true)._2)
     }),
+
+    // L82: DSIR importance resampling — hashed uni+bigram multinomials,
+    // target = the German slice (14% minority: real distributional
+    // contrast); weight = Π ratio in exact (mant, exp2) base-2 form
+    "llm_dsir" -> ((s, d) =>
+      Dsir.weights(docsPar(s, d), col("lang") === "de")),
+
+    // the resampling step: top-100 raw docs by importance weight —
+    // ordering by (e2, mant) IS ordering by log-weight (log monotone)
+    "llm_dsir_select" -> ((s, d) =>
+      Dsir.select(docsPar(s, d), col("lang") === "de", k = 100)),
 
     "llm_sample_strata" -> ((s, d) =>
       CorpusPrep.sampleStrata(Tables.documents(s, d), "lang",
@@ -2552,6 +2617,15 @@ object LlmQueries {
         |SELECT doc_id, rank, CAST(rank % 8 AS INT) AS shard,
         |       (rank // 8)::BIGINT AS pos
         |FROM r""".stripMargin,
+
+    // DSIR importance weights: the recursive-CTE replay of the exact
+    // (mant, exp2) product fold — see dsirSql for the parity argument
+    "llm_dsir" ->
+      dsirSql("SELECT s.doc_id, r.n AS n_feats, s.e AS e2, s.m AS mant"),
+
+    "llm_dsir_select" ->
+      (dsirSql("SELECT s.doc_id, s.e AS e2, s.m AS mant") +
+        "\nORDER BY s.e DESC, s.m DESC, s.doc_id LIMIT 100"),
 
     "llm_sample_strata" ->
       s"""WITH $toksCte,

@@ -693,6 +693,27 @@ object StreamQueries {
       s.read.parquet(s"$tmp/ledger").distinct()
     }),
 
+    // T33 (streaming L79): byte-level BPE encode under FROZEN rules
+    // (trained once on the en slice, the llm_bpe_bytes config — a
+    // driver-side Seq, never re-trained in the loop); per-doc rows are
+    // pure functions of the text, so redelivered docs 0-99 and crash
+    // replays absorb by distinct. Converged read ≡ the one-shot
+    // bpeEncodeBytes — oracle verbatim.
+    "t33_bpe_bytes_stream" -> ((s, d) => {
+      val tmp = Files.createTempDirectory("graft-t33-").toString
+      val rules = graft.operators.TextAnalysis.bpeTrain(
+        graft.sources.Tables.documents(s, d)
+          .filter(col("lang") === "en")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        k = 8, byteLevel = true)._2
+      withStreamShuffle(s, 8) {
+        awaitAndRecord("t33_bpe_bytes_stream",
+          Streams.bpeBytesEncodeStream(docStream(s, d).select("doc_id", "text"),
+            rules, s"$tmp/ledger", s"$tmp/ckpt", compactEvery = 2))
+      }
+      s.read.parquet(s"$tmp/ledger").distinct()
+    }),
+
     // T31 (streaming L30/L60): incremental ExactSubstr live — each batch
     // scrubbed against the standing gram-index ledger, then contributing
     // its own grams; seen store screens the re-sent docs 0-99 (a
@@ -1356,6 +1377,8 @@ object StreamQueries {
     "t31_substr_stream" -> LlmQueries.oracleSql("llm_dedup_substr"),
     // frozen-model unigram encode converges to the one-shot L78 encode
     "t32_unigram_stream" -> LlmQueries.oracleSql("llm_unigram_lm"),
+    // frozen-rules byte-BPE encode converges to the one-shot L79 encode
+    "t33_bpe_bytes_stream" -> LlmQueries.oracleSql("llm_bpe_bytes"),
     // streaming fused grid converges to the one-shot batch grid (bit-exact
     // machine snapshots), so the oracle is f3c's, verbatim
     "t29_grid_stream" -> IndicatorQueries.oracleSql("f3c_indicator_grid_full"),

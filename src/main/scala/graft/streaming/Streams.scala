@@ -1521,6 +1521,39 @@ object Streams {
       }
       .start()
 
+  /** T33 (streaming L79): byte-level BPE encode of arriving documents
+    * under FROZEN merge rules — the [[unigramEncodeStream]] contract for
+    * the production tokenizer base: rules are trained once (an input to
+    * the stream, a driver-side Seq shipped in the closure — never
+    * re-trained per batch), the encoder is TOTAL by construction (byte
+    * fallback — no vocabulary, no OOV path), and per-doc rows are pure
+    * functions of the text, so the ledger is set data: redelivered docs
+    * and crash-replayed appends absorb by `distinct`, compaction is a
+    * plain `distinct`. */
+  def bpeBytesEncodeStream(docs: DataFrame,
+                           merges: Seq[(Int, String, String, Long)],
+                           ledgerPath: String, checkpoint: String,
+                           compactEvery: Int = 0): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // single-partition micro-batch + CPU-bound per-word folds: fan
+        // out first (the t26 valve)
+        val wide = batch.repartition(
+          spark.sparkContext.defaultParallelism, col("doc_id"))
+        graft.operators.TextAnalysis.bpeEncodeBytes(
+            wide.select("doc_id", "text"), merges)
+          .write.mode("append").parquet(ledgerPath)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.sources.Compact.compactLedger(spark, ledgerPath,
+            df => df.distinct())
+        ()
+      }
+      .start()
+
   /** T31 (streaming L30/L60): incremental ExactSubstr dedup live — each
     * micro-batch of NEW docs is scrubbed against the standing corpus's
     * gram-index ledger ([[graft.operators.Dedup.dedupSubstrAgainst]]:

@@ -138,6 +138,39 @@ class LedgerTwinsRestartSpec extends SparkSpec {
     assert(rolled.exists(r => r.getLong(2) < r.getLong(1) * 10))
   }
 
+  test("t33 byte-BPE ledger: frozen-rules encode survives kill/restart and replayed append") {
+    val (root, src) = fixture("graft-t33-restart-")
+    val (ledger, ckpt) = (s"$root/ledger", s"$root/ckpt")
+    val all = (c1 ++ c2 ++ c3).distinct
+    // frozen rules: trained ONCE, an input to the stream — never
+    // re-trained per batch (the production tokenizer contract)
+    val rules = TextAnalysis.bpeTrain(
+      all.toDF("doc_id", "text"), k = 4, byteLevel = true)._2
+    def run(): Unit =
+      Streams.bpeBytesEncodeStream(docStream(src), rules, ledger, ckpt)
+        .awaitTermination()
+
+    stage(root, src, c1, "c1", 1600000000000L)
+    run() // the process "dies" here
+    // forge the kill-after-append-before-commit replay
+    val replay = spark.read.parquet(ledger)
+    replay.write.mode("append").parquet(ledger)
+
+    // restart delivers doc 2 REDELIVERED verbatim plus novel docs
+    stage(root, src, c2 ++ c3, "c2", 1600000060000L)
+    run()
+
+    val rolled = spark.read.parquet(ledger).distinct()
+      .orderBy("doc_id").collect().toSeq
+    val oneShot = TextAnalysis.bpeEncodeBytes(
+        all.toDF("doc_id", "text"), rules)
+      .orderBy("doc_id").collect().toSeq
+    assert(rolled === oneShot)
+    // the rules really fired: some word fused below one unit per byte
+    assert(rolled.exists(r =>
+      r.getAs[Long]("n_units") < r.getAs[Long]("n_bytes")))
+  }
+
   test("t31 substr stream: replay self-excludes via batch_id, redelivered doc screened") {
     val (root, src) = fixture("graft-t31-restart-")
     val (seen, grams, out, ckpt) =
