@@ -109,6 +109,40 @@ object Similarity {
     math.min(30, math.max(2,
       math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt))
 
+  /** The candidate pair ROWS a banded self-join over these band
+    * assignments would shuffle — `Σ df·(df−1)/2` over (band, bv) buckets.
+    * One grouped aggregation over the n·bands assignment rows, NO pair
+    * expansion: this is the cheap pre-flight that prices a banded join
+    * before running it (and the probe telemetry that separates
+    * band-rounding candidate mass from irreducible near-dup cluster
+    * mass — cluster pairs survive any width, sign-noise pairs halve per
+    * added bit). */
+  def bandPairBound(cb: DataFrame): Long = {
+    val r = cb.groupBy(col("band"), col("bv")).agg(count(lit(1)).as("df"))
+      .agg(sum(expr("df * (df - 1) div 2"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Pair-mass-aware band-width valve: widen bands (add bits) from
+    * `startBits` until the measured [[bandPairBound]] fits `budget` (or
+    * the 30-bit Int ceiling). [[adaptiveBits]] targets an AVERAGE bucket
+    * size, which under-prices skewed sign distributions (correlated
+    * dimensions keep agreement probability above 2^-bits, so candidate
+    * mass can grow super-linearly at a fixed target) — this valve prices
+    * the actual corpus instead: each probe step is one linear pass over
+    * the n·bands assignments, and the loop is ≤ 30 − startBits steps.
+    * Returns (bits, measured bound at those bits). */
+  def budgetBits(embs: DataFrame, bands: Int, seed: Long, budget: Long,
+                 startBits: Int): (Int, Long) = {
+    var bits = startBits
+    var bound = bandPairBound(lshBands(embs, bands, bits, seed))
+    while (bound > budget && bits < 30) {
+      bits += 1
+      bound = bandPairBound(lshBands(embs, bands, bits, seed))
+    }
+    (bits, bound)
+  }
+
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH candidate
     * generation (docs sharing ≥ 1 sign-band), exact-cosine verification at
     * `threshold`. Candidate-only — never an all-pairs join, and (like every
@@ -1059,7 +1093,8 @@ object Similarity {
     * oracle parity and recall audits only. */
   def knnGraph(embs: DataFrame, k: Int, bands: Int = 96,
                bitsPerBand: Option[Int] = None, seed: Long = 42,
-               exact: Boolean = false): DataFrame = {
+               exact: Boolean = false,
+               pairBudget: Option[Long] = None): DataFrame = {
     // band width GROWS with the corpus (the embedNearDup convention) or
     // banding degenerates to all-pairs: at 3 bits a 10× corpus measured
     // 71× (quadratic). Recall then rests on the metric gap — real
@@ -1076,7 +1111,15 @@ object Similarity {
         .crossJoin(ids.select(col("id").as("cid")))
         .filter(col("qid") =!= col("cid"))
     } else {
-      val bits = bitsPerBand.getOrElse(adaptiveBits(embs.count()))
+      // pairBudget arms the pair-mass valve: widen past the average-
+      // targeted adaptive width until the MEASURED candidate mass fits
+      // the budget ([[budgetBits]] — the average under-prices skewed
+      // sign distributions at scale)
+      val start = bitsPerBand.getOrElse(adaptiveBits(embs.count()))
+      val bits = pairBudget match {
+        case Some(budget) => budgetBits(embs, bands, seed, budget, start)._1
+        case None => start
+      }
       val cb = lshBands(embs, bands, bits, seed)
       cb.join(cb.select(col("id").as("qid"), col("band"), col("bv")), Seq("band", "bv"))
         .filter(col("id") =!= col("qid"))

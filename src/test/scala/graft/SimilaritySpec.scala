@@ -252,6 +252,46 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall { case (a, b) => a < b })
   }
 
+  test("bandPairBound prices the banded self-join exactly; budgetBits honors the budget") {
+    val rnd = new scala.util.Random(31)
+    val d = embs((0L until 60L).map { i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat), 0)
+    }: _*).select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val cb = Similarity.lshBands(d, bands = 8, bitsPerBand = 2, seed = 7)
+    // ground truth: count the actual (unordered) join rows per bucket
+    val actual = cb.as[(Long, Int, Int)].collect()
+      .groupBy(t => (t._2, t._3)).values.map { g =>
+        g.length.toLong * (g.length - 1) / 2
+      }.sum
+    assert(Similarity.bandPairBound(cb) === actual)
+    // the valve walks until the measured bound fits the budget
+    val (bits, bound) = Similarity.budgetBits(d, bands = 8, seed = 7,
+      budget = actual / 4, startBits = 2)
+    assert(bits > 2 && bound <= actual / 4 || bits == 30)
+    // and a generous budget stays at the starting width
+    val (b2, _) = Similarity.budgetBits(d, bands = 8, seed = 7,
+      budget = actual + 1, startBits = 2)
+    assert(b2 === 2)
+  }
+
+  test("knnGraph under a pair budget keeps exact recall on a clustered corpus") {
+    // clusters separated in cosine: the metric gap that makes banded kNN
+    // recall survive width — the valve must not break it while cutting
+    // the candidate mass
+    val rnd = new scala.util.Random(13)
+    val centers = Seq.fill(5)(Array.fill(16)(rnd.nextGaussian()))
+    val d = embs((0L until 50L).map { i =>
+      val c = centers((i % 5).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq, 0)
+    }: _*).select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val free = Similarity.knnGraph(d, k = 3, bands = 96, bitsPerBand = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val valved = Similarity.knnGraph(d, k = 3, bands = 96, bitsPerBand = Some(2),
+      pairBudget = Some(5000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(valved === free)
+  }
+
   test("hardNegatives: banded == exact on a clustered corpus; labels always differ") {
     val rnd = new scala.util.Random(13)
     val centers = Seq(
