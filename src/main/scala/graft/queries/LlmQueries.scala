@@ -1075,6 +1075,29 @@ object LlmQueries {
           byteLevel = true)._2)
     }),
 
+    // L79 eval: tokenizer compression rate by language — bytes per BPE
+    // unit under the en-trained byte-level rules (the tiktoken-style
+    // eval table: the training language compresses best, the others pay
+    // the cross-lingual penalty, zh pays the UTF-8 byte-width penalty
+    // on top). One doc-scale join + one 5-row aggregation; the encode
+    // side descends from explodes (stats-blind) so the join is pinned
+    "llm_bpe_compression" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val rules = TextAnalysis.bpeTrain(
+        docs.filter(col("lang") === "en").repartition(
+          s.sparkContext.defaultParallelism, col("doc_id")),
+        k = 8, byteLevel = true)._2
+      TextAnalysis.bpeEncodeBytes(docsPar(s, d), rules)
+        .join(docs.select(col("doc_id"), col("lang")).hint("shuffle_hash"),
+          Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("n_bytes"),
+          sum(col("n_units")).as("n_units"))
+        .select(col("lang"), col("n_docs"), col("n_bytes"), col("n_units"),
+          (col("n_bytes").cast("double") / col("n_units").cast("double"))
+            .as("bytes_per_unit"))
+    }),
+
     // L82: DSIR importance resampling — hashed uni+bigram multinomials,
     // target = the German slice (14% minority: real distributional
     // contrast); weight = Π ratio in exact (mant, exp2) base-2 form
@@ -2607,6 +2630,20 @@ object LlmQueries {
          |FROM t JOIN u USING (word)
          |WHERE word IS NOT NULL AND word <> ''
          |GROUP BY doc_id""".stripMargin,
+
+    // per-lang rollup of the same en-trained byte-BPE encode: sums of
+    // exact longs, ONE IEEE division for the rate — engine-identical
+    "llm_bpe_compression" ->
+      s"""${bpeChain(8, "WHERE lang = 'en'", byteSeed = true)},
+         |${bpeBytesEncodeChain(8)},
+         |u AS (SELECT word, nb, len(string_split(sym, ' '))::BIGINT AS units FROM e8),
+         |t AS (SELECT doc_id, lang, unnest(w) AS word FROM toks)
+         |SELECT lang, count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |       sum(nb)::BIGINT AS n_bytes, sum(units)::BIGINT AS n_units,
+         |       sum(nb)::DOUBLE / sum(units)::DOUBLE AS bytes_per_unit
+         |FROM t JOIN u USING (word)
+         |WHERE word IS NOT NULL AND word <> ''
+         |GROUP BY lang""".stripMargin,
 
     "llm_shuffle_shards" ->
       """WITH h AS (SELECT doc_id, md5('42' || CAST(doc_id AS VARCHAR)) AS _h
