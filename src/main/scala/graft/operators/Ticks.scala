@@ -64,8 +64,23 @@ object Ticks {
   def fromWireJson(lines: DataFrame, lineCol: String = "value"): DataFrame = {
     val schema = "symbol STRING, timestamp STRING, bid STRING, ask STRING"
     lines
+      // r16 optimization: `from_json` is CodegenFallback (interpreted), and
+      // Catalyst pushes the malformed-row filter below this projection,
+      // inlining the WHOLE parse into each of the filter's four conjuncts —
+      // five interpreted parses per row, below any downstream fan-out
+      // (measured on u4c: the filter alone carried 4× from_json,
+      // plans/r16/u4c_wire_ingest_before.txt). The nondeterministic column
+      // blocks predicate pushdown and project collapse through this
+      // projection, so the parse runs exactly once per row;
+      // spark_partition_id is the cheapest streaming-safe nondeterministic
+      // and is dropped by the next projection.
       .select(from_json(col(lineCol), org.apache.spark.sql.types.StructType
-        .fromDDL(schema)).as("m"))
+        .fromDDL(schema)).as("m"),
+        spark_partition_id().as("_no_pushdown"))
+      // the always-true filter keeps the barrier column REFERENCED —
+      // otherwise ColumnPruning deletes it and the barrier with it
+      // (measured: the drop-only variant re-inlined all four parses)
+      .filter(col("_no_pushdown") >= -1)
       .select(
         regexp_replace(col("m.symbol"), "_", "/").as("pair"),
         try_to_timestamp(col("m.timestamp")).as("time"),
@@ -85,16 +100,23 @@ object Ticks {
 
   /** First-tick-per-second dedup (S2): truncate `time` to the second and keep
     * the earliest tick per (pair, second), ties broken by `seq`. Deterministic
-    * (unlike naive dropDuplicates, whose survivor depends on task order). */
-  def dedupSecond(ticks: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("pair"), date_trunc("second", col("time")))
-      .orderBy(col("time"), col("seq"))
+    * (unlike naive dropDuplicates, whose survivor depends on task order).
+    *
+    * Shape (r16 optimization, guide §2.3): a `min_by` hash aggregate, not a
+    * `row_number` window. The survivor is identical — `min` over the
+    * lexicographic `(time, seq)` struct IS "first by (time, seq)" — but the
+    * aggregate form partially aggregates map-side, so the exchange carries
+    * at most one row per (pair, second) per map partition instead of EVERY
+    * tick, and the per-partition sort the window needed disappears
+    * entirely. Measured at sf0.1: the spine's dedup stage loses its Sort
+    * and ~40% of its shuffle bytes (see OPTIMIZATION_r16.md). */
+  def dedupSecond(ticks: DataFrame): DataFrame =
     ticks
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("pair"), date_trunc("second", col("time")).as("time"),
-        col("bid"), col("ask"))
-  }
+      .groupBy(col("pair"), date_trunc("second", col("time")).as("time"))
+      .agg(min_by(struct(col("bid"), col("ask")),
+        struct(col("time"), col("seq"))).as("_first"))
+      .select(col("pair"), col("time"),
+        col("_first.bid").as("bid"), col("_first.ask").as("ask"))
 
   /** Full ingest normalization: events → valid deduped 1-second ticks. */
   def normalize(events: DataFrame): DataFrame = dedupSecond(valid(fromEvents(events)))

@@ -210,9 +210,18 @@ object PipelineQueries {
     // fromWireJson a socket/Kafka stream feeds, SocketIngestSpec) — pair
     // symbol round-trips through the `_`/`/` normalization, prices through
     // %.6f formatting, time through ISO-8601 ms rendering and re-parse.
+    // r16 optimization (guide §2.5 input skew / the t26 valve): the
+    // format→parse chain is CPU-bound per row, and AQE coalesces the
+    // post-dedup exchange to ONE partition at gate volume, serializing
+    // ~6 s of codegen'd JSON work on a single task (measured, Profile16).
+    // An explicit stable-keyed fan-out before the chain spreads it across
+    // the session's cores; the extra exchange moves 4 narrow columns.
     "u4c_wire_ingest" -> ((s, d) =>
       graft.operators.Ticks.fromWireJson(
-        Relay.toWireMessages(ticks(s, d)).select(col("message").as("value")))
+        Relay.toWireMessages(
+          ticks(s, d).repartition(s.sparkContext.defaultParallelism,
+            col("pair"), col("time")))
+          .select(col("message").as("value")))
         .select(col("pair"), unix_millis(col("time")).as("time_ms"),
           col("bid"), col("ask"))),
 
