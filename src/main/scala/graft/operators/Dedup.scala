@@ -219,7 +219,17 @@ object Dedup {
   def nearDupMinhash(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
                      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
-    val shs = shingleSets(docs, n)
+    // r16 optimization (guide §1.2): `shs` feeds THREE plan branches (the
+    // signature pipeline and both sides of the Jaccard verify join), and
+    // Catalyst shares no work across branches — the whole
+    // tokenize+shingle pass ran three times per query. One eager
+    // localCheckpoint computes it once; the materialized set is
+    // O(corpus distinct shingles) — the same order as one shuffle of the
+    // shingle sets, spilling to executor-local disk beyond memory (a
+    // production deployment persists signatures anyway, per the L60
+    // scaladoc). Measured: the clean()-family cells drop ~2× in summed
+    // task CPU (OPTIMIZATION_r16.md).
+    val shs = shingleSets(docs, n).localCheckpoint()
     verifyJaccard(lshCandidates(minhashSignatures(shs, numHashes), bands, numHashes / bands),
       shs, threshold)
   }
@@ -601,7 +611,7 @@ object Dedup {
   /** Every-offset `k`-gram hashes of a (doc_id, toks) frame:
     * (doc_id, pos, h). `sequence(0, n-k)` must never see n < k (it would
     * descend), so short docs — which can emit no gram — are gated out. */
-  private def gramsOf(toks: DataFrame, k: Int): DataFrame =
+  private[graft] def gramsOf(toks: DataFrame, k: Int): DataFrame =
     toks.filter(size(col("toks")) >= k)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), size(col("toks")) - k)).as("pos"))
@@ -668,11 +678,23 @@ object Dedup {
                          minRun: Int = 10): DataFrame = {
     require(minRun >= 1, s"minRun must be >= 1, got $minRun")
     val toks = newDocs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    dedupSubstrAgainstGrams(index, toks, gramsOf(toks, minRun), minRun)
+  }
+
+  /** [[dedupSubstrAgainst]] over PRE-COMPUTED batch grams — the r16
+    * fused form for callers that also persist the batch's gram index
+    * (the t31 ledger computed `gramsOf` twice per micro-batch, once to
+    * scrub and once to append; computing it once and passing it to both
+    * halves the per-batch gram CPU, guide §1.2). `grams` must be exactly
+    * `gramsOf(toks, minRun)` (checkpointed or not). */
+  private[graft] def dedupSubstrAgainstGrams(index: DataFrame, toks: DataFrame,
+                                             grams: DataFrame,
+                                             minRun: Int): DataFrame = {
     // rn BEFORE the join: a non-distinct index must not be able to
     // duplicate gram rows under the row_number window (coverage events
     // are multiplicity-insensitive, the rank is not)
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
-    val covered = gramsOf(toks, minRun)
+    val covered = grams
       .withColumn("rn", row_number().over(w))
       // the gram index is STANDING-CORPUS-scale (the whole point of the
       // incremental form): pin the shuffled build — a broadcast of years

@@ -2055,7 +2055,89 @@ object Indicators {
         }
     }
   }
+
+  /** [[indicatorFactsFusedResume]] and [[indicatorGridSnapshotResume]] in
+    * ONE pass (r16 optimization, guide §1.2 "don't compute things twice"):
+    * the live deployment needs BOTH the fact rows and the advanced
+    * snapshot every batch, and running the two resume folds separately
+    * exchanges and folds the identical candle tail twice. This fold emits
+    * tagged rows — `is_state=false` fact rows while stepping, then one
+    * `is_state=true` state row per grid cell — exactly the
+    * [[Backtest.tradesIncremental]] ledger shape. The per-key candle
+    * watermark advance rides along (`wm` = max(state wm, last candle
+    * time), the sorted fold's last row), replacing the separate
+    * `groupBy(max)` + full-outer-join + broadcast the caller ran.
+    * Bit-exact vs the two-fold form: same machines, same restore, same
+    * sorted step order (LivePipelineSpec + the e2e oracle gates pin it).
+    * `state` may or may not carry a `wm` column (the empty-state path
+    * does not). */
+  def indicatorGridAdvanceResume(candles: DataFrame, indicators: Seq[String],
+                                 periods: Seq[Int], state: DataFrame,
+                                 calcVersion: String = CalcVersion): DataFrame = {
+    require(indicators.nonEmpty && periods.nonEmpty, "empty indicator grid")
+    val specs = for { ind <- indicators; p <- periods } yield (ind, p)
+    val spark = candles.sparkSession
+    import spark.implicits._
+    val withWm =
+      if (state.columns.contains("wm")) state
+      else state.withColumn("wm", lit(null).cast("timestamp"))
+    val st = withWm
+      .select($"pair", $"timeframe", $"indicator", $"period", $"n", $"vec", $"wm")
+      .as[GridStateWm]
+      .groupByKey(r => (r.pair, r.timeframe))
+    candles.select($"pair", $"timeframe", $"time", $"close").as[CloseRow]
+      .groupByKey(r => (r.pair, r.timeframe))
+      .cogroupSorted(st)($"time")() { case ((pair, tf), rows, states) =>
+        val stSeq = states.toSeq
+        val oldWm = stSeq.flatMap(_.wm)
+          .reduceOption((a, b) => if (a.after(b)) a else b)
+        val byCell = stSeq.map(s => (s.indicator, s.period) -> s).toMap
+        val machines = specs.map { case (ind, p) =>
+          val m = fusedMachine(ind, p)
+          byCell.get((ind, p)).foreach(s => m.restore(s.n, s.vec.toArray))
+          (ind, p, m)
+        }
+        var lastT: Timestamp = null
+        val facts = rows.flatMap { r =>
+          lastT = r.time
+          machines.iterator.map { case (ind, p, m) =>
+            GridFoldRow(is_state = false, ind, pair, tf, Option(r.time), p,
+              calcVersion, m.step(r.close), 0L, Nil, None)
+          }
+        }
+        // `++`'s right operand is by-name: the state rows build only after
+        // the fact iterator is exhausted, so `lastT` and the machine
+        // states are final here
+        def stateRows = {
+          val wm = (oldWm, Option(lastT)) match {
+            case (Some(a), Some(b)) => Some(if (a.after(b)) a else b)
+            case (a, b) => a.orElse(b)
+          }
+          machines.iterator.map { case (ind, p, m) =>
+            val (n, vec) = m.snapshot
+            GridFoldRow(is_state = true, ind, pair, tf, None, p,
+              calcVersion, None, n, vec.toSeq, wm)
+          }
+        }
+        facts ++ stateRows
+      }.toDF()
+  }
 }
+
+/** [[GridState]] plus the per-key candle watermark the live snapshot
+  * carries (None for the empty-state / legacy-snapshot paths). */
+final case class GridStateWm(pair: String, timeframe: String, indicator: String,
+                             period: Int, n: Long, vec: Seq[Double],
+                             wm: Option[Timestamp])
+
+/** One output row of [[Indicators.indicatorGridAdvanceResume]]: a fact row
+  * (`is_state=false` — indicator/pair/timeframe/time/period/calc_version/
+  * value) or a grid-cell state row (`is_state=true` — n/vec/wm). */
+final case class GridFoldRow(is_state: Boolean, indicator: String, pair: String,
+                             timeframe: String, time: Option[Timestamp],
+                             period: Int, calc_version: String,
+                             value: Option[Double], n: Long, vec: Seq[Double],
+                             wm: Option[Timestamp])
 
 /** One cell's persisted fold state for the resumable fused grid:
   * `n` = candles consumed, `vec` = the machine's state vector (SMA: the

@@ -209,6 +209,12 @@ object LivePipeline {
                    slPct: Double = 0.005, tpPct: Double = 0.01,
                    retainDays: Int = 0): Unit = {
     val spark = batch.sparkSession
+    // phase labels (guide §1.5): every Spark job this batch fires carries
+    // the phase that submitted it, so a listener (E2eProbe / the UI) can
+    // attribute the deployment's job count and wall time per step
+    def phase(name: String): Unit =
+      spark.sparkContext.setJobDescription(s"live-batch $batchId: $name")
+    phase("recover")
     // finish/abort any compaction swap OR retention delete a crash
     // interrupted, BEFORE any read (O(1) probe per store in steady state)
     Seq(stores.ticks, stores.candles, stores.gridFacts, stores.signals,
@@ -222,12 +228,14 @@ object LivePipeline {
     // crash-replayed batch re-plans the identical offset slice into the
     // identical partitioning — so the SAME survivor wins on replay even
     // when two ticks share a wire timestamp
+    phase("ingest-checkpoint")
     val ticks = batch.withColumn("seq", monotonically_increasing_id())
       .localCheckpoint()
     if (ticks.isEmpty) return
 
     // 1) E3 serving edge: latest tick per pair fans out NOW — the edge
     //    never waits for storage
+    phase("publish")
     server.publishBatch(ticks, batchId)
 
     val allTfs = (Timeframe.Base +: tfs.filterNot(_.code == Timeframe.Base.code)).distinct
@@ -240,6 +248,7 @@ object LivePipeline {
     // tail — the anti-joins dedup the overlap, so correctness is
     // unaffected. Aggregating the candle store is the no-snapshot
     // fallback (first batches / crash before the first snapshot).
+    phase("watermarks")
     val snapOpt = readLatestSnapshot(spark, stores.gridState)
     val wmRows: Seq[(String, String, java.sql.Timestamp)] = snapOpt match {
       case Some(snap) =>
@@ -280,6 +289,7 @@ object LivePipeline {
     //    per (pair, second), so the existing side needs only the batch's
     //    literal [min, max] second window of the store — partition- and
     //    row-group-pruned, O(batch window) regardless of history.
+    phase("tick-append")
     val staged = Ticks.dedupSecond(ticks)
     val rng = staged.agg(min(col("time")).as("lo"), max(col("time")).as("hi"))
       .collect()(0)
@@ -315,6 +325,7 @@ object LivePipeline {
     // 3) E1 candles: candle only the tick tail (literal per-pair
     //    threshold — the scan prunes to the unfrozen window), freeze only
     //    closed bars
+    phase("candles")
     val durs = {
       import spark.implicits._
       allTfs.map(t => (t.code, t.durationSeconds.toLong)).toDF("timeframe", "dur")
@@ -349,6 +360,7 @@ object LivePipeline {
     //    written, cut to strictly-past-watermark by the broadcast of the
     //    same O(keys) rows (no second store scan), persist facts + the
     //    advanced snapshot
+    phase("grid")
     var novelFacts: Option[DataFrame] = None
     val factsWindow = readStoreBounded(spark, stores.gridFacts, wmBounds,
       strict = false).map(_.localCheckpoint())
@@ -368,8 +380,18 @@ object LivePipeline {
       val tailC = tailCand.localCheckpoint()
       if (!tailC.isEmpty) {
         val stateDf = snapOpt.getOrElse(emptyState(spark))
-        val facts = Indicators.indicatorFactsFusedResume(
-          tailC, indicators, periods, stateDf)
+        // r16 optimization (guide §1.2): ONE resumed fold emits the fact
+        // rows AND the advanced per-cell state AND the per-key watermark
+        // advance (tagged rows, the trade-ledger shape) — previously the
+        // identical candle tail was exchanged and folded TWICE (facts +
+        // snapshot) and the watermark advance ran a third aggregation
+        // plus a full-outer join. Bit-exact: same machines, same sorted
+        // step order (the e2e oracle gates + LivePipelineSpec pin it).
+        val folded = Indicators.indicatorGridAdvanceResume(
+          tailC, indicators, periods, stateDf).localCheckpoint()
+        val facts = folded.filter(!col("is_state"))
+          .select(col("indicator"), col("pair"), col("timeframe"),
+            col("time"), col("period"), col("calc_version"), col("value"))
         // incoming facts all sit strictly past their key's watermark (or
         // in an exempt timeframe), so the non-strict window is a lossless
         // (slightly wide) existing side for the anti-join
@@ -379,21 +401,10 @@ object LivePipeline {
           .getOrElse(facts)
           .localCheckpoint()) // written now, scanned by the signal tail
         writeStore(novelFacts.get, stores.gridFacts)
-        val advanced = Indicators.indicatorGridSnapshotResume(
-          tailC, indicators, periods, stateDf)
-        val newWms = tailC.groupBy("pair", "timeframe")
-          .agg(max(col("time")).as("wm_new"))
-        val oldWms = snapOpt.map(_.select(col("pair"), col("timeframe"),
-            col("wm").as("wm_old")).distinct())
-        val wmAll = oldWms match {
-          case None => newWms.select(col("pair"), col("timeframe"),
-            col("wm_new").as("wm"))
-          case Some(o) => newWms.join(o, Seq("pair", "timeframe"), "full")
-            .select(col("pair"), col("timeframe"),
-              greatest(col("wm_new"), col("wm_old")).as("wm"))
-        }
         writeSnapshotVersion(spark, stores.gridState, batchId,
-          advanced.join(wmAll, Seq("pair", "timeframe"), "left"))
+          folded.filter(col("is_state"))
+            .select(col("pair"), col("timeframe"), col("indicator"),
+              col("period"), col("n"), col("vec"), col("wm")))
       }
     }
 
@@ -407,6 +418,7 @@ object LivePipeline {
     //    (short, long) = (min, max) of the configured periods — the
     //    reference's configured cross pair.
     if (periods.distinct.size >= 2 && indicators.contains("SMA")) {
+      phase("signals")
       val (shortP, longP) = (periods.min, periods.max)
       (factsWindow.toSeq ++ novelFacts.toSeq).reduceOption(_ unionByName _)
         .foreach { sigInput =>
@@ -438,6 +450,7 @@ object LivePipeline {
     //    existing side bounded by the same literals (a re-derived
     //    trade's entry is never below min(frontier, open entry)).
     if (periods.distinct.size >= 2 && indicators.contains("SMA")) {
+      phase("trades")
       val stateOpt = readLatestSnapshot(spark, stores.tradeState)
       val tradeBounds = stateOpt.map { st =>
         st.groupBy("pair").agg(
@@ -501,6 +514,7 @@ object LivePipeline {
     //    precedes the snapshot advance, re-derived trades dedup on
     //    (pair, timeframe, trade_no).
     if (periods.distinct.size >= 2 && indicators.contains("SMA")) {
+      phase("trades-stopped")
       val stateOpt = readLatestSnapshot(spark, stores.tradeStopState)
       val stopBounds = stateOpt.map { st =>
         st.groupBy("pair").agg(
@@ -567,6 +581,7 @@ object LivePipeline {
     //    and, with a retention policy set, RETIRE `dt` partitions older
     //    than `retainDays` behind the batch's own max tick date (the
     //    deployment's event clock — wall clock would mis-retire a replay)
+    phase("compact")
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       val allStores = Seq(stores.ticks, stores.candles, stores.gridFacts,
         stores.signals, stores.trades, stores.tradesStopped)

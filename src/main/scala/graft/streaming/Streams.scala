@@ -1592,15 +1592,23 @@ object Streams {
             Seq("doc_id"))
           catch { case _: org.apache.spark.sql.AnalysisException => wide }
         ).select("doc_id", "text").localCheckpoint() // scrub + grams + seen
+        // r16 optimization (guide §1.2): the batch's every-offset gram set
+        // feeds BOTH the scrub join and the ledger append — computed once
+        // and checkpointed (O(batch tokens) rows, bounded by the batch),
+        // where the previous shape ran the split+explode+md5 pipeline
+        // twice per micro-batch
+        val toks = novel.select(col("doc_id"),
+          split(col("text"), " ").as("toks"))
+        val grams = graft.operators.Dedup.gramsOf(toks, minRun)
+          .localCheckpoint()
         val idx =
           try spark.read.parquet(gramPath)
             .filter(col("batch_id") < batchId).select(col("h"))
           catch { case _: org.apache.spark.sql.AnalysisException =>
-            graft.operators.Dedup.substrGramIndex(novel.limit(0), minRun) }
-        graft.operators.Dedup.dedupSubstrAgainst(idx, novel, minRun)
+            grams.limit(0).select(col("h")) }
+        graft.operators.Dedup.dedupSubstrAgainstGrams(idx, toks, grams, minRun)
           .write.mode("append").parquet(outPath)
-        graft.operators.Dedup.substrGramIndex(novel, minRun)
-          .select(lit(batchId).as("batch_id"), col("h"))
+        grams.select(lit(batchId).as("batch_id"), col("h")).distinct()
           .write.mode("append").parquet(gramPath)
         novel.select("doc_id").write.mode("append").parquet(seenPath)
         // gram rows are (batch_id, h) set data — compaction is a plain
