@@ -23,9 +23,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Scratch space (r16 optimization, guide §6): every per-run temp artifact
+// — streaming checkpoints, ledger stores, staged stream chunks, shuffle
+// files via spark.local.dir's java.io.tmpdir default — is throwaway
+// per-invocation state, and /tmp sits on the system disk, where dirty-page
+// writeback makes fsync-adjacent streaming commits bimodal (measured:
+// t-family fold cells 3 s -> 16-18 s under write pressure). Prefer the
+// RAM-backed tmpfs when the host has one (the local-mode analog of fast
+// local NVMe scratch on a production node); SPARK_GRAFT_TMPDIR overrides,
+// and hosts without /dev/shm keep the stock tmpdir.
+val graftTmpDir: Option[String] = sys.env.get("SPARK_GRAFT_TMPDIR").orElse {
+  if (new java.io.File("/dev/shm").isDirectory) Some("/dev/shm/graft-tmp")
+  else None
+}.map { d => new java.io.File(d).mkdirs(); d }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ graftTmpDir.map(d => s"-Djava.io.tmpdir=$d").toSeq

@@ -46,8 +46,14 @@ object CorpusPrep {
       .select("doc_id", "content_hash")
       .join(existingHashes, Seq("content_hash"), "left_anti")
       .select("doc_id")
-    val shOld = Dedup.shingleSets(existing, n)
-    val shNew = Dedup.shingleSets(incoming, n)
+    // r16 optimization (guide §1.2): each side's shingle sets feed the
+    // signature pipeline AND the Jaccard verify join — without the
+    // checkpoint the tokenize+shingle pass runs 2-3× per side per call
+    // (per micro-batch in the t25 ledger). Same materialization bound as
+    // [[Dedup.nearDupMinhash]]'s checkpoint; production persists the
+    // existing side's signatures outright (scaladoc above).
+    val shOld = Dedup.shingleSets(existing, n).localCheckpoint()
+    val shNew = Dedup.shingleSets(incoming, n).localCheckpoint()
     val cands = Dedup.crossCandidates(
       Dedup.minhashSignatures(shOld, numHashes),
       Dedup.minhashSignatures(shNew, numHashes),

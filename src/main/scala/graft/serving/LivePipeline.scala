@@ -451,17 +451,9 @@ object LivePipeline {
     //    trade's entry is never below min(frontier, open entry)).
     if (periods.distinct.size >= 2 && indicators.contains("SMA")) {
       phase("trades")
-      val stateOpt = readLatestSnapshot(spark, stores.tradeState)
-      val tradeBounds = stateOpt.map { st =>
-        st.groupBy("pair").agg(
-            min(unix_timestamp(col("last_time"))).as("f"),
-            min(when(col("open"),
-              unix_timestamp(col("entry_time")))).as("oe"))
-          .collect().map(r => PairBound(r.getString(0),
-            math.min(r.getLong(1),
-              if (r.isNullAt(2)) Long.MaxValue else r.getLong(2)),
-            Seq.empty)).toSeq
-      }.getOrElse(Seq.empty)
+      val stateCollected = collectLedgerState(spark, stores.tradeState)
+      val stateOpt = stateCollected.map(_._1)
+      val tradeBounds = stateCollected.map(_._2).getOrElse(Seq.empty)
       readStoreBounded(spark, stores.signals, tradeBounds, strict = true)
         .foreach { sigsWide =>
           // the pair-level scan bound is lossless-wide; the exact
@@ -515,17 +507,9 @@ object LivePipeline {
     //    (pair, timeframe, trade_no).
     if (periods.distinct.size >= 2 && indicators.contains("SMA")) {
       phase("trades-stopped")
-      val stateOpt = readLatestSnapshot(spark, stores.tradeStopState)
-      val stopBounds = stateOpt.map { st =>
-        st.groupBy("pair").agg(
-            min(unix_timestamp(col("last_time"))).as("f"),
-            min(when(col("open"),
-              unix_timestamp(col("entry_time")))).as("oe"))
-          .collect().map(r => PairBound(r.getString(0),
-            math.min(r.getLong(1),
-              if (r.isNullAt(2)) Long.MaxValue else r.getLong(2)),
-            Seq.empty)).toSeq
-      }.getOrElse(Seq.empty)
+      val stopCollected = collectLedgerState(spark, stores.tradeStopState)
+      val stateOpt = stopCollected.map(_._1)
+      val stopBounds = stopCollected.map(_._2).getOrElse(Seq.empty)
       // exact per-(pair, timeframe) frontier cut (the pair-level scan
       // bound is lossless-wide)
       def pastFrontier(df: DataFrame, tfCol: String, timeCol: String): DataFrame =
@@ -593,6 +577,37 @@ object LivePipeline {
       }
     }
   }
+
+  /** r16 optimization (guide §5 — the driver should do almost no data
+    * work, but O(pairs × timeframes) rows are driver-sized BY
+    * CONSTRUCTION): collect a ledger-state snapshot ONCE per batch and
+    * hand consumers a LocalRelation plus driver-derived scan bounds. The
+    * previous shape scanned the snapshot parquet in three separate plan
+    * branches per ledger per batch (bounds aggregate+collect, broadcast
+    * frontier, fold state side). Bound semantics replicate the old
+    * aggregate exactly: f = min last_time (0 when all-null — the old
+    * Row.getLong(null) read), oe = min entry_time over open rows
+    * (MaxValue when none), bound = min(f, oe). */
+  private def collectLedgerState(spark: SparkSession, root: String)
+      : Option[(DataFrame, Seq[PairBound])] =
+    readLatestSnapshot(spark, root).map { df =>
+      val sel = df.select(col("pair"), col("timeframe"), col("open"),
+        col("entry_time"), col("entry_price"), col("n_closed"),
+        col("last_time"))
+      val rows = sel.collect()
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), sel.schema)
+      val bounds = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
+        case (p, rs) =>
+          val fs = rs.flatMap(r => Option(r.getTimestamp(6)).map(_.getTime / 1000L))
+          val oes = rs.filter(r => !r.isNullAt(2) && r.getBoolean(2))
+            .flatMap(r => Option(r.getTimestamp(3)).map(_.getTime / 1000L))
+          val f = if (fs.nonEmpty) fs.min else 0L
+          val oe = if (oes.nonEmpty) oes.min else Long.MaxValue
+          PairBound(p, math.min(f, oe), Seq.empty)
+      }
+      (local, bounds)
+    }
 
   /** Empty trade-state frame in the [[graft.operators.LiveTradeFold]]
     * state-row shape. */
