@@ -32,6 +32,11 @@ val jdk17AddOpens = Seq(
 // RAM-backed tmpfs when the host has one (the local-mode analog of fast
 // local NVMe scratch on a production node); SPARK_GRAFT_TMPDIR overrides,
 // and hosts without /dev/shm keep the stock tmpdir.
+// CAVEAT (ADVICE r16): this caps ALL Spark scratch — shuffle spill,
+// streaming checkpoints — at tmpfs size (~half RAM by default, shared
+// with the 8g driver heap, see SPARK_DRIVER_MEM below). A run whose spill
+// exceeds that dies with ENOSPC where disk /tmp would have survived; set
+// SPARK_GRAFT_TMPDIR=/tmp (or any disk path) for spill-heavy workloads.
 val graftTmpDir: Option[String] = sys.env.get("SPARK_GRAFT_TMPDIR").orElse {
   if (new java.io.File("/dev/shm").isDirectory) Some("/dev/shm/graft-tmp")
   else None

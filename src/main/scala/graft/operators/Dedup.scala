@@ -215,7 +215,14 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     * Defaults (128 hashes = 16 bands × 8 rows) put the S-curve threshold at
-    * (1/16)^(1/8) ≈ 0.71: a true-0.9 pair is missed with p < 2e-4. */
+    * (1/16)^(1/8) ≈ 0.71: a true-0.9 pair is missed with p < 2e-4.
+    *
+    * EAGER: the shingle-set frame is `localCheckpoint`ed at call time
+    * (Spark jobs run before this returns), pinning O(corpus distinct
+    * shingles) in executor storage for the query's lifetime; checkpointed
+    * lineage is unrecoverable on executor loss (acceptable in local mode
+    * and for the measured 2× CPU win — cluster callers wanting lazy
+    * semantics should persist signatures upstream per the L60 scaladoc). */
   def nearDupMinhash(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
                      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")

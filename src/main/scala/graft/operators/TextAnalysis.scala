@@ -597,23 +597,88 @@ object TextAnalysis {
     * family beside BPE ([[bpeEncode]]): instead of replaying merge
     * rules, each position consumes the longest vocabulary piece that
     * matches there. Emits per document the whitespace-token count and
-    * the piece count (the tokenizer's fertility).
+    * the piece count (the tokenizer's fertility). Positions no
+    * vocabulary piece matches advance by one character (an unknown char
+    * costs one unit), keeping the encoder total on corpora the
+    * vocabulary never saw.
     *
-    * Spark-first greedy without a driver loop or UDF: the per-word walk
-    * (pos → pos + bestLen(pos)) is a FUNCTIONAL GRAPH, so the positions
-    * a word's greedy path visits are computed by POINTER DOUBLING —
-    * O(log maxWordLen) self-join rounds of the jump table (with the word
-    * end made absorbing so compositions past the end stay total),
-    * doubling the covered path length each round — never a per-word
-    * sequential fold and never one Spark job per position. All frames in
-    * the loop are bounded by (distinct words × word length): vocabulary-
-    * scale, not corpus-scale; the only corpus-scale stages are the
-    * initial token explosion and the final per-doc rollup (both
-    * map-side-combined single shuffles). Positions no vocabulary piece
-    * matches advance by one character (an unknown char costs one unit),
-    * keeping the encoder total on corpora the vocabulary never saw. */
+    * Scale shape: the vocabulary is BOUNDED BY CONSTRUCTION (topV + one
+    * row per distinct character, [[wordpieceVocab]]), so it is collected
+    * once, broadcast, and the greedy walk runs as ONE mapPartitions pass
+    * over the DISTINCT-word table (Heaps-bounded word-type scale) —
+    * O(wordLen · maxPiece) hash probes per word, no joins, no doubling
+    * rounds. The only corpus-scale stages are the token explosion and
+    * the per-doc rollup (both map-side-combined single shuffles); the
+    * word→pieces attach is pinned `shuffle_hash` (the typed output is
+    * stats-blind — the measured broadcast trap). The original
+    * pointer-doubling walk is kept as
+    * [[wordpieceEncodePointerDoubling]], the spec reference
+    * TextAnalysisSpec proves this pass equivalent to. */
   def wordpieceEncode(docs: DataFrame, vocab: DataFrame, maxPiece: Int = 6,
                       textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pieces = vocab.select(col("piece")).as[String].collect()
+    require(pieces.length <= 4000000,
+      s"wordpiece vocabulary unexpectedly large (${pieces.length} rows) — " +
+        "not vocabulary-bounded")
+    val bc = spark.sparkContext.broadcast(pieces.toSet)
+    val docWords = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word").isNotNull && col("word") =!= "")
+    val nPieces = docWords.select(col("word")).distinct().as[String]
+      .mapPartitions { it =>
+        val v = bc.value
+        it.map(w => (w, greedyPieceCount(w, v, maxPiece)))
+      }.toDF("word", "np")
+    docWords.join(nPieces.hint("shuffle_hash"), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws"), sum(col("np")).as("n_pieces"))
+  }
+
+  /** The per-word greedy walk (the [[wordpieceEncode]] kernel): positions
+    * are CODEPOINTS (Spark/DuckDB substr semantics); at each position the
+    * longest vocabulary piece (l = min(maxPiece, remaining)..1, first
+    * hit) is consumed, unknown positions advance one codepoint for one
+    * unit. Identical semantics to the pointer-doubling jump table's
+    * `max(l)` + `coalesce(bl, 1)` — proven row-for-row in
+    * TextAnalysisSpec. */
+  private[graft] def greedyPieceCount(w: String, vocab: Set[String],
+                                      maxPiece: Int): Long = {
+    val cps = w.codePoints.toArray
+    val n = cps.length
+    require(n <= 4096,
+      s"pathological word of $n chars — not natural-language input")
+    var i = 0
+    var np = 0L
+    while (i < n) {
+      var bl = 1
+      var l = if (maxPiece < n - i) maxPiece else n - i
+      var found = false
+      while (l >= 1 && !found) {
+        if (vocab.contains(new String(cps, i, l))) { bl = l; found = true }
+        l -= 1
+      }
+      i += bl
+      np += 1L
+    }
+    np
+  }
+
+  /** SPEC REFERENCE — the original Spark-first greedy walk without a
+    * driver loop: the per-word walk (pos → pos + bestLen(pos)) is a
+    * FUNCTIONAL GRAPH, so the positions a word's greedy path visits are
+    * computed by POINTER DOUBLING — O(log maxWordLen) self-join rounds
+    * of the jump table (with the word end made absorbing so compositions
+    * past the end stay total), doubling the covered path length each
+    * round. All frames in the loop are bounded by (distinct words × word
+    * length). Superseded in the query path by [[wordpieceEncode]]'s
+    * broadcast-vocab mapPartitions walk (measured: ~an order of
+    * magnitude fewer jobs and less CPU); kept so TextAnalysisSpec can
+    * prove the two walks emit identical rows on arbitrary corpora. */
+  private[graft] def wordpieceEncodePointerDoubling(
+      docs: DataFrame, vocab: DataFrame, maxPiece: Int = 6,
+      textCol: String = "text"): DataFrame = {
     val docWords = docs
       .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("word"))
       .filter(col("word").isNotNull && col("word") =!= "")
@@ -795,6 +860,61 @@ object TextAnalysis {
   def bpeEncodeBytes(docs: DataFrame,
                      merges: Seq[(Int, String, String, Long)],
                      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the rules are driver state already (k pairs); the per-word replay is
+    // ONE mapPartitions pass over the distinct-word table — the trainer's
+    // own fuse loop ([[bpeTrainDriver]]), replacing k chained interpreted
+    // `aggregate` folds (ArrayAggregate is CodegenFallback) with k array
+    // scans per word. The expression path is kept as
+    // [[bpeEncodeBytesExpr]]; BpeBytesSpec proves them identical.
+    val ms = merges.sortBy(_._1).map(m => (m._2, m._3)).toArray
+    val docWords = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word").isNotNull && col("word") =!= "")
+    val units = docWords.select(col("word")).distinct().as[String]
+      .map { w =>
+        // Java getBytes(UTF_8) substitutes '?' for unpaired surrogates —
+        // the same REPLACE conversion UTF8String.fromString applied when
+        // the row was stored, so these bytes ARE the stored word's bytes
+        // (octet_length parity, pinned in BpeBytesSpec's surrogate test)
+        val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var syms = new scala.collection.mutable.ArrayBuffer[String](b.length)
+        var i = 0
+        while (i < b.length) { syms += f"${b(i) & 0xff}%02X"; i += 1 }
+        var r = 0
+        while (r < ms.length) {
+          val l = ms(r)._1
+          val rr = ms(r)._2
+          // non-overlapping left-to-right fuse — the fold's semantics
+          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == rr) {
+              out += (l + rr); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out
+          r += 1
+        }
+        (w, b.length.toLong, syms.length.toLong)
+      }.toDF("word", "nb", "units")
+    docWords.join(units.hint("shuffle_hash"), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ws"), sum(col("nb")).as("n_bytes"),
+        sum(col("units")).as("n_units"))
+  }
+
+  /** SPEC REFERENCE — the original expression-tree form of
+    * [[bpeEncodeBytes]]: seed via [[byteSymSeed]], k chained
+    * [[bpeApplySym]] folds in the plan. Superseded in the query path by
+    * the mapPartitions replay above (ArrayAggregate is a CodegenFallback,
+    * so the k folds ran interpreted with O(len²) string rebuilding per
+    * fold); kept so BpeBytesSpec can prove the two paths identical on
+    * arbitrary corpora. */
+  private[graft] def bpeEncodeBytesExpr(docs: DataFrame,
+                                        merges: Seq[(Int, String, String, Long)],
+                                        textCol: String = "text"): DataFrame = {
     val docWords = docs
       .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("word"))
       .filter(col("word").isNotNull && col("word") =!= "")
@@ -1105,6 +1225,11 @@ object TextAnalysis {
           transform(sequence(lit(1), size(col("wtok")) - (k - 1)),
             i => concat_ws(" ", slice(col("wtok"), i, lit(k)))))
           .otherwise(array().cast("array<string>")).as("sh"))
+    // r17 note: checkpointing `posed` (it feeds the window pass AND the
+    // argmin join) was MEASURED and reverted — summed task CPU stayed
+    // flat (9.1 → 9.2 s at sf0.1): the double tokenize+shingle+hash pass
+    // costs less than materializing O(corpus tokens) rows, unlike the
+    // nearDupMinhash case where the shared frame is per-doc sets.
     val posed = mat
       .select(col("doc_id"), posexplode(col("sh")).as(Seq("pos0", "g")))
       .select(col("doc_id"), (col("pos0") + 1).cast("bigint").as("pos"),

@@ -14,6 +14,19 @@ final case class UniCand(word: String, cnt: Long, e: Int, ps: Array[Double])
   * piece lengths in order (codepoints). */
 final case class UniPath(word: String, cnt: Long, n_pieces: Long, lens: Array[Int])
 
+/** A trained unigram model in collected, broadcastable form: piece
+  * probabilities (each ONE IEEE division of exact integers — the same
+  * operands [[Unigram.withProbs]] divides), the unknown-single floor 1/T,
+  * and the longest word the probability-domain DP can decode without
+  * underflow (`maxWordLen` — the largest L with L·log10(pFloor) > −300,
+  * the log evaluated DRIVER-side once so no transcendental ever touches
+  * the data path). The model is vocabulary-bounded by construction
+  * (≤ topV + one row per distinct character), so collecting it is the
+  * bounded-state pattern every broadcast in this family already relies
+  * on. */
+final case class UniModel(p: Map[String, Double], pFloor: Double,
+                          maxWordLen: Int)
+
 /** Unigram language-model tokenizer (SentencePiece, Kudo 2018) — the third
   * production subword family beside BPE ([[TextAnalysis.bpeTrain]]) and
   * WordPiece ([[TextAnalysis.wordpieceVocab]]): pieces carry PROBABILITIES
@@ -40,16 +53,19 @@ final case class UniPath(word: String, cnt: Long, n_pieces: Long, lens: Array[In
   * below 1e-308 remains deterministic on both engines.
   *
   * Scale shape: every training frame is WORD-TYPE-scale (Heaps-bounded
-  * distinct words), never corpus-scale — seed candidate explosion and the
-  * per-word DP ride the word-frequency table, exactly like WordPiece's
-  * pointer-doubling frames. The DP itself is a per-word sequential fold
-  * (Viterbi has a true loop-carried dependency, unlike greedy
-  * longest-match's functional graph), so it uses the house ordered-fold
-  * pattern (groupByKey + flatMapSortedGroups — the EMA/RSI/backtest shape):
-  * one shuffle per EM round, per-group memory O(wordLen · maxPiece). The
-  * model is vocabulary-bounded (≤ topV + alphabet rows) and explicitly
-  * broadcast; word-type-scale join sides are pinned `shuffle_hash` (the
-  * measured stats-blind-broadcast trap, see [[TextAnalysis.wordpieceEncode]]).
+  * distinct words), never corpus-scale — the per-word DP rides the
+  * word-frequency table. The model is vocabulary-bounded by construction
+  * (≤ topV + alphabet rows), so it is collected ONCE per round
+  * ([[collectModel]] — the bounded-probe pattern of
+  * [[TextAnalysis.bpeTrain]]'s driver path) and BROADCAST; the DP then
+  * runs as one mapPartitions pass over the word table
+  * ([[viterbiLocal]]) — no candidate explosion, no model join, no
+  * collect_list shuffle, O(wordLen · maxPiece) hash probes per word.
+  * (The original distributed DP — candidate explosion + broadcast-model
+  * join + sorted-group fold — is kept as [[viterbi]], the spec reference
+  * UnigramSpec proves the local pass equivalent to.) Word-type-scale
+  * join sides are pinned `shuffle_hash` (the measured
+  * stats-blind-broadcast trap, see [[TextAnalysis.wordpieceEncode]]).
   * The only corpus-scale stages are the initial token count and the final
   * per-doc rollup — both map-side-combined single shuffles.
   */
@@ -86,7 +102,7 @@ object Unigram {
     * for the total (the model is vocabulary-bounded), p = used/T as ONE
     * IEEE division of exact integers. Returns (model with `p`, pFloor)
     * where pFloor = 1/T is the unknown-single floor. */
-  private def withProbs(model: DataFrame): (DataFrame, Double) = {
+  private[graft] def withProbs(model: DataFrame): (DataFrame, Double) = {
     val r = model.agg(sum(col("used"))).first()
     require(!r.isNullAt(0) && r.getLong(0) > 0,
       "empty unigram model — no training tokens")
@@ -95,9 +111,116 @@ object Unigram {
       1.0 / t.toDouble)
   }
 
+  /** Collect a vocabulary-bounded (piece, used) model to its broadcastable
+    * [[UniModel]] form: p = used/T as ONE IEEE division of exact integers
+    * (identical operands to [[withProbs]]'s column division, so the two
+    * paths are bit-equal), pFloor = 1/T. The collect is bounded by
+    * construction (≤ topV + one row per distinct character); the require
+    * keeps the bound loud if a caller ever feeds a non-model frame. */
+  private[graft] def collectModel(model: DataFrame): UniModel = {
+    val rows = model.select(col("piece"), col("used")).collect()
+    require(rows.length <= 4000000,
+      s"unigram model unexpectedly large (${rows.length} rows) — " +
+        "not vocabulary-bounded")
+    var t = 0L
+    rows.foreach(r => t += r.getLong(1))
+    require(rows.nonEmpty && t > 0, "empty unigram model — no training tokens")
+    val td = t.toDouble
+    val pFloor = 1.0 / td
+    // underflow bound: best(e) >= pFloor^e, so decoding is safe while
+    // len · log10(pFloor) > -300 (the original driver-probe condition,
+    // solved for len ONCE here — boundary-exact by the correction loops)
+    val g = math.log10(pFloor)
+    val maxWordLen =
+      if (g >= 0.0) Int.MaxValue
+      else {
+        var lim = math.min(math.floor(-300.0 / g), Int.MaxValue.toDouble).toLong
+        while (lim > 0 && lim * g <= -300.0) lim -= 1
+        while (lim < Int.MaxValue && (lim + 1) * g > -300.0) lim += 1
+        lim.toInt
+      }
+    UniModel(
+      rows.iterator.map(r => r.getString(0) -> (r.getLong(1).toDouble / td))
+        .toMap,
+      pFloor, maxWordLen)
+  }
+
+  /** Viterbi-decode every word under a COLLECTED model: one mapPartitions
+    * pass over the word-type-scale table against the broadcast model —
+    * the production decode path. Identical arithmetic to [[viterbi]]
+    * (same candidate order l = 1..min(maxPiece, e), same IEEE multiply,
+    * same `>=` longest-piece tie pin — UnigramSpec proves row-for-row
+    * equality on random corpora incl. supplementary-plane codepoints).
+    * The underflow guard is per-word against the model's precomputed
+    * [[UniModel.maxWordLen]] — the identical condition the original
+    * driver-side max-length probe checked, without the extra full pass
+    * over the word table that probe cost (one whole corpus-derived
+    * aggregation per encode call at scale). */
+  private[graft] def viterbiLocal(words: DataFrame, m: UniModel,
+                                  maxPiece: Int): Dataset[UniPath] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(m)
+    words.select(col("word"), col("cnt")).as[(String, Long)]
+      .mapPartitions { it =>
+        val mm = bc.value
+        it.map { case (w, cnt) => decodeOne(w, cnt, mm, maxPiece) }
+      }
+  }
+
+  /** The per-word probability-domain DP (the [[viterbiLocal]] kernel):
+    * positions are CODEPOINTS (Spark/DuckDB substr semantics, the
+    * [[mStep]] convention), candidates scan l ascending with `>=` so
+    * equal-probability ties take the longest piece — the exact loop
+    * [[viterbi]]'s sorted-group fold runs. */
+  private[graft] def decodeOne(w: String, cnt: Long, m: UniModel,
+                               maxPiece: Int): UniPath = {
+    val cps = w.codePoints.toArray
+    val n = cps.length
+    require(n <= m.maxWordLen,
+      s"word of $n chars risks probability-domain underflow at " +
+        s"pFloor=${m.pFloor} — not natural-language input")
+    val bests = new Array[Double](n + 1)
+    val backs = new Array[Int](n + 1)
+    bests(0) = 1.0
+    var e = 1
+    while (e <= n) {
+      var b = -1.0
+      var ls = 0
+      val lm = if (maxPiece < e) maxPiece else e
+      var l = 1
+      while (l <= lm) {
+        val piece = new String(cps, e - l, l)
+        val pv = m.p.getOrElse(piece, if (l == 1) m.pFloor else 0.0)
+        val v = bests(e - l) * pv
+        if (v >= b) { b = v; ls = l } // l ascending: >= pins longest-piece ties
+        l += 1
+      }
+      require(b > 0.0,
+        s"viterbi probability underflowed to zero at position $e of '$w'")
+      bests(e) = b
+      backs(e) = ls
+      e += 1
+    }
+    val rev = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var p = n
+    while (p > 0) { rev += backs(p); p -= backs(p) }
+    val lens = new Array[Int](rev.length)
+    var i = 0
+    while (i < lens.length) { lens(i) = rev(lens.length - 1 - i); i += 1 }
+    UniPath(w, cnt, lens.length.toLong, lens)
+  }
+
   /** Viterbi-decode every word under the model: max-probability
     * segmentation, ties to the longest piece. Candidate frames are
-    * word-type-scale; the DP is the house sorted-group fold. */
+    * word-type-scale; the DP is the house sorted-group fold.
+    *
+    * SPEC REFERENCE — the original distributed decode (candidate
+    * explosion + broadcast-model join + sorted-group fold), superseded in
+    * the query paths by [[viterbiLocal]] (one mapPartitions pass under
+    * the broadcast model — measured ~an order of magnitude fewer jobs and
+    * less CPU). Kept so UnigramSpec can prove the two paths emit
+    * identical rows on arbitrary corpora. */
   private[graft] def viterbi(words: DataFrame, model: DataFrame, maxPiece: Int,
                              pFloor: Double): Dataset[UniPath] = {
     val spark = words.sparkSession
@@ -196,8 +319,8 @@ object Unigram {
       .select(col("piece")).localCheckpoint(true)
     var i = 0
     while (i < iters) {
-      val (m, pFloor) = withProbs(model)
-      model = mStep(viterbi(words, m, maxPiece, pFloor), singles, keepV)
+      model = mStep(viterbiLocal(words, collectModel(model), maxPiece),
+          singles, keepV)
         .localCheckpoint(true)
       i += 1
     }
@@ -209,17 +332,22 @@ object Unigram {
     * count (the [[TextAnalysis.wordpieceEncode]] report shape, so the two
     * tokenizer families compare head-to-head). */
   def encode(docs: DataFrame, model: DataFrame, maxPiece: Int = 6,
-             textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+             textCol: String = "text"): DataFrame =
+    encodeWith(docs, collectModel(model), maxPiece, textCol)
+
+  /** [[encode]] under an ALREADY-COLLECTED model — the frozen-model
+    * streaming contract ([[graft.streaming.Streams.unigramEncodeStream]]):
+    * collect the vocabulary-bounded model once, encode every micro-batch
+    * under it without re-reading the model frame per batch. */
+  def encodeWith(docs: DataFrame, m: UniModel, maxPiece: Int = 6,
+                 textCol: String = "text"): DataFrame = {
     val docWords = docs
       .select(col("doc_id"), explode(TextOps.tokens(col(textCol))).as("word"))
       .filter(col("word").isNotNull && col("word") =!= "")
     // derive the word table from docWords instead of re-tokenizing the
     // corpus a second time (one fewer corpus-scale explode pass)
     val words = docWords.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    val (m, pFloor) = withProbs(model)
-    val np = viterbi(words, m, maxPiece, pFloor)
+    val np = viterbiLocal(words, m, maxPiece)
       .select(col("word"), col("n_pieces").as("np"))
     // np is word-type-scale and stats-blind (typed fold output): pin the
     // build side — NEVER let Catalyst broadcast the corpus-scale side

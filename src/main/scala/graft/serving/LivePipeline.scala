@@ -28,13 +28,15 @@ import graft.sources.Compact
   *     dur ≥ threshold`), and only bars whose window has closed against
   *     the pair's max tick time freeze into the store — per-batch cost
   *     tracks new data, never history;
-  *  4. E2 grid: [[Indicators.indicatorFactsFusedResume]] folds the new
-  *     final candles into FusedMachines restored from the persisted
-  *     snapshot, appends grid facts first-write-wins, then persists the
-  *     ADVANCED snapshot ([[Indicators.indicatorGridSnapshotResume]]) as
-  *     a new VERSIONED directory — `_SUCCESS`-gated, so a kill mid-write
-  *     leaves the previous version authoritative and the replayed batch
-  *     reconverges bit-exactly (snapshot(prefix) + fold(tail) ≡
+  *  4. E2 grid: [[Indicators.indicatorGridAdvanceResume]] — ONE resumed
+  *     sorted-cogroup fold of the new final candles into FusedMachines
+  *     restored from the persisted snapshot, emitting the grid FACT rows
+  *     and the ADVANCED per-cell snapshot rows (plus the per-key
+  *     watermark advance) as tagged rows of the same frame. Facts append
+  *     first-write-wins; the snapshot persists as a new VERSIONED
+  *     directory — `_SUCCESS`-gated, so a kill mid-write leaves the
+  *     previous version authoritative and the replayed batch reconverges
+  *     bit-exactly (snapshot(prefix) + fold(tail) ≡
   *     snapshot(prefix ++ tail)).
   *
   * Crash contract per batch: publish (idempotent latest-cache), tick
@@ -584,10 +586,11 @@ object LivePipeline {
     * hand consumers a LocalRelation plus driver-derived scan bounds. The
     * previous shape scanned the snapshot parquet in three separate plan
     * branches per ledger per batch (bounds aggregate+collect, broadcast
-    * frontier, fold state side). Bound semantics replicate the old
-    * aggregate exactly: f = min last_time (0 when all-null — the old
-    * Row.getLong(null) read), oe = min entry_time over open rows
-    * (MaxValue when none), bound = min(f, oe). */
+    * frontier, fold state side). Bounds: f = min last_time (0 when
+    * all-null — a DELIBERATE widening: the old aggregate+Row.getLong
+    * path would have thrown NPE on an all-null snapshot, and bound 0
+    * just widens the scan, losslessly), oe = min entry_time over open
+    * rows (MaxValue when none), bound = min(f, oe). */
   private def collectLedgerState(spark: SparkSession, root: String)
       : Option[(DataFrame, Seq[PairBound])] =
     readLatestSnapshot(spark, root).map { df =>

@@ -1500,7 +1500,10 @@ object Streams {
   def unigramEncodeStream(docs: DataFrame, model: DataFrame,
                           ledgerPath: String, checkpoint: String,
                           maxPiece: Int = 6,
-                          compactEvery: Int = 0): StreamingQuery =
+                          compactEvery: Int = 0): StreamingQuery = {
+    // the model is FROZEN for the stream's lifetime: collect its
+    // vocabulary-bounded rows ONCE here, not once per micro-batch
+    val um = graft.operators.Unigram.collectModel(model)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -1511,8 +1514,8 @@ object Streams {
         // (the t26 valve)
         val wide = batch.repartition(
           spark.sparkContext.defaultParallelism, col("doc_id"))
-        graft.operators.Unigram.encode(
-            wide.select("doc_id", "text"), model, maxPiece)
+        graft.operators.Unigram.encodeWith(
+            wide.select("doc_id", "text"), um, maxPiece)
           .write.mode("append").parquet(ledgerPath)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           graft.sources.Compact.compactLedger(spark, ledgerPath,
@@ -1520,6 +1523,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /** T33 (streaming L79): byte-level BPE encode of arriving documents
     * under FROZEN merge rules — the [[unigramEncodeStream]] contract for

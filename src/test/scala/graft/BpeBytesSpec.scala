@@ -139,6 +139,24 @@ class BpeBytesSpec extends SparkSpec {
     })
   }
 
+  test("mapPartitions replay ≡ expression-tree fold (the retired plan shape)") {
+    // the query path now replays merges in a typed map; the original
+    // byteSymSeed + chained-aggregate expression form is the spec
+    // reference — identical rollups on arbitrary corpora and rule counts
+    checkProp(forAll(corpusGen, Gen.chooseNum(0, 5)) { (texts, k) =>
+      val docs = texts.toDF("doc_id", "text")
+      val merges =
+        if (k == 0) Seq.empty
+        else TextAnalysis.bpeTrain(docs, k, byteLevel = true)._2
+      def roll(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val neu = roll(TextAnalysis.bpeEncodeBytes(docs, merges))
+      val old = roll(TextAnalysis.bpeEncodeBytesExpr(docs, merges))
+      (neu == old) :| s"k=$k neu=$neu old=$old"
+    }, n = 6)
+  }
+
   test("totality: every symbol sequence reconstructs the word's exact UTF-8 bytes") {
     // the byte-fallback property: NO byte is ever lost or substituted by
     // encoding, for any input and any rule set — concatenating the

@@ -55,6 +55,41 @@ class EditJoinSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("multi-match-aware window stays lossless across thresholds (t sweep)") {
+    // r17: the probe start window tightened from the plain shift bound to
+    // PassJoin's multi-match-aware selection (|o| <= i-1, |Δ−o| <= m−i);
+    // the window depends on segment index AND length gap, so sweep both
+    // the threshold and the corpus shape against brute force
+    for (t <- Seq(1, 2, 4, 8); seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = "abc d"
+      def randStr(len: Int) = Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+      def mutate(s: String, edits: Int): String = {
+        var cur = s.toVector
+        (1 to edits).foreach { _ =>
+          val pos = rnd.nextInt(math.max(cur.size, 1))
+          rnd.nextInt(3) match {
+            case 0 if cur.nonEmpty => cur = cur.updated(pos, alpha(rnd.nextInt(alpha.length)))
+            case 1 => cur = (cur.take(pos) :+ alpha(rnd.nextInt(alpha.length))) ++ cur.drop(pos)
+            case _ if cur.size > 1 => cur = cur.take(pos) ++ cur.drop(pos + 1)
+            case _ => ()
+          }
+        }
+        cur.mkString
+      }
+      // lengths straddling t+1 so both the PassJoin core and the
+      // degenerate short path run; edits straddle t
+      val bases = (1L to 25L).map(i => i -> randStr(1 + rnd.nextInt(3 * t + 10)))
+      val twins = bases.take(15).zipWithIndex.map { case ((i, s), k) =>
+        (100L + i) -> mutate(s, 1 + k % (t + 2))
+      }
+      val d = docs((bases ++ twins): _*)
+      val got = collectPairs(EditJoin.editDistJoin(d, t))
+      val exp = collectPairs(brute(d, t))
+      assert(got === exp, s"t=$t seed=$seed")
+    }
+  }
+
   test("pair at exactly distance t kept, t+1 dropped") {
     val d = docs(
       1L -> "abcdefghijklmnop",

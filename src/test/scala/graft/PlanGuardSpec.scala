@@ -214,16 +214,17 @@ class PlanGuardSpec extends SparkSpec {
       s"editDistJoin grew a cartesian:\n$p")
   }
 
-  test("wordpiece: corpus- and word-type-scale joins stay shuffled; only vocab broadcasts") {
+  test("wordpiece: the word-type-scale attach stays shuffled; no broadcast joins at all") {
     // the second round-14 10x trap: checkpoint'd RDD scans have no stats
     // and the rollup join BuildLeft-broadcast the corpus-scale exploded
-    // docWords table. Every word-keyed join is hinted shuffle_hash; the
-    // only legitimate broadcast side is the bounded vocab piece set.
+    // docWords table. The r17 encoder collects the bounded vocab (no vocab
+    // join remains) and attaches the typed greedy-walk output with a
+    // pinned shuffle_hash — the ONLY join left, and it must stay shuffled.
     val p = plan("llm_wordpiece")
     assert(p.contains("ShuffledHashJoin"),
-      s"wordpiece lost its shuffle_hash joins:\n$p")
+      s"wordpiece lost its shuffle_hash attach join:\n$p")
     val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
-    assert(bhj <= 1, s"wordpiece broadcasts more than the vocab join ($bhj):\n$p")
+    assert(bhj === 0, s"wordpiece must not broadcast-join anything ($bhj):\n$p")
   }
 
   test("span dedup: no joins, no postings — two shuffles plus the corpus spread") {
@@ -635,6 +636,45 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(offenders.isEmpty,
       s"streaming plan invariants violated:\n${offenders.mkString("\n")}")
+  }
+
+  test("fromWireJson carries exactly ONE from_json in its optimized plan (batch + streaming)") {
+    // ADVICE r16: the single-parse guarantee rests on an optimizer-barrier
+    // idiom (a nondeterministic spark_partition_id column kept alive by an
+    // always-true filter). If a future Spark optimizer learns to eliminate
+    // it, predicate pushdown re-inlines the interpreted parse into every
+    // filter conjunct (~5x per row, measured r16) with no functional test
+    // failing — this tripwire pins the plan shape itself.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def nParses(p: String): Int = "from_json".r.findAllIn(p).size
+    val good = """{"symbol":"USD_JPY","timestamp":"2026-02-16T13:05:10.123Z","bid":"151.245","ask":"151.249"}"""
+    // repartition blocks ConvertToLocalRelation from folding the whole
+    // parse into a LocalTableScan at plan time
+    val batchPlan = graft.operators.Ticks
+      .fromWireJson(Seq(good, "not json").toDF("value").repartition(2))
+      .queryExecution.executedPlan.toString
+    assert(nParses(batchPlan) === 1,
+      s"batch wire parse must run from_json exactly once per row:\n$batchPlan")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    in.addData(good)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wirejson-").toString
+    val q = graft.operators.Ticks.fromWireJson(in.toDF().repartition(2)).writeStream
+      .option("checkpointLocation", ckpt)
+      .format("noop")
+      .start()
+    q.processAllAvailable()
+    // q.explain prints the last micro-batch's executed plan to Console.out
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+    q.stop()
+    // AQE explain prints the final plan and then repeats the initial one —
+    // count parses in the executed (final) section only
+    val streamPlan = buf.toString.split("== Initial Plan ==")(0)
+    assert(streamPlan.nonEmpty, "q.explain() produced no plan output")
+    assert(nParses(streamPlan) === 1,
+      s"streaming wire parse must run from_json exactly once per row:\n$streamPlan")
   }
 
   test("vocab top-V cuts with distributed TakeOrdered, never a global sort") {

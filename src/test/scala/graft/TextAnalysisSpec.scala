@@ -324,5 +324,34 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === exp)
+    // the retired pointer-doubling walk (spec reference) must agree too —
+    // the broadcast-vocab mapPartitions encoder replaced it in the query
+    // path and this pins the equivalence
+    val old = TextAnalysis.wordpieceEncodePointerDoubling(d, vocabDf, maxPiece = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(old === exp)
+  }
+
+  test("wordpiece broadcast walk == pointer-doubling walk (supplementary-plane words)") {
+    import org.apache.spark.sql.functions.col
+    // codepoint discipline: U+1D11E (4 UTF-16 units as 2 chars) mixed with
+    // BMP chars — both walks must count positions by CODEPOINT
+    val rnd = new scala.util.Random(77)
+    val alpha = Array("a", "b", new String(Character.toChars(0x1D11E)),
+      new String(Character.toChars(0x1F600)), "é")
+    def randWord() =
+      Seq.fill(1 + rnd.nextInt(10))(alpha(rnd.nextInt(alpha.length))).mkString
+    val docs = (1L to 25L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(6))(randWord()).mkString(" ")))
+    val d = docs.toDF("doc_id", "text")
+    val vocabDf = TextAnalysis.wordpieceVocab(d, topV = 20, maxPiece = 3)
+    val neu = TextAnalysis.wordpieceEncode(d, vocabDf, maxPiece = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val old = TextAnalysis.wordpieceEncodePointerDoubling(d, vocabDf, maxPiece = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(neu === old)
   }
 }

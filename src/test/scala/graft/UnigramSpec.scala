@@ -93,13 +93,59 @@ class UnigramSpec extends SparkSpec {
     assert(np >= 3L && np <= 9L)
   }
 
+  test("viterbiLocal (broadcast-model mapPartitions) == viterbi (distributed DP)") {
+    // the query paths decode via viterbiLocal; the original sorted-group
+    // fold is the spec reference — row-for-row equality (word, cnt,
+    // n_pieces, lens) on random corpora incl. supplementary-plane chars
+    val maxPiece = 4
+    for (seed <- Seq(3, 11, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = Array("a", "b", "c", new String(Character.toChars(0x1D11E)),
+        new String(Character.toChars(0x1F600)), "ß")
+      def word() =
+        Seq.fill(1 + rnd.nextInt(9))(alpha(rnd.nextInt(alpha.length))).mkString
+      val texts = (1L to 25L).map(i =>
+        i -> Seq.fill(2 + rnd.nextInt(8))(word()).mkString(" "))
+      val d = docs(texts: _*)
+      val words = Unigram.wordTable(d, "text").localCheckpoint(true)
+      val model = Unigram.seedModel(words, 12, maxPiece).localCheckpoint(true)
+      val (m, pFloor) = Unigram.withProbs(model)
+      def norm(rows: Array[graft.operators.UniPath]) =
+        rows.map(u => (u.word, u.cnt, u.n_pieces, u.lens.toSeq)).sortBy(_._1)
+      val old = norm(Unigram.viterbi(words, m, maxPiece, pFloor).collect())
+      val neu = norm(Unigram.viterbiLocal(words,
+        Unigram.collectModel(model), maxPiece).collect())
+      assert(neu === old, s"mismatch at seed $seed")
+    }
+  }
+
   test("underflow guard fails loudly on pathological input") {
     val model = Seq(("x", 1000000000000000000L)).toDF("piece", "used")
     val longWord = "x" * 400
-    val ex = intercept[IllegalArgumentException] {
+    // the guard fires per-word inside the DP task (the driver-side
+    // max-length probe and its extra word-table pass are gone) — Spark
+    // wraps the task's IllegalArgumentException, so walk the cause chain
+    val ex = intercept[Throwable] {
       Unigram.encode(docs(1L -> longWord), model, maxPiece = 6).collect()
     }
-    assert(ex.getMessage.contains("underflow"))
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("underflow"), s"expected a loud underflow guard:\n$msgs")
+  }
+
+  test("underflow guard threshold: maxWordLen matches the probe condition exactly") {
+    // collectModel's precomputed bound must equal the original probe's
+    // predicate len·log10(pFloor) > -300 at the boundary
+    val model = Seq(("x", 1000000000000000000L)).toDF("piece", "used")
+    val m = Unigram.collectModel(model)
+    assert(m.maxWordLen * math.log10(m.pFloor) > -300.0)
+    assert((m.maxWordLen + 1) * math.log10(m.pFloor) <= -300.0)
+    // a word AT the bound decodes; one past it fails
+    val ok = "x" * m.maxWordLen
+    assert(Unigram.decodeOne(ok, 1L, m, 6).n_pieces === m.maxWordLen.toLong)
+    intercept[IllegalArgumentException] {
+      Unigram.decodeOne("x" * (m.maxWordLen + 1), 1L, m, 6)
+    }
   }
 
   test("empty corpus: encode yields no rows, train fails loudly") {
